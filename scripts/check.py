@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+
+For each query in <verifyOutDir>/oracle_sql.json:
+  - run the oracle SQL in DuckDB with views named after the parquet tables
+  - read the Spark result parquet from <verifyOutDir>/<name>/
+  - sort columns by name, compare row-by-row (exact), report PASS/FAIL
+"""
+import json
+import sys
+import glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    # Normalize to stable comparable form, mirroring a hash-of-values
+    # compare: floats to repr, timestamps/dates to ISO strings.
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        # collapse -0.0 and fix float repr
+        if v == 0:
+            v = 0.0
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols2 = [cols[i] for i in order]
+    rows2 = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return cols2, rows2
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        try:
+            ocols, orows = frame(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        scols, srows = frame(
+            con, f"SELECT * FROM read_parquet('{spark_files[0]}')")
+        if ocols != scols:
+            print(f"FAIL {name}: columns differ spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1
+            continue
+        bad = [(i, s, o) for i, (s, o) in enumerate(zip(srows, orows)) if s != o]
+        if bad:
+            i, s, o = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; "
+                  f"first at {i}:\n  cols : {scols}\n  spark: {s}\n  oracle:{o}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
