@@ -38,8 +38,106 @@ object Aggregates {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Exact distinct users per event type (expand + two-phase agg). */
+  def countDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** HLL approximate distinct — the 100 TB substitute for exact distinct.
+    * No DuckDB oracle (different sketch); ScalaTest asserts ±5% of exact. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .orderBy(col("event_type"))
+
+  /** ROLLUP with grouping() indicator columns (cast int for parity). */
+  def rollupQty(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over (event_type, day). */
+  def cubeEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day")).cast("int").as("g_day"))
+      .orderBy(col("g_type"), col("g_day"),
+        col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** Explicit GROUPING SETS ((type),(day),()) via SQL. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .createOrReplaceTempView("graft_events_gs")
+    spark.sql(
+      """SELECT event_type, day, count(*) AS n,
+        |  CAST(grouping(event_type) AS INT) AS g_type,
+        |  CAST(grouping(day) AS INT) AS g_day
+        |FROM graft_events_gs
+        |GROUP BY GROUPING SETS ((event_type), (day), ())
+        |ORDER BY g_type, g_day, event_type ASC NULLS FIRST,
+        |  day ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Deterministic collected list: sorted orderkeys per customer. */
+  def collectSorted(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  /** Exact median (interpolated) per order priority. */
+  def medianPrice(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** HAVING: event types with at least 10 distinct users. */
+  def havingDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_users") >= 10)
+      .orderBy(col("event_type"))
+
+  /** max_by with explicit tie-break: event_type of each user's
+    * highest-(value, event_id) event. */
+  def minmaxBy(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), struct(col("value"), col("event_id")))
+          .as("top_type"),
+        round(max(col("value")), 2).as("top_value"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing_summary" -> pricingSummary,
+    "q_agg_count_distinct" -> countDistinctUsers,
+    "q_agg_approx_distinct" -> approxDistinctUsers,
+    "q_agg_rollup" -> rollupQty,
+    "q_agg_cube" -> cubeEvents,
+    "q_agg_grouping_sets" -> groupingSets,
+    "q_agg_collect_sorted" -> collectSorted,
+    "q_agg_median" -> medianPrice,
+    "q_agg_having" -> havingDistinct,
+    "q_agg_minmax_by" -> minmaxBy,
   )
 
   val oracle: Map[String, String] = Map(
@@ -57,5 +155,57 @@ object Aggregates {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        | CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        | CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST,
+        | l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        | count(*) AS n, round(sum(value), 2) AS sum_value,
+        | CAST(grouping(event_type) AS INTEGER) AS g_type,
+        | CAST(grouping(date_trunc('day', ts)) AS INTEGER) AS g_day
+        |FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))
+        |ORDER BY g_type, g_day, event_type ASC NULLS FIRST,
+        | day ASC NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        | count(*) AS n,
+        | CAST(grouping(event_type) AS INTEGER) AS g_type,
+        | CAST(grouping(date_trunc('day', ts)) AS INTEGER) AS g_day
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+        |ORDER BY g_type, g_day, event_type ASC NULLS FIRST,
+        | day ASC NULLS FIRST""".stripMargin,
+    "q_agg_collect_sorted" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_agg_median" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_having" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |HAVING count(DISTINCT user_id) >= 10
+        |ORDER BY event_type""".stripMargin,
+    "q_agg_minmax_by" ->
+      """WITH r AS (SELECT user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id DESC) AS rn,
+        |  max(value) OVER (PARTITION BY user_id) AS mx
+        | FROM events)
+        |SELECT user_id, event_type AS top_type, round(mx, 2) AS top_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 }

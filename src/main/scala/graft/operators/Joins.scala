@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** SURVEY.md §2-C — join operators (broadcast, SMJ, multiway, outer,
+  * semi/anti, theta-range, as-of, cross).
+  *
+  * Reference analogs: the logger correlates log lines/events with the
+  * container that produced them (attach-on-start, `since=` bookkeeping in
+  * muswarmlogger/loggers.py) — the as-of and theta-range joins are that
+  * correlation expressed relationally; dim enrichment mirrors
+  * `ContainerEvent.container` metadata lookups (muswarmlogger/events.py).
+  *
+  * Scale notes:
+  * - Small dims (part/customer/nation/region at any realistic scale for
+  *   dims) are broadcast — no shuffle of the fact side.
+  * - Big-big joins (lineitem⋈orders) shuffle on the join key once; we use
+  *   a merge hint to pin SMJ where the test SF would otherwise broadcast.
+  * - The theta-range self-join is equi on user_id first (hash/SMJ), range
+  *   predicate applied as a post-condition — never a cross product. At
+  *   100 TB the equi key would be (user_id, coarse time bucket) to bound
+  *   per-key fan-out; AQE skew-split handles hot users.
+  * - The as-of join is join + windowed row_number de-dup; Spark lacks a
+  *   native as-of. The window partitions by the probe row key, so state
+  *   is bounded per purchase.
+  */
+object Joins {
+
+  /** Broadcast hash join: fact ⋈ tiny dim, no fact shuffle. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+        col("p_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Sort-merge join lineitem⋈orders (merge hint: both sides large at
+    * production scale), aggregated down to a small deterministic result. */
+  def joinSmj(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Three-way dim chain customer⋈nation⋈region (both dims broadcast). */
+  def joinMultiway(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left outer keeping orphan orders (no matching customer row). */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"),
+        "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      .orderBy(col("o_orderkey"))
+
+  /** Left-semi: customers having at least one order (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti: customers with no orders (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Theta/range self-join: same-user event pairs within 5 minutes.
+    * Equi on user_id + range post-predicate. µs granularity throughout:
+    * DuckDB truncates parquet ns-timestamps to µs, so ns-exact arithmetic
+    * would diverge at window boundaries. */
+  def joinThetaRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val a = ev.select(col("event_id").as("a_id"),
+      col("user_id"), col("ts_us").as("a_ts"))
+    val b = ev.select(col("event_id").as("b_id"),
+      col("user_id").as("b_user"), col("ts_us").as("b_ts"))
+    a.join(b, col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + lit(300L * 1000 * 1000))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        expr("(b_ts - a_ts) div 1000000").as("gap_s"))
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+
+  /** As-of join: each purchase matched to the same user's most recent
+    * prior-or-equal signup; ties broken by max signup event_id. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts_us").as("s_ts"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("s_ts").desc, col("s_id").desc)
+    purchases
+      .join(signups, col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts"), "inner")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("p_id"), col("s_id"),
+        expr("(p_ts - s_ts) div 1000000").as("age_s"))
+      .orderBy(col("user_id"), col("p_id"))
+  }
+
+  /** Cross product of the two tiny dims (nested-loop). */
+  def joinCrossSmall(spark: SparkSession, dir: String): DataFrame =
+    region(spark, dir).select(col("r_name"))
+      .crossJoin(nation(spark, dir).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_smj" -> joinSmj,
+    "q_join_multiway" -> joinMultiway,
+    "q_join_left_outer" -> joinLeftOuter,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_theta_range" -> joinThetaRange,
+    "q_join_asof" -> joinAsof,
+    "q_join_cross_small" -> joinCrossSmall,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_smj" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_left_outer" ->
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        | (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+    "q_join_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id, epoch_us(ts) AS s_ts
+        |  FROM events WHERE event_type = 'signup'),
+        |j AS (SELECT p.user_id, p.p_id, s.s_id,
+        |    (p.p_ts - s.s_ts) // 1000000 AS age_s,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY s.s_ts DESC, s.s_id DESC) AS rn
+        |  FROM p JOIN s ON p.user_id = s.user_id AND s.s_ts <= p.p_ts)
+        |SELECT user_id, p_id, s_id, age_s FROM j WHERE rn = 1
+        |ORDER BY user_id, p_id""".stripMargin,
+    "q_join_cross_small" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+  )
+}

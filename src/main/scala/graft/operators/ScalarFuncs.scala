@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** SURVEY.md §2-H — scalar function families: string, regex, date/time,
+  * math, array, map, JSON.
+  *
+  * Reference analogs: IRI/uuid minting and log-line timestamp parsing
+  * (muswarmlogger/loggers.py save_container_logs), epoch-nano conversion
+  * (muswarmlogger/events.py), open-keyed label dict access
+  * (Actor.Attributes). All are codegen'd built-in expressions — no UDFs
+  * in these hot paths (SURVEY §4).
+  */
+object ScalarFuncs {
+
+  /** IRI minting + case/pad/substring string ops. */
+  def strIriMint(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        concat(lit("http://swarmui.semte.ch/resources/events/"),
+          col("event_id")).as("iri"),
+        upper(col("event_type")).as("type_up"),
+        substring(col("event_type"), 1, 3).as("type_pre"),
+        lpad(col("user_id").cast(StringType), 4, "0").as("user_pad"))
+      .orderBy(col("event_id"))
+
+  /** Log-line-style splitting: first token, regex extract, token count. */
+  def strRegexSplit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        substring_index(col("text"), " ", 1).as("first_tok"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("re_tok"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .orderBy(col("doc_id"))
+
+  /** Epoch-nano → timestamp conversions and date part extraction. */
+  def dateTruncExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        hour(col("ts")).as("hr"),
+        dayofweek(col("ts")).as("dow"),
+        expr("ts_ns div 1000000000").as("ts_s"))
+      .orderBy(col("event_id"))
+
+  /** Math function family over prices (integer-result fns cast long). */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - col("l_tax") * 1000).as("abs_v"),
+        ceil(col("l_extendedprice")).as("ceil_v"),
+        floor(col("l_extendedprice")).as("floor_v"),
+        pmod(col("l_orderkey"), lit(7)).as("mod_v"),
+        sqrt(col("l_quantity")).as("sqrt_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Array family over tokenized document text. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tok"),
+        array_contains(toks, "spark").as("has_spark"),
+        slice(sort_array(array_distinct(toks)), 1, 3).as("first3"),
+        size(array_distinct(toks)).as("n_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generator/UDTF-shaped: explode tokens → global top-20 counts. */
+  def arrayExplode(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** Map family over the parsed props label-map. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    events(spark, dir)
+      .withColumn("m", m)
+      .select(col("event_id"),
+        element_at(col("m"), "k").as("k"),
+        sort_array(map_keys(col("m"))).as("keys"),
+        coalesce(element_at(col("m"), "missing"), lit(-1)).as("miss"))
+      .orderBy(col("event_id"))
+  }
+
+  /** JSON path extraction + to_json(struct) roundtrip. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("j", to_json(struct(col("event_id"), col("event_type"))))
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("j"), "$.event_type").as("rt_type"),
+        get_json_object(col("j"), "$.event_id").cast(LongType).as("rt_id"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_iri_mint" -> strIriMint,
+    "q_str_regex_split" -> strRegexSplit,
+    "q_date_trunc_extract" -> dateTruncExtract,
+    "q_math_funcs" -> mathFuncs,
+    "q_array_funcs" -> arrayFuncs,
+    "q_array_explode" -> arrayExplode,
+    "q_map_funcs" -> mapFuncs,
+    "q_json_funcs" -> jsonFuncs,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_iri_mint" ->
+      """SELECT event_id,
+        | 'http://swarmui.semte.ch/resources/events/' || event_id AS iri,
+        | upper(event_type) AS type_up,
+        | substring(event_type, 1, 3) AS type_pre,
+        | lpad(CAST(user_id AS VARCHAR), 4, '0') AS user_pad
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_str_regex_split" ->
+      """SELECT doc_id, split_part(text, ' ', 1) AS first_tok,
+        | regexp_extract(text, '^(\w+)', 1) AS re_tok,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_date_trunc_extract" ->
+      """SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        | CAST(hour(ts) AS INTEGER) AS hr,
+        | CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        | epoch_ns(ts) // 1000000000 AS ts_s
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_extendedprice - l_tax * 1000) AS abs_v,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_v,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS floor_v,
+        | l_orderkey % 7 AS mod_v,
+        | sqrt(l_quantity) AS sqrt_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        | list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        | list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+        |   AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_array_explode" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k,
+        | list_sort(json_keys(props)) AS keys,
+        | coalesce(CAST(props->>'$.missing' AS INTEGER), -1) AS miss
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id, props->>'$.k' AS k_str,
+        | event_type AS rt_type, event_id AS rt_id
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** SURVEY.md §2-A — scans, sources, sinks (batch rows).
+  *
+  * Reference analogs: the Docker event pump consumes the full event
+  * stream (muswarmlogger/main.py event loop), deserializes JSON payloads
+  * (muswarmlogger/events.py new_event), and renders RDF triples
+  * (muswarmlogger/loggers.py via aiosparql Triples) — re-expressed here
+  * as columnar scans with pushdown, `from_json`, and a wide→long triples
+  * projection.
+  *
+  * Scale notes: scans rely on Parquet vectorized read + pushdown (verify
+  * `PushedFilters`/`ReadSchema` in .explain). The triples export is a
+  * narrow projection + explode — no shuffle at all until the final sort.
+  */
+object Scans {
+
+  /** Full scan, all columns. Dates cast to DATE (all values are midnight;
+    * keeps the cross-engine compare representation-stable). */
+  def scanFull(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .withColumn("l_shipdate", col("l_shipdate").cast(DateType))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Column pruning + predicate pushdown: 2 of 11 columns, filtered scan.
+    * The plan must show PushedFilters on l_shipdate and a 3-column
+    * ReadSchema (filter col + 2 projected). */
+  def scanPrunePushdown(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_quantity"))
+
+  /** Embedded-JSON parse: events.props '{"k": 87}' → typed struct field. */
+  def scanJsonEmbedded(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .orderBy(col("event_id"))
+
+  /** Second file format: round-trip `region` through CSV with an explicit
+    * schema (header-less, temp dir), proving non-parquet source/sink IO. */
+  def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    region(spark, dir).write.mode("overwrite").csv(tmp)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType))))
+      .csv(tmp)
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** RDF-export parity: wide event rows → long (s,p,o) triples with minted
+    * IRIs, mirroring the reference's aiosparql Triples rendering
+    * (muswarmlogger/loggers.py ≈L45). One explode, no join/shuffle. */
+  def sinkTriplesExport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val s = concat(lit("http://swarmui.semte.ch/resources/events/"),
+      col("event_id"))
+    ev.select(s.as("s"), explode(array(
+        struct(lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").as("p"),
+          lit("http://swarmui.semte.ch/vocabularies/core/Event").as("o")),
+        struct(lit("http://purl.org/dc/terms/type").as("p"),
+          col("event_type").as("o")),
+        struct(lit("http://mu.semte.ch/vocabularies/core/user").as("p"),
+          col("user_id").cast(StringType).as("o")),
+        struct(lit("http://purl.org/dc/terms/created").as("p"),
+          expr("ts_ns div 1000000000").cast(StringType).as("o"))
+      )).as("po"))
+      .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
+      .orderBy(col("s"), col("p"), col("o"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_full" -> scanFull,
+    "q_scan_prune_pushdown" -> scanPrunePushdown,
+    "q_scan_json_embedded" -> scanJsonEmbedded,
+    "q_source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "q_sink_triples_export" -> sinkTriplesExport,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_full" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        | CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_prune_pushdown" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_quantity""".stripMargin,
+    "q_scan_json_embedded" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_source_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_sink_triples_export" ->
+      """WITH ev AS (SELECT 'http://swarmui.semte.ch/resources/events/' || event_id AS s,
+        |  event_type, user_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events)
+        |SELECT s, p, o FROM (
+        |  SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |    'http://swarmui.semte.ch/vocabularies/core/Event' AS o FROM ev
+        |  UNION ALL
+        |  SELECT s, 'http://purl.org/dc/terms/type', event_type FROM ev
+        |  UNION ALL
+        |  SELECT s, 'http://mu.semte.ch/vocabularies/core/user',
+        |    CAST(user_id AS VARCHAR) FROM ev
+        |  UNION ALL
+        |  SELECT s, 'http://purl.org/dc/terms/created',
+        |    CAST(ts_s AS VARCHAR) FROM ev)
+        |ORDER BY s, p, o""".stripMargin,
+  )
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2-F (sorts/limits/top-k) and §2-G (set ops / dedup).
+  *
+  * Reference analog for dedup: idempotent event writes across the
+  * reference's reconnect loop (muswarmlogger/main.py) — re-delivered
+  * events must collapse to one canonical row, picked deterministically
+  * (never bare dropDuplicates, whose pick is partition-order dependent).
+  *
+  * Scale notes: global sort uses Spark's range-partitioned TeraSort-style
+  * exchange; top-k is TakeOrderedAndProject (per-partition heap + driver
+  * merge of k, not a full sort); set ops are hash aggregates/joins on the
+  * key — all shuffle-once patterns.
+  */
+object SortsSets {
+
+  /** Multi-key global sort with explicit null ordering. */
+  def sortMultiNulls(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus").asc_nulls_last,
+        col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+
+  /** Global top-10 by revenue — TakeOrderedAndProject, not a full sort. */
+  def limitTopk(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** Nation keys present in customer ∪ supplier (distinct union). */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .union(supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+
+  /** Nation keys in both customer and supplier. */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(
+        supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** Customer nations with no supplier. */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .except(
+        supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** Deterministic dedup: one canonical (min event_id) row per
+    * (user_id, event_type), value carried via min_by. */
+  def dedupRows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("event_id"),
+        min_by(col("value"), col("event_id")).as("value"),
+        count(lit(1)).as("n_dups"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_multi_nulls" -> sortMultiNulls,
+    "q_limit_topk" -> limitTopk,
+    "q_union_distinct" -> unionDistinct,
+    "q_intersect" -> intersectKeys,
+    "q_except" -> exceptKeys,
+    "q_dedup_rows" -> dedupRows,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sort_multi_nulls" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC NULLS LAST,
+        | o_totalprice DESC NULLS LAST, o_orderkey""".stripMargin,
+    "q_limit_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem
+        |ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_dedup_rows" ->
+      """SELECT user_id, event_type, min(event_id) AS event_id,
+        | arg_min(value, event_id) AS value, count(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** SURVEY.md §2-E — window functions (ranking, analytic, rows/range
+  * frames).
+  *
+  * Reference analog: per-container sequential log processing — inter-line
+  * gaps and `since=` resume bookkeeping (muswarmlogger/loggers.py) — is
+  * windowed lag/running state per partition key here.
+  *
+  * Scale notes: every window partitions by a real key (customer, user),
+  * never an empty `Window.orderBy` global sort except where the semantics
+  * demand a global ranking (ntile) — flagged below; a global window is a
+  * single-partition bottleneck at 100 TB, so the ntile example would
+  * become a range-partitioned two-pass rank at cluster scale.
+  */
+object Windows {
+
+  /** Top-3 orders per customer by totalprice (deterministic tie-break). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** rank + dense_rank of suppliers by acctbal within nation. */
+  def rankDense(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc)
+    supplier(spark, dir)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        col("rnk"), col("drnk"))
+      .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
+  }
+
+  /** Per-user microseconds between consecutive events (lag).
+    * µs, not ns: DuckDB truncates parquet TIMESTAMP(NANOS) to µs on read,
+    * so µs is the finest cross-engine-comparable granularity. */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Running revenue per customer ordered by orderdate (rows frame). */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, dir)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Trailing-1-hour same-user event count (range frame over epoch s). */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3600, 0)
+    events(spark, dir)
+      .withColumn("ts_s", expr("ts_ns div 1000000000"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("n_trailing_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ntile(4) of order totalprice (global ranking — see scale note) +
+    * each order's share of its customer's total (analytic sum). */
+  def ntileShare(spark: SparkSession, dir: String): DataFrame = {
+    val wGlobal = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wCust = Window.partitionBy(col("o_custkey"))
+    orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(wGlobal))
+      .withColumn("cust_share",
+        round(col("o_totalprice") / sum(col("o_totalprice")).over(wCust), 6))
+      .select(col("o_orderkey"), col("quartile"), col("cust_share"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_topk_per_group" -> topkPerGroup,
+    "q_win_rank_dense" -> rankDense,
+    "q_win_lag_delta" -> lagDelta,
+    "q_win_running_sum" -> runningSum,
+    "q_win_range_frame" -> rangeFrame,
+    "q_win_ntile_share" -> ntileShare,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_rank_dense" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        | CAST(rank() OVER w AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drnk
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+        |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin,
+    "q_win_lag_delta" ->
+      """SELECT user_id, event_id,
+        | epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |   AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT user_id, event_id,
+        | count(*) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_ns(ts) // 1000000000
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_ntile_share" ->
+      """SELECT o_orderkey,
+        | CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+        |   AS INTEGER) AS quartile,
+        | round(o_totalprice / sum(o_totalprice)
+        |   OVER (PARTITION BY o_custkey), 6) AS cust_share
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}
