@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Aggregates.queries ++
     operators.Windows.queries ++
     operators.SortsSets.queries ++
-    operators.ScalarFuncs.queries
+    operators.ScalarFuncs.queries ++
+    operators.LlmOps.queries ++
+    operators.Udfs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +27,7 @@ object SparkEntry {
     operators.Aggregates.oracle ++
     operators.Windows.oracle ++
     operators.SortsSets.oracle ++
-    operators.ScalarFuncs.oracle
+    operators.ScalarFuncs.oracle ++
+    operators.LlmOps.oracle ++
+    operators.Udfs.oracle
 }

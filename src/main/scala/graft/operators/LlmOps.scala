@@ -1,0 +1,594 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2-J — LLM-training-data-pipeline operators over the
+  * `documents` and `embeddings` tables: dedup (exact, n-gram Jaccard,
+  * MinHash-LSH, SimHash, embedding-cosine), similarity search
+  * (brute-force and LSH-bucketed ANN), and text analysis (stats, tf-idf,
+  * language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Cross-engine hash parity: every hash used here is derived from
+  * sha256 (first 15 hex digits → unsigned 60-bit integer), which both
+  * Spark (`conv(substring(sha2(x,256),1,15),16,10)`) and DuckDB
+  * (`CAST('0x'||substr(sha256(x),1,15) AS BIGINT)`) compute identically —
+  * so even the sketch-based operators (MinHash, SimHash) have exact
+  * DuckDB oracle twins.
+  *
+  * Scale notes (100 TB):
+  * - Exact pairwise ops (`shingle_jaccard`, `embed_neardup`,
+  *   `cosine_topk`) are the small-N correctness baselines; their scale
+  *   paths are the bucketed variants (`minhash_lsh`, `simhash`,
+  *   `lsh_ann`) whose joins are equi-joins on band/bucket keys —
+  *   shuffle-once, no cross product, skew bounded by band width.
+  * - All shingle/token explodes are generator-based (no driver
+  *   materialization); profiles and perm tables are tiny broadcasts.
+  */
+object LlmOps {
+
+  private val P = 1000000007L
+
+  /** 60-bit sha256-based token hash, mod p — identical in DuckDB. */
+  private def h60(c: String): String =
+    s"CAST(conv(substring(sha2($c, 256), 1, 15), 16, 10) AS BIGINT)"
+
+  /** doc_id + deduplicated 5-token shingle set, one row per shingle. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(tk) >= 5
+          |THEN transform(sequence(1, size(tk) - 4),
+          |               i -> concat_ws(' ', slice(tk, i, 5)))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin)))
+        .as("s"))
+
+  /** Exact dedup: normalize → sha256 → group; keep min doc_id. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("text_hash"))
+
+  /** Exact 5-gram-shingle Jaccard near-dup pairs (τ=0.8). Correctness
+    * baseline for minhashLsh; O(shared-shingle pairs) — fine at test SF,
+    * the LSH variant is the 100 TB path. */
+  def shingleJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")),
+        col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")),
+        col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("raw_j", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("raw_j") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** MinHash + banded LSH near-dup: 16 sha-derived permutation hashes,
+    * 8 bands × 2 rows → bucket equi-join for candidates → exact Jaccard
+    * verify (τ=0.8). The bucket join is the scale path: candidates share
+    * a band signature, never a cross product. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val perms = Seq(
+      (0, 7L, 3L), (1, 11L, 5L), (2, 13L, 17L), (3, 19L, 23L),
+      (4, 29L, 31L), (5, 37L, 41L), (6, 43L, 47L), (7, 53L, 59L),
+      (8, 61L, 67L), (9, 71L, 73L), (10, 79L, 83L), (11, 89L, 97L),
+      (12, 101L, 103L), (13, 107L, 109L), (14, 113L, 127L),
+      (15, 131L, 137L)).toDF("j", "a", "b")
+    val sh = shingles(spark, dir).cache()
+    val hs = sh.withColumn("h", expr(s"${h60("s")} % $P"))
+    val mh = hs.crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(expr(s"(a * h + b) % $P")).as("m"))
+    val bands = mh
+      .groupBy(col("doc_id"), expr("j div 2").as("band"))
+      .agg(expr(
+        """concat_ws(',', transform(sort_array(collect_list(struct(j, m))),
+          |                         s -> concat(s.j, ':', s.m)))""".stripMargin)
+        .as("sig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band") &&
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("i"))
+    cand
+      .join(inter, col("a_id") === col("ia") && col("b_id") === col("ib"))
+      .join(sizes.select(col("doc_id"), col("n").as("na")),
+        col("a_id") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")),
+        col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("raw_j", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("raw_j") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash near-dup: 60-bit sign-aggregated token-hash fingerprint;
+    * candidates via 4×15-bit chunk banding (pigeonhole: any pair at
+    * Hamming distance ≤3 shares a chunk), verified with bit_count. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val bits = (0 until 60).toDF("bit")
+    val tok = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", expr(h60("t")))
+    val sim = tok.crossJoin(broadcast(bits))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END"))
+        .as("balance"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "CASE WHEN balance >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
+        .as("sim"))
+    val chunks = sim.crossJoin(broadcast((0 until 4).toDF("c")))
+      .withColumn("chunk", expr("shiftright(sim, 15 * c) & 32767"))
+    val cand = chunks.as("x")
+      .join(chunks.as("y"), col("x.c") === col("y.c") &&
+        col("x.chunk") === col("y.chunk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.sim").as("sim_a"),
+        col("y.doc_id").as("b_id"), col("y.sim").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** embeddings with a precomputed double-precision L2 norm. */
+  private def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("v", expr("cast(embedding as array<double>)"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** Brute-force cosine top-5 neighbors for the first 20 vectors —
+    * the ANN correctness baseline (lshAnn is the scale path). */
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("av"),
+        col("norm").as("an"))
+    val cands = emb.select(col("vec_id"), col("v").as("bv"),
+      col("norm").as("bn"))
+    val scored = probes.crossJoin(cands)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("an") * col("bn")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** 5-NN majority-label classification for the first 20 vectors. */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("av"),
+        col("norm").as("an"))
+    val cands = emb.select(col("vec_id"), col("label"), col("v").as("bv"),
+      col("norm").as("bn"))
+    val knn = probes.crossJoin(cands)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("an") * col("bn")), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+    knn.groupBy(col("probe_id"), col("label")).agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs (τ=0.4 for this synthetic data).
+    * Exact at test SF; at 100 TB the candidate set comes from lshAnn-style
+    * sign-bucketing instead of the full pair space. */
+  def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val a = emb.select(col("vec_id").as("a_id"), col("v").as("av"),
+      col("norm").as("an"))
+    val b = emb.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("norm").as("bn"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** LSH-bucketed ANN: 8 sign bits of the leading dimensions → 256
+    * buckets; probes search only their own bucket (equi-join, the scale
+    * path), top-3 by cosine within it. */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr =
+      """aggregate(sequence(0, 7),
+        |  CAST(0 AS BIGINT),
+        |  (acc, d) -> acc + CASE WHEN element_at(v, d + 1) > 0
+        |                         THEN shiftleft(CAST(1 AS BIGINT), d)
+        |                         ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    val emb = embWithNorm(spark, dir).withColumn("bucket", expr(bucketExpr))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("bucket"),
+        col("v").as("av"), col("norm").as("an"))
+    val cands = emb.select(col("vec_id"), col("bucket").as("b_bucket"),
+      col("v").as("bv"), col("norm").as("bn"))
+    probes
+      .join(cands, col("bucket") === col("b_bucket") &&
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("an") * col("bn")), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Corpus stats per language. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** tf-idf: top-5 terms per language by summed tf·idf weight. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val nDocs = docs.count() // tiny scalar; computed once (metadata count)
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df_, "token")
+      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .groupBy(col("lang"), col("token"))
+      .agg(round(sum(col("w")), 4).as("weight"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("weight").desc, col("token"))))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("token"), col("weight"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Language-ID heuristic: per-language top-20-token profiles built from
+    * the corpus itself; each doc scored by distinct-token overlap with
+    * each profile, argmax with lexical tie-break. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val profile = docs
+      .select(col("lang").as("p_lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("p_lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p_lang"))
+          .orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rn") <= 20)
+      .select(col("p_lang"), col("token"))
+    val docToks = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    docToks.join(broadcast(profile), "token")
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("p_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("score"),
+        col("lang").as("actual_lang"),
+        (col("p_lang") === col("lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: type-token ratio, stopword ratio, length prior. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("ttr",
+        size(array_distinct(col("tk"))) / col("n_tok").cast("double"))
+      .withColumn("stop_ratio", expr(
+        """size(filter(tk, t -> t IN ('the','a','of','and','to','in','is')))
+          |  / CAST(size(tk) AS DOUBLE)""".stripMargin))
+      .withColumn("quality", round(
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1) - col("stop_ratio")) +
+          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0)), 4))
+      .select(col("doc_id"), col("n_tok"), round(col("ttr"), 4).as("ttr"),
+        round(col("stop_ratio"), 4).as("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens + BPE-ish ≤4-char subword chunks
+    * (regex '\S{1,4}' ≡ per-token ceil(len/4) chunking). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '\\\\S{1,4}', 0)")).as("n_bpe"),
+        length(col("text")).as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: positional rolling hash over sha-derived token
+    * hashes, fold (h*31 + tok_h) mod p — identical in DuckDB list_reduce. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        s"""aggregate(transform(tk, t -> ${h60("t")} % $P),
+           |          CAST(0 AS BIGINT),
+           |          (h, x) -> (h * 31 + x) % $P)""".stripMargin)
+        .as("fp"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_exact_dedup" -> exactDedup,
+    "q_llm_shingle_jaccard" -> shingleJaccard,
+    "q_llm_minhash_lsh" -> minhashLsh,
+    "q_llm_simhash" -> simhash,
+    "q_llm_cosine_topk" -> cosineTopk,
+    "q_llm_knn_label" -> knnLabel,
+    "q_llm_embed_neardup" -> embedNeardup,
+    "q_llm_lsh_ann" -> lshAnn,
+    "q_llm_text_stats" -> textStats,
+    "q_llm_tfidf_top_terms" -> tfidfTopTerms,
+    "q_llm_lang_id" -> langId,
+    "q_llm_quality_score" -> qualityScore,
+    "q_llm_token_count" -> tokenCount,
+    "q_llm_fingerprint" -> fingerprint,
+  )
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(tk[i:i+4], ' ')
+      |     for i in range(1, greatest(len(tk) - 3, 1))])) AS s
+      |  FROM toks)""".stripMargin
+
+  private val cosCte =
+    """emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |  sqrt(list_inner_product(embedding::DOUBLE[],
+      |                          embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_exact_dedup" ->
+      """SELECT sha256(lower(trim(text))) AS text_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q_llm_shingle_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         | round(1.0 * i / (na.n + nb.n - i), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON a_id = na.doc_id
+         |JOIN sizes nb ON b_id = nb.doc_id
+         |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_llm_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, s,
+         |  CAST(concat('0x', substr(sha256(s), 1, 15)) AS BIGINT)
+         |    % 1000000007 AS h FROM sh),
+         |perms(j, a, b) AS (VALUES (0,7,3),(1,11,5),(2,13,17),(3,19,23),
+         |  (4,29,31),(5,37,41),(6,43,47),(7,53,59),(8,61,67),(9,71,73),
+         |  (10,79,83),(11,89,97),(12,101,103),(13,107,109),(14,113,127),
+         |  (15,131,137)),
+         |mh AS (SELECT doc_id, j, min((a * h + b) % 1000000007) AS m
+         |  FROM hs CROSS JOIN perms GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 2 AS band,
+         |  string_agg(j || ':' || m, ',' ORDER BY j) AS sig
+         |  FROM mh GROUP BY doc_id, j // 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+         |   AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         | round(1.0 * i / (na.n + nb.n - i), 4) AS jaccard
+         |FROM cand
+         |JOIN inter ON a_id = ia AND b_id = ib
+         |JOIN sizes na ON a_id = na.doc_id
+         |JOIN sizes nb ON b_id = nb.doc_id
+         |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_llm_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(sha256(t), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |bal AS (SELECT doc_id, bit,
+        |  sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS balance
+        |  FROM th CROSS JOIN range(60) r(bit) GROUP BY doc_id, bit),
+        |sim AS (SELECT doc_id,
+        |  sum(CASE WHEN balance >= 0 THEN (1::BIGINT << bit)
+        |      ELSE 0::BIGINT END) AS sim
+        |  FROM bal GROUP BY doc_id),
+        |chunks AS (SELECT doc_id, sim, c, (sim >> (15 * CAST(c AS INTEGER)))
+        |    & 32767 AS chunk
+        |  FROM sim CROSS JOIN range(4) r(c)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, x.sim AS sim_a,
+        |    y.doc_id AS b_id, y.sim AS sim_b
+        |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
+        |   AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id,
+        | CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_llm_cosine_topk" ->
+      s"""WITH $cosCte,
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
+         |  round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+         |  FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 20),
+         |ranked AS (SELECT probe_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin,
+    "q_llm_knn_label" ->
+      s"""WITH $cosCte,
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id, c.label,
+         |  round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+         |  FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 20),
+         |knn AS (SELECT probe_id, label FROM (
+         |  SELECT probe_id, label,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) t WHERE rank <= 5),
+         |votes AS (SELECT probe_id, label, count(*) AS votes
+         |  FROM knn GROUP BY probe_id, label)
+         |SELECT probe_id, label AS pred_label, votes FROM (
+         |  SELECT probe_id, label, votes,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY votes DESC, label) AS rn
+         |  FROM votes) t WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+    "q_llm_embed_neardup" ->
+      s"""WITH $cosCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         | round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |  >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_llm_lsh_ann" ->
+      s"""WITH $cosCte,
+         |bucketed AS (SELECT vec_id, v, nrm,
+         |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+         |  + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+         |  + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+         |  + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END)
+         |  + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+         |  FROM emb),
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
+         |  round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+         |  FROM bucketed p JOIN bucketed c ON p.bucket = c.bucket
+         |   AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 20)
+         |SELECT probe_id, rank, vec_id, cos FROM (
+         |  SELECT probe_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored) t WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+    "q_llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | count(DISTINCT source) AS n_sources,
+        | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_llm_tfidf_top_terms" ->
+      """WITH tf AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
+        |    AS token FROM documents),
+        |tfc AS (SELECT doc_id, lang, token, count(*) AS tf
+        |  FROM tf GROUP BY 1, 2, 3),
+        |dfc AS (SELECT token, count(DISTINCT doc_id) AS df
+        |  FROM tfc GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT lang, tfc.token,
+        |  round(sum(tf * ln(1.0 * n_docs / df)), 4) AS weight
+        |  FROM tfc JOIN dfc ON tfc.token = dfc.token CROSS JOIN n
+        |  GROUP BY lang, tfc.token)
+        |SELECT lang, rank, token, weight FROM (
+        |  SELECT lang, token, weight,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY weight DESC, token) AS INTEGER) AS rank
+        |  FROM w) t WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q_llm_lang_id" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
+        |    AS token FROM documents),
+        |prof AS (SELECT p_lang, token FROM (
+        |  SELECT lang AS p_lang, token, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, token) AS rn
+        |  FROM tok GROUP BY lang, token) t WHERE rn <= 20),
+        |dtok AS (SELECT doc_id, lang, unnest(list_distinct(
+        |    string_split(text, ' '))) AS token FROM documents),
+        |sc AS (SELECT doc_id, lang, p_lang, count(*) AS score
+        |  FROM dtok JOIN prof USING (token) GROUP BY 1, 2, 3)
+        |SELECT doc_id, p_lang AS pred_lang, score, lang AS actual_lang,
+        | p_lang = lang AS correct
+        |FROM (SELECT doc_id, lang, p_lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, p_lang) AS rn FROM sc) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_llm_quality_score" ->
+      """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
+        | round(1.0 * len(list_distinct(tk)) / len(tk), 4) AS ttr,
+        | round(1.0 * len([t for t in tk
+        |   if t IN ('the','a','of','and','to','in','is')]) / len(tk), 4)
+        |   AS stop_ratio,
+        | round(0.4 * (1.0 * len(list_distinct(tk)) / len(tk))
+        |   + 0.3 * (1 - 1.0 * len([t for t in tk
+        |       if t IN ('the','a','of','and','to','in','is')]) / len(tk))
+        |   + 0.3 * least(len(tk) / 100.0, 1.0), 4) AS quality
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q_llm_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '\S{1,4}')) AS INTEGER)
+        |   AS n_bpe,
+        | CAST(length(text) AS INTEGER) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_llm_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |  [CAST(concat('0x', substr(sha256(t), 1, 15)) AS BIGINT)
+        |     % 1000000007 for t in string_split(text, ' ')]),
+        |  (h, x) -> (h * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
