@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-shaped ingestion schemas and parsers.
+  *
+  * The reference consumes two record shapes (SURVEY §1.1):
+  *  (a) Docker Engine events — chunked JSON from `GET /events`
+  *      (muswarmlogger/main.py event pump; public Docker API shape);
+  *  (b) container log lines — `GET /containers/{id}/logs?timestamps=1`,
+  *      "RFC3339-nano timestamp SPACE message"
+  *      (muswarmlogger/loggers.py save_container_logs).
+  *
+  * Here both arrive as files of lines (the harness has no Docker socket);
+  * the parse/enrich logic is identical for any line-oriented source. At
+  * cluster scale the same code runs over a Kafka source — only the
+  * `readStream.format` changes.
+  */
+object DockerEvents {
+
+  /** Public Docker Engine API event shape (SURVEY §1.1a). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("Type", StringType),
+    StructField("Action", StringType),
+    StructField("id", StringType),
+    StructField("Actor", StructType(Seq(
+      StructField("ID", StringType),
+      StructField("Attributes", MapType(StringType, StringType))))),
+    StructField("time", LongType),
+    StructField("timeNano", LongType)))
+
+  /** Flatten a raw Docker-event DataFrame into the queryable shape:
+    * opt-in marker (LOG label), compose project/service labels, and a
+    * µs-precision timestamp from timeNano (Spark timestamps are µs —
+    * SURVEY §7.3-1). */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.select(
+      col("Type").as("kind"),
+      col("Action").as("action"),
+      col("id").as("container_id"),
+      col("Actor.Attributes").getItem("image").as("image"),
+      col("Actor.Attributes").getItem("name").as("name"),
+      col("Actor.Attributes").getItem("com.docker.compose.project")
+        .as("project"),
+      col("Actor.Attributes").getItem("com.docker.compose.service")
+        .as("service"),
+      map_contains_key(col("Actor.Attributes"), "LOG").as("log_opt_in"),
+      expr("timestamp_micros(timeNano div 1000)").as("ts"))
+
+  /** Streaming file source of Docker-event JSON lines. Unparseable lines
+    * are dropped (the reference skips lines it can't decode; an all-NULL
+    * row in the store would poison downstream rollups). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    normalizeEvents(spark.readStream.schema(eventSchema)
+      .option("mode", "DROPMALFORMED").json(dir))
+
+  /** Parse raw container log lines ("2024-01-01T00:00:00.123456789Z GET
+    * /health 200"): split on first space, RFC3339-nano prefix → µs
+    * timestamp, mint a deterministic uuid per line (the reference mints
+    * mu:uuid per log resource, muswarmlogger/loggers.py ≈L45; we use a
+    * sha-based id so replays are idempotent, unlike uuid1). */
+  def parseLogLines(raw: DataFrame, containerId: String): DataFrame =
+    raw.select(
+      lit(containerId).as("container_id"),
+      substring_index(col("value"), " ", 1).as("ts_raw"),
+      expr("substring(value, instr(value, ' ') + 1)").as("line"))
+      .withColumn("ts", to_timestamp(
+        // keep µs precision: trim trailing 'Z' and sub-µs digits
+        regexp_extract(col("ts_raw"),
+          "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(?:\\.\\d{1,6})?)", 1),
+        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"))
+      .withColumn("uuid",
+        sha2(concat_ws("|", col("container_id"), col("ts_raw"),
+          col("line")), 256))
+      .drop("ts_raw")
+}

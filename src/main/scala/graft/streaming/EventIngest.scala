@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's write path as a Structured Streaming pipeline
+  * (SURVEY §3.1 EP1–EP3 → §3.2):
+  *
+  *   Docker `GET /events` JSON stream          → file/Kafka readStream
+  *   per-event SPARQL `INSERT DATA` (loggers.py ≈L50, one HTTP
+  *   round-trip per record — the reference's perf cliff)
+  *                                             → foreachBatch bulk
+  *                                               append, partitioned by
+  *                                               event date
+  *
+  * Scale notes: the sink partitions by date so downstream reads prune;
+  * each micro-batch is one bulk columnar write instead of the
+  * reference's per-record round-trip; exactly-once comes from the
+  * checkpoint (WAL + offsets), the analog of the reference's `since=`
+  * resume bookkeeping (loggers.py ≈L35).
+  */
+object EventIngest {
+
+  /** Start the ingestion pipeline: JSON-lines dir → normalized events →
+    * date-partitioned parquet store. */
+  def start(spark: SparkSession, srcDir: String, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    DockerEvents.readEventStream(spark, srcDir)
+      .withColumn("date", col("ts").cast("date"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("date").parquet(storeDir)
+      }
+      .start()
+
+  /** Triples-export view of the ingested store (the RDF write shape the
+    * reference produced, as a batch view over the parquet store). */
+  def storeTriples(spark: SparkSession, storeDir: String): DataFrame = {
+    val ev = spark.read.parquet(storeDir)
+    val s = concat(lit("http://swarmui.semte.ch/resources/containers/"),
+      col("container_id"))
+    ev.select(s.as("s"), explode(array(
+        struct(lit("http://purl.org/dc/terms/type").as("p"),
+          col("action").as("o")),
+        struct(lit("http://mu.semte.ch/vocabularies/core/service").as("p"),
+          coalesce(col("service"), lit("")).as("o"))
+      )).as("po"))
+      .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream shape shared by batch (`events` table) and streaming
+  * tests (FIXTURES.md §B). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user session summary emitted by the lifecycle FSM. */
+case class SessionSummary(user_id: Long, n_events: Int,
+    first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp,
+    end_reason: String)
+
+private case class FsmState(nEvents: Int, firstTs: Long, lastTs: Long)
+
+/** SURVEY.md §2-I — Structured Streaming operators. Each is a pure
+  * DataFrame→DataFrame transform so the same code runs on a MemoryStream
+  * (tests), a file source (EventIngest), or Kafka at cluster scale.
+  *
+  * Reference analogs: the reference's only "processing" is per-event
+  * triple writes; these rollups/sessions/dedup are the read-side the
+  * triplestore provided, expressed as incremental streaming state
+  * (SURVEY §0.5). The FSM mirrors the reference's attach-on-start /
+  * cleanup-on-die container lifecycle (muswarmlogger/loggers.py).
+  *
+  * Scale notes: all stateful ops are keyed by (window, type) or user —
+  * state is partitioned by key across executors; watermarks bound state
+  * size (without them tumbling/session state grows unboundedly at
+  * 100 TB/day); dropDuplicatesWithinWatermark keeps only the in-horizon
+  * id set rather than all-time ids.
+  */
+object StreamingOps {
+
+  /** Events per (event_type, 1 h tumbling window). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Error rate per 1 h window sliding every 15 min. */
+  def slidingErrorRate(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .select(col("window.start").as("w_start"), col("n_total"),
+        col("n_errors"),
+        round(col("n_errors") / col("n_total"), 4).as("error_rate"))
+
+  /** Per-user sessions with a 30 min inactivity gap. */
+  def sessionize(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"),
+        col("n_events"), col("session_value"))
+
+  /** Windowed count with a 10 min watermark — late rows beyond the
+    * watermark are dropped from closed windows (asserted in tests). */
+  def watermarkedCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** At-least-once → effectively-once by event_id within the watermark
+    * horizon (the reference's reconnect redelivery, main.py ≈L55). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream enriched with a static dimension (broadcast at plan time —
+    * the reference's per-event container metadata lookup). */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Per-user lifecycle FSM (attach-on-signup, emit-on-error/timeout):
+    * flatMapGroupsWithState with event-time timeout. Emits a
+    * SessionSummary when an `error` event arrives or the user goes quiet
+    * past the watermark (the container-die analog). */
+  def lifecycleFsm(events: Dataset[Ev]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: GroupState[FsmState]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionSummary(userId, s.nEvents,
+          new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs),
+          "timeout"))
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption.getOrElse(FsmState(0, Long.MaxValue, 0L))
+        val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+        sorted.foreach { e =>
+          cur = FsmState(cur.nEvents + 1,
+            math.min(cur.firstTs, e.ts.getTime),
+            math.max(cur.lastTs, e.ts.getTime))
+          if (e.event_type == "error") {
+            out += SessionSummary(userId, cur.nEvents,
+              new java.sql.Timestamp(cur.firstTs),
+              new java.sql.Timestamp(cur.lastTs), "error")
+            cur = FsmState(0, Long.MaxValue, 0L)
+          }
+        }
+        if (cur.nEvents > 0) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.lastTs + 30 * 60 * 1000)
+        } else state.remove()
+        out.iterator
+      }
+    }
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

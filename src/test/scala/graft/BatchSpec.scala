@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Batch-operator properties the DuckDB oracle can't express: physical
+  * plan shape (pushdown, join strategy), sketch accuracy bounds,
+  * idempotency (SURVEY §5.2/5.4). */
+class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("smoke: entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query and column names are sane") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle without query: ${os.diff(qs)}")
+  }
+
+  test("scan_prune_pushdown pushes the filter into the parquet scan") {
+    val s = planString("q_scan_prune_pushdown")
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), s)
+    // pruned read: only the 3 referenced columns reach the scan
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  private def executedPlanString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    // executedPlan.toString on the AQE root prints the final plan
+    // including materialized query stages
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("join_broadcast plans a broadcast hash join") {
+    val s = executedPlanString("q_join_broadcast")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s)
+  }
+
+  test("join_smj honors the merge hint with a sort-merge join") {
+    val s = executedPlanString("q_join_smj")
+    assert(s.contains("SortMergeJoin"), s)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_agg_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1, 0.05 * n),
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("dedup is idempotent: q(q(x)) == q(x) semantics") {
+    val once = SparkEntry.queries("q_dedup_rows")(spark, sf)
+    // re-deduping the deduped keys yields identical key multiplicity 1
+    val twice = once.groupBy("user_id", "event_type").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+    assert(twice.count() == 0)
+  }
+
+  test("minhash-LSH candidates are a subset of exact jaccard pairs") {
+    val exact = SparkEntry.queries("q_llm_shingle_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_llm_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH invented pairs: ${lsh.diff(exact)}")
+    // and at these band settings recall should be high on this corpus
+    assert(exact.isEmpty || lsh.size >= (0.8 * exact.size).toInt,
+      s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("lsh_ann neighbors are true neighbors (cosine agrees with brute force)") {
+    val brute = SparkEntry.queries("q_llm_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val ann = SparkEntry.queries("q_llm_lsh_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // every ANN hit must carry the same cosine the brute-force pass
+    // computed when it ranked that candidate (no score corruption)
+    ann.foreach { case (p, v, c) =>
+      brute.get((p, v)).foreach(b => assert(math.abs(b - c) < 1e-9)) }
+  }
+
+  test("union/intersect/except algebra") {
+    import org.apache.spark.sql.functions.col
+    val u = SparkEntry.queries("q_union_distinct")(spark, sf)
+      .collect().map(_.getInt(0)).toSet
+    val i = SparkEntry.queries("q_intersect")(spark, sf)
+      .collect().map(_.getInt(0)).toSet
+    val e = SparkEntry.queries("q_except")(spark, sf)
+      .collect().map(_.getInt(0)).toSet
+    assert(i.subsetOf(u)); assert(e.subsetOf(u))
+    assert((i & e).isEmpty)
+    val cust = graft.Tables.customer(spark, sf)
+      .select(col("c_nationkey")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert((i | e) == cust)
+  }
+
+  test("rollup leaves sum to grand total") {
+    val rows = SparkEntry.queries("q_agg_rollup")(spark, sf).collect()
+    val leaves = rows.filter(r => r.getInt(4) == 0 && r.getInt(5) == 0)
+      .map(_.getDouble(2)).sum
+    val total = rows.filter(r => r.getInt(4) == 1 && r.getInt(5) == 1)
+      .map(_.getDouble(2)).head
+    assert(math.abs(leaves - total) < 0.05, s"$leaves vs $total")
+  }
+}

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+import graft.streaming._
+
+/** SURVEY §2-I — streaming operators, MemoryStream-driven (deterministic
+  * event time, never wall clock; SURVEY §7.3-4). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+      v: Double = 1.0): Ev = Ev(id, ts(minute), user, typ, v)
+
+  private def runQuery(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  test("tumbling window counts per event_type") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.tumblingCounts(in.toDF()), "tumble",
+      "complete")
+    in.addData(ev(1, 0, 1, "click"), ev(2, 10, 1, "click"),
+      ev(3, 70, 2, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("tumble").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(rows == Set(("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 11:00:00.0", "view", 1L)))
+    q.stop()
+  }
+
+  test("sliding window error rate") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.slidingErrorRate(in.toDF()), "slide",
+      "complete")
+    in.addData(ev(1, 0, 1, "click"), ev(2, 5, 1, "error"),
+      ev(3, 20, 2, "click"), ev(4, 25, 2, "error"))
+    q.processAllAvailable()
+    // the window covering all four events (09:15–10:15 … 10:00–11:00
+    // slides): the 10:00-start window holds all 4 → rate 0.5
+    val all = spark.table("slide").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(all.contains(("2024-01-01 10:00:00.0", 4L, 2L, 0.5)))
+    // sliding: each event lands in 4 overlapping windows
+    assert(all.exists(_._1 == "2024-01-01 09:30:00.0"))
+    q.stop()
+  }
+
+  test("session window: 30 min gap splits sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.sessionize(in.toDF()), "sess", "append")
+    // user 1: events at 10:00, 10:10 (one session), then 11:30 (new
+    // session after >30min gap)
+    in.addData(ev(1, 0, 1, "click", 2.0), ev(2, 10, 1, "view", 3.0),
+      ev(3, 90, 1, "click", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past everything to close all sessions
+    in.addData(ev(99, 600, 9, "click"))
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(rows.contains(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 1L, 2L, 5.0)))
+    assert(rows.contains(
+      ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L, 1L, 5.0)))
+    q.stop()
+  }
+
+  test("watermark drops late rows from closed windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.watermarkedCounts(in.toDF()), "wm",
+      "append")
+    in.addData(ev(1, 0, 1, "click"), ev(2, 30, 1, "click"))
+    q.processAllAvailable()
+    // advance watermark to 12:50 (13:00 - 10min) → 10:00 window closes
+    in.addData(ev(3, 180, 2, "click"))
+    q.processAllAvailable()
+    // late row for the closed 10:00 window — must be dropped
+    in.addData(ev(4, 5, 3, "click"))
+    q.processAllAvailable()
+    // close everything
+    in.addData(ev(5, 600, 2, "click"))
+    q.processAllAvailable()
+    val rows = spark.table("wm").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(rows("2024-01-01 10:00:00.0") == 2L,
+      s"late row must not be counted: $rows")
+    q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups redelivered event_ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.dedupWithinWatermark(in.toDF()), "dedup",
+      "append")
+    in.addData(ev(1, 0, 1, "click"), ev(1, 0, 1, "click"),
+      ev(2, 1, 1, "view"))
+    q.processAllAvailable()
+    in.addData(ev(1, 2, 1, "click")) // redelivery within horizon
+    q.processAllAvailable()
+    assert(spark.table("dedup").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+    q.stop()
+  }
+
+  test("stream-static enrichment join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = runQuery(
+      StreamingOps.enrichWithStatic(in.toDF(), dim), "enrich", "append")
+    in.addData(ev(1, 0, 1, "click"), ev(2, 1, 3, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("enrich").collect()
+      .map(r => (r.getLong(r.fieldIndex("event_id")),
+        Option(r.getAs[String]("tier")))).toSet
+    assert(rows == Set((1L, Some("gold")), (2L, None)))
+    q.stop()
+  }
+
+  test("lifecycle FSM emits on error and on event-time timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.lifecycleFsm(in.toDS())
+      .writeStream.format("memory").queryName("fsm").outputMode("append")
+      .start()
+    // user 1: signup + click + error → emit(reason=error, 3 events)
+    in.addData(ev(1, 0, 1, "signup"), ev(2, 5, 1, "click"),
+      ev(3, 10, 1, "error"))
+    q.processAllAvailable()
+    // user 2: signup + click, then silence; advance watermark far past
+    // lastTs + 30min via another user's event → timeout emission
+    in.addData(ev(4, 12, 2, "signup"), ev(5, 14, 2, "click"))
+    q.processAllAvailable()
+    in.addData(ev(6, 600, 3, "click"))
+    q.processAllAvailable()
+    in.addData(ev(7, 610, 3, "click")) // extra batch to fire timers
+    q.processAllAvailable()
+    val rows = spark.table("fsm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4))).toSet
+    assert(rows.contains((1L, 3, "error")))
+    assert(rows.contains((2L, 2, "timeout")), s"got $rows")
+    q.stop()
+  }
+
+  test("EventIngest: docker-event JSON files -> partitioned parquet store") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_")
+    val src = tmp.resolve("src"); val store = tmp.resolve("store")
+    val ckpt = tmp.resolve("ckpt")
+    java.nio.file.Files.createDirectories(src)
+    val line =
+      """{"Type":"container","Action":"start","id":"c01","Actor":{"ID":"c01","Attributes":{"image":"app:1","name":"web_1","LOG":"1","com.docker.compose.project":"demo","com.docker.compose.service":"web"}},"time":1704067200,"timeNano":1704067200123456789}"""
+    java.nio.file.Files.writeString(src.resolve("e1.json"), line + "\n")
+    val q = EventIngest.start(spark, src.toString, store.toString,
+      ckpt.toString)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(store.toString).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("container_id") == "c01")
+    assert(r.getAs[String]("service") == "web")
+    assert(r.getAs[Boolean]("log_opt_in"))
+    assert(r.getAs[java.sql.Timestamp]("ts").toString
+      == "2024-01-01 00:00:00.123456")
+    // date partition pruning works on the store
+    assert(spark.read.parquet(store.toString)
+      .filter(org.apache.spark.sql.functions.col("date") === "2024-01-01")
+      .count() == 1)
+    // triples view over the store
+    val triples = EventIngest.storeTriples(spark, store.toString).collect()
+    assert(triples.length == 2)
+  }
+
+  test("log-line parsing keeps us precision and mints stable uuids") {
+    import spark.implicits._
+    val raw = Seq("2024-01-01T00:00:00.123456789Z GET /health 200 3ms")
+      .toDF("value")
+    val parsed = DockerEvents.parseLogLines(raw, "c01").collect().head
+    assert(parsed.getAs[String]("line") == "GET /health 200 3ms")
+    assert(parsed.getAs[java.sql.Timestamp]("ts").toString
+      == "2024-01-01 00:00:00.123456")
+    val again = DockerEvents.parseLogLines(raw, "c01").collect().head
+    assert(parsed.getAs[String]("uuid") == again.getAs[String]("uuid"))
+  }
+}
