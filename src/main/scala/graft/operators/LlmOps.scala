@@ -10,10 +10,11 @@ import graft.Tables._
   * (brute-force and LSH-bucketed ANN), and text analysis (stats, tf-idf,
   * language-ID, quality scoring, token counting, fingerprinting).
   *
-  * Cross-engine hash parity: every hash used here is derived from
-  * sha256 (first 15 hex digits → unsigned 60-bit integer), which both
-  * Spark (`conv(substring(sha2(x,256),1,15),16,10)`) and DuckDB
-  * (`CAST('0x'||substr(sha256(x),1,15) AS BIGINT)`) compute identically —
+  * Cross-engine hash parity: every sketch hash here derives from a
+  * cryptographic digest (md5 for the per-token/shingle hot path, sha256
+  * for content-level dedup), first 15 hex digits → unsigned 60-bit
+  * integer. Both Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+  * (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`) compute it identically —
   * so even the sketch-based operators (MinHash, SimHash) have exact
   * DuckDB oracle twins.
   *
@@ -30,9 +31,13 @@ object LlmOps {
 
   private val P = 1000000007L
 
-  /** 60-bit sha256-based token hash, mod p — identical in DuckDB. */
+  /** 60-bit md5-based token hash — identical in DuckDB
+    * (CAST('0x'||substr(md5(x),1,15) AS BIGINT)). md5 over sha256: half
+    * the cost per call, and these run once per shingle (~n_tokens per
+    * doc) in the dedup hot path; content-level dedup (exactDedup) keeps
+    * sha256. */
   private def h60(c: String): String =
-    s"CAST(conv(substring(sha2($c, 256), 1, 15), 16, 10) AS BIGINT)"
+    s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
 
   /** doc_id + deduplicated 5-token shingle set, one row per shingle. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
@@ -74,47 +79,61 @@ object LlmOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash + banded LSH near-dup: 16 sha-derived permutation hashes,
+  /** MinHash + banded LSH near-dup: 16 md5-derived permutation hashes,
     * 8 bands × 2 rows → bucket equi-join for candidates → exact Jaccard
     * verify (τ=0.8). The bucket join is the scale path: candidates share
     * a band signature, never a cross product. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sp = spark
-    import sp.implicits._
     val perms = Seq(
       (0, 7L, 3L), (1, 11L, 5L), (2, 13L, 17L), (3, 19L, 23L),
       (4, 29L, 31L), (5, 37L, 41L), (6, 43L, 47L), (7, 53L, 59L),
       (8, 61L, 67L), (9, 71L, 73L), (10, 79L, 83L), (11, 89L, 97L),
       (12, 101L, 103L), (13, 107L, 109L), (14, 113L, 127L),
-      (15, 131L, 137L)).toDF("j", "a", "b")
-    val sh = shingles(spark, dir).cache()
-    val hs = sh.withColumn("h", expr(s"${h60("s")} % $P"))
-    val mh = hs.crossJoin(broadcast(perms))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(expr(s"(a * h + b) % $P")).as("m"))
-    val bands = mh
-      .groupBy(col("doc_id"), expr("j div 2").as("band"))
-      .agg(expr(
-        """concat_ws(',', transform(sort_array(collect_list(struct(j, m))),
-          |                         s -> concat(s.j, ':', s.m)))""".stripMargin)
-        .as("sig"))
+      (15, 131L, 137L))
+    val sh = shingles(spark, dir)
+      .withColumn("h", expr(s"${h60("s")} % $P"))
+    // 16 permutation minimums as 16 parallel aggregates over one
+    // groupBy — no 16× row explosion (the naive perms-crossJoin pushed
+    // 16× the shingle count through a shuffle); shingle sets collected
+    // alongside so the verify step below needs no second shuffle of the
+    // shingle table.
+    val minExprs = perms.map { case (j, a, b) =>
+      min(expr(s"($a * h + $b) % $P")).as(s"m$j")
+    }
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"), minExprs: _*)
+      .withColumn("n", size(col("ss")))
+      .cache()
+    // 8 bands × 2 rows, signature format "j:m,j:m" (matches the oracle's
+    // string_agg ORDER BY j). Bands carry ONLY (doc_id, band, sig): the
+    // band self-join must not shuffle the shingle-set arrays 8× — at
+    // sf0.1 that was ~80 MB of array payload through the exchange.
+    val bandStructs = (0 until 8).map { b =>
+      val (j1, j2) = (2 * b, 2 * b + 1)
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          concat_ws(":", lit(j1), col(s"m$j1")),
+          concat_ws(":", lit(j2), col(s"m$j2"))).as("sig"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .agg(count(lit(1)).as("i"))
+    // verify candidates only: join the (small) candidate set back to the
+    // cached shingle sets, |A∩B| via array_intersect — no all-pairs
+    // shingle self-join
+    val docsets = sigs.select(col("doc_id"), col("ss"), col("n"))
     cand
-      .join(inter, col("a_id") === col("ia") && col("b_id") === col("ib"))
-      .join(sizes.select(col("doc_id"), col("n").as("na")),
-        col("a_id") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")),
-        col("b_id") === col("doc_id")).drop("doc_id")
+      .join(docsets.select(col("doc_id"), col("ss").as("sa"),
+        col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(docsets.select(col("doc_id"), col("ss").as("sb"),
+        col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("raw_j", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("raw_j") >= 0.8)
       .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
@@ -123,23 +142,22 @@ object LlmOps {
 
   /** SimHash near-dup: 60-bit sign-aggregated token-hash fingerprint;
     * candidates via 4×15-bit chunk banding (pigeonhole: any pair at
-    * Hamming distance ≤3 shares a chunk), verified with bit_count. */
+    * Hamming distance ≤3 shares a chunk), verified with bit_count.
+    *
+    * The fingerprint is one columnar pass per document row (token-hash
+    * array folded into a 60-counter balance array, then packed to bits)
+    * — no token explode, no 60× bit-row shuffle. At sf0.1 the previous
+    * explode formulation pushed ~18M rows through a shuffle; this does
+    * zero shuffles before the candidate join. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val bits = (0 until 60).toDF("bit")
-    val tok = documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("t"))
-      .withColumn("h", expr(h60("t")))
-    val sim = tok.crossJoin(broadcast(bits))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END"))
-        .as("balance"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr(
-        "CASE WHEN balance >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
-        .as("sim"))
+    graft.functions.VectorExprs.register(spark)
+    val sim = documents(spark, dir)
+      .withColumn("hs", expr(
+        s"transform(array_distinct(split(text, ' ')), t -> ${h60("t")})"))
+      .withColumn("sim", expr("simhash60(hs)"))
+      .select(col("doc_id"), col("sim"))
     val chunks = sim.crossJoin(broadcast((0 until 4).toDF("c")))
       .withColumn("chunk", expr("shiftright(sim, 15 * c) & 32767"))
     val cand = chunks.as("x")
@@ -157,15 +175,18 @@ object LlmOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** embeddings with a precomputed double-precision L2 norm. */
-  private def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+  /** embeddings with a precomputed double-precision L2 norm, computed by
+    * the native codegen'd expression (graft.functions.VectorExprs) —
+    * same widen-then-accumulate semantics as the built-in HOF form, ~10×
+    * less per-pair overhead in the O(n²) kernels below. */
+  private def embWithNorm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     embeddings(spark, dir)
-      .withColumn("v", expr("cast(embedding as array<double>)"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"))
+      .withColumn("v", col("embedding"))
+      .withColumn("norm", expr("fvec_norm(embedding)"))
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val dotExpr = "fvec_dot(av, bv)"
 
   /** Brute-force cosine top-5 neighbors for the first 20 vectors —
     * the ANN correctness baseline (lshAnn is the scale path). */
@@ -411,7 +432,7 @@ object LlmOps {
     "q_llm_minhash_lsh" ->
       s"""WITH $shingleCte,
          |hs AS (SELECT doc_id, s,
-         |  CAST(concat('0x', substr(sha256(s), 1, 15)) AS BIGINT)
+         |  CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
          |    % 1000000007 AS h FROM sh),
          |perms(j, a, b) AS (VALUES (0,7,3),(1,11,5),(2,13,17),(3,19,23),
          |  (4,29,31),(5,37,41),(6,43,47),(7,53,59),(8,61,67),(9,71,73),
@@ -442,7 +463,7 @@ object LlmOps {
         |  unnest(list_distinct(string_split(text, ' '))) AS t
         |  FROM documents),
         |th AS (SELECT doc_id,
-        |  CAST(concat('0x', substr(sha256(t), 1, 15)) AS BIGINT) AS h
+        |  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
         |  FROM tok),
         |bal AS (SELECT doc_id, bit,
         |  sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS balance
@@ -586,7 +607,7 @@ object LlmOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_llm_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-        |  [CAST(concat('0x', substr(sha256(t), 1, 15)) AS BIGINT)
+        |  [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
         |     % 1000000007 for t in string_split(text, ' ')]),
         |  (h, x) -> (h * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
