@@ -158,7 +158,11 @@ object LlmOps {
         s"transform(array_distinct(split(text, ' ')), t -> ${h60("t")})"))
       .withColumn("sim", expr("simhash60(hs)"))
       .select(col("doc_id"), col("sim"))
-    val chunks = sim.crossJoin(broadcast((0 until 4).toDF("c")))
+    // 4-way chunk fan-out as a generator (explode), not a join — keeps
+    // the fan-out shuffle-free and BNLJ out of the plan
+    val chunks = sim
+      .select(col("doc_id"), col("sim"),
+        explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("chunk", expr("shiftright(sim, 15 * c) & 32767"))
     val cand = chunks.as("x")
       .join(chunks.as("y"), col("x.c") === col("y.c") &&
