@@ -125,6 +125,27 @@ object Joins {
       .orderBy(col("user_id"), col("p_id"))
   }
 
+  /** As-of join via the NATIVE custom operator (graft.plans.AsOfJoin:
+    * LogicalPlan + Strategy + sort-merge SparkPlan with O(1) merge
+    * state) — same semantics and oracle as joinAsof, which keeps the
+    * composed-builtin formulation for comparison. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts_us").as("s_ts"))
+    graft.plans.AsOfJoinDF
+      .asofJoin(spark, purchases, signups,
+        probeKey = "user_id", buildKey = "s_user",
+        probeTs = "p_ts", buildTs = "s_ts", buildTieBreak = "s_id")
+      .select(col("user_id"), col("p_id"), col("s_id"),
+        expr("(p_ts - s_ts) div 1000000").as("age_s"))
+      .orderBy(col("user_id"), col("p_id"))
+  }
+
   /** Cross product of the two tiny dims (nested-loop). */
   def joinCrossSmall(spark: SparkSession, dir: String): DataFrame =
     region(spark, dir).select(col("r_name"))
@@ -140,6 +161,7 @@ object Joins {
     "q_join_anti" -> joinAnti,
     "q_join_theta_range" -> joinThetaRange,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_native" -> joinAsofNative,
     "q_join_cross_small" -> joinCrossSmall,
   )
 
@@ -179,6 +201,18 @@ object Joins {
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
         |ORDER BY a.user_id, a_id, b_id""".stripMargin,
     "q_join_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id, epoch_us(ts) AS s_ts
+        |  FROM events WHERE event_type = 'signup'),
+        |j AS (SELECT p.user_id, p.p_id, s.s_id,
+        |    (p.p_ts - s.s_ts) // 1000000 AS age_s,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY s.s_ts DESC, s.s_id DESC) AS rn
+        |  FROM p JOIN s ON p.user_id = s.user_id AND s.s_ts <= p.p_ts)
+        |SELECT user_id, p_id, s_id, age_s FROM j WHERE rn = 1
+        |ORDER BY user_id, p_id""".stripMargin,
+    "q_join_asof_native" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
         |  FROM events WHERE event_type = 'purchase'),
         |s AS (SELECT event_id AS s_id, user_id, epoch_us(ts) AS s_ts

@@ -108,6 +108,18 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       brute.get((p, v)).foreach(b => assert(math.abs(b - c) < 1e-9)) }
   }
 
+  test("native as-of join operator matches the composed window form") {
+    val composed = SparkEntry.queries("q_join_asof")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val native = SparkEntry.queries("q_join_asof_native")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(native == composed)
+    // and the custom physical operator is actually in the plan
+    val df = SparkEntry.queries("q_join_asof_native")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
   test("union/intersect/except algebra") {
     import org.apache.spark.sql.functions.col
     val u = SparkEntry.queries("q_union_distinct")(spark, sf)
