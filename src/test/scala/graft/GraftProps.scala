@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties (SURVEY §5.4): algebraic invariants checked
+  * against randomly generated inputs — things the fixed-fixture oracle
+  * can't explore. Spark-driving properties use few, larger cases. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- pure-model vs engine: set algebra ----------------------------
+
+  private val keySets = Gen.zip(
+    Gen.listOf(Gen.choose(0, 30)), Gen.listOf(Gen.choose(0, 30)))
+
+  property("union/intersect/except match Scala set algebra") =
+    forAll(keySets) { case (xs, ys) =>
+      import spark.implicits._
+      val a = xs.toDF("k"); val b = ys.toDF("k")
+      val u = a.union(b).distinct().collect().map(_.getInt(0)).toSet
+      val i = a.intersect(b).collect().map(_.getInt(0)).toSet
+      val e = a.except(b).collect().map(_.getInt(0)).toSet
+      u == (xs.toSet | ys.toSet) && i == (xs.toSet & ys.toSet) &&
+        e == (xs.toSet -- ys.toSet)
+    }
+
+  // ---- native expressions vs reference implementations --------------
+
+  private val floatVecs = for {
+    n <- Gen.choose(1, 64)
+    a <- Gen.listOfN(n, Gen.choose(-100f, 100f))
+    b <- Gen.listOfN(n, Gen.choose(-100f, 100f))
+  } yield (a, b)
+
+  property("fvec_dot matches sequential double-widened reference") =
+    forAll(floatVecs) { case (a, b) =>
+      import spark.implicits._
+      graft.functions.VectorExprs.register(spark)
+      val got = Seq((a, b)).toDF("a", "b")
+        .selectExpr("fvec_dot(a, b) AS d").collect().head.getDouble(0)
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+      got == want
+    }
+
+  private val hashArrays =
+    Gen.nonEmptyListOf(Gen.choose(0L, (1L << 60) - 1))
+
+  property("simhash60 matches the reference bit-balance fold") =
+    forAll(hashArrays) { hs =>
+      import spark.implicits._
+      graft.functions.VectorExprs.register(spark)
+      val got = Seq(Tuple1(hs)).toDF("hs")
+        .selectExpr("simhash60(hs) AS s").collect().head.getLong(0)
+      val bal = new Array[Int](60)
+      hs.foreach { h =>
+        (0 until 60).foreach { b =>
+          bal(b) += (if (((h >> b) & 1L) == 1L) 1 else -1) }
+      }
+      val want = (0 until 60).foldLeft(0L) { (acc, b) =>
+        if (bal(b) >= 0) acc | (1L << b) else acc }
+      got == want
+    }
+
+  // ---- operator invariants ------------------------------------------
+
+  private val eventsGen = Gen.nonEmptyListOf(Gen.zip(
+    Gen.choose(0L, 5L), Gen.oneOf("a", "b", "c"), Gen.choose(0L, 1000L)))
+
+  property("dedup by (user,type) is idempotent and keeps min id") =
+    forAll(eventsGen) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = rows.zipWithIndex
+        .map { case ((u, t, v), i) => (i.toLong, u, t, v.toDouble) }
+        .toDF("event_id", "user_id", "event_type", "value")
+      val once = df.groupBy("user_id", "event_type")
+        .agg(min("event_id").as("event_id"), count(lit(1)).as("n"))
+      val keys = once.select("user_id", "event_type").collect().toSeq
+      // one row per key, and each kept id is the true minimum
+      val model = rows.zipWithIndex
+        .groupBy { case ((u, t, _), _) => (u, t) }
+        .map { case (k, g) => k -> g.map(_._2.toLong).min }
+      keys.size == model.size &&
+        once.collect().forall(r =>
+          model((r.getLong(0), r.getString(1))) == r.getLong(2))
+    }
+
+  property("rollup leaf sums equal grand total") =
+    forAll(eventsGen) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = rows.map { case (u, t, v) => (u, t, v.toDouble) }
+        .toDF("u", "t", "v")
+      val r = df.rollup("u", "t")
+        .agg(sum("v").as("s"), grouping("u").cast("int").as("gu"),
+          grouping("t").cast("int").as("gt")).collect()
+      val leaves = r.filter(x => x.getInt(3) == 0 && x.getInt(4) == 0)
+        .map(_.getDouble(2)).sum
+      val total = r.filter(x => x.getInt(3) == 1 && x.getInt(4) == 1)
+        .map(_.getDouble(2)).head
+      math.abs(leaves - total) < 1e-6 * math.max(1.0, math.abs(total))
+    }
+}
