@@ -127,8 +127,23 @@ object Aggregates {
         round(max(col("value")), 2).as("top_value"))
       .orderBy(col("user_id"))
 
+  /** Salted two-phase aggregation — the skew pattern for hot grouping
+    * keys at 100 TB: phase 1 aggregates (key, salt) partials so no
+    * single reducer owns a hot key; phase 2 combines the ≤SALT partials
+    * per key. Result is identical to the direct groupBy (sum/count are
+    * associative); only the shuffle distribution changes. */
+  def saltedTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing_summary" -> pricingSummary,
+    "q_agg_salted_two_phase" -> saltedTwoPhase,
     "q_agg_count_distinct" -> countDistinctUsers,
     "q_agg_approx_distinct" -> approxDistinctUsers,
     "q_agg_rollup" -> rollupQty,
@@ -141,6 +156,9 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_salted_two_phase" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -78,8 +78,46 @@ object Scans {
       .orderBy(col("s"), col("p"), col("o"))
   }
 
+  /** JSON source round-trip with explicit schema. */
+  def sourceJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    nation(spark, dir).write.mode("overwrite").json(tmp)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+      .json(tmp)
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** ORC source round-trip (third columnar format). */
+  def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    supplier(spark, dir).write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp).orderBy(col("s_suppkey"))
+  }
+
+  /** Date-partitioned sink + partition-pruned read-back: the batch
+    * analog of the streaming store (EventIngest). The read of one date
+    * must scan only that partition directory (PartitionFilters in the
+    * plan) — the 100 TB pruning story. */
+  def sinkPartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    events(spark, dir)
+      .withColumn("date", col("ts").cast(DateType).cast(StringType))
+      .write.mode("overwrite").partitionBy("date").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("date") === "2024-01-15")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_full" -> scanFull,
+    "q_source_json_roundtrip" -> sourceJsonRoundtrip,
+    "q_source_orc_roundtrip" -> sourceOrcRoundtrip,
+    "q_sink_partitioned_prune" -> sinkPartitionedPrune,
     "q_scan_prune_pushdown" -> scanPrunePushdown,
     "q_scan_json_embedded" -> scanJsonEmbedded,
     "q_source_csv_roundtrip" -> sourceCsvRoundtrip,
@@ -87,6 +125,15 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_source_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_sink_partitioned_prune" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |ORDER BY event_id""".stripMargin,
     "q_scan_full" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
