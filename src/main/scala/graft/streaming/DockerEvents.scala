@@ -66,11 +66,17 @@ object DockerEvents {
       lit(containerId).as("container_id"),
       substring_index(col("value"), " ", 1).as("ts_raw"),
       expr("substring(value, instr(value, ' ') + 1)").as("line"))
-      .withColumn("ts", to_timestamp(
-        // keep µs precision: trim trailing 'Z' and sub-µs digits
-        regexp_extract(col("ts_raw"),
-          "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(?:\\.\\d{1,6})?)", 1),
-        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"))
+      // try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4
+      // default) one malformed line would otherwise throw and KILL the
+      // whole follower query. Unparseable lines are dropped below, as
+      // the reference skips lines it can't split.
+      .withColumn("ts", expr(
+        """try_to_timestamp(
+          |  regexp_extract(ts_raw,
+          |    '^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(?:\\.\\d{1,6})?)',
+          |    1),
+          |  "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")""".stripMargin))
+      .filter(col("ts").isNotNull)
       .withColumn("uuid",
         sha2(concat_ws("|", col("container_id"), col("ts_raw"),
           col("line")), 256))

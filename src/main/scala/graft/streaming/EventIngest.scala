@@ -35,6 +35,27 @@ object EventIngest {
       }
       .start()
 
+  /** EP3 parity — the container log follower (muswarmlogger/loggers.py
+    * save_container_logs): a text-file stream of raw
+    * "RFC3339-nano SPACE message" lines → parsed, uuid-minted,
+    * date-partitioned parquet. One follower per container in the
+    * reference; here one streaming query per source dir, with
+    * container_id stamped at parse time. Where the reference issued one
+    * SPARQL INSERT per line (its throughput ceiling), each micro-batch
+    * lands as one bulk columnar append. */
+  def startLogFollower(spark: SparkSession, srcDir: String,
+      containerId: String, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    DockerEvents.parseLogLines(
+        spark.readStream.text(srcDir), containerId)
+      .withColumn("date", col("ts").cast("date"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("date").parquet(storeDir)
+      }
+      .start()
+
   /** Triples-export view of the ingested store (the RDF write shape the
     * reference produced, as a batch view over the parquet store). */
   def storeTriples(spark: SparkSession, storeDir: String): DataFrame = {

@@ -202,6 +202,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(triples.length == 2)
   }
 
+  test("log follower: raw log files -> parsed partitioned store") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_logs_")
+    val src = tmp.resolve("src"); val store = tmp.resolve("store")
+    java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.writeString(src.resolve("c01.log"),
+      "2024-01-01T10:00:00.000001000Z GET /health 200 2ms\n" +
+      "2024-01-02T11:30:00.500000000Z POST /jobs 201 17ms\n")
+    val q = EventIngest.startLogFollower(spark, src.toString, "c01",
+      store.toString, tmp.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(store.toString)
+      .orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[String]("line") == "GET /health 200 2ms")
+    assert(rows.head.getAs[String]("container_id") == "c01")
+    assert(rows.map(_.getAs[java.sql.Date]("date").toString).toSeq
+      == Seq("2024-01-01", "2024-01-02")) // date-partitioned
+    assert(rows.map(_.getAs[String]("uuid")).distinct.length == 2)
+  }
+
   test("log-line parsing keeps us precision and mints stable uuids") {
     import spark.implicits._
     val raw = Seq("2024-01-01T00:00:00.123456789Z GET /health 200 3ms")
