@@ -345,6 +345,15 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** IEEE-deterministic 4-decimal rounding: floor(x·10⁴ + 0.5)/10⁴ in
+    * plain double ops, bit-identical across engines. Spark's round()
+    * goes through the double's shortest DECIMAL representation
+    * (BigDecimal.valueOf) while DuckDB rounds the binary value — exact
+    * half-way cases (common for small-rational scores like k/80) land
+    * on different sides. */
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   /** Quality scoring: type-token ratio, stopword ratio, length prior. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -355,11 +364,11 @@ object LlmOps {
       .withColumn("stop_ratio", expr(
         """size(filter(tk, t -> t IN ('the','a','of','and','to','in','is')))
           |  / CAST(size(tk) AS DOUBLE)""".stripMargin))
-      .withColumn("quality", round(
+      .withColumn("quality", r4(
         lit(0.4) * col("ttr") + lit(0.3) * (lit(1) - col("stop_ratio")) +
-          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0)), 4))
-      .select(col("doc_id"), col("n_tok"), round(col("ttr"), 4).as("ttr"),
-        round(col("stop_ratio"), 4).as("stop_ratio"), col("quality"))
+          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))))
+      .select(col("doc_id"), col("n_tok"), r4(col("ttr")).as("ttr"),
+        r4(col("stop_ratio")).as("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))
 
   /** Token counting: whitespace tokens + BPE-ish ≤4-char subword chunks
@@ -591,14 +600,16 @@ object LlmOps {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_llm_quality_score" ->
       """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
-        | round(1.0 * len(list_distinct(tk)) / len(tk), 4) AS ttr,
-        | round(1.0 * len([t for t in tk
-        |   if t IN ('the','a','of','and','to','in','is')]) / len(tk), 4)
-        |   AS stop_ratio,
-        | round(0.4 * (1.0 * len(list_distinct(tk)) / len(tk))
+        | floor((1.0 * len(list_distinct(tk)) / len(tk)) * 10000.0 + 0.5)
+        |   / 10000.0 AS ttr,
+        | floor((1.0 * len([t for t in tk
+        |   if t IN ('the','a','of','and','to','in','is')]) / len(tk))
+        |   * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        | floor((0.4 * (1.0 * len(list_distinct(tk)) / len(tk))
         |   + 0.3 * (1 - 1.0 * len([t for t in tk
         |       if t IN ('the','a','of','and','to','in','is')]) / len(tk))
-        |   + 0.3 * least(len(tk) / 100.0, 1.0), 4) AS quality
+        |   + 0.3 * least(len(tk) / 100.0, 1.0)) * 10000.0 + 0.5)
+        |   / 10000.0 AS quality
         |FROM (SELECT doc_id, string_split(text, ' ') AS tk
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
