@@ -75,7 +75,7 @@ object LlmOps {
         col("b_id") === col("doc_id")).drop("doc_id")
       .withColumn("raw_j", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("raw_j") >= 0.8)
-      .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"), r4(col("raw_j")).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -136,7 +136,7 @@ object LlmOps {
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("raw_j", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("raw_j") >= 0.8)
-      .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"), r4(col("raw_j")).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -287,9 +287,9 @@ object LlmOps {
       .withColumn("n_tok", size(split(col("text"), " ")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 4).as("avg_chars"),
+        r4(avg(col("n_chars"))).as("avg_chars"),
         countDistinct(col("source")).as("n_sources"),
-        round(avg(col("n_tok")), 4).as("avg_tokens"))
+        r4(avg(col("n_tok"))).as("avg_tokens"))
       .orderBy(col("lang"))
 
   /** tf-idf: top-5 terms per language by summed tf·idf weight. */
@@ -436,7 +436,7 @@ object LlmOps {
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
-         | round(1.0 * i / (na.n + nb.n - i), 4) AS jaccard
+         | floor((1.0 * i / (na.n + nb.n - i)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM inter
          |JOIN sizes na ON a_id = na.doc_id
          |JOIN sizes nb ON b_id = nb.doc_id
@@ -464,7 +464,7 @@ object LlmOps {
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
-         | round(1.0 * i / (na.n + nb.n - i), 4) AS jaccard
+         | floor((1.0 * i / (na.n + nb.n - i)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM cand
          |JOIN inter ON a_id = ia AND b_id = ib
          |JOIN sizes na ON a_id = na.doc_id
@@ -559,9 +559,9 @@ object LlmOps {
          |ORDER BY probe_id, rank""".stripMargin,
     "q_llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        | round(avg(n_chars), 4) AS avg_chars,
+        | floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
         | count(DISTINCT source) AS n_sources,
-        | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        | floor(avg(len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_llm_tfidf_top_terms" ->
       """WITH tf AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
