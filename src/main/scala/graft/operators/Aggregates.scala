@@ -141,9 +141,22 @@ object Aggregates {
       .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value"))
       .orderBy(col("user_id"))
 
+  /** Bounded-memory exact top-k values per group via the custom
+    * TypedImperativeAggregate (graft.functions.TopKDoubles): O(k) state
+    * per group instead of collect-the-whole-group, map-side combinable. */
+  def topkValues(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(spark)
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("topk_vals(value, 5)").as("top_values"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_salted_two_phase" -> saltedTwoPhase,
+    "q_agg_topk_values" -> topkValues,
     "q_agg_count_distinct" -> countDistinctUsers,
     "q_agg_approx_distinct" -> approxDistinctUsers,
     "q_agg_rollup" -> rollupQty,
@@ -156,6 +169,11 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_topk_values" ->
+      """SELECT event_type,
+        | list_sort(list(value), 'DESC')[1:5] AS top_values,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_salted_two_phase" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -96,6 +96,17 @@ object GraftProps extends Properties("graft") {
           model((r.getLong(0), r.getString(1))) == r.getLong(2))
     }
 
+  property("topk_vals equals sort-desc-take-k of the group") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0))) { xs =>
+      import spark.implicits._
+      graft.functions.TopKAgg.register(spark)
+      val got = xs.map(Tuple1(_)).toDF("v")
+        .repartition(4) // force partial buffers + merge across partitions
+        .agg(org.apache.spark.sql.functions.expr("topk_vals(v, 5)"))
+        .collect().head.getSeq[Double](0)
+      got == xs.sorted(Ordering[Double].reverse).take(5)
+    }
+
   property("rollup leaf sums equal grand total") =
     forAll(eventsGen) { rows =>
       import spark.implicits._
