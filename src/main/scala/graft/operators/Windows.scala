@@ -92,8 +92,25 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** lead + first_value/last_value with explicit frames (the remaining
+    * navigation-function family). */
+  def leadFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_id"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first_value(col("event_type")).over(w).as("first_type"),
+        last_value(col("event_type")).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("last_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_topk_per_group" -> topkPerGroup,
+    "q_win_lead_first_last" -> leadFirstLast,
     "q_win_rank_dense" -> rankDense,
     "q_win_lag_delta" -> lagDelta,
     "q_win_running_sum" -> runningSum,
@@ -102,6 +119,16 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_lead_first_last" ->
+      """SELECT user_id, event_id,
+        | lead(value, 1) OVER w AS next_value,
+        | first_value(event_type) OVER w AS first_type,
+        | last_value(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_win_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
