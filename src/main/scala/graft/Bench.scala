@@ -14,8 +14,19 @@ object Bench {
     // Warmup pass: JIT + codegen compilation + parquet footer caches.
     // Measured numbers below are steady-state per-query times (results
     // are NOT cached between passes — every timed run recomputes).
+    // Force FULL query execution including the final global sort:
+    // .count() would let Catalyst eliminate the orderBy and prune every
+    // projected expression (EliminateSorts/ColumnPruning), timing a
+    // fraction of the real query. The noop V2 sink consumes every row
+    // of the completed plan instead.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Boolean =
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        true
+      } catch { case _: Throwable => false }
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      run(fn)
       // CacheManager matches canonicalized plans, so a re-built identical
       // DataFrame in the timed pass would silently reuse warmed cache
       // data — drop it eagerly, outside any timing window
@@ -24,10 +35,10 @@ object Bench {
     System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = run(fn)
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // cleanup outside the timing window
-      name -> dt
+      name -> (if (ok) dt else -1.0) // -1 marks a failed query
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

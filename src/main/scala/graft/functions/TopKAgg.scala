@@ -33,6 +33,14 @@ case class TopKDoubles(child: Expression, k: Int,
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "topk_vals"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_vals requires a DOUBLE input column, got ${child.dataType.sql}")
+  }
+
   override def createAggregationBuffer(): PriorityQueue[java.lang.Double] =
     new PriorityQueue[java.lang.Double](k + 1)
 
@@ -95,6 +103,10 @@ object TopKAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_vals",
       exprs => {
+        require(exprs.length == 2,
+          s"topk_vals(col, k) takes exactly 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          "topk_vals: k must be a literal (foldable) integer")
         val k = exprs(1).eval(null).asInstanceOf[Number].intValue()
         TopKDoubles(exprs.head, k).toAggregateExpression()
       },

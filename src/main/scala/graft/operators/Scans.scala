@@ -20,6 +20,16 @@ import graft.Tables._
   */
 object Scans {
 
+  /** Fixed per-query scratch dir (reused with overwrite across runs) —
+    * a fresh createTempDirectory per invocation would accumulate a new
+    * full copy of the data on every Bench/Verify run. */
+  private def scratch(name: String): String = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_scratch/$name")
+    d.mkdirs()
+    d.toString
+  }
+
   /** Full scan, all columns. Dates cast to DATE (all values are midnight;
     * keeps the cross-engine compare representation-stable). */
   def scanFull(spark: SparkSession, dir: String): DataFrame =
@@ -47,7 +57,7 @@ object Scans {
   /** Second file format: round-trip `region` through CSV with an explicit
     * schema (header-less, temp dir), proving non-parquet source/sink IO. */
   def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    val tmp = scratch("csv")
     region(spark, dir).write.mode("overwrite").csv(tmp)
     spark.read
       .schema(StructType(Seq(
@@ -80,7 +90,7 @@ object Scans {
 
   /** JSON source round-trip with explicit schema. */
   def sourceJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val tmp = scratch("json")
     nation(spark, dir).write.mode("overwrite").json(tmp)
     spark.read
       .schema(StructType(Seq(
@@ -93,7 +103,7 @@ object Scans {
 
   /** ORC source round-trip (third columnar format). */
   def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    val tmp = scratch("orc")
     supplier(spark, dir).write.mode("overwrite").orc(tmp)
     spark.read.orc(tmp).orderBy(col("s_suppkey"))
   }
@@ -103,7 +113,7 @@ object Scans {
     * must scan only that partition directory (PartitionFilters in the
     * plan) — the 100 TB pruning story. */
   def sinkPartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val tmp = scratch("partitioned")
     events(spark, dir)
       .withColumn("date", col("ts").cast(DateType).cast(StringType))
       .write.mode("overwrite").partitionBy("date").parquet(tmp)

@@ -21,7 +21,9 @@ object Udfs {
   private val cosineFn = (a: Seq[Float], b: Seq[Float]) => {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < a.length) {
+    // min-length contract on dimension mismatch, matching fvec_dot
+    val n = math.min(a.length, b.length)
+    while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1

@@ -90,22 +90,37 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
           nextOut = null
           while (nextOut == null && lIter.hasNext) {
             val l = lIter.next()
-            val lk = lKey.eval(l).asInstanceOf[Long]
-            val lt = lTs.eval(l).asInstanceOf[Long]
-            var continue = true
-            while (continue && (pendingRight != null || rIter.hasNext)) {
-              if (pendingRight == null) pendingRight = rIter.next().copy()
-              val rk = rKey.eval(pendingRight).asInstanceOf[Long]
-              val rt = rTs.eval(pendingRight).asInstanceOf[Long]
-              if (rk < lk || (rk == lk && rt <= lt)) {
-                lastMatch = pendingRight
-                lastMatchKey = rk
-                pendingRight = null
-              } else continue = false
+            // NULL key/ts rows can never match under SQL join semantics
+            // (a bare asInstanceOf would unbox null to 0L and join them
+            // against the real key 0) — drop left nulls, skip right
+            // nulls. The required Ascending sort puts nulls first, so
+            // skipped right rows are consumed before any real key run.
+            val lkAny = lKey.eval(l)
+            val ltAny = lTs.eval(l)
+            if (lkAny != null && ltAny != null) {
+              val lk = lkAny.asInstanceOf[Long]
+              val lt = ltAny.asInstanceOf[Long]
+              var continue = true
+              while (continue && (pendingRight != null || rIter.hasNext)) {
+                if (pendingRight == null) pendingRight = rIter.next().copy()
+                val rkAny = rKey.eval(pendingRight)
+                val rtAny = rTs.eval(pendingRight)
+                if (rkAny == null || rtAny == null) {
+                  pendingRight = null // unmatchable: consume and skip
+                } else {
+                  val rk = rkAny.asInstanceOf[Long]
+                  val rt = rtAny.asInstanceOf[Long]
+                  if (rk < lk || (rk == lk && rt <= lt)) {
+                    lastMatch = pendingRight
+                    lastMatchKey = rk
+                    pendingRight = null
+                  } else continue = false
+                }
+              }
+              if (lastMatch != null && lastMatchKey == lk) {
+                nextOut = proj(joined(l, lastMatch))
+              } // else: no prior right row for this key — inner semantics
             }
-            if (lastMatch != null && lastMatchKey == lk) {
-              nextOut = proj(joined(l, lastMatch))
-            } // else: no prior right row for this key — inner semantics
           }
         }
 

@@ -46,7 +46,10 @@ object DockerEvents {
         .as("project"),
       col("Actor.Attributes").getItem("com.docker.compose.service")
         .as("service"),
-      map_contains_key(col("Actor.Attributes"), "LOG").as("log_opt_in"),
+      // no Attributes map ⇒ not opted in (false, not NULL — a NULL here
+      // silently vanishes from negated filters like !log_opt_in)
+      coalesce(map_contains_key(col("Actor.Attributes"), "LOG"), lit(false))
+        .as("log_opt_in"),
       expr("timestamp_micros(timeNano div 1000)").as("ts"))
 
   /** Streaming file source of Docker-event JSON lines. Unparseable lines

@@ -14,13 +14,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *                                               append, partitioned by
   *                                               event date
   *
-  * Scale notes: the sink partitions by date so downstream reads prune;
-  * each micro-batch is one bulk columnar write instead of the
-  * reference's per-record round-trip; exactly-once comes from the
-  * checkpoint (WAL + offsets), the analog of the reference's `since=`
-  * resume bookkeeping (loggers.py ≈L35).
+  * Scale notes: the sink partitions by (batch_id, date) so downstream
+  * reads prune on date; each micro-batch is one bulk columnar write
+  * instead of the reference's per-record round-trip. Effectively-once:
+  * the checkpoint (WAL + offsets — the analog of the reference's
+  * `since=` resume bookkeeping, loggers.py ≈L35) guarantees each batch
+  * id is re-executed at most from its last uncommitted point, and the
+  * batch_id-partitioned DYNAMIC-overwrite write makes that re-execution
+  * idempotent: a crash between the parquet write and the checkpoint
+  * commit rewrites exactly the same batch_id partitions instead of
+  * appending duplicates.
   */
 object EventIngest {
+
+  private def idempotentBatchWrite(storeDir: String)(batch: DataFrame,
+      batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "date")
+      .parquet(storeDir)
 
   /** Start the ingestion pipeline: JSON-lines dir → normalized events →
     * date-partitioned parquet store. */
@@ -30,9 +43,7 @@ object EventIngest {
       .withColumn("date", col("ts").cast("date"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("date").parquet(storeDir)
-      }
+      .foreachBatch(idempotentBatchWrite(storeDir) _)
       .start()
 
   /** EP3 parity — the container log follower (muswarmlogger/loggers.py
@@ -51,9 +62,7 @@ object EventIngest {
       .withColumn("date", col("ts").cast("date"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("date").parquet(storeDir)
-      }
+      .foreachBatch(idempotentBatchWrite(storeDir) _)
       .start()
 
   /** Triples-export view of the ingested store (the RDF write shape the
