@@ -23,9 +23,10 @@ import graft.Tables._
   *   predicate applied as a post-condition — never a cross product. At
   *   100 TB the equi key would be (user_id, coarse time bucket) to bound
   *   per-key fan-out; AQE skew-split handles hot users.
-  * - The as-of join is join + windowed row_number de-dup; Spark lacks a
-  *   native as-of. The window partitions by the probe row key, so state
-  *   is bounded per purchase.
+  * - The as-of join exists in two forms: composed builtin (join +
+  *   windowed row_number de-dup, q_join_asof) and the native custom
+  *   operator (graft.plans.AsOfJoin, q_join_asof_native) — same
+  *   semantics, one sort-merge pass with O(1) state in the native form.
   */
 object Joins {
 
