@@ -153,10 +153,35 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Approximate percentiles (t-digest-style sketch) — the 100 TB
+    * substitute for the exact sort-based percentile. No DuckDB oracle
+    * (different sketch); ScalaTest bounds it against the exact median. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)")
+        .as("approx_quartiles"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Stratified sampling by language (seeded, training-data pipeline
+    * staple). No cross-engine oracle (sampling algorithms differ);
+    * ScalaTest asserts determinism + per-stratum rates. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1,
+          "de" -> 0.1), 42L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_salted_two_phase" -> saltedTwoPhase,
     "q_agg_topk_values" -> topkValues,
+    "q_agg_approx_percentile" -> approxPercentile,
+    "q_llm_stratified_sample" -> stratifiedSample,
     "q_agg_count_distinct" -> countDistinctUsers,
     "q_agg_approx_distinct" -> approxDistinctUsers,
     "q_agg_rollup" -> rollupQty,

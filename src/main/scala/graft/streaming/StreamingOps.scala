@@ -80,6 +80,24 @@ object StreamingOps {
   def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Stream-stream inner join: purchases matched to signups of the same
+    * user within 1 h before the purchase. Both sides watermarked so
+    * Spark can bound the join state buffers (unbounded otherwise — the
+    * 100 TB failure mode); the time-range condition lets late state be
+    * evicted once the watermark passes. */
+  def streamStreamJoin(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    p.join(s, col("user_id") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("p_id"), col("s_id"))
+  }
+
   /** Per-user lifecycle FSM (attach-on-signup, emit-on-error/timeout):
     * flatMapGroupsWithState with event-time timeout. Emits a
     * SessionSummary when an `error` event arrives or the user goes quiet

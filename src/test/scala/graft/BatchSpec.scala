@@ -77,6 +77,38 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx_percentile median within 5% of exact median") {
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)(1)).toMap
+    val exact = SparkEntry.queries("q_agg_median")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, m) =>
+      assert(math.abs(approx(k) - m) <= 0.05 * m,
+        s"$k: approx=${approx(k)} exact=$m")
+    }
+  }
+
+  test("stratified sample is seeded-deterministic with plausible rates") {
+    val a = SparkEntry.queries("q_llm_stratified_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = SparkEntry.queries("q_llm_stratified_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b) // same seed -> identical sample
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1,
+      "de" -> 0.1)
+    a.foreach { case (lang, n) =>
+      val expect = totals(lang) * want(lang)
+      // Bernoulli sampling: allow ~3σ (σ≈√(np(1-p))) plus slack for the
+      // tiny strata at sf0.001
+      val tol = math.max(8, 3 * math.sqrt(expect))
+      assert(math.abs(n - expect) <= tol,
+        s"$lang: sampled $n of ${totals(lang)}, expected ≈$expect ±$tol")
+    }
+  }
+
   test("dedup is idempotent: q(q(x)) == q(x) semantics") {
     val once = SparkEntry.queries("q_dedup_rows")(spark, sf)
     // re-deduping the deduped keys yields identical key multiplicity 1

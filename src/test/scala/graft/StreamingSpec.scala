@@ -148,6 +148,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("stream-stream join: purchases matched to signups within 1h") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val pIn = MemoryStream[Ev]; val sIn = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.streamStreamJoin(pIn.toDF(), sIn.toDF()),
+      "ssj", "append")
+    sIn.addData(ev(1, 0, 1, "signup"), ev(2, 0, 2, "signup"))
+    pIn.addData(ev(10, 30, 1, "purchase"),  // 30min after signup: match
+      ev(11, 90, 2, "purchase"))            // 90min after: outside window
+    q.processAllAvailable()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 10L, 1L)), s"got $rows")
+    q.stop()
+  }
+
   test("lifecycle FSM emits on error and on event-time timeout") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
