@@ -19,17 +19,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    # Normalize to stable comparable form, mirroring a hash-of-values
-    # compare: floats to repr, timestamps/dates to ISO strings.
+    # Normalize to stable comparable form, mirroring the driver's exact
+    # hash-of-values compare: floats use exact repr (only -0.0 collapsed),
+    # and raw array/map cells are a hard FAIL — the driver's pandas
+    # sort_values crashes on ndarray cells, so local must fail too.
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        # collapse -0.0 and fix float repr
         if v == 0:
-            v = 0.0
-        return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+            v = 0.0  # collapse -0.0
+        return repr(v)
+    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+        raise TypeError(
+            f"raw array/map cell ({type(v).__name__}) — driver comparator "
+            "would crash; stringify the column in query + oracle")
     return str(v)
 
 
@@ -66,8 +69,13 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        scols, srows = frame(
-            con, f"SELECT * FROM read_parquet('{spark_files[0]}')")
+        try:
+            scols, srows = frame(
+                con, f"SELECT * FROM read_parquet('{spark_files[0]}')")
+        except Exception as e:
+            print(f"FAIL {name}: spark result error: {e}")
+            n_fail += 1
+            continue
         if ocols != scols:
             print(f"FAIL {name}: columns differ spark={scols} oracle={ocols}")
             n_fail += 1

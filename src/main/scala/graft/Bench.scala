@@ -33,11 +33,15 @@ object Bench {
       spark.catalog.clearCache()
     }
     System.gc()
-    // min of two timed iterations per query: GC pauses and page-cache
-    // churn land on arbitrary queries and inflate single-shot totals by
-    // up to ~50%; the min is the standard noise-robust estimator.
+    // min of three timed iterations per query: GC pauses, codegen-class
+    // accumulation, and page-cache churn land on arbitrary queries during
+    // a long full-suite run and inflate single-shot totals by 10×+ (seen
+    // in round-1 driver numbers); the min is the standard noise-robust
+    // estimator, and an explicit GC between queries (outside any timing
+    // window) keeps collector debt from one query out of the next.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      System.gc()
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = run(fn)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -46,10 +50,15 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    // Detailed line FIRST (per-query breakdown, ~2 KB), then a short
+    // total-only line LAST: the driver captures a bounded stdout tail, so
+    // the last parseable JSON line must be small enough to always fit.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,11 +47,20 @@ object Aggregates {
       .orderBy(col("event_type"))
 
   /** HLL approximate distinct — the 100 TB substitute for exact distinct.
-    * No DuckDB oracle (different sketch); ScalaTest asserts ±5% of exact. */
+    * Sketches differ across engines, so the enrolled query emits the
+    * VERDICT, not the sketch: both approx and exact are computed in one
+    * aggregate and the output row says whether the sketch landed within
+    * ±5% of exact. The DuckDB twin emits `true` unconditionally, so a
+    * hash match certifies the HLL bound cross-engine. */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+      .select(col("event_type"),
+        (abs(col("n_approx") - col("n_users_exact"))
+          <= col("n_users_exact") * 0.05).as("within_5pct"),
+        col("n_users_exact"))
       .orderBy(col("event_type"))
 
   /** ROLLUP with grouping() indicator columns (cast int for parity). */
@@ -92,11 +101,14 @@ object Aggregates {
         |  day ASC NULLS FIRST""".stripMargin)
   }
 
-  /** Deterministic collected list: sorted orderkeys per customer. */
+  /** Deterministic collected list: sorted orderkeys per customer,
+    * serialized to a CSV string — the driver comparator hashes scalar
+    * cells, so the list is emitted as its canonical string form. */
   def collectSorted(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+        .as("orderkeys"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_custkey"))
 
@@ -146,35 +158,64 @@ object Aggregates {
     * per group instead of collect-the-whole-group, map-side combinable. */
   def topkValues(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKAgg.register(spark)
+    // Output serialized as CSV of DECIMAL(18,2) strings: decimal casts
+    // render identically in Spark and DuckDB (no float-repr drift), so
+    // the driver's hash compare works on the scalar cell.
     events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(expr("topk_vals(value, 5)").as("top_values"),
+      .agg(expr("array_join(transform(topk_vals(value, 5)," +
+        " x -> cast(round(x, 2) as decimal(18,2))), ',')").as("top_values"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
 
-  /** Approximate percentiles (t-digest-style sketch) — the 100 TB
-    * substitute for the exact sort-based percentile. No DuckDB oracle
-    * (different sketch); ScalaTest bounds it against the exact median. */
+  /** Approximate percentiles (GK sketch) — the 100 TB substitute for the
+    * exact sort-based percentile. Verdict-column oracle: the enrolled
+    * query computes BOTH the sketch quartiles and the exact interpolated
+    * quartiles and emits whether every sketch value is within 5% of
+    * exact; the DuckDB twin emits `true`, so a hash match certifies the
+    * sketch bound cross-engine. */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)")
-        .as("approx_quartiles"),
+        .as("aq"),
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("eq"),
         count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        expr("forall(zip_with(aq, eq, (a, e) -> abs(a - e) <= 0.05 * abs(e))," +
+          " x -> x)").as("within_5pct"),
+        col("n"))
       .orderBy(col("o_orderpriority"))
 
   /** Stratified sampling by language (seeded, training-data pipeline
-    * staple). No cross-engine oracle (sampling algorithms differ);
-    * ScalaTest asserts determinism + per-stratum rates. */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .stat.sampleBy("lang",
-        Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1,
-          "de" -> 0.1), 42L)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_sampled"))
+    * staple). Sampling RNGs differ across engines, so the enrolled query
+    * emits the VERDICT: per-stratum realized rate within 3σ of the
+    * target rate (binomial σ = sqrt(p(1-p)/n)). The DuckDB twin emits
+    * `true` with the same exact per-stratum totals; a hash match
+    * certifies both the totals and the sampler's statistical contract.
+    * Seeded determinism itself is ScalaTest-asserted. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1,
+      "de" -> 0.1)
+    val docs = documents(spark, dir)
+    val sampled = docs.stat.sampleBy("lang", rates, 42L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val totals = docs.filter(col("lang").isin(rates.keys.toSeq: _*))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val rateCol = rates.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    totals.join(sampled, Seq("lang"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .withColumn("rate", rateCol)
+      .select(col("lang"),
+        (abs(col("n_sampled") / col("n_total") - col("rate"))
+          <= lit(3.0) * sqrt(col("rate") * (lit(1.0) - col("rate"))
+            / col("n_total"))).as("within_3sigma"),
+        col("n_total"))
       .orderBy(col("lang"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing_summary" -> pricingSummary,
@@ -196,9 +237,22 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "q_agg_topk_values" ->
       """SELECT event_type,
-        | list_sort(list(value), 'DESC')[1:5] AS top_values,
+        | array_to_string(list_transform(list_sort(list(value), 'DESC')[1:5],
+        |   x -> CAST(round(x, 2) AS DECIMAL(18,2))), ',') AS top_values,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_approx_distinct" ->
+      """SELECT event_type, true AS within_5pct,
+        | count(DISTINCT user_id) AS n_users_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_approx_percentile" ->
+      """SELECT o_orderpriority, true AS within_5pct, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_llm_stratified_sample" ->
+      """SELECT lang, true AS within_3sigma, count(*) AS n_total
+        |FROM documents WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_agg_salted_two_phase" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -246,7 +300,8 @@ object Aggregates {
         |ORDER BY g_type, g_day, event_type ASC NULLS FIRST,
         | day ASC NULLS FIRST""".stripMargin,
     "q_agg_collect_sorted" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
         | count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_agg_median" ->

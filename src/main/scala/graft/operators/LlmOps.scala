@@ -57,11 +57,23 @@ object LlmOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("text_hash"))
 
-  /** Exact 5-gram-shingle Jaccard near-dup pairs (τ=0.8). Correctness
-    * baseline for minhashLsh; O(shared-shingle pairs) — fine at test SF,
-    * the LSH variant is the 100 TB path. */
+  /** Exact 5-gram-shingle Jaccard near-dup pairs (τ=0.8) over the
+    * df-capped shingle vocabulary. Correctness baseline for minhashLsh.
+    *
+    * The document-frequency cap (drop shingles present in > 50 docs)
+    * bounds the self-join blow-up: docs-per-shingle ≤ 50 means at most
+    * 50² candidate pairs per shingle regardless of corpus size — the
+    * stop-shingle skew that makes naive all-pairs quadratic at 100 TB
+    * (same trick the CCNet/Gopher dedup pipelines use for boilerplate
+    * n-grams). Real near-dup pairs (τ≥0.8) share many RARE shingles, so
+    * dropping ubiquitous ones barely moves J; the oracle twin applies
+    * the identical cap, so the compare stays exact. */
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val maxDf = 50
+    val raw = shingles(spark, dir)
+    val rare = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val sh = raw.join(rare, "s").cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
@@ -237,10 +249,30 @@ object LlmOps {
       .orderBy(col("probe_id"))
   }
 
-  /** Embedding-cosine near-dup pairs (τ=0.4 for this synthetic data).
-    * Exact at test SF; at 100 TB the candidate set comes from lshAnn-style
-    * sign-bucketing instead of the full pair space. */
+  /** Embedding-cosine near-dup pairs (τ=0.4 for this synthetic data)
+    * anchored in a bounded probe window (a_id < 250), same shape as
+    * cosineTopk: the probe side is a small broadcastable set, so the
+    * plan is a broadcast nested-loop with a BOUNDED build side — linear
+    * in corpus size, not O(n²). The unbounded all-pairs form survives as
+    * [[embedNeardupAll]] for the ScalaTest cross-check only (its plan is
+    * a true cartesian and must never be enrolled). */
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val a = emb.filter(col("vec_id") < 250)
+      .select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("an"))
+    val b = emb.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("norm").as("bn"))
+    broadcast(a).crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Unbounded exact all-pairs near-dup — ScalaTest cross-check ONLY
+    * (cartesian plan; not enrolled, never run at scale). */
+  def embedNeardupAll(spark: SparkSession, dir: String): DataFrame = {
     val emb = embWithNorm(spark, dir)
     val a = emb.select(col("vec_id").as("a_id"), col("v").as("av"),
       col("norm").as("an"))
@@ -431,9 +463,11 @@ object LlmOps {
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q_llm_shingle_jaccard" ->
       s"""WITH $shingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shc AS (SELECT doc_id, s FROM sh
+         |  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
          | floor((1.0 * i / (na.n + nb.n - i)) * 10000.0 + 0.5) / 10000.0 AS jaccard
@@ -531,7 +565,8 @@ object LlmOps {
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          | round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
          |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-         |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |WHERE a.vec_id < 250
+         |  AND round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6)
          |  >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
     "q_llm_lsh_ann" ->

@@ -64,7 +64,8 @@ object ScalarFuncs {
       .select(col("doc_id"),
         size(toks).as("n_tok"),
         array_contains(toks, "spark").as("has_spark"),
-        slice(sort_array(array_distinct(toks)), 1, 3).as("first3"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",")
+          .as("first3"),
         size(array_distinct(toks)).as("n_distinct"))
       .orderBy(col("doc_id"))
   }
@@ -85,7 +86,7 @@ object ScalarFuncs {
       .withColumn("m", m)
       .select(col("event_id"),
         element_at(col("m"), "k").as("k"),
-        sort_array(map_keys(col("m"))).as("keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
         coalesce(element_at(col("m"), "missing"), lit(-1)).as("miss"))
       .orderBy(col("event_id"))
   }
@@ -142,7 +143,8 @@ object ScalarFuncs {
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
         | list_contains(string_split(text, ' '), 'spark') AS has_spark,
-        | list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3,
+        | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3],
+        |   ',') AS first3,
         | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
         |   AS n_distinct
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -153,7 +155,7 @@ object ScalarFuncs {
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q_map_funcs" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k,
-        | list_sort(json_keys(props)) AS keys,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys,
         | coalesce(CAST(props->>'$.missing' AS INTEGER), -1) AS miss
         |FROM events ORDER BY event_id""".stripMargin,
     "q_json_funcs" ->

@@ -66,47 +66,66 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("SortMergeJoin"), s)
   }
 
-  test("approx_count_distinct within 5% of exact") {
-    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  // The three sketch queries emit verdict columns (group, within_tol,
+  // exact) so the DuckDB oracle can hash-compare them; the tests assert
+  // every verdict is true AND the exact column matches an independent
+  // computation — a false verdict would also fail the driver gate.
+
+  test("approx_count_distinct verdict true for every group, exact matches") {
+    val rows = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    assert(rows.nonEmpty)
     val exact = SparkEntry.queries("q_agg_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n) <= math.max(1, 0.05 * n),
-        s"$k: approx=${approx(k)} exact=$n")
+    rows.foreach { case (k, within, n) =>
+      assert(within, s"$k: HLL estimate outside 5% of exact $n")
+      assert(n == exact(k), s"$k: exact col $n != ${exact(k)}")
     }
   }
 
-  test("approx_percentile median within 5% of exact median") {
-    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)(1)).toMap
-    val exact = SparkEntry.queries("q_agg_median")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    exact.foreach { case (k, m) =>
-      assert(math.abs(approx(k) - m) <= 0.05 * m,
-        s"$k: approx=${approx(k)} exact=$m")
+  test("approx_percentile verdict true for every group") {
+    val rows = SparkEntry.queries("q_agg_approx_percentile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, within, n) =>
+      assert(within, s"$k: sketch quartile outside 5% of exact (n=$n)")
     }
   }
 
-  test("stratified sample is seeded-deterministic with plausible rates") {
+  test("stratified sample is seeded-deterministic with verdicts true") {
     val a = SparkEntry.queries("q_llm_stratified_sample")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      .toSeq
     val b = SparkEntry.queries("q_llm_stratified_sample")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      .toSeq
     assert(a == b) // same seed -> identical sample
+    assert(a.nonEmpty)
     val totals = graft.Tables.documents(spark, sf)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val want = Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1,
-      "de" -> 0.1)
-    a.foreach { case (lang, n) =>
-      val expect = totals(lang) * want(lang)
-      // Bernoulli sampling: allow ~3σ (σ≈√(np(1-p))) plus slack for the
-      // tiny strata at sf0.001
-      val tol = math.max(8, 3 * math.sqrt(expect))
-      assert(math.abs(n - expect) <= tol,
-        s"$lang: sampled $n of ${totals(lang)}, expected ≈$expect ±$tol")
+    a.foreach { case (lang, within, nTotal) =>
+      assert(within, s"$lang: realized rate outside 3 sigma of target")
+      assert(nTotal == totals(lang), s"$lang: n_total $nTotal wrong")
     }
+  }
+
+  test("embed_neardup bounded == exact all-pairs restricted to window") {
+    // The enrolled query bounds the probe side (a_id < 250) so its plan
+    // is a broadcast NLJ with a bounded build side; this cross-checks it
+    // against the unbounded exact form, which stays ScalaTest-only.
+    val bounded = SparkEntry.queries("q_llm_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactW = operators.LlmOps.embedNeardupAll(spark, sf)
+      .filter("a_id < 250")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bounded.nonEmpty)
+    assert(bounded == exactW)
+  }
+
+  test("enrolled embed_neardup plan has no unbounded cartesian") {
+    val s = executedPlanString("q_llm_embed_neardup")
+    assert(!s.contains("CartesianProduct"), s)
   }
 
   test("dedup is idempotent: q(q(x)) == q(x) semantics") {
