@@ -16,7 +16,8 @@ object SparkEntry {
     operators.SortsSets.queries ++
     operators.ScalarFuncs.queries ++
     operators.LlmOps.queries ++
-    operators.Udfs.queries
+    operators.Udfs.queries ++
+    multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.SortsSets.oracle ++
     operators.ScalarFuncs.oracle ++
     operators.LlmOps.oracle ++
-    operators.Udfs.oracle
+    operators.Udfs.oracle ++
+    multimodal.Multimodal.oracle
 }

@@ -124,4 +124,55 @@ object Multimodal {
     * binary column entirely). */
   def metaOnly(df: DataFrame): DataFrame =
     df.select(col("media_id"), col("kind"), length(col("blob")).as("n_bytes"))
+
+  /** Enrolled scoreboard query: the full multimodal pipeline — encode a
+    * deterministic GRFT blob per document (payload = the ASCII text
+    * bytes), decode it back, extract the 16-bin byte histogram — with the
+    * histogram emitted as INTEGER counts (features × payload length,
+    * exactly recoverable from the L1-normalized floats) so the DuckDB
+    * twin can recompute it from character codes and hash-match. This
+    * exercises encode → binary column → mapPartitions decode →
+    * feature-extract → join, not just the metadata path. */
+  def mmFeatures(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Media(id, "image", encode(text.length, 1, text.getBytes("US-ASCII")))
+      }
+    val dec = decode(media).toDF()
+    val feats = extractFeatures(media).toDF()
+    dec.join(feats, "media_id")
+      .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
+        col("valid"),
+        expr("array_join(transform(features," +
+          " f -> cast(round(f * greatest(n_bytes, 1)) as int)), ',')")
+          .as("hist"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
+      => DataFrame] = Map("q_mm_features" -> mmFeatures)
+
+  val oracle: Map[String, String] = Map(
+    "q_mm_features" ->
+      """WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |hist AS (SELECT doc_id, ascii(ch) // 16 AS bin, count(*) AS cnt
+        |  FROM chars GROUP BY 1, 2),
+        |bins AS (SELECT d.doc_id, b.bin, coalesce(h.cnt, 0) AS cnt
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS bin) b
+        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.bin),
+        |agg AS (SELECT doc_id, string_agg(cnt, ',' ORDER BY bin) AS hist
+        |  FROM bins GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        | CAST(length(d.text) AS INTEGER) AS width,
+        | CAST(1 AS INTEGER) AS height,
+        | CAST(length(d.text) AS INTEGER) AS n_bytes,
+        | true AS valid, a.hist
+        |FROM documents d JOIN agg a USING (doc_id)
+        |ORDER BY media_id""".stripMargin)
 }

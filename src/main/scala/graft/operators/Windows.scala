@@ -13,10 +13,10 @@ import graft.Tables._
   * windowed lag/running state per partition key here.
   *
   * Scale notes: every window partitions by a real key (customer, user),
-  * never an empty `Window.orderBy` global sort except where the semantics
-  * demand a global ranking (ntile) — flagged below; a global window is a
-  * single-partition bottleneck at 100 TB, so the ntile example would
-  * become a range-partitioned two-pass rank at cluster scale.
+  * never an empty `Window.orderBy` global sort; the one globally-ranked
+  * semantic (ntile) is computed as a range-partitioned two-pass rank —
+  * see [[ntileShare]] — so no operator here funnels data through a
+  * single partition.
   */
 object Windows {
 
@@ -79,15 +79,55 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  /** ntile(4) of order totalprice (global ranking — see scale note) +
-    * each order's share of its customer's total (analytic sum). */
+  /** ntile(4) of order totalprice + each order's share of its customer's
+    * total (analytic sum) — WITHOUT the single-partition global sort a
+    * bare `Window.orderBy` plans.
+    *
+    * Two-pass range-partitioned ranking: (1) range-repartition on the
+    * ranking key (parallel sampled exchange), count rows per range
+    * partition — a K-row control-plane collect; (2) global rank = local
+    * row_number within the range partition + broadcast prefix-sum offset
+    * of the partitions before it; ntile(4) is then closed-form from the
+    * global rank and total count (first n%4 tiles hold n/4+1 rows).
+    * Output is bit-identical to ntile(4) OVER (ORDER BY …) — the DuckDB
+    * oracle is unchanged — but every stage is parallel at any scale.
+    * The ranged DataFrame is persisted so the counts job and the final
+    * job see identical partition bounds. */
   def ntileShare(spark: SparkSession, dir: String): DataFrame = {
-    val wGlobal = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val wCust = Window.partitionBy(col("o_custkey"))
-    orders(spark, dir)
-      .withColumn("quartile", ntile(4).over(wGlobal))
+    val withShare = orders(spark, dir)
       .withColumn("cust_share",
         round(col("o_totalprice") / sum(col("o_totalprice")).over(wCust), 6))
+    val ranged = withShare
+      .repartitionByRange(32, col("o_totalprice").desc, col("o_orderkey"))
+      .withColumn("part", spark_partition_id())
+      .persist()
+    val cnts = ranged.groupBy(col("part")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = cnts.values.sum
+    val offsets = {
+      var acc = 0L
+      cnts.keys.toSeq.sorted.map { p =>
+        val pair = p -> acc; acc += cnts(p); pair
+      }.toMap
+    }
+    val offCol = offsets.foldLeft(lit(0L)) { case (e, (p, o)) =>
+      when(col("part") === p, lit(o)).otherwise(e)
+    }
+    val tileBase = n / 4
+    val tileBig = n % 4
+    val cut = tileBig * (tileBase + 1)
+    val wLocal = Window.partitionBy(col("part"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ranged
+      .withColumn("r", offCol + row_number().over(wLocal))
+      .withColumn("quartile",
+        when(lit(tileBase) === 0L, col("r"))
+          .when(col("r") <= cut,
+            expr(s"(r + $tileBase) div (${tileBase + 1})"))
+          .otherwise(expr(s"$tileBig + (r - $cut + $tileBase - 1)" +
+            s" div $tileBase"))
+          .cast("int"))
       .select(col("o_orderkey"), col("quartile"), col("cust_share"))
       .orderBy(col("o_orderkey"))
   }

@@ -73,12 +73,21 @@ object DockerEvents {
       // default) one malformed line would otherwise throw and KILL the
       // whole follower query. Unparseable lines are dropped below, as
       // the reference skips lines it can't split.
+      //
+      // RFC3339-nano fractions are 1–9 digits (Docker emits 9; a bare
+      // ".5" is legal too), but the SSSSSS pattern demands exactly 6 —
+      // so normalize: pad short fractions to 6 with zeros, truncate
+      // nanos to micros (Spark timestamps are µs anyway, SURVEY §7.3-1).
       .withColumn("ts", expr(
         """try_to_timestamp(
-          |  regexp_extract(ts_raw,
-          |    '^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(?:\\.\\d{1,6})?)',
-          |    1),
-          |  "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")""".stripMargin))
+          |  concat(
+          |    regexp_extract(ts_raw,
+          |      '^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2})', 1),
+          |    '.',
+          |    substring(rpad(coalesce(nullif(regexp_extract(ts_raw,
+          |      '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.(\\d{1,9})',
+          |      1), ''), '0'), 6, '0'), 1, 6)),
+          |  "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")""".stripMargin))
       .filter(col("ts").isNotNull)
       .withColumn("uuid",
         sha2(concat_ws("|", col("container_id"), col("ts_raw"),

@@ -27,23 +27,49 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object EventIngest {
 
-  private def idempotentBatchWrite(storeDir: String)(batch: DataFrame,
-      batchId: Long): Unit =
-    batch.withColumn("batch_id", lit(batchId))
+  /** A per-micro-batch transform, the analog of the reference's
+    * `register_event`-decorated handlers (muswarmlogger/events.py ≈L90
+    * [C-med]): users extend the pipeline without touching the pump. */
+  type Handler = DataFrame => DataFrame
+
+  // Insertion-ordered registry so handler composition is deterministic;
+  // the decorator registry in the reference is likewise append-ordered.
+  private val handlerReg =
+    scala.collection.mutable.LinkedHashMap[String, Handler]()
+
+  /** Register a named micro-batch handler applied (in registration
+    * order) to every batch of every subsequently started pipeline.
+    * Re-registering a name replaces the handler. */
+  def registerHandler(name: String)(h: Handler): Unit =
+    synchronized { handlerReg(name) = h }
+
+  def clearHandlers(): Unit = synchronized { handlerReg.clear() }
+
+  private def applyHandlers(batch: DataFrame,
+      extra: Seq[Handler]): DataFrame = {
+    val hs = synchronized { handlerReg.values.toSeq } ++ extra
+    hs.foldLeft(batch)((df, h) => h(df))
+  }
+
+  private def idempotentBatchWrite(storeDir: String,
+      handlers: Seq[Handler])(batch: DataFrame, batchId: Long): Unit =
+    applyHandlers(batch, handlers).withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "date")
       .parquet(storeDir)
 
   /** Start the ingestion pipeline: JSON-lines dir → normalized events →
-    * date-partitioned parquet store. */
+    * date-partitioned parquet store. `handlers` compose after the
+    * globally registered ones, per micro-batch. */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      handlers: Seq[Handler] = Nil): StreamingQuery =
     DockerEvents.readEventStream(spark, srcDir)
       .withColumn("date", col("ts").cast("date"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(idempotentBatchWrite(storeDir) _)
+      .foreachBatch(idempotentBatchWrite(storeDir, handlers) _)
       .start()
 
   /** EP3 parity — the container log follower (muswarmlogger/loggers.py
@@ -54,6 +80,20 @@ object EventIngest {
     * container_id stamped at parse time. Where the reference issued one
     * SPARQL INSERT per line (its throughput ceiling), each micro-batch
     * lands as one bulk columnar append. */
+  // Follower writes lead with container_id in the partition spec: many
+  // followers share one store, and their independent batch_id counters
+  // would otherwise collide in the same batch_id=N/date=D directories
+  // (dynamic overwrite would silently clobber a sibling follower's
+  // batch). A container_id prefix gives each follower its own partition
+  // subtree, keeping the per-follower idempotent-rewrite contract.
+  private def idempotentFollowerWrite(storeDir: String)(batch: DataFrame,
+      batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("container_id", "batch_id", "date")
+      .parquet(storeDir)
+
   def startLogFollower(spark: SparkSession, srcDir: String,
       containerId: String, storeDir: String,
       checkpointDir: String): StreamingQuery =
@@ -62,8 +102,33 @@ object EventIngest {
       .withColumn("date", col("ts").cast("date"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(idempotentBatchWrite(storeDir) _)
+      .foreachBatch(idempotentFollowerWrite(storeDir) _)
       .start()
+
+  /** EP1 parity — startup attach (muswarmlogger/loggers.py `@on_startup`
+    * ≈L15 [C-med]): the reference enumerates the containers that are
+    * ALREADY running when the service boots and attaches a log follower
+    * to each; followers started later via events cover only new
+    * containers. Analog: enumerate the pre-existing per-container log
+    * dirs under `containersRoot` (one subdir per container, the harness's
+    * stand-in for `docker ps`) and start one follower per dir. Log files
+    * written BEFORE attach still land in the store because a file-stream
+    * source with a fresh checkpoint processes all existing files in its
+    * first micro-batch. The directory listing is control-plane work on
+    * the driver (the analog of the reference's one `containers()` API
+    * call), not a data-plane collect. */
+  def attachExistingFollowers(spark: SparkSession, containersRoot: String,
+      storeDir: String, checkpointRoot: String)
+      : Seq[(String, StreamingQuery)] = {
+    val dirs = Option(new java.io.File(containersRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).sortBy(_.getName).toSeq
+    dirs.map { d =>
+      val cid = d.getName
+      cid -> startLogFollower(spark, d.getAbsolutePath, cid, storeDir,
+        s"$checkpointRoot/$cid")
+    }
+  }
 
   /** Triples-export view of the ingested store (the RDF write shape the
     * reference produced, as a batch view over the parquet store). */

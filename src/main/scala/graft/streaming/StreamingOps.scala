@@ -129,7 +129,14 @@ object StreamingOps {
         }
         if (cur.nEvents > 0) {
           state.update(cur)
-          state.setTimeoutTimestamp(cur.lastTs + 30 * 60 * 1000)
+          // Clamp to strictly after the current watermark: a group whose
+          // events are already older than watermark - 30min would get a
+          // below-watermark timeout, which Spark rejects by failing the
+          // whole query — such a group must still time out (at the next
+          // watermark tick), not crash the stream.
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs() + 1,
+              cur.lastTs + 30 * 60 * 1000))
         } else state.remove()
         out.iterator
       }

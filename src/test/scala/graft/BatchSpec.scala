@@ -128,6 +128,13 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("ntile_share plans no single-partition window exchange") {
+    // the quartile must come from the two-pass range-partitioned rank,
+    // never from a global Window.orderBy (Exchange SinglePartition)
+    val s = executedPlanString("q_win_ntile_share")
+    assert(!s.contains("SinglePartition"), s)
+  }
+
   test("dedup is idempotent: q(q(x)) == q(x) semantics") {
     val once = SparkEntry.queries("q_dedup_rows")(spark, sf)
     // re-deduping the deduped keys yields identical key multiplicity 1

@@ -249,4 +249,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = DockerEvents.parseLogLines(raw, "c01").collect().head
     assert(parsed.getAs[String]("uuid") == again.getAs[String]("uuid"))
   }
+
+  test("log-line parsing accepts 1-9 digit RFC3339 fractions and none") {
+    import spark.implicits._
+    val raw = Seq(
+      "2024-01-01T10:00:00.5Z a",         // 1 digit: pad to .500000
+      "2024-01-01T10:00:01.123Z b",       // 3 digits: pad
+      "2024-01-01T10:00:02Z c",           // no fraction at all
+      "2024-01-01T10:00:03.123456789Z d", // nanos: truncate to micros
+      "garbage line without timestamp e"  // dropped, must not kill query
+    ).toDF("value")
+    val got = DockerEvents.parseLogLines(raw, "c01").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("ts").toString).sorted.toSeq
+    assert(got == Seq("2024-01-01 10:00:00.5", "2024-01-01 10:00:01.123",
+      "2024-01-01 10:00:02.0", "2024-01-01 10:00:03.123456"), got)
+  }
+
+  test("startup attach: pre-existing container dirs and files land in store") {
+    // EP1 parity: files written BEFORE attach (the already-running
+    // containers at service boot) must be ingested by the first batch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_attach_")
+    val root = tmp.resolve("containers")
+    for (c <- Seq("c01", "c02")) {
+      java.nio.file.Files.createDirectories(root.resolve(c))
+      java.nio.file.Files.writeString(root.resolve(c).resolve("out.log"),
+        s"2024-01-01T10:00:00.111Z hello from $c\n")
+    }
+    val qs = EventIngest.attachExistingFollowers(spark, root.toString,
+      tmp.resolve("store").toString, tmp.resolve("ckpt").toString)
+    assert(qs.map(_._1) == Seq("c01", "c02"))
+    qs.foreach(_._2.processAllAvailable()); qs.foreach(_._2.stop())
+    val rows = spark.read.parquet(tmp.resolve("store").toString).collect()
+    assert(rows.map(_.getAs[String]("container_id")).sorted.toSeq
+      == Seq("c01", "c02"))
+    assert(rows.forall(_.getAs[String]("line").startsWith("hello from ")))
+  }
+
+  test("handler registry: registered + explicit handlers compose in order") {
+    import org.apache.spark.sql.functions.{col, lit, upper}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_handlers_")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val mk = (id: String, action: String) =>
+      s"""{"Type":"container","Action":"$action","id":"$id","Actor":{"ID":"$id","Attributes":{"name":"$id"}},"time":1704067200,"timeNano":1704067200000000000}"""
+    java.nio.file.Files.writeString(src.resolve("e.json"),
+      mk("c01", "start") + "\n" + mk("c02", "die") + "\n")
+    EventIngest.clearHandlers()
+    EventIngest.registerHandler("only-starts")(
+      _.filter(col("action") === "start"))
+    try {
+      // explicit handler runs AFTER the registered one: it sees only the
+      // filtered rows and stamps them — proving order and composition
+      val q = EventIngest.start(spark, src.toString,
+        tmp.resolve("store").toString, tmp.resolve("ckpt").toString,
+        handlers = Seq(_.withColumn("via", upper(lit("handler")))))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.read.parquet(tmp.resolve("store").toString).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("container_id") == "c01")
+      assert(rows.head.getAs[String]("via") == "HANDLER")
+    } finally EventIngest.clearHandlers()
+  }
 }
