@@ -17,6 +17,8 @@ object SparkEntry {
     operators.ScalarFuncs.queries ++
     operators.LlmOps.queries ++
     operators.Udfs.queries ++
+    operators.Reshape.queries ++
+    operators.Subqueries.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +33,7 @@ object SparkEntry {
     operators.ScalarFuncs.oracle ++
     operators.LlmOps.oracle ++
     operators.Udfs.oracle ++
+    operators.Reshape.oracle ++
+    operators.Subqueries.oracle ++
     multimodal.Multimodal.oracle
 }

@@ -217,7 +217,46 @@ object Aggregates {
       .orderBy(col("lang"))
   }
 
+  /** Statistical aggregate family (round 2): stddev/variance/corr/covar
+    * — all single-pass partial+final hash aggregates (Welford-style
+    * merge), no second scan. Skewness/kurtosis are deliberately absent:
+    * Spark computes population moments, DuckDB sample-corrected ones, so
+    * no cross-engine oracle exists. */
+  def statsFamily(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Conditional / boolean aggregates: count_if + bool_and/bool_or. */
+  def condBoolAggs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("count_if(value > 100)").as("n_big"),
+        expr("bool_and(value >= 0)").as("all_nonneg"),
+        expr("bool_or(value > 900)").as("any_huge"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Bitwise aggregates over ids (feature-mask folding at scale). */
+  def bitwiseAggs(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("bit_and(event_id)").as("band"),
+        expr("bit_or(event_id)").as("bor"),
+        expr("bit_xor(event_id)").as("bxor"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats_family" -> statsFamily,
+    "q_agg_cond_bool" -> condBoolAggs,
+    "q_agg_bitwise" -> bitwiseAggs,
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_salted_two_phase" -> saltedTwoPhase,
     "q_agg_topk_values" -> topkValues,
@@ -235,6 +274,28 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_stats_family" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(var_samp(l_extendedprice), 4) AS var_price,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4)
+        |   AS covar_qty_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_cond_bool" ->
+      """SELECT event_type,
+        | count(*) FILTER (WHERE value > 100) AS n_big,
+        | bool_and(value >= 0) AS all_nonneg,
+        | bool_or(value > 900) AS any_huge,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_bitwise" ->
+      """SELECT event_type,
+        | bit_and(event_id) AS band, bit_or(event_id) AS bor,
+        | bit_xor(event_id) AS bxor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_topk_values" ->
       """SELECT event_type,
         | array_to_string(list_transform(list_sort(list(value), 'DESC')[1:5],

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** SURVEY.md §2 round-2 widening — reshape operators (pivot/unpivot),
+  * batch sessionization, and a TPC-H-style multiway composite.
+  *
+  * Reference analog: the triplestore consumers of the logged events run
+  * exactly these report shapes (per-container activity matrices, session
+  * reconstruction between `start`/`die` events — SURVEY §0.5).
+  *
+  * Scale notes: pivot uses an EXPLICIT value list — `pivot(col)` without
+  * values runs a driver-side distinct job (a full extra scan at 100 TB)
+  * before the real aggregation; sessionization is windows-over-partition
+  * keys only (no global sort); the Q3 composite joins dim→fact smallest
+  * first so AQE broadcast kicks in.
+  */
+object Reshape {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Wide activity matrix: one row per user, one count column per event
+    * type. Explicit pivot values keep it a single-pass aggregation. */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes) // absent (user, type) combos: 0, not NULL
+      .orderBy(col("user_id"))
+
+  /** Unpivot (melt) the lineitem measure columns to long form — the
+    * inverse reshape, one output row per (row, metric). */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "val")
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data,
+      // so val joins the sort to make the order total
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+        col("val"))
+
+  /** Batch sessionization: per-user sessions split on >30 min gaps —
+    * the batch twin of streaming `session_window` (s_window_session).
+    * lag → new-session flag → running sum = session number, then one
+    * aggregate per session. All windows partition by user_id. */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** TPC-H Q3-shaped composite (adapted to this schema: no
+    * shippriority column, o_orderpriority stands in): top-10 urgent
+    * revenue orders for one market segment — dim filter → 3-way join →
+    * agg → bounded top-k (TakeOrderedAndProject, never a full sort). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_date"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_counts" -> pivotCounts,
+    "q_unpivot_measures" -> unpivotMeasures,
+    "q_sessionize_batch" -> sessionizeBatch,
+    "q_tpch_q3_priority" -> shippingPriority,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot_counts" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, metric, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |        l_discount, l_tax FROM lineitem)
+        |UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount,
+        |  l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS gap_us
+        | FROM events),
+        |f AS (SELECT user_id, ts_us,
+        |  CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |       THEN 1 ELSE 0 END AS new_sess,
+        |  event_id FROM g),
+        |s AS (SELECT user_id, ts_us,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS session_no FROM f)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q_tpch_q3_priority" ->
+      """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_date,
+        | o.o_orderpriority,
+        | round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o_date, o_orderkey
+        |LIMIT 10""".stripMargin,
+  )
+}

@@ -101,7 +101,38 @@ object ScalarFuncs {
         get_json_object(col("j"), "$.event_id").cast(LongType).as("rt_id"))
       .orderBy(col("event_id"))
 
+  /** Date arithmetic family (round 2): add days/months (month-end
+    * clamped the same way in both engines), last_day, signed day diff,
+    * quarter, day-of-year. */
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .withColumn("od", col("o_orderdate").cast(DateType))
+      .select(col("o_orderkey"),
+        date_add(col("od"), 30).as("plus30d"),
+        add_months(col("od"), 2).as("plus2m"),
+        last_day(col("od")).as("month_end"),
+        datediff(lit("1998-03-15").cast(DateType), col("od"))
+          .as("days_to_cut"),
+        quarter(col("od")).as("qtr"),
+        dayofyear(col("od")).as("doy"))
+      .orderBy(col("o_orderkey"))
+
+  /** String-distance/transform family (round 2): levenshtein, translate,
+    * reverse, repeat, position — all codegen'd builtins, no UDFs. */
+  def strDistance(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 10), lit("spark data"))
+          .as("lev"),
+        translate(substring(col("text"), 1, 20), "aeiou", "AEIOU").as("tr"),
+        reverse(substring(col("text"), 1, 10)).as("rev"),
+        repeat(substring(col("text"), 1, 3), 2).as("rep"),
+        instr(col("text"), "data").as("pos"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_date_arith" -> dateArith,
+    "q_str_distance" -> strDistance,
     "q_str_iri_mint" -> strIriMint,
     "q_str_regex_split" -> strRegexSplit,
     "q_date_trunc_extract" -> dateTruncExtract,
@@ -113,6 +144,26 @@ object ScalarFuncs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30d,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+        |   AS plus2m,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-03-15')
+        |   AS INTEGER) AS days_to_cut,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_str_distance" ->
+      """SELECT doc_id,
+        | CAST(levenshtein(substring(text, 1, 10), 'spark data') AS INTEGER)
+        |   AS lev,
+        | translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS tr,
+        | reverse(substring(text, 1, 10)) AS rev,
+        | repeat(substring(text, 1, 3), 2) AS rep,
+        | CAST(strpos(text, 'data') AS INTEGER) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_str_iri_mint" ->
       """SELECT event_id,
         | 'http://swarmui.semte.ch/resources/events/' || event_id AS iri,

@@ -148,7 +148,22 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** percent_rank + cume_dist per nation (round 2) — the remaining
+    * relative-ranking family; both are rational functions of integer
+    * rank/count so IEEE division is bit-identical cross-engine, rounded
+    * 6 anyway for belt-and-braces. */
+  def percentCume(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    supplier(spark, dir)
+      .select(col("s_nationkey"), col("s_suppkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_percent_cume" -> percentCume,
     "q_win_topk_per_group" -> topkPerGroup,
     "q_win_lead_first_last" -> leadFirstLast,
     "q_win_rank_dense" -> rankDense,
@@ -159,6 +174,13 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_percent_cume" ->
+      """SELECT s_nationkey, s_suppkey,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
     "q_win_lead_first_last" ->
       """SELECT user_id, event_id,
         | lead(value, 1) OVER w AS next_value,
