@@ -313,6 +313,52 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    * graph — the transitive-closure step a production dedup pipeline
+    * runs after pair generation (keep min doc_id per cluster, drop the
+    * rest). Pairs (a,b),(b,c) must collapse to ONE cluster even though
+    * (a,c) was never emitted as a pair.
+    *
+    * Algorithm: iterative min-label propagation (each node takes the min
+    * label among itself and its neighbors; converges in graph-diameter
+    * iterations — near-dup clusters are shallow, and the hard cap is
+    * log₂(n) hops for a path graph). Each iteration is one distributed
+    * join + aggregate; the driver sees only a scalar changed-count per
+    * iteration (the standard Pregel-style CC loop; at 100 TB the same
+    * loop runs with checkpointed lineage every few iterations). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nmin"))
+      val next = labels.join(neighborMin, labels("node") === col("src"),
+          "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val out = labels.select(col("node").as("doc_id"),
+        col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
   /** Corpus stats per language. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -429,6 +475,7 @@ object LlmOps {
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
     "q_llm_minhash_lsh" -> minhashLsh,
+    "q_llm_dup_clusters" -> dupClusters,
     "q_llm_simhash" -> simhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_knn_label" -> knnLabel,
@@ -456,6 +503,37 @@ object LlmOps {
       |                          embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  // Shared by q_llm_minhash_lsh and (as the edge source) q_llm_dup_clusters.
+  private val minhashPairsSql =
+    s"""WITH $shingleCte,
+       |hs AS (SELECT doc_id, s,
+       |  CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+       |    % 1000000007 AS h FROM sh),
+       |perms(j, a, b) AS (VALUES (0,7,3),(1,11,5),(2,13,17),(3,19,23),
+       |  (4,29,31),(5,37,41),(6,43,47),(7,53,59),(8,61,67),(9,71,73),
+       |  (10,79,83),(11,89,97),(12,101,103),(13,107,109),(14,113,127),
+       |  (15,131,137)),
+       |mh AS (SELECT doc_id, j, min((a * h + b) % 1000000007) AS m
+       |  FROM hs CROSS JOIN perms GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, j // 2 AS band,
+       |  string_agg(j || ':' || m, ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY doc_id, j // 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+       |   AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       | floor((1.0 * i / (na.n + nb.n - i)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+       |FROM cand
+       |JOIN inter ON a_id = ia AND b_id = ib
+       |JOIN sizes na ON a_id = na.doc_id
+       |JOIN sizes nb ON b_id = nb.doc_id
+       |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_llm_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS text_hash,
@@ -476,35 +554,18 @@ object LlmOps {
          |JOIN sizes nb ON b_id = nb.doc_id
          |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
-    "q_llm_minhash_lsh" ->
-      s"""WITH $shingleCte,
-         |hs AS (SELECT doc_id, s,
-         |  CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
-         |    % 1000000007 AS h FROM sh),
-         |perms(j, a, b) AS (VALUES (0,7,3),(1,11,5),(2,13,17),(3,19,23),
-         |  (4,29,31),(5,37,41),(6,43,47),(7,53,59),(8,61,67),(9,71,73),
-         |  (10,79,83),(11,89,97),(12,101,103),(13,107,109),(14,113,127),
-         |  (15,131,137)),
-         |mh AS (SELECT doc_id, j, min((a * h + b) % 1000000007) AS m
-         |  FROM hs CROSS JOIN perms GROUP BY doc_id, j),
-         |bands AS (SELECT doc_id, j // 2 AS band,
-         |  string_agg(j || ':' || m, ',' ORDER BY j) AS sig
-         |  FROM mh GROUP BY doc_id, j // 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
-         |   AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id,
-         | floor((1.0 * i / (na.n + nb.n - i)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-         |FROM cand
-         |JOIN inter ON a_id = ia AND b_id = ib
-         |JOIN sizes na ON a_id = na.doc_id
-         |JOIN sizes nb ON b_id = nb.doc_id
-         |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
-         |ORDER BY a_id, b_id""".stripMargin,
+    "q_llm_minhash_lsh" -> minhashPairsSql,
+    "q_llm_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT a_id, b_id FROM ($minhashPairsSql)),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q_llm_simhash" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_distinct(string_split(text, ' '))) AS t
