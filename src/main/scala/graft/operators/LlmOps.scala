@@ -333,6 +333,11 @@ object LlmOps {
       .toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).persist()
+    // One materialized propagation step per iteration. (Chaining two
+    // lazy steps per materialization was tried and is a trap: each
+    // unmaterialized step is referenced twice by the next — join input
+    // AND aggregation input — so the recompute tree doubles per chained
+    // hop. One persist per hop keeps the work linear.)
     var iter = 0
     var converged = false
     while (!converged && iter < 20) {
