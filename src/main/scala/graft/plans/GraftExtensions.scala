@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+
+/** The engine's `spark.sql.extensions` entry point — how a cluster
+  * deployment turns a stock SparkSession into a graft session:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  * }}}
+  *
+  * Injects:
+  *  - [[AsOfStrategy]] — the native as-of join physical strategy (its
+  *    per-session `experimental.extraStrategies` registration in
+  *    [[AsOfJoinDF.asofJoin]] remains for ad-hoc sessions);
+  *  - [[CartesianGuard]] — a post-analysis check that REJECTS unbounded
+  *    cartesian products before they execute.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfStrategy)
+    ext.injectCheckRule(spark => CartesianGuard(spark))
+  }
+}
+
+/** Guardrail for 100 TB clusters: an unconditioned inner/cross join
+  * whose smaller side exceeds a size threshold is almost always a query
+  * bug (the output is |L|×|R| rows), and on a large cluster it runs for
+  * hours before anyone notices. This check rule fails the query at
+  * analysis time instead.
+  *
+  * Threshold: `graft.cartesianGuard.maxBytes` (default 64 MB) — a
+  * cartesian is allowed when EITHER side's stats-estimated size is
+  * under it (tiny-dim crosses like `q_join_cross_small` pass; the
+  * test-only all-pairs baselines trip it), or when either side carries
+  * an explicit `broadcast()` hint — size-only stats don't shrink
+  * through filters, so a hinted bounded probe set (the
+  * `q_llm_embed_neardup` shape) is the user asserting "this side is
+  * small"; the hint makes that assertion visible to the guard. Set to
+  * -1 to disable.
+  */
+case class CartesianGuard(spark: org.apache.spark.sql.SparkSession)
+    extends (LogicalPlan => Unit) {
+
+  private def maxBytes: Long =
+    spark.conf.getOption("graft.cartesianGuard.maxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+
+  private def hasBroadcastHint(p: LogicalPlan): Boolean =
+    p.exists {
+      case ResolvedHint(_, hints) => hints.strategy.contains(BROADCAST)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): Unit = {
+    val limit = maxBytes
+    if (limit < 0) return
+    plan.foreach {
+      case j @ Join(left, right, Inner | Cross, None, _)
+          if !hasBroadcastHint(j) =>
+        val lSize = left.stats.sizeInBytes
+        val rSize = right.stats.sizeInBytes
+        if (lSize > limit && rSize > limit) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3000",
+            messageParameters = Map("message" ->
+              (s"[graft] Unbounded cartesian product: both join sides " +
+                s"exceed graft.cartesianGuard.maxBytes=$limit " +
+                s"(left=$lSize, right=$rSize bytes). Bound one side, " +
+                s"broadcast a bounded probe set, or use an equi-join " +
+                s"prefilter (LSH bucket / band join). Set " +
+                s"graft.cartesianGuard.maxBytes=-1 to override.")))
+        }
+      case _ =>
+    }
+  }
+}

@@ -130,6 +130,58 @@ object EventIngest {
     }
   }
 
+  /** Keyed upsert sink — the reference's state-update shape: when a
+    * container changes state it REPLACES that container's triples in
+    * the store (delete+insert per subject), keeping one current row per
+    * container rather than an event log.
+    *
+    * Per micro-batch: reduce the batch to its latest row per container
+    * (max (ts, action) wins — deterministic tie-break), merge with the
+    * previous snapshot, keep the latest per key, and write a NEW
+    * versioned snapshot dir `v=<batchId>`. Writing a fresh dir instead
+    * of overwriting in place avoids the read-your-own-overwrite hazard
+    * and makes crash-retry idempotent (same batchId → same dir
+    * rewritten). Old snapshots beyond the previous one are pruned
+    * driver-side (control-plane file ops on a dir that holds one row
+    * per container — never data-plane scale). */
+  def startStateUpsert(spark: SparkSession, srcDir: String,
+      storeRoot: String, checkpointDir: String): StreamingQuery =
+    DockerEvents.readEventStream(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val cols = batch.columns.map(col)
+        val latestOf = (df: DataFrame) => df
+          .groupBy(col("container_id"))
+          .agg(max_by(struct(cols: _*), struct(col("ts"), col("action")))
+            .as("r"))
+          .select(col("r.*"))
+        val merged = currentState(sess, storeRoot) match {
+          case Some(prev) => latestOf(latestOf(batch).unionByName(prev))
+          case None => latestOf(batch)
+        }
+        merged.write.mode("overwrite").parquet(s"$storeRoot/v=$batchId")
+        // prune snapshots older than the previous one
+        snapshotVersions(storeRoot).sorted.dropRight(2).foreach { v =>
+          val dir = new java.io.File(storeRoot, s"v=$v")
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
+      }
+      .start()
+
+  private def snapshotVersions(storeRoot: String): Seq[Long] =
+    Option(new java.io.File(storeRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).toSeq
+
+  /** Latest state snapshot (one row per container), if any. */
+  def currentState(spark: SparkSession,
+      storeRoot: String): Option[DataFrame] =
+    snapshotVersions(storeRoot).maxOption
+      .map(v => spark.read.parquet(s"$storeRoot/v=$v"))
+
   /** Triples-export view of the ingested store (the RDF write shape the
     * reference produced, as a batch view over the parquet store). */
   def storeTriples(spark: SparkSession, storeDir: String): DataFrame = {

@@ -285,6 +285,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[String]("line").startsWith("hello from ")))
   }
 
+  test("state upsert keeps one latest row per container across batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val mk = (id: String, action: String, nanos: Long) =>
+      s"""{"Type":"container","Action":"$action","id":"$id","Actor":{"ID":"$id","Attributes":{"name":"$id"}},"time":${nanos / 1000000000L},"timeNano":$nanos}"""
+    val t0 = 1704067200000000000L
+    java.nio.file.Files.writeString(src.resolve("b1.json"),
+      mk("c01", "start", t0) + "\n" + mk("c02", "start", t0 + 1) + "\n")
+    val q = EventIngest.startStateUpsert(spark, src.toString,
+      tmp.resolve("store").toString, tmp.resolve("ckpt").toString)
+    q.processAllAvailable()
+    java.nio.file.Files.writeString(src.resolve("b2.json"),
+      mk("c01", "die", t0 + 60L * 1000000000L) + "\n")
+    q.processAllAvailable(); q.stop()
+    val st = EventIngest.currentState(spark, tmp.resolve("store").toString)
+      .get.collect()
+      .map(r => r.getAs[String]("container_id") -> r.getAs[String]("action"))
+      .toMap
+    assert(st == Map("c01" -> "die", "c02" -> "start"), st.toString)
+  }
+
   test("handler registry: registered + explicit handlers compose in order") {
     import org.apache.spark.sql.functions.{col, lit, upper}
     val tmp = java.nio.file.Files.createTempDirectory("graft_handlers_")
