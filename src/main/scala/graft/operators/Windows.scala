@@ -162,7 +162,32 @@ object Windows {
       .orderBy(col("s_nationkey"), col("s_suppkey"))
   }
 
+  /** Forward-fill (LOCF) + nth_value (round 2): carry the last non-null
+    * label forward per user — the gap-fill staple of event/feature
+    * pipelines — via `last(ignoreNulls)` over a running frame; plus the
+    * positional nth_value over the full frame. */
+  def fillNth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("k",
+        element_at(from_json(col("props"), MapType(StringType, IntegerType)),
+          "k"))
+      .select(col("user_id"), col("event_id"),
+        last(col("k"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("k_ffill"),
+        nth_value(col("k"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))
+          .as("second_k"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_fill_nth" -> fillNth,
     "q_win_percent_cume" -> percentCume,
     "q_win_topk_per_group" -> topkPerGroup,
     "q_win_lead_first_last" -> leadFirstLast,
@@ -174,6 +199,18 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_fill_nth" ->
+      """SELECT user_id, event_id,
+        | last_value(k IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_ffill,
+        | nth_value(k, 2) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS second_k
+        |FROM (SELECT user_id, event_id, ts,
+        |      CAST(props->>'$.k' AS INTEGER) AS k FROM events) t
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_win_percent_cume" ->
       """SELECT s_nationkey, s_suppkey,
         | round(percent_rank() OVER w, 6) AS pr,
