@@ -328,9 +328,21 @@ object LlmOps {
     * loop runs with checkpointed lineage every few iterations). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
-    val edges = pairs
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").persist()
+    connectedComponents(pairs)
+      .toDF("doc_id", "cluster_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components over an undirected pair list `(a, b)` —
+    * returns `(node, component_min_id)` for every node appearing in any
+    * pair. Iterative min-label propagation; see [[dupClusters]] for the
+    * scale rationale. ScalaCheck-verified against a driver union-find
+    * on random graphs (GraftProps). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Seq(aCol, bCol) = pairs.columns.toSeq.map(pairs(_))
+    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
+      .union(pairs.select(bCol.as("src"), aCol.as("dst")))
+      .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).persist()
     // One materialized propagation step per iteration. (Chaining two
@@ -340,7 +352,7 @@ object LlmOps {
     // hop. One persist per hop keeps the work linear.)
     var iter = 0
     var converged = false
-    while (!converged && iter < 20) {
+    while (!converged && iter < 50) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nmin"))
@@ -357,9 +369,7 @@ object LlmOps {
       converged = changed == 0
       iter += 1
     }
-    val out = labels.select(col("node").as("doc_id"),
-        col("lbl").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    val out = labels
     edges.unpersist()
     out
   }

@@ -107,6 +107,35 @@ object GraftProps extends Properties("graft") {
       got == xs.sorted(Ordering[Double].reverse).take(5)
     }
 
+  private val edgeLists = for {
+    n <- Gen.choose(2, 20)
+    m <- Gen.choose(1, 25)
+    edges <- Gen.listOfN(m,
+      Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
+  } yield edges.filter { case (a, b) => a != b }
+
+  property("connectedComponents matches a driver union-find") =
+    forAll(edgeLists) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = graft.operators.LlmOps
+          .connectedComponents(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).toMap
+        got == want
+      }
+    }
+
   property("rollup leaf sums equal grand total") =
     forAll(eventsGen) { rows =>
       import spark.implicits._
