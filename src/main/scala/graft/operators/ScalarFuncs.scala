@@ -130,7 +130,22 @@ object ScalarFuncs {
         instr(col("text"), "data").as("pos"))
       .orderBy(col("doc_id"))
 
+  /** try_cast safety family (round 2): malformed input → NULL, never a
+    * query-killing exception — the ANSI-mode ingestion-robustness
+    * surface (Spark 4 defaults to ANSI, where a bare CAST throws). */
+  def castSafety(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_int"),
+        expr("try_cast(event_type AS INT)").as("bad_int"),
+        expr("""try_cast(concat('2024-01-',
+          lpad(cast(pmod(event_id, 28) + 1 AS string), 2, '0'))
+          AS DATE)""").as("d_ok"),
+        expr("try_cast(event_type AS DATE)").as("bad_date"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cast_safety" -> castSafety,
     "q_date_arith" -> dateArith,
     "q_str_distance" -> strDistance,
     "q_str_iri_mint" -> strIriMint,
@@ -144,6 +159,15 @@ object ScalarFuncs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cast_safety" ->
+      """SELECT event_id,
+        | TRY_CAST(props->>'$.k' AS INTEGER) AS k_int,
+        | TRY_CAST(event_type AS INTEGER) AS bad_int,
+        | TRY_CAST('2024-01-' ||
+        |   lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |   AS d_ok,
+        | TRY_CAST(event_type AS DATE) AS bad_date
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
         | CAST(o_orderdate AS DATE) + 30 AS plus30d,
