@@ -217,6 +217,18 @@ object Aggregates {
       .orderBy(col("lang"))
   }
 
+  /** Numeric histogram via width_bucket (round 2): fixed-width bucket
+    * assignment + per-bucket count/avg — the single-pass histogram shape
+    * (7 buckets on an irrational-ish width so 2-decimal data never
+    * lands on a boundary; the oracle reproduces Spark's exact
+    * floor((v - lo) / ((hi - lo) / n)) + 1 arithmetic IEEE-identically). */
+  def histBucket(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("bucket", expr("width_bucket(value, 0.0, 500.0, 7)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))
+      .orderBy(col("bucket"))
+
   /** Statistical aggregate family (round 2): stddev/variance/corr/covar
     * — all single-pass partial+final hash aggregates (Welford-style
     * merge), no second scan. Skewness/kurtosis are deliberately absent:
@@ -254,6 +266,7 @@ object Aggregates {
       .orderBy(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hist_bucket" -> histBucket,
     "q_agg_stats_family" -> statsFamily,
     "q_agg_cond_bool" -> condBoolAggs,
     "q_agg_bitwise" -> bitwiseAggs,
@@ -274,6 +287,11 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_hist_bucket" ->
+      """SELECT CAST(floor((value - 0.0) / ((500.0 - 0.0) / 7)) + 1
+        |   AS BIGINT) AS bucket,
+        | count(*) AS n, round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_agg_stats_family" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_extendedprice), 4) AS sd_price,

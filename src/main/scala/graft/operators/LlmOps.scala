@@ -374,6 +374,32 @@ object LlmOps {
     out
   }
 
+  /** PII scrubbing (round 2): redact emails and phone numbers before a
+    * corpus ships to training — pure codegen'd regexp_replace, one
+    * columnar pass, no UDF. The fixture plants one deterministic email
+    * and phone per document (the synthetic corpus has none), so the
+    * oracle can verify both the redaction and the count. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    // character-class forms ([.] [+]) so the same pattern string is
+    // valid in the DataFrame API, in a Spark SQL string literal (which
+    // consumes backslash escapes), and in DuckDB's RE2
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val phoneRe = "[+]1-555-[0-9]{3}-[0-9]{4}"
+    documents(spark, dir)
+      .withColumn("txt", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-"), lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"),
+          4, "0")))
+      .select(col("doc_id"),
+        (size(expr(s"regexp_extract_all(txt, '$emailRe', 0)"))
+          + size(expr(s"regexp_extract_all(txt, '$phoneRe', 0)")))
+          .as("n_redacted"),
+        regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus stats per language. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -496,6 +522,7 @@ object LlmOps {
     "q_llm_knn_label" -> knnLabel,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_lsh_ann" -> lshAnn,
+    "q_llm_pii_scrub" -> piiScrub,
     "q_llm_text_stats" -> textStats,
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
     "q_llm_lang_id" -> langId,
@@ -668,6 +695,21 @@ object LlmOps {
          |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
          |  FROM scored) t WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
+    "q_llm_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |  lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(txt,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(txt, '[+]1-555-[0-9]{3}-[0-9]{4}'))
+        |  AS INTEGER) AS n_redacted,
+        | regexp_replace(regexp_replace(txt,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>',
+        |   'g'), '[+]1-555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
