@@ -135,6 +135,26 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("SinglePartition"), s)
   }
 
+  test("sessionize_batch (lag+cumsum) matches built-in session_window") {
+    // two independent algorithms, one semantic: per-user sessions split
+    // on >30 min gaps. The enrolled query reconstructs sessions with
+    // lag + running-sum (oracle-expressible); Spark's session_window is
+    // the engine-native form. Their (user, n_events, start) sets must
+    // agree exactly.
+    import org.apache.spark.sql.functions._
+    val a = operators.Reshape.sessionizeBatch(spark, sf)
+      .select(col("user_id"), col("n_events"), col("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        expr("unix_micros(session_window.start)").as("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
   test("dedup is idempotent: q(q(x)) == q(x) semantics") {
     val once = SparkEntry.queries("q_dedup_rows")(spark, sf)
     // re-deduping the deduped keys yields identical key multiplicity 1
