@@ -53,7 +53,9 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    // headline total sums only succeeded queries — the -1 failure
+    // sentinels stay visible per-query but must not deflate the sum
+    val total = r3(results.values.filter(_ >= 0).sum)
     // Detailed line FIRST (per-query breakdown, ~2 KB), then a short
     // total-only line LAST: the driver captures a bounded stdout tail, so
     // the last parseable JSON line must be small enough to always fit.

@@ -137,6 +137,11 @@ object Multimodal {
       dir: String): DataFrame = {
     import spark.implicits._
     val media = graft.Tables.documents(spark, dir)
+      // byte == codepoint only holds for ASCII; enforce it by
+      // construction on BOTH engines (same predicate in the oracle) so
+      // a future non-ASCII fixture can't silently diverge the
+      // byte-histogram from the char-code histogram
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -174,5 +179,6 @@ object Multimodal {
         | CAST(length(d.text) AS INTEGER) AS n_bytes,
         | true AS valid, a.hist
         |FROM documents d JOIN agg a USING (doc_id)
+        |WHERE regexp_matches(d.text, '^[\x00-\x7F]*$')
         |ORDER BY media_id""".stripMargin)
 }

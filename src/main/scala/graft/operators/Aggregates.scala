@@ -221,7 +221,8 @@ object Aggregates {
     * assignment + per-bucket count/avg — the single-pass histogram shape
     * (7 buckets on an irrational-ish width so 2-decimal data never
     * lands on a boundary; the oracle reproduces Spark's exact
-    * floor((v - lo) / ((hi - lo) / n)) + 1 arithmetic IEEE-identically). */
+    * floor((v - lo) / ((hi - lo) / n)) + 1 arithmetic IEEE-identically,
+    * including the out-of-range clamps to bucket 0 and n+1). */
   def histBucket(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("bucket", expr("width_bucket(value, 0.0, 500.0, 7)"))
@@ -288,7 +289,9 @@ object Aggregates {
 
   val oracle: Map[String, String] = Map(
     "q_agg_hist_bucket" ->
-      """SELECT CAST(floor((value - 0.0) / ((500.0 - 0.0) / 7)) + 1
+      """SELECT CAST(CASE WHEN value < 0.0 THEN 0
+        |   WHEN value >= 500.0 THEN 8
+        |   ELSE floor((value - 0.0) / ((500.0 - 0.0) / 7)) + 1 END
         |   AS BIGINT) AS bucket,
         | count(*) AS n, round(avg(value), 4) AS avg_v
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,

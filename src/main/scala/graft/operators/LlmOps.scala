@@ -39,9 +39,17 @@ object LlmOps {
   private def h60(c: String): String =
     s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
 
-  /** doc_id + deduplicated 5-token shingle set, one row per shingle. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+  /** doc_id + deduplicated 5-token shingle set, one row per shingle,
+    * over the df-capped vocabulary (shingles in > 50 docs dropped).
+    * The cap lives HERE, at the single source, so the exact-Jaccard
+    * baseline and the MinHash-LSH path measure the SAME vocabulary —
+    * otherwise the subset invariant (LSH pairs ⊆ exact pairs) could
+    * break on boilerplate-heavy corpora. It also bounds the self-join
+    * fan-out (≤ 50² candidate pairs per shingle) and keeps stop-shingles
+    * out of the MinHash signatures — the CCNet/Gopher boilerplate
+    * trick. The oracle CTE applies the identical cap. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val raw = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
         """CASE WHEN size(tk) >= 5
@@ -49,6 +57,10 @@ object LlmOps {
           |               i -> concat_ws(' ', slice(tk, i, 5)))
           |ELSE CAST(array() AS array<string>) END""".stripMargin)))
         .as("s"))
+    val rare = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("s"))
+    raw.join(rare, "s").select(col("doc_id"), col("s"))
+  }
 
   /** Exact dedup: normalize → sha256 → group; keep min doc_id. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -58,22 +70,14 @@ object LlmOps {
       .orderBy(col("text_hash"))
 
   /** Exact 5-gram-shingle Jaccard near-dup pairs (τ=0.8) over the
-    * df-capped shingle vocabulary. Correctness baseline for minhashLsh.
-    *
-    * The document-frequency cap (drop shingles present in > 50 docs)
-    * bounds the self-join blow-up: docs-per-shingle ≤ 50 means at most
-    * 50² candidate pairs per shingle regardless of corpus size — the
-    * stop-shingle skew that makes naive all-pairs quadratic at 100 TB
-    * (same trick the CCNet/Gopher dedup pipelines use for boilerplate
-    * n-grams). Real near-dup pairs (τ≥0.8) share many RARE shingles, so
-    * dropping ubiquitous ones barely moves J; the oracle twin applies
-    * the identical cap, so the compare stays exact. */
+    * df-capped vocabulary from [[shingles]] (cap documented there; it
+    * is shared with minhashLsh so the subset invariant LSH ⊆ exact
+    * holds by construction). Real near-dup pairs (τ≥0.8) share many
+    * RARE shingles, so dropping ubiquitous ones barely moves J; the
+    * oracle twin applies the identical cap, so the compare stays
+    * exact. */
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val maxDf = 50
-    val raw = shingles(spark, dir)
-    val rare = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("s"))
-    val sh = raw.join(rare, "s").cache()
+    val sh = shingles(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
@@ -335,43 +339,62 @@ object LlmOps {
 
   /** Connected components over an undirected pair list `(a, b)` —
     * returns `(node, component_min_id)` for every node appearing in any
-    * pair. Iterative min-label propagation; see [[dupClusters]] for the
-    * scale rationale. ScalaCheck-verified against a driver union-find
-    * on random graphs (GraftProps). */
+    * pair. Min-label propagation WITH pointer jumping: each round every
+    * node takes the min of its own label, its neighbors' labels, and
+    * its label's label (shortcutting). Neighbor-min alone needs
+    * diameter rounds (a 60-node chain would exceed any fixed cap);
+    * adding the jump makes label depth halve per round, so convergence
+    * is O(log diameter) and the 50-round cap covers ~2^50 diameters.
+    * A non-converged exit THROWS rather than returning silently wrong
+    * clusters. ScalaCheck-verified against a driver union-find on
+    * random graphs incl. long chains (GraftProps).
+    *
+    * Each round ends in `localCheckpoint` — this is load-bearing, not a
+    * cache hint: the round's plan references the previous labels three
+    * times (neighbor join, jump lookup, convergence diff), so WITHOUT
+    * lineage truncation the logical plan grows ~4^rounds and Spark
+    * spends unbounded time just stringifying/optimizing it. Truncation
+    * keeps every round's plan O(1) — the same reason production
+    * iterative jobs checkpoint. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val Seq(aCol, bCol) = pairs.columns.toSeq.map(pairs(_))
     val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
       .union(pairs.select(bCol.as("src"), aCol.as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).persist()
-    // One materialized propagation step per iteration. (Chaining two
-    // lazy steps per materialization was tried and is a trap: each
-    // unmaterialized step is referenced twice by the next — join input
-    // AND aggregation input — so the recompute tree doubles per chained
-    // hop. One persist per hop keeps the work linear.)
+      .withColumn("lbl", col("node")).localCheckpoint()
     var iter = 0
     var converged = false
-    while (!converged && iter < 50) {
+    val maxIter = 50
+    while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nmin"))
-      val next = labels.join(neighborMin, labels("node") === col("src"),
+      val stepped = labels.join(neighborMin, labels("node") === col("src"),
           "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .persist()
+      // pointer jump through the previous round's label map:
+      // lbl <- min(lbl, lbl(lbl)); labels are always node ids, so the
+      // lookup join is total (left join only for safety)
+      val next = stepped.as("s")
+        .join(labels.as("m"), col("s.lbl") === col("m.node"), "left")
+        .select(col("s.node").as("node"),
+          least(col("s.lbl"), coalesce(col("m.lbl"), col("s.lbl")))
+            .as("lbl"))
+        .localCheckpoint() // truncate lineage — see scaladoc
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    val out = labels
-    edges.unpersist()
-    out
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    }
+    labels
   }
 
   /** PII scrubbing (round 2): redact emails and phone numbers before a
@@ -531,13 +554,16 @@ object LlmOps {
     "q_llm_fingerprint" -> fingerprint,
   )
 
+  // sh = df-capped shingle vocabulary, mirroring shingles() exactly
   private val shingleCte =
     """toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
       |  FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(
       |    [array_to_string(tk[i:i+4], ' ')
       |     for i in range(1, greatest(len(tk) - 3, 1))])) AS s
-      |  FROM toks)""".stripMargin
+      |  FROM toks),
+      |sh AS (SELECT doc_id, s FROM sh0
+      |  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50))""".stripMargin
 
   private val cosCte =
     """emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -583,11 +609,9 @@ object LlmOps {
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q_llm_shingle_jaccard" ->
       s"""WITH $shingleCte,
-         |shc AS (SELECT doc_id, s FROM sh
-         |  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-         |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
          | floor((1.0 * i / (na.n + nb.n - i)) * 10000.0 + 0.5) / 10000.0 AS jaccard

@@ -92,7 +92,10 @@ object Windows {
     * Output is bit-identical to ntile(4) OVER (ORDER BY …) — the DuckDB
     * oracle is unchanged — but every stage is parallel at any scale.
     * The ranged DataFrame is persisted so the counts job and the final
-    * job see identical partition bounds. */
+    * job see identical partition bounds; the pin is released by the
+    * session's `clearCache` (Verify/Bench do this per query — callers
+    * composing this operator should too), since the returned lazy
+    * DataFrame still needs the cache at execution time. */
   def ntileShare(spark: SparkSession, dir: String): DataFrame = {
     val wCust = Window.partitionBy(col("o_custkey"))
     val withShare = orders(spark, dir)

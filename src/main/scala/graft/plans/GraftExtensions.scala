@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 
@@ -48,24 +49,32 @@ case class CartesianGuard(spark: org.apache.spark.sql.SparkSession)
     spark.conf.getOption("graft.cartesianGuard.maxBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
 
-  private def hasBroadcastHint(p: LogicalPlan): Boolean =
-    p.exists {
-      case ResolvedHint(_, hints) => hints.strategy.contains(BROADCAST)
-      case _ => false
-    }
+  // A hint counts only when it governs one of THIS join's sides: walk
+  // down through unary nodes but stop at nested joins — a broadcast()
+  // deep inside an unrelated inner join must not waive the outer guard.
+  private def sideHasBroadcastHint(p: LogicalPlan): Boolean = p match {
+    case ResolvedHint(_, hints) => hints.strategy.contains(BROADCAST)
+    case _: Join => false
+    case other => other.children.exists(sideHasBroadcastHint)
+  }
 
   override def apply(plan: LogicalPlan): Unit = {
     val limit = maxBytes
     if (limit < 0) return
     plan.foreach {
-      case j @ Join(left, right, Inner | Cross, None, _)
-          if !hasBroadcastHint(j) =>
+      // a join is cartesian-shaped when it has NO condition, or a
+      // condition with no equality at all (pure theta joins plan as
+      // nested-loop over the full pair space, same blow-up)
+      case j @ Join(left, right, Inner | Cross, cond, _)
+          if cond.forall(c => !c.exists(e =>
+            e.isInstanceOf[EqualTo] || e.isInstanceOf[EqualNullSafe])) &&
+            !sideHasBroadcastHint(left) && !sideHasBroadcastHint(right) =>
         val lSize = left.stats.sizeInBytes
         val rSize = right.stats.sizeInBytes
         if (lSize > limit && rSize > limit) {
           throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "_LEGACY_ERROR_TEMP_3000",
-            messageParameters = Map("message" ->
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
               (s"[graft] Unbounded cartesian product: both join sides " +
                 s"exceed graft.cartesianGuard.maxBytes=$limit " +
                 s"(left=$lSize, right=$rSize bytes). Bound one side, " +

@@ -38,22 +38,20 @@ object EventIngest {
     scala.collection.mutable.LinkedHashMap[String, Handler]()
 
   /** Register a named micro-batch handler applied (in registration
-    * order) to every batch of every subsequently started pipeline.
-    * Re-registering a name replaces the handler. */
+    * order) to every batch of pipelines started AFTER registration —
+    * the registry is snapshotted at `start()` time, so a running
+    * pipeline's behavior never changes mid-stream and a replayed batch
+    * id always sees the same handler chain (idempotent replays).
+    * Re-registering a name replaces the handler for future starts. */
   def registerHandler(name: String)(h: Handler): Unit =
     synchronized { handlerReg(name) = h }
 
   def clearHandlers(): Unit = synchronized { handlerReg.clear() }
 
-  private def applyHandlers(batch: DataFrame,
-      extra: Seq[Handler]): DataFrame = {
-    val hs = synchronized { handlerReg.values.toSeq } ++ extra
-    hs.foldLeft(batch)((df, h) => h(df))
-  }
-
   private def idempotentBatchWrite(storeDir: String,
       handlers: Seq[Handler])(batch: DataFrame, batchId: Long): Unit =
-    applyHandlers(batch, handlers).withColumn("batch_id", lit(batchId))
+    handlers.foldLeft(batch)((df, h) => h(df))
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "date")
@@ -61,16 +59,18 @@ object EventIngest {
 
   /** Start the ingestion pipeline: JSON-lines dir → normalized events →
     * date-partitioned parquet store. `handlers` compose after the
-    * globally registered ones, per micro-batch. */
+    * globally registered ones; the chain is fixed at start time. */
   def start(spark: SparkSession, srcDir: String, storeDir: String,
       checkpointDir: String,
-      handlers: Seq[Handler] = Nil): StreamingQuery =
+      handlers: Seq[Handler] = Nil): StreamingQuery = {
+    val chain = synchronized { handlerReg.values.toSeq } ++ handlers
     DockerEvents.readEventStream(spark, srcDir)
       .withColumn("date", col("ts").cast("date"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(idempotentBatchWrite(storeDir, handlers) _)
+      .foreachBatch(idempotentBatchWrite(storeDir, chain) _)
       .start()
+  }
 
   /** EP3 parity — the container log follower (muswarmlogger/loggers.py
     * save_container_logs): a text-file stream of raw
@@ -157,18 +157,32 @@ object EventIngest {
           .agg(max_by(struct(cols: _*), struct(col("ts"), col("action")))
             .as("r"))
           .select(col("r.*"))
-        val merged = currentState(sess, storeRoot) match {
+        // Merge from the newest snapshot STRICTLY OLDER than this batch
+        // id: on crash-retry of batch N, v=N may exist half-written —
+        // reading it would both feed a partial snapshot into the merge
+        // AND make the write below an overwrite-of-input (which Spark
+        // rejects, wedging the stream). v<N is always a complete,
+        // committed predecessor, so the replay is a pure rewrite.
+        val merged = snapshotVersions(storeRoot).filter(_ < batchId)
+          .maxOption
+          .map(v => sess.read.parquet(s"$storeRoot/v=$v")) match {
           case Some(prev) => latestOf(latestOf(batch).unionByName(prev))
           case None => latestOf(batch)
         }
         merged.write.mode("overwrite").parquet(s"$storeRoot/v=$batchId")
-        // prune snapshots older than the previous one
+        // prune snapshots older than the previous one (recursive,
+        // null-safe: a crashed write can leave _temporary subtrees)
         snapshotVersions(storeRoot).sorted.dropRight(2).foreach { v =>
-          val dir = new java.io.File(storeRoot, s"v=$v")
-          dir.listFiles().foreach(_.delete()); dir.delete()
+          deleteRecursively(new java.io.File(storeRoot, s"v=$v"))
         }
       }
       .start()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete() // best-effort; a leftover dir is retried next batch
+  }
 
   private def snapshotVersions(storeRoot: String): Seq[Long] =
     Option(new java.io.File(storeRoot).listFiles())

@@ -155,6 +155,18 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("connectedComponents collapses a 60-node chain to one cluster") {
+    // diameter 59 — neighbor-min alone would need 59 rounds and
+    // previously exited the cap silently wrong; pointer jumping
+    // converges in O(log diameter)
+    import spark.implicits._
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = operators.LlmOps.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 60)
+    assert(cc.forall(_._2 == 0L), cc.filter(_._2 != 0L).take(5).toSeq)
+  }
+
   test("dedup is idempotent: q(q(x)) == q(x) semantics") {
     val once = SparkEntry.queries("q_dedup_rows")(spark, sf)
     // re-deduping the deduped keys yields identical key multiplicity 1

@@ -30,41 +30,64 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.clearDefaultSession()
   }
 
+  // Guard tests invoke the rule DIRECTLY on analyzed plans: suites run
+  // in parallel in one JVM, so getOrCreate can hand this suite a
+  // sibling's session without the extensions installed — session-level
+  // wiring is asserted separately below.
+  private def guard(plan: org.apache.spark.sql.DataFrame): Unit =
+    plans.CartesianGuard(spark)(plan.queryExecution.analyzed)
+
   test("cartesian guard rejects big-by-big unconditioned joins") {
     spark.conf.set("graft.cartesianGuard.maxBytes", "1000")
     try {
-      // the AnalysisException from the check rule may surface wrapped
-      // in a SparkException depending on where analysis is triggered
-      val e = intercept[Exception] {
-        operators.LlmOps.embedNeardupAll(spark, sf).collect()
+      val e = intercept[AnalysisException] {
+        guard(operators.LlmOps.embedNeardupAll(spark, sf))
       }
-      def chain(t: Throwable): Seq[Throwable] =
-        if (t == null) Nil else t +: chain(t.getCause)
-      assert(chain(e).exists(t =>
-        Option(t.getMessage).exists(_.contains("[graft] Unbounded cartesian"))),
-        e.toString)
+      assert(e.getMessage.contains("[graft] Unbounded cartesian"),
+        e.getMessage)
+      // pure theta join (no equality): also cartesian-shaped
+      val emb = graft.Tables.embeddings(spark, sf)
+      val e2 = intercept[AnalysisException] {
+        guard(emb.as("x").join(emb.as("y"),
+          org.apache.spark.sql.functions.col("x.vec_id")
+            < org.apache.spark.sql.functions.col("y.vec_id")))
+      }
+      assert(e2.getMessage.contains("[graft] Unbounded cartesian"))
     } finally spark.conf.unset("graft.cartesianGuard.maxBytes")
   }
 
   test("guard allows tiny crosses, hinted bounded probes, equi-joins") {
-    // tiny dim cross: under the default 64 MB threshold
-    assert(SparkEntry.queries("q_join_cross_small")(spark, sf).count() > 0)
-    // bounded probe window with explicit broadcast hint: allowed even
-    // under an aggressive threshold (stats can't see through the
-    // filter, the hint is the user's smallness assertion)
+    // Build every test plan under the DEFAULT threshold first: the
+    // session's own injected check rule runs at Dataset construction,
+    // so plans meant to trip the tightened threshold must exist before
+    // the conf changes — then the rule is exercised directly.
+    val tinyCross = SparkEntry.queries("q_join_cross_small")(spark, sf)
+    val hintedProbe = SparkEntry.queries("q_llm_embed_neardup")(spark, sf)
+    val equiJoin = SparkEntry.queries("q_join_broadcast")(spark, sf)
+    import org.apache.spark.sql.functions.broadcast
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dim = graft.Tables.region(spark, sf)
+    val inner = broadcast(dim).join(dim.withColumnRenamed("r_name", "n2"),
+      "r_regionkey")
+    // a broadcast hint buried in a NESTED join must NOT waive the
+    // guard for an outer unhinted cartesian
+    val outer = emb.crossJoin(inner.limit(1)).crossJoin(
+      emb.select(org.apache.spark.sql.functions.col("vec_id").as("v2")))
+    guard(tinyCross) // tiny dim cross passes the default threshold
     spark.conf.set("graft.cartesianGuard.maxBytes", "1000")
     try {
-      assert(SparkEntry.queries("q_llm_embed_neardup")(spark, sf)
-        .count() > 0)
-      // ordinary equi-joins are untouched
-      assert(SparkEntry.queries("q_join_broadcast")(spark, sf).count() > 0)
+      // hint = the user's smallness assertion (stats can't see through
+      // the probe filter) — allowed even under an aggressive threshold
+      guard(hintedProbe)
+      guard(equiJoin) // ordinary equi-joins are untouched
+      intercept[AnalysisException] { guard(outer) }
     } finally spark.conf.unset("graft.cartesianGuard.maxBytes")
   }
 
   test("guard can be disabled with -1") {
     spark.conf.set("graft.cartesianGuard.maxBytes", "-1")
     try {
-      assert(operators.LlmOps.embedNeardupAll(spark, sf).count() > 0)
+      guard(operators.LlmOps.embedNeardupAll(spark, sf))
     } finally spark.conf.unset("graft.cartesianGuard.maxBytes")
   }
 
