@@ -70,6 +70,25 @@ object Joins {
       .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
       .orderBy(col("o_orderkey"))
 
+  /** Full outer (round 2): keep unmatched rows from BOTH sides — the
+    * one outer-join variant the surface was missing. Aggregated per
+    * customer first so both null-sides occur and the output is compact.
+    * Full outer cannot broadcast (both sides must see all partitions of
+    * the other's keys) — Spark plans SMJ; that is the correct shape. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
   /** Left-semi: customers having at least one order (EXISTS). */
   def joinSemi(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir)
@@ -158,6 +177,7 @@ object Joins {
     "q_join_smj" -> joinSmj,
     "q_join_multiway" -> joinMultiway,
     "q_join_left_outer" -> joinLeftOuter,
+    "q_join_full_outer" -> joinFullOuter,
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
     "q_join_theta_range" -> joinThetaRange,
@@ -186,6 +206,13 @@ object Joins {
       """SELECT o_orderkey, o_custkey, c_name
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_join_full_outer" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c.c_custkey, pc.o_custkey) AS custkey,
+        | c.c_acctbal, coalesce(pc.n_orders, 0) AS n_orders
+        |FROM customer c FULL OUTER JOIN pc ON c.c_custkey = pc.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

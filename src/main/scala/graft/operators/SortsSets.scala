@@ -64,7 +64,28 @@ object SortsSets {
         count(lit(1)).as("n_dups"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** UNION ALL (round 2): multiset union, no dedup shuffle — at scale
+    * this is the zero-shuffle concatenation (each input partition
+    * passes through untouched); the aggregate on top makes the output
+    * compact and deterministic. */
+  def unionAll(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .unionAll(supplier(spark, dir).select(col("s_nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  /** EXCEPT ALL (round 2): multiset difference — keeps multiplicity
+    * (a key appearing 5× left and 2× right survives 3×), unlike the
+    * set-semantics `except`. */
+  def exceptAll(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .exceptAll(supplier(spark, dir).select(col("s_nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_all" -> unionAll,
+    "q_except_all" -> exceptAll,
     "q_sort_multi_nulls" -> sortMultiNulls,
     "q_limit_topk" -> limitTopk,
     "q_union_distinct" -> unionDistinct,
@@ -74,6 +95,16 @@ object SortsSets {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_union_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | EXCEPT ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "q_sort_multi_nulls" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderstatus ASC NULLS LAST,
