@@ -132,16 +132,21 @@ object ScalarFuncs {
 
   /** try_cast safety family (round 2): malformed input → NULL, never a
     * query-killing exception — the ANSI-mode ingestion-robustness
-    * surface (Spark 4 defaults to ANSI, where a bare CAST throws). */
+    * surface (Spark 4 defaults to ANSI, where a bare CAST throws).
+    * The date column mixes valid and malformed inputs (1 in 7 bad):
+    * a failed JVM date parse is exception-driven and ~100× the cost of
+    * a successful one, so an all-malformed column would measure
+    * exception throughput, not the operator — mixed input proves the
+    * NULL contract at realistic dirty-data rates. */
   def castSafety(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .select(col("event_id"),
         expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_int"),
         expr("try_cast(event_type AS INT)").as("bad_int"),
-        expr("""try_cast(concat('2024-01-',
-          lpad(cast(pmod(event_id, 28) + 1 AS string), 2, '0'))
-          AS DATE)""").as("d_ok"),
-        expr("try_cast(event_type AS DATE)").as("bad_date"))
+        expr("""try_cast(CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
+          ELSE concat('2024-01-',
+            lpad(cast(pmod(event_id, 28) + 1 AS string), 2, '0')) END
+          AS DATE)""").as("d_mixed"))
       .orderBy(col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,10 +168,10 @@ object ScalarFuncs {
       """SELECT event_id,
         | TRY_CAST(props->>'$.k' AS INTEGER) AS k_int,
         | TRY_CAST(event_type AS INTEGER) AS bad_int,
-        | TRY_CAST('2024-01-' ||
-        |   lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
-        |   AS d_ok,
-        | TRY_CAST(event_type AS DATE) AS bad_date
+        | TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
+        |   ELSE '2024-01-' ||
+        |     lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0') END
+        |   AS DATE) AS d_mixed
         |FROM events ORDER BY event_id""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,
