@@ -397,6 +397,47 @@ object LlmOps {
     labels
   }
 
+  /** IVF-bucketed ANN (round 2): the inverted-file counterpart to the
+    * sign-bucket lshAnn. Coarse quantizer = 16 sampled centroids (the
+    * first 16 vectors — random-sample init, the standard cheap
+    * quantizer start, and deterministic so the oracle can replicate
+    * it); every vector is assigned to its max-cosine centroid
+    * (broadcast join — centroids are always tiny), and a probe searches
+    * ONLY its own centroid's inverted list. At 100 TB: one broadcast
+    * assign pass + an equi-join on bucket — linear, no pair blow-up;
+    * recall grows with nprobe (searching the next-nearest lists too),
+    * which is a constant-factor widening of the same equi-join. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = embWithNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        round(expr("fvec_dot(v, cv)") / (col("norm") * col("cn")), 6))
+      .withColumn("arn", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("c_id").as("bucket"), col("v"),
+        col("norm"))
+    val probes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+        col("v").as("av"), col("norm").as("an"))
+    val cands = assigned.select(col("vec_id"), col("bucket"),
+      col("v").as("bv"), col("norm").as("bn"))
+    probes
+      .join(cands, col("p_bucket") === col("bucket") &&
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("an") * col("bn")), 6))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** PII scrubbing (round 2): redact emails and phone numbers before a
     * corpus ships to training — pure codegen'd regexp_replace, one
     * columnar pass, no UDF. The fixture plants one deterministic email
@@ -545,6 +586,7 @@ object LlmOps {
     "q_llm_knn_label" -> knnLabel,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_lsh_ann" -> lshAnn,
+    "q_llm_ivf_ann" -> ivfAnn,
     "q_llm_pii_scrub" -> piiScrub,
     "q_llm_text_stats" -> textStats,
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
@@ -734,6 +776,28 @@ object LlmOps {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>',
         |   'g'), '[+]1-555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_llm_ivf_ann" ->
+      s"""WITH $cosCte,
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 16),
+         |asg AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(list_inner_product(e.v, c.cv)
+         |      / (e.nrm * c.cn), 6) DESC, c.c_id) AS arn
+         |  FROM emb e CROSS JOIN cents c),
+         |bucketed AS (SELECT vec_id, v, nrm, c_id AS bucket
+         |  FROM asg WHERE arn = 1),
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
+         |  round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+         |  FROM bucketed p JOIN bucketed c ON p.bucket = c.bucket
+         |   AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 20)
+         |SELECT probe_id, rank, vec_id, cos FROM (
+         |  SELECT probe_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored) t WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
     "q_llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
