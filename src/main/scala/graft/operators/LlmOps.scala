@@ -57,9 +57,13 @@ object LlmOps {
           |               i -> concat_ws(' ', slice(tk, i, 5)))
           |ELSE CAST(array() AS array<string>) END""".stripMargin)))
         .as("s"))
-    val rare = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50).select(col("s"))
-    raw.join(rare, "s").select(col("doc_id"), col("s"))
+    // anti-join against the STOP set (df > 50), not inner-join against
+    // the rare set: the rare set is nearly the whole vocabulary (full
+    // double shuffle), while the stop set is the handful of boilerplate
+    // shingles — small enough that AQE broadcasts the anti-join side
+    val stop = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select(col("s"))
+    raw.join(stop, Seq("s"), "left_anti").select(col("doc_id"), col("s"))
   }
 
   /** Exact dedup: normalize → sha256 → group; keep min doc_id. */
