@@ -128,6 +128,19 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("full outer join plans a sort-merge FullOuter (cannot broadcast)") {
+    val s = executedPlanString("q_join_full_outer")
+    assert(s.contains("FullOuter"), s)
+    assert(s.contains("SortMergeJoin"), s)
+  }
+
+  test("ivf_ann: bucketed probe is an equi-join, no unbounded cartesian") {
+    val s = executedPlanString("q_llm_ivf_ann")
+    assert(!s.contains("CartesianProduct"), s)
+    // centroid assignment is the only nested-loop, and it is broadcast
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("ntile_share plans no single-partition window exchange") {
     // the quartile must come from the two-pass range-partitioned rank,
     // never from a global Window.orderBy (Exchange SinglePartition)
