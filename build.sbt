@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep the Bench/Verify compact-JSON line the LAST stdout line: sbt's
+// "[success] Total time: ..." footer otherwise prints after it and the
+// driver's last-line JSON parse fails ("parsed": null in BENCH_r0{1,2}).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,6 +13,8 @@ import sys
 import glob
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -20,30 +22,42 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm_cell(v):
     # Normalize to stable comparable form, mirroring the driver's exact
-    # hash-of-values compare: floats use exact repr (only -0.0 collapsed),
-    # and raw array/map cells are a hard FAIL — the driver's pandas
+    # hash-of-values compare AFTER pandas materialization: both sides go
+    # through fetchdf(), so dtype drift (DuckDB HUGEINT -> float64 "1.0"
+    # vs Spark int64 "1") fails here exactly as it fails in the driver.
+    # Raw array/map cells are a hard FAIL — the driver's pandas
     # sort_values crashes on ndarray cells, so local must fail too.
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if v == 0:
-            v = 0.0  # collapse -0.0
-        return repr(v)
-    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
         raise TypeError(
             f"raw array/map cell ({type(v).__name__}) — driver comparator "
             "would crash; stringify the column in query + oracle")
+    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
+        if v != v:
+            return "NULL"
+        if v == 0:
+            v = 0.0  # collapse -0.0
+        return repr(v)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     return str(v)
 
 
 def frame(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    cols2 = [cols[i] for i in order]
-    rows2 = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return cols2, rows2
+    # fetchdf(), NOT fetchall(): the driver compares pandas frames, and
+    # pandas materialization is where dtype drift appears (HUGEINT ->
+    # float64, NULL-able int -> float64). fetchall() returns Python ints
+    # and masked round-2's q_sessionize_batch red row.
+    df = con.execute(sql).fetchdf()
+    df = df[sorted(df.columns)]
+    cols = list(df.columns)
+    rows = [tuple(norm_cell(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def main():

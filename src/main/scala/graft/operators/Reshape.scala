@@ -127,8 +127,8 @@ object Reshape {
         |       THEN 1 ELSE 0 END AS new_sess,
         |  event_id FROM g),
         |s AS (SELECT user_id, ts_us,
-        |  sum(new_sess) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id) AS session_no FROM f)
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS BIGINT) AS session_no FROM f)
         |SELECT user_id, session_no, count(*) AS n_events,
         | min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_no
