@@ -15,6 +15,7 @@ run / fork := true
 // "[success] Total time: ..." footer otherwise prints after it and the
 // driver's last-line JSON parse fails ("parsed": null in BENCH_r0{1,2}).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by commands, lint can't see it
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

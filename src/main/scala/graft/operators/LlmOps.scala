@@ -360,13 +360,43 @@ object LlmOps {
     * spends unbounded time just stringifying/optimizing it. Truncation
     * keeps every round's plan O(1) — the same reason production
     * iterative jobs checkpoint. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** As [[connectedComponents]], additionally returning the number of
+    * propagation rounds run (asserted O(log n) in BatchSpec).
+    *
+    * @param checkpointDir lineage-truncation strategy: `None` →
+    *   `localCheckpoint` (executor-local blocks — fastest, but lost on
+    *   executor death; right for local/interactive runs); `Some(dir)` →
+    *   reliable `checkpoint` to that directory (HDFS/S3 at cluster
+    *   scale — survives executor loss, which a 100 TB multi-hour CC job
+    *   must). Same plan either way; a deploy flips one parameter.
+    * @param checkEvery run the changed-count convergence job every N
+    *   rounds instead of every round. Labels only ever decrease, so
+    *   "no change across the last N rounds" ⟺ "no change in any of
+    *   them" — comparing against the labels from N rounds ago is exact,
+    *   and the driver pays 1/N of the count jobs (each is a full join —
+    *   at toy scale the per-round job overhead dominated dupClusters'
+    *   bench time). */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      checkpointDir: Option[String] = None,
+      checkEvery: Int = 2): (DataFrame, Int) = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val Seq(aCol, bCol) = pairs.columns.toSeq.map(pairs(_))
-    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
-      .union(pairs.select(bCol.as("src"), aCol.as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+    val edges = ckpt(pairs.select(aCol.as("src"), bCol.as("dst"))
+      .union(pairs.select(bCol.as("src"), aCol.as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
+    // labels as of the last convergence check — the comparison baseline
+    var checked = labels
     var iter = 0
     var converged = false
     val maxIter = 50
@@ -381,24 +411,29 @@ object LlmOps {
       // pointer jump through the previous round's label map:
       // lbl <- min(lbl, lbl(lbl)); labels are always node ids, so the
       // lookup join is total (left join only for safety)
-      val next = stepped.as("s")
+      val next = ckpt(stepped.as("s")
         .join(labels.as("m"), col("s.lbl") === col("m.node"), "left")
         .select(col("s.node").as("node"),
           least(col("s.lbl"), coalesce(col("m.lbl"), col("s.lbl")))
-            .as("lbl"))
-        .localCheckpoint() // truncate lineage — see scaladoc
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+            .as("lbl")))
       labels = next
-      converged = changed == 0
       iter += 1
+      if (iter % checkEvery == 0 || iter == maxIter) {
+        val changed = next.as("n")
+          .join(checked.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        converged = changed == 0
+        checked = next
+      }
     }
     if (!converged) {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     }
-    labels
+    System.err.println(s"[graft] connectedComponents: $iter rounds " +
+      s"(checkEvery=$checkEvery, ${checkpointDir.fold("localCheckpoint")(
+        d => s"checkpoint@$d")})")
+    (labels, iter)
   }
 
   /** IVF-bucketed ANN (round 2): the inverted-file counterpart to the
@@ -407,26 +442,34 @@ object LlmOps {
     * quantizer start, and deterministic so the oracle can replicate
     * it); every vector is assigned to its max-cosine centroid
     * (broadcast join — centroids are always tiny), and a probe searches
-    * ONLY its own centroid's inverted list. At 100 TB: one broadcast
-    * assign pass + an equi-join on bucket — linear, no pair blow-up;
-    * recall grows with nprobe (searching the next-nearest lists too),
-    * which is a constant-factor widening of the same equi-join. */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    * its `nprobe` nearest centroids' inverted lists. At 100 TB: one
+    * broadcast assign pass + an equi-join on bucket — linear, no pair
+    * blow-up; recall grows with nprobe as a constant-factor widening of
+    * the SAME equi-join (the probe side carries nprobe bucket rows, the
+    * candidate side is unchanged — each candidate still lives in
+    * exactly one list, so the widened join introduces no duplicates).
+    * nprobe=1 and nprobe=2 are both enrolled oracle rows
+    * (q_llm_ivf_ann / q_llm_ivf_ann_probe2); BatchSpec additionally
+    * asserts nprobe=2 recall-vs-brute-force ≥ nprobe=1. */
+  def ivfAnn(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val emb = embWithNorm(spark, dir)
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("norm").as("cn"))
-    val assigned = emb.crossJoin(broadcast(cents))
+    val ranked = emb.crossJoin(broadcast(cents))
       .withColumn("cs",
         round(expr("fvec_dot(v, cv)") / (col("norm") * col("cn")), 6))
       .withColumn("arn", row_number().over(
         w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
-      .filter(col("arn") === 1)
+    val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("c_id").as("bucket"), col("v"),
         col("norm"))
-    val probes = assigned.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("bucket").as("p_bucket"),
+    // a probe fans out to its nprobe nearest lists; candidates stay in
+    // their single home list, so the bucket equi-join widens by exactly
+    // nprobe on the (small) probe side
+    val probes = ranked.filter(col("vec_id") < 20 && col("arn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("c_id").as("p_bucket"),
         col("v").as("av"), col("norm").as("an"))
     val cands = assigned.select(col("vec_id"), col("bucket"),
       col("v").as("bv"), col("norm").as("bn"))
@@ -590,7 +633,8 @@ object LlmOps {
     "q_llm_knn_label" -> knnLabel,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_lsh_ann" -> lshAnn,
-    "q_llm_ivf_ann" -> ivfAnn,
+    "q_llm_ivf_ann" -> ((s, d) => ivfAnn(s, d, nprobe = 1)),
+    "q_llm_ivf_ann_probe2" -> ((s, d) => ivfAnn(s, d, nprobe = 2)),
     "q_llm_pii_scrub" -> piiScrub,
     "q_llm_text_stats" -> textStats,
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
@@ -796,6 +840,29 @@ object LlmOps {
          |  FROM bucketed p JOIN bucketed c ON p.bucket = c.bucket
          |   AND c.vec_id <> p.vec_id
          |  WHERE p.vec_id < 20)
+         |SELECT probe_id, rank, vec_id, cos FROM (
+         |  SELECT probe_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored) t WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+    "q_llm_ivf_ann_probe2" ->
+      s"""WITH $cosCte,
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 16),
+         |asg AS (SELECT e.vec_id, e.v, e.nrm, c.c_id,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(list_inner_product(e.v, c.cv)
+         |      / (e.nrm * c.cn), 6) DESC, c.c_id) AS arn
+         |  FROM emb e CROSS JOIN cents c),
+         |bucketed AS (SELECT vec_id, v, nrm, c_id AS bucket
+         |  FROM asg WHERE arn = 1),
+         |probes AS (SELECT vec_id, v, nrm, c_id AS p_bucket
+         |  FROM asg WHERE arn <= 2 AND vec_id < 20),
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
+         |  round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+         |  FROM probes p JOIN bucketed c ON p.p_bucket = c.bucket
+         |   AND c.vec_id <> p.vec_id)
          |SELECT probe_id, rank, vec_id, cos FROM (
          |  SELECT probe_id, vec_id, cos,
          |    CAST(row_number() OVER (PARTITION BY probe_id

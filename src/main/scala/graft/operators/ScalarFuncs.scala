@@ -91,14 +91,22 @@ object ScalarFuncs {
       .orderBy(col("event_id"))
   }
 
-  /** JSON path extraction + to_json(struct) roundtrip. */
+  /** JSON path extraction + to_json(struct) roundtrip. Each side is
+    * parsed ONCE via `from_json` to a struct, then fields projected —
+    * `get_json_object` re-parses the whole JSON string per call, which
+    * made this a top-8 bench query in round 2 at 3 calls/row. */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("j", to_json(struct(col("event_id"), col("event_type"))))
+      .withColumn("js",
+        from_json(col("j"), StructType.fromDDL(
+          "event_id BIGINT, event_type STRING")))
+      .withColumn("ps", from_json(col("props"), StructType.fromDDL(
+        "k STRING")))
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("j"), "$.event_type").as("rt_type"),
-        get_json_object(col("j"), "$.event_id").cast(LongType).as("rt_id"))
+        col("ps.k").as("k_str"),
+        col("js.event_type").as("rt_type"),
+        col("js.event_id").as("rt_id"))
       .orderBy(col("event_id"))
 
   /** Date arithmetic family (round 2): add days/months (month-end

@@ -101,8 +101,12 @@ object Windows {
     val withShare = orders(spark, dir)
       .withColumn("cust_share",
         round(col("o_totalprice") / sum(col("o_totalprice")).over(wCust), 6))
+    // range-partition count follows the session's shuffle parallelism
+    // (cluster deploys set spark.sql.shuffle.partitions, not this code)
+    val nParts = spark.sessionState.conf.numShufflePartitions
     val ranged = withShare
-      .repartitionByRange(32, col("o_totalprice").desc, col("o_orderkey"))
+      .repartitionByRange(nParts, col("o_totalprice").desc,
+        col("o_orderkey"))
       .withColumn("part", spark_partition_id())
       .persist()
     val cnts = ranged.groupBy(col("part")).count().collect()

@@ -174,10 +174,47 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // converges in O(log diameter)
     import spark.implicits._
     val edges = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
-    val cc = operators.LlmOps.connectedComponents(edges).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val (ccDf, rounds) =
+      operators.LlmOps.connectedComponentsWithRounds(edges)
+    val cc = ccDf.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cc.length == 60)
     assert(cc.forall(_._2 == 0L), cc.filter(_._2 != 0L).take(5).toSeq)
+    // pointer jumping: label depth halves per round, so a 59-diameter
+    // chain must converge in O(log d) rounds, not O(d). 12 = log2(59)
+    // ≈6 plus convergence-detection slack (checks run every 2 rounds).
+    assert(rounds <= 12, s"expected O(log d) rounds, got $rounds")
+  }
+
+  test("connectedComponents reliable-checkpoint path matches local") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      .toString
+    val viaLocal = operators.LlmOps.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaReliable = operators.LlmOps
+      .connectedComponentsWithRounds(edges, checkpointDir = Some(dir))._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaReliable == viaLocal)
+    assert(viaReliable.nonEmpty)
+  }
+
+  test("ivf nprobe=2 recall vs brute force >= nprobe=1 recall") {
+    // widening the probe's candidate pool to its 2 nearest inverted
+    // lists can only add candidates, so top-3 recall vs the brute-force
+    // truth is monotone in nprobe — the knob a real ANN user tunes
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(r.fieldIndex("probe_id")),
+        r.getLong(r.fieldIndex("vec_id")))).toSet
+    val brute = pairs(SparkEntry.queries("q_llm_cosine_topk")(spark, sf)
+      .filter("rank <= 3"))
+    val p1 = pairs(operators.LlmOps.ivfAnn(spark, sf, nprobe = 1))
+    val p2 = pairs(operators.LlmOps.ivfAnn(spark, sf, nprobe = 2))
+    assert(brute.nonEmpty && p1.nonEmpty)
+    val r1 = p1.intersect(brute).size.toDouble / brute.size
+    val r2 = p2.intersect(brute).size.toDouble / brute.size
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
   }
 
   test("dedup is idempotent: q(q(x)) == q(x) semantics") {
