@@ -601,6 +601,95 @@ object LlmOps {
         r4(col("stop_ratio")).as("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination (round 3): flag training docs that share
+    * any 13-token gram with the held-out benchmark slice (here:
+    * doc_id % 10 == 0 stands in for the eval set) — the standard
+    * n-gram overlap pass run before a corpus ships to training
+    * (13 tokens is the published overlap window). Grams travel as
+    * 60-bit md5 hashes (the h60 hot-path hash), so the join shuffles
+    * 8-byte keys instead of 13-token strings; the benchmark side —
+    * distinct gram hashes of the (small) eval set — is the build side,
+    * broadcast- or bloom-prunable at 100 TB while the corpus side
+    * streams through map-side. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(tk) >= 13
+           |THEN transform(sequence(1, size(tk) - 12),
+           |  i -> ${h60("concat_ws(' ', slice(tk, i, 13))")})
+           |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+        .as("gh"))
+    val bench = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("gh")).distinct()
+    grams.filter(col("doc_id") % 10 =!= 0)
+      .join(bench, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signal (round 3): fraction of duplicate
+    * 3-grams per document, 1 - distinct/total — boilerplate and
+    * degenerate-generation text scores high and gets filtered before
+    * training. Pure per-row array expressions, zero shuffles before the
+    * final presentation sort. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("g3", expr(
+        """CASE WHEN size(tk) >= 3
+          |THEN transform(sequence(1, size(tk) - 2),
+          |               i -> concat_ws(' ', slice(tk, i, 3)))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin))
+      .withColumn("n_g", size(col("g3")))
+      .withColumn("n_uniq", size(array_distinct(col("g3"))))
+      .select(col("doc_id"), col("n_g"), col("n_uniq"),
+        when(col("n_g") === 0, lit(0.0))
+          .otherwise(r4(lit(1.0) - col("n_uniq") / col("n_g").cast("double")))
+          .as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** End-to-end corpus curation composite (round 3): the pipeline a
+    * training-data user actually runs, as ONE declarative plan —
+    * (1) exact dedup keeping the min doc_id per normalized text,
+    * (2) quality gates (≥20 tokens, composite quality ≥ 0.55 — the
+    * qualityScore formula), (3) per-language top-50 by quality.
+    * Stage order matters at 100 TB: dedup's window partitions by the
+    * normalized text (at cluster scale: by its 256-bit digest, same
+    * semantics, bounded key width), the quality gate is a pure per-row
+    * filter BEFORE the per-lang rank shuffle, and the final rank
+    * shuffles only survivors on the low-cardinality lang key (top-50
+    * per group bounds any skew). */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")))
+    val deduped = docs
+      .withColumn("keep_id",
+        min(col("doc_id")).over(w.partitionBy(lower(trim(col("text"))))))
+      .filter(col("doc_id") === col("keep_id"))
+    val scored = deduped
+      .withColumn("ttr",
+        size(array_distinct(col("tk"))) / col("n_tok").cast("double"))
+      .withColumn("stop_ratio", expr(
+        """size(filter(tk, t -> t IN ('the','a','of','and','to','in','is')))
+          |  / CAST(size(tk) AS DOUBLE)""".stripMargin))
+      .withColumn("quality", r4(
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1) - col("stop_ratio")) +
+          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))))
+      .filter(col("n_tok") >= 20 && col("quality") >= 0.55)
+    scored
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("lang"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rank") <= 50)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_tok"),
+        col("quality"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish ≤4-char subword chunks
     * (regex '\S{1,4}' ≡ per-token ceil(len/4) chunking). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -642,6 +731,9 @@ object LlmOps {
     "q_llm_quality_score" -> qualityScore,
     "q_llm_token_count" -> tokenCount,
     "q_llm_fingerprint" -> fingerprint,
+    "q_llm_decontaminate" -> decontaminate,
+    "q_llm_repetition" -> repetitionRatio,
+    "q_llm_curation" -> curationPipeline,
   )
 
   // sh = df-capped shingle vocabulary, mirroring shingles() exactly
@@ -938,5 +1030,51 @@ object LlmOps {
         |     % 1000000007 for t in string_split(text, ' ')]),
         |  (h, x) -> (h * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_llm_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |  [CAST(concat('0x', substr(md5(
+        |     array_to_string(tk[i:i+12], ' ')), 1, 15)) AS BIGINT)
+        |   for i in range(1, greatest(len(tk) - 11, 1))]) AS gh
+        |  FROM toks),
+        |b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gh) AS n_hit
+        |FROM g JOIN b ON g.gh = b.gh
+        |WHERE g.doc_id % 10 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_llm_repetition" ->
+      """SELECT doc_id,
+        | CAST(len(g3) AS INTEGER) AS n_g,
+        | CAST(len(list_distinct(g3)) AS INTEGER) AS n_uniq,
+        | CASE WHEN len(g3) = 0 THEN 0.0
+        |   ELSE floor((1.0 - 1.0 * len(list_distinct(g3)) / len(g3))
+        |     * 10000.0 + 0.5) / 10000.0 END AS rep_ratio
+        |FROM (SELECT doc_id,
+        |   [array_to_string(tk[i:i+2], ' ')
+        |    for i in range(1, greatest(len(tk) - 1, 1))] AS g3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents) t) s
+        |ORDER BY doc_id""".stripMargin,
+    "q_llm_curation" ->
+      """WITH d AS (SELECT doc_id, text, lang,
+        |   string_split(text, ' ') AS tk,
+        |   min(doc_id) OVER (PARTITION BY lower(trim(text))) AS keep_id
+        |  FROM documents),
+        |scored AS (SELECT doc_id, lang,
+        |   CAST(len(tk) AS INTEGER) AS n_tok,
+        |   floor((0.4 * (1.0 * len(list_distinct(tk)) / len(tk))
+        |     + 0.3 * (1 - 1.0 * len([t for t in tk
+        |         if t IN ('the','a','of','and','to','in','is')]) / len(tk))
+        |     + 0.3 * least(len(tk) / 100.0, 1.0)) * 10000.0 + 0.5)
+        |     / 10000.0 AS quality
+        |  FROM d WHERE doc_id = keep_id AND len(tk) >= 20),
+        |gated AS (SELECT * FROM scored WHERE quality >= 0.55)
+        |SELECT lang, rank, doc_id, n_tok, quality FROM (
+        |  SELECT lang, doc_id, n_tok, quality,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id) AS INTEGER) AS rank
+        |  FROM gated) t WHERE rank <= 50
+        |ORDER BY lang, rank""".stripMargin,
   )
 }

@@ -109,6 +109,25 @@ object ScalarFuncs {
         col("js.event_id").as("rt_id"))
       .orderBy(col("event_id"))
 
+  /** URL parsing family (round 3): parse_url HOST/PATH/QUERY-param/
+    * PROTOCOL over URLs minted from document metadata — the domain
+    * extraction + per-domain attribution step every web-corpus pipeline
+    * runs. The oracle reconstructs each component from the same
+    * metadata, so it verifies Spark's parser against ground truth
+    * rather than mirroring the parse. */
+  def urlParse(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/"), col("doc_id"),
+        lit("?ref=r"), pmod(col("doc_id"), lit(7)),
+        lit("&p="), pmod(col("doc_id"), lit(3))))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"))
+      .orderBy(col("doc_id"))
+
   /** Date arithmetic family (round 2): add days/months (month-end
     * clamped the same way in both engines), last_day, signed day diff,
     * quarter, day-of-year. */
@@ -169,6 +188,7 @@ object ScalarFuncs {
     "q_array_explode" -> arrayExplode,
     "q_map_funcs" -> mapFuncs,
     "q_json_funcs" -> jsonFuncs,
+    "q_str_url_parse" -> urlParse,
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,5 +270,12 @@ object ScalarFuncs {
       """SELECT event_id, props->>'$.k' AS k_str,
         | event_type AS rt_type, event_id AS rt_id
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_str_url_parse" ->
+      """SELECT doc_id,
+        | source || '.example.com' AS host,
+        | '/' || lang || '/' || doc_id AS path,
+        | 'r' || (doc_id % 7) AS ref,
+        | 'https' AS proto
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
