@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Udfs.queries ++
     operators.Reshape.queries ++
     operators.Subqueries.queries ++
+    operators.Layout.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
     operators.Udfs.oracle ++
     operators.Reshape.oracle ++
     operators.Subqueries.oracle ++
+    operators.Layout.oracle ++
     multimodal.Multimodal.oracle
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2-J3 — data-layout operators: Z-order (Morton) clustering
+  * for multi-dimensional data skipping.
+  *
+  * At 100 TB a table queried by two uncorrelated keys (here part and
+  * supplier) can only be min/max-pruned on ONE of them with a plain
+  * sort. Interleaving the key bits into a single Morton key and
+  * range-partitioning + sorting by it bounds BOTH dimensions within
+  * every file, so parquet footer min/max skips work for either
+  * predicate. The key is a pure per-row codegen expression (bit fold —
+  * no shuffle to compute), and the layout write is one
+  * `repartitionByRange(zkey) + sortWithinPartitions(zkey)` pass.
+  */
+object Layout {
+
+  /** 32-bit Morton key: interleave the low 16 bits of two int columns
+    * (bit i of `a` → bit 2i, bit i of `b` → bit 2i+1). Disjoint bit
+    * positions, so the fold can use `+` (≡ `|`), which Spark's
+    * `aggregate` handles with codegen. */
+  def zkey(a: String, b: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+       |  (acc, i) -> acc
+       |    + shiftleft(CAST(shiftright($a, i) & 1 AS BIGINT), 2 * i)
+       |    + shiftleft(CAST(shiftright($b, i) & 1 AS BIGINT), 2 * i + 1))
+       |""".stripMargin)
+
+  /** Z-order clustering demo over lineitem (part × supplier): per
+    * z-bucket (zkey >> 14) row counts and the min/max of BOTH source
+    * dimensions — each bucket covers a bounded rectangle of the
+    * (partkey, suppkey) plane, which is exactly the property min/max
+    * file skipping needs. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .withColumn("zkey", zkey("l_partkey", "l_suppkey"))
+      .withColumn("zbucket", expr("zkey div 16384"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .orderBy(col("zbucket"))
+
+  /** Layout write: range-partition by the Morton key and sort within
+    * partitions — every output file then holds a contiguous zkey range
+    * (non-overlapping across files), i.e. a bounded rectangle in both
+    * dimensions. `LayoutSpec` asserts the non-overlap on real files. */
+  def zorderWrite(df: DataFrame, a: String, b: String, path: String,
+                  numFiles: Int = 8): Unit =
+    df.withColumn("zkey", zkey(a, b))
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(path)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_zorder" -> zorderStats,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      """WITH z AS (SELECT l_partkey, l_suppkey,
+        |   CAST(list_sum([
+        |     (((l_partkey >> i) & 1)::BIGINT << (2 * i))
+        |     + (((l_suppkey >> i) & 1)::BIGINT << (2 * i + 1))
+        |     for i in range(0, 16)]) AS BIGINT) AS zkey
+        |  FROM lineitem)
+        |SELECT zkey // 16384 AS zbucket, count(*) AS n_rows,
+        | min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        | min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+  )
+}

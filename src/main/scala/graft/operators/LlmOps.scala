@@ -712,6 +712,101 @@ object LlmOps {
         .as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing (round 3): greedy contiguous fill of per-language
+    * token budget bins (1024 tokens) — the sample-packing step that turns
+    * a curated corpus into fixed-size training batches. Bin assignment is
+    * the EXCLUSIVE running token sum div the budget, so each worker can
+    * pack its own language shard independently: one window shuffle on
+    * the low-cardinality lang key, no global order. Docs longer than a
+    * budget straddle bins by design (pack-then-split). */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 1024"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Domain-mixture resampling (round 3): downsample every language to
+    * the smallest language's document count via a DETERMINISTIC content
+    * hash threshold — the mixture-rebalancing step before training. The
+    * keep decision is integer cross-multiplication (h*n_docs <
+    * min_n*1e6): no floating point, bit-identical across engines, and
+    * embarrassingly parallel — per-lang counts are a tiny broadcast, the
+    * corpus side is a map-only filter (no shuffle of the data itself). */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("h",
+        expr(s"${h60("CAST(doc_id AS STRING)")} % 1000000"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    d.join(broadcast(counts), "lang").crossJoin(broadcast(minN))
+      .withColumn("keep",
+        col("h") * col("n_docs") < col("min_n") * lit(1000000L))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok").cast("long"))
+          .otherwise(0L)).as("kept_tok"))
+      .orderBy(col("lang"))
+  }
+
+  /** Bigram-LM perplexity scoring (round 3, CCNet-style): train add-one-
+    * smoothed bigram counts on the corpus itself, score each doc by mean
+    * negative log-likelihood — the fluency filter between heuristic
+    * quality scores and a real LM. Bigrams travel as single
+    * space-joined strings (tokens are whitespace-split, so ' ' is a safe
+    * separator) → both count joins are string equi-joins. At 100 TB the
+    * count tables get a df-cap / top-V vocabulary (same pattern as the
+    * shingle stop-set) and the joins stay shuffle equi-joins; here the
+    * full vocab fits. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+    val uni = toks
+      .select(explode(col("tk")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = toks
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) >= 2
+          |THEN transform(sequence(1, size(tk) - 1),
+          |               i -> concat_ws(' ', tk[i-1], tk[i]))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    bi.join(c2, "bg").join(uni, "w1").crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"),
+        r4(-avg(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))))
+          .as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window chunking (round 3): split each doc into 32-token
+    * chunks at stride 24 (8-token overlap) — the chunking step for
+    * context-window packing and RAG indexing. Emits the chunk's start
+    * offset, token count and 60-bit content hash (not the text — at
+    * 100 TB the chunk table is written hash-first and text joins back
+    * lazily). Pure generator fan-out: no shuffle before the sort. */
+  def chunkSplit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(size(tk), 1), 24)")).as("start"),
+        col("tk"))
+      .withColumn("ch", expr("concat_ws(' ', slice(tk, start, 32))"))
+      .select(col("doc_id"), col("start").cast("int").as("start"),
+        expr("CAST(size(split(ch, ' ')) AS INT)").as("n_ctok"),
+        expr(h60("ch")).as("chunk_h"))
+      .orderBy(col("doc_id"), col("start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
@@ -734,6 +829,10 @@ object LlmOps {
     "q_llm_decontaminate" -> decontaminate,
     "q_llm_repetition" -> repetitionRatio,
     "q_llm_curation" -> curationPipeline,
+    "q_llm_seq_pack" -> seqPack,
+    "q_llm_domain_mix" -> domainMix,
+    "q_llm_perplexity" -> perplexity,
+    "q_llm_chunk_split" -> chunkSplit,
   )
 
   // sh = df-capped shingle vocabulary, mirroring shingles() exactly
@@ -1076,5 +1175,61 @@ object LlmOps {
         |      ORDER BY quality DESC, doc_id) AS INTEGER) AS rank
         |  FROM gated) t WHERE rank <= 50
         |ORDER BY lang, rank""".stripMargin,
+    "q_llm_seq_pack" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |   len(string_split(text, ' ')) AS n_tok,
+        |   sum(len(string_split(text, ' ')))
+        |     OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |SELECT lang, CAST((cum - n_tok) // 1024 AS BIGINT) AS bin,
+        | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tok,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM d GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q_llm_domain_mix" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |   len(string_split(text, ' ')) AS n_tok,
+        |   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |     AS BIGINT) % 1000000 AS h
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY lang),
+        |m AS (SELECT min(n_docs) AS min_n FROM c)
+        |SELECT d.lang, max(c.n_docs) AS n_docs,
+        | CAST(count(*) FILTER (WHERE d.h * c.n_docs < m.min_n * 1000000)
+        |   AS BIGINT) AS n_kept,
+        | CAST(coalesce(sum(d.n_tok)
+        |   FILTER (WHERE d.h * c.n_docs < m.min_n * 1000000), 0)
+        |   AS BIGINT) AS kept_tok
+        |FROM d JOIN c ON d.lang = c.lang CROSS JOIN m
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_llm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |uni AS (SELECT w1, count(*) AS c1 FROM
+        |  (SELECT unnest(tk) AS w1 FROM t) GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bi AS (SELECT doc_id, unnest(
+        |   [tk[i] || ' ' || tk[i+1] for i in range(1, greatest(len(tk), 1))])
+        |   AS bg FROM t),
+        |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bi),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bw GROUP BY bg)
+        |SELECT bw.doc_id, count(*) AS n_bi,
+        | floor(-avg(ln((c2.c2 + 1.0) / (uni.c1 + v.v)))
+        |   * 10000.0 + 0.5) / 10000.0 AS nll
+        |FROM bw JOIN c2 ON bw.bg = c2.bg
+        | JOIN uni ON bw.w1 = uni.w1 CROSS JOIN v
+        |GROUP BY bw.doc_id ORDER BY bw.doc_id""".stripMargin,
+    "q_llm_chunk_split" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |ch AS (SELECT doc_id,
+        |   unnest([s for s in range(1, greatest(len(tk), 1) + 1, 24)])
+        |     AS start,
+        |   unnest([array_to_string(tk[s:s+31], ' ')
+        |           for s in range(1, greatest(len(tk), 1) + 1, 24)]) AS ch
+        |  FROM t)
+        |SELECT doc_id, CAST(start AS INTEGER) AS start,
+        | CAST(len(string_split(ch, ' ')) AS INTEGER) AS n_ctok,
+        | CAST(concat('0x', substr(md5(ch), 1, 15)) AS BIGINT) AS chunk_h
+        |FROM ch ORDER BY doc_id, start""".stripMargin,
   )
 }
