@@ -94,11 +94,67 @@ object Reshape {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped composite (round 3): revenue by supplier nation for
+    * one region-year, with the classic "local supplier" constraint
+    * (customer and supplier share a nation). Exercises Catalyst's join
+    * ordering across 6 tables: region→nation prune first (tiny,
+    * broadcast), date-filtered orders next, then the two fact joins;
+    * the c_nationkey = s_nationkey residual rides the supplier join.
+    * At 100 TB every dim side here broadcasts; only orders⋈lineitem
+    * shuffles, on the natural o_orderkey. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val reg = region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    val nat = nation(spark, dir)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q18-shaped composite (round 3): large-volume orders — the
+    * group-filter-then-rejoin pattern (HAVING over the fact, semi-joined
+    * back). The HAVING aggregation runs FIRST and is the only full fact
+    * shuffle; the survivors (~0.1%) then drive bounded joins. Top-100 by
+    * order value via TakeOrderedAndProject, never a global sort. */
+  def largeVolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    big.join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_counts" -> pivotCounts,
     "q_unpivot_measures" -> unpivotMeasures,
     "q_sessionize_batch" -> sessionizeBatch,
     "q_tpch_q3_priority" -> shippingPriority,
+    "q_tpch_q5_local" -> localSupplierVolume,
+    "q_tpch_q18_bigorders" -> largeVolumeOrders,
   )
 
   val oracle: Map[String, String] = Map(
@@ -146,5 +202,30 @@ object Reshape {
         |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
         |ORDER BY revenue DESC, o_date, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q_tpch_q5_local" ->
+      """SELECT n.n_name,
+        | round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q18_bigorders" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+        | CAST(o.o_orderdate AS DATE) AS o_date, big.sum_qty
+        |FROM big
+        |JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
   )
 }
