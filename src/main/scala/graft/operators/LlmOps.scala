@@ -807,6 +807,67 @@ object LlmOps {
         expr(h60("ch")).as("chunk_h"))
       .orderBy(col("doc_id"), col("start"))
 
+  /** Product quantization (round 3): compress 64-dim float embeddings to
+    * 8 one-byte codes — 8 subspaces × 8 dims, each subvector assigned to
+    * its nearest of 8 sampled centroids (vec_id < 8, the same
+    * deterministic sampling as ivfAnn's coarse quantizer). Emits the
+    * per-subspace code and r4-rounded squared residual — the memory-
+    * bound ANN path at 100 TB (32× compression; distance tables replace
+    * full-vector reads). Centroid side is 64 tiny rows → broadcast; the
+    * corpus side explodes to 8 subvector rows per doc, argmin is one
+    * partial-aggregable min(struct(dist, cid)). Distances fold
+    * left-to-right in doubles, so DuckDB's list_sum reproduces them
+    * bit-for-bit. */
+  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val subs = (df: DataFrame, idCol: String) => df
+      .select(col(idCol), explode(expr(
+        """transform(sequence(0, 7), s -> struct(s AS sub,
+          |  transform(slice(embedding, s * 8 + 1, 8),
+          |            x -> CAST(x AS DOUBLE)) AS v))""".stripMargin)).as("e"))
+      .select(col(idCol), col("e.sub").as("sub"), col("e.v").as("v"))
+    val cents = subs(embeddings(spark, dir).filter(col("vec_id") < 8), "vec_id")
+      .withColumnRenamed("vec_id", "cid").withColumnRenamed("v", "cv")
+    subs(embeddings(spark, dir), "vec_id")
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.cid").as("code"), r4(col("m.dist")).as("resid"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** Heavy-hitter tokens via the Misra-Gries sketch (round 3): per-lang
+    * frequent-token detection with `freq_sketch(tok, 64)` — O(k) state
+    * per group instead of an exact full-token shuffle. The sketch's
+    * counter content is input-order-dependent, so the enrolled output is
+    * order-INVARIANT: the guaranteed-membership row set (true freq >
+    * n/(k+1), integer cross-multiply) with verdict columns checking the
+    * MG contract (reported; estimate within n/(k+1) undercount; never
+    * an overcount). The exact count join-back here plays the oracle's
+    * role — at 100 TB it would run only on the tiny reported set. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.FreqSketch.register(spark)
+    val toks = documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val cnts = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val totals = cnts.groupBy(col("lang")).agg(sum(col("true_cnt")).as("n"))
+    val est = toks.groupBy(col("lang"))
+      .agg(expr("freq_sketch(tok, 64)").as("mg"))
+      .select(col("lang"), explode(col("mg")).as(Seq("tok", "est")))
+    cnts.join(broadcast(totals), "lang")
+      .filter(col("true_cnt") * 65 > col("n"))
+      .join(est, Seq("lang", "tok"), "left")
+      .select(col("lang"), col("tok"), col("true_cnt"),
+        col("est").isNotNull.as("reported"),
+        (col("est").isNotNull &&
+          (col("true_cnt") - col("est")) * 65 <= col("n") &&
+          col("est") <= col("true_cnt")).as("within_err"))
+      .orderBy(col("lang"), col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
@@ -833,6 +894,8 @@ object LlmOps {
     "q_llm_domain_mix" -> domainMix,
     "q_llm_perplexity" -> perplexity,
     "q_llm_chunk_split" -> chunkSplit,
+    "q_llm_pq_quantize" -> pqQuantize,
+    "q_llm_heavy_hitters" -> heavyHitters,
   )
 
   // sh = df-capped shingle vocabulary, mirroring shingles() exactly
@@ -1231,5 +1294,34 @@ object LlmOps {
         | CAST(len(string_split(ch, ' ')) AS INTEGER) AS n_ctok,
         | CAST(concat('0x', substr(md5(ch), 1, 15)) AS BIGINT) AS chunk_h
         |FROM ch ORDER BY doc_id, start""".stripMargin,
+    "q_llm_pq_quantize" ->
+      """WITH s AS (SELECT unnest(range(0, 8)) AS sub),
+        |p AS (SELECT vec_id, CAST(s.sub AS INTEGER) AS sub,
+        |   [embedding[i]::DOUBLE
+        |    for i in range(s.sub * 8 + 1, s.sub * 8 + 9)] AS v
+        |  FROM embeddings, s),
+        |c AS (SELECT vec_id AS cid, sub, v AS cv FROM p WHERE vec_id < 8),
+        |d AS (SELECT p.vec_id, p.sub, c.cid,
+        |   list_sum([(p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])
+        |             for i in range(1, 9)]) AS dist,
+        |   row_number() OVER (PARTITION BY p.vec_id, p.sub
+        |     ORDER BY list_sum([(p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])
+        |               for i in range(1, 9)]), c.cid) AS rn
+        |  FROM p JOIN c ON p.sub = c.sub)
+        |SELECT vec_id, sub, cid AS code,
+        | floor(dist * 10000.0 + 0.5) / 10000.0 AS resid
+        |FROM d WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    "q_llm_heavy_hitters" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnts AS (SELECT lang, tok, count(*) AS true_cnt
+        |  FROM toks GROUP BY lang, tok),
+        |tot AS (SELECT lang, CAST(sum(true_cnt) AS BIGINT) AS n
+        |  FROM cnts GROUP BY lang)
+        |SELECT c.lang, c.tok, c.true_cnt,
+        | TRUE AS reported, TRUE AS within_err
+        |FROM cnts c JOIN tot t ON c.lang = t.lang
+        |WHERE c.true_cnt * 65 > t.n
+        |ORDER BY c.lang, c.tok""".stripMargin,
   )
 }

@@ -136,6 +136,37 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // Zipf-ish token streams: few hot tokens + a long tail, shuffled —
+  // the regime Misra-Gries is built for. Spark repartitions the input,
+  // so the sketch exercises update AND merge paths.
+  private val tokenStreams = for {
+    nHot <- Gen.choose(1, 5)
+    hotReps <- Gen.choose(50, 200)
+    tail <- Gen.listOfN(300, Gen.choose(0, 500))
+  } yield scala.util.Random.shuffle(
+    (0 until nHot).flatMap(h => List.fill(hotReps)(s"hot$h")).toList ++
+      tail.map(t => s"t$t"))
+
+  property("freq_sketch honors the Misra-Gries membership and error bounds") =
+    forAll(tokenStreams) { toks =>
+      import spark.implicits._
+      graft.functions.FreqSketch.register(spark)
+      val k = 16
+      val n = toks.length
+      val est = toks.toDF("tok").repartition(4)
+        .selectExpr(s"freq_sketch(tok, $k) AS mg")
+        .selectExpr("explode(mg) AS (tok, est)")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      est.size <= k &&
+        exact.forall { case (t, c) =>
+          // membership: freq > n/(k+1) must be reported
+          (c * (k + 1) <= n || est.contains(t)) &&
+            // error: never overcount, undercount ≤ n/(k+1)
+            est.get(t).forall(e => e <= c && (c - e) * (k + 1) <= n)
+        }
+    }
+
   property("rollup leaf sums equal grand total") =
     forAll(eventsGen) { rows =>
       import spark.implicits._
