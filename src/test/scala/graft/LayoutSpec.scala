@@ -50,10 +50,14 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zs.sliding(2).forall { case Array(x, y) => x < y })
   }
 
-  test("zorder plan: key is computed without a shuffle (single project)") {
+  test("zorder plan: key is computed without a shuffle, inside codegen") {
     val df = Tables.lineitem(spark, sf)
       .withColumn("zkey", operators.Layout.zkey("l_partkey", "l_suppkey"))
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    // formatted mode marks whole-stage-codegen membership per node
+    assert(plan.contains("Project [codegen id"),
+      s"zkey fell off the codegen path:\n$plan")
   }
 }
