@@ -868,6 +868,30 @@ object LlmOps {
       .orderBy(col("lang"), col("tok"))
   }
 
+  /** HTML boilerplate stripping (round 3): tag removal + entity decode +
+    * whitespace collapse over documents wrapped in a deterministic HTML
+    * shell — the extraction step between a raw web crawl and every
+    * other operator here. Chained codegen `regexp_replace` (the
+    * piiScrub pattern), no UDF. The oracle reconstructs the expected
+    * clean text from the ORIGINAL column (ground truth), so it verifies
+    * the strip actually recovers the payload rather than mirroring the
+    * regexes. */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("html", concat(
+        lit("<html><body class=\"doc\"><h1>"), col("source"),
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p><br/>&amp;&nbsp;tail&#33;</body></html>")))
+      .withColumn("stripped", trim(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("html"), "<[^>]*>", " "),
+          "&amp;", "&"), "&nbsp;", " "), "&#33;", "!"), "&[a-z]+;", " "),
+        "\\s+", " ")))
+      .select(col("doc_id"), length(col("html")).as("n_html"),
+        length(col("stripped")).as("n_clean"),
+        expr(h60("stripped")).as("clean_h"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
@@ -896,6 +920,7 @@ object LlmOps {
     "q_llm_chunk_split" -> chunkSplit,
     "q_llm_pq_quantize" -> pqQuantize,
     "q_llm_heavy_hitters" -> heavyHitters,
+    "q_llm_html_strip" -> htmlStrip,
   )
 
   // sh = df-capped shingle vocabulary, mirroring shingles() exactly
@@ -1323,5 +1348,16 @@ object LlmOps {
         |FROM cnts c JOIN tot t ON c.lang = t.lang
         |WHERE c.true_cnt * 65 > t.n
         |ORDER BY c.lang, c.tok""".stripMargin,
+    "q_llm_html_strip" ->
+      """WITH d AS (SELECT doc_id,
+        |   length('<html><body class="doc"><h1>' || source || '</h1>' ||
+        |          chr(10) || '<p>' || text ||
+        |          '</p><br/>&amp;&nbsp;tail&#33;</body></html>') AS n_html,
+        |   source || ' ' || text || ' & tail!' AS clean
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_html AS INTEGER) AS n_html,
+        | CAST(length(clean) AS INTEGER) AS n_clean,
+        | CAST(concat('0x', substr(md5(clean), 1, 15)) AS BIGINT) AS clean_h
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

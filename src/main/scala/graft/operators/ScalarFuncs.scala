@@ -128,6 +128,27 @@ object ScalarFuncs {
         parse_url(col("url"), lit("PROTOCOL")).as("proto"))
       .orderBy(col("doc_id"))
 
+  /** Unicode NFC normalization (round 3): the custom `nfc_normalize`
+    * codegen expression over strings MINTED denormalized — combining
+    * acute (U+0301) and ring (U+030A) sequences appended from doc
+    * metadata — so the op demonstrably composes (length shrinks) and
+    * the oracle's utf8proc NFC must agree byte-for-byte with the JDK's
+    * (both implement the Unicode standard; hashes compare the UTF-8
+    * bytes). First step of any web-corpus cleaning pipeline: mixed
+    * normalization forms break exact dedup and shingling. */
+  def nfcNorm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprs.register(spark)
+    documents(spark, dir)
+      .withColumn("dirty", concat(col("lang"), lit("e\u0301"),
+        col("source"), lit("A\u030A"), col("doc_id")))
+      .select(col("doc_id"),
+        length(col("dirty")).as("n_raw"),
+        expr("length(nfc_normalize(dirty))").as("n_nfc"),
+        expr(s"CAST(conv(substring(md5(nfc_normalize(dirty)), 1, 15), 16, 10) AS BIGINT)")
+          .as("nfc_h"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Date arithmetic family (round 2): add days/months (month-end
     * clamped the same way in both engines), last_day, signed day diff,
     * quarter, day-of-year. */
@@ -189,6 +210,7 @@ object ScalarFuncs {
     "q_map_funcs" -> mapFuncs,
     "q_json_funcs" -> jsonFuncs,
     "q_str_url_parse" -> urlParse,
+    "q_str_nfc_norm" -> nfcNorm,
   )
 
   val oracle: Map[String, String] = Map(
@@ -277,5 +299,16 @@ object ScalarFuncs {
         | 'r' || (doc_id % 7) AS ref,
         | 'https' AS proto
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_str_nfc_norm" ->
+      """WITH d AS (SELECT doc_id,
+        |   lang || 'e' || chr(769) || source || 'A' || chr(778) || doc_id
+        |     AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(length(dirty) AS INTEGER) AS n_raw,
+        | CAST(length(nfc_normalize(dirty)) AS INTEGER) AS n_nfc,
+        | CAST(concat('0x', substr(md5(nfc_normalize(dirty)), 1, 15))
+        |   AS BIGINT) AS nfc_h
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

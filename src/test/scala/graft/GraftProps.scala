@@ -167,6 +167,23 @@ object GraftProps extends Properties("graft") {
         }
     }
 
+  // strings over a pool that includes combining marks (U+0301, U+030A)
+  // and precomposed forms — the NFC-interesting regime
+  private val unicodeStrings = Gen.listOf(Gen.oneOf(
+    'a', 'e', 'A', 'o', '́', '̊', 'é', 'Å', ' ', 'z'))
+    .map(_.mkString)
+
+  property("nfc_normalize matches the JDK reference and is idempotent") =
+    forAll(unicodeStrings) { s =>
+      import spark.implicits._
+      graft.functions.TextExprs.register(spark)
+      val got = Seq(s).toDF("s")
+        .selectExpr("nfc_normalize(s) AS n", "nfc_normalize(nfc_normalize(s)) AS nn")
+        .collect().head
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      got.getString(0) == want && got.getString(1) == want
+    }
+
   property("rollup leaf sums equal grand total") =
     forAll(eventsGen) { rows =>
       import spark.implicits._
