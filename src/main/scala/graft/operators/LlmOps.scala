@@ -892,6 +892,26 @@ object LlmOps {
         expr(h60("stripped")).as("clean_h"))
       .orderBy(col("doc_id"))
 
+  /** Incremental-ingest dedup (round 3): a NEW batch (doc_id >= 400
+    * stands in) admitted only if its content hash is absent from the
+    * existing corpus — the anti-join every continuously-ingesting
+    * training pipeline runs per batch. Hash-first: both sides shuffle
+    * 32-byte sha256 digests, never text; at 100 TB the corpus side is a
+    * bucketed/Z-ordered hash table so the anti-join is co-located, and
+    * the batch side (small) broadcasts. Also reports each admitted
+    * doc's within-batch dup count (batches dedup internally first). */
+  def incrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = documents(spark, dir)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+    val corpus = hashed.filter(col("doc_id") < 400).select(col("h"))
+    hashed.filter(col("doc_id") >= 400)
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_dups"))
+      .join(corpus, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("batch_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
@@ -921,6 +941,7 @@ object LlmOps {
     "q_llm_pq_quantize" -> pqQuantize,
     "q_llm_heavy_hitters" -> heavyHitters,
     "q_llm_html_strip" -> htmlStrip,
+    "q_llm_incr_dedup" -> incrDedup,
   )
 
   // sh = df-capped shingle vocabulary, mirroring shingles() exactly
@@ -1359,5 +1380,14 @@ object LlmOps {
         | CAST(length(clean) AS INTEGER) AS n_clean,
         | CAST(concat('0x', substr(md5(clean), 1, 15)) AS BIGINT) AS clean_h
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_llm_incr_dedup" ->
+      """WITH hashed AS (SELECT doc_id,
+        |   sha256(lower(trim(text))) AS h FROM documents),
+        |corpus AS (SELECT h FROM hashed WHERE doc_id < 400),
+        |batch AS (SELECT h, min(doc_id) AS doc_id, count(*) AS batch_dups
+        |  FROM hashed WHERE doc_id >= 400 GROUP BY h)
+        |SELECT b.doc_id, b.batch_dups FROM batch b
+        |WHERE b.h NOT IN (SELECT h FROM corpus)
+        |ORDER BY b.doc_id""".stripMargin,
   )
 }

@@ -141,6 +141,27 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("pq_quantize: centroid side broadcasts, no cartesian") {
+    val s = executedPlanString("q_llm_pq_quantize")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("decontaminate: hashed-gram equi-join, distinct build side, no cartesian") {
+    val s = executedPlanString("q_llm_decontaminate")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the benchmark side must be deduplicated BEFORE the join
+    // (HashAggregate pair under the join's build side)
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("incr_dedup: anti-join on digests, batch aggregates before probing") {
+    val s = executedPlanString("q_llm_incr_dedup")
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("ntile_share plans no single-partition window exchange") {
     // the quartile must come from the two-pass range-partitioned rank,
     // never from a global Window.orderBy (Exchange SinglePartition)
