@@ -80,6 +80,25 @@ object StreamingOps {
   def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Streaming twin of the batch curation pipeline (round 3,
+    * `LlmOps.curationPipeline`): content-hash dedup WITHIN the watermark
+    * horizon → per-row quality gate (≥5 tokens, type-token ratio ≥ 0.5)
+    * — documents curate incrementally as they arrive instead of in a
+    * nightly batch. State is the in-horizon digest set only (bounded by
+    * the watermark); the quality gate is stateless per-row arithmetic
+    * AFTER dedup so rejected dups never pay scoring. Expects columns
+    * (doc_id, ts, text, lang). */
+  def curateStream(docs: DataFrame): DataFrame =
+    docs.withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("ttr", round(
+        size(array_distinct(col("tk"))) / col("n_tok").cast("double"), 4))
+      .filter(col("n_tok") >= 5 && col("ttr") >= 0.5)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("ttr"))
+
   /** Stream-stream inner join: purchases matched to signups of the same
     * user within 1 h before the purchase. Both sides watermarked so
     * Spark can bound the join state buffers (unbounded otherwise — the

@@ -132,6 +132,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming curation: in-horizon content dedup + quality gate") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text", "lang")
+    val q = runQuery(StreamingOps.curateStream(docs), "curate", "append")
+    in.addData(
+      (1L, ts(0), "the cat sat on the mat today", "en"), // good
+      (2L, ts(1), "the cat sat on the mat today", "en"), // dup content
+      (3L, ts(2), "a a a a a a", "en"),                  // low TTR
+      (4L, ts(3), "hi there", "en"),                     // too short
+      (5L, ts(4), "every token here is fully distinct", "en")) // good
+    q.processAllAvailable()
+    // later batch, same content modulo case/trim: still inside the
+    // watermark horizon, so the digest state drops it
+    in.addData((6L, ts(5), "THE CAT SAT ON THE MAT TODAY  ", "en"))
+    q.processAllAvailable()
+    val got = spark.table("curate").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got.keySet == Set(1L, 5L), s"got $got")
+    assert(got(1L) == 7 && got(5L) == 6)
+    q.stop()
+  }
+
   test("stream-static enrichment join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
