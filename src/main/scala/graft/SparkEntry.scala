@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Reshape.queries ++
     operators.Subqueries.queries ++
     operators.Layout.queries ++
+    operators.TimeSeries.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
     operators.Reshape.oracle ++
     operators.Subqueries.oracle ++
     operators.Layout.oracle ++
+    operators.TimeSeries.oracle ++
     multimodal.Multimodal.oracle
 }

@@ -123,6 +123,38 @@ object Joins {
       .orderBy(col("user_id"), col("a_id"), col("b_id"))
   }
 
+  /** Binned interval join (round 3): point-in-interval join with NO
+    * natural equi key — the case the theta-range join above avoids by
+    * equi-joining on user first. The scale mechanism: quantize the
+    * range dimension into width-100 bins, explode each interval across
+    * every bin it overlaps (≤ 2 here, width 50), equi-join point-bin to
+    * interval-bin, then apply the exact containment predicate. Each
+    * (point, interval) pair meets in exactly one bin — the point's own
+    * — so no dedup pass is needed. Turns an O(n·m) nested-loop range
+    * join into a shuffle-once hash join whose fan-out is bounded by
+    * interval_width / bin_width; Spark's own plan for a bare range
+    * predicate is BroadcastNestedLoopJoin, which dies when neither side
+    * broadcasts. Points are scaled ×30 to overlap the acctbal domain
+    * (unit normalization). */
+  def joinRangeBinned(spark: SparkSession, dir: String): DataFrame = {
+    val W = 100.0
+    val iv = customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("iv_id"),
+        (col("c_acctbal") - 25.0).as("lo"), (col("c_acctbal") + 25.0).as("hi"))
+      .withColumn("bin", explode(expr(
+        s"sequence(CAST(floor(lo / $W) AS BIGINT), CAST(floor(hi / $W) AS BIGINT))")))
+    val pts = events(spark, dir)
+      .select(col("event_id"), (col("value") * 30.0).as("x"))
+      .withColumn("bin", expr(s"CAST(floor(x / $W) AS BIGINT)"))
+    pts.join(iv, Seq("bin"))
+      .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_pts"),
+        (floor(sum(col("x")) * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("sum_x"))
+      .orderBy(col("iv_id"))
+  }
+
   /** As-of join: each purchase matched to the same user's most recent
     * prior-or-equal signup; ties broken by max signup event_id. */
   def joinAsof(spark: SparkSession, dir: String): DataFrame = {
@@ -181,6 +213,7 @@ object Joins {
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
     "q_join_theta_range" -> joinThetaRange,
+    "q_join_range_binned" -> joinRangeBinned,
     "q_join_asof" -> joinAsof,
     "q_join_asof_native" -> joinAsofNative,
     "q_join_cross_small" -> joinCrossSmall,
@@ -228,6 +261,14 @@ object Joins {
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
         |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+    "q_join_range_binned" ->
+      """WITH iv AS (SELECT c_custkey AS iv_id, c_acctbal - 25.0 AS lo,
+        |   c_acctbal + 25.0 AS hi FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT iv.iv_id, count(*) AS n_pts,
+        | floor(sum(e.value * 30.0) * 10000.0 + 0.5) / 10000.0 AS sum_x
+        |FROM events e JOIN iv
+        |  ON e.value * 30.0 >= iv.lo AND e.value * 30.0 <= iv.hi
+        |GROUP BY iv.iv_id ORDER BY iv.iv_id""".stripMargin,
     "q_join_asof" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
         |  FROM events WHERE event_type = 'purchase'),

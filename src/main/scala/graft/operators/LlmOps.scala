@@ -912,6 +912,75 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level dedup (round 3): C4-style sub-document deduplication.
+    * Documents are cut into fixed 20-token spans; only the globally
+    * FIRST occurrence of each span survives (ordered by doc_id, then
+    * span start), and each document is reassembled from its surviving
+    * spans — boilerplate repeated across documents disappears from every
+    * copy but the first, without dropping whole documents the way
+    * doc-level dedup does.
+    *
+    * Scale: the only shuffle keys on the 60-bit md5 span hash (8-byte
+    * keys, never span text, same trick as decontaminate); first-
+    * occurrence choice is one row_number window over that hash — a
+    * single shuffle, no self-join. Reassembly is a per-doc sorted
+    * collect (bounded by document length). Output carries a 60-bit hash
+    * of the cleaned text, not the text itself. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(size(tk), 1), 20)")).as("start"),
+        col("tk"))
+      .withColumn("ch", expr("concat_ws(' ', slice(tk, start, 20))"))
+      .withColumn("ch_h", expr(h60("ch")))
+    val w = Window.partitionBy(col("ch_h"))
+      .orderBy(col("doc_id"), col("start"))
+    spans.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          """transform(array_sort(
+            |  collect_list(CASE WHEN rn = 1 THEN struct(start, ch) END)),
+            |  x -> x.ch)""".stripMargin)).as("clean"))
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        expr(h60("clean")).as("clean_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Blocked fuzzy entity-resolution join (round 3): near-identical
+    * part names within an edit distance of 3. The realistic ER shape at
+    * scale: collapse EXACT duplicates first (the name vocabulary is
+    * orders of magnitude smaller than the row count), then fuzzy-match
+    * only the distinct entities, pair generation bounded by a blocking
+    * key (first name token) with an explicit block-size cap — the same
+    * df-cap discipline as the shingle vocabulary. Levenshtein runs on
+    * candidate pairs only, never all-pairs. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = part(spark, dir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    // block-size cap: a block larger than 64 distinct entities would
+    // blow up pair generation quadratically — drop it (bounded skew)
+    val smallBlocks = names.groupBy(col("blk"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64).drop("bn")
+    val b = names.join(broadcast(smallBlocks), Seq("blk"))
+    val a = b.select(col("blk"), col("p_name").as("a_name"),
+      col("n_rows").as("a_rows"))
+    val c = b.select(col("blk"), col("p_name").as("b_name"),
+      col("n_rows").as("b_rows"))
+    a.join(c, Seq("blk"))
+      .filter(col("a_name") < col("b_name"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 3)
+      .select(col("a_name"), col("b_name"), col("dist"),
+        (col("a_rows") + col("b_rows")).as("pair_rows"))
+      .orderBy(col("a_name"), col("b_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
@@ -942,6 +1011,8 @@ object LlmOps {
     "q_llm_heavy_hitters" -> heavyHitters,
     "q_llm_html_strip" -> htmlStrip,
     "q_llm_incr_dedup" -> incrDedup,
+    "q_llm_span_dedup" -> spanDedup,
+    "q_llm_fuzzy_join" -> fuzzyJoin,
   )
 
   // sh = df-capped shingle vocabulary, mirroring shingles() exactly
@@ -1389,5 +1460,35 @@ object LlmOps {
         |SELECT b.doc_id, b.batch_dups FROM batch b
         |WHERE b.h NOT IN (SELECT h FROM corpus)
         |ORDER BY b.doc_id""".stripMargin,
+    "q_llm_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |   unnest([s for s in range(1, greatest(len(tk), 1) + 1, 20)])
+        |     AS start,
+        |   unnest([array_to_string(tk[s:s+19], ' ')
+        |           for s in range(1, greatest(len(tk), 1) + 1, 20)]) AS ch
+        |  FROM t),
+        |r AS (SELECT doc_id, start, ch, row_number() OVER (
+        |   PARTITION BY CAST('0x' || substr(md5(ch), 1, 15) AS BIGINT)
+        |   ORDER BY doc_id, start) AS rn FROM sp)
+        |SELECT doc_id, count(*) AS n_spans,
+        | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST('0x' || substr(md5(coalesce(
+        |   string_agg(CASE WHEN rn = 1 THEN ch END, ' ' ORDER BY start),
+        |   '')), 1, 15) AS BIGINT) AS clean_h
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_llm_fuzzy_join" ->
+      """WITH names AS (SELECT p_name, count(*) AS n_rows,
+        |   split_part(p_name, ' ', 1) AS blk FROM part GROUP BY p_name),
+        |small AS (SELECT blk FROM names GROUP BY blk
+        |  HAVING count(*) <= 64),
+        |b AS (SELECT names.* FROM names JOIN small USING (blk))
+        |SELECT a.p_name AS a_name, c.p_name AS b_name,
+        | levenshtein(a.p_name, c.p_name) AS dist,
+        | a.n_rows + c.n_rows AS pair_rows
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) <= 3
+        |ORDER BY a_name, b_name""".stripMargin,
   )
 }

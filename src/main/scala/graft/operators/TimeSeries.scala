@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2-J4 — time-series operators over the `events` stream
+  * table: grid resampling with gap-fill, and robust (median/MAD)
+  * anomaly detection.
+  *
+  * Reference analog: the logger's per-container log-line timestamps
+  * (muswarmlogger/loggers.py `save_container_logs` ≈L120 [C-med]) form
+  * exactly this kind of irregular per-key time series; the triplestore
+  * consumers chart them on regular grids.
+  *
+  * Scale notes (100 TB):
+  * - The day grid is generated per key from that key's own [min, max]
+  *   span (`sequence(d0, d1)` — a generator, no driver loop, no global
+  *   calendar table), so grid size is O(active key-days), not
+  *   O(keys × full history).
+  * - Gap-fill (LOCF) is one window pass per key ordered by day — the
+  *   same single-shuffle shape as the sessionize operator.
+  * - Median/MAD is two partial-aggregable passes over the fact table
+  *   with only tiny per-group stat frames joined back (broadcast) —
+  *   never a per-row sort of the whole table. MAD over stddev is the
+  *   standard robustness choice: one corrupt batch of outliers moves a
+  *   3σ gate, but not the median of absolute deviations.
+  */
+object TimeSeries {
+
+  /** Parity rounding — same arithmetic as LlmOps.r4 (Spark's round()
+    * HALF_UPs the decimal repr; DuckDB rounds the binary value —
+    * floor(x·1e4 + 0.5) is IEEE-identical on both). */
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Resample each user's event stream onto a daily grid spanning that
+    * user's own activity window; gap days carry n_ev = 0 and a
+    * last-observation-carried-forward copy of the daily value. */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_ev"), r4(sum(col("value"))).as("day_val"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled",
+        last(col("day_val"), ignoreNulls = true)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_ev"), lit(0L)).as("n_ev"),
+        col("day_val").isNull.as("is_gap"),
+        col("filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Robust outliers: per event_type median + MAD (median absolute
+    * deviation), flag rows whose |value − median| / MAD exceeds 3.5.
+    * Zero-MAD groups (constant-valued) are excluded — no division by
+    * zero, mirrored in the oracle. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(median(col("value")).as("med"))
+    val stats = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        median(abs(col("value") - col("med"))).as("mad"))
+      .filter(col("mad") > 0)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("score", r4(abs(col("value") - col("med")) / col("mad")))
+      .filter(col("score") > 3.5)
+      .select(col("event_id"), col("event_type"),
+        r4(col("value")).as("value"), col("score"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_resample" -> resample,
+    "q_ts_anomaly_mad" -> anomalyMad,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ts_resample" ->
+      """WITH daily AS (SELECT user_id,
+        |   CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_ev,
+        |   floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS day_val
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT b.user_id, CAST(gs.generate_series AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1) b,
+        |       generate_series(CAST(b.d0 AS TIMESTAMP),
+        |                       CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY) gs)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        | coalesce(d.n_ev, 0) AS n_ev, d.day_val IS NULL AS is_gap,
+        | last_value(d.day_val IGNORE NULLS) OVER (
+        |   PARTITION BY g.user_id ORDER BY g.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, day""".stripMargin,
+    "q_ts_anomaly_mad" ->
+      """WITH med AS (SELECT event_type, median(value) AS med
+        |  FROM events GROUP BY 1),
+        |stats AS (SELECT e.event_type, any_value(m.med) AS med,
+        |   median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY 1 HAVING median(abs(e.value - m.med)) > 0),
+        |scored AS (SELECT e.event_id, e.event_type,
+        |   floor(e.value * 10000.0 + 0.5) / 10000.0 AS value,
+        |   floor(abs(e.value - s.med) / s.mad * 10000.0 + 0.5) / 10000.0
+        |     AS score
+        |  FROM events e JOIN stats s USING (event_type))
+        |SELECT event_id, event_type, value, score FROM scored
+        |WHERE score > 3.5 ORDER BY event_id""".stripMargin,
+  )
+}
