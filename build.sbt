@@ -16,6 +16,11 @@ run / fork := true
 // driver's last-line JSON parse fails ("parsed": null in BENCH_r0{1,2}).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess // used by commands, lint can't see it
+// ...and r3 showed the forked JVM's stdout still reaches the driver through
+// sbt's logger as "[info] {...}" — the last line STILL isn't raw JSON.
+// StdoutOutput makes the forked run inherit this process's stdout: no
+// logger, no prefix, the Bench JSON line lands verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

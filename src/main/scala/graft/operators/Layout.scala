@@ -72,27 +72,31 @@ object Layout {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
     val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-    lineitem(spark, dir).select(cols.map(col): _*)
-      .repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def parts(p: String) =
-      fs.listStatus(new org.apache.hadoop.fs.Path(p))
-        .filter(_.getPath.getName.startsWith("part-"))
-    val small = parts(s"$tmp/small")
-    val target = math.max(1,
-      math.ceil(small.map(_.getLen).sum / (32.0 * 1024 * 1024)).toInt)
-    val before = spark.read.parquet(s"$tmp/small")
-    before.repartition(target)
-      .write.mode("overwrite").parquet(s"$tmp/compacted")
-    val after = spark.read.parquet(s"$tmp/compacted")
-    def sig(df: DataFrame) = df.agg(count(lit(1)),
-      sum(xxhash64(cols.map(col): _*) % lit(1000000007L))).first()
-    val (sb, sa) = (sig(before), sig(after))
-    Seq((sa.getLong(0), small.length.toLong,
-      parts(s"$tmp/compacted").length < small.length,
-      sb.getLong(0) == sa.getLong(0) && sb.getLong(1) == sa.getLong(1)))
-      .toDF("n_rows", "files_before", "compacted", "content_ok")
+    // Resolve the FS from the path, not the default FS: on a cluster
+    // defaultFS is HDFS/S3 while createTempDirectory is driver-local.
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      lineitem(spark, dir).select(cols.map(col): _*)
+        .repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+      def parts(p: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(_.getPath.getName.startsWith("part-"))
+      val small = parts(s"$tmp/small")
+      val target = math.max(1,
+        math.ceil(small.map(_.getLen).sum / (32.0 * 1024 * 1024)).toInt)
+      val before = spark.read.parquet(s"$tmp/small")
+      before.repartition(target)
+        .write.mode("overwrite").parquet(s"$tmp/compacted")
+      def sig(df: DataFrame) = df.agg(count(lit(1)),
+        sum(xxhash64(cols.map(col): _*) % lit(1000000007L))).first()
+      val (sb, sa) = (sig(before), sig(spark.read.parquet(s"$tmp/compacted")))
+      Seq((sa.getLong(0), small.length.toLong,
+        parts(s"$tmp/compacted").length < small.length,
+        sb.getLong(0) == sa.getLong(0) && sb.getLong(1) == sa.getLong(1)))
+        .toDF("n_rows", "files_before", "compacted", "content_ok")
+      // ^ a LocalRelation of already-computed scalars — safe to delete tmp.
+    } finally fs.delete(tmpPath, true)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -885,8 +885,13 @@ object LlmOps {
       .withColumn("stripped", trim(regexp_replace(regexp_replace(
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           col("html"), "<[^>]*>", " "),
-          "&amp;", "&"), "&nbsp;", " "), "&#33;", "!"), "&[a-z]+;", " "),
+          "&nbsp;", " "), "&#33;", "!"), "&(?!amp;)[a-z]+;", " "),
+          "&amp;", "&"),
         "\\s+", " ")))
+      // Entity order matters: the generic strip runs BEFORE &amp; decode
+      // (with a lookahead guarding it), so "&amp;lt;" in source text
+      // decodes once to literal "&lt;" instead of being double-decoded
+      // and then stripped as a real entity.
       .select(col("doc_id"), length(col("html")).as("n_html"),
         length(col("stripped")).as("n_clean"),
         expr(h60("stripped")).as("clean_h"))

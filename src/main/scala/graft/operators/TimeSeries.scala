@@ -93,11 +93,12 @@ object TimeSeries {
         |   CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_ev,
         |   floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS day_val
         |  FROM events GROUP BY 1, 2),
-        |grid AS (SELECT b.user_id, CAST(gs.generate_series AS DATE) AS day
+        |grid AS (SELECT user_id,
+        |   CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                               CAST(d1 AS TIMESTAMP),
+        |                               INTERVAL 1 DAY)) AS DATE) AS day
         |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
-        |        FROM daily GROUP BY 1) b,
-        |       generate_series(CAST(b.d0 AS TIMESTAMP),
-        |                       CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY) gs)
+        |        FROM daily GROUP BY 1) b)
         |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
         | coalesce(d.n_ev, 0) AS n_ev, d.day_val IS NULL AS is_gap,
         | last_value(d.day_val IGNORE NULLS) OVER (

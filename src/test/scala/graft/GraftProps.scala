@@ -139,13 +139,18 @@ object GraftProps extends Properties("graft") {
   // Zipf-ish token streams: few hot tokens + a long tail, shuffled —
   // the regime Misra-Gries is built for. Spark repartitions the input,
   // so the sketch exercises update AND merge paths.
+  // The permutation is derived from Gen (zip with generated ranks +
+  // sortBy), not scala.util.Random — so a failing property replays
+  // exactly from the reported ScalaCheck seed.
   private val tokenStreams = for {
     nHot <- Gen.choose(1, 5)
     hotReps <- Gen.choose(50, 200)
     tail <- Gen.listOfN(300, Gen.choose(0, 500))
-  } yield scala.util.Random.shuffle(
-    (0 until nHot).flatMap(h => List.fill(hotReps)(s"hot$h")).toList ++
-      tail.map(t => s"t$t"))
+    base = (0 until nHot).flatMap(h => List.fill(hotReps)(s"hot$h")).toList ++
+      tail.map(t => s"t$t")
+    ranks <- Gen.listOfN(base.length, Gen.choose(Long.MinValue, Long.MaxValue))
+  } yield base.lazyZip(ranks).map((t, r) => (t, r)).sortBy(x => (x._2, x._1))
+    .map(_._1)
 
   property("freq_sketch honors the Misra-Gries membership and error bounds") =
     forAll(tokenStreams) { toks =>
