@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Subqueries.queries ++
     operators.Layout.queries ++
     operators.TimeSeries.queries ++
+    operators.ModelPrep.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
     operators.Subqueries.oracle ++
     operators.Layout.oracle ++
     operators.TimeSeries.oracle ++
+    operators.ModelPrep.oracle ++
     multimodal.Multimodal.oracle
 }

@@ -36,7 +36,7 @@ object LlmOps {
     * the cost per call, and these run once per shingle (~n_tokens per
     * doc) in the dedup hot path; content-level dedup (exactDedup) keeps
     * sha256. */
-  private def h60(c: String): String =
+  private[operators] def h60(c: String): String =
     s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
 
   /** doc_id + deduplicated 5-token shingle set, one row per shingle,
@@ -99,11 +99,14 @@ object LlmOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash + banded LSH near-dup: 16 md5-derived permutation hashes,
-    * 8 bands × 2 rows → bucket equi-join for candidates → exact Jaccard
-    * verify (τ=0.8). The bucket join is the scale path: candidates share
-    * a band signature, never a cross product. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash signatures: 16 md5-derived permutation minimums as 16
+    * parallel aggregates over ONE groupBy — no 16× row explosion (the
+    * naive perms-crossJoin pushed 16× the shingle count through a
+    * shuffle); shingle sets collected alongside so downstream verify
+    * steps need no second shuffle of the shingle table. Shared by the
+    * LSH near-dup path and the signature-estimate row (q_llm_minhash_est). */
+  private[operators] def minhashSigs(spark: SparkSession,
+                                     dir: String): DataFrame = {
     val perms = Seq(
       (0, 7L, 3L), (1, 11L, 5L), (2, 13L, 17L), (3, 19L, 23L),
       (4, 29L, 31L), (5, 37L, 41L), (6, 43L, 47L), (7, 53L, 59L),
@@ -112,22 +115,21 @@ object LlmOps {
       (15, 131L, 137L))
     val sh = shingles(spark, dir)
       .withColumn("h", expr(s"${h60("s")} % $P"))
-    // 16 permutation minimums as 16 parallel aggregates over one
-    // groupBy — no 16× row explosion (the naive perms-crossJoin pushed
-    // 16× the shingle count through a shuffle); shingle sets collected
-    // alongside so the verify step below needs no second shuffle of the
-    // shingle table.
     val minExprs = perms.map { case (j, a, b) =>
       min(expr(s"($a * h + $b) % $P")).as(s"m$j")
     }
-    val sigs = sh.groupBy(col("doc_id"))
+    sh.groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("ss"), minExprs: _*)
       .withColumn("n", size(col("ss")))
       .cache()
-    // 8 bands × 2 rows, signature format "j:m,j:m" (matches the oracle's
-    // string_agg ORDER BY j). Bands carry ONLY (doc_id, band, sig): the
-    // band self-join must not shuffle the shingle-set arrays 8× — at
-    // sf0.1 that was ~80 MB of array payload through the exchange.
+  }
+
+  /** Banded-LSH candidate pairs from [[minhashSigs]] output: 8 bands ×
+    * 2 rows, signature format "j:m,j:m" (matches the oracle's
+    * string_agg ORDER BY j). Bands carry ONLY (doc_id, band, sig): the
+    * band self-join must not shuffle the shingle-set arrays 8× — at
+    * sf0.1 that was ~80 MB of array payload through the exchange. */
+  private[operators] def minhashCandidates(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 8).map { b =>
       val (j1, j2) = (2 * b, 2 * b + 1)
       struct(lit(b).as("band"),
@@ -139,11 +141,20 @@ object LlmOps {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** MinHash + banded LSH near-dup: [[minhashSigs]] → [[minhashCandidates]]
+    * bucket equi-join → exact Jaccard verify (τ=0.8). The bucket join is
+    * the scale path: candidates share a band signature, never a cross
+    * product. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir)
+    val cand = minhashCandidates(sigs)
     // verify candidates only: join the (small) candidate set back to the
     // cached shingle sets, |A∩B| via array_intersect — no all-pairs
     // shingle self-join
@@ -1037,9 +1048,10 @@ object LlmOps {
       |                          embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
 
-  // Shared by q_llm_minhash_lsh and (as the edge source) q_llm_dup_clusters.
-  private val minhashPairsSql =
-    s"""WITH $shingleCte,
+  // Signature/candidate CTE chain shared by q_llm_minhash_lsh,
+  // q_llm_dup_clusters (edge source) and q_llm_minhash_est.
+  private[operators] val minhashCandCte =
+    s"""$shingleCte,
        |hs AS (SELECT doc_id, s,
        |  CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
        |    % 1000000007 AS h FROM sh),
@@ -1054,7 +1066,10 @@ object LlmOps {
        |  FROM mh GROUP BY doc_id, j // 2),
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
-       |   AND x.doc_id < y.doc_id),
+       |   AND x.doc_id < y.doc_id)""".stripMargin
+
+  private val minhashPairsSql =
+    s"""WITH $minhashCandCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

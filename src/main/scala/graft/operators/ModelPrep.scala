@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2-J4 — model-preparation operators (round 4): the steps
+  * between a curated corpus and a training run. Sketch-quality
+  * measurement (MinHash signature estimate vs exact Jaccard), linear
+  * quality-classifier scoring, URL canonicalization, one exact-arithmetic
+  * Lloyd (k-means) step over embeddings, and one BPE merge round over the
+  * token vocabulary.
+  *
+  * Reference analog: the logger's consumers run none of these (the
+  * upstream is an ingestion sidecar, SURVEY §0.5) — all rows are N
+  * (north-star) provenance: what a training-data pipeline needs at
+  * 100 TB.
+  *
+  * Determinism strategy (oracle-exact, §7.4):
+  * - minhash_est: signatures are md5-derived integers — the estimate is
+  *   exact integer arithmetic both engines replicate bit-for-bit.
+  * - quality_logreg: the squash is softsign 0.5·(1 + z/(1+|z|)) — plain
+  *   IEEE ops, no exp()/libm (JVM Math.exp and C exp may differ in the
+  *   last ulp; softsign cannot).
+  * - kmeans_step: per-dim values quantized to integers (floor(x·10⁴));
+  *   all distances and centroid sums are exact BIGINT arithmetic — the
+  *   order-sensitivity of float summation (Spark's aggregation order is
+  *   nondeterministic) never arises. The division back to a mean happens
+  *   once, on an exact integer sum.
+  * - bpe_merge / url_canon: pure integer counts / string rewrites.
+  */
+object ModelPrep {
+
+  /** IEEE-deterministic 4-decimal rounding (see LlmOps.r4). */
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** MinHash estimate quality: for every banded-LSH candidate pair,
+    * the signature-based Jaccard estimate (matching slots / 16) next to
+    * the exact Jaccard from the shingle sets, plus the absolute error —
+    * the measurement a pipeline owner runs before trusting the sketch
+    * at a scale where exact Jaccard is unaffordable. Signatures and
+    * candidates are shared with q_llm_minhash_lsh (one cached build);
+    * the estimate is a 16-term integer sum, the exact side reuses the
+    * collected shingle sets — no extra shuffle of the shingle table. */
+  def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = LlmOps.minhashSigs(spark, dir)
+    val cand = LlmOps.minhashCandidates(sigs)
+    val matchCnt = (0 until 16)
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("a"), col("a_id") === col("a.doc_id"))
+      .join(sigs.as("b"), col("b_id") === col("b.doc_id"))
+      .withColumn("n_match", matchCnt.cast("long"))
+      .withColumn("i", size(array_intersect(col("a.ss"), col("b.ss"))))
+      .withColumn("exact_j",
+        col("i") / (col("a.n") + col("b.n") - col("i")))
+      .withColumn("est_j", col("n_match") / lit(16.0))
+      .select(col("a_id"), col("b_id"), col("n_match"),
+        r4(col("est_j")).as("est_j"), r4(col("exact_j")).as("exact_j"),
+        r4(abs(col("est_j") - col("exact_j"))).as("abs_err"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Linear quality-classifier scoring: a fixed-weight model over the
+    * quality features (type-token ratio, stopword ratio, length prior)
+    * squashed through softsign — the shape of a fastText-style corpus
+    * quality filter, run as one map-only codegen pass (the model is
+    * literals in the plan; at 100 TB a learned weight vector broadcasts
+    * the same way). No exp(): softsign is pure IEEE arithmetic, so the
+    * oracle matches bit-for-bit (see object scaladoc). */
+  def qualityLogreg(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("ttr",
+        size(array_distinct(col("tk"))) / col("n_tok").cast("double"))
+      .withColumn("stop_ratio", expr(
+        """size(filter(tk, t -> t IN ('the','a','of','and','to','in','is')))
+          |  / CAST(size(tk) AS DOUBLE)""".stripMargin))
+      .withColumn("z",
+        lit(-1.5) + lit(2.2) * col("ttr") +
+          lit(1.1) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.9) * least(col("n_tok") / lit(100.0), lit(1.0)))
+      .withColumn("score",
+        lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z")))))
+      .select(col("doc_id"), r4(col("z")).as("z"),
+        r4(col("score")).as("score"), (col("z") >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** URL canonicalization: strip fragment, default :443 port, trailing
+    * slash and utm_* tracking params from minted dirty URLs; lowercase
+    * the host; then per-host page counts via one window — the dedup-key
+    * normalization every web-corpus pipeline runs before URL-level
+    * dedup. Chained codegen regexp_replace + parse_url, no UDF; the
+    * oracle reconstructs the canonical form from the source metadata
+    * (ground truth), so it verifies the cleanup recovers the intended
+    * URL rather than mirroring the regexes. */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(
+      lit("https://"),
+      when(pmod(col("doc_id"), lit(2)) === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".Example.COM"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/"), col("lang"), lit("/"), col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("utm_source=feed&"))
+        .otherwise(lit("")),
+      lit("id="), pmod(col("doc_id"), lit(11)),
+      when(pmod(col("doc_id"), lit(3)) === 1, lit("&utm_campaign=x"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("#sec2")).otherwise(lit("")))
+    documents(spark, dir)
+      .withColumn("url", dirty)
+      .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("u2", regexp_replace(col("u1"), ":443(?=[/?]|$)", ""))
+      .withColumn("host", lower(parse_url(col("u2"), lit("HOST"))))
+      .withColumn("path",
+        regexp_replace(parse_url(col("u2"), lit("PATH")), "/$", ""))
+      .withColumn("canon", concat(lit("https://"), col("host"), col("path"),
+        lit("?id="), parse_url(col("u2"), lit("QUERY"), lit("id"))))
+      .withColumn("n_host",
+        count(lit(1)).over(Window.partitionBy(col("host"))))
+      .select(col("doc_id"), col("host"), col("canon"), col("n_host"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One exact-arithmetic Lloyd (k-means) step over the embeddings:
+    * quantize each dimension to an integer grid (floor(x·10⁴)), assign
+    * every vector to its nearest of 8 deterministic seed centroids
+    * (vec_id < 8) by exact integer squared distance, and recompute the
+    * per-cluster mean of the first 4 dimensions from exact BIGINT sums.
+    *
+    * Scale shape: the centroid side is always tiny → broadcast
+    * nested-loop against it (k·d integer ops per row, inside codegen);
+    * the recompute is one partial-aggregable groupBy over (cluster,
+    * dim) — the identical plan runs every Lloyd iteration at 100 TB.
+    * Integer quantization is what makes the step ORACLE-EXACT: float
+    * sums depend on aggregation order, BIGINT sums do not. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))")
+        .as("q"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("q"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster"),
+        col("best.q").as("q"))
+    assigned
+      .select(col("cluster"), posexplode(slice(col("q"), 1, 4)))
+      .groupBy(col("cluster"), col("pos").as("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("col")).as("qsum"))
+      .select(col("cluster"), col("dim"), col("n_members"),
+        r4(col("qsum").cast("double") / col("n_members") / lit(10000.0))
+          .as("mean_val"))
+      .orderBy(col("cluster"), col("dim"))
+  }
+
+  /** One BPE merge round over the corpus vocabulary: aggregate the token
+    * vocabulary first (distinct token → occurrence count — the classic
+    * BPE trick: pair counting runs over the SMALL vocab weighted by
+    * count, never over the corpus), then explode each token's adjacent
+    * character pairs and rank the top 10 merge candidates by corpus
+    * frequency with a lexical tie-break. At 100 TB the vocab table is
+    * orders of magnitude smaller than the corpus, so every merge
+    * iteration after the first scan is cheap. */
+  def bpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    vocab
+      .filter(length(col("tok")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_cnt").desc, col("pair"))))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("pair"), col("pair_cnt"))
+      .orderBy(col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_minhash_est" -> minhashEst,
+    "q_llm_quality_logreg" -> qualityLogreg,
+    "q_llm_url_canon" -> urlCanon,
+    "q_llm_kmeans_step" -> kmeansStep,
+    "q_llm_bpe_merge" -> bpeMerge,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_minhash_est" ->
+      s"""WITH ${LlmOps.minhashCandCte},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |est AS (SELECT c.a_id, c.b_id,
+         |   CAST(sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_match
+         |  FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a_id
+         |  JOIN mh y ON y.doc_id = c.b_id AND x.j = y.j
+         |  GROUP BY 1, 2)
+         |SELECT e.a_id, e.b_id, e.n_match,
+         | floor((e.n_match / 16.0) * 10000.0 + 0.5) / 10000.0 AS est_j,
+         | floor((1.0 * i.i / (na.n + nb.n - i.i)) * 10000.0 + 0.5) / 10000.0
+         |   AS exact_j,
+         | floor(abs(e.n_match / 16.0 - 1.0 * i.i / (na.n + nb.n - i.i))
+         |   * 10000.0 + 0.5) / 10000.0 AS abs_err
+         |FROM est e
+         |JOIN inter i ON e.a_id = i.ia AND e.b_id = i.ib
+         |JOIN sizes na ON e.a_id = na.doc_id
+         |JOIN sizes nb ON e.b_id = nb.doc_id
+         |ORDER BY e.a_id, e.b_id""".stripMargin,
+    "q_llm_quality_logreg" ->
+      """WITH f AS (SELECT doc_id,
+        |   string_split(text, ' ') AS tk,
+        |   len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |feat AS (SELECT doc_id, n_tok,
+        |   len(list_distinct(tk)) / CAST(n_tok AS DOUBLE) AS ttr,
+        |   len(list_filter(tk, t -> t IN
+        |     ('the','a','of','and','to','in','is')))
+        |     / CAST(n_tok AS DOUBLE) AS stop_ratio
+        |  FROM f),
+        |z AS (SELECT doc_id,
+        |   -1.5 + 2.2 * ttr + 1.1 * (1.0 - stop_ratio)
+        |     + 0.9 * least(n_tok / 100.0, 1.0) AS z
+        |  FROM feat)
+        |SELECT doc_id,
+        | floor(z * 10000.0 + 0.5) / 10000.0 AS z,
+        | floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10000.0 + 0.5) / 10000.0
+        |   AS score,
+        | z >= 0 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+    "q_llm_url_canon" ->
+      """WITH g AS (SELECT doc_id,
+        |   source || '.example.com' AS host,
+        |   'https://' || source || '.example.com/' || lang || '/' || doc_id
+        |     || '?id=' || (doc_id % 11) AS canon
+        |  FROM documents)
+        |SELECT doc_id, host, canon,
+        | count(*) OVER (PARTITION BY host) AS n_host
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_llm_kmeans_step" ->
+      """WITH q AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < 8),
+        |dists AS (SELECT q.vec_id, c.cid,
+        |   list_sum([(q.q[i] - c.cq[i]) * (q.q[i] - c.cq[i])
+        |             for i in range(1, len(q.q) + 1)]) AS d2
+        |  FROM q CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, cid AS cluster
+        |  FROM (SELECT vec_id, cid,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |dims AS (SELECT a.cluster, d.dim, q.q[d.dim + 1] AS qv
+        |  FROM assigned a JOIN q ON a.vec_id = q.vec_id
+        |  CROSS JOIN (SELECT unnest(range(4)) AS dim) d)
+        |SELECT cluster, CAST(dim AS INTEGER) AS dim,
+        | CAST(count(*) AS BIGINT) AS n_members,
+        | floor((CAST(sum(qv) AS DOUBLE) / count(*) / 10000.0)
+        |   * 10000.0 + 0.5) / 10000.0 AS mean_val
+        |FROM dims GROUP BY 1, 2 ORDER BY cluster, dim""".stripMargin,
+    "q_llm_bpe_merge" ->
+      """WITH vocab AS (SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY tok),
+        |pairs AS (SELECT unnest([substr(tok, i, 2)
+        |     for i in range(1, length(tok))]) AS pair, cnt
+        |  FROM vocab WHERE length(tok) >= 2),
+        |ranked AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt,
+        |   row_number() OVER (ORDER BY sum(cnt) DESC, pair) AS rank
+        |  FROM pairs GROUP BY pair)
+        |SELECT rank, pair, pair_cnt FROM ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+  )
+}

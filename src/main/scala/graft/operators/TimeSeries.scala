@@ -60,6 +60,46 @@ object TimeSeries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Linear interpolation on the resampled grid (round 4): gap days get
+    * the straight line between the previous and next OBSERVED day's
+    * value instead of LOCF — the estimator charting/forecasting
+    * consumers actually want. Same single-shuffle shape as resample:
+    * two window passes per key (backward-looking last + forward-looking
+    * first, both ignoreNulls), then a per-row lerp. The grid spans each
+    * key's own [min, max] activity window, so the first and last grid
+    * day are always observed — prev/next never fall off the edge.
+    * Determinism: the lerp is one fixed-order double expression (no
+    * float aggregation), identical left-to-right in the oracle. */
+  def interpLinear(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_ev"), r4(sum(col("value"))).as("day_val"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val byKey = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val back = byKey.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = byKey.rowsBetween(1, Window.unboundedFollowing)
+    val obsDay = when(col("day_val").isNotNull, col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("day_val"), ignoreNulls = true).over(back))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("day_val"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+      .withColumn("interp", when(col("day_val").isNotNull, col("day_val"))
+        .otherwise(r4(col("pv") + (col("nv") - col("pv")) *
+          (datediff(col("day"), col("pd")).cast("double") /
+            datediff(col("nd"), col("pd")).cast("double")))))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_ev"), lit(0L)).as("n_ev"),
+        col("day_val").isNull.as("is_gap"),
+        col("interp"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Robust outliers: per event_type median + MAD (median absolute
     * deviation), flag rows whose |value − median| / MAD exceeds 3.5.
     * Zero-MAD groups (constant-valued) are excluded — no division by
@@ -84,6 +124,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_resample" -> resample,
+    "q_ts_interp_linear" -> interpLinear,
     "q_ts_anomaly_mad" -> anomalyMad,
   )
 
@@ -107,6 +148,42 @@ object TimeSeries {
         |FROM grid g LEFT JOIN daily d
         |  ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, day""".stripMargin,
+    "q_ts_interp_linear" ->
+      """WITH daily AS (SELECT user_id,
+        |   CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_ev,
+        |   floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS day_val
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT user_id,
+        |   CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                               CAST(d1 AS TIMESTAMP),
+        |                               INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1) b),
+        |j AS (SELECT g.user_id, g.day, d.n_ev, d.day_val,
+        |   CASE WHEN d.day_val IS NOT NULL THEN g.day END AS obs_day
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day),
+        |w AS (SELECT user_id, day, n_ev, day_val,
+        |   last_value(day_val IGNORE NULLS) OVER (
+        |     PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |   last_value(obs_day IGNORE NULLS) OVER (
+        |     PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+        |   first_value(day_val IGNORE NULLS) OVER (
+        |     PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |   first_value(obs_day IGNORE NULLS) OVER (
+        |     PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        | coalesce(n_ev, 0) AS n_ev, day_val IS NULL AS is_gap,
+        | CASE WHEN day_val IS NOT NULL THEN day_val
+        |   ELSE floor((pv + (nv - pv) *
+        |     (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)))
+        |     * 10000.0 + 0.5) / 10000.0 END AS interp
+        |FROM w ORDER BY user_id, day""".stripMargin,
     "q_ts_anomaly_mad" ->
       """WITH med AS (SELECT event_type, median(value) AS med
         |  FROM events GROUP BY 1),

@@ -165,4 +165,21 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Streaming heavy hitters (round 4): the Misra-Gries `freq_sketch`
+    * TypedImperativeAggregate running as STREAMING state — per-group
+    * token frequencies in O(k) memory per key regardless of stream
+    * length. Complete output mode: the state store holds one serialized
+    * sketch per group, each micro-batch merges new partial sketches into
+    * it (the same mergeable-summaries merge rule the batch row
+    * q_llm_heavy_hitters exercises). The exploded output is the sketch's
+    * guaranteed-membership report; StreamingSpec checks the MG bounds
+    * against exact counts accumulated across batches. Expects columns
+    * (lang, tok). */
+  def streamHeavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.FreqSketch.register(docs.sparkSession)
+    docs.groupBy(col("lang"))
+      .agg(expr(s"freq_sketch(tok, $k)").as("mg"))
+      .select(col("lang"), explode(col("mg")).as(Seq("tok", "est")))
+  }
 }

@@ -305,4 +305,91 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getDouble(2)).head
     assert(math.abs(leaves - total) < 0.05, s"$leaves vs $total")
   }
+
+  // ---- round 4: model-prep operators ----
+
+  test("kmeans_step: centroid side broadcasts (BNLJ), no cartesian; " +
+      "every vector lands in exactly one cluster") {
+    val s = executedPlanString("q_llm_kmeans_step")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    val rows = SparkEntry.queries("q_llm_kmeans_step")(spark, sf).collect()
+    // 8 clusters × 4 dims at most; membership totals = vector count
+    assert(rows.length <= 32)
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    val perDim = rows.groupBy(_.getInt(1)).view
+      .mapValues(_.map(_.getLong(2)).sum)
+    perDim.foreach { case (dim, tot) =>
+      assert(tot == nVecs, s"dim $dim membership $tot != $nVecs")
+    }
+  }
+
+  test("minhash_est: estimate within MG-style sketch tolerance of exact " +
+      "on candidate pairs (and bit-exact vs its own oracle arithmetic)") {
+    val rows = SparkEntry.queries("q_llm_minhash_est")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(3), r.getDouble(4))
+      // candidates come from 2-row bands, so est is biased high on true
+      // near-dups; 16 perms → σ ≈ 0.125. 4σ sanity envelope.
+      assert(math.abs(est - exact) <= 0.5,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): est $est vs exact $exact")
+    }
+  }
+
+  test("quality_logreg: keep ⟺ score >= 0.5 (softsign is monotone)") {
+    val rows = SparkEntry.queries("q_llm_quality_logreg")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getDouble(2) >= 0.5), r.toString)
+    }
+  }
+
+  test("url_canon: canonical form is parseable and host-lowercased") {
+    val rows = SparkEntry.queries("q_llm_url_canon")(spark, sf).collect()
+    rows.foreach { r =>
+      val (host, canon) = (r.getString(1), r.getString(2))
+      assert(host == host.toLowerCase)
+      assert(canon.startsWith(s"https://$host/"), canon)
+      assert(!canon.contains("utm_") && !canon.contains("#") &&
+        !canon.contains(":443"), canon)
+    }
+  }
+
+  test("scd2_merge: intervals per user are disjoint, ordered, and " +
+      "exactly one open (current) row per user") {
+    val rows = SparkEntry.queries("q_scd2_merge")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"user $user")
+      assert(sorted.count(_._4 == -1L) == 1, s"user $user open rows")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, to1), (_, _, from2, _)) if to1 != -1L =>
+          assert(to1 == from2 - 1, s"user $user gap: $to1 vs $from2")
+        case _ =>
+      }
+    }
+  }
+
+  test("ts_interp_linear: observed days keep day_val; interpolated gap " +
+      "values lie between their bracketing observations") {
+    import org.apache.spark.sql.functions.col
+    val interp = SparkEntry.queries("q_ts_interp_linear")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3),
+        r.getDouble(4)))
+    interp.groupBy(_._1).foreach { case (_, days) =>
+      val seq = days.sortBy(_._2)
+      // first/last grid day are observed by construction
+      assert(!seq.head._3 && !seq.last._3)
+      var lastObs = seq.head._4
+      seq.zipWithIndex.foreach { case ((_, _, gap, v), i) =>
+        if (gap) {
+          val nextObs = seq.drop(i).find(!_._3).get._4
+          val (lo, hi) = (math.min(lastObs, nextObs) - 1e-4,
+            math.max(lastObs, nextObs) + 1e-4)
+          assert(v >= lo && v <= hi, s"interp $v outside [$lo,$hi]")
+        } else lastObs = v
+      }
+    }
+  }
 }

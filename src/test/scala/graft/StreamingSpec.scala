@@ -356,4 +356,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.head.getAs[String]("via") == "HANDLER")
     } finally EventIngest.clearHandlers()
   }
+
+  test("streaming heavy hitters: MG sketch as streaming state honors " +
+      "membership + error bounds across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val k = 8
+    val q = runQuery(
+      StreamingOps.streamHeavyHitters(
+        in.toDF().toDF("lang", "tok"), k),
+      "shh", "complete")
+    // batch 1: hot token dominates; batch 2: different mix, same state —
+    // the second batch exercises the sketch MERGE path inside the state
+    // store, not just update
+    val b1 = (1 to 60).map(_ => ("en", "hot")) ++
+      (1 to 30).map(i => ("en", s"t${i % 10}"))
+    val b2 = (1 to 40).map(_ => ("en", "hot2")) ++
+      (1 to 20).map(_ => ("en", "hot")) ++
+      (1 to 15).map(i => ("en", s"u${i % 5}"))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val est = spark.table("shh").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = (b1 ++ b2).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = (b1 ++ b2).size
+    assert(est.size <= k)
+    exact.foreach { case (t, c) =>
+      // membership: anything above n/(k+1) must be reported
+      assert(c * (k + 1) <= n || est.contains(t),
+        s"$t (count $c) missing from sketch over n=$n")
+      // error: never overcount, undercount bounded by n/(k+1)
+      est.get(t).foreach { e =>
+        assert(e <= c, s"$t overcounted: est $e > exact $c")
+        assert((c - e) * (k + 1) <= n, s"$t undercount out of bounds")
+      }
+    }
+    assert(est.contains("hot") && est.contains("hot2"))
+    q.stop()
+  }
 }
