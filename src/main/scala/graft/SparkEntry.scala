@@ -22,6 +22,8 @@ object SparkEntry {
     operators.Layout.queries ++
     operators.TimeSeries.queries ++
     operators.ModelPrep.queries ++
+    operators.Graph.queries ++
+    operators.Maintenance.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +43,7 @@ object SparkEntry {
     operators.Layout.oracle ++
     operators.TimeSeries.oracle ++
     operators.ModelPrep.oracle ++
+    operators.Graph.oracle ++
+    operators.Maintenance.oracle ++
     multimodal.Multimodal.oracle
 }

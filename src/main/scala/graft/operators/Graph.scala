@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2-J4 — graph analytics over relational data: PageRank on
+  * the part↔supplier bipartite graph derived from lineitem.
+  *
+  * Exactness strategy: ranks live in integer MICRO-UNITS (initial rank
+  * = 10⁶), per-edge contributions are integer divisions
+  * (rank div out_degree) and the damping update is
+  * 150000 + (85 · Σcontrib) div 100 — every operation is exact BIGINT
+  * arithmetic, so the result is independent of Spark's aggregation
+  * order and the DuckDB oracle replicates it bit-for-bit. Float
+  * PageRank would hash-mismatch: Σ of doubles depends on partitioning.
+  *
+  * Scale shape: each iteration is one equi-join (edges ⋈ ranks on src)
+  * + one partial-aggregable groupBy(dst) — the Pregel message-passing
+  * shape. Three iterations UNROLLED into one declarative plan (no
+  * driver loop, no checkpoint needed at depth 3); an open-ended variant
+  * would loop with lineage truncation exactly like
+  * LlmOps.connectedComponents. Degrees are computed once and re-joined
+  * per iteration (tiny vs the edge table; broadcastable at any scale).
+  */
+object Graph {
+
+  /** 3 exact-integer PageRank iterations over the undirected (both
+    * directions materialized) part↔supplier graph. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lineitem(spark, dir)
+      .select(concat(lit("p:"), col("l_partkey")).as("p"),
+        concat(lit("s:"), col("l_suppkey")).as("s"))
+      .distinct()
+    val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("p").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val r0 = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    def step(ranks: DataFrame): DataFrame =
+      edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .withColumn("contrib", expr("rank div outd"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("msum"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(85 * msum) div 100")).as("rank"))
+    val r3 = step(step(step(r0)))
+    r3.orderBy(col("node"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> pagerank,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT 'p:' || l_partkey AS p,
+        |   's:' || l_suppkey AS s FROM lineitem),
+        |edges AS (SELECT p AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s, p FROM pairs),
+        |deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank
+        |  FROM deg),
+        |i1 AS (SELECT e.dst AS node,
+        |   150000 + (85 * CAST(sum(r.rank // d.outd) AS BIGINT)) // 100
+        |     AS rank
+        |  FROM edges e JOIN r0 r ON e.src = r.node
+        |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |i2 AS (SELECT e.dst AS node,
+        |   150000 + (85 * CAST(sum(r.rank // d.outd) AS BIGINT)) // 100
+        |     AS rank
+        |  FROM edges e JOIN i1 r ON e.src = r.node
+        |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |i3 AS (SELECT e.dst AS node,
+        |   150000 + (85 * CAST(sum(r.rank // d.outd) AS BIGINT)) // 100
+        |     AS rank
+        |  FROM edges e JOIN i2 r ON e.src = r.node
+        |  JOIN deg d ON e.src = d.src GROUP BY e.dst)
+        |SELECT node, rank FROM i3 ORDER BY node""".stripMargin,
+  )
+}

@@ -371,6 +371,30 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pagerank: equi-join plan (no cartesian), ranks bounded, " +
+      "every node scored") {
+    val s = executedPlanString("q_graph_pagerank")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    val rows = SparkEntry.queries("q_graph_pagerank")(spark, sf).collect()
+    val nNodes = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey").distinct.count() +
+      graft.Tables.lineitem(spark, sf).selectExpr("l_suppkey")
+        .distinct.count()
+    assert(rows.length == nNodes)
+    // every rank >= the damping base; integer truncation only loses
+    // mass, so total can never exceed the initial N * 1e6
+    assert(rows.forall(_.getLong(1) >= 150000L))
+    assert(rows.map(_.getLong(1)).sum <= nNodes * 1000000L)
+  }
+
+  test("ivm_agg_merge: merged partials agree with full recompute " +
+      "for every group") {
+    val rows = SparkEntry.queries("q_ivm_agg_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), rows.mkString("; "))
+  }
+
   test("ts_interp_linear: observed days keep day_val; interpolated gap " +
       "values lie between their bracketing observations") {
     import org.apache.spark.sql.functions.col
