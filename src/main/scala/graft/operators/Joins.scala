@@ -52,6 +52,29 @@ object Joins {
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
 
+  /** Shuffled hash join (round 4): the third big-join strategy next to
+    * SMJ and broadcast — right when both sides are large but one is
+    * small enough to hash per-partition and sorting would dominate
+    * (SMJ pays two sorts; SHJ builds a hash table on the smaller side
+    * after the shuffle). Pinned via the shuffle_hash hint; the plan
+    * shape (ShuffledHashJoin, no sort on either side) is asserted in
+    * BatchSpec. Aggregated to a small deterministic result. */
+  def joinShj(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      // quantity is integer-valued: exact BIGINT sum → exact mean
+      // (no float-aggregation-order drift vs the oracle)
+      .agg(
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("qty_sum"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_orderpriority"),
+        floor(col("qty_sum").cast("double") / col("n_lines") * 10000.0
+          + 0.5).cast("long").as("avg_qty_e4"),
+        col("n_lines"))
+      .orderBy(col("o_orderpriority"))
+
   /** Three-way dim chain customer⋈nation⋈region (both dims broadcast). */
   def joinMultiway(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir)
@@ -207,6 +230,7 @@ object Joins {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_broadcast" -> joinBroadcast,
     "q_join_smj" -> joinSmj,
+    "q_join_shj" -> joinShj,
     "q_join_multiway" -> joinMultiway,
     "q_join_left_outer" -> joinLeftOuter,
     "q_join_full_outer" -> joinFullOuter,
@@ -227,6 +251,13 @@ object Joins {
     "q_join_smj" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_shj" ->
+      """SELECT o_orderpriority,
+        | CAST(floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |   / count(*) * 10000.0 + 0.5) AS BIGINT) AS avg_qty_e4,
+        | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_multiway" ->

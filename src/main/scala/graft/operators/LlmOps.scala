@@ -701,6 +701,56 @@ object LlmOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Dataset card (round 4): the per-language summary sheet shipped
+    * with every released training corpus — doc/token/source counts,
+    * exact-dup rate, mean quality, dominant source. One partial-
+    * aggregable groupBy(lang) for the counts (count_distinct of the
+    * sha256 digest rides the same shuffle) + one tiny top-source rank;
+    * at 100 TB both shuffles key on the low-cardinality lang column and
+    * every aggregate is map-side combinable.
+    *
+    * Determinism: mean quality is the exact BIGINT mean of the per-doc
+    * e4-quantized score (floor(quality·10⁴) per row is fixed-order
+    * per-row arithmetic; the cross-row SUM is integer — float
+    * aggregation order never arises); dup rate is integer-derived. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("ttr",
+        size(array_distinct(col("tk"))) / col("n_tok").cast("double"))
+      .withColumn("stop_ratio", expr(
+        """size(filter(tk, t -> t IN ('the','a','of','and','to','in','is')))
+          |  / CAST(size(tk) AS DOUBLE)""".stripMargin))
+      .withColumn("q_e4", expr(
+        """CAST(floor((0.4 * ttr + 0.3 * (1 - stop_ratio)
+          |  + 0.3 * least(n_tok / 100.0, 1.0)) * 10000.0) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+    val stats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("h")).as("n_uniq"),
+        sum(col("q_e4")).as("q_sum"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_sources"),
+        floor((lit(1.0) - col("n_uniq").cast("double") / col("n_docs"))
+          * 10000.0 + 0.5).cast("long").as("dup_rate_e4"),
+        floor(col("q_sum").cast("double") / col("n_docs") + 0.5)
+          .cast("long").as("mean_q_e4"))
+    val topSource = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("src_cnt"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("lang"))
+          .orderBy(col("src_cnt").desc, col("source"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source").as("top_source"),
+        col("src_cnt").as("top_source_docs"))
+    stats.join(topSource, Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish ≤4-char subword chunks
     * (regex '\S{1,4}' ≡ per-token ceil(len/4) chunking). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -1019,6 +1069,7 @@ object LlmOps {
     "q_llm_decontaminate" -> decontaminate,
     "q_llm_repetition" -> repetitionRatio,
     "q_llm_curation" -> curationPipeline,
+    "q_llm_dataset_card" -> datasetCard,
     "q_llm_seq_pack" -> seqPack,
     "q_llm_domain_mix" -> domainMix,
     "q_llm_perplexity" -> perplexity,
@@ -1316,6 +1367,37 @@ object LlmOps {
         |FROM (SELECT doc_id, string_split(text, ' ') AS tk
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "q_llm_dataset_card" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |   string_split(text, ' ') AS tk,
+        |   sha256(lower(trim(text))) AS h
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, source, h,
+        |   CAST(len(tk) AS BIGINT) AS n_tok,
+        |   CAST(floor((0.4 * (1.0 * len(list_distinct(tk)) / len(tk))
+        |     + 0.3 * (1 - 1.0 * len([t for t in tk
+        |         if t IN ('the','a','of','and','to','in','is')]) / len(tk))
+        |     + 0.3 * least(len(tk) / 100.0, 1.0)) * 10000.0) AS BIGINT)
+        |     AS q_e4
+        |  FROM d),
+        |stats AS (SELECT lang, count(*) AS n_docs,
+        |   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |   count(DISTINCT source) AS n_sources,
+        |   CAST(floor((1.0 - 1.0 * count(DISTINCT h) / count(*))
+        |     * 10000.0 + 0.5) AS BIGINT) AS dup_rate_e4,
+        |   CAST(floor(CAST(sum(q_e4) AS DOUBLE) / count(*) + 0.5)
+        |     AS BIGINT) AS mean_q_e4
+        |  FROM q GROUP BY 1),
+        |src AS (SELECT lang, source AS top_source,
+        |   src_cnt AS top_source_docs
+        |  FROM (SELECT lang, source, count(*) AS src_cnt,
+        |     row_number() OVER (PARTITION BY lang
+        |       ORDER BY count(*) DESC, source) AS rn
+        |    FROM q GROUP BY lang, source) WHERE rn = 1)
+        |SELECT s.lang, s.n_docs, s.n_tokens, s.n_sources, s.dup_rate_e4,
+        | s.mean_q_e4, src.top_source, src.top_source_docs
+        |FROM stats s JOIN src ON s.lang = src.lang
+        |ORDER BY s.lang""".stripMargin,
     "q_llm_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,

@@ -128,6 +128,13 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("join_shj honors the shuffle_hash hint: hash join after " +
+      "exchange, no sort on either input") {
+    val s = executedPlanString("q_join_shj")
+    assert(s.contains("ShuffledHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("full outer join plans a sort-merge FullOuter (cannot broadcast)") {
     val s = executedPlanString("q_join_full_outer")
     assert(s.contains("FullOuter"), s)
