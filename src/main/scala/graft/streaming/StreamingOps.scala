@@ -16,6 +16,13 @@ case class SessionSummary(user_id: Long, n_events: Int,
 
 private case class FsmState(nEvents: Int, firstTs: Long, lastTs: Long)
 
+/** Open SCD-2 row held in streaming state (one per user). */
+case class Scd2Open(state: String, validFromUs: Long, version: Int)
+
+/** Closed SCD-2 version row emitted when a user's attribute changes. */
+case class Scd2Closed(user_id: Long, version: Int, state: String,
+    valid_from_us: Long, valid_to_us: Long)
+
 /** SURVEY.md §2-I — Structured Streaming operators. Each is a pure
   * DataFrame→DataFrame transform so the same code runs on a MemoryStream
   * (tests), a file source (EventIngest), or Kafka at cluster scale.
@@ -164,6 +171,41 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming SCD-2 (round 4): the incremental twin of the batch
+    * `Reshape.scd2Merge` — per-user state tracks the OPEN dimension row
+    * (current attribute value + its valid_from + version); when an
+    * event changes the value, the closed version row is EMITTED with
+    * its final [valid_from, valid_to] interval and the open row
+    * advances. Emitted rows are immutable history (append mode); the
+    * open row lives only in state, exactly one per key — the streaming
+    * CDC→warehouse merge. State is O(1) per user regardless of stream
+    * length. Out-of-order events within a micro-batch are sorted by
+    * (ts, event_id) before folding, mirroring the batch window order. */
+  def scd2Stream(events: Dataset[Ev]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: GroupState[Scd2Open]): Iterator[Scd2Closed] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+      var cur = state.getOption.orNull
+      sorted.foreach { e =>
+        val tsUs = e.ts.getTime * 1000
+        if (cur == null) {
+          cur = Scd2Open(e.event_type, tsUs, 1)
+        } else if (cur.state != e.event_type) {
+          out += Scd2Closed(userId, cur.version, cur.state,
+            cur.validFromUs, tsUs - 1)
+          cur = Scd2Open(e.event_type, tsUs, cur.version + 1)
+        }
+      }
+      if (cur != null) state.update(cur)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Streaming heavy hitters (round 4): the Misra-Gries `freq_sketch`

@@ -395,4 +395,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est.contains("hot") && est.contains("hot2"))
     q.stop()
   }
+
+  test("streaming SCD-2 closed rows match the batch scd2 semantics " +
+      "across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.scd2Stream(in.toDS()).toDF(), "scd2s",
+      "append")
+    // user 1: click -> click (no change) -> view -> error; the
+    // view->error transition arrives in a LATER micro-batch, so the
+    // view version must close against state carried across batches
+    in.addData(ev(1, 0, 1, "click"), ev(2, 5, 1, "click"),
+      ev(3, 10, 1, "view"))
+    q.processAllAvailable()
+    in.addData(ev(4, 20, 1, "error"), ev(5, 0, 2, "signup"))
+    q.processAllAvailable()
+    val rows = spark.table("scd2s").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def us(minute: Int): Long = ts(minute).getTime * 1000
+    // closed rows only: (v1 click [0,10m)), (v2 view [10m,20m));
+    // the open error row and user 2's open signup row live in state
+    assert(rows == Set(
+      (1L, 1, "click", us(0), us(10) - 1),
+      (1L, 2, "view", us(10), us(20) - 1)))
+    // a third batch closing user 2 emits exactly its one closed row
+    in.addData(ev(6, 30, 2, "purchase"))
+    q.processAllAvailable()
+    val rows2 = spark.table("scd2s").collect()
+    assert(rows2.length == 3)
+    q.stop()
+  }
 }
