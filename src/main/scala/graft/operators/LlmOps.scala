@@ -937,22 +937,27 @@ object LlmOps {
     * clean text from the ORIGINAL column (ground truth), so it verifies
     * the strip actually recovers the payload rather than mirroring the
     * regexes. */
+  /** The strip chain itself, reusable and unit-testable. Entity order
+    * matters: the generic entity strip runs BEFORE &amp; decode (with a
+    * lookahead guarding &amp; itself), so "&amp;lt;" in source text
+    * decodes once to literal "&lt;" instead of being double-decoded and
+    * then stripped as a real entity. */
+  private[graft] def stripHtml(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "<[^>]*>", " "),
+        "&nbsp;", " "), "&#33;", "!"), "&(?!amp;)[a-z]+;", " "),
+        "&amp;", "&"),
+      "\\s+", " "))
+
   def htmlStrip(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .withColumn("html", concat(
         lit("<html><body class=\"doc\"><h1>"), col("source"),
         lit("</h1>\n<p>"), col("text"),
         lit("</p><br/>&amp;&nbsp;tail&#33;</body></html>")))
-      .withColumn("stripped", trim(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          col("html"), "<[^>]*>", " "),
-          "&nbsp;", " "), "&#33;", "!"), "&(?!amp;)[a-z]+;", " "),
-          "&amp;", "&"),
-        "\\s+", " ")))
-      // Entity order matters: the generic strip runs BEFORE &amp; decode
-      // (with a lookahead guarding it), so "&amp;lt;" in source text
-      // decodes once to literal "&lt;" instead of being double-decoded
-      // and then stripped as a real entity.
+      .withColumn("stripped", stripHtml(col("html")))
       .select(col("doc_id"), length(col("html")).as("n_html"),
         length(col("stripped")).as("n_clean"),
         expr(h60("stripped")).as("clean_h"))

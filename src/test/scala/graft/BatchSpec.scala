@@ -313,6 +313,25 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(leaves - total) < 0.05, s"$leaves vs $total")
   }
 
+  test("stripHtml decodes entity-bearing text exactly once " +
+      "(no double-decode of &amp;-escaped entities)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // &amp;lt; is the ESCAPED text "&lt;" — must survive as literal
+      // &lt;, not be double-decoded and then stripped
+      ("<p>a &amp;lt; b</p>", "a &lt; b"),
+      ("x &amp; y", "x & y"),
+      ("a&nbsp;b&#33;", "a b!"),
+      // a real unknown entity is stripped to whitespace
+      ("c &copy; d", "c d"),
+      ("<div class=\"x\">t</div>", "t"))
+    val got = rows.map(_._1).toDF("h")
+      .select(graft.operators.LlmOps.stripHtml(col("h")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == rows.map(_._2))
+  }
+
   // ---- round 4: model-prep operators ----
 
   test("kmeans_step: centroid side broadcasts (BNLJ), no cartesian; " +
