@@ -67,6 +67,43 @@ object Scans {
       .orderBy(col("r_regionkey"))
   }
 
+  /** Malformed-input contract (round 4): read a CSV stream containing
+    * broken lines under PERMISSIVE mode — well-formed rows parse, broken
+    * rows surface in `_corrupt_record` instead of failing the job, and
+    * the query reports both populations. The batch twin of the
+    * streaming log-follower's malformed-line robustness
+    * (DockerEvents tolerates broken JSON lines the same way;
+    * reference analog: muswarmlogger/loggers.py tolerating non-JSON
+    * docker log lines ≈L120 [C-med]). Every 7th row is corrupted
+    * deterministically (non-numeric key, truncated quote). */
+  def sourceCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = scratch("csv_bad")
+    val lines = nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+      .collect() // 25 dim rows — driver-side minting of the fixture only
+      .map { r =>
+        val (k, n) = (r.getInt(0), r.getString(1))
+        if (k % 7 == 3) s"not_a_number,$n" else s"$k,$n"
+      }
+    spark.sparkContext.parallelize(lines.toSeq, 2).toDF("value")
+      .write.mode("overwrite").text(tmp)
+    val parsed = spark.read
+      .schema(StructType(Seq(
+        StructField("k", IntegerType),
+        StructField("name", StringType),
+        StructField("_corrupt_record", StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(tmp)
+      .cache() // corrupt-column queries need the parse materialized once
+    parsed
+      .select(col("k"), col("name"),
+        col("_corrupt_record").isNotNull.as("is_corrupt"))
+      .orderBy(col("name"))
+  }
+
   /** RDF-export parity: wide event rows → long (s,p,o) triples with minted
     * IRIs, mirroring the reference's aiosparql Triples rendering
     * (muswarmlogger/loggers.py ≈L45). One explode, no join/shuffle. */
@@ -143,12 +180,18 @@ object Scans {
     "q_scan_prune_pushdown" -> scanPrunePushdown,
     "q_scan_json_embedded" -> scanJsonEmbedded,
     "q_source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "q_source_csv_malformed" -> sourceCsvMalformed,
     "q_sink_triples_export" -> sinkTriplesExport,
   )
 
   val oracle: Map[String, String] = Map(
     "q_source_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_source_csv_malformed" ->
+      """SELECT CASE WHEN n_nationkey % 7 = 3 THEN NULL
+        |   ELSE n_nationkey END AS k,
+        | n_name AS name, n_nationkey % 7 = 3 AS is_corrupt
+        |FROM nation ORDER BY name""".stripMargin,
     "q_source_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey""".stripMargin,

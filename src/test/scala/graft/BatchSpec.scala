@@ -414,6 +414,29 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).sum <= nNodes * 1000000L)
   }
 
+  test("semdedup: smallest vec_id per cluster is always kept; " +
+      "drops only happen with an in-cluster smaller-id neighbor") {
+    val rows = SparkEntry.queries("q_llm_semdedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    rows.groupBy(_._2).foreach { case (cl, vs) =>
+      val minId = vs.map(_._1).min
+      assert(vs.find(_._1 == minId).get._3, s"cluster $cl min not kept")
+    }
+    assert(rows.forall(v => v._3 || v._1 > rows.filter(_._2 == v._2)
+      .map(_._1).min))
+  }
+
+  test("csv malformed: PERMISSIVE keeps good rows, flags bad ones, " +
+      "never fails the job") {
+    val rows = SparkEntry.queries("q_source_csv_malformed")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val (bad, good) = rows.partition(_.getBoolean(2))
+    assert(bad.nonEmpty && good.nonEmpty)
+    assert(bad.forall(_.isNullAt(0)))   // corrupt key column nulled
+    assert(good.forall(!_.isNullAt(0)))
+  }
+
   test("ivm_agg_merge: merged partials agree with full recompute " +
       "for every group") {
     val rows = SparkEntry.queries("q_ivm_agg_merge")(spark, sf).collect()
