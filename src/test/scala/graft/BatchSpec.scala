@@ -169,6 +169,12 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("win_topk_per_group gets the WindowGroupLimit pushdown " +
+      "(rank<=k filtered BEFORE the full window sort buffers)") {
+    val s = executedPlanString("q_win_topk_per_group")
+    assert(s.contains("WindowGroupLimit"), s)
+  }
+
   test("ntile_share plans no single-partition window exchange") {
     // the quartile must come from the two-pass range-partitioned rank,
     // never from a global Window.orderBy (Exchange SinglePartition)
