@@ -75,6 +75,37 @@ object Joins {
         col("n_lines"))
       .orderBy(col("o_orderpriority"))
 
+  /** Explicit bloom-prefiltered join (round 4): build a bloom filter
+    * over a SELECTIVE dim side's join keys (high-value orders, ~2% of
+    * rows), broadcast the one-row sketch, and drop non-matching fact
+    * rows with `graft_might_contain` BEFORE the exact join — the
+    * user-controlled twin of the optimizer's InjectRuntimeFilter
+    * (ScaleSpec proves the injected form; this row proves the explicit
+    * form stays EXACT, because the subsequent equi-join removes the
+    * bloom's false positives). At 100 TB the fact side never shuffles
+    * rows whose keys cannot join: the bloom prunes at the scan. */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFuncs.register(spark)
+    val sel = orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    // might_contain requires the sketch as a constant or scalar
+    // subquery (the same contract the optimizer's injected form
+    // satisfies) — a one-row subquery over the selective key set
+    sel.createOrReplaceTempView("graft_bloom_dim")
+    lineitem(spark, dir)
+      .filter(expr(
+        """graft_might_contain(
+          |  (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)
+          |   FROM graft_bloom_dim),
+          |  xxhash64(l_orderkey))""".stripMargin))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("qty_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Three-way dim chain customer⋈nation⋈region (both dims broadcast). */
   def joinMultiway(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir)
@@ -231,6 +262,7 @@ object Joins {
     "q_join_broadcast" -> joinBroadcast,
     "q_join_smj" -> joinSmj,
     "q_join_shj" -> joinShj,
+    "q_join_bloom_prefilter" -> joinBloomPrefilter,
     "q_join_multiway" -> joinMultiway,
     "q_join_left_outer" -> joinLeftOuter,
     "q_join_full_outer" -> joinFullOuter,
@@ -259,6 +291,12 @@ object Joins {
         |   / count(*) * 10000.0 + 0.5) AS BIGINT) AS avg_qty_e4,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_bloom_prefilter" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_multiway" ->
       """SELECT c_custkey, c_name, n_name, r_name

@@ -135,6 +135,22 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.contains("SortMergeJoin"), s)
   }
 
+  test("bloom prefilter: might_contain guards the fact scan, result " +
+      "identical to the plain join (false positives removed)") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+    val plain = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 400000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == plain)
+  }
+
   test("full outer join plans a sort-merge FullOuter (cannot broadcast)") {
     val s = executedPlanString("q_join_full_outer")
     assert(s.contains("FullOuter"), s)
