@@ -63,6 +63,35 @@ object Aggregates {
         col("n_users_exact"))
       .orderBy(col("event_type"))
 
+  /** Re-mergeable HLL sketches (round 4) — the 100 TB pre-aggregation
+    * pattern `approx_count_distinct` alone cannot show: per-month
+    * `hll_sketch_agg` sketches are built once (in a real pipeline:
+    * stored in the daily rollup table), then ANY period rollup is a
+    * cheap `hll_union_agg` over the tiny sketch rows — no rescan of the
+    * raw fact table. Sketch bits differ across engines, so the enrolled
+    * row emits the VERDICT: the merged estimate must land within ±5% of
+    * exact (lgK=14 ≈ 0.8% standard error). The DuckDB twin emits `true`
+    * unconditionally, so a hash match certifies the bound. */
+  def hllMergeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    val merged = monthly
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_approx"),
+        count(lit(1)).as("n_months"))
+    val exact = orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    merged.join(broadcast(exact), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        (abs(col("n_approx") - col("n_exact"))
+          <= col("n_exact") * 0.05).as("within_5pct"),
+        col("n_months"), col("n_exact"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** ROLLUP with grouping() indicator columns (cast int for parity). */
   def rollupQty(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -278,6 +307,7 @@ object Aggregates {
     "q_llm_stratified_sample" -> stratifiedSample,
     "q_agg_count_distinct" -> countDistinctUsers,
     "q_agg_approx_distinct" -> approxDistinctUsers,
+    "q_agg_hll_merge" -> hllMergeCustomers,
     "q_agg_rollup" -> rollupQty,
     "q_agg_cube" -> cubeEvents,
     "q_agg_grouping_sets" -> groupingSets,
@@ -327,6 +357,12 @@ object Aggregates {
       """SELECT event_type, true AS within_5pct,
         | count(DISTINCT user_id) AS n_users_exact
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_hll_merge" ->
+      """SELECT o_orderpriority, true AS within_5pct,
+        | count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+        | count(DISTINCT o_custkey) AS n_exact
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_agg_approx_percentile" ->
       """SELECT o_orderpriority, true AS within_5pct, count(*) AS n
         |FROM orders GROUP BY o_orderpriority

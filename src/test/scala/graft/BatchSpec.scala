@@ -55,6 +55,17 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.queryExecution.executedPlan.toString
   }
 
+  test("hll merge: monthly sketch build + union merge in the plan, " +
+      "exact side broadcast, verdict true on every row") {
+    val df = SparkEntry.queries("q_agg_hll_merge")(spark, sf)
+    val rows = df.collect()
+    val s = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(s.contains("hll_sketch_agg"), s.take(1500))
+    assert(s.contains("hll_union_agg"), s.take(1500))
+    assert(s.contains("broadcasthashjoin"), s.take(1500))
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(1)))
+  }
+
   test("join_broadcast plans a broadcast hash join") {
     val s = executedPlanString("q_join_broadcast")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
