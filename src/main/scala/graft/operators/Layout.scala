@@ -99,9 +99,62 @@ object Layout {
     } finally fs.delete(tmpPath, true)
   }
 
+  /** Bucketed co-located join (round 4): the layout investment that
+    * pays for itself on every subsequent join. Both sides are written
+    * `bucketBy(8, joinKey)` (+ in-bucket sort), so the bucketed scans
+    * already satisfy the join's hash-partitioning requirement and the
+    * SortMergeJoin plans with NO Exchange on either side — at 100 TB
+    * the repeated fact⋈fact join never shuffles again (the driver pays
+    * one bucketed write, amortized across every downstream query).
+    * The merge hint pins SMJ (at test scale the dim side would
+    * broadcast, which hides the property being demonstrated). Emits a
+    * `no_shuffle_join` verdict column computed from the executed join
+    * plan plus the exact join aggregate; the DuckDB twin is the plain
+    * join with `true` pinned. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$tmp/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").option("path", s"$tmp/lineitem_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      val joined = spark.table("graft_lineitem_b").hint("merge")
+        .join(spark.table("graft_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val agg = joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("qty_sum"))
+        .orderBy(col("o_orderpriority"))
+      val rows = agg.collect() // 5 agg rows — control-plane sized
+      // The downstream groupBy/sort legitimately shuffle on THEIR keys;
+      // co-location means no exchange hash-partitions on the JOIN keys.
+      val plan = agg.queryExecution.executedPlan.toString
+      val noShuffle = plan.contains("SortMergeJoin") &&
+        !plan.contains("hashpartitioning(l_orderkey") &&
+        !plan.contains("hashpartitioning(o_orderkey")
+      rows.toSeq.map(r => (r.getString(0), noShuffle, r.getLong(1), r.getLong(2)))
+        .toDF("o_orderpriority", "no_shuffle_join", "n_lines", "qty_sum")
+      // ^ LocalRelation of computed scalars — safe to delete tmp below.
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      fs.delete(tmpPath, true)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_zorder" -> zorderStats,
     "q_layout_compact" -> compact,
+    "q_layout_bucketed_join" -> bucketedJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -120,5 +173,11 @@ object Layout {
       """SELECT count(*) AS n_rows, CAST(64 AS BIGINT) AS files_before,
         | true AS compacted, true AS content_ok
         |FROM lineitem""".stripMargin,
+    "q_layout_bucketed_join" ->
+      """SELECT o_orderpriority, true AS no_shuffle_join,
+        | count(*) AS n_lines,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

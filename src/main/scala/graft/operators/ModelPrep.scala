@@ -233,7 +233,31 @@ object ModelPrep {
       .orderBy(col("rank"))
   }
 
+  /** Deterministic train/val/test split (round 4): every corpus release
+    * needs a split that is (a) stable under repartitioning/reruns —
+    * membership is a pure function of the doc id, not of row order or
+    * sampling state — and (b) computable at any scale with zero extra
+    * shuffles (the split label is a per-row projection; only the audit
+    * groupBy below shuffles, on a 15-key space). Bucket = md5-derived
+    * h60(doc_id) % 1000 → 98/1/1 train/val/test; the cross-engine h60
+    * parity (LlmOps) makes the assignment EXACTLY reproducible in
+    * DuckDB, so the oracle checks the true per-split membership, not
+    * just counts. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("bucket",
+        expr(s"${LlmOps.h60("CAST(doc_id AS STRING)")} % 1000"))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 980 THEN 'train' " +
+          "WHEN bucket < 990 THEN 'val' ELSE 'test' END"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"), col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_split_assign" -> splitAssign,
     "q_llm_minhash_est" -> minhashEst,
     "q_llm_quality_logreg" -> qualityLogreg,
     "q_llm_url_canon" -> urlCanon,
@@ -243,6 +267,16 @@ object ModelPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_split_assign" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+        |     % 1000 AS bucket FROM documents)
+        |SELECT lang,
+        | CASE WHEN bucket < 980 THEN 'train'
+        |      WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        | min(doc_id) AS min_doc
+        |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q_llm_minhash_est" ->
       s"""WITH ${LlmOps.minhashCandCte},
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
