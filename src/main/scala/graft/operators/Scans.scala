@@ -171,8 +171,34 @@ object Scans {
       .orderBy(col("event_id"))
   }
 
+  /** Parquet schema evolution (round 4): a 100 TB table accretes
+    * columns over its lifetime — epoch-1 files carry (doc_id, lang),
+    * epoch-2 files land in the SAME directory with an added n_chars
+    * column. `mergeSchema` unifies the footers at planning time and
+    * old files surface NULL for the new column; the aggregate proves
+    * both populations are read through one scan (count vs non-null
+    * count vs sum over the evolved column). No rewrite of old files —
+    * the evolution cost is a footer merge, not a 100 TB copy. */
+  def scanSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("evolve")
+    val docs = documents(spark, dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("append").parquet(s"$tmp/t")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_full" -> scanFull,
+    "q_scan_schema_evolution" -> scanSchemaEvolution,
     "q_source_json_roundtrip" -> sourceJsonRoundtrip,
     "q_source_orc_roundtrip" -> sourceOrcRoundtrip,
     "q_source_parquet_zstd" -> sourceParquetZstd,
@@ -185,6 +211,12 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_schema_evolution" ->
+      """SELECT lang, count(*) AS n_rows,
+        | count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
+        | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |   AS chars_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_source_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_source_csv_malformed" ->

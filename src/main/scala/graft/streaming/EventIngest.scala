@@ -130,6 +130,29 @@ object EventIngest {
     }
   }
 
+  /** Catch-up run (round 4): `Trigger.AvailableNow` processes every
+    * file currently in the source — across as many rate-limited
+    * micro-batches as `maxFilesPerTrigger` implies, checkpointing each
+    * one — and then TERMINATES. This is the scheduled-batch operating
+    * mode of a 100 TB ingestion pipeline (run hourly from cron /
+    * an orchestrator, pay executors only while catching up) with
+    * exactly the same code, checkpoint, and idempotence contract as
+    * the always-on stream: a later run resumes from the checkpoint and
+    * ingests only files that arrived since. Unlike the deprecated
+    * `Trigger.Once`, AvailableNow respects the per-batch rate limit,
+    * so a large backlog cannot OOM a single giant micro-batch. */
+  def runCatchUp(spark: SparkSession, srcDir: String, containerId: String,
+      storeDir: String, checkpointDir: String): StreamingQuery =
+    DockerEvents.parseLogLines(
+        spark.readStream.option("maxFilesPerTrigger", 1).text(srcDir),
+        containerId)
+      .withColumn("date", col("ts").cast("date"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(idempotentFollowerWrite(storeDir) _)
+      .start()
+
   /** Keyed upsert sink — the reference's state-update shape: when a
     * container changes state it REPLACES that container's triples in
     * the store (delete+insert per subject), keeping one current row per

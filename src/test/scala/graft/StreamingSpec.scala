@@ -309,6 +309,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[String]("line").startsWith("hello from ")))
   }
 
+  test("catch-up run: AvailableNow drains the backlog in rate-limited " +
+      "batches, self-terminates, and a later run ingests only new files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_catchup_")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.writeString(src.resolve("a.log"),
+      "2024-01-01T10:00:00.111Z alpha\n")
+    java.nio.file.Files.writeString(src.resolve("b.log"),
+      "2024-01-01T10:00:01.111Z beta\n")
+    val store = tmp.resolve("store").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val q1 = EventIngest.runCatchUp(spark, src.toString, "c01", store, ckpt)
+    assert(q1.awaitTermination(120000), "AvailableNow must self-terminate")
+    val first = spark.read.parquet(store)
+    assert(first.count() == 2)
+    // maxFilesPerTrigger=1 → the 2-file backlog drained in >=2 batches
+    assert(first.select("batch_id").distinct().count() >= 2)
+    // a new file lands; the next scheduled run resumes from the same
+    // checkpoint and ingests ONLY it (no duplicate re-ingestion)
+    java.nio.file.Files.writeString(src.resolve("c.log"),
+      "2024-01-01T10:00:02.111Z gamma\n")
+    val q2 = EventIngest.runCatchUp(spark, src.toString, "c01", store, ckpt)
+    assert(q2.awaitTermination(120000))
+    val lines = spark.read.parquet(store).collect()
+      .map(_.getAs[String]("line")).sorted.toSeq
+    assert(lines == Seq("alpha", "beta", "gamma"), lines)
+  }
+
   test("state upsert keeps one latest row per container across batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_")
     val src = tmp.resolve("src")
