@@ -122,13 +122,52 @@ object TimeSeries {
       .orderBy(col("event_id"))
   }
 
+  /** Rolling median (round 4): per-user sliding 4-row median of
+    * `value` — the robust smoother for spiky telemetry (a single
+    * outlier shifts a rolling MEAN but not the median). One shuffle on
+    * user_id, then a bounded 4-row frame per row; frame order is
+    * (ts_ns, event_id) — the exact nanosecond long, because ordering
+    * by the µs-truncated timestamp could disagree with DuckDB's
+    * ns-precision sort where events differ only sub-µs.
+    *
+    * Spark's `median` aggregate rejects window frames
+    * (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame median is
+    * computed explicitly: sorted collect_list over the ≤4-row frame,
+    * then the standard odd/even middle interpolation — O(frame·log
+    * frame) per row on a constant frame, same linear-interpolation
+    * contract as DuckDB's median(). */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    events(spark, dir)
+      .withColumn("fr", sort_array(collect_list(col("value")).over(w)))
+      .withColumn("roll_med", r4(expr(
+        """CASE WHEN size(fr) % 2 = 1
+          |  THEN element_at(fr, CAST((size(fr) + 1) div 2 AS INT))
+          |  ELSE (element_at(fr, CAST(size(fr) div 2 AS INT))
+          |        + element_at(fr, CAST(size(fr) div 2 + 1 AS INT))) / 2.0
+          |END""".stripMargin)))
+      .select(col("event_id"), col("user_id"), col("roll_med"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_rolling_median" -> rollingMedian,
     "q_ts_resample" -> resample,
     "q_ts_interp_linear" -> interpLinear,
     "q_ts_anomaly_mad" -> anomalyMad,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_rolling_median" ->
+      """SELECT event_id, user_id,
+        | floor(median(CAST(value AS DOUBLE)) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5)
+        |   / 10000.0 AS roll_med
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_ts_resample" ->
       """WITH daily AS (SELECT user_id,
         |   CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_ev,
