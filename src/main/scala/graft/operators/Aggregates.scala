@@ -92,6 +92,30 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Key-skew diagnostic (round 4): the measurement that decides
+    * whether a join/agg key needs salting BEFORE the job burns a day
+    * discovering it — per-key counts, then one summary row: key count,
+    * total, the heaviest key's share vs uniform (exact integer
+    * arithmetic: max_n·n_keys·10⁴ div total — no float aggregation),
+    * and the heaviest key itself (min key among ties, deterministic).
+    * Two partial-aggregable passes + broadcast of two one-row frames;
+    * at 100 TB the per-key count table is the only shuffle and is
+    * exactly the aggregation the downstream job would do anyway. */
+  def diagSkew(spark: SparkSession, dir: String): DataFrame = {
+    val c = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val s = c.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total"), max(col("n")).as("max_n"))
+    c.join(broadcast(s), col("n") === col("max_n"))
+      .agg(min(col("user_id")).as("heavy_key"),
+        first(col("n_keys")).as("n_keys"),
+        first(col("total")).as("total"),
+        first(col("max_n")).as("max_n"))
+      .select(col("n_keys"), col("total"), col("max_n"),
+        expr("max_n * n_keys * 10000L div total").as("skew_x10000"),
+        col("heavy_key"))
+  }
+
   /** ROLLUP with grouping() indicator columns (cast int for parity). */
   def rollupQty(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -308,6 +332,7 @@ object Aggregates {
     "q_agg_count_distinct" -> countDistinctUsers,
     "q_agg_approx_distinct" -> approxDistinctUsers,
     "q_agg_hll_merge" -> hllMergeCustomers,
+    "q_diag_skew" -> diagSkew,
     "q_agg_rollup" -> rollupQty,
     "q_agg_cube" -> cubeEvents,
     "q_agg_grouping_sets" -> groupingSets,
@@ -357,6 +382,15 @@ object Aggregates {
       """SELECT event_type, true AS within_5pct,
         | count(DISTINCT user_id) AS n_users_exact
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_diag_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+        |       max(n) AS max_n FROM c)
+        |SELECT n_keys, total, max_n,
+        | CAST(max_n * n_keys * 10000 // total AS BIGINT) AS skew_x10000,
+        | (SELECT min(user_id) FROM c WHERE n = (SELECT max_n FROM s))
+        |   AS heavy_key
+        |FROM s""".stripMargin,
     "q_agg_hll_merge" ->
       """SELECT o_orderpriority, true AS within_5pct,
         | count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
