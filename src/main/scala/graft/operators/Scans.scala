@@ -196,9 +196,42 @@ object Scans {
       .orderBy(col("lang"))
   }
 
+  /** Sharded JSONL corpus export (round 4): the release step of every
+    * training-data pipeline — shard membership is a pure function of
+    * doc_id (md5-h60 % 4, same parity trick as the split assign), so
+    * shards are stable across reruns and engines; the write is one
+    * `partitionBy(shard).json` pass (JSONL is Spark's native json sink
+    * format, one object per line). The read-back verdict proves
+    * CONTENT round-trip, not just counts: per-shard doc count, char
+    * sum, and an order-invariant text hash (sum of xxhash64 mod prime)
+    * must survive the JSON encode/decode. */
+  def sinkJsonlShards(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("jsonl_shards")
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .withColumn("shard",
+        expr(s"${LlmOps.h60("CAST(doc_id AS STRING)")} % 4"))
+    def sig(df: DataFrame) = df.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(xxhash64(col("text")) % lit(1000000007L)).as("th"))
+    docs.write.mode("overwrite").partitionBy("shard").json(tmp)
+    val pre = sig(docs)
+    val post = sig(spark.read.json(tmp))
+      .withColumnRenamed("n_docs", "n2").withColumnRenamed("chars_sum", "c2")
+      .withColumnRenamed("th", "t2")
+    pre.join(post, Seq("shard"))
+      .select(col("shard"), col("n_docs"),
+        col("chars_sum").cast("long").as("chars_sum"),
+        (col("n_docs") === col("n2") && col("chars_sum") === col("c2")
+          && col("th") === col("t2")).as("content_ok"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_full" -> scanFull,
     "q_scan_schema_evolution" -> scanSchemaEvolution,
+    "q_sink_jsonl_shards" -> sinkJsonlShards,
     "q_source_json_roundtrip" -> sourceJsonRoundtrip,
     "q_source_orc_roundtrip" -> sourceOrcRoundtrip,
     "q_source_parquet_zstd" -> sourceParquetZstd,
@@ -211,6 +244,13 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sink_jsonl_shards" ->
+      """WITH b AS (SELECT n_chars,
+        |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+        |     % 4 AS shard FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_sum, true AS content_ok
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "q_scan_schema_evolution" ->
       """SELECT lang, count(*) AS n_rows,
         | count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_chars,
