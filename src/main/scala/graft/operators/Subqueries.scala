@@ -83,7 +83,27 @@ object Subqueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** LATERAL correlated table subquery (round 4) — "for each nation,
+    * its top-2 customers by balance": the subquery references the
+    * outer row and returns a TABLE, not a scalar. Catalyst plans a
+    * LateralJoin and decorrelates through the per-group limit (the
+    * DomainJoin/window rewrite), so execution is one ranked window
+    * over customers joined back to nation — never a per-outer-row
+    * re-scan. Deterministic: tie-break on c_custkey. */
+  def lateralTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)
+    nation(spark, dir).createOrReplaceTempView("sq_nation")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        |FROM sq_nation n,
+        | LATERAL (SELECT c_custkey, c_acctbal FROM sq_customer c
+        |          WHERE c.c_nationkey = n.n_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subq_lateral" -> lateralTopPerGroup,
     "q_subq_exists" -> existsHighValue,
     "q_subq_not_exists" -> notExistsInactive,
     "q_subq_in" -> inPriorityBuyers,
@@ -92,6 +112,13 @@ object Subqueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_subq_lateral" ->
+      """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation n,
+        | LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |          WHERE c.c_nationkey = n.n_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
     "q_subq_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -66,6 +66,14 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty && rows.forall(_.getBoolean(1)))
   }
 
+  test("lateral subquery decorrelates to WindowGroupLimit + one join " +
+      "(no per-outer-row rescan)") {
+    val s = executedPlanString("q_subq_lateral")
+    assert(s.contains("WindowGroupLimit"), s.take(1500))
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s.take(1500))
+  }
+
   test("join_broadcast plans a broadcast hash join") {
     val s = executedPlanString("q_join_broadcast")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
