@@ -159,6 +159,32 @@ object Windows {
     * relative-ranking family; both are rational functions of integer
     * rank/count so IEEE division is bit-identical cross-engine, rounded
     * 6 anyway for belt-and-braces. */
+  /** Gaps-and-islands (round 4): longest run of CONSECUTIVE active
+    * days per user. The classic constant-offset trick — day −
+    * dense-run index is constant within an island — turns streak
+    * detection into two windows over ONE user partitioning plus a
+    * groupBy: no self-join, no iteration, and the shuffle key stays
+    * user_id throughout (a single exchange at 100 TB). Distinct from
+    * sessionize: day-granular islands with an exact gap=1 predicate,
+    * not a timeout threshold. */
+  def streak(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("date_sub(day, rn)"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best_streak"),
+        min_by(col("start_day"), struct(negate(col("len")), col("start_day")))
+          .as("best_start"))
+      .select(col("user_id"), col("best_streak"),
+        date_format(col("best_start"), "yyyy-MM-dd").as("best_start"))
+      .orderBy(col("user_id"))
+  }
+
   def percentCume(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("s_nationkey"))
       .orderBy(col("s_acctbal"), col("s_suppkey"))
@@ -195,6 +221,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_fill_nth" -> fillNth,
+    "q_win_streak" -> streak,
     "q_win_percent_cume" -> percentCume,
     "q_win_topk_per_group" -> topkPerGroup,
     "q_win_lead_first_last" -> leadFirstLast,
@@ -206,6 +233,21 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |   CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |   day - CAST(row_number() OVER (
+        |     PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (SELECT user_id, len AS best_streak,
+        |   strftime(start_day, '%Y-%m-%d') AS best_start,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY len DESC, start_day) AS rk FROM runs)
+        |SELECT user_id, best_streak, best_start FROM best
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "q_win_fill_nth" ->
       """SELECT user_id, event_id,
         | last_value(k IGNORE NULLS) OVER (PARTITION BY user_id
