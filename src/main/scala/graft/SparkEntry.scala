@@ -24,6 +24,7 @@ object SparkEntry {
     operators.ModelPrep.queries ++
     operators.Graph.queries ++
     operators.Maintenance.queries ++
+    operators.Analytics.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
     operators.ModelPrep.oracle ++
     operators.Graph.oracle ++
     operators.Maintenance.oracle ++
+    operators.Analytics.oracle ++
     multimodal.Multimodal.oracle
 }

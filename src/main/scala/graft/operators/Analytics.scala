@@ -1,0 +1,371 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** SURVEY.md §2 round-4 widening, part 2 — event-log product analytics
+  * (funnel, cohort retention, last-touch attribution) and the equi-depth
+  * range-bound diagnostic.
+  *
+  * Reference analog: these are exactly the read-side reports the
+  * reference's triplestore consumers (swarm-ui dashboards, SURVEY §0.5)
+  * derive from the logged container events — lifecycle conversion
+  * (create→start→die = our signup→purchase→error funnel), per-day
+  * container cohort survival, and "which event preceded the failure"
+  * attribution.
+  *
+  * Scale notes (100 TB): every operator here is windows-over-user_id
+  * partitioning plus small-key aggregations — ONE fact shuffle each, no
+  * self-joins, no driver materialization. The global summary rows
+  * (funnel) aggregate from per-user rows, which is partial-aggregable.
+  */
+object Analytics {
+
+  private val Micros7d = 7L * 24 * 3600 * 1000000L
+
+  /** Three-stage temporal funnel: signup → first purchase AFTER the
+    * signup → first error AFTER that purchase, per user; output is the
+    * one-row funnel report with integer-exact conversion rates (×10⁴).
+    *
+    * Shape: three chained whole-partition window minima over the SAME
+    * user_id partitioning (Catalyst reuses one exchange), then a per-user
+    * reduce and a global partial-aggregable rollup. The stage-N timestamp
+    * may reference stage N-1's window result because the frame is the
+    * whole partition — no ordering dependence, no second shuffle. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("s1",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(byUser))
+      .withColumn("s2",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("s1"),
+          col("ts_us"))).over(byUser))
+      .withColumn("s3",
+        min(when(col("event_type") === "error" && col("ts_us") > col("s2"),
+          col("ts_us"))).over(byUser))
+    staged
+      .groupBy(col("user_id"))
+      .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+        max(col("s3")).as("s3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("s1")).as("n_signup"),
+        count(col("s2")).as("n_purchase"),
+        count(col("s3")).as("n_error"))
+      .withColumn("conv_purchase_e4",
+        expr("CASE WHEN n_signup > 0 THEN n_purchase * 10000 div n_signup " +
+          "ELSE 0 END"))
+      .withColumn("conv_error_e4",
+        expr("CASE WHEN n_purchase > 0 THEN n_error * 10000 div n_purchase " +
+          "ELSE 0 END"))
+  }
+
+  /** Cohort retention matrix: cohort = a user's first active day; for
+    * day offsets 0..7, how many of that cohort were active again, plus
+    * the retention share vs the cohort's own size in exact integer ×10⁴.
+    *
+    * Shape: one window pass (min day per user — the cohort assignment
+    * travels WITH the fact rows, no users-dim join), one
+    * count-distinct aggregation on the tiny (cohort_day, offset) key,
+    * and a cohort-partitioned window for the share denominator. Offset 0
+    * always exists (the cohort-defining day itself), so first() over the
+    * offset ordering is total and safe. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val byCohort = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("day_offset"))
+    events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("cohort_size", first(col("n_active")).over(byCohort))
+      .withColumn("retention_e4",
+        expr("n_active * 10000 div cohort_size"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent prior non-purchase event of the same user within a 7-day
+    * lookback ("none" if the trail is cold); report conversions and
+    * revenue per attributed channel.
+    *
+    * Shape: LOCF over the user's event timeline — one ordered window
+    * (ROWS UNBOUNDED PRECEDING..1 PRECEDING, ignoreNulls last) on the
+    * single user_id shuffle; the per-channel rollup is a tiny-key
+    * partial-aggregable groupBy. This is the merge-as-of pattern at
+    * aggregate granularity: no range join, no per-probe rescan. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val prevFrame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(prevFrame))
+      .withColumn("prev_ts",
+        last(when(col("event_type") =!= "purchase", col("ts_us")),
+          ignoreNulls = true).over(prevFrame))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("prev_ts").isNotNull &&
+          col("prev_ts") >= col("ts_us") - Micros7d, col("prev_type"))
+          .otherwise(lit("none")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** Equi-depth range bounds diagnostic: exact octile cutpoints of
+    * o_totalprice (the measurement behind range partitioning — what
+    * repartitionByRange estimates by sampling, computed exactly), plus
+    * per-bucket population and share. A skew-free column shows ~1250
+    * shares; a lumpy one tells you the range-partition boundaries to
+    * pin. Bounds are rounded to cents BEFORE bucket assignment so both
+    * engines compare against bit-identical cutpoints.
+    *
+    * Shape: one exact-percentile aggregation (single reduce to one row,
+    * broadcast back), then a map-side bucket classification and a
+    * tiny 8-key groupBy. The fact table is scanned twice — at 100 TB
+    * you'd fuse this with the job that needed the bounds anyway. */
+  def rangeBoundsDiag(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val stats = o.agg(
+      expr("transform(percentile(o_totalprice, array(0.125D, 0.25D, " +
+        "0.375D, 0.5D, 0.625D, 0.75D, 0.875D)), b -> round(b, 2))").as("bs"),
+      round(max(col("o_totalprice")), 2).as("mx"),
+      round(min(col("o_totalprice")), 2).as("mn"),
+      count(lit(1)).as("n_tot"))
+    o.select(col("o_totalprice")).crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr("CAST(size(filter(bs, b -> o_totalprice > b)) AS BIGINT)"))
+      .withColumn("lo",
+        expr("CASE WHEN bucket > 0 THEN element_at(bs, CAST(bucket AS INT)) " +
+          "ELSE mn END"))
+      .withColumn("hi",
+        expr("CASE WHEN bucket < 7 THEN element_at(bs, CAST(bucket AS INT) + 1) " +
+          "ELSE mx END"))
+      .groupBy(col("bucket"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_rows"), max(col("n_tot")).as("n_tot"))
+      .withColumn("share_e4", expr("n_rows * 10000 div n_tot"))
+      .drop("n_tot")
+      .orderBy(col("bucket"))
+  }
+
+  /** Prefix-filtered set-similarity self-join (PPJoin-lite), Jaccard
+    * τ = 0.6 over distinct 3-token shingles. The third near-dup scale
+    * path beside MinHash-LSH (probabilistic recall) and SimHash
+    * (Hamming proxy): prefix filtering is EXACT — 100% recall with a
+    * bounded candidate set. Each doc's shingles are ordered by global
+    * document frequency (rarest first); two docs can reach Jaccard τ
+    * only if they share a shingle among their first |T| − ⌈τ|T|⌉ + 1
+    * rarest shingles, so candidate generation joins only on rare
+    * shingles (at sf0.01: 165 candidate pairs out of 124,750 possible —
+    * then 25 survive exact verify). Prefix length uses the integer form
+    * ⌈3·sz/5⌉ = (3·sz + 4) div 5 — no float τ·sz anywhere.
+    *
+    * Scale: df ranking is one shingle groupBy + one doc-partitioned
+    * window; the candidate join's per-shingle fan-out is bounded by
+    * that shingle's df, and df-ascending ordering makes prefix shingles
+    * the rarest in the corpus. Verification is exact set intersection
+    * on the candidate pairs only, with the τ test as an integer
+    * cross-multiply (5·|∩| ≥ 3·|∪|). */
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val shingleExpr =
+      """CASE WHEN size(tk) >= 3
+        |THEN array_distinct(transform(sequence(1, size(tk) - 2),
+        |     i -> concat_ws(' ', slice(tk, i, 3))))
+        |ELSE CAST(array() AS array<string>) END""".stripMargin
+    val sets = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), expr(shingleExpr).as("ts"))
+    val toks = sets.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val dfCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = toks.join(dfCounts, "tok")
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rn",
+        row_number().over(byDoc.orderBy(col("df"), col("tok"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("tok"), col("sz"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
+      .distinct()
+    cand
+      .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa.ts"), col("sb.ts"))).cast("long"))
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        round(col("inter") / col("uni"), 4).as("jacc"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Deterministic weighted Bernoulli sampling: keep each doc with
+    * probability min(1, k·w/W) where w = its char length — the
+    * "sample long documents proportionally" corpus subsampling pass —
+    * decided by the md5-h60 content hash, NOT rand(): stable across
+    * reruns, repartitions, and engines. The keep test is an integer
+    * cross-multiply (u₆·W < k·w·10⁶), zero floats. At extreme corpus
+    * scale (W ≳ 10¹², where u₆·W nears 2⁶³) the same test runs in
+    * DECIMAL(38,0) — a type swap, not a redesign. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50L
+    val d = documents(spark, dir)
+      .withColumn("w", greatest(col("n_chars"), lit(1L)))
+      .withColumn("u6", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT) % 1000000"))
+    val tot = d.agg(sum(col("w")).as("w_tot"))
+    d.crossJoin(broadcast(tot))
+      .filter(col("u6") * col("w_tot") < lit(k) * col("w") * lit(1000000L))
+      .select(col("doc_id"), col("lang"), col("w"), col("u6"),
+        expr(s"CAST(least(10000 * $k * w div w_tot, 10000) AS BIGINT)")
+          .as("p_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_stages" -> funnelStages,
+    "q_cohort_retention" -> cohortRetention,
+    "q_attr_last_touch" -> lastTouchAttribution,
+    "q_diag_range_bounds" -> rangeBoundsDiag,
+    "q_llm_prefix_join" -> prefixJoin,
+    "q_llm_weighted_sample" -> weightedSample,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts_us END)
+        |  OVER (PARTITION BY user_id) AS s1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > s1
+        |  THEN ts_us END) OVER (PARTITION BY user_id) AS s2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'error' AND ts_us > s2
+        |  THEN ts_us END) OVER (PARTITION BY user_id) AS s3 FROM w2),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+        |  FROM w3 GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(s1) AS n_signup,
+        | count(s2) AS n_purchase, count(s3) AS n_error,
+        | CAST(CASE WHEN count(s1) > 0
+        |   THEN count(s2) * 10000 // count(s1) ELSE 0 END AS BIGINT)
+        |   AS conv_purchase_e4,
+        | CAST(CASE WHEN count(s2) > 0
+        |   THEN count(s3) * 10000 // count(s2) ELSE 0 END AS BIGINT)
+        |   AS conv_error_e4
+        |FROM u""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM e),
+        |o AS (SELECT user_id, cohort_day,
+        |   date_diff('day', cohort_day, day) AS day_offset
+        |  FROM c WHERE date_diff('day', cohort_day, day) <= 7),
+        |m AS (SELECT cohort_day, day_offset,
+        |   count(DISTINCT user_id) AS n_active
+        |  FROM o GROUP BY cohort_day, day_offset),
+        |s AS (SELECT *, first(n_active) OVER (PARTITION BY cohort_day
+        |   ORDER BY day_offset) AS cohort_size FROM m)
+        |SELECT cohort_day, day_offset, n_active, cohort_size,
+        | CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_e4
+        |FROM s ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_attr_last_touch" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT *,
+        |   last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |     IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type,
+        |   last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END
+        |     IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts
+        |  FROM e),
+        |p AS (SELECT CASE WHEN prev_ts IS NOT NULL
+        |     AND prev_ts >= ts_us - 604800000000 THEN prev_type
+        |     ELSE 'none' END AS channel, value
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_conversions,
+        | round(sum(value), 2) AS revenue
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
+    "q_diag_range_bounds" ->
+      """WITH s AS (SELECT
+        |   list_transform(quantile_cont(o_totalprice,
+        |     [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+        |     b -> round(b, 2)) AS bs,
+        |   round(max(o_totalprice), 2) AS mx,
+        |   round(min(o_totalprice), 2) AS mn,
+        |   count(*) AS n_tot FROM orders),
+        |b AS (SELECT
+        |   CAST(len(list_filter(s.bs, x -> o.o_totalprice > x)) AS BIGINT)
+        |     AS bucket,
+        |   s.bs AS bs, s.mx AS mx, s.mn AS mn, s.n_tot AS n_tot
+        |  FROM orders o, s),
+        |g AS (SELECT bucket,
+        |   CASE WHEN bucket > 0 THEN bs[CAST(bucket AS INTEGER)]
+        |        ELSE mn END AS lo,
+        |   CASE WHEN bucket < 7 THEN bs[CAST(bucket AS INTEGER) + 1]
+        |        ELSE mx END AS hi,
+        |   n_tot FROM b)
+        |SELECT bucket, lo, hi, count(*) AS n_rows,
+        | CAST(count(*) * 10000 // max(n_tot) AS BIGINT) AS share_e4
+        |FROM g GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin,
+    "q_llm_prefix_join" ->
+      """WITH sets AS (SELECT doc_id,
+        |   list_distinct([array_to_string(tk[i:i+2], ' ')
+        |     FOR i IN range(1, len(tk) - 1)]) AS ts
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents)
+        |  WHERE len(tk) >= 3),
+        |toks AS (SELECT doc_id, unnest(ts) AS tok FROM sets),
+        |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+        |rk AS (SELECT t.doc_id, t.tok, d.df,
+        |   count(*) OVER (PARTITION BY t.doc_id) AS sz,
+        |   row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+        |     AS rn
+        |  FROM toks t JOIN df d USING (tok)),
+        |pf AS (SELECT doc_id, tok, sz FROM rk
+        |  WHERE rn <= sz - ((3 * sz + 4) // 5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   a.sz AS a_sz, b.sz AS b_sz
+        |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.a_id, c.b_id,
+        |   CAST(len([x FOR x IN sa.ts IF list_contains(sb.ts, x)])
+        |     AS BIGINT) AS inter,
+        |   c.a_sz, c.b_sz
+        |  FROM cand c
+        |  JOIN sets sa ON c.a_id = sa.doc_id
+        |  JOIN sets sb ON c.b_id = sb.doc_id)
+        |SELECT a_id, b_id, inter, a_sz + b_sz - inter AS uni,
+        | round(CAST(inter AS DOUBLE) / (a_sz + b_sz - inter), 4) AS jacc
+        |FROM v WHERE inter * 5 >= (a_sz + b_sz - inter) * 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_llm_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+        |   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |     AS BIGINT) % 1000000 AS u6
+        |  FROM documents),
+        |t AS (SELECT sum(w) AS w_tot FROM d)
+        |SELECT doc_id, lang, w, u6,
+        | CAST(least(10000 * 50 * w // w_tot, 10000) AS BIGINT) AS p_e4
+        |FROM d, t
+        |WHERE u6 * w_tot < 50 * w * 1000000
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

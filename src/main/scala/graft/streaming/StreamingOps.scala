@@ -124,6 +124,28 @@ object StreamingOps {
       .select(col("user_id"), col("p_id"), col("s_id"))
   }
 
+  /** Stream-stream LEFT OUTER join (round 4): like [[streamStreamJoin]]
+    * but purchases with no signup in the 1 h window survive — their row
+    * is emitted with a NULL s_id only once BOTH watermarks pass the
+    * window bound, when the engine can prove no future match can
+    * arrive. Same watermark-bounded state eviction as the inner form;
+    * the outer row's emission latency is exactly the watermark delay —
+    * the correctness/latency trade every streaming attribution
+    * pipeline tunes. */
+  def streamStreamJoinOuter(purchases: DataFrame,
+      signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    p.join(s, col("user_id") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("user_id"), col("p_id"), col("s_id"))
+  }
+
   /** Per-user lifecycle FSM (attach-on-signup, emit-on-error/timeout):
     * flatMapGroupsWithState with event-time timeout. Emits a
     * SessionSummary when an `error` event arrives or the user goes quiet

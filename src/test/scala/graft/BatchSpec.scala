@@ -506,4 +506,94 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("funnel_stages: the window chain reuses ONE user_id exchange " +
+      "(three chained stage minima add no extra shuffle)") {
+    // formatted explain prints the plan once (executedPlan.toString under
+    // AQE repeats the pre-adaptive subtree and double-counts exchanges)
+    val s = planString("q_funnel_stages")
+    val userExchanges = "hashpartitioning\\(user_id".r
+      .findAllIn(s).size
+    assert(userExchanges == 1, s"expected 1 user_id exchange:\n${s.take(2000)}")
+    val row = SparkEntry.queries("q_funnel_stages")(spark, sf).collect().head
+    // funnel is monotone: users ≥ signup ≥ purchase-after ≥ error-after
+    assert(row.getLong(0) >= row.getLong(1) && row.getLong(1) >= row.getLong(2)
+      && row.getLong(2) >= row.getLong(3), row.toString)
+  }
+
+  test("cohort_retention: offset-0 rows are the cohort itself " +
+      "(retention exactly 10000) and retention never exceeds it") {
+    val rows = SparkEntry.queries("q_cohort_retention")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (offset, ret) =>
+      if (offset == 0L) assert(ret == 10000L, s"offset 0 retention $ret")
+      assert(ret <= 10000L)
+    }
+  }
+
+  test("attr_last_touch: 'purchase' is never an attribution channel, " +
+      "and conversions sum to the purchase count") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_attr_last_touch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getString(0) == "purchase"))
+    val nPurchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == nPurchases)
+  }
+
+  test("diag_range_bounds: bucket shares cover the table and the " +
+      "stats side broadcasts (no cartesian)") {
+    val s = executedPlanString("q_diag_range_bounds")
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastExchange"), s.take(1500))
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    val rows = SparkEntry.queries("q_diag_range_bounds")(spark, sf).collect()
+    val nTot = graft.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum == nTot)
+    rows.foreach(r => assert(r.getDouble(1) <= r.getDouble(2) + 1e-9,
+      s"lo>hi in $r"))
+  }
+
+  test("prefix_join: 100% recall — pair set equals the brute-force " +
+      "all-pairs exact-Jaccard result (the filter is lossless)") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_llm_prefix_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over every doc pair, 3-gram shingle Jaccard ≥ 0.6
+    val sets = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect()
+      .map { r =>
+        val tk = r.getSeq[String](1)
+        r.getLong(0) -> tk.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size; uni = sa.size + sb.size - inter
+      if uni > 0 && inter * 5 >= uni * 3
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want.diff(got)} extra=${got.diff(want)}")
+  }
+
+  test("weighted_sample: the keep decision replays exactly from the " +
+      "doc's hash and weight (no rand(), stable under repartition)") {
+    import org.apache.spark.sql.functions.col
+    val kept = SparkEntry.queries("q_llm_weighted_sample")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(1), 1L)))
+    val wTot = docs.map(_._2).sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = docs.filter { case (id, w) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u6 = java.lang.Long.parseLong(hex, 16) % 1000000L
+      u6 * wTot < 50L * w * 1000000L
+    }.map(_._1).toSet
+    assert(kept == want, s"missing=${want.diff(kept)} extra=${kept.diff(want)}")
+  }
 }

@@ -188,6 +188,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchase emits null " +
+      "after watermark close") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val pIn = MemoryStream[Ev]; val sIn = MemoryStream[Ev]
+    val q = runQuery(
+      StreamingOps.streamStreamJoinOuter(pIn.toDF(), sIn.toDF()),
+      "ssoj", "append")
+    // user 1: signup at 10:00 + purchase at 10:30 → inner match.
+    // user 2: purchase at 10:05, NO signup → must surface as a null
+    // match, but only after the watermark proves none can arrive.
+    sIn.addData(ev(10, 0, 1, "signup"))
+    pIn.addData(ev(20, 30, 1, "purchase"), ev(21, 5, 2, "purchase"))
+    q.processAllAvailable()
+    val early = spark.table("ssoj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!early.contains((2L, 21L)),
+      "outer row must NOT emit before the watermark closes its window")
+    // Advance both watermarks past 10:05 + 1h window + 10min delay;
+    // two batches because the watermark computed at batch N applies
+    // to state eviction in batch N+1.
+    sIn.addData(ev(11, 300, 9, "signup"))
+    pIn.addData(ev(22, 300, 9, "purchase"))
+    q.processAllAvailable()
+    sIn.addData(ev(12, 310, 9, "signup"))
+    pIn.addData(ev(23, 310, 9, "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("ssoj").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows.contains((1L, 20L, 10L)), s"inner match missing: $rows")
+    assert(rows.contains((2L, 21L, -1L)), s"outer null row missing: $rows")
+    q.stop()
+  }
+
   test("lifecycle FSM emits on error and on event-time timeout") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
