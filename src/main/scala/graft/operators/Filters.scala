@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -54,14 +54,22 @@ object Filters {
       .orderBy(col("p_partkey"))
 
   /** Open-keyed label map: key presence + typed value predicate, the
-    * reference's `"LOG" in labels` opt-in check. */
+    * reference's `"LOG" in labels` opt-in check.
+    *
+    * Parse-count note: from_json is codegen-fallback, so every
+    * occurrence Catalyst materializes is a real per-row JSON parse.
+    * The presence + value test is ONE coalesced predicate (absent key →
+    * NULL → false), so the filter parses each row exactly once
+    * (subexpression elimination covers the single predicate tree), and
+    * the projection re-parses only the ~5% survivors — vs 3×+ full-table
+    * parses when map_contains_key and element_at ride separate
+    * filter/project expressions. */
   def filterLabelPresence(spark: SparkSession, dir: String): DataFrame = {
-    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    val kOf = (c: Column) => element_at(
+      from_json(c, MapType(StringType, IntegerType)), "k")
     events(spark, dir)
-      .withColumn("m", m)
-      .filter(map_contains_key(col("m"), "k") &&
-        element_at(col("m"), "k") > 50)
-      .select(col("event_id"), element_at(col("m"), "k").as("k"))
+      .filter(coalesce(kOf(col("props")) > 50, lit(false)))
+      .select(col("event_id"), kOf(col("props")).as("k"))
       .orderBy(col("event_id"))
   }
 
