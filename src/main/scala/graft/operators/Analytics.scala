@@ -308,6 +308,50 @@ object Analytics {
       .orderBy(col("df").desc, col("tok"))
       .limit(100)
 
+  /** Top event trigram paths: the frequency-ranked 3-step journeys
+    * (path discovery — the exploratory pass that tells you WHICH funnel
+    * to define before q_funnel_stages measures it). Two lead() columns
+    * over the user timeline, then a tiny path-key count.
+    *
+    * Scale shape: one user_id window shuffle (same partitioning every
+    * sequence operator here uses) + a low-cardinality (≤125 paths)
+    * count; top-10 via TakeOrderedAndProject. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ini", substring(col("event_type"), 1, 1))
+      .withColumn("i2", lead(col("ini"), 1).over(byUser))
+      .withColumn("i3", lead(col("ini"), 2).over(byUser))
+      .filter(col("i3").isNotNull)
+      .select(concat_ws(">", col("ini"), col("i2"), col("i3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  /** Statistical mode with a deterministic tie-break (most frequent
+    * user per event type; ties → smallest user_id). Built from count +
+    * rank rather than the mode() aggregate because engines disagree on
+    * mode's tie-break — this form is total-ordered and replicates
+    * exactly.
+    *
+    * Scale shape: two partial-aggregable groupBys; the per-type rank
+    * window runs on the already-reduced (type, user) counts. */
+  def modeByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id"))
+    events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(byType))
+      .filter(col("r") === 1)
+      .select(col("event_type"), col("user_id").as("mode_user"),
+        col("n").as("mode_n"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_stages" -> funnelStages,
     "q_cohort_retention" -> cohortRetention,
@@ -317,6 +361,8 @@ object Analytics {
     "q_llm_weighted_sample" -> weightedSample,
     "q_seq_pattern" -> seqPattern,
     "q_llm_inverted_index" -> invertedIndex,
+    "q_top_paths" -> topPaths,
+    "q_agg_mode" -> modeByGroup,
   )
 
   val oracle: Map[String, String] = Map(
@@ -464,5 +510,24 @@ object Analytics {
         |    ELSE ids20[i] - ids20[i-1] END
         |    FOR i IN range(1, len(ids20) + 1)], ',') AS postings_delta
         |FROM c ORDER BY df DESC, tok LIMIT 100""".stripMargin,
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   substr(event_type, 1, 1) AS ini FROM events),
+        |w AS (SELECT user_id, ini,
+        |   lead(ini, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS i2,
+        |   lead(ini, 2) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS i3
+        |  FROM e)
+        |SELECT concat(ini, '>', i2, '>', i3) AS path, count(*) AS n
+        |FROM w WHERE i3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |   ORDER BY n DESC, user_id) AS r FROM c)
+        |SELECT event_type, user_id AS mode_user, n AS mode_n
+        |FROM r WHERE r = 1 ORDER BY event_type""".stripMargin,
   )
 }

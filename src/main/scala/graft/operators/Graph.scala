@@ -71,8 +71,35 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Degree-distribution diagnostic (round 4 part 2): log2-bucketed
+    * degree histogram per bipartite side — the first measurement before
+    * ANY graph job at scale (it decides broadcast vs co-partition, skew
+    * salting, and whether a super-node needs splitting). The bucket is
+    * bit-length arithmetic (`length(bin(deg)) - 1`), never float log2 —
+    * exact at every power-of-two boundary in both engines.
+    *
+    * Scale shape: one distinct-edge shuffle (shared with any downstream
+    * graph job), two partial-aggregable degree groupBys, and a ~64-key
+    * final rollup. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val d = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .select(lit("part").as("side"), col("deg"))
+      .union(edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .select(lit("supplier").as("side"), col("deg")))
+    d.withColumn("log2_bucket",
+        expr("CAST(length(bin(deg)) - 1 AS BIGINT)"))
+      .groupBy(col("side"), col("log2_bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy(col("side"), col("log2_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> pagerank,
+    "q_graph_degree_dist" -> degreeDist,
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,5 +129,15 @@ object Graph {
         |SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
         |   ELSE 's:' || (node // 2) END AS node, rank
         |FROM i3 ORDER BY node""".stripMargin,
+    "q_graph_degree_dist" ->
+      """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem),
+        |d AS (SELECT 'part' AS side, count(*) AS deg FROM edges GROUP BY p
+        |  UNION ALL
+        |  SELECT 'supplier' AS side, count(*) AS deg FROM edges GROUP BY s)
+        |SELECT side, CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bucket,
+        | count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM d GROUP BY side, log2_bucket
+        |ORDER BY side, log2_bucket""".stripMargin,
   )
 }
