@@ -204,4 +204,32 @@ object GraftProps extends Properties("graft") {
         .map(_.getDouble(2)).head
       math.abs(leaves - total) < 1e-6 * math.max(1.0, math.abs(total))
     }
+
+  // ---- prefix-filter completeness lemma (q_llm_prefix_join) ---------
+  // Pure model, no Spark: for ANY total element order, if J(A,B) ≥ 3/5
+  // then the (|S| − ⌈3|S|/5⌉ + 1)-element prefixes of A and B (in that
+  // order) intersect, and the PPJoin length filter 5·min ≥ 3·max holds.
+  // This is the property that makes the candidate join lossless — the
+  // BatchSpec recall test checks it on the corpus; this checks it on
+  // adversarial random sets.
+  private val intSetPair = for {
+    xs <- Gen.nonEmptyListOf(Gen.choose(0, 50))
+    ys <- Gen.nonEmptyListOf(Gen.choose(0, 50))
+  } yield (xs.toSet, ys.toSet)
+
+  property("prefix filter is lossless at tau=3/5 for any set pair") =
+    forAll(intSetPair) { case (a, b) =>
+      val inter = (a & b).size
+      val uni = (a | b).size
+      val similar = inter * 5 >= uni * 3
+      def prefix(s: Set[Int]): Set[Int] = {
+        val sz = s.size
+        val plen = sz - (3 * sz + 4) / 5 + 1
+        s.toList.sorted.take(plen).toSet
+      }
+      val lengthOk = 5 * math.min(a.size, b.size) >= 3 * math.max(a.size, b.size)
+      val prefixesMeet = (prefix(a) & prefix(b)).nonEmpty
+      // lemma: similarity implies both candidate conditions
+      !similar || (lengthOk && prefixesMeet)
+    }
 }
