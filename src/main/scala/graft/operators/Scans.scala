@@ -228,8 +228,24 @@ object Scans {
       .orderBy(col("shard"))
   }
 
+  /** Row provenance via the hidden `_metadata` columns (round 4
+    * part 2): which physical file contributed which rows — the
+    * debugging/lineage surface every 100 TB incident review starts
+    * from ("which ingest batch produced the bad rows?"). Per-file row
+    * counts and key ranges, computed without reading any data column
+    * except the key (the metadata struct is populated from the scan's
+    * split info, not file contents). */
+  def scanMetadataCols(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("_metadata.file_name").as("file"), col("l_orderkey"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"), min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("file"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_full" -> scanFull,
+    "q_scan_metadata_cols" -> scanMetadataCols,
     "q_scan_schema_evolution" -> scanSchemaEvolution,
     "q_sink_jsonl_shards" -> sinkJsonlShards,
     "q_source_json_roundtrip" -> sourceJsonRoundtrip,
@@ -244,6 +260,15 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_metadata_cols" ->
+      // ground-truth reconstruction (the driver's comparator runs oracle
+      // SQL against table VIEWS, so no filename=true scan here): the
+      // fixture layout is exactly one file per table, so provenance must
+      // attribute every row to lineitem.parquet — the Spark side reads
+      // the name from _metadata, the oracle pins what it must be
+      """SELECT 'lineitem.parquet' AS file, count(*) AS n_rows,
+        | min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY 1 ORDER BY file""".stripMargin,
     "q_sink_jsonl_shards" ->
       """WITH b AS (SELECT n_chars,
         |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)

@@ -153,14 +153,64 @@ object TimeSeries {
       .orderBy(col("event_id"))
   }
 
+  /** Per-user trend slope (round 4 part 2): least-squares regression of
+    * value over time — the `regr_slope` family computed with EXACT
+    * integer sums. Float regr_slope would hash-mismatch (Σxy over
+    * doubles depends on aggregation order); here x = whole hours since
+    * the user's first event (window min — x stays small so every
+    * moment sum fits BIGINT: x ≤ ~10³, y ≤ ~10⁵ centi-units, n ≤ 10² ⇒
+    * numerator·10⁶ ≤ ~10¹⁸), y = value in centi-units, and
+    * slope = (n·Σxy − Σx·Σy)·10⁶ div (n·Σxx − Σx²) is pure BIGINT.
+    * At larger per-key spans the same query coarsens the x unit (days)
+    * — a constant swap, not a redesign.
+    *
+    * Scale shape: one user_id window (min) + one partial-aggregable
+    * groupBy on the same key — single fact shuffle. */
+  def regrSlope(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events(spark, dir)
+      // hours from the µs epoch (not ns): DuckDB materializes ts at µs
+      // precision, so the ns→hour division must round-trip through µs
+      // on BOTH engines to bucket identically
+      .withColumn("ts_h", expr("(ts_ns div 1000) div 3600000000"))
+      .withColumn("x", col("ts_h") - min(col("ts_h")).over(byUser))
+      .withColumn("y", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_e6", expr(
+        """CASE WHEN n * sxx - sx * sx <> 0
+          |THEN ((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)
+          |ELSE 0 END""".stripMargin))
+      .select(col("user_id"), col("n"), col("sy"), col("slope_e6"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_rolling_median" -> rollingMedian,
     "q_ts_resample" -> resample,
     "q_ts_interp_linear" -> interpLinear,
     "q_ts_anomaly_mad" -> anomalyMad,
+    "q_ts_regr_slope" -> regrSlope,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_regr_slope" ->
+      """WITH e AS (SELECT user_id,
+        |   epoch_us(ts) // 3600000000 AS ts_h,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT *, ts_h - min(ts_h) OVER (PARTITION BY user_id) AS x
+        |  FROM e),
+        |g AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM m GROUP BY user_id)
+        |SELECT user_id, n, CAST(sy AS BIGINT) AS sy,
+        | CAST(CASE WHEN n * sxx - sx * sx <> 0
+        |   THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+        |   ELSE 0 END AS BIGINT) AS slope_e6
+        |FROM g ORDER BY user_id""".stripMargin,
     "q_ts_rolling_median" ->
       """SELECT event_id, user_id,
         | floor(median(CAST(value AS DOUBLE)) OVER (
