@@ -19,6 +19,12 @@ private case class FsmState(nEvents: Int, firstTs: Long, lastTs: Long)
 /** Open SCD-2 row held in streaming state (one per user). */
 case class Scd2Open(state: String, validFromUs: Long, version: Int)
 
+/** Last non-purchase touch held in streaming state (one per user). */
+case class LastTouch(eventType: String, tsMs: Long)
+
+/** Attribution row emitted per purchase by the streaming attributor. */
+case class Attribution(user_id: Long, purchase_id: Long, channel: String)
+
 /** Closed SCD-2 version row emitted when a user's attribute changes. */
 case class Scd2Closed(user_id: Long, version: Int, state: String,
     valid_from_us: Long, valid_to_us: Long)
@@ -144,6 +150,57 @@ object StreamingOps {
       col("s_ts") <= col("p_ts") &&
       col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), "left_outer")
       .select(col("user_id"), col("p_id"), col("s_id"))
+  }
+
+  /** Streaming last-touch attribution (round 4 part 2): the incremental
+    * twin of the batch q_attr_last_touch — state per user is O(1) (just
+    * the most recent non-purchase touch), each purchase emits its
+    * attribution immediately instead of waiting for a batch rebuild.
+    * The 7-day lookback expires state via event-time timeout, so cold
+    * users cost nothing. Within a micro-batch, events are processed in
+    * (ts, event_id) order — identical semantics to the batch LOCF
+    * window.
+    *
+    * Caveat vs batch (documented, inherent to streaming): ordering
+    * holds within a batch; a cross-batch out-of-order touch older than
+    * an already-processed purchase cannot retroactively re-attribute
+    * it — the watermark bounds that reordering window exactly as it
+    * does for every streaming aggregate. */
+  def attributionStream(events: Dataset[Ev]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val lookbackMs = 7L * 24 * 3600 * 1000
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: GroupState[LastTouch]): Iterator[Attribution] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer[Attribution]()
+        sorted.foreach { e =>
+          if (e.event_type == "purchase") {
+            val ch = cur match {
+              case Some(t) if t.tsMs >= e.ts.getTime - lookbackMs =>
+                t.eventType
+              case _ => "none"
+            }
+            out += Attribution(userId, e.event_id, ch)
+          } else cur = Some(LastTouch(e.event_type, e.ts.getTime))
+        }
+        cur match {
+          case Some(t) =>
+            state.update(t)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                t.tsMs + lookbackMs))
+          case None => if (state.exists) state.remove()
+        }
+        out.iterator
+      }
+    }
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Per-user lifecycle FSM (attach-on-signup, emit-on-error/timeout):

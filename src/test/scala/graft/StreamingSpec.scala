@@ -223,6 +223,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming last-touch attribution: O(1) state per user, " +
+      "attribution survives micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    // batch 1: user 1 clicks then purchases (-> click); user 2 purchases
+    // cold (-> none)
+    in.addData(ev(1, 0, 1, "click"), ev(2, 5, 1, "purchase"),
+      ev(3, 3, 2, "purchase"))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases again — the click state must have
+    // survived the batch boundary; a view retargets user 2
+    in.addData(ev(4, 10, 1, "purchase"), ev(5, 12, 2, "view"),
+      ev(6, 15, 2, "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 2L, "click"), (2L, 3L, "none"),
+      (1L, 4L, "click"), (2L, 6L, "view")), s"got $rows")
+    q.stop()
+  }
+
   test("lifecycle FSM emits on error and on event-time timeout") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
