@@ -496,6 +496,73 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF-PQ composite search (round 4 part 2): the FAISS-style
+    * memory-bound ANN path — coarse quantizer (ivfAnn's 16 sampled
+    * centroids) narrows the search to one inverted list, then ranking
+    * uses ONLY the candidates' 8 one-byte PQ codes via asymmetric
+    * distance (ADC): the probe precomputes an 8×8 lookup table of
+    * subspace distances to the PQ codebook, and a candidate's distance
+    * is 8 table lookups — the candidate's 64 floats are never read at
+    * search time. At 100 TB the candidate side of the join carries
+    * (bucket, 8 codes) ≈ 9 bytes/vector instead of 256 bytes of floats;
+    * the probe table is nprobe×64 tiny rows.
+    *
+    * Determinism: each table entry is a fixed left-to-right zip_with
+    * fold (bit-identical in DuckDB's list_sum comprehension); the
+    * 8-term ADC sum is pivoted to columns and added EXPLICITLY
+    * (t0+t1+…+t7, fixed association order) — never a float sum() over
+    * rows, whose order is partition-dependent. Ties break on vec_id. */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = embWithNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+    val buckets = emb.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        round(expr("fvec_dot(v, cv)") / (col("norm") * col("cn")), 6))
+      .withColumn("arn", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("c_id").as("bucket"))
+    val codebook = pqSubs(embeddings(spark, dir)
+        .filter(col("vec_id") < 8), "vec_id")
+      .select(col("vec_id").as("cid"), col("sub"), col("v").as("cv"))
+    // candidate payload: bucket + 8 codes — no vectors
+    val codes = pqQuantize(spark, dir)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // probe-side ADC lookup table: ||probe_sub − codebook[sub][cid]||²
+    val ptab = pqSubs(embeddings(spark, dir)
+        .filter(col("vec_id") < 20), "vec_id")
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("pdist", expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
+          "0D, (acc, x) -> acc + x)"))
+      .select(col("probe_id"), col("sub").as("t_sub"),
+        col("cid").as("t_cid"), col("pdist"))
+    val pbuck = buckets.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("bucket"))
+    val tSum = (0 to 7).map(j =>
+      sum(when(col("t_sub") === j, col("pdist"))).as(s"t$j"))
+    pbuck
+      .join(buckets.join(codes, "vec_id"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(ptab, Seq("probe_id"))
+      .filter(col("sub") === col("t_sub") && col("code") === col("t_cid"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(tSum.head, tSum.tail: _*)
+      .withColumn("adc", round(
+        col("t0") + col("t1") + col("t2") + col("t3") +
+          col("t4") + col("t5") + col("t6") + col("t7"), 6))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("probe_id"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("adc"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** PII scrubbing (round 2): redact emails and phone numbers before a
     * corpus ships to training — pure codegen'd regexp_replace, one
     * columnar pass, no UDF. The fixture plants one deterministic email
@@ -879,13 +946,17 @@ object LlmOps {
     * partial-aggregable min(struct(dist, cid)). Distances fold
     * left-to-right in doubles, so DuckDB's list_sum reproduces them
     * bit-for-bit. */
+  /** Explode a 64-dim embedding into its 8 double-cast 8-dim subvectors
+    * (one row per (id, sub)) — shared by pqQuantize and ivfPq. */
+  private def pqSubs(df: DataFrame, idCol: String): DataFrame = df
+    .select(col(idCol), explode(expr(
+      """transform(sequence(0, 7), s -> struct(s AS sub,
+        |  transform(slice(embedding, s * 8 + 1, 8),
+        |            x -> CAST(x AS DOUBLE)) AS v))""".stripMargin)).as("e"))
+    .select(col(idCol), col("e.sub").as("sub"), col("e.v").as("v"))
+
   def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val subs = (df: DataFrame, idCol: String) => df
-      .select(col(idCol), explode(expr(
-        """transform(sequence(0, 7), s -> struct(s AS sub,
-          |  transform(slice(embedding, s * 8 + 1, 8),
-          |            x -> CAST(x AS DOUBLE)) AS v))""".stripMargin)).as("e"))
-      .select(col(idCol), col("e.sub").as("sub"), col("e.v").as("v"))
+    val subs = pqSubs(_, _)
     val cents = subs(embeddings(spark, dir).filter(col("vec_id") < 8), "vec_id")
       .withColumnRenamed("vec_id", "cid").withColumnRenamed("v", "cv")
     subs(embeddings(spark, dir), "vec_id")
@@ -1064,6 +1135,7 @@ object LlmOps {
     "q_llm_lsh_ann" -> lshAnn,
     "q_llm_ivf_ann" -> ((s, d) => ivfAnn(s, d, nprobe = 1)),
     "q_llm_ivf_ann_probe2" -> ((s, d) => ivfAnn(s, d, nprobe = 2)),
+    "q_llm_ivf_pq" -> ivfPq,
     "q_llm_pii_scrub" -> piiScrub,
     "q_llm_text_stats" -> textStats,
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
@@ -1315,6 +1387,60 @@ object LlmOps {
          |    CAST(row_number() OVER (PARTITION BY probe_id
          |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
          |  FROM scored) t WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+    "q_llm_ivf_pq" ->
+      s"""WITH $cosCte,
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+         |  FROM emb WHERE vec_id < 16),
+         |asg AS (SELECT e.vec_id, c.c_id,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(list_inner_product(e.v, c.cv)
+         |      / (e.nrm * c.cn), 6) DESC, c.c_id) AS arn
+         |  FROM emb e CROSS JOIN cents c),
+         |buckets AS (SELECT vec_id, c_id AS bucket FROM asg WHERE arn = 1),
+         |s AS (SELECT unnest(range(0, 8)) AS sub),
+         |p AS (SELECT vec_id, CAST(s.sub AS INTEGER) AS sub,
+         |   [embedding[i]::DOUBLE
+         |    for i in range(s.sub * 8 + 1, s.sub * 8 + 9)] AS v
+         |  FROM embeddings, s),
+         |cb AS (SELECT vec_id AS cid, sub, v AS cv FROM p WHERE vec_id < 8),
+         |d AS (SELECT p.vec_id, p.sub, c.cid,
+         |   row_number() OVER (PARTITION BY p.vec_id, p.sub
+         |     ORDER BY list_sum([(p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])
+         |               for i in range(1, 9)]), c.cid) AS rn
+         |  FROM p JOIN cb c ON p.sub = c.sub),
+         |codes AS (SELECT vec_id, sub, cid AS code FROM d WHERE rn = 1),
+         |ptab AS (SELECT p.vec_id AS probe_id, p.sub, c.cid,
+         |   list_sum([(p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])
+         |             for i in range(1, 9)]) AS pdist
+         |  FROM p JOIN cb c ON p.sub = c.sub WHERE p.vec_id < 20),
+         |tm AS (SELECT pb.vec_id AS probe_id, cd.vec_id AS cand_id,
+         |   cd.sub, pt.pdist
+         |  FROM buckets pb
+         |  JOIN buckets cand ON cand.bucket = pb.bucket
+         |   AND cand.vec_id <> pb.vec_id
+         |  JOIN codes cd ON cd.vec_id = cand.vec_id
+         |  JOIN ptab pt ON pt.probe_id = pb.vec_id AND pt.sub = cd.sub
+         |   AND pt.cid = cd.code
+         |  WHERE pb.vec_id < 20),
+         |pv AS (SELECT probe_id, cand_id,
+         |   sum(pdist) FILTER (WHERE sub = 0) AS t0,
+         |   sum(pdist) FILTER (WHERE sub = 1) AS t1,
+         |   sum(pdist) FILTER (WHERE sub = 2) AS t2,
+         |   sum(pdist) FILTER (WHERE sub = 3) AS t3,
+         |   sum(pdist) FILTER (WHERE sub = 4) AS t4,
+         |   sum(pdist) FILTER (WHERE sub = 5) AS t5,
+         |   sum(pdist) FILTER (WHERE sub = 6) AS t6,
+         |   sum(pdist) FILTER (WHERE sub = 7) AS t7
+         |  FROM tm GROUP BY probe_id, cand_id),
+         |r AS (SELECT probe_id, cand_id AS vec_id,
+         |   round(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7, 6) AS adc
+         |  FROM pv)
+         |SELECT probe_id, rank, vec_id, adc FROM (
+         |  SELECT probe_id, vec_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adc, vec_id) AS INTEGER) AS rank
+         |  FROM r) t WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin,
     "q_llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
