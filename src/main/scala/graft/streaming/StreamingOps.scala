@@ -22,6 +22,14 @@ case class Scd2Open(state: String, validFromUs: Long, version: Int)
 /** Last non-purchase touch held in streaming state (one per user). */
 case class LastTouch(eventType: String, tsMs: Long)
 
+/** Funnel progress held in streaming state: highest stage reached
+  * (1 = signup seen, 2 = purchase after signup) + when. */
+case class FunnelState(stage: Int, stageTsMs: Long, signupTsMs: Long)
+
+/** Emitted when a user completes signup → purchase → error in order. */
+case class FunnelConversion(user_id: Long, signup_ms: Long,
+    purchase_ms: Long, error_ms: Long)
+
 /** Attribution row emitted per purchase by the streaming attributor. */
 case class Attribution(user_id: Long, purchase_id: Long, channel: String)
 
@@ -194,6 +202,53 @@ object StreamingOps {
                 t.tsMs + lookbackMs))
           case None => if (state.exists) state.remove()
         }
+        out.iterator
+      }
+    }
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming funnel FSM (round 4 part 2): the incremental twin of
+    * q_funnel_stages — per-user state is the highest stage reached
+    * (O(1): a stage number + two timestamps), and a FunnelConversion
+    * row is emitted the moment the signup → purchase → error sequence
+    * completes, instead of waiting for a batch recompute. State for
+    * users who never progress expires via event-time timeout (24 h
+    * past their last stage advance), so the state store holds only
+    * in-flight funnels — the property that keeps a funnel over an
+    * unbounded stream bounded. */
+  def funnelStream(events: Dataset[Ev]): Dataset[FunnelConversion] = {
+    import events.sparkSession.implicits._
+    val ttlMs = 24L * 3600 * 1000
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: GroupState[FunnelState]): Iterator[FunnelConversion] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer[FunnelConversion]()
+        sorted.foreach { e =>
+          (cur.stage, e.event_type) match {
+            case (0, "signup") =>
+              cur = FunnelState(1, e.ts.getTime, e.ts.getTime)
+            case (1, "purchase") =>
+              cur = FunnelState(2, e.ts.getTime, cur.signupTsMs)
+            case (2, "error") =>
+              out += FunnelConversion(userId, cur.signupTsMs,
+                cur.stageTsMs, e.ts.getTime)
+              cur = FunnelState(0, 0L, 0L) // restart the funnel
+            case _ => // event doesn't advance the funnel
+          }
+        }
+        if (cur.stage > 0) {
+          state.update(cur)
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs() + 1,
+              cur.stageTsMs + ttlMs))
+        } else state.remove()
         out.iterator
       }
     }

@@ -248,6 +248,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming funnel FSM: emits on completed signup->purchase->error " +
+      "sequence, ignores out-of-order stages, restarts after conversion") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnelq")
+      .outputMode("append").start()
+    // user 1 completes the funnel across TWO batches; user 2 purchases
+    // before signing up (stage must not advance: purchase-then-signup
+    // leaves them at stage 1 only)
+    in.addData(ev(1, 0, 1, "signup"), ev(2, 5, 1, "purchase"),
+      ev(3, 1, 2, "purchase"), ev(4, 2, 2, "signup"))
+    q.processAllAvailable()
+    assert(spark.table("funnelq").count() == 0)
+    in.addData(ev(5, 10, 1, "error"), ev(6, 11, 2, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("funnelq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 1 && rows.head._1 == 1L, rows.mkString(";"))
+    assert(rows.head._2 == ts(0).getTime && rows.head._3 == ts(5).getTime
+      && rows.head._4 == ts(10).getTime, rows.head.toString)
+    // funnel restarted for user 1: a lone error must NOT emit again
+    in.addData(ev(7, 20, 1, "error"))
+    q.processAllAvailable()
+    assert(spark.table("funnelq").count() == 1)
+    q.stop()
+  }
+
   test("lifecycle FSM emits on error and on event-time timeout") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
