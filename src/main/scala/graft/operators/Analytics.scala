@@ -352,6 +352,43 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** PMI collocations: the top frequent bigrams scored by pointwise
+    * mutual information ln(N·c(xy)/(c(x)·c(y))) — the classic corpus
+    * collocation detector (fixed phrases score high, chance
+    * co-occurrences near 0). Ordering is by EXACT integer counts
+    * (c12 desc, then the bigram); PMI itself is a reported column:
+    * integer products stay < 2⁵³ so the float expression is one
+    * division + one ln + one round — single-op IEEE parity, no float
+    * aggregation anywhere.
+    *
+    * Scale shape: two explode+groupBy passes (unigrams, bigrams); the
+    * unigram vocabulary joins onto the c12-FILTERED frequent-bigram
+    * side — at corpus scale that side is tiny (broadcastable), so the
+    * vocab never shuffles twice. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir).withColumn("tk", split(col("text"), " "))
+    val uni = toks.select(explode(col("tk")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(count(lit(1)).as("n_tok"))
+    val frequent = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(" +
+          "element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 20)
+    frequent
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("pmi",
+        expr("round(ln(1.0 * c12 * n_tok / (c1 * c2)), 4)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("pmi"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_stages" -> funnelStages,
     "q_cohort_retention" -> cohortRetention,
@@ -363,6 +400,7 @@ object Analytics {
     "q_llm_inverted_index" -> invertedIndex,
     "q_top_paths" -> topPaths,
     "q_agg_mode" -> modeByGroup,
+    "q_llm_pmi_colloc" -> pmiCollocations,
   )
 
   val oracle: Map[String, String] = Map(
@@ -529,5 +567,20 @@ object Analytics {
         |   ORDER BY n DESC, user_id) AS r FROM c)
         |SELECT event_type, user_id AS mode_user, n AS mode_n
         |FROM r WHERE r = 1 ORDER BY event_type""".stripMargin,
+    "q_llm_pmi_colloc" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |uni AS (SELECT unnest(tk) AS w FROM toks),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |n AS (SELECT count(*) AS n_tok FROM uni),
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+        |  WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+        |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+        | round(ln(1.0 * b.c12 * n.n_tok / (u1.c * u2.c)), 4) AS pmi
+        |FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w, n
+        |WHERE b.c12 >= 20
+        |ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 30""".stripMargin,
   )
 }
