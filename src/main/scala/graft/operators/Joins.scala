@@ -258,7 +258,32 @@ object Joins {
       .crossJoin(nation(spark, dir).select(col("n_name")))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Null-safe equality join (round 4 part 2): `<=>` / IS NOT DISTINCT
+    * FROM — NULL keys match each other instead of vanishing, the
+    * semantic every dim-lookup with optional attributes needs (plain
+    * equality silently drops the "attribute absent" population). The
+    * key here is deliberately nullable: the JSON label value, nulled
+    * when divisible by 3 — the NULL group (about a third of rows) is
+    * real, not an empty edge case.
+    *
+    * Scale note: under `<=>` NULL hashes and shuffles as an ordinary
+    * key value — and in practice the NULL bucket is the heaviest key
+    * in the table (exactly what q_diag_skew measures), so at 100 TB
+    * this is the first key you salt or AQE-split. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val kRaw = "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+    val e = events(spark, dir).select(col("event_id"),
+      expr(s"CASE WHEN $kRaw % 3 <> 0 THEN $kRaw END").as("ek"))
+    val d = e.select(col("ek").as("k")).distinct()
+    d.join(e, col("ek") <=> col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(coalesce(col("k").cast("string"), lit("NULL")).as("k_str"),
+        col("n"))
+      .orderBy(col("k_str"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_null_safe" -> joinNullSafe,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_smj" -> joinSmj,
     "q_join_shj" -> joinShj,
@@ -276,6 +301,18 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      """WITH e AS (SELECT event_id,
+        |   CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |          % 3 <> 0
+        |        THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |   END AS ek
+        |  FROM events),
+        |d AS (SELECT DISTINCT ek AS k FROM e),
+        |j AS (SELECT d.k, count(*) AS n FROM d
+        |  JOIN e ON e.ek IS NOT DISTINCT FROM d.k GROUP BY d.k)
+        |SELECT coalesce(CAST(k AS VARCHAR), 'NULL') AS k_str, n
+        |FROM j ORDER BY k_str""".stripMargin,
     "q_join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_brand, p_name
         |FROM lineitem JOIN part ON l_partkey = p_partkey

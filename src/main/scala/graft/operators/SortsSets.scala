@@ -83,7 +83,30 @@ object SortsSets {
       .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
       .orderBy(col("nationkey"))
 
+  /** Schema-evolution union (round 4 part 2): `unionByName` with
+    * `allowMissingColumns = true` — customers and suppliers merged as
+    * "parties" by COLUMN NAME, with customer-only columns null-filled
+    * on the supplier side. Positional `union` would silently misalign
+    * here; by-name resolution is the only correct union across evolved
+    * schemas (the read-side twin of q_scan_schema_evolution's
+    * mergeSchema). Zero shuffles until the presentation sort — union
+    * is a partition pass-through. */
+  def unionByNameEvolved(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).select(
+      lit("customer").as("kind"), col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+      round(col("c_acctbal"), 2).as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val s = supplier(spark, dir).select(
+      lit("supplier").as("kind"), col("s_suppkey").as("id"),
+      col("s_name").as("name"), col("s_nationkey").as("nationkey"),
+      round(col("s_acctbal"), 2).as("acctbal"))
+    c.unionByName(s, allowMissingColumns = true)
+      .orderBy(col("kind"), col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_by_name" -> unionByNameEvolved,
     "q_union_all" -> unionAll,
     "q_except_all" -> exceptAll,
     "q_sort_multi_nulls" -> sortMultiNulls,
@@ -95,6 +118,16 @@ object SortsSets {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_union_by_name" ->
+      """WITH c AS (SELECT 'customer' AS kind, c_custkey AS id,
+        |   c_name AS name, c_nationkey AS nationkey,
+        |   round(c_acctbal, 2) AS acctbal, c_mktsegment AS segment
+        |  FROM customer),
+        |s AS (SELECT 'supplier' AS kind, s_suppkey AS id, s_name AS name,
+        |   s_nationkey AS nationkey, round(s_acctbal, 2) AS acctbal,
+        |   CAST(NULL AS VARCHAR) AS segment FROM supplier)
+        |SELECT * FROM c UNION ALL SELECT * FROM s
+        |ORDER BY kind, id""".stripMargin,
     "q_union_all" ->
       """SELECT nationkey, count(*) AS n FROM (
         | SELECT c_nationkey AS nationkey FROM customer
