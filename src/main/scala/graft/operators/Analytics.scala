@@ -389,6 +389,34 @@ object Analytics {
       .limit(30)
   }
 
+  /** Daily actives / new users / cumulative growth — the most-run
+    * event-log report in existence: per day, event volume, distinct
+    * actives, first-time users, and the running total of acquired
+    * users.
+    *
+    * Scale shape: both inputs reduce to per-day (or per-user) grain in
+    * partial-aggregable groupBys BEFORE the single global ordered
+    * window — which therefore touches |days| rows, not |events|. A
+    * global window over raw events would be the classic scale bug;
+    * over the daily rollup it is a no-op-sized frame at any corpus
+    * size. */
+  def dailyActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = e.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active"))
+    val newu = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))
+    daily.join(newu, col("day") === col("first_day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day"))))
+      .select(col("day"), col("n_events"), col("n_active"), col("n_new"),
+        col("cum_users"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_stages" -> funnelStages,
     "q_cohort_retention" -> cohortRetention,
@@ -401,6 +429,7 @@ object Analytics {
     "q_top_paths" -> topPaths,
     "q_agg_mode" -> modeByGroup,
     "q_llm_pmi_colloc" -> pmiCollocations,
+    "q_daily_active_users" -> dailyActiveUsers,
   )
 
   val oracle: Map[String, String] = Map(
@@ -582,5 +611,19 @@ object Analytics {
         |FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w, n
         |WHERE b.c12 >= 20
         |ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 30""".stripMargin,
+    "q_daily_active_users" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM e
+        |  GROUP BY user_id),
+        |daily AS (SELECT day, count(*) AS n_events,
+        |   count(DISTINCT user_id) AS n_active FROM e GROUP BY day),
+        |newu AS (SELECT first_day AS day, count(*) AS n_new FROM fs
+        |  GROUP BY first_day)
+        |SELECT d.day, d.n_events, d.n_active,
+        | coalesce(n.n_new, 0) AS n_new,
+        | CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+        |   AS cum_users
+        |FROM daily d LEFT JOIN newu n ON d.day = n.day
+        |ORDER BY d.day""".stripMargin,
   )
 }
