@@ -417,6 +417,31 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** First-order Markov transition matrix between event types:
+    * P(next = dst | cur = src) estimated from each user's ordered
+    * timeline — the behavior model behind next-action prediction and
+    * anomalous-sequence detection. Probabilities are integer ×10⁴
+    * (n·10⁴ div n_src) — exact, no float division until nothing.
+    *
+    * Scale shape: one lead() on the shared user_id ordering, then two
+    * partial-aggregable rollups on the ≤|types|² transition key. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val srcTot = trans.groupBy(col("src").as("s2"))
+      .agg(sum(col("n")).as("n_src"))
+    trans.join(srcTot, col("src") === col("s2")).drop("s2")
+      .withColumn("p_e4", expr("n * 10000 div n_src"))
+      .select(col("src"), col("dst"), col("n"), col("n_src"), col("p_e4"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_stages" -> funnelStages,
     "q_cohort_retention" -> cohortRetention,
@@ -430,6 +455,7 @@ object Analytics {
     "q_agg_mode" -> modeByGroup,
     "q_llm_pmi_colloc" -> pmiCollocations,
     "q_daily_active_users" -> dailyActiveUsers,
+    "q_events_markov" -> markovTransitions,
   )
 
   val oracle: Map[String, String] = Map(
@@ -625,5 +651,19 @@ object Analytics {
         |   AS cum_users
         |FROM daily d LEFT JOIN newu n ON d.day = n.day
         |ORDER BY d.day""".stripMargin,
+    "q_events_markov" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   event_type FROM events),
+        |w AS (SELECT event_type AS src,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS dst
+        |  FROM e),
+        |t AS (SELECT src, dst, count(*) AS n FROM w
+        |  WHERE dst IS NOT NULL GROUP BY src, dst),
+        |s AS (SELECT src, sum(n) AS n_src FROM t GROUP BY src)
+        |SELECT t.src, t.dst, t.n, CAST(s.n_src AS BIGINT) AS n_src,
+        | CAST(t.n * 10000 // s.n_src AS BIGINT) AS p_e4
+        |FROM t JOIN s ON t.src = s.src
+        |ORDER BY t.src, t.dst""".stripMargin,
   )
 }
