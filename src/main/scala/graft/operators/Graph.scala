@@ -31,39 +31,55 @@ object Graph {
     * Node ids are BIGINT (part → 2k, supplier → 2k+1) through the whole
     * loop — every shuffle and join keys on an 8-byte integer, never the
     * "p:123" label string (string-keyed graph loops were measured ~2×
-    * slower; labels are minted once in the final projection). */
+    * slower; labels are minted once in the final projection).
+    *
+    * Perf (round 5, was the round-4 bench outlier at 15.8 s sf0.1):
+    * no `.cache()` — the whole 3-iteration loop is ONE declarative plan,
+    * so Catalyst's ReuseExchange dedupes the edge-distinct shuffle and
+    * the degree aggregation across iterations for free, while an
+    * explicit cache forced a blocking InMemoryRelation materialization
+    * job plus a columnar round-trip on every read (measured: cache 4.9 s
+    * vs reuse 2.0 s, identical results). The per-node contribution
+    * `rank div outd` is folded into the node-sized table BEFORE the
+    * broadcast, so each iteration hash-joins the edge stream against ONE
+    * small table instead of two. An open-ended (driver-loop) variant
+    * would lose cross-iteration exchange reuse and then caching/
+    * checkpointing the graph IS the right call — that shape lives in
+    * LlmOps.connectedComponents. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lineitem(spark, dir)
       .select(expr("l_partkey * 2L").as("p"),
         expr("l_suppkey * 2L + 1L").as("s"))
       .distinct()
-    // edges and degrees feed every iteration (3 joins + the degree
-    // build) — cache once instead of re-scanning lineitem and re-running
-    // the distinct shuffle per iteration. At cluster scale this is the
-    // standard "materialize the graph once" step of any Pregel loop.
     val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("p").as("dst")))
-      .cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
-      .cache()
-    val r0 = deg.select(col("src").as("nid"), lit(1000000L).as("rank"))
-    // ranks and deg are node-sized (≪ edges) — broadcast them so each
-    // iteration is scan-edges + two map-side hash joins + ONE shuffle
-    // (the groupBy dst). Without the hint AQE left SortMergeJoins in
-    // later iterations (measured: 57 exchanges → 8). At graph scales
-    // where the rank table itself outgrows broadcast, the same loop
-    // co-partitions edges and ranks on the node key instead — a hint
-    // swap, not a rewrite.
-    def step(ranks: DataFrame): DataFrame =
-      edges
-        .join(broadcast(ranks), edges("src") === ranks("nid"))
-        .join(broadcast(deg), "src")
-        .withColumn("contrib", expr("rank div outd"))
+    val r0 = deg.select(col("src").as("nid"), lit(1000000L).as("rank"),
+      col("outd"))
+    // ranks are node-sized (≪ edges) — broadcast them so each iteration
+    // is scan-edges + one map-side hash join + ONE shuffle (the groupBy
+    // dst). Without the hint AQE left SortMergeJoins in later iterations
+    // (measured: 57 exchanges → 8). At graph scales where the rank table
+    // outgrows broadcast, the same loop co-partitions edges and ranks on
+    // the node key instead — a hint swap, not a rewrite. `last` skips
+    // re-attaching the degree after the final iteration (the inner
+    // deg-join is semantically a no-op — every dst is also a src in the
+    // undirected graph — but Catalyst cannot prove that, so we elide it
+    // by construction).
+    def step(ranks: DataFrame, last: Boolean): DataFrame = {
+      val msgs = edges
+        .join(broadcast(ranks.withColumn("contrib", expr("rank div outd"))
+          .select(col("nid"), col("contrib"))),
+          edges("src") === col("nid"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("msum"))
         .select(col("dst").as("nid"),
           (lit(150000L) + expr("(85 * msum) div 100")).as("rank"))
-    step(step(step(r0)))
+      if (last) msgs
+      else msgs.join(broadcast(deg), col("nid") === deg("src"))
+        .select(col("nid"), col("rank"), col("outd"))
+    }
+    step(step(step(r0, last = false), last = false), last = true)
       .select(expr(
         "CASE WHEN nid % 2 = 0 THEN 'p:' || (nid div 2)" +
           " ELSE 's:' || (nid div 2) END").as("node"),
