@@ -191,8 +191,13 @@ object Analytics {
         |ELSE CAST(array() AS array<bigint>) END""".stripMargin
     // the hashed shingle build feeds FOUR plan branches (df counts, the
     // rank window, and both verify sides) — cache it so the md5 work
-    // runs once, not once per branch (same pattern as LlmOps.shingles;
-    // Verify/Bench clear the cache between queries)
+    // runs once, not once per branch. ReuseExchange can't help here: the
+    // shared subtree is a map-side projection BELOW four different
+    // exchanges, not an exchange itself. Lifecycle: Verify/Bench clear
+    // the cache between queries and BatchSpec clears it in afterAll —
+    // callers embedding this in a long-lived session own the same
+    // clearCache/unpersist responsibility (same contract as
+    // LlmOps.shingles).
     val sets = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), expr(shingleExpr).as("ts"))

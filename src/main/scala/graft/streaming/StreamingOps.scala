@@ -231,12 +231,20 @@ object StreamingOps {
         var cur = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
         val out = scala.collection.mutable.ArrayBuffer[FunnelConversion]()
         sorted.foreach { e =>
+          // stage advances require a STRICTLY greater timestamp — the
+          // batch twin (q_funnel_stages) takes min(purchase ts > signup
+          // ts), so an equal-ts signup/purchase pair must NOT convert
+          // here either (round-5 ADVICE fix; previously equal-ts events
+          // advanced in event_id order and the two results diverged).
+          // Residual precision caveat: batch compares microseconds,
+          // this FSM compares Timestamp.getTime milliseconds — events
+          // distinct at µs but tied at ms still differ between the two.
           (cur.stage, e.event_type) match {
             case (0, "signup") =>
               cur = FunnelState(1, e.ts.getTime, e.ts.getTime)
-            case (1, "purchase") =>
+            case (1, "purchase") if e.ts.getTime > cur.stageTsMs =>
               cur = FunnelState(2, e.ts.getTime, cur.signupTsMs)
-            case (2, "error") =>
+            case (2, "error") if e.ts.getTime > cur.stageTsMs =>
               out += FunnelConversion(userId, cur.signupTsMs,
                 cur.stageTsMs, e.ts.getTime)
               cur = FunnelState(0, 0L, 0L) // restart the funnel

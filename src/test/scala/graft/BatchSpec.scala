@@ -18,7 +18,10 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  // some operators (prefixJoin, LlmOps.shingles) cache a shared build
+  // that Verify/Bench clear between queries — mirror that here so cached
+  // blocks from one test don't stay resident for the rest of the suite
+  override def afterAll(): Unit = { spark.catalog.clearCache(); spark.stop() }
 
   private def planString(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
@@ -34,6 +37,17 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os.diff(qs)}")
+  }
+
+  test("scan_metadata_cols provenance: exactly one file, named lineitem.parquet") {
+    // the oracle pins the file name as a literal (DuckDB views can't see
+    // filenames), which is tautological on provenance — this assertion is
+    // the non-tautological half: if the fixture ever becomes a multi-file
+    // directory (Spark would report part-file names), fail loudly here
+    // instead of silently hash-mismatching the oracle
+    val files = SparkEntry.queries("q_scan_metadata_cols")(spark, sf)
+      .select("file").distinct().collect().map(_.getString(0))
+    assert(files.toSeq == Seq("lineitem.parquet"), files.toSeq)
   }
 
   test("scan_prune_pushdown pushes the filter into the parquet scan") {
