@@ -8,12 +8,20 @@ import org.apache.spark.sql.functions._
   * extraction / resize / frame-sampling as batch-shaped distributed
   * transforms.
   *
-  * The container has no real image/audio codecs, so decode is STUBBED
-  * against a deterministic synthetic format ("GRFT": 4-byte magic,
-  * 4-byte big-endian width, 4-byte height, payload). Everything around
-  * the stub — schema, binary handling, mapPartitions batch shape,
-  * partition-local buffer reuse, null/corrupt-blob handling — is the
-  * real Spark plumbing a production codec would drop into.
+  * Two codec tiers (round 5):
+  *   1. REAL public codecs from the JDK — PNG/BMP/GIF/JPEG via
+  *      `javax.imageio.ImageIO` and WAV PCM via `javax.sound.sampled`
+  *      (both ship with Java 17, zero new dependencies). Grayscale PNG
+  *      and 16-bit PCM WAV are LOSSLESS, so the decode queries have
+  *      exact DuckDB oracles computed from the source bytes that the
+  *      blobs were encoded from.
+  *   2. The deterministic synthetic "GRFT" format (4-byte magic,
+  *      4-byte big-endian width, 4-byte height, payload) — retained as
+  *      the unknown-/custom-format path (a real pipeline always has
+  *      one format ImageIO does not know).
+  * Both tiers share the same plumbing: schema, binary handling,
+  * mapPartitions batch shape, partition-local reuse, corrupt-blob
+  * handling (valid=false, never throw).
   *
   * Scale notes: transforms are `mapPartitions` (one JVM-side loop per
   * partition, no per-row closure dispatch), metadata-only operations
@@ -119,6 +127,189 @@ object Multimodal {
     }
   }
 
+  // ===================== real JDK codecs (round 5) =====================
+
+  case class ImageDecoded(media_id: Long, width: Int, height: Int,
+      valid: Boolean, hist: String)
+  case class AudioDecoded(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, sum_sq: Long, peak: Long, valid: Boolean)
+  case class AHash(media_id: Long, n_px: Int, hash_hi: Long, hash_lo: Long)
+
+  /** Encode bytes as a 1×N 8-bit grayscale PNG through the JDK's real
+    * PNG writer. Grayscale-8 PNG is lossless, so a decode reads back the
+    * exact input bytes — the property the oracle-gated queries rely on. */
+  def encodePngGray(bytes: Array[Byte]): Array[Byte] = {
+    val w = math.max(1, bytes.length)
+    val img = new java.awt.image.BufferedImage(w, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      raster.setSample(i, 0, 0, bytes(i) & 0xff); i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported blob (PNG/BMP/GIF/JPEG) to grayscale
+    * pixels row-major, or None for corrupt/unsupported input. Uses the
+    * raster's first band directly for single-band images (exact); RGB
+    * inputs fall back to the integer ITU-R 601 luma. */
+  def decodePixels(blob: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(blob))
+      if (img == null) None // unrecognized format — ImageIO's null contract
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Int](w * h)
+        val raster = img.getRaster
+        if (raster.getNumBands == 1) {
+          var i = 0
+          while (i < px.length) { px(i) = raster.getSample(i % w, i / w, 0); i += 1 }
+        } else {
+          var i = 0
+          while (i < px.length) {
+            val rgb = img.getRGB(i % w, i / w)
+            px(i) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            i += 1
+          }
+        }
+        Some((w, h, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batch image decode + 16-bin luminance histogram through the REAL
+    * PNG codec. mapPartitions so a heavier codec amortizes init. */
+  def decodeImages(media: Dataset[Media]): Dataset[ImageDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val hist = new Array[Long](16)
+      it.map { m =>
+        decodePixels(m.blob) match {
+          case Some((w, h, px)) =>
+            java.util.Arrays.fill(hist, 0L)
+            px.foreach(p => hist(p >> 4) += 1)
+            ImageDecoded(m.media_id, w, h, valid = true, hist.mkString(","))
+          case None =>
+            ImageDecoded(m.media_id, -1, -1, valid = false, "")
+        }
+      }
+    }
+  }
+
+  /** Real image resize through Graphics2D (nearest-neighbor so the
+    * result is a pure pixel subsample — deterministic across JVMs),
+    * re-encoded PNG. */
+  def resizeImage(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      decodePixels(m.blob) match {
+        case Some(_) =>
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.blob))
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = dst.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(src, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Media(m.media_id, m.kind, bos.toByteArray)
+        case None => m
+      }
+    })
+  }
+
+  /** Perceptual average-hash over a decoded image: 64 equal row-major
+    * pixel chunks (boundaries `i*64 div n` — exact integers), per-chunk
+    * mean, bit j set iff chunk j's mean exceeds the mean of means. Near-
+    * duplicate images differ in few bits (Hamming ≤ ~10 of 64) while
+    * exact-dup hash equality is guaranteed — this is the image twin of
+    * the text SimHash path and joins the same banded-bucket machinery.
+    * The hash is emitted as two 32-bit halves so BOTH engines stay in
+    * non-negative BIGINT arithmetic (a set bit 63 would flip the sign of
+    * a single 64-bit value). Images with fewer than 64 pixels are
+    * dropped (a chunk would be empty; callers pad or filter). */
+  def imageAHash(media: Dataset[Media]): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      decodePixels(m.blob) match {
+        case Some((_, _, px)) if px.length >= 64 =>
+          val n = px.length
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            val c = (i.toLong * 64 / n).toInt
+            sums(c) += px(i); cnts(c) += 1; i += 1
+          }
+          val avgs = Array.tabulate(64)(j => sums(j) / cnts(j))
+          val mean = avgs.sum / 64
+          var hi = 0L; var lo = 0L
+          var j = 0
+          while (j < 64) {
+            if (avgs(j) > mean) {
+              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+            }
+            j += 1
+          }
+          Some(AHash(m.media_id, n, hi, lo))
+        case _ => None
+      }
+    })
+  }
+
+  /** Encode 16-bit mono PCM samples as a WAV container through the
+    * JDK's real writer (javax.sound.sampled). PCM is lossless. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV blob through AudioSystem: container metadata (rate,
+    * channels) + exact integer signal stats over the PCM samples
+    * (Σ s², max |s|) — the quality-gate numbers an audio curation
+    * pipeline thresholds on. Corrupt input → valid=false row. */
+  def decodeWavs(media: Dataset[Media]): Dataset[AudioDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.blob))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sumSq = 0L; var peak = 0L; var n = 0L
+        while (bb.remaining() >= 2) {
+          val s = bb.getShort.toLong
+          sumSq += s * s; peak = math.max(peak, math.abs(s)); n += 1
+        }
+        AudioDecoded(m.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          n, sumSq, peak, valid = true)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          AudioDecoded(m.media_id, -1, -1, 0L, 0L, 0L, valid = false)
+      }
+    })
+  }
+
   /** Metadata-only projection over a media DataFrame — demonstrates that
     * blob-carrying tables support pruned scans (ReadSchema excludes the
     * binary column entirely). */
@@ -158,8 +349,69 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** ASCII-only docs as (id, text) — byte == codepoint by construction
+    * on BOTH engines, the invariant all three codec oracles rest on. */
+  private def asciiDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) > 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+  }
+
+  /** Enrolled (round 5): REAL PNG round-trip — text bytes → grayscale
+    * PNG via the JDK's actual PNG encoder → ImageIO decode → pixel
+    * histogram. Grayscale-8 PNG is lossless, so the DuckDB twin can
+    * recompute the histogram from character codes and hash-match; any
+    * codec asymmetry (filtering, bit depth, color model) would break
+    * the match — this is an end-to-end codec correctness gate, not a
+    * header check. */
+  def mmImageDecode(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = asciiDocs(spark, dir).map { case (id, text) =>
+      Media(id, "image", encodePngGray(text.getBytes("US-ASCII")))
+    }
+    decodeImages(media).toDF().orderBy(col("media_id"))
+  }
+
+  /** Enrolled (round 5): REAL WAV round-trip — per-char 16-bit PCM
+    * samples → WAV container via javax.sound → AudioSystem decode →
+    * exact integer signal stats (Σ s², peak). Lossless PCM ⇒ exact
+    * DuckDB twin from the same char-code sample formula. */
+  def mmAudioDecode(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = asciiDocs(spark, dir).map { case (id, text) =>
+      val samples = text.map(c => ((c - 64) * 256).toShort).toArray
+      Media(id, "audio", encodeWavPcm16(samples, 16000f))
+    }
+    decodeWavs(media).toDF().orderBy(col("media_id"))
+  }
+
+  /** Enrolled (round 5): perceptual aHash over really-decoded PNG
+    * pixels — the image-near-dup fingerprint. All arithmetic after the
+    * decode is exact integer (chunk boundaries i·64 div n, floor-div
+    * means), so DuckDB replicates it bit-for-bit from char codes. */
+  def mmImageAHash(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = asciiDocs(spark, dir)
+      .filter(length(col("text")) >= 64)
+      .map { case (id, text) =>
+        Media(id, "image", encodePngGray(text.getBytes("US-ASCII")))
+      }
+    imageAHash(media).toDF().orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
-      => DataFrame] = Map("q_mm_features" -> mmFeatures)
+      => DataFrame] = Map(
+    "q_mm_features" -> mmFeatures,
+    "q_mm_image_decode" -> mmImageDecode,
+    "q_mm_audio_decode" -> mmAudioDecode,
+    "q_mm_image_ahash" -> mmImageAHash,
+  )
 
   val oracle: Map[String, String] = Map(
     "q_mm_features" ->
@@ -180,5 +432,68 @@ object Multimodal {
         | true AS valid, a.hist
         |FROM documents d JOIN agg a USING (doc_id)
         |WHERE regexp_matches(d.text, '^[\x00-\x7F]*$')
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+    // lossless PNG round-trip ⇒ the pixel histogram equals the char-code
+    // histogram of the source text (bin = code div 16), width = n_chars,
+    // height = 1
+    "q_mm_image_decode" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$') AND length(text) > 0),
+        |chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM d0),
+        |hist AS (SELECT doc_id, ascii(ch) // 16 AS bin, count(*) AS cnt
+        |  FROM chars GROUP BY 1, 2),
+        |bins AS (SELECT d.doc_id, b.bin, coalesce(h.cnt, 0) AS cnt
+        |  FROM d0 d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS bin) b
+        |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.bin),
+        |agg AS (SELECT doc_id, string_agg(cnt, ',' ORDER BY bin) AS hist
+        |  FROM bins GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        | CAST(length(d.text) AS INTEGER) AS width,
+        | CAST(1 AS INTEGER) AS height,
+        | true AS valid, a.hist
+        |FROM d0 d JOIN agg a USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+    // lossless 16-bit PCM ⇒ decoded samples equal the encode formula
+    // s_i = (code_i − 64)·256 exactly; Σs² = 65536·Σ(code−64)²,
+    // peak = 256·max|code−64|
+    "q_mm_audio_decode" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$') AND length(text) > 0),
+        |chars AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) - 64
+        |    AS a FROM d0)
+        |SELECT doc_id AS media_id,
+        | CAST(16000 AS INTEGER) AS sample_rate,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(a * a) * 65536 AS BIGINT) AS sum_sq,
+        | CAST(max(abs(a)) * 256 AS BIGINT) AS peak,
+        | true AS valid
+        |FROM chars GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // aHash replay: pixels are the char codes (lossless PNG), chunk of
+    // pixel i is i·64 div n, per-chunk floor-div mean, bit j set iff
+    // chunk mean > floor-mean of the 64 chunk means; hash emitted as two
+    // 32-bit halves to stay in non-negative BIGINT range in both engines
+    "q_mm_image_ahash" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) >= 64),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d0),
+        |ch AS (SELECT doc_id, n, (i * 64) // n AS c,
+        |   ascii(substr(text, CAST(i AS INTEGER) + 1, 1)) AS p FROM px),
+        |cavg AS (SELECT doc_id, n, c, sum(p) // count(*) AS cm
+        |  FROM ch GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, sum(cm) // 64 AS mean FROM cavg GROUP BY 1),
+        |bits AS (SELECT cavg.doc_id, cavg.n, cavg.c,
+        |   CASE WHEN cavg.cm > m.mean THEN 1 ELSE 0 END AS b
+        |  FROM cavg JOIN m ON cavg.doc_id = m.doc_id)
+        |SELECT doc_id AS media_id, CAST(max(n) AS INTEGER) AS n_px,
+        | CAST(sum(CASE WHEN c >= 32
+        |   THEN b * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT)
+        |   AS hash_hi,
+        | CAST(sum(CASE WHEN c < 32
+        |   THEN b * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT)
+        |   AS hash_lo
+        |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin)
 }

@@ -61,6 +61,90 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.forall(_.frame.length == 16))
   }
 
+  // ============ real JDK codecs (round 5) ============
+
+  test("PNG round-trip is lossless: decoded pixels equal encoded bytes") {
+    val rnd = new scala.util.Random(42)
+    val bytes = Array.fill(300)((rnd.nextInt(256) - 128).toByte)
+    val Some((w, h, px)) = Multimodal.decodePixels(Multimodal.encodePngGray(bytes))
+    assert(w == 300 && h == 1)
+    assert(px.toSeq == bytes.toSeq.map(_ & 0xff))
+  }
+
+  test("decodeImages handles real PNG and rejects corrupt blobs without throwing") {
+    import spark.implicits._
+    val media = Seq(
+      Media(1L, "image", Multimodal.encodePngGray(Array.tabulate(160)(_.toByte))),
+      Media(2L, "image", "not-an-image-at-all".getBytes),
+      Media(3L, "image", Array[Byte](0x42, 0x4d, 1, 2, 3)) // truncated BMP header
+    ).toDS()
+    val d = Multimodal.decodeImages(media).collect().map(x => x.media_id -> x).toMap
+    assert(d(1L).valid && d(1L).width == 160 && d(1L).height == 1)
+    assert(d(1L).hist.split(",").map(_.toLong).sum == 160)
+    assert(!d(2L).valid && !d(3L).valid)
+  }
+
+  test("ImageIO decodes other public formats too (BMP, JPEG dims)") {
+    // write the same raster as BMP and JPEG through the JDK writers; BMP
+    // gray is lossless, JPEG is lossy so only dimensions are asserted
+    val img = new java.awt.image.BufferedImage(17, 5,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 17; y <- 0 until 5)
+      img.getRaster.setSample(x, y, 0, (x * 13 + y * 7) % 256)
+    for (fmt <- Seq("bmp", "jpg")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      val Some((w, h, px)) = Multimodal.decodePixels(bos.toByteArray)
+      assert(w == 17 && h == 5, fmt)
+      if (fmt == "bmp")
+        assert(px.toSeq == (0 until 85).map(i => ((i % 17) * 13 + (i / 17) * 7) % 256))
+    }
+  }
+
+  test("resizeImage produces a real PNG with the target dimensions") {
+    import spark.implicits._
+    val media = Seq(
+      Media(1L, "image", Multimodal.encodePngGray(Array.tabulate(200)(_.toByte)))
+    ).toDS()
+    val out = Multimodal.resizeImage(media, 10, 1).collect().head
+    val Some((w, h, _)) = Multimodal.decodePixels(out.blob)
+    assert(w == 10 && h == 1)
+  }
+
+  test("WAV PCM16 round-trip: decoded stats equal the encoded samples'") {
+    import spark.implicits._
+    val samples = Array.tabulate(1000)(i => ((i * 37) % 20000 - 10000).toShort)
+    val expSumSq = samples.map(s => s.toLong * s).sum
+    val expPeak = samples.map(s => math.abs(s.toLong)).max
+    val media = Seq(
+      Media(1L, "audio", Multimodal.encodeWavPcm16(samples, 16000f)),
+      Media(2L, "audio", "definitely-not-wav".getBytes)).toDS()
+    val d = Multimodal.decodeWavs(media).collect().map(x => x.media_id -> x).toMap
+    assert(d(1L).valid && d(1L).sample_rate == 16000 && d(1L).channels == 1)
+    assert(d(1L).n_samples == 1000L && d(1L).sum_sq == expSumSq &&
+      d(1L).peak == expPeak)
+    assert(!d(2L).valid)
+  }
+
+  test("aHash: identical images hash equal; small perturbation stays within Hamming 10; different images differ") {
+    import spark.implicits._
+    val base = Array.tabulate(640)(i => (math.sin(i / 20.0) * 100 + 128).toInt.toByte)
+    val noisy = base.clone(); for (i <- 0 until 640 by 97) noisy(i) = (noisy(i) + 3).toByte
+    val other = Array.tabulate(640)(i => ((i * 31) % 256).toByte)
+    val media = Seq(
+      Media(1L, "image", Multimodal.encodePngGray(base)),
+      Media(2L, "image", Multimodal.encodePngGray(base)),
+      Media(3L, "image", Multimodal.encodePngGray(noisy)),
+      Media(4L, "image", Multimodal.encodePngGray(other))).toDS()
+    val h = Multimodal.imageAHash(media).collect().map(x => x.media_id -> x).toMap
+    def ham(a: AHash, b: AHash): Int =
+      java.lang.Long.bitCount(a.hash_hi ^ b.hash_hi) +
+        java.lang.Long.bitCount(a.hash_lo ^ b.hash_lo)
+    assert(ham(h(1L), h(2L)) == 0)
+    assert(ham(h(1L), h(3L)) <= 10)
+    assert(ham(h(1L), h(4L)) > 10)
+  }
+
   test("metadata-only projection does not read blob column in the scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_media_")
