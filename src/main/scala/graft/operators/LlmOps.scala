@@ -563,6 +563,38 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** ANN recall@3 scoreboard (round 5): every approximate method (sign-
+    * bit LSH, IVF nprobe=1/2, IVF-PQ) scored against the brute-force
+    * top-3 baseline in ONE query — the number a user tuning nprobe or
+    * bucket bits actually needs. Recall is exact integer arithmetic
+    * (hits·10⁴ div baseline-size); n_returned exposes methods that
+    * return fewer than k candidates (sparse inverted lists). Each
+    * method's candidate generation is the SAME bucketed equi-join shape
+    * that scales — only the 20-probe baseline side is quadratic, and it
+    * is the documented exact baseline. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = cosineTopk(spark, dir).filter(col("rank") <= 3)
+      .select(col("probe_id"), col("vec_id"))
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.filter(col("rank") <= 3)
+        .select(lit(name).as("method"), col("probe_id"), col("vec_id"))
+    val tagged = tag("lsh_8bit", lshAnn(spark, dir))
+      .unionAll(tag("ivf_probe1", ivfAnn(spark, dir, nprobe = 1)))
+      .unionAll(tag("ivf_probe2", ivfAnn(spark, dir, nprobe = 2)))
+      .unionAll(tag("ivf_pq", ivfPq(spark, dir)))
+    val denom = brute.agg(count(lit(1)).as("total"))
+    val ret = tagged.groupBy(col("method"))
+      .agg(count(lit(1)).as("n_returned"))
+    val hits = tagged.join(brute, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    ret.join(hits, Seq("method"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(denom))
+      .select(col("method"), col("n_returned"), col("n_hits"),
+        expr("n_hits * 10000 div total").as("recall_e4"))
+      .orderBy(col("method"))
+  }
+
   /** PII scrubbing (round 2): redact emails and phone numbers before a
     * corpus ships to training — pure codegen'd regexp_replace, one
     * columnar pass, no UDF. The fixture plants one deterministic email
@@ -1133,6 +1165,7 @@ object LlmOps {
     "q_llm_knn_label" -> knnLabel,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_lsh_ann" -> lshAnn,
+    "q_llm_ann_recall" -> annRecall,
     "q_llm_ivf_ann" -> ((s, d) => ivfAnn(s, d, nprobe = 1)),
     "q_llm_ivf_ann_probe2" -> ((s, d) => ivfAnn(s, d, nprobe = 2)),
     "q_llm_ivf_pq" -> ivfPq,
@@ -1211,7 +1244,7 @@ object LlmOps {
        |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_llm_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS text_hash,
         | min(doc_id) AS keep_id, count(*) AS n_dups
@@ -1724,4 +1757,33 @@ object LlmOps {
         |WHERE levenshtein(a.p_name, c.p_name) <= 3
         |ORDER BY a_name, b_name""".stripMargin,
   )
+
+  /** q_llm_ann_recall's oracle is COMPOSED from the four method oracles
+    * plus the brute-force baseline oracle (each wrapped as a subquery) —
+    * it can never drift from the per-method definitions. */
+  private def annRecallOracle: String = {
+    def top3(key: String, m: String): String =
+      s"(SELECT '$m' AS method, probe_id, vec_id " +
+        s"FROM (${oracleBase(key)}) q WHERE rank <= 3)"
+    s"""WITH brute AS (SELECT probe_id, vec_id
+       |  FROM (${oracleBase("q_llm_cosine_topk")}) b WHERE rank <= 3),
+       |tagged AS (${top3("q_llm_lsh_ann", "lsh_8bit")}
+       |  UNION ALL ${top3("q_llm_ivf_ann", "ivf_probe1")}
+       |  UNION ALL ${top3("q_llm_ivf_ann_probe2", "ivf_probe2")}
+       |  UNION ALL ${top3("q_llm_ivf_pq", "ivf_pq")}),
+       |denom AS (SELECT count(*) AS total FROM brute),
+       |ret AS (SELECT method, count(*) AS n_returned FROM tagged
+       |  GROUP BY method),
+       |hits AS (SELECT method, count(*) AS n_hits FROM tagged t
+       |  WHERE EXISTS (SELECT 1 FROM brute b
+       |    WHERE b.probe_id = t.probe_id AND b.vec_id = t.vec_id)
+       |  GROUP BY method)
+       |SELECT r.method, r.n_returned, coalesce(h.n_hits, 0) AS n_hits,
+       | coalesce(h.n_hits, 0) * 10000 // total AS recall_e4
+       |FROM ret r LEFT JOIN hits h USING (method) CROSS JOIN denom
+       |ORDER BY method""".stripMargin
+  }
+
+  val oracle: Map[String, String] =
+    oracleBase + ("q_llm_ann_recall" -> annRecallOracle)
 }

@@ -277,6 +277,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("stateful ops run on the RocksDB state store provider " +
+      "(the production backend for 100TB-scale state)") {
+    // all other streaming tests exercise the default HDFSBackedStateStore
+    // (state lives on the executor heap — fine for small state, an OOM
+    // risk when keyed state outgrows memory). This pins the swap to the
+    // disk-backed RocksDB provider that a large deployment would set, and
+    // asserts via provider-specific metrics that it actually engaged.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamingOps.funnelStream(in.toDS())
+        .writeStream.format("memory").queryName("rocksdb_funnel")
+        .outputMode("append").start()
+      in.addData(ev(1, 0, 1, "signup"), ev(2, 5, 1, "purchase"))
+      q.processAllAvailable()
+      in.addData(ev(3, 10, 1, "error"), ev(4, 11, 2, "view"))
+      q.processAllAvailable()
+      // same FSM result as on the default provider…
+      val rows = spark.table("rocksdb_funnel").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, ts(0).getTime, ts(5).getTime,
+        ts(10).getTime)), rows.mkString(";"))
+      // …and the state genuinely lived in RocksDB, not the HDFS-backed map
+      val metrics = q.lastProgress.stateOperators.head
+        .customMetrics.keySet().asScala
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics: $metrics")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("lifecycle FSM emits on error and on event-time timeout") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
