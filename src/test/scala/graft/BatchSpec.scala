@@ -469,6 +469,39 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).sum <= nNodes * 1000000L)
   }
 
+  test("pagerankConverged: eps=0 depth-3 run reproduces the unrolled " +
+      "query bit-for-bit; free-running converges and is eps-stationary") {
+    import graft.operators.Graph
+    // (1) the driver loop and the unrolled declarative plan are the SAME
+    // exact-integer update: forcing exactly 3 iterations must reproduce
+    // q_graph_pagerank row-for-row (both orderBy node)
+    val unrolled = SparkEntry.queries("q_graph_pagerank")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (fixed3, it3) = Graph.pagerankConverged(spark, sf,
+      epsMicro = 0L, maxIter = 3)
+    assert(it3 == 3)
+    assert(fixed3.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == unrolled)
+    // (2) free-running: converges well before the cap, and one extra
+    // step past the convergence point moves no rank by more than eps.
+    // eps=10⁵ micro (10% of initial rank): the bipartite oscillation's
+    // first delta is ~1.7e7 and decays ×0.85/step (see Graph scaladoc),
+    // so expected depth ≈ log(170)/log(1/0.85) ≈ 32 — cap at 40.
+    val eps = 100000L
+    val (converged, it) = Graph.pagerankConverged(spark, sf,
+      epsMicro = eps, maxIter = 40, failOnMaxIter = true)
+    assert(it < 40, s"took all $it iterations")
+    val (onceMore, _) = Graph.pagerankConverged(spark, sf,
+      epsMicro = 0L, maxIter = it + 1)
+    val a = converged.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val b = onceMore.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (k, v) => math.abs(v - b(k)) <= eps },
+      "post-convergence step moved a rank by more than eps")
+  }
+
   test("semdedup: smallest vec_id per cluster is always kept; " +
       "drops only happen with an in-cluster smaller-id neighbor") {
     val rows = SparkEntry.queries("q_llm_semdedup")(spark, sf).collect()
