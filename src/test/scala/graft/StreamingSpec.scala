@@ -319,6 +319,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transformWithState sessionizer: in-batch gap split + event-time " +
+      "timer timeout (the Spark 4 arbitrary-state API, RocksDB-only)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = TwsOps.sessionizeTws(in.toDS())
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      in.addData(ev(1, 0, 1, "view"), ev(2, 5, 1, "view"))
+      q.processAllAvailable()
+      // 35-min gap > 30 → the open session splits and emits immediately
+      in.addData(ev(3, 40, 1, "view"))
+      q.processAllAvailable()
+      // watermark advances to 110 min, past user 1's 40+30 timer → the
+      // trailing session emits via handleExpiredTimer; the extra batch
+      // ensures the post-watermark timer sweep runs
+      in.addData(ev(4, 120, 2, "view"))
+      q.processAllAvailable()
+      in.addData(ev(5, 130, 2, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tws_sessions").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getString(4))).sortBy(t => (t._1, t._3))
+      assert(rows.contains((1L, 2, ts(0), ts(5), "split")),
+        rows.mkString(";"))
+      assert(rows.contains((1L, 1, ts(40), ts(40), "timeout")),
+        rows.mkString(";"))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("lifecycle FSM emits on error and on event-time timeout") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
