@@ -195,9 +195,44 @@ object Graph {
       .orderBy(col("side"), col("log2_bucket"))
   }
 
+  /** Bipartite projection / co-occurrence (round 5): supplier pairs
+    * weighted by shared parts — the item-item co-occurrence matrix of
+    * every recommender ("suppliers that stock the same parts"), plus an
+    * integer Jaccard affinity (shared·10⁴ div (d₁+d₂−shared)). Top-50
+    * by (shared desc, s1, s2) — deterministic total order.
+    *
+    * Scale shape: the pair fan-out is Σ_p d_p(d_p−1)/2 over per-part
+    * degrees — bounded when per-part degree is (as here, ≤41); a
+    * super-node part at 100 TB gets capped or salted FIRST (measure
+    * with q_graph_degree_dist — that row exists precisely to make this
+    * call). The self-join is an equi-join on part (no cartesian); the
+    * pair groupBy key space is ≤ |suppliers|²/2 but the aggregation is
+    * partial-aggregable so map-side combine collapses it early; degree
+    * lookups are node-sized broadcasts. */
+  def coProjection(spark: SparkSession, dir: String): DataFrame = {
+    val e = lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val pairs = e.as("a")
+      .join(e.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))),
+        "s1")
+      .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))),
+        "s2")
+      .select(col("s1"), col("s2"), col("shared"),
+        expr("shared * 10000 div (d1 + d2 - shared)").as("affinity_e4"))
+      .orderBy(col("shared").desc, col("s1"), col("s2"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> pagerank,
     "q_graph_degree_dist" -> degreeDist,
+    "q_graph_coproj" -> coProjection,
   )
 
   val oracle: Map[String, String] = Map(
@@ -227,6 +262,17 @@ object Graph {
         |SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
         |   ELSE 's:' || (node // 2) END AS node, rank
         |FROM i3 ORDER BY node""".stripMargin,
+    "q_graph_coproj" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem),
+        |deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+        |pairs AS (SELECT a.s AS s1, b.s AS s2, count(*) AS shared
+        |  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY a.s, b.s)
+        |SELECT s1, s2, shared,
+        | shared * 10000 // (d1.d + d2.d - shared) AS affinity_e4
+        |FROM pairs JOIN deg d1 ON d1.s = s1 JOIN deg d2 ON d2.s = s2
+        |ORDER BY shared DESC, s1, s2 LIMIT 50""".stripMargin,
     "q_graph_degree_dist" ->
       """WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
         |  FROM lineitem),

@@ -243,7 +243,30 @@ object Scans {
         max(col("l_orderkey")).as("max_key"))
       .orderBy(col("file"))
 
+  /** Spark 4 VARIANT surface (round 5): `parse_json` → binary-encoded
+    * semi-structured VariantType → typed `variant_get` path extraction
+    * (incl. a nested path and a `try_variant_get` miss). Why it matters
+    * at 100 TB: variant parses each JSON document ONCE into an indexed
+    * binary encoding; repeated path accesses are offset lookups, not
+    * string re-parses — the open-format answer to "json strings are our
+    * hottest column". The rollup proves typed extraction: per-type
+    * counts, Σ of a bigint path, the same Σ through a constructed
+    * nested variant, and a 0 count from an absent path. */
+  def scanVariant(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("pv", parse_json(col("props")))
+      .withColumn("nv", parse_json(concat(lit("{\"a\":{\"b\":"),
+        expr("variant_get(pv, '$.k', 'bigint')"), lit("}}"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("variant_get(pv, '$.k', 'bigint')")).as("sum_k"),
+        sum(expr("variant_get(nv, '$.a.b', 'bigint')")).as("sum_nested"),
+        count(expr("try_variant_get(pv, '$.absent', 'bigint')"))
+          .as("n_absent"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_variant" -> scanVariant,
     "q_scan_full" -> scanFull,
     "q_scan_metadata_cols" -> scanMetadataCols,
     "q_scan_schema_evolution" -> scanSchemaEvolution,
@@ -260,6 +283,17 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    // VARIANT is Spark-side; the oracle replicates the typed extractions
+    // with DuckDB's json accessors (n_absent: every probe of a missing
+    // path is NULL, so the count is exactly 0)
+    "q_scan_variant" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS sum_nested,
+        | CAST(0 AS BIGINT) AS n_absent
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_scan_metadata_cols" ->
       // ground-truth reconstruction (the driver's comparator runs oracle
       // SQL against table VIEWS, so no filename=true scan here): the

@@ -502,6 +502,21 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-convergence step moved a rank by more than eps")
   }
 
+  test("coproj: equi-join on part (no cartesian), pairs canonical s1<s2, " +
+      "affinity bounded by 10^4") {
+    // the a.s < b.s predicate must ride the p=p equi-join as a residual,
+    // never degrade the join to a cartesian
+    val s = planString("q_graph_coproj")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    val rows = SparkEntry.queries("q_graph_coproj")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (s1, s2, _, _) => s1 < s2 })
+    // Jaccard affinity is shared/(d1+d2-shared) ≤ 1 by construction
+    assert(rows.forall { case (_, _, sh, aff) => sh >= 1 && aff <= 10000 })
+  }
+
   test("semdedup: smallest vec_id per cluster is always kept; " +
       "drops only happen with an in-cluster smaller-id neighbor") {
     val rows = SparkEntry.queries("q_llm_semdedup")(spark, sf).collect()
