@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incoming embedding row (the streaming twin of the `embeddings`
+  * table's rows). */
+case class Vec(vec_id: Long, ts: java.sql.Timestamp, v: Array[Float])
+
+/** Round 5 — streaming IVF index maintenance: the BUILD path of the IVF
+  * ANN family (`LlmOps.ivfAnn` is the search path). Embeddings arrive
+  * on a stream, each is assigned to its nearest coarse centroid
+  * (cosine, same metric + c_id tie-break as the batch quantizer so the
+  * two paths agree vector-for-vector), and lands in a parquet store
+  * PARTITIONED BY list id — so a probe with nprobe=k prunes to k list
+  * directories at scan time instead of reading the corpus.
+  *
+  * Scale shape: the centroid table is tiny (16–65 k entries at any real
+  * scale) and broadcast per micro-batch; assignment is map-side
+  * (crossJoin against the broadcast + one per-vector argmin window);
+  * the sink reuses EventIngest's idempotent dynamic-overwrite contract
+  * (batch_id in the partition spec → crash-retry rewrites, never
+  * duplicates). At 100 TB the same code runs from Kafka with the store
+  * on object storage; periodic centroid re-training is a batch job
+  * (`ModelPrep.kmeansStep`) that swaps the broadcast table between
+  * runs.
+  */
+object VectorIngest {
+
+  /** Nearest-centroid assignment shared by every caller: top-1 cosine
+    * with c_id tie-break — bit-identical to `ivfAnn`'s quantizer
+    * (`arn = 1` branch). `cents` columns: (c_id, cv, cn). */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(vecs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+    vecs
+      .withColumn("nrm", expr("fvec_norm(v)"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs",
+        round(expr("fvec_dot(v, cv)") / (col("nrm") * col("cn")), 6))
+      .withColumn("arn", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("ts"), col("v"),
+        col("c_id").as("bucket"))
+  }
+
+  /** Start the ingest: stream of [[Vec]] rows → nearest-list assignment
+    * → list-partitioned idempotent parquet store. */
+  def startIvfIngest(spark: SparkSession, vecs: DataFrame,
+      cents: DataFrame, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assign(batch, cents)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "batch_id")
+          .parquet(storeDir)
+      }
+      .start()
+
+  /** Probe-side read: only the requested lists' partition directories
+    * are scanned (`bucket` is a partition column — the filter prunes at
+    * file listing, before any IO). */
+  def readLists(spark: SparkSession, storeDir: String,
+      lists: Seq[Long]): DataFrame =
+    spark.read.parquet(storeDir)
+      .filter(col("bucket").isin(lists: _*))
+      // partition-directory type inference narrows bucket=N to INT;
+      // restore the writer's LONG so round-trips are schema-stable
+      // (the cast rides above the pruned scan — pruning still applies)
+      .withColumn("bucket", col("bucket").cast("long"))
+}

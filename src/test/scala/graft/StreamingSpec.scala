@@ -319,6 +319,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming IVF ingest: assignment matches the batch quantizer " +
+      "metric; probe read prunes to the requested list partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sq = spark.sqlContext
+    graft.functions.VectorExprs.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("ivf_ingest")
+    val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    // three axis-aligned centroids — nearest-by-cosine is unambiguous
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)))
+      .toDF("c_id", "cv").withColumn("cn", expr("fvec_norm(cv)"))
+    val in = MemoryStream[Vec]
+    val q = VectorIngest.startIvfIngest(spark, in.toDF(), cents, store, ckpt)
+    in.addData(Vec(10, ts(0), Array(0.9f, 0.1f, 0f, 0f)),
+      Vec(11, ts(1), Array(0.2f, 0.8f, 0.1f, 0f)))
+    q.processAllAvailable()
+    in.addData(Vec(12, ts(2), Array(0f, 0.1f, 0.9f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    val stored = VectorIngest.readLists(spark, store, Seq(0L, 1L, 2L))
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == Map(10L -> 0L, 11L -> 1L, 12L -> 2L), stored)
+    // probe of list 0: only vec 10 comes back, and the scan prunes on
+    // the bucket partition column (visible as a PartitionFilters entry
+    // in the executed plan — pruning happens at file listing, pre-IO)
+    val probe = VectorIngest.readLists(spark, store, Seq(0L))
+    assert(probe.select("vec_id").collect().map(_.getLong(0)).toSeq
+      == Seq(10L))
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("bucket"), planStr)
+  }
+
   test("transformWithState sessionizer: in-batch gap split + event-time " +
       "timer timeout (the Spark 4 arbitrary-state API, RocksDB-only)") {
     import spark.implicits._
