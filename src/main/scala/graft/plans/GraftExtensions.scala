@@ -17,12 +17,16 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
   *    per-session `experimental.extraStrategies` registration in
   *    [[AsOfJoinDF.asofJoin]] remains for ad-hoc sessions);
   *  - [[CartesianGuard]] — a post-analysis check that REJECTS unbounded
-  *    cartesian products before they execute.
+  *    cartesian products before they execute;
+  *  - [[LevenshteinBandRule]] — an optimizer rule conjoining the implied
+  *    `|len(a)−len(b)| ≤ k` band onto bounded-levenshtein predicates
+  *    (round 5).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectCheckRule(spark => CartesianGuard(spark))
+    ext.injectOptimizerRule(_ => LevenshteinBandRule)
   }
 }
 

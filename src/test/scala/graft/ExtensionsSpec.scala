@@ -91,6 +91,42 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.cartesianGuard.maxBytes")
   }
 
+  test("levenshtein band rule: bounded 2-arg predicates gain the " +
+      "implied length band; thresholded 3-arg form is untouched; " +
+      "results unchanged and idempotent") {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import spark.implicits._
+    // distances from "aaaa": aaab=1, zzzz=4, aaaaaa=2, aab=2
+    val names = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "zzzz"),
+      (4L, "aaaaaa"), (5L, "aab")).toDF("id", "name")
+    // direct rule application (same pattern as the guard tests — suites
+    // share a JVM, so session-level wiring is asserted separately)
+    val naive = broadcast(names.as("a")).join(names.as("b"),
+      expr("levenshtein(a.name, b.name) <= 2") &&
+        col("a.id") < col("b.id"))
+    val once = plans.LevenshteinBandRule(naive.queryExecution.analyzed)
+    assert(once.toString.contains("abs((length"), once.toString)
+    // idempotent: a second application adds nothing
+    assert(plans.LevenshteinBandRule(once).toString == once.toString)
+    // conjunction-only: banded results == naive results
+    val banded = Seq((1L, 2L), (1L, 4L), (1L, 5L), (2L, 5L))
+    assert(naive.select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == banded.toSet)
+    // the session has the extensions installed — the optimized plan of
+    // a session-built query carries the band without manual application
+    val viaSession = broadcast(names.as("a")).join(names.as("b"),
+      expr("levenshtein(a.name, b.name) <= 2"))
+    assert(viaSession.queryExecution.optimizedPlan.toString
+      .contains("abs((length"),
+      viaSession.queryExecution.optimizedPlan.toString)
+    // 3-arg thresholded levenshtein returns -1 past the threshold —
+    // NO band may be inferred from it
+    val thresholded = broadcast(names.as("a")).join(names.as("b"),
+      expr("levenshtein(a.name, b.name, 1) <= 2"))
+    assert(!plans.LevenshteinBandRule(
+      thresholded.queryExecution.analyzed).toString.contains("abs((length"))
+  }
+
   test("as-of strategy is injected: native as-of join plans and runs") {
     val df = SparkEntry.queries("q_join_asof_native")(spark, sf)
     assert(df.count() > 0)
