@@ -187,7 +187,44 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Integer EWMA (round 5): per-user exponentially weighted moving
+    * average with α = 1/2 over centi-unit values — every step is
+    * `(acc + x) div 2` BIGINT arithmetic on the event-time-ordered
+    * sequence (first element seeds the fold, matching DuckDB's
+    * `list_reduce` init-less fold exactly), so the result is
+    * bit-reproducible in both engines and independent of partitioning.
+    * Float EWMA (pow-decay closed form) would be aggregation-order- and
+    * libm-dependent — the same reason regrSlope uses integer moments.
+    *
+    * Ordering keys on raw ts_ns (never the µs truncation): the oracle
+    * sorts by its TIMESTAMP_NS column, and a µs-level tie with
+    * different nanos would silently diverge the fold order.
+    *
+    * Scale shape: ONE user_id groupBy; the fold is map-side arithmetic
+    * on each user's collected sequence (bounded by per-user event
+    * count — the per-key-sequence family contract shared with
+    * q_seq_pattern, which documents the same bound). */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      // floor(x+0.5), not round(): the engines' round() half-rules
+      // differ; floor(+0.5) is the same IEEE op in both (regrSlope's
+      // established centi-unit idiom)
+      .withColumn("centi",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("array_sort(collect_list(struct(ts_ns, event_id, centi)))")
+          .as("ord"))
+      .withColumn("vals", expr("transform(ord, r -> r.centi)"))
+      .select(col("user_id"), col("n_events"),
+        expr("element_at(vals, -1)").as("last_centi"),
+        expr("""aggregate(slice(vals, 2, size(vals) - 1),
+          element_at(vals, 1), (acc, x) -> (acc + x) div 2)""")
+          .as("ewma_centi"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ewma" -> ewma,
     "q_ts_rolling_median" -> rollingMedian,
     "q_ts_resample" -> resample,
     "q_ts_interp_linear" -> interpLinear,
@@ -196,6 +233,16 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_ewma" ->
+      """WITH t AS (SELECT user_id, event_id, ts,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS centi
+        |  FROM events),
+        |g AS (SELECT user_id, count(*) AS n_events,
+        |   list(centi ORDER BY ts, event_id) AS vals
+        |  FROM t GROUP BY user_id)
+        |SELECT user_id, n_events, vals[-1] AS last_centi,
+        | list_reduce(vals, (a, b) -> (a + b) // 2) AS ewma_centi
+        |FROM g ORDER BY user_id""".stripMargin,
     "q_ts_regr_slope" ->
       """WITH e AS (SELECT user_id,
         |   epoch_us(ts) // 3600000000 AS ts_h,

@@ -397,6 +397,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transformWithState sessionizer agrees with batch session_window " +
+      "on the same events (first/last/count per session)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      // two users, multiple sessions each, out-of-order within horizon
+      val evs = Seq(ev(1, 0, 1, "view"), ev(2, 9, 1, "view"),
+        ev(3, 5, 1, "view"), ev(4, 50, 1, "view"), ev(5, 55, 1, "view"),
+        ev(6, 3, 2, "view"), ev(7, 95, 2, "view"))
+      val in = MemoryStream[Ev]
+      val q = TwsOps.sessionizeTws(in.toDS())
+        .writeStream.format("memory").queryName("tws_parity")
+        .outputMode("append").start()
+      evs.grouped(3).foreach { g => in.addData(g: _*)
+        q.processAllAvailable() }
+      // sentinel user far in the future flushes every timer, twice so
+      // the post-watermark sweep batch definitely runs
+      in.addData(ev(100, 600, 99, "view")); q.processAllAvailable()
+      in.addData(ev(101, 610, 99, "view")); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("tws_parity").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2),
+          r.getTimestamp(3))).toSet
+      // batch twin: session_window end = last event + gap
+      val batch = evs.toDS()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("n").cast("int"),
+          col("session_window.start"),
+          (col("session_window.end").cast("long") - 30L * 60)
+            .cast("timestamp").as("last"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2),
+          r.getTimestamp(3))).toSet
+      assert(streamed == batch,
+        s"streamed=$streamed\nbatch=$batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("lifecycle FSM emits on error and on event-time timeout") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
