@@ -614,6 +614,41 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Dedup CASCADE scoreboard (round 5): the production corpus-dedup
+    * flow as ONE auditable row — stage 1 exact dedup (content-hash
+    * groups, keep min doc_id), stage 2 MinHash-LSH near-dup clusters
+    * over the survivors (keep the cluster minimum), reporting per-stage
+    * kept counts and the final retention rate ×10⁴.
+    *
+    * Correctness lemma (why stage 2 can reuse the all-docs cluster
+    * map): exact duplicates have identical shingle sets, so they land
+    * in the same near-dup cluster; the cluster's min doc_id is
+    * therefore itself an exact-group minimum, and "min per cluster over
+    * all docs" ≡ "min per cluster over stage-1 survivors". The cascade
+    * needs no second clustering pass — the composed oracle encodes the
+    * same identity.
+    *
+    * Scale shape: reuses exactDedup's hash groupBy and dupClusters'
+    * banded-LSH + pointer-jumped CC (both documented 100 TB paths);
+    * the cascade adds one keepers⋈clusters left join and two scalar
+    * aggregates. */
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val keepers = exactDedup(spark, dir).select(col("keep_id").as("doc_id"))
+    val cl = dupClusters(spark, dir)
+    val cmins = cl.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("cmin"))
+    val fin = keepers
+      .join(cl, Seq("doc_id"), "left")
+      .join(broadcast(cmins), Seq("cluster_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cmin"))
+    nDocs
+      .crossJoin(broadcast(keepers.agg(count(lit(1)).as("n_exact_kept"))))
+      .crossJoin(broadcast(fin.agg(count(lit(1)).as("n_final_kept"))))
+      .select(col("n_docs"), col("n_exact_kept"), col("n_final_kept"),
+        expr("n_final_kept * 10000 div n_docs").as("retention_e4"))
+  }
+
   /** ANN recall@3 scoreboard (round 5): every approximate method (sign-
     * bit LSH single- and multi-table, IVF nprobe=1/2, IVF-PQ) scored
     * against the brute-force top-3 baseline in ONE query — the number a
@@ -1219,6 +1254,7 @@ object LlmOps {
     "q_llm_lsh_ann" -> lshAnn,
     "q_llm_lsh_ann_multi" -> ((s, d) => lshAnnMulti(s, d)),
     "q_llm_ann_recall" -> annRecall,
+    "q_llm_dedup_cascade" -> dedupCascade,
     "q_llm_ivf_ann" -> ((s, d) => ivfAnn(s, d, nprobe = 1)),
     "q_llm_ivf_ann_probe2" -> ((s, d) => ivfAnn(s, d, nprobe = 2)),
     "q_llm_ivf_pq" -> ivfPq,
@@ -1867,6 +1903,28 @@ object LlmOps {
        |ORDER BY method""".stripMargin
   }
 
+  /** Cascade oracle COMPOSED from the exact-dedup and cluster oracles
+    * (same can't-drift contract as [[annRecallOracle]]); the WHERE
+    * encodes the cluster-min lemma from [[dedupCascade]]'s scaladoc. */
+  private def dedupCascadeOracle: String =
+    s"""WITH ex AS (${oracleBase("q_llm_exact_dedup")}),
+       |keepers AS (SELECT keep_id AS doc_id FROM ex),
+       |cl AS (SELECT doc_id, cluster_id
+       |  FROM (${oracleBase("q_llm_dup_clusters")}) c),
+       |cmins AS (SELECT cluster_id, min(doc_id) AS cmin FROM cl
+       |  GROUP BY cluster_id),
+       |fin AS (SELECT k.doc_id FROM keepers k
+       |  LEFT JOIN cl ON cl.doc_id = k.doc_id
+       |  LEFT JOIN cmins ON cmins.cluster_id = cl.cluster_id
+       |  WHERE cl.cluster_id IS NULL OR k.doc_id = cmins.cmin)
+       |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       | CAST((SELECT count(*) FROM keepers) AS BIGINT) AS n_exact_kept,
+       | CAST((SELECT count(*) FROM fin) AS BIGINT) AS n_final_kept,
+       | CAST((SELECT count(*) FROM fin) * 10000
+       |   // (SELECT count(*) FROM documents) AS BIGINT) AS retention_e4
+       |""".stripMargin
+
   val oracle: Map[String, String] =
-    oracleBase + ("q_llm_ann_recall" -> annRecallOracle)
+    oracleBase + ("q_llm_ann_recall" -> annRecallOracle) +
+      ("q_llm_dedup_cascade" -> dedupCascadeOracle)
 }

@@ -49,6 +49,22 @@ object Maintenance {
       .orderBy(col("event_type"))
   }
 
+  /** Pipeline observability (round 5): piggyback data-quality counters
+    * onto the SAME job via `Dataset.observe` — row counts, null rates,
+    * value bounds ride the pipeline's one pass as accumulator-backed
+    * aggregates, so a 100 TB job self-audits without a second scan (a
+    * separate audit query would re-read the input). The returned
+    * [[org.apache.spark.sql.Observation]] yields the metric row after
+    * the first action on the returned frame; works identically under
+    * streaming via `StreamingQueryListener` observed metrics. */
+  def withAudit(df: DataFrame, name: String,
+      metrics: org.apache.spark.sql.Column*)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "at least one audit metric")
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivm_agg_merge" -> incrAggMerge,
   )

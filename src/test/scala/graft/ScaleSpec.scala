@@ -84,4 +84,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = agg.rdd.getNumPartitions
     assert(n < 64, s"expected AQE to coalesce 64 shuffle partitions, got $n")
   }
+
+  test("observe(): audit metrics ride the pipeline's own job — counts, " +
+      "null rate, bounds collected without a second scan") {
+    val sf = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sf).filter(col("l_quantity") > 10)
+    val (audited, obs) = operators.Maintenance.withAudit(li, "li_audit",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_returnflag").isNull, 1).otherwise(0))
+        .as("n_null_flag"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"))
+    // ONE action drives both the pipeline and the audit counters
+    val pipelineRows = audited.count()
+    val m = obs.get
+    assert(m("n_rows") == pipelineRows, m)
+    assert(m("n_null_flag") == 0L, m)
+    // the observed bounds must match a directly-computed reference
+    val ref = li.agg(min(col("l_quantity")), max(col("l_quantity")))
+      .first()
+    assert(m("min_qty") == ref.get(0) && m("max_qty") == ref.get(1), m)
+  }
 }
