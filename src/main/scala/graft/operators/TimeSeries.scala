@@ -200,6 +200,14 @@ object TimeSeries {
     * sorts by its TIMESTAMP_NS column, and a µs-level tie with
     * different nanos would silently diverge the fold order.
     *
+    * Domain constraint: centi values must be NON-NEGATIVE for oracle
+    * parity — Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so a negative odd `acc + x` would differ by 1. events
+    * .value ∈ [0.03, 327.53] satisfies this; a signed-value variant
+    * would use `(acc + x - ((acc + x) % 2 + 2) % 2) / 2` (explicit
+    * floor) on the Spark side instead. Spark-vs-Scala fold equality
+    * (negatives included) is ScalaCheck-verified in GraftProps.
+    *
     * Scale shape: ONE user_id groupBy; the fold is map-side arithmetic
     * on each user's collected sequence (bounded by per-user event
     * count — the per-key-sequence family contract shared with

@@ -217,6 +217,56 @@ object GraftProps extends Properties("graft") {
     ys <- Gen.nonEmptyListOf(Gen.choose(0, 50))
   } yield (xs.toSet, ys.toSet)
 
+  // ---- q_ts_ewma's fold vs a plain Scala reference ------------------
+  // the SQL form (aggregate with element-1 seed over slice(2..)) must
+  // equal foldLeft((acc + x) div 2) for ANY BIGINT sequence, including
+  // negatives (Spark's div and Scala's / both truncate toward zero)
+  private val centiSeqs =
+    Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L))
+
+  property("ewma SQL fold equals the Scala reference fold") =
+    forAll(centiSeqs) { xs =>
+      import spark.implicits._
+      val got = Seq(xs).toDF("vals")
+        .selectExpr(
+          """aggregate(slice(vals, 2, size(vals) - 1),
+            element_at(vals, 1), (acc, x) -> (acc + x) div 2) AS e""")
+        .first().getLong(0)
+      val want = xs.tail.foldLeft(xs.head)((acc, x) => {
+        val s = acc + x
+        // BIGINT div truncates toward zero, matching Scala Long division
+        s / 2
+      })
+      got == want
+    }
+
+  // ---- q_graph_coproj's pair counts vs brute force ------------------
+  private val bipartiteEdges = for {
+    n <- Gen.choose(1, 25)
+    es <- Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 6L), Gen.choose(100L, 106L)))
+  } yield es.distinct
+
+  property("co-occurrence projection equals brute-force pair counting") =
+    forAll(bipartiteEdges) { es =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val e = es.toDF("p", "s")
+      val got = e.as("a")
+        .join(e.as("b"), col("a.p") === col("b.p") &&
+          col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+        .agg(count(lit(1)).as("shared"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = es.groupBy(_._1).values.flatMap { grp =>
+        val ss = grp.map(_._2).distinct.sorted
+        for (i <- ss.indices; j <- i + 1 until ss.length)
+          yield (ss(i), ss(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      got == want
+    }
+
   property("prefix filter is lossless at tau=3/5 for any set pair") =
     forAll(intSetPair) { case (a, b) =>
       val inter = (a & b).size
