@@ -614,6 +614,30 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** LSH banding quality scoreboard (round 5): MinHash-LSH's verified
+    * pair set against the exact all-pairs τ=0.8 baseline
+    * ([[shingleJaccard]], same df-capped vocabulary, so the comparison
+    * is apples-to-apples). Because LSH candidates are verified with
+    * exact Jaccard before emission, precision is 1 BY CONSTRUCTION
+    * (asserted as a column); the informative number is RECALL — the
+    * fraction of true τ-pairs whose signatures collide in at least one
+    * band, i.e. the banding's miss rate, THE knob-tuning number for
+    * (bands, rows-per-band). Exact integer arithmetic throughout. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = shingleJaccard(spark, dir).select(col("a_id"), col("b_id"))
+    val lsh = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    spark.range(1).select(lit(1).as("one"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(lsh.join(exact, Seq("a_id", "b_id"),
+        "left_semi").agg(count(lit(1)).as("n_both"))))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        expr("CASE WHEN n_exact > 0 THEN n_both * 10000 div n_exact" +
+          " ELSE 10000 END").as("recall_e4"),
+        expr("CASE WHEN n_lsh > 0 THEN n_both * 10000 div n_lsh" +
+          " ELSE 10000 END").as("precision_e4"))
+  }
+
   /** Dedup CASCADE scoreboard (round 5): the production corpus-dedup
     * flow as ONE auditable row — stage 1 exact dedup (content-hash
     * groups, keep min doc_id), stage 2 MinHash-LSH near-dup clusters
@@ -1255,6 +1279,7 @@ object LlmOps {
     "q_llm_lsh_ann_multi" -> ((s, d) => lshAnnMulti(s, d)),
     "q_llm_ann_recall" -> annRecall,
     "q_llm_dedup_cascade" -> dedupCascade,
+    "q_llm_lsh_recall" -> lshRecall,
     "q_llm_ivf_ann" -> ((s, d) => ivfAnn(s, d, nprobe = 1)),
     "q_llm_ivf_ann_probe2" -> ((s, d) => ivfAnn(s, d, nprobe = 2)),
     "q_llm_ivf_pq" -> ivfPq,
@@ -1924,7 +1949,28 @@ object LlmOps {
        |   // (SELECT count(*) FROM documents) AS BIGINT) AS retention_e4
        |""".stripMargin
 
+  /** Composed from the exact-pairs and LSH-pairs oracles (can't-drift
+    * contract, as [[annRecallOracle]]). */
+  private def lshRecallOracle: String =
+    s"""WITH ex AS (SELECT a_id, b_id
+       |  FROM (${oracleBase("q_llm_shingle_jaccard")}) e),
+       |ls AS (SELECT a_id, b_id FROM ($minhashPairsSql) l),
+       |bo AS (SELECT * FROM ls WHERE EXISTS (SELECT 1 FROM ex
+       |  WHERE ex.a_id = ls.a_id AND ex.b_id = ls.b_id))
+       |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+       | CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_lsh,
+       | CAST((SELECT count(*) FROM bo) AS BIGINT) AS n_both,
+       | CAST(CASE WHEN (SELECT count(*) FROM ex) > 0
+       |   THEN (SELECT count(*) FROM bo) * 10000
+       |     // (SELECT count(*) FROM ex) ELSE 10000 END AS BIGINT)
+       |   AS recall_e4,
+       | CAST(CASE WHEN (SELECT count(*) FROM ls) > 0
+       |   THEN (SELECT count(*) FROM bo) * 10000
+       |     // (SELECT count(*) FROM ls) ELSE 10000 END AS BIGINT)
+       |   AS precision_e4""".stripMargin
+
   val oracle: Map[String, String] =
     oracleBase + ("q_llm_ann_recall" -> annRecallOracle) +
-      ("q_llm_dedup_cascade" -> dedupCascadeOracle)
+      ("q_llm_dedup_cascade" -> dedupCascadeOracle) +
+      ("q_llm_lsh_recall" -> lshRecallOracle)
 }
