@@ -638,6 +638,55 @@ object LlmOps {
           " ELSE 10000 END").as("precision_e4"))
   }
 
+  /** LSH band-parameter SWEEP (round 5): the S-curve made measurable.
+    * The same 16 minhashes re-banded as 16×1 / 8×2 / 4×4 / 2×8
+    * (bands × rows-per-band), reporting per config the PRE-verify
+    * candidate count (the cost axis — every candidate pays an exact
+    * verification) and the recall of true τ=0.8 pairs among candidates
+    * (the quality axis). Collision probability is 1−(1−J^r)^b, so
+    * r=1 catches everything but candidates explode, r=8 is cheap but
+    * misses; the production 8×2 sits on the knee. Signature build is
+    * shared (cached) across all four configs — the sweep costs four
+    * banded self-joins over (doc, band, sig) triples, never four
+    * signature recomputes. */
+  def bandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir)
+    val exact = shingleJaccard(spark, dir).select(col("a_id"), col("b_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_true"))
+    val perConfig = Seq(1, 2, 4, 8).map { r =>
+      val nb = 16 / r
+      val bandStructs = (0 until nb).map { b =>
+        val sigCols = (0 until r).map { k =>
+          val j = b * r + k
+          concat_ws(":", lit(j), col(s"m$j"))
+        }
+        struct(lit(b).as("band"), concat_ws(",", sigCols: _*).as("sig"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.sig").as("sig"))
+      val cand = bands.as("x")
+        .join(bands.as("y"), col("x.band") === col("y.band") &&
+          col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      spark.range(1)
+        .select(lit(nb.toLong).as("n_bands"),
+          lit(r.toLong).as("rows_per_band"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(cand.join(exact, Seq("a_id", "b_id"),
+          "left_semi").agg(count(lit(1)).as("n_hit"))))
+        .crossJoin(broadcast(nExact))
+        .select(col("n_bands"), col("rows_per_band"), col("n_cand"),
+          col("n_hit"),
+          expr("CASE WHEN n_true > 0 THEN n_hit * 10000 div n_true" +
+            " ELSE 10000 END").as("recall_e4"))
+    }
+    perConfig.reduce(_.unionAll(_)).orderBy(col("rows_per_band"))
+  }
+
   /** Dedup CASCADE scoreboard (round 5): the production corpus-dedup
     * flow as ONE auditable row — stage 1 exact dedup (content-hash
     * groups, keep min doc_id), stage 2 MinHash-LSH near-dup clusters
@@ -1280,6 +1329,7 @@ object LlmOps {
     "q_llm_ann_recall" -> annRecall,
     "q_llm_dedup_cascade" -> dedupCascade,
     "q_llm_lsh_recall" -> lshRecall,
+    "q_llm_band_sweep" -> bandSweep,
     "q_llm_ivf_ann" -> ((s, d) => ivfAnn(s, d, nprobe = 1)),
     "q_llm_ivf_ann_probe2" -> ((s, d) => ivfAnn(s, d, nprobe = 2)),
     "q_llm_ivf_pq" -> ivfPq,
@@ -1325,7 +1375,10 @@ object LlmOps {
 
   // Signature/candidate CTE chain shared by q_llm_minhash_lsh,
   // q_llm_dup_clusters (edge source) and q_llm_minhash_est.
-  private[operators] val minhashCandCte =
+  // shingle → hashed → 16 minhash values per doc (long form: doc_id, j,
+  // m) — the banding-agnostic prefix shared by the 8×2 production
+  // banding and the band-sweep's re-banded variants
+  private[operators] val minhashMhCte =
     s"""$shingleCte,
        |hs AS (SELECT doc_id, s,
        |  CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
@@ -1335,7 +1388,10 @@ object LlmOps {
        |  (10,79,83),(11,89,97),(12,101,103),(13,107,109),(14,113,127),
        |  (15,131,137)),
        |mh AS (SELECT doc_id, j, min((a * h + b) % 1000000007) AS m
-       |  FROM hs CROSS JOIN perms GROUP BY doc_id, j),
+       |  FROM hs CROSS JOIN perms GROUP BY doc_id, j)""".stripMargin
+
+  private[operators] val minhashCandCte =
+    s"""$minhashMhCte,
        |bands AS (SELECT doc_id, j // 2 AS band,
        |  string_agg(j || ':' || m, ',' ORDER BY j) AS sig
        |  FROM mh GROUP BY doc_id, j // 2),
@@ -1969,8 +2025,43 @@ object LlmOps {
        |     // (SELECT count(*) FROM ls) ELSE 10000 END AS BIGINT)
        |   AS precision_e4""".stripMargin
 
+  /** Band-sweep oracle: the shared mh CTE re-banded per config via
+    * `j // r` — the SQL twin of the Spark side's shared-signature
+    * sweep. */
+  private def bandSweepOracle: String = {
+    val configs = Seq(1, 2, 4, 8)
+    val bandCtes = configs.map { r =>
+      s"""bands_$r AS (SELECT doc_id, j // $r AS band,
+         |  string_agg(j || ':' || m, ',' ORDER BY j) AS sig
+         |  FROM mh GROUP BY doc_id, j // $r),
+         |cand_$r AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands_$r x JOIN bands_$r y ON x.band = y.band
+         |   AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |hit_$r AS (SELECT * FROM cand_$r c WHERE EXISTS
+         |  (SELECT 1 FROM ex WHERE ex.a_id = c.a_id
+         |   AND ex.b_id = c.b_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = configs.map { r =>
+      s"""SELECT CAST(${16 / r} AS BIGINT) AS n_bands,
+         | CAST($r AS BIGINT) AS rows_per_band,
+         | CAST((SELECT count(*) FROM cand_$r) AS BIGINT) AS n_cand,
+         | CAST((SELECT count(*) FROM hit_$r) AS BIGINT) AS n_hit,
+         | CAST(CASE WHEN (SELECT count(*) FROM ex) > 0
+         |   THEN (SELECT count(*) FROM hit_$r) * 10000
+         |     // (SELECT count(*) FROM ex) ELSE 10000 END AS BIGINT)
+         |   AS recall_e4""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $minhashMhCte,
+       |ex AS (SELECT a_id, b_id
+       |  FROM (${oracleBase("q_llm_shingle_jaccard")}) e),
+       |$bandCtes
+       |$rows
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   val oracle: Map[String, String] =
     oracleBase + ("q_llm_ann_recall" -> annRecallOracle) +
       ("q_llm_dedup_cascade" -> dedupCascadeOracle) +
-      ("q_llm_lsh_recall" -> lshRecallOracle)
+      ("q_llm_lsh_recall" -> lshRecallOracle) +
+      ("q_llm_band_sweep" -> bandSweepOracle)
 }
