@@ -265,7 +265,35 @@ object Scans {
           .as("n_absent"))
       .orderBy(col("event_type"))
 
+  /** Gzip JSONL roundtrip (round 5): web-scale text corpora ship as
+    * `.jsonl.gz` shards — write documents' metadata as gzip JSON lines,
+    * read back through Spark's transparent codec detection (by file
+    * extension), and prove content identity via a checksum-style rollup
+    * (per-lang doc counts + char sums). Operational caveat encoded
+    * here: gzip is NOT splittable, so one shard = one task at read
+    * time — shard count, not shard size, sets read parallelism (the
+    * `repartition(4)` writes 4 shards for 4-way parallel re-read; zstd
+    * parquet, the splittable columnar path, is the q_source_parquet_zstd
+    * row). */
+  def sourceJsonlGzip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("jsonlgz")
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").json(tmp)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType))))
+      .json(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_jsonl_gzip" -> sourceJsonlGzip,
     "q_scan_variant" -> scanVariant,
     "q_scan_full" -> scanFull,
     "q_scan_metadata_cols" -> scanMetadataCols,
@@ -286,6 +314,12 @@ object Scans {
     // VARIANT is Spark-side; the oracle replicates the typed extractions
     // with DuckDB's json accessors (n_absent: every probe of a missing
     // path is NULL, so the count is exactly 0)
+    // roundtrip identity: the gzip write/read must preserve content
+    // exactly, so the rollup equals the same rollup on the source table
+    "q_source_jsonl_gzip" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_scan_variant" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -502,6 +502,18 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-convergence step moved a rank by more than eps")
   }
 
+  test("jsonl gzip roundtrip actually writes gzip shards " +
+      "(codec engaged, not silently plain-text)") {
+    SparkEntry.queries("q_source_jsonl_gzip")(spark, sf).collect()
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_scratch/jsonlgz")
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty, s"no part files in $dir")
+    assert(parts.forall(_.getName.endsWith(".json.gz")),
+      parts.map(_.getName).mkString(","))
+  }
+
   test("coproj: equi-join on part (no cartesian), pairs canonical s1<s2, " +
       "affinity bounded by 10^4") {
     // the a.s < b.s predicate must ride the p=p equi-join as a residual,
