@@ -624,8 +624,14 @@ object LlmOps {
     * band, i.e. the banding's miss rate, THE knob-tuning number for
     * (bands, rows-per-band). Exact integer arithmetic throughout. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    // each pair frame feeds two plan branches (its count + the
+    // intersection) — cache so each pair pipeline runs once (measured
+    // A/B at sf0.1: cached 4.3 s vs uncached 5.2 s; lifecycle:
+    // Verify/Bench clearCache between queries, BatchSpec afterAll)
     val exact = shingleJaccard(spark, dir).select(col("a_id"), col("b_id"))
+      .cache()
     val lsh = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      .cache()
     spark.range(1).select(lit(1).as("one"))
       .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
       .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
@@ -639,21 +645,39 @@ object LlmOps {
   }
 
   /** LSH band-parameter SWEEP (round 5): the S-curve made measurable.
-    * The same 16 minhashes re-banded as 16×1 / 8×2 / 4×4 / 2×8
-    * (bands × rows-per-band), reporting per config the PRE-verify
-    * candidate count (the cost axis — every candidate pays an exact
+    * The same 16 minhashes re-banded as 8×2 / 4×4 / 2×8 (bands ×
+    * rows-per-band), reporting per config the PRE-verify candidate
+    * count (the cost axis — every candidate pays an exact
     * verification) and the recall of true τ=0.8 pairs among candidates
-    * (the quality axis). Collision probability is 1−(1−J^r)^b, so
-    * r=1 catches everything but candidates explode, r=8 is cheap but
-    * misses; the production 8×2 sits on the knee. Signature build is
-    * shared (cached) across all four configs — the sweep costs four
-    * banded self-joins over (doc, band, sig) triples, never four
-    * signature recomputes. */
+    * (the quality axis). Collision probability is 1−(1−J^r)^b; the
+    * production 8×2 sits on the knee (measured sf0.01: 8×2 and 4×4 =
+    * 25 candidates at 100 % recall, 2×8 = 24 at 96 %).
+    *
+    * r=1 (16×1) is deliberately NOT enrolled: a single-hash collision
+    * is the quadratic regime banding exists to avoid — any two docs
+    * sharing ANY one minhash pair up, so its candidate set approaches
+    * all-similar-pairs as the corpus grows (measured once at sf0.01:
+    * 27 candidates/100 % recall; at sf0.1 its pair materialization
+    * alone cost ~20 s and would dominate the bench while demonstrating
+    * only what 1−(1−J)^16 already says). Signature build is shared
+    * (cached) across configs — the sweep costs one banded self-join
+    * over (doc, band, sig) triples per config, never a signature
+    * recompute. */
   def bandSweep(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(spark, dir)
+    // pair-count-sized frames feeding FOUR plan branches each (the
+    // true-pair count + three per-config semi-joins; each config's
+    // candidate set feeds its own count + hit branches): cache them so
+    // the expensive pair pipelines run once, not once per branch.
+    // Measured A/B at sf0.1: cached 11.0 s vs uncached 25.2 s — here
+    // (unlike annRecall/dedupCascade) ReuseExchange can't help because
+    // the shared subtree ends below differently-shaped consumers.
+    // Lifecycle contract as shingles()/prefixJoin (Verify/Bench
+    // clearCache between queries, BatchSpec clears in afterAll)
     val exact = shingleJaccard(spark, dir).select(col("a_id"), col("b_id"))
+      .cache()
     val nExact = exact.agg(count(lit(1)).as("n_true"))
-    val perConfig = Seq(1, 2, 4, 8).map { r =>
+    val perConfig = Seq(2, 4, 8).map { r =>
       val nb = 16 / r
       val bandStructs = (0 until nb).map { b =>
         val sigCols = (0 until r).map { k =>
@@ -672,6 +696,7 @@ object LlmOps {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
+        .cache()
       spark.range(1)
         .select(lit(nb.toLong).as("n_bands"),
           lit(r.toLong).as("rows_per_band"))
@@ -707,6 +732,12 @@ object LlmOps {
     * aggregates. */
   def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
     val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    // NO cache on either frame, measured deliberately (A/B at sf0.1:
+    // uncached 5.4 s vs cached 11.4 s): dupClusters' result sits on a
+    // localCheckpoint (the CC loop's lineage truncation), so its two
+    // consumer branches replay only the cheap tail, and an explicit
+    // cache just adds a blocking InMemoryRelation materialization —
+    // the same lesson as the round-5 pagerank rewrite
     val keepers = exactDedup(spark, dir).select(col("keep_id").as("doc_id"))
     val cl = dupClusters(spark, dir)
     val cmins = cl.groupBy(col("cluster_id"))
@@ -732,6 +763,10 @@ object LlmOps {
     * that scales — only the 20-probe baseline side is quadratic, and it
     * is the documented exact baseline. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    // NO cache, measured deliberately (A/B at sf0.1: uncached 5.3 s vs
+    // cached 11.5 s): ReuseExchange dedupes the per-method subplans
+    // across the count/hit branches, so a cache only adds the blocking
+    // InMemoryRelation round-trip (the pagerank lesson)
     val brute = cosineTopk(spark, dir).filter(col("rank") <= 3)
       .select(col("probe_id"), col("vec_id"))
     def tag(name: String, df: DataFrame): DataFrame =
@@ -2029,7 +2064,7 @@ object LlmOps {
     * `j // r` — the SQL twin of the Spark side's shared-signature
     * sweep. */
   private def bandSweepOracle: String = {
-    val configs = Seq(1, 2, 4, 8)
+    val configs = Seq(2, 4, 8)
     val bandCtes = configs.map { r =>
       s"""bands_$r AS (SELECT doc_id, j // $r AS band,
          |  string_agg(j || ':' || m, ',' ORDER BY j) AS sig
