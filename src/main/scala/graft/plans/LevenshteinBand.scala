@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression,
   GreaterThan, GreaterThanOrEqual, Length, LessThan, LessThanOrEqual,
-  Levenshtein, Literal, Subtract}
+  Levenshtein, Literal, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join,
   LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -29,30 +29,36 @@ import org.apache.spark.sql.types.IntegerType
   *    and implies no length band at all.
   *  - idempotent: a band already present (semantically) is not re-added,
   *    so fixpoint optimizer batches don't grow the condition.
+  *  - conjunct-scoped: bands are harvested ONLY from TOP-LEVEL conjuncts
+  *    of the condition. A levenshtein bound nested under OR / NOT /
+  *    CASE WHEN does not hold unconditionally — e.g. in
+  *    `lev(a,b) <= 2 OR a.id = b.id` a row may satisfy only the second
+  *    disjunct with an arbitrary length gap — so conjoining its band at
+  *    the top level would wrongly drop rows. Splitting on AND and
+  *    matching each conjunct whole makes the implication exact.
   */
-object LevenshteinBandRule extends Rule[LogicalPlan] {
+object LevenshteinBandRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def bandsFor(cond: Expression): Seq[Expression] = {
-    val implied = scala.collection.mutable.ArrayBuffer[Expression]()
     def band(l: Expression, r: Expression): Expression =
       Abs(Subtract(Length(l), Length(r)))
-    cond.foreach {
+    // Only a conjunct that IS a bounded levenshtein (not one that merely
+    // CONTAINS one under OR/NOT/CASE) implies the band unconditionally.
+    val implied = splitConjunctivePredicates(cond).collect {
       case LessThanOrEqual(Levenshtein(l, r, None),
           k @ Literal(_, IntegerType)) =>
-        implied += LessThanOrEqual(band(l, r), k)
+        LessThanOrEqual(band(l, r), k)
       case LessThan(Levenshtein(l, r, None),
           k @ Literal(_, IntegerType)) =>
-        implied += LessThan(band(l, r), k)
+        LessThan(band(l, r), k)
       case GreaterThanOrEqual(k @ Literal(_, IntegerType),
           Levenshtein(l, r, None)) =>
-        implied += LessThanOrEqual(band(l, r), k)
+        LessThanOrEqual(band(l, r), k)
       case GreaterThan(k @ Literal(_, IntegerType),
           Levenshtein(l, r, None)) =>
-        implied += LessThan(band(l, r), k)
-      case _ =>
+        LessThan(band(l, r), k)
     }
-    implied.toSeq
-      .filterNot(i => cond.exists(_.semanticEquals(i)))
+    implied.filterNot(i => cond.exists(_.semanticEquals(i)))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

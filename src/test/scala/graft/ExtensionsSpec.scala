@@ -127,6 +127,44 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       thresholded.queryExecution.analyzed).toString.contains("abs((length"))
   }
 
+  test("levenshtein band rule: bounds under OR / NOT imply no band — " +
+      "rows satisfied by the other branch survive") {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import spark.implicits._
+    val names = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "zzzzzzzzzz"),
+      (4L, "aaaaaa"), (5L, "aab")).toDF("id", "name")
+    // pair (1,3) = ("aaaa","zzzzzzzzzz") matches ONLY via the second
+    // disjunct, with length gap 6 — a wrongly top-level-conjoined band
+    // |len(a)-len(b)| <= 2 would drop it.
+    val disj = broadcast(names.as("a")).join(names.as("b"),
+      expr("levenshtein(a.name, b.name) <= 2 " +
+        "OR (a.id = 1 AND b.id = 3)"))
+    // the rule must add no band under a disjunction...
+    val disjOnce = plans.LevenshteinBandRule(
+      disj.queryExecution.analyzed)
+    assert(!disjOnce.toString.contains("abs((length"), disjOnce.toString)
+    // ...and the session-optimized result must contain the (1,3) pair
+    // that only the second disjunct admits (length gap 6 > 2)
+    assert(disj.select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.contains((1L, 3L)))
+    // NOT(levenshtein <= k) is an anti-bound — no band either
+    val negated = broadcast(names.as("a")).join(names.as("b"),
+      expr("NOT (levenshtein(a.name, b.name) <= 2)"))
+    assert(!plans.LevenshteinBandRule(negated.queryExecution.analyzed)
+      .toString.contains("abs((length"))
+    // CASE WHEN wrapping the bound: conditional, not implied — no band
+    val cased = broadcast(names.as("a")).join(names.as("b"),
+      expr("CASE WHEN a.id = b.id THEN true " +
+        "ELSE levenshtein(a.name, b.name) <= 2 END"))
+    assert(!plans.LevenshteinBandRule(cased.queryExecution.analyzed)
+      .toString.contains("abs((length"))
+    // a bound that is ONE CONJUNCT of an AND still gets its band
+    val conj = broadcast(names.as("a")).join(names.as("b"),
+      expr("levenshtein(a.name, b.name) <= 2 AND a.id < b.id"))
+    assert(plans.LevenshteinBandRule(conj.queryExecution.analyzed)
+      .toString.contains("abs((length"))
+  }
+
   test("as-of strategy is injected: native as-of join plans and runs") {
     val df = SparkEntry.queries("q_join_asof_native")(spark, sf)
     assert(df.count() > 0)
