@@ -206,10 +206,16 @@ object Multimodal {
   def resizeImage(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      decodePixels(m.blob) match {
-        case Some(_) =>
-          val src = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.blob))
+      // decode ONCE: ImageIO.read is both the validity probe (null /
+      // exception → passthrough) and the resize source — codec cost is
+      // the dominant per-row term in this loop
+      val src =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.blob))
+        catch { case scala.util.control.NonFatal(_) => null }
+      src match {
+        case null => m
+        case src =>
           val dst = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           val g = dst.createGraphics()
@@ -221,7 +227,6 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(dst, "png", bos)
           Media(m.media_id, m.kind, bos.toByteArray)
-        case None => m
       }
     })
   }
@@ -292,6 +297,14 @@ object Multimodal {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(m.blob))
         val fmt = ais.getFormat
+        // the short-reader below is only correct for signed 16-bit PCM;
+        // an 8- or 24-bit WAV would "decode" to garbage stats with
+        // valid=true — reject anything else as invalid instead
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            s"not PCM_SIGNED 16-bit: $fmt")
         val bytes = ais.readAllBytes()
         val bb = java.nio.ByteBuffer.wrap(bytes).order(
           if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
@@ -405,12 +418,71 @@ object Multimodal {
     imageAHash(media).toDF().orderBy(col("media_id"))
   }
 
+  /** Enrolled (round 6): image NEAR-DUP PAIRS via banded Hamming
+    * buckets over the perceptual aHash — the join the aHash scaladoc
+    * promises, exactly the text-SimHash machinery (4 chunks of the
+    * 64-bit hash as equi-join keys; pigeonhole: Hamming ≤ 3 ⇒ at least
+    * one of the 4×16-bit chunks is identical, so the banded candidate
+    * set is COMPLETE for the τ=3 threshold; candidates verify with two
+    * bit_count(xor) halves). At 100 TB this is the same
+    * no-all-pairs argument as q_llm_simhash: buckets are equi-join
+    * keys, candidates ride ids+hashes only, the codec cost is the
+    * up-front fingerprint pass.
+    *
+    * Corpus: each ASCII doc's PNG plus a deterministically PERTURBED
+    * twin (every 97th pixel +2, capped at 126; media_id = doc_id·2 +
+    * parity). Measured on the fixture corpus the closest REAL image
+    * pair is Hamming 12 at sf0.01 (the synthetic near-dup docs are
+    * token-level edits, which Jaccard forgives and pixel layout does
+    * not), so without the twin the gate would be vacuously empty at
+    * gate scale; with it the row verifies ~482 twin pairs at sf0.01 —
+    * band-collide, xor-verify, and the ≤3 threshold all load-bearing
+    * on BOTH engines. */
+  def mmImageNeardup(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = asciiDocs(spark, dir)
+      .filter(length(col("text")) >= 64)
+      .flatMap { case (id, text) =>
+        val orig = text.getBytes("US-ASCII")
+        val pert = orig.zipWithIndex.map { case (b, i) =>
+          if (i % 97 == 0) math.min(b + 2, 126).toByte else b
+        }
+        Seq(Media(id * 2, "image", encodePngGray(orig)),
+          Media(id * 2 + 1, "image", encodePngGray(pert)))
+      }
+    val h = imageAHash(media).toDF()
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+    // 4-way chunk fan-out as a generator (explode) — the simhash shape
+    val chunks = h
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("chunk", expr(
+        "CASE WHEN c < 2 THEN shiftright(hash_lo, 16 * c) & 65535" +
+          " ELSE shiftright(hash_hi, 16 * (c - 2)) & 65535 END"))
+    val cand = chunks.as("x")
+      .join(chunks.as("y"), col("x.c") === col("y.c") &&
+        col("x.chunk") === col("y.chunk") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("x.hash_hi").as("a_hi"),
+        col("x.hash_lo").as("a_lo"), col("y.media_id").as("b_id"),
+        col("y.hash_hi").as("b_hi"), col("y.hash_lo").as("b_lo"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
     "q_mm_features" -> mmFeatures,
     "q_mm_image_decode" -> mmImageDecode,
     "q_mm_audio_decode" -> mmAudioDecode,
     "q_mm_image_ahash" -> mmImageAHash,
+    "q_mm_image_neardup" -> mmImageNeardup,
   )
 
   val oracle: Map[String, String] = Map(
@@ -495,5 +567,55 @@ object Multimodal {
         | CAST(sum(CASE WHEN c < 32
         |   THEN b * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT)
         |   AS hash_lo
-        |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin)
+        |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // near-dup replay: the ahash chain over (original, perturbed-twin)
+    // pixel streams (par=1: every 97th pixel +2 capped 126 — the same
+    // formula as the Spark-side encoder), then 4×16-bit chunk banding
+    // and the two-halves xor popcount, threshold 3
+    "q_mm_image_neardup" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) >= 64),
+        |vr AS (SELECT doc_id * 2 + par AS media_id, text, n, par
+        |  FROM d0 CROSS JOIN range(2) r(par)),
+        |px AS (SELECT media_id, n, par, unnest(range(n)) AS i, text
+        |  FROM vr),
+        |ch AS (SELECT media_id, n, (i * 64) // n AS c,
+        |   CASE WHEN par = 1 AND i % 97 = 0
+        |     THEN least(ascii(substr(text, CAST(i AS INTEGER) + 1, 1))
+        |       + 2, 126)
+        |     ELSE ascii(substr(text, CAST(i AS INTEGER) + 1, 1)) END
+        |     AS p
+        |  FROM px),
+        |cavg AS (SELECT media_id, c, sum(p) // count(*) AS cm
+        |  FROM ch GROUP BY 1, 2),
+        |m AS (SELECT media_id, sum(cm) // 64 AS mean FROM cavg
+        |  GROUP BY 1),
+        |bits AS (SELECT cavg.media_id, cavg.c,
+        |   CASE WHEN cavg.cm > m.mean THEN 1 ELSE 0 END AS b
+        |  FROM cavg JOIN m ON cavg.media_id = m.media_id),
+        |ah AS (SELECT media_id,
+        |  sum(CASE WHEN c >= 32
+        |    THEN b * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END)
+        |    AS hash_hi,
+        |  sum(CASE WHEN c < 32
+        |    THEN b * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS hash_lo
+        |  FROM bits GROUP BY media_id),
+        |ck AS (SELECT media_id, hash_hi, hash_lo, c,
+        |  CASE WHEN c < 2
+        |    THEN (hash_lo >> (16 * CAST(c AS INTEGER))) & 65535
+        |    ELSE (hash_hi >> (16 * (CAST(c AS INTEGER) - 2))) & 65535
+        |    END AS chunk
+        |  FROM ah CROSS JOIN range(4) r(c)),
+        |cand AS (SELECT DISTINCT x.media_id AS a_id, x.hash_hi AS ahi,
+        |    x.hash_lo AS alo, y.media_id AS b_id, y.hash_hi AS bhi,
+        |    y.hash_lo AS blo
+        |  FROM ck x JOIN ck y ON x.c = y.c AND x.chunk = y.chunk
+        |   AND x.media_id < y.media_id)
+        |SELECT a_id, b_id,
+        | CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+        |   AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin)
 }

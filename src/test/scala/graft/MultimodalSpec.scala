@@ -126,6 +126,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!d(2L).valid)
   }
 
+  test("decodeWavs rejects non-16-bit PCM (8-bit WAV) as invalid, not garbage stats") {
+    import spark.implicits._
+    // a perfectly well-formed WAV whose samples are UNSIGNED 8-bit — the
+    // short-reader would happily mis-read it two bytes at a time
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val raw = Array.tabulate(64)(i => (i * 4).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt8, raw.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Media(9L, "audio", bos.toByteArray)).toDS()
+    val d = Multimodal.decodeWavs(media).collect().head
+    assert(!d.valid)
+  }
+
   test("aHash: identical images hash equal; small perturbation stays within Hamming 10; different images differ") {
     import spark.implicits._
     val base = Array.tabulate(640)(i => (math.sin(i / 20.0) * 100 + 128).toInt.toByte)
