@@ -113,17 +113,20 @@ object IngestBench {
     require(logStored == total, s"log store rows $logStored != $total")
 
     def r(d: Double) = math.round(d).toLong
+    // Locale.ROOT: default-locale "%.2f" prints "1,23" under comma-
+    // decimal locales, which breaks the JSON metric line
+    def f2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     // the headline metric is the slower of the two drain paths — an
     // honest floor (catch-up mode is a per-batch-overhead measurement,
     // not a throughput ceiling, and is excluded from the headline)
     println(s"""{"metric":"ingest_events_per_sec","value":${
       r(math.min(total / evSec, total / logSec))},"unit":"events/sec",""" +
-      s""""events_pipeline":{"n":$total,"sec":${"%.2f".format(evSec)},""" +
+      s""""events_pipeline":{"n":$total,"sec":${f2(evSec)},""" +
       s""""events_per_sec":${r(total / evSec)}},""" +
-      s""""log_follower":{"n":$total,"sec":${"%.2f".format(logSec)},""" +
+      s""""log_follower":{"n":$total,"sec":${f2(logSec)},""" +
       s""""events_per_sec":${r(total / logSec)}},""" +
       s""""catchup_rate_limited":{"n":$total,"sec":${
-        "%.2f".format(cuSec)},"events_per_sec":${r(total / cuSec)},""" +
+        f2(cuSec)},"events_per_sec":${r(total / cuSec)},""" +
       s""""micro_batches":$nFiles},""" +
       s""""reference_ceiling_events_per_sec":1000}""")
     spark.stop()

@@ -150,10 +150,12 @@ object Graph {
         .join(broadcast(deg), col("nid") === deg("src"))
         .select(col("nid"), col("rank"), col("outd"))
         .localCheckpoint() // eager: materializes once, Δ-check reuses it
-      val delta = next.as("n")
+      val deltaRow = next.as("n")
         .join(ranks.as("p"), col("n.nid") === col("p.nid"))
         .agg(max(abs(col("n.rank") - col("p.rank"))).as("d"))
-        .first().getLong(0)
+        .first()
+      // empty graph → max() is NULL: treat as converged, don't NPE
+      val delta = if (deltaRow.isNullAt(0)) 0L else deltaRow.getLong(0)
       converged = delta <= epsMicro
       ranks = next
       iter += 1

@@ -502,6 +502,36 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-convergence step moved a rank by more than eps")
   }
 
+  test("enrolled-query census: every query has an oracle and the " +
+      "documented count matches the code (no figure drift)") {
+    // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
+    // shipped with stale docs, so the figure is now pinned here — when
+    // enrolling a query, update the docs and this constant together
+    val documented = 181
+    assert(SparkEntry.queries.size == documented,
+      s"queries.size=${SparkEntry.queries.size} != documented " +
+        s"$documented — update README.md, SURVEY.md §2.1, and this test")
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "queries without oracle: " +
+        (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) +
+        "; oracles without query: " +
+        (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet))
+  }
+
+  test("pagerankConverged: empty graph converges to zero rows, no NPE") {
+    import graft.operators.Graph
+    // zero-row lineitem with the real schema: max(|Δ|) aggregates to
+    // NULL on the first iteration — must read as converged, not NPE
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_li")
+      .toFile.getAbsolutePath
+    graft.Tables.lineitem(spark, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val (out, it) = Graph.pagerankConverged(spark, dir,
+      epsMicro = 100L, maxIter = 5, failOnMaxIter = true)
+    assert(out.count() == 0L)
+    assert(it == 1)
+  }
+
   test("jsonl gzip roundtrip actually writes gzip shards " +
       "(codec engaged, not silently plain-text)") {
     SparkEntry.queries("q_source_jsonl_gzip")(spark, sf).collect()
