@@ -74,4 +74,38 @@ object VectorIngest {
       // restore the writer's LONG so round-trips are schema-stable
       // (the cast rides above the pruned scan — pruning still applies)
       .withColumn("bucket", col("bucket").cast("long"))
+
+  /** End-to-end ANN probe over the streamed store (round 6): rank the
+    * coarse centroids by cosine to the probe vector, read ONLY the
+    * nprobe nearest lists' partition directories, exact-score the
+    * candidates, return the top k — `ivfAnn`'s search semantics served
+    * from the stream-maintained index. The centroid ranking collects
+    * nprobe ids on the driver: centroids are control-plane-sized by
+    * design (16–65 k at any real scale — the coarse quantizer IS the
+    * small side), and the resulting list ids become partition-pruning
+    * literals, which must be known at planning time for the scan to
+    * prune at file listing. Ties break on c_id / vec_id exactly as the
+    * batch quantizer. */
+  def probeStore(spark: SparkSession, storeDir: String,
+      probe: Array[Float], cents: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    import org.apache.spark.sql.functions.{call_function, typedLit}
+    val pv = typedLit(probe)
+    val pn = math.sqrt(probe.map(x => x.toDouble * x).sum)
+    val lists = cents
+      .withColumn("pc",
+        round(call_function("fvec_dot", col("cv"), pv)
+          / (col("cn") * lit(pn)), 6))
+      .orderBy(col("pc").desc, col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSeq
+    readLists(spark, storeDir, lists)
+      .withColumn("cos",
+        round(call_function("fvec_dot", col("v"), pv)
+          / (call_function("fvec_norm", col("v")) * lit(pn)), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("bucket"), col("cos"))
+  }
 }

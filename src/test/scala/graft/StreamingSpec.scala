@@ -356,6 +356,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       planStr.contains("bucket"), planStr)
   }
 
+  test("end-to-end streamed-store ANN probe: top-k from the pruned " +
+      "lists equals brute force over the whole store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, round, call_function, typedLit}
+    implicit val sq = spark.sqlContext
+    graft.functions.VectorExprs.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("ivf_probe")
+    val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)))
+      .toDF("c_id", "cv").withColumn("cn", expr("fvec_norm(cv)"))
+    // 30 vectors, 10 tightly around each axis — a probe near axis 1
+    // has ALL its true top-3 inside list 1, so pruned == brute force
+    def axisVec(axis: Int, i: Int): Array[Float] = {
+      val v = Array(0.05f * (i % 3), 0.05f * ((i + 1) % 3),
+        0.05f * ((i + 2) % 3), 0.02f * i)
+      v(axis) = 1f; v
+    }
+    val in = MemoryStream[Vec]
+    val q = VectorIngest.startIvfIngest(spark, in.toDF(), cents, store, ckpt)
+    in.addData((0 until 15).map(i => Vec(i.toLong, ts(i), axisVec(i % 3, i))): _*)
+    q.processAllAvailable()
+    in.addData((15 until 30).map(i => Vec(i.toLong, ts(i), axisVec(i % 3, i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val probeVec = Array(0.1f, 0.95f, 0.05f, 0.1f)
+    val got = VectorIngest.probeStore(spark, store, probeVec, cents,
+      nprobe = 1, k = 3)
+    // pruning engaged: one list directory in PartitionFilters
+    val planStr = got.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("bucket"), planStr)
+    // brute force over the ENTIRE store (all three lists), same formula
+    val pv = typedLit(probeVec)
+    val pn = math.sqrt(probeVec.map(x => x.toDouble * x).sum)
+    val brute = VectorIngest.readLists(spark, store, Seq(0L, 1L, 2L))
+      .withColumn("cos", round(call_function("fvec_dot", col("v"), pv)
+        / (call_function("fvec_norm", col("v"))
+          * org.apache.spark.sql.functions.lit(pn)), 6))
+      .orderBy(col("cos").desc, col("vec_id")).limit(3)
+      .select(col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pruned = got.select(col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned == brute, s"pruned=$pruned brute=$brute")
+    assert(pruned.nonEmpty)
+  }
+
   test("transformWithState sessionizer: in-batch gap split + event-time " +
       "timer timeout (the Spark 4 arbitrary-state API, RocksDB-only)") {
     import spark.implicits._
