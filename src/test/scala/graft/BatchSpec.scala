@@ -283,10 +283,11 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaReliable.nonEmpty)
   }
 
-  test("ivf nprobe=2 recall vs brute force >= nprobe=1 recall") {
-    // widening the probe's candidate pool to its 2 nearest inverted
-    // lists can only add candidates, so top-3 recall vs the brute-force
-    // truth is monotone in nprobe — the knob a real ANN user tunes
+  test("ivf recall vs brute force is monotone in nprobe (1 <= 2 <= 4)") {
+    // widening the probe's candidate pool to its nprobe nearest
+    // inverted lists can only add candidates, so top-3 recall vs the
+    // brute-force truth is monotone in nprobe — the knob a real ANN
+    // user tunes (nprobe=4 is the enrolled production operating point)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(r.fieldIndex("probe_id")),
         r.getLong(r.fieldIndex("vec_id")))).toSet
@@ -294,10 +295,13 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter("rank <= 3"))
     val p1 = pairs(operators.LlmOps.ivfAnn(spark, sf, nprobe = 1))
     val p2 = pairs(operators.LlmOps.ivfAnn(spark, sf, nprobe = 2))
+    val p4 = pairs(operators.LlmOps.ivfAnn(spark, sf, nprobe = 4))
     assert(brute.nonEmpty && p1.nonEmpty)
     val r1 = p1.intersect(brute).size.toDouble / brute.size
     val r2 = p2.intersect(brute).size.toDouble / brute.size
+    val r4 = p4.intersect(brute).size.toDouble / brute.size
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    assert(r4 >= r2, s"nprobe=4 recall $r4 < nprobe=2 recall $r2")
   }
 
   test("dedup is idempotent: q(q(x)) == q(x) semantics") {
