@@ -1040,6 +1040,35 @@ object LlmOps {
     * distinct gram hashes of the (small) eval set — is the build side,
     * broadcast- or bloom-prunable at 100 TB while the corpus side
     * streams through map-side. */
+  /** FUZZY benchmark decontamination (round 6): [[decontaminate]]'s
+    * exact 13-gram pass misses PARAPHRASED leakage — an eval doc with a
+    * few tokens edited shares no 13-gram with its twin but is still
+    * contamination. This row flags training docs NEAR-DUP (MinHash-LSH
+    * verified Jaccard ≥ 0.8) to any eval-slice doc (doc_id % 10 == 0,
+    * the same stand-in as the exact row), reporting each flagged doc's
+    * best-matching eval doc (max jaccard, min eval_id tie). Reuses the
+    * whole banded-LSH pair pipeline — the oracle is COMPOSED from the
+    * minhash-pairs SQL, so the two stay in lockstep; the 100 TB shape
+    * is minhashLsh's (banded equi-join, no all-pairs), with the pair
+    * set post-filtered to train×eval orientation. */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val oriented = pairs.select(
+        when(col("a_id") % 10 === 0, col("b_id")).otherwise(col("a_id"))
+          .as("train_id"),
+        when(col("a_id") % 10 === 0, col("a_id")).otherwise(col("b_id"))
+          .as("eval_id"),
+        col("jaccard"))
+      .filter(col("train_id") % 10 =!= 0 && col("eval_id") % 10 === 0)
+    oriented
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("train_id"))
+          .orderBy(col("jaccard").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+      .orderBy(col("train_id"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val grams = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
@@ -1503,6 +1532,7 @@ object LlmOps {
     "q_llm_token_count" -> tokenCount,
     "q_llm_fingerprint" -> fingerprint,
     "q_llm_decontaminate" -> decontaminate,
+    "q_llm_decontaminate_fuzzy" -> decontaminateFuzzy,
     "q_llm_repetition" -> repetitionRatio,
     "q_llm_curation" -> curationPipeline,
     "q_llm_dataset_card" -> datasetCard,
@@ -1680,6 +1710,20 @@ object LlmOps {
          |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "q_llm_minhash_lsh" -> minhashPairsSql,
+    // composed from the minhash-pairs SQL: train×eval orientation +
+    // best-match-per-train-doc (max jaccard, min eval_id tie)
+    "q_llm_decontaminate_fuzzy" ->
+      s"""WITH pairs AS ($minhashPairsSql),
+         |o AS (SELECT
+         |   CASE WHEN a_id % 10 = 0 THEN b_id ELSE a_id END AS train_id,
+         |   CASE WHEN a_id % 10 = 0 THEN a_id ELSE b_id END AS eval_id,
+         |   jaccard
+         |  FROM pairs WHERE (a_id % 10 = 0) <> (b_id % 10 = 0))
+         |SELECT train_id, eval_id, jaccard FROM (
+         |  SELECT train_id, eval_id, jaccard, row_number() OVER (
+         |    PARTITION BY train_id ORDER BY jaccard DESC, eval_id) AS rn
+         |  FROM o) t WHERE rn = 1
+         |ORDER BY train_id""".stripMargin,
     "q_llm_dup_clusters" ->
       s"""WITH RECURSIVE
          |pairs AS (SELECT a_id, b_id FROM ($minhashPairsSql)),
