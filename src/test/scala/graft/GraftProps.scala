@@ -282,4 +282,38 @@ object GraftProps extends Properties("graft") {
       // lemma: similarity implies both candidate conditions
       !similar || (lengthOk && prefixesMeet)
     }
+
+  // ---- banded Hamming buckets (q_mm_image_neardup / q_llm_simhash) --
+
+  private val hashAndFlips = for {
+    hi <- Gen.choose(0L, (1L << 32) - 1)
+    lo <- Gen.choose(0L, (1L << 32) - 1)
+    nFlips <- Gen.choose(0, 3)
+    flips <- Gen.listOfN(nFlips, Gen.choose(0, 63))
+  } yield (hi, lo, flips)
+
+  /** The exact chunk expression both engines evaluate: 4×16-bit bands
+    * of the two-halves 64-bit hash. */
+  private def chunks(hi: Long, lo: Long): Seq[Long] =
+    Seq(lo & 65535L, (lo >> 16) & 65535L, hi & 65535L, (hi >> 16) & 65535L)
+
+  property("4x16 banding is pigeonhole-complete for Hamming <= 3 and " +
+      "chunks reassemble the hash") =
+    forAll(hashAndFlips) { case (hi, lo, flips) =>
+      var h2 = hi; var l2 = lo
+      flips.foreach { b =>
+        if (b < 32) l2 ^= 1L << b else h2 ^= 1L << (b - 32)
+      }
+      val ham = java.lang.Long.bitCount(hi ^ h2) +
+        java.lang.Long.bitCount(lo ^ l2)
+      val ca = chunks(hi, lo); val cb = chunks(h2, l2)
+      val collide = ca.zip(cb).exists { case (x, y) => x == y }
+      // (1) any pair within Hamming 3 shares at least one chunk —
+      //     the candidate set of the banded join is COMPLETE at tau=3
+      val complete = ham > 3 || collide
+      // (2) the banding loses no bits: chunks reassemble (hi, lo)
+      val reassembled = (ca(2) | (ca(3) << 16)) == hi &&
+        (ca(0) | (ca(1) << 16)) == lo
+      complete && reassembled
+    }
 }
