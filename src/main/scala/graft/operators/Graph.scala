@@ -231,10 +231,71 @@ object Graph {
       .limit(50)
   }
 
+  /** Degree-oriented triangle counting (round 6) on the market-basket
+    * graph: parts co-purchased within the same order. All-integer, so
+    * exact in both engines. Top-10 parts by triangle participation
+    * (ties → part asc), with the global triangle total on every row.
+    *
+    * The algorithm is the compact-forward scheme every distributed
+    * triangle counter uses: orient each undirected edge from the
+    * lower-(degree, id) endpoint to the higher, enumerate wedges only
+    * from each node's oriented out-neighborhood, and close them with
+    * one equi-join back to the edge list. Orientation caps out-degree
+    * at O(√m), so wedge volume drops from Σd² (quadratic in the hub
+    * degree) to O(m^1.5) — THE difference between feasible and not at
+    * 100 TB, where the unoriented wedge set of a hub node alone would
+    * exceed the input. Here: 116 k edges, max degree 206 → 3.9 M
+    * oriented wedges instead of ~24 M unoriented.
+    *
+    * Scale shape: basket pair fan-out is Σ_o |o|(|o|−1)/2 — bounded by
+    * order size (≤7 lineitems in TPC-H shapes), NOT by part popularity,
+    * so no super-node salting is needed on the build side; one distinct
+    * shuffle for e0; the degree table is node-sized (broadcast); the
+    * wedge self-join co-partitions on src; the closing join is an
+    * equi-join on (b, c) against the (much smaller than wedges) edge
+    * list, which AQE broadcasts at fixture scale and co-partitions past
+    * that. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+    val e0 = li.as("a")
+      .join(li.as("b"), col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("n"))
+      .union(e0.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e0
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    // o1.dst < o2.dst orders the wedge ends by id, and e0 stores u < v
+    // by id, so the closing edge of wedge (a, b, c) is exactly (b, c).
+    val tri = o.as("o1")
+      .join(o.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("ta"), col("o1.dst").as("tb"),
+        col("o2.dst").as("tc"))
+      .join(e0, col("tb") === col("u") && col("tc") === col("v"))
+      .select(col("ta"), col("tb"), col("tc"))
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc")))
+        .as("p_partkey"))
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_tri"))
+    perNode.crossJoin(broadcast(tri.agg(count(lit(1)).as("total_tri"))))
+      .orderBy(col("n_tri").desc, col("p_partkey"))
+      .limit(10)
+      .select(col("p_partkey"), col("n_tri"), col("total_tri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> pagerank,
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_coproj" -> coProjection,
+    "q_graph_triangles" -> triangles,
   )
 
   val oracle: Map[String, String] = Map(
@@ -285,5 +346,30 @@ object Graph {
         | count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
         |FROM d GROUP BY side, log2_bucket
         |ORDER BY side, log2_bucket""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |   SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) t
+        |  GROUP BY n),
+        |o AS (SELECT
+        |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |     THEN e0.u ELSE e0.v END AS src,
+        |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |     THEN e0.v ELSE e0.u END AS dst
+        |  FROM e0 JOIN deg du ON e0.u = du.n JOIN deg dv ON e0.v = dv.n),
+        |tri AS (SELECT o1.src AS ta, o1.dst AS tb, o2.dst AS tc
+        |  FROM o o1 JOIN o o2
+        |    ON o1.src = o2.src AND o1.dst < o2.dst
+        |  JOIN e0 ON o1.dst = e0.u AND o2.dst = e0.v),
+        |pern AS (SELECT p_partkey, count(*) AS n_tri FROM (
+        |   SELECT ta AS p_partkey FROM tri
+        |   UNION ALL SELECT tb FROM tri
+        |   UNION ALL SELECT tc FROM tri) t
+        |  GROUP BY p_partkey),
+        |tot AS (SELECT count(*) AS total_tri FROM tri)
+        |SELECT p_partkey, n_tri, total_tri FROM pern CROSS JOIN tot
+        |ORDER BY n_tri DESC, p_partkey LIMIT 10""".stripMargin,
   )
 }

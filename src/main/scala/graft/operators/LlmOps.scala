@@ -974,6 +974,129 @@ object LlmOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** One BM25 term's score contribution, as SQL TEXT shared verbatim by
+    * the Spark plan (via expr) and the DuckDB oracle — identical parse
+    * → identical double evaluation order → hash-parity. k1=1.2 b=0.75
+    * folded into the constants ((k1+1)=2.2, (1−b)=0.25, b=0.75). */
+  private def bm25Term(i: Int): String =
+    s"ln((n - df$i + 0.5)/(df$i + 0.5) + 1.0) * " +
+      s"tf$i*2.2/(tf$i + 1.2*(0.25 + 0.75*dl/avgdl))"
+
+  /** The three-term BM25 query this row scores ("join vector scan" —
+    * mid-df corpus terms, so tf and length normalization both matter). */
+  private val bm25Terms = Seq("join", "vector", "scan")
+
+  /** Shared oracle CTE text: tokenize → per-doc (dl, tf₁..tf₃) →
+    * corpus stats → rounded BM25 score. Composed by both the bm25 row
+    * and the hybrid-RRF row so the two oracles cannot drift. */
+  private def bm25Ctes: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+      |    AS tok FROM documents),
+      |perdoc AS (SELECT doc_id, count(*) AS dl,
+      |   sum(CASE WHEN tok = '${bm25Terms(0)}' THEN 1 ELSE 0 END) AS tf1,
+      |   sum(CASE WHEN tok = '${bm25Terms(1)}' THEN 1 ELSE 0 END) AS tf2,
+      |   sum(CASE WHEN tok = '${bm25Terms(2)}' THEN 1 ELSE 0 END) AS tf3
+      |  FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+      |   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+      |   sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM perdoc),
+      |bmsc AS (SELECT doc_id,
+      |  round(${bm25Term(1)} + ${bm25Term(2)} + ${bm25Term(3)}, 4) AS bm25
+      | FROM perdoc CROSS JOIN stats WHERE tf1 + tf2 + tf3 > 0)""".stripMargin
+
+  /** BM25 top-20 retrieval (round 6): Robertson/Sparck-Jones idf
+    * (ln((N−df+0.5)/(df+0.5)+1)) with tf saturation and doc-length
+    * normalization — the ranking function behind every lexical search
+    * engine, over the whitespace-token corpus the inverted-index row
+    * already builds. Query terms are pivoted into FIXED tf columns
+    * (one conditional count each) so the per-doc score is a fixed-arity
+    * expression with one textual parse shared by Spark and DuckDB —
+    * a float Σ over a variable term set would depend on aggregation
+    * order and hash-mismatch (same discipline as the integer pagerank).
+    *
+    * Scale shape: one tokenize+groupBy(doc_id) shuffle producing
+    * (dl, tf₁..tf₃) per doc — partial-aggregable, so map-side combine
+    * collapses the token stream before it moves; corpus stats (N,
+    * avgdl, df₁..df₃) are ONE scalar-row aggregate broadcast back; the
+    * final score is map-only + TakeOrderedAndProject. At 100 TB the
+    * only full-data move is the single tokenize shuffle, which an
+    * inverted index (the companion row) would amortize across queries. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = bm25Terms
+    val perDoc = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
+        sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    perDoc.crossJoin(broadcast(stats))
+      .filter(col("tf1") + col("tf2") + col("tf3") > 0)
+      .withColumn("bm25",
+        round(expr(s"${bm25Term(1)} + ${bm25Term(2)} + ${bm25Term(3)}"), 4))
+      .select(col("doc_id"), col("bm25"))
+  }
+
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** Hybrid retrieval via reciprocal-rank fusion (round 6): the lexical
+    * BM25 arm and a dense cosine arm (probe = vec 7's embedding) each
+    * contribute 1/(60+rank) for their top-50; docs absent from an arm
+    * contribute 0 from it (standard RRF). Rank — not score — fusion is
+    * WHY RRF is the production default for hybrid search: it needs no
+    * cross-arm score calibration, and integer ranks with id tie-breaks
+    * make the fused ordering engine-exact (only the final two-term
+    * 1/(60+r) sum is float, in one fixed textual order both engines
+    * parse identically).
+    *
+    * Scale shape: each arm caps to its top-50 with TakeOrderedAndProject
+    * (distributed partial top-k, no global sort), and ONLY the two
+    * 50-row capped sets hit the single-partition rank window and the
+    * full-outer fusion join — the window never sees corpus-sized input.
+    * The arms themselves are the already-enrolled shapes (BM25's one
+    * tokenize shuffle; one broadcast probe row against the vector
+    * scan). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexTop = bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      // 50 rows by construction — the global window is trivially cheap
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = embWithNorm(spark, dir)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("v").as("av"), col("norm").as("an"))
+    val denseTop = emb.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(probe))
+      .withColumn("cos",
+        round(expr("fvec_dot(av, v)") / (col("an") * col("norm")), 6))
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      .withColumn("dense_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+      // 1.0D: Spark parses a bare 1.0 as DECIMAL (DuckDB: DOUBLE) — the
+      // double literal keeps both the schema and the arithmetic aligned
+      .withColumn("rrf", round(
+        expr("coalesce(1.0D/(60 + lex_rank), 0.0D) + " +
+          "coalesce(1.0D/(60 + dense_rank), 0.0D)"), 6))
+      .select(col("doc_id"), col("rrf"), col("lex_rank"), col("dense_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
+  }
+
   /** Language-ID heuristic: per-language top-20-token profiles built from
     * the corpus itself; each doc scored by distinct-token overlap with
     * each profile, argmax with lexical tie-break. */
@@ -1527,6 +1650,8 @@ object LlmOps {
     "q_llm_pii_scrub" -> piiScrub,
     "q_llm_text_stats" -> textStats,
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
+    "q_llm_bm25" -> bm25TopDocs,
+    "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_lang_id" -> langId,
     "q_llm_quality_score" -> qualityScore,
     "q_llm_token_count" -> tokenCount,
@@ -1919,6 +2044,29 @@ object LlmOps {
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY weight DESC, token) AS INTEGER) AS rank
         |  FROM w) t WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q_llm_bm25" ->
+      s"""WITH $bm25Ctes
+        |SELECT doc_id, bm25 FROM bmsc
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT doc_id, lex_rank FROM (
+        |   SELECT doc_id, CAST(row_number() OVER (
+        |     ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        |   FROM bmsc) t WHERE lex_rank <= 50),
+        |$cosCte,
+        |dense AS (SELECT doc_id, dense_rank FROM (
+        |   SELECT c.vec_id AS doc_id, CAST(row_number() OVER (ORDER BY
+        |     round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+        |       DESC, c.vec_id) AS BIGINT) AS dense_rank
+        |   FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+        |   WHERE p.vec_id = 7) t WHERE dense_rank <= 50)
+        |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+        | round(coalesce(1.0/(60 + lex_rank), 0) +
+        |       coalesce(1.0/(60 + dense_rank), 0), 6) AS rrf,
+        | lex_rank, dense_rank
+        |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
     "q_llm_lang_id" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
         |    AS token FROM documents),

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 183
+    val documented = 186
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -534,6 +534,66 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       epsMicro = 100L, maxIter = 5, failOnMaxIter = true)
     assert(out.count() == 0L)
     assert(it == 1)
+  }
+
+  test("triangles: K4 basket yields exactly 4 triangles with every " +
+      "node in 3; a bare edge contributes none") {
+    import spark.implicits._
+    // order 1 buys parts {1,2,3,4} → K4 (C(4,3)=4 triangles, each node
+    // on 3 of them); order 2 buys {10,11} → a single closing-less edge
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri_li")
+      .toFile.getAbsolutePath
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 10L), (2L, 11L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.operators.Graph.triangles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq ==
+      Seq((1L, 3L, 4L), (2L, 3L, 4L), (3L, 3L, 4L), (4L, 3L, 4L)),
+      rows.mkString(","))
+  }
+
+  test("bm25: hand-computed scores match on a 3-doc fixture and " +
+      "term-free docs are excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_docs")
+      .toFile.getAbsolutePath
+    Seq((1L, "join join vector"), (2L, "scan"), (3L, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LlmOps.bm25TopDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // n=3, avgdl=8/3; each term appears in exactly one doc → shared idf
+    val avgdl = 8.0 / 3.0
+    val idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    def term(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val d1 = term(2, 3) + term(1, 3) // join×2 + vector, dl=3
+    val d2 = term(1, 1)              // scan, dl=1
+    assert(out.map(_._1) == Seq(2L, 1L).sortBy(id =>
+      -(if (id == 1) d1 else d2)), out.mkString(","))
+    val byId = out.toMap
+    assert(math.abs(byId(1L) - d1) <= 1e-4, s"doc1 ${byId(1L)} vs $d1")
+    assert(math.abs(byId(2L) - d2) <= 1e-4, s"doc2 ${byId(2L)} vs $d2")
+    assert(!byId.contains(3L), "term-free doc leaked into results")
+  }
+
+  test("hybrid_rrf: fused score recomputes from the emitted ranks and " +
+      "every row has at least one arm") {
+    val rows = SparkEntry.queries("q_llm_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val den = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(lex.nonEmpty || den.nonEmpty, s"rank-less row: $r")
+      val expected = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        den.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(1) - expected) <= 1e-6,
+        s"rrf ${r.getDouble(1)} != recomputed $expected for $r")
+    }
+    // fused order is rrf desc with doc_id tie-break — already sorted
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, scores.mkString(","))
   }
 
   test("jsonl gzip roundtrip actually writes gzip shards " +
