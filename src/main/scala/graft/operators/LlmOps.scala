@@ -289,6 +289,55 @@ object LlmOps {
       .orderBy(col("probe_id"))
   }
 
+  /** Hard-triplet mining (round 6): per probe, the hardest positive
+    * (same label, LOWEST cosine — the in-class example the model finds
+    * least similar) and the hardest negative (different label, HIGHEST
+    * cosine — the impostor it finds most similar), plus the margin
+    * violation (neg_cos − pos_cos; > 0 means the triplet is violated
+    * and carries gradient). This is the mining step of every
+    * metric-learning / contrastive-embedding pipeline — hard triplets
+    * are the ones worth a training step; random triplets are mostly
+    * already satisfied.
+    *
+    * Scale shape: same bounded-probe discipline as cosineTopk — the
+    * 20-probe side broadcasts, so the scored frame is linear in corpus
+    * size (never all-pairs); the two argmin/argmax windows partition on
+    * probe_id (20 keys × corpus candidates each — at real scale the
+    * window becomes a max_by/min_by partial aggregate, same result,
+    * and the candidate set per probe comes from the enrolled ANN index
+    * instead of the full scan). */
+  def tripletMine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embWithNorm(spark, dir)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("v").as("av"), col("norm").as("an"))
+    val cands = emb.select(col("vec_id"), col("label"), col("v").as("bv"),
+      col("norm").as("bn"))
+    val pairs = broadcast(probes).crossJoin(cands)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(expr(dotExpr) / (col("an") * col("bn")), 6))
+    val byProbe = Window.partitionBy(col("probe_id"))
+    val pos = pairs.filter(col("label") === col("p_label"))
+      .withColumn("rn", row_number().over(
+        byProbe.orderBy(col("cos").asc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = pairs.filter(col("label") =!= col("p_label"))
+      .withColumn("rn", row_number().over(
+        byProbe.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "probe_id")
+      .withColumn("margin_violation",
+        round(col("neg_cos") - col("pos_cos"), 6))
+      .select(col("probe_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("margin_violation"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (τ=0.4 for this synthetic data)
     * anchored in a bounded probe window (a_id < 250), same shape as
     * cosineTopk: the probe side is a small broadcastable set, so the
@@ -1634,6 +1683,7 @@ object LlmOps {
     "q_llm_simhash" -> simhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_knn_label" -> knnLabel,
+    "q_llm_triplet_mine" -> tripletMine,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_lsh_ann" -> lshAnn,
     "q_llm_lsh_ann_multi" -> ((s, d) => lshAnnMulti(s, d)),
@@ -1915,6 +1965,27 @@ object LlmOps {
          |    row_number() OVER (PARTITION BY probe_id
          |      ORDER BY votes DESC, label) AS rn
          |  FROM votes) t WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+    "q_llm_triplet_mine" ->
+      s"""WITH $cosCte,
+         |pairs AS (SELECT p.vec_id AS probe_id, p.label AS p_label,
+         |  c.vec_id, c.label,
+         |  round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+         |  FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 20),
+         |pos AS (SELECT probe_id, vec_id AS pos_id, cos AS pos_cos FROM (
+         |  SELECT probe_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos ASC, vec_id) AS rn
+         |  FROM pairs WHERE label = p_label) t WHERE rn = 1),
+         |neg AS (SELECT probe_id, vec_id AS neg_id, cos AS neg_cos FROM (
+         |  SELECT probe_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM pairs WHERE label <> p_label) t WHERE rn = 1)
+         |SELECT p.probe_id, pos_id, pos_cos, neg_id, neg_cos,
+         | round(neg_cos - pos_cos, 6) AS margin_violation
+         |FROM pos p JOIN neg n ON p.probe_id = n.probe_id
+         |ORDER BY p.probe_id""".stripMargin,
     "q_llm_embed_neardup" ->
       s"""WITH $cosCte
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

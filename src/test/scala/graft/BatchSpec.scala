@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 186
+    val documented = 187
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -594,6 +594,31 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fused order is rrf desc with doc_id tie-break — already sorted
     val scores = rows.map(_.getDouble(1)).toSeq
     assert(scores == scores.sorted.reverse, scores.mkString(","))
+  }
+
+  test("triplet_mine: hand-checkable 4-vector fixture picks the " +
+      "least-similar positive and most-similar negative") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trip_emb")
+      .toFile.getAbsolutePath
+    // label 0: v0=(1,0), v1=(.9,.1); label 1: v2=(0,1), v3=(-1,0)
+    // probe 0: pos {1}; negs cos=(v2: 0, v3: -1) -> hardest neg = 2
+    // probe 3: pos {2} (cos 0); negs cos=(v0: -1, v1: -.99) -> neg = 1
+    Seq((0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(-1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.operators.LlmOps.tripletMine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq ==
+      Seq((0L, 1L, 2L), (1L, 0L, 2L), (2L, 3L, 1L), (3L, 2L, 1L)),
+      rows.mkString(","))
+    // margin recomputes from the emitted cosines on every row
+    graft.operators.LlmOps.tripletMine(spark, dir).collect().foreach { r =>
+      val m = BigDecimal(r.getDouble(4) - r.getDouble(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - m) <= 1e-6, r.toString)
+    }
   }
 
   test("jsonl gzip roundtrip actually writes gzip shards " +
