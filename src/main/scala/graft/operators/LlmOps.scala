@@ -338,6 +338,71 @@ object LlmOps {
       .orderBy(col("probe_id"))
   }
 
+  /** MMR diversified re-ranking (round 6): maximal marginal relevance
+    * over the dense top-10 for probe 7 — pick 5 results where each next
+    * pick maximizes λ·rel − (1−λ)·max(sim to already-picked), λ=0.7.
+    * THE selection step between retrieval and a RAG context window:
+    * pure top-k returns near-duplicates of the best hit; MMR trades a
+    * little relevance for coverage. Greedy selection is inherently
+    * sequential, so the 5 steps are UNROLLED into one declarative plan
+    * (the q_graph_pagerank discipline — no driver loop at depth 5).
+    *
+    * Exactness: scores live in integer micro-units. The MMR update is
+    * computed as (7·(rel+10⁶) + 3·(10⁶ − maxsim)) div 10 − 10⁶ — the
+    * numerator is shifted NONNEGATIVE before the div because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors; on the
+    * shifted domain they agree bit-for-bit (rank 1 scores pure rel by
+    * convention: max over an empty picked-set is undefined).
+    *
+    * Scale shape: the candidate frame is k-sized (10 rows) by the time
+    * any MMR arithmetic runs — the corpus-scale work is ONE bounded
+    * top-k (TakeOrderedAndProject), and the k×k sim matrix + 5
+    * selection steps are constant-size joins AQE broadcasts. At real
+    * scale candidates come from the enrolled ANN index and the same
+    * constant-size tail applies unchanged. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("v").as("av"), col("norm").as("an"))
+    val e6 = "CAST(floor(round(%s, 6) * 1000000 + 0.5) AS BIGINT)"
+    val cand = emb.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("id"),
+        expr(e6.format("fvec_dot(av, v) / (an * norm)")).as("rel_e6"))
+      .orderBy(col("rel_e6").desc, col("id")).limit(10)
+    val ce = cand
+      .join(emb.select(col("vec_id"), col("v"), col("norm")),
+        col("id") === col("vec_id"))
+      .select(col("id"), col("rel_e6"), col("v"), col("norm"))
+    val sims = ce.as("a").join(ce.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("sa"), col("b.id").as("sb"),
+        expr(e6.format("fvec_dot(a.v, b.v) / (a.norm * b.norm)"))
+          .as("sim_e6"))
+    def step(sel: DataFrame, k: Int): DataFrame = {
+      val simToSel = sims
+        .join(broadcast(sel.select(col("id").as("sb"))), "sb")
+        .groupBy(col("sa")).agg(max(col("sim_e6")).as("maxsim"))
+      cand.join(broadcast(sel.select(col("id"))), Seq("id"), "left_anti")
+        .join(simToSel, col("id") === col("sa"))
+        .select(lit(k).as("rank"), col("id"),
+          expr("(7*(rel_e6 + 1000000) + 3*(1000000 - maxsim)) div 10" +
+            " - 1000000").as("mmr_e6"))
+        .orderBy(col("mmr_e6").desc, col("id")).limit(1)
+    }
+    val s1 = cand
+      .select(lit(1).as("rank"), col("id"), col("rel_e6").as("mmr_e6"))
+      .orderBy(col("mmr_e6").desc, col("id")).limit(1)
+    var sel = s1.select(col("id"))
+    var out = s1
+    for (k <- 2 to 5) {
+      val sk = step(sel, k)
+      out = out.union(sk)
+      sel = sel.union(sk.select(col("id")))
+    }
+    out.select(col("rank"), col("id").as("doc_id"), col("mmr_e6"))
+      .orderBy(col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs (τ=0.4 for this synthetic data)
     * anchored in a bounded probe window (a_id < 250), same shape as
     * cosineTopk: the probe side is a small broadcastable set, so the
@@ -1684,6 +1749,7 @@ object LlmOps {
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_knn_label" -> knnLabel,
     "q_llm_triplet_mine" -> tripletMine,
+    "q_llm_mmr_rerank" -> mmrRerank,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_lsh_ann" -> lshAnn,
     "q_llm_lsh_ann_multi" -> ((s, d) => lshAnnMulti(s, d)),
@@ -1986,6 +2052,7 @@ object LlmOps {
          | round(neg_cos - pos_cos, 6) AS margin_violation
          |FROM pos p JOIN neg n ON p.probe_id = n.probe_id
          |ORDER BY p.probe_id""".stripMargin,
+    "q_llm_mmr_rerank" -> mmrOracle,
     "q_llm_embed_neardup" ->
       s"""WITH $cosCte
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -2401,6 +2468,45 @@ object LlmOps {
   /** q_llm_ann_recall's oracle is COMPOSED from the four method oracles
     * plus the brute-force baseline oracle (each wrapped as a subquery) —
     * it can never drift from the per-method definitions. */
+  /** Unrolled 5-step MMR oracle — one CTE per greedy pick, the shifted
+    * nonneg integer update mirroring [[mmrRerank]] exactly (DuckDB `//`
+    * on the shifted domain == Spark `div`). */
+  private def mmrOracle: String = {
+    def step(k: Int, prev: String): String =
+      s"""s$k AS (SELECT u.id,
+         |  (7*(u.rel_e6 + 1000000) + 3*(1000000 - max(s.sim_e6))) // 10
+         |    - 1000000 AS mmr_e6, CAST($k AS INTEGER) AS rank
+         |  FROM cand u JOIN sims s ON s.a = u.id
+         |    AND s.b IN (SELECT id FROM $prev)
+         |  WHERE u.id NOT IN (SELECT id FROM $prev)
+         |  GROUP BY u.id, u.rel_e6 ORDER BY mmr_e6 DESC, u.id LIMIT 1)"""
+        .stripMargin
+    s"""WITH $cosCte,
+       |cand AS (SELECT c.vec_id AS id,
+       |   CAST(floor(round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm),
+       |     6) * 1000000 + 0.5) AS BIGINT) AS rel_e6
+       |  FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id = 7 ORDER BY rel_e6 DESC, id LIMIT 10),
+       |sims AS (SELECT a.id AS a, b.id AS b,
+       |   CAST(floor(round(list_inner_product(ea.v, eb.v) /
+       |     (ea.nrm * eb.nrm), 6) * 1000000 + 0.5) AS BIGINT) AS sim_e6
+       |  FROM cand a JOIN cand b ON a.id <> b.id
+       |  JOIN emb ea ON ea.vec_id = a.id JOIN emb eb ON eb.vec_id = b.id),
+       |s1 AS (SELECT id, rel_e6 AS mmr_e6, CAST(1 AS INTEGER) AS rank
+       |  FROM cand ORDER BY rel_e6 DESC, id LIMIT 1),
+       |${step(2, "s1")},
+       |sel2 AS (SELECT id FROM s1 UNION ALL SELECT id FROM s2),
+       |${step(3, "sel2")},
+       |sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM s3),
+       |${step(4, "sel3")},
+       |sel4 AS (SELECT id FROM sel3 UNION ALL SELECT id FROM s4),
+       |${step(5, "sel4")}
+       |SELECT rank, id AS doc_id, mmr_e6 FROM (
+       | SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       | UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       | UNION ALL SELECT * FROM s5) ORDER BY rank""".stripMargin
+  }
+
   private def annRecallOracle: String = {
     def top3(key: String, m: String): String =
       s"(SELECT '$m' AS method, probe_id, vec_id " +

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 187
+    val documented = 188
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -619,6 +619,43 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(r.getDouble(5) - m) <= 1e-6, r.toString)
     }
+  }
+
+  test("mmr_rerank: plain-Scala greedy MMR over collected vectors " +
+      "reproduces the plan's picks bit-for-bit") {
+    // independent reimplementation: same rounding (HALF_UP @6 -> e6
+    // micro-units), same shifted-nonneg integer update, driver-side
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cosE6(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val c = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      val r6 = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      math.floor(r6.toDouble * 1000000 + 0.5).toLong
+    }
+    val probe = vecs(7L)
+    val cand = vecs.toSeq.filter(_._1 != 7L)
+      .map { case (id, v) => (id, cosE6(probe, v)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(10)
+    val relOf = cand.toMap
+    var picked = Vector(cand.minBy { case (id, rel) => (-rel, id) }._1)
+    while (picked.size < 5) {
+      val next = cand.filterNot(c => picked.contains(c._1))
+        .map { case (id, rel) =>
+          val maxsim = picked.map(p => cosE6(vecs(id), vecs(p))).max
+          (id, (7 * (rel + 1000000L) + 3 * (1000000L - maxsim)) / 10
+            - 1000000L)
+        }.minBy { case (id, s) => (-s, id) }
+      picked = picked :+ next._1
+    }
+    val got = SparkEntry.queries("q_llm_mmr_rerank")(spark, sf).collect()
+      .map(r => r.getLong(1)).toVector
+    assert(got == picked, s"plan $got != scala $picked")
+    // rank 1 is the pure-relevance argmax by convention
+    assert(relOf(got.head) == cand.map(_._2).max)
   }
 
   test("jsonl gzip roundtrip actually writes gzip shards " +
