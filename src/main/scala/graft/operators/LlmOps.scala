@@ -338,6 +338,55 @@ object LlmOps {
       .orderBy(col("probe_id"))
   }
 
+  /** DSIR-style importance weighting (round 6): score every document by
+    * how target-domain-like its hashed-bigram distribution is — the
+    * data-selection method behind quality-filtered pretraining mixes
+    * (importance resampling on hashed n-gram features). Target here =
+    * the `lang = 'en'` subset, a stand-in for any "high-quality seed"
+    * corpus. Per 1024-bucket hashed bigram: log((p̂_target + ε) /
+    * (p̂_raw + ε)) with add-one smoothing; per doc: the SUM of its
+    * bigrams' log-ratios — in integer MICRO-UNITS (each ln rounds to
+    * e6 once, per bucket), so the variable-arity per-doc sum is exact
+    * integer arithmetic, independent of aggregation order (a float Σ
+    * over n_bigrams terms would hash-mismatch). Top-25 selected.
+    *
+    * Scale shape: one bigram explode (map-side, no shuffle until the
+    * bucket groupBy); bucket stats are 1024 rows (one partial-agg
+    * shuffle + a scalar total broadcast back); the per-doc score is a
+    * broadcast join against the 1024-row log-ratio table + one
+    * partial-aggregable doc groupBy. At 100 TB exactly two full-data
+    * moves: the bucket-stat partial agg and the doc-score agg —
+    * the DSIR shape by construction. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val bg = d
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("b"))
+      .select(col("doc_id"), expr(s"${h60("b")} % 1024").as("bucket"),
+        col("lang"))
+    val stats = bg.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lr = stats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        // 1.0D / 0.5D: Spark parses bare decimals as DECIMAL (DuckDB:
+        // DOUBLE) — the D suffix keeps the ln argument double-for-double
+        // identical across engines (same fix as hybridRrf's rrf column)
+        expr("CAST(floor(ln(((ct + 1.0D) * (nr + 1024)) / " +
+          "((cr + 1.0D) * (nt + 1024))) * 1000000 + 0.5D) AS BIGINT)")
+          .as("lr_e6"))
+    bg.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr_e6")).as("dsir_e6"), count(lit(1)).as("n_bigrams"))
+      .orderBy(col("dsir_e6").desc, col("doc_id"))
+      .limit(25)
+      .select(col("doc_id"), col("dsir_e6"), col("n_bigrams"))
+  }
+
   /** MMR diversified re-ranking (round 6): maximal marginal relevance
     * over the dense top-10 for probe 7 — pick 5 results where each next
     * pick maximizes λ·rel − (1−λ)·max(sim to already-picked), λ=0.7.
@@ -1088,13 +1137,17 @@ object LlmOps {
       .orderBy(col("lang"), col("rank"))
   }
 
-  /** One BM25 term's score contribution, as SQL TEXT shared verbatim by
-    * the Spark plan (via expr) and the DuckDB oracle — identical parse
+  /** One BM25 term's score contribution, as SQL TEXT shared by the
+    * Spark plan (via expr) and the DuckDB oracle — identical structure
     * → identical double evaluation order → hash-parity. k1=1.2 b=0.75
-    * folded into the constants ((k1+1)=2.2, (1−b)=0.25, b=0.75). */
-  private def bm25Term(i: Int): String =
-    s"ln((n - df$i + 0.5)/(df$i + 0.5) + 1.0) * " +
-      s"tf$i*2.2/(tf$i + 1.2*(0.25 + 0.75*dl/avgdl))"
+    * folded into the constants ((k1+1)=2.2, (1−b)=0.25, b=0.75).
+    * `d` suffixes the float literals: "D" on the Spark side (a bare
+    * 1.0 parses as DECIMAL there, silently changing the arithmetic —
+    * the hybridRrf/dsir lesson), "" on the DuckDB side (bare floats
+    * are already DOUBLE and the D suffix doesn't parse). */
+  private def bm25Term(i: Int, d: String = ""): String =
+    s"ln((n - df$i + 0.5$d)/(df$i + 0.5$d) + 1.0$d) * " +
+      s"tf$i*2.2$d/(tf$i + 1.2$d*(0.25$d + 0.75$d*dl/avgdl))"
 
   /** The three-term BM25 query this row scores ("join vector scan" —
     * mid-df corpus terms, so tf and length normalization both matter). */
@@ -1152,8 +1205,9 @@ object LlmOps {
       sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
     perDoc.crossJoin(broadcast(stats))
       .filter(col("tf1") + col("tf2") + col("tf3") > 0)
-      .withColumn("bm25",
-        round(expr(s"${bm25Term(1)} + ${bm25Term(2)} + ${bm25Term(3)}"), 4))
+      .withColumn("bm25", round(expr(
+        s"${bm25Term(1, "D")} + ${bm25Term(2, "D")} + ${bm25Term(3, "D")}"),
+        4))
       .select(col("doc_id"), col("bm25"))
   }
 
@@ -1750,6 +1804,7 @@ object LlmOps {
     "q_llm_knn_label" -> knnLabel,
     "q_llm_triplet_mine" -> tripletMine,
     "q_llm_mmr_rerank" -> mmrRerank,
+    "q_llm_dsir_weights" -> dsirWeights,
     "q_llm_embed_neardup" -> embedNeardup,
     "q_llm_lsh_ann" -> lshAnn,
     "q_llm_lsh_ann_multi" -> ((s, d) => lshAnnMulti(s, d)),
@@ -2053,6 +2108,26 @@ object LlmOps {
          |FROM pos p JOIN neg n ON p.probe_id = n.probe_id
          |ORDER BY p.probe_id""".stripMargin,
     "q_llm_mmr_rerank" -> mmrOracle,
+    "q_llm_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |   CAST('0x' || substr(md5(b), 1, 15) AS BIGINT) % 1024 AS bucket
+        |  FROM d, unnest([toks[i] || ' ' || toks[i+1]
+        |    FOR i IN range(1, len(toks))]) AS u(b)),
+        |stats AS (SELECT bucket, count(*) AS cr,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM bg GROUP BY bucket),
+        |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats),
+        |lr AS (SELECT bucket,
+        |   CAST(floor(ln(((ct + 1.0) * (nr + 1024)) /
+        |     ((cr + 1.0) * (nt + 1024))) * 1000000 + 0.5) AS BIGINT)
+        |     AS lr_e6
+        |  FROM stats CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(lr_e6) AS BIGINT) AS dsir_e6,
+        | count(*) AS n_bigrams
+        |FROM bg JOIN lr ON bg.bucket = lr.bucket GROUP BY doc_id
+        |ORDER BY dsir_e6 DESC, doc_id LIMIT 25""".stripMargin,
     "q_llm_embed_neardup" ->
       s"""WITH $cosCte
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

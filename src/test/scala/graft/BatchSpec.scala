@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 188
+    val documented = 189
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -656,6 +656,21 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == picked, s"plan $got != scala $picked")
     // rank 1 is the pure-relevance argmax by convention
     assert(relOf(got.head) == cand.map(_._2).max)
+  }
+
+  test("dsir_weights: the importance-weighted top-25 is dominated by " +
+      "the target language and scores are strictly ordered") {
+    val out = SparkEntry.queries("q_llm_dsir_weights")(spark, sf).collect()
+    assert(out.length == 25)
+    val scores = out.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse, scores.mkString(","))
+    val langs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nEn = out.count(r => langs(r.getLong(0)) == "en")
+    // hashed-bigram log-ratios against the en target must surface
+    // overwhelmingly-en docs (measured: 25/25 at sf0.001, 24/25 sf0.01)
+    assert(nEn >= 20, s"only $nEn/25 target-language docs in top-25")
   }
 
   test("jsonl gzip roundtrip actually writes gzip shards " +
