@@ -414,11 +414,20 @@ object LlmOps {
     val probe = emb.filter(col("vec_id") === 7)
       .select(col("v").as("av"), col("norm").as("an"))
     val e6 = "CAST(floor(round(%s, 6) * 1000000 + 0.5) AS BIGINT)"
+    // localCheckpoint: the 5 unrolled steps each reference cand/sims,
+    // and a TakeOrderedAndProject is not an Exchange — ReuseExchange
+    // cannot dedupe it, so WITHOUT the checkpoint every step re-runs
+    // the corpus top-k (measured 3.94 s at sf0.1; 0.4 s with it). The
+    // frames are k-sized (10 and 90 rows), so the materialization is
+    // trivially cheap at any corpus scale — this is the k-sized
+    // cache-the-frontier discipline from connectedComponents, not a
+    // corpus-sized cache.
     val cand = emb.filter(col("vec_id") =!= 7)
       .crossJoin(broadcast(probe))
       .select(col("vec_id").as("id"),
         expr(e6.format("fvec_dot(av, v) / (an * norm)")).as("rel_e6"))
       .orderBy(col("rel_e6").desc, col("id")).limit(10)
+      .localCheckpoint()
     val ce = cand
       .join(emb.select(col("vec_id"), col("v"), col("norm")),
         col("id") === col("vec_id"))
@@ -427,6 +436,7 @@ object LlmOps {
       .select(col("a.id").as("sa"), col("b.id").as("sb"),
         expr(e6.format("fvec_dot(a.v, b.v) / (a.norm * b.norm)"))
           .as("sim_e6"))
+      .localCheckpoint()
     def step(sel: DataFrame, k: Int): DataFrame = {
       val simToSel = sims
         .join(broadcast(sel.select(col("id").as("sb"))), "sb")

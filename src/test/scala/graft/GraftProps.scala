@@ -316,4 +316,24 @@ object GraftProps extends Properties("graft") {
         (ca(0) | (ca(1) << 16)) == lo
       complete && reassembled
     }
+
+  // ---- MMR shifted-nonneg division identity -------------------------
+
+  private val relSim = Gen.zip(
+    Gen.choose(-1000000L, 1000000L), Gen.choose(-1000000L, 1000000L))
+
+  property("MMR shifted-div: truncating and flooring division agree on " +
+      "the shifted domain and recover the unshifted MMR score") =
+    forAll(relSim) { case (rel, maxsim) =>
+      // the mmrRerank/mmrOracle update, on any e6 cosines in [-1,1]
+      val num = 7 * (rel + 1000000L) + 3 * (1000000L - maxsim)
+      val truncDiv = num / 10                  // Scala/Spark `div` (trunc)
+      val floorDiv = Math.floorDiv(num, 10)    // DuckDB `//` (floor)
+      // reference computed in exact rationals scaled by 10:
+      // mmr = (7·rel − 3·maxsim)/10; the shifted form must floor it
+      val unshifted = truncDiv - 1000000L
+      val exactFloor =
+        Math.floorDiv(7 * rel - 3 * maxsim + 10000000L, 10) - 1000000L
+      num >= 0 && truncDiv == floorDiv && unshifted == exactFloor
+    }
 }
