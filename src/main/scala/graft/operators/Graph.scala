@@ -253,8 +253,10 @@ object Graph {
     * shuffle for e0; the degree table is node-sized (broadcast); the
     * wedge self-join co-partitions on src; the closing join is an
     * equi-join on (b, c) against the (much smaller than wedges) edge
-    * list, which AQE broadcasts at fixture scale and co-partitions past
-    * that. */
+    * list. Both edge-list joins PIN shuffle_hash (measured A/B in
+    * DESIGN.md): the edge list is corpus-sized, so broadcasting it is
+    * the build that stops fitting first at 100 TB — and it was also
+    * 4× slower inside the bench suite. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
@@ -274,12 +276,21 @@ object Graph {
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
     // o1.dst < o2.dst orders the wedge ends by id, and e0 stores u < v
     // by id, so the closing edge of wedge (a, b, c) is exactly (b, c).
+    // shuffle_hash on the edge-list sides: at sf0.1 the oriented edge
+    // list is ~890 k rows — AQE would broadcast it (~tens of MB as a
+    // HashedRelation) for BOTH the wedge and closing joins, which is
+    // exactly the build that stops fitting first at scale AND measured
+    // 4× slower inside the full bench suite (21.6 s vs 5.5 s isolated:
+    // two corpus-sized broadcasts queue behind the suite's async
+    // broadcast cleanup). Co-partitioned hash joins are the 100 TB
+    // shape stated in the header, so pin them.
     val tri = o.as("o1")
-      .join(o.as("o2"),
+      .join(o.as("o2").hint("shuffle_hash"),
         col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
       .select(col("o1.src").as("ta"), col("o1.dst").as("tb"),
         col("o2.dst").as("tc"))
-      .join(e0, col("tb") === col("u") && col("tc") === col("v"))
+      .join(e0.hint("shuffle_hash"),
+        col("tb") === col("u") && col("tc") === col("v"))
       .select(col("ta"), col("tb"), col("tc"))
     val perNode = tri
       .select(explode(array(col("ta"), col("tb"), col("tc")))
