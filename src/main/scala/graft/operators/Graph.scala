@@ -236,27 +236,26 @@ object Graph {
     * exact in both engines. Top-10 parts by triangle participation
     * (ties → part asc), with the global triangle total on every row.
     *
-    * The algorithm is the compact-forward scheme every distributed
-    * triangle counter uses: orient each undirected edge from the
-    * lower-(degree, id) endpoint to the higher, enumerate wedges only
-    * from each node's oriented out-neighborhood, and close them with
-    * one equi-join back to the edge list. Orientation caps out-degree
-    * at O(√m), so wedge volume drops from Σd² (quadratic in the hub
-    * degree) to O(m^1.5) — THE difference between feasible and not at
-    * 100 TB, where the unoriented wedge set of a hub node alone would
-    * exceed the input. Here: 116 k edges, max degree 206 → 3.9 M
-    * oriented wedges instead of ~24 M unoriented.
+    * The algorithm is degree-oriented EDGE ITERATION: orient each
+    * undirected edge from the lower-(degree, id) endpoint to the
+    * higher — orientation caps out-degree at O(√m), so total
+    * intersection work is O(m^1.5) instead of Σd² (quadratic in the
+    * hub degree), THE difference between feasible and not at 100 TB —
+    * then close each oriented edge (a→b) by intersecting the two
+    * oriented out-neighborhoods: the closing nodes are N⁺(a) ∩ N⁺(b),
+    * and every triangle is discovered exactly once at its base edge.
+    * Here: 116 k edges, max oriented out-degree ≈ O(√m) → small
+    * per-node arrays; the ~3.9 M (sf0.01) / ~20 M (sf0.1) wedge set
+    * that a wedge-join formulation materializes NEVER exists (measured
+    * A/B in DESIGN.md — the wedge set dominated every data move).
     *
     * Scale shape: basket pair fan-out is Σ_o |o|(|o|−1)/2 — bounded by
     * order size (≤7 lineitems in TPC-H shapes), NOT by part popularity,
     * so no super-node salting is needed on the build side; one distinct
-    * shuffle for e0; the degree table is node-sized (broadcast); the
-    * wedge self-join co-partitions on src; the closing join is an
-    * equi-join on (b, c) against the (much smaller than wedges) edge
-    * list. Both edge-list joins PIN shuffle_hash (measured A/B in
-    * DESIGN.md): the edge list is corpus-sized, so broadcasting it is
-    * the build that stops fitting first at 100 TB — and it was also
-    * 4× slower inside the bench suite. */
+    * shuffle for e0; the degree and adjacency tables are NODE-sized
+    * (broadcast here, co-partition on the join key past broadcast
+    * scale); the per-edge intersection runs inside one map stage; the
+    * only explode is |triangles| rows for the c-role count. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
@@ -274,29 +273,41 @@ object Graph {
       .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
-    // o1.dst < o2.dst orders the wedge ends by id, and e0 stores u < v
-    // by id, so the closing edge of wedge (a, b, c) is exactly (b, c).
-    // shuffle_hash on the edge-list sides: at sf0.1 the oriented edge
-    // list is ~890 k rows — AQE would broadcast it (~tens of MB as a
-    // HashedRelation) for BOTH the wedge and closing joins, which is
-    // exactly the build that stops fitting first at scale AND measured
-    // 4× slower inside the full bench suite (21.6 s vs 5.5 s isolated:
-    // two corpus-sized broadcasts queue behind the suite's async
-    // broadcast cleanup). Co-partitioned hash joins are the 100 TB
-    // shape stated in the header, so pin them.
-    val tri = o.as("o1")
-      .join(o.as("o2").hint("shuffle_hash"),
-        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
-      .select(col("o1.src").as("ta"), col("o1.dst").as("tb"),
-        col("o2.dst").as("tc"))
-      .join(e0.hint("shuffle_hash"),
-        col("tb") === col("u") && col("tc") === col("v"))
-      .select(col("ta"), col("tb"), col("tc"))
-    val perNode = tri
-      .select(explode(array(col("ta"), col("tb"), col("tc")))
-        .as("p_partkey"))
-      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_tri"))
-    perNode.crossJoin(broadcast(tri.agg(count(lit(1)).as("total_tri"))))
+    // EDGE-ITERATOR closing, not wedge materialization. The first cut
+    // of this row enumerated the ~20 M oriented wedges and joined them
+    // back to the edge list — measured 13.3–21.6 s inside the full
+    // bench (the wedge set dominated every data move, whether shuffled
+    // or probed against a broadcast). The adjacency-intersection form
+    // never materializes a wedge: per oriented edge (a→b), the closing
+    // nodes are N⁺(a) ∩ N⁺(b) over NODE-SIZED sorted neighbor arrays
+    // (out-degree is orientation-capped at O(√m), so each array is
+    // small by construction), and each triangle is discovered exactly
+    // once at its base edge. The only corpus-sized flow is the edge
+    // list streaming through two broadcast joins against the 2 000-row
+    // adjacency table; the only explode is |triangles| rows (c-role),
+    // not |wedges|. At 100 TB the adjacency table co-partitions on the
+    // join key instead of broadcasting — same shape.
+    val adj = o.groupBy(col("src")).agg(
+      sort_array(collect_list(col("dst"))).as("nbrs"))
+    val base = o
+      .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
+      // a sink node has no adjacency row — left join + empty default
+      .join(broadcast(adj.select(col("src").as("dst"),
+        col("nbrs").as("nb"))), Seq("dst"), "left")
+      .select(col("src").as("ta"), col("dst").as("tb"),
+        expr("array_intersect(na, coalesce(nb, array()))").as("cs"))
+      .withColumn("n_c", size(col("cs")).cast("long"))
+    val perNode = base
+      .groupBy(col("ta").as("p_partkey")).agg(sum(col("n_c")).as("cnt"))
+      .union(base.groupBy(col("tb").as("p_partkey"))
+        .agg(sum(col("n_c")).as("cnt")))
+      .union(base.select(explode(col("cs")).as("p_partkey"))
+        .groupBy(col("p_partkey")).agg(count(lit(1)).as("cnt")))
+      .groupBy(col("p_partkey")).agg(sum(col("cnt")).as("n_tri"))
+      .filter(col("n_tri") > 0)
+    val tot = base.agg(
+      coalesce(sum(col("n_c")), lit(0L)).as("total_tri"))
+    perNode.crossJoin(broadcast(tot))
       .orderBy(col("n_tri").desc, col("p_partkey"))
       .limit(10)
       .select(col("p_partkey"), col("n_tri"), col("total_tri"))
