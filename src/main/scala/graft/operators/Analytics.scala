@@ -447,7 +447,43 @@ object Analytics {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** 2-D skyline / Pareto frontier (round 6): per brand, the parts not
+    * dominated on (price ↓, size ↑) — the "best tradeoff" query
+    * (cheapest part at every size tier). Sort-based formulation, not
+    * the O(n²) dominance self-join: within a brand ordered by price, a
+    * part is on the frontier iff its size beats the running max over
+    * all STRICTLY cheaper parts AND it ties the max size within its
+    * own price point (two identical parts both survive — domination
+    * requires one strict inequality; window ≡ NOT EXISTS verified on
+    * the fixture). Price in integer cents (floor(+0.5), the
+    * regrSlope idiom).
+    *
+    * Scale shape: two windows partitioned by brand — shuffle-parallel
+    * across brands, no self-join. A single-group (global) skyline at
+    * 100 TB would range-partition on price and merge per-partition
+    * prefix maxima — the running-sum trick; the per-brand form here
+    * never needs it. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val brandByPrice = Window.partitionBy(col("p_brand"))
+      .orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+          .as("price_c"),
+        col("p_size"))
+      .withColumn("m_strict", max(col("p_size")).over(brandByPrice))
+      .withColumn("grp_max", max(col("p_size")).over(
+        Window.partitionBy(col("p_brand"), col("price_c"))))
+      .filter((col("m_strict").isNull || col("p_size") > col("m_strict"))
+        && col("p_size") === col("grp_max"))
+      .select(col("p_brand"), col("p_partkey"), col("price_c"),
+        col("p_size"))
+      .orderBy(col("p_brand"), col("price_c"), col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline_parts" -> skylineParts,
     "q_funnel_stages" -> funnelStages,
     "q_cohort_retention" -> cohortRetention,
     "q_attr_last_touch" -> lastTouchAttribution,
@@ -464,6 +500,20 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    // Independent formulation on purpose: the oracle states the
+    // DEFINITION (no dominator exists), the Spark side runs the
+    // sort-based plan — a window-logic bug can't cancel out.
+    "q_skyline_parts" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+        |   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |   p_size
+        |  FROM part)
+        |SELECT p_brand, p_partkey, price_c, p_size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND b.price_c <= a.price_c AND b.p_size >= a.p_size
+        |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+        |ORDER BY p_brand, price_c, p_partkey""".stripMargin,
     "q_funnel_stages" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

@@ -313,7 +313,44 @@ object Graph {
       .select(col("p_partkey"), col("n_tri"), col("total_tri"))
   }
 
+  /** Neighbor-set Jaccard similarity (round 6): top part pairs by
+    * |orders(p1) ∩ orders(p2)| / |orders(p1) ∪ orders(p2)| — the
+    * co-occurrence similarity behind "bought together" and graph-based
+    * near-dup scoring. Candidates come from the basket equi-join on
+    * l_orderkey (only pairs sharing ≥1 order — zero-overlap pairs
+    * never materialize), intersections are a count per pair, and the
+    * union is inclusion–exclusion from per-part degrees, so nothing
+    * all-pairs ever exists. j_e4 is integer (10⁴·∩) div ∪ —
+    * nonnegative, so Spark `div` ≡ DuckDB `//`.
+    *
+    * Scale shape: the candidate join is bucketed on orderkey with
+    * per-order fan-out bounded by basket size² (~7² here; a hot-key
+    * order would salt or cap, pre-measured by q_graph_degree_dist);
+    * the degree frame is one small broadcast. Same skeleton as
+    * q_graph_triangles' edge build. */
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val e = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val pairs = e.as("a")
+      .join(e.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(deg.select(col("p").as("p1"), col("d").as("d1"))),
+        Seq("p1"))
+      .join(broadcast(deg.select(col("p").as("p2"), col("d").as("d2"))),
+        Seq("p2"))
+      .withColumn("uni", col("d1") + col("d2") - col("inter"))
+      .withColumn("j_e4", expr("10000 * inter div uni"))
+      .select(col("p1"), col("p2"), col("inter"), col("uni"), col("j_e4"))
+      .orderBy(col("j_e4").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_jaccard" -> jaccardNeighbors,
     "q_graph_pagerank" -> pagerank,
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_coproj" -> coProjection,
@@ -321,6 +358,19 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_jaccard" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |deg AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+        |pairs AS (SELECT a.p AS p1, b.p AS p2, count(*) AS inter
+        |  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p)
+        |SELECT p1, p2, inter, d1.d + d2.d - inter AS uni,
+        | (10000 * inter) // (d1.d + d2.d - inter) AS j_e4
+        |FROM pairs
+        |  JOIN deg d1 ON d1.p = pairs.p1
+        |  JOIN deg d2 ON d2.p = pairs.p2
+        |ORDER BY j_e4 DESC, p1, p2 LIMIT 100""".stripMargin,
     "q_graph_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
         |   l_suppkey * 2 + 1 AS s FROM lineitem),

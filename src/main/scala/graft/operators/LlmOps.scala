@@ -1521,6 +1521,104 @@ object LlmOps {
         .as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprint selection (round 6): per doc, the min 3-gram
+    * rolling hash in every sliding window of 4 consecutive grams,
+    * deduplicated — the MOSS document-fingerprint scheme that
+    * guarantees any shared run of ≥ 6 tokens leaves at least one
+    * COMMON selected fingerprint, at ~1/4 the stored hashes of the
+    * full gram set (q_llm_fingerprint keeps one rolling hash per doc;
+    * this keeps the plagiarism-detection SET). Output is the per-doc
+    * selection summary (count + modular sum), the checkable digest of
+    * the selected set.
+    *
+    * Scale shape: gram hashing is map-side (posexplode of a per-doc
+    * transform), the window min is doc_id-partitioned (grams of one
+    * doc are bounded by doc length), and the digest is one partial-
+    * aggregable groupBy — ONE shuffle of the gram stream. */
+  def winnowFp(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(tk) - 2),
+           |          i -> ${h60("array_join(slice(tk, i, 3), ' ')")} % $P)"""
+          .stripMargin)).as(Seq("pos", "gh")))
+      .withColumn("fp", min(col("gh")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, 3)))
+      .withColumn("n_grams", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("n_grams"), col("fp")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fp"),
+        (sum(col("fp")) % lit(P)).as("fp_sum"))
+      .orderBy(col("doc_id"))
+
+  /** Add-1-smoothed bigram language model (round 6): the top bigrams
+    * with their conditional probability P(w2|w1) = (c(w1,w2)+1) /
+    * (c(w1)+V) kept as an integer RATIONAL (p_num, p_den) — no float
+    * ever materializes, so the row is bit-reproducible and the
+    * downstream consumer (perplexity scoring, generation) divides at
+    * use time. V counts the distinct vocabulary over both bigram
+    * slots.
+    *
+    * Scale shape: two partial-aggregable groupBys (bigram, unigram)
+    * over the map-side-generated pair stream, an equi-join on w1
+    * (vocabulary-sized — Heap's-law sublinear, bucketed if large), and
+    * a one-row V crossJoin. The top-k is TakeOrderedAndProject. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |          i -> struct(element_at(tk, i) AS w1,
+          |                      element_at(tk, i + 1) AS w2))"""
+          .stripMargin)).as("s"))
+      .select(col("s.w1").as("w1"), col("s.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = bg.select(col("w1").as("w"))
+      .union(bg.select(col("w2")))
+      .agg(countDistinct(col("w")).as("v"))
+    c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"), col("c2"),
+        (col("c2") + lit(1L)).as("p_num"),
+        (col("c1") + col("v")).as("p_den"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  /** Per-doc n-gram novelty (round 6): the fraction of a doc's distinct
+    * 8-gram hashes whose corpus-wide FIRST occurrence (min doc_id) is
+    * this doc — the "how much new text does this shard add"
+    * contribution score used to order crawl snapshots before dedup.
+    * Integer ratio ×10⁴ (nonnegative div ≡ //).
+    *
+    * Scale shape: exactly the decontaminate skeleton — map-side gram
+    * hashing, one groupBy on the 8-byte gram hash (the big shuffle,
+    * partial-aggregable min), one equi-join back on gram, one groupBy
+    * doc_id. No all-pairs anything. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val g = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(tk) - 7),
+           |  i -> ${h60("array_join(slice(tk, i, 8), ' ')")}))"""
+          .stripMargin)).as("gh"))
+    val fm = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(fm, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1)))
+          .as("n_novel"))
+      .withColumn("nov_e4", expr("10000 * n_novel div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing (round 3): greedy contiguous fill of per-language
     * token budget bins (1024 tokens) — the sample-packing step that turns
     * a curated corpus into fixed-size training batches. Bin assignment is
@@ -1595,6 +1693,61 @@ object LlmOps {
       .agg(count(lit(1)).as("n_bi"),
         r4(-avg(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))))
           .as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity bucketing (round 6): ntile(3) each language's
+    * docs by bigram-LM NLL into head/middle/tail — the quality gate
+    * CCNet applies before training (keep head, drop or re-weight tail).
+    * Composes [[perplexity]]'s score unchanged; the tertile is
+    * deterministic because the ntile order totals on (nll, doc_id).
+    *
+    * Scale shape: perplexity's two groupBys + joins, then ONE ntile
+    * window partitioned by lang ordered by the score. A per-lang global
+    * sort at 100 TB is the one wide operation — CCNet's production form
+    * replaces exact ntile with histogram quantile cuts (approx
+    * percentile thresholds broadcast back, map-only bucket assign);
+    * the enrolled row keeps exact tertiles so the oracle is exact. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nll = perplexity(spark, dir)
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"))
+    nll.join(d, Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("nll"), col("doc_id"))))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nll")).as("nll_min"), max(col("nll")).as("nll_max"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Character-level Shannon entropy (round 6): per doc,
+    * H = −Σ_c (n_c/N)·log₂(n_c/N) — the cheapest gibberish/boilerplate
+    * detector (random bytes score high, repeated padding scores low);
+    * the quality-score family's information-theoretic member. Each
+    * char's term rounds ONCE to integer micro-units and the doc sums
+    * integers (dsirWeights' rule: float Σ over a variable term set
+    * would be aggregation-order-dependent).
+    *
+    * Scale shape: char fan-out is map-side (regexp_extract_all — '.'
+    * excludes newlines identically in both engines), then two
+    * partial-aggregable groupBys ((doc, char) → doc). Alphabet-bounded
+    * per-doc state. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cc = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '.', 0)")).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n_c"))
+    val tot = cc.groupBy(col("doc_id")).agg(sum(col("n_c")).as("n"))
+    cc.join(tot, Seq("doc_id"))
+      .withColumn("t_e6", expr(
+        """CAST(floor(-(CAST(n_c AS DOUBLE) / n)
+          |  * log2(CAST(n_c AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT)"""
+          .stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_ch"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("t_e6")).as("h_e6"))
       .orderBy(col("doc_id"))
   }
 
@@ -1805,6 +1958,11 @@ object LlmOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_winnow_fp" -> winnowFp,
+    "q_llm_bigram_lm" -> bigramLm,
+    "q_llm_ngram_novelty" -> ngramNovelty,
+    "q_llm_ppl_buckets" -> pplBuckets,
+    "q_llm_char_entropy" -> charEntropy,
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
     "q_llm_minhash_lsh" -> minhashLsh,
@@ -1998,10 +2156,96 @@ object LlmOps {
        |  FROM pv)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
+    "q_llm_winnow_fp" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT doc_id, unnest([{'pos': i,
+        |   'gh': CAST(concat('0x', substr(md5(
+        |      array_to_string(tk[i:i+2], ' ')), 1, 15)) AS BIGINT)
+        |      % 1000000007}
+        |   for i in range(1, len(tk) - 1)]) AS s
+        |  FROM toks),
+        |wmin AS (SELECT doc_id,
+        |   min(s.gh) OVER (PARTITION BY doc_id ORDER BY s.pos
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |   count(*) OVER (PARTITION BY doc_id) AS n_grams
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id, n_grams, fp FROM wmin)
+        |SELECT doc_id, any_value(n_grams) AS n_grams,
+        | count(*) AS n_fp,
+        | CAST(sum(fp) % 1000000007 AS BIGINT) AS fp_sum
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_llm_bigram_lm" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+        |   for i in range(1, len(tk))]) AS s FROM toks),
+        |b2 AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT w1 AS w FROM b2 UNION ALL SELECT w2 FROM b2))
+        |SELECT w1, w2, c2, c2 + 1 AS p_num, c1 + v AS p_den
+        |FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+        |ORDER BY c2 DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q_llm_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT DISTINCT doc_id, unnest(
+        |   [CAST(concat('0x', substr(md5(
+        |       array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT)
+        |    for i in range(1, len(tk) - 6)]) AS gh
+        |  FROM toks),
+        |fm AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        | count(*) FILTER (fm.first_doc = g.doc_id) AS n_novel,
+        | (10000 * count(*) FILTER (fm.first_doc = g.doc_id))
+        |   // count(*) AS nov_e4
+        |FROM g JOIN fm ON g.gh = fm.gh
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q_llm_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS text_hash,
         | min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    // Composes the q_llm_perplexity score verbatim, then tertiles it
+    "q_llm_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |uni AS (SELECT w1, count(*) AS c1 FROM
+        |  (SELECT unnest(tk) AS w1 FROM t) GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bi AS (SELECT doc_id, unnest(
+        |   [tk[i] || ' ' || tk[i+1]
+        |    for i in range(1, greatest(len(tk), 1))]) AS bg FROM t),
+        |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bi),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bw GROUP BY bg),
+        |nll AS (SELECT bw.doc_id, count(*) AS n_bi,
+        |  floor(-avg(ln((c2.c2 + 1.0) / (uni.c1 + v.v)))
+        |    * 10000.0 + 0.5) / 10000.0 AS nll
+        | FROM bw JOIN c2 ON bw.bg = c2.bg
+        |  JOIN uni ON bw.w1 = uni.w1 CROSS JOIN v
+        | GROUP BY bw.doc_id),
+        |b AS (SELECT d.lang, n.doc_id, n.nll,
+        |   ntile(3) OVER (PARTITION BY d.lang
+        |     ORDER BY n.nll, n.doc_id) AS bucket
+        |  FROM nll n JOIN documents d ON n.doc_id = d.doc_id)
+        |SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+        | count(*) AS n_docs, min(nll) AS nll_min, max(nll) AS nll_max
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "q_llm_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |   unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS n_c
+        |  FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n
+        |  FROM cc GROUP BY doc_id),
+        |terms AS (SELECT cc.doc_id, n,
+        |   CAST(floor(-(1.0 * n_c / n) * log2(1.0 * n_c / n)
+        |     * 1000000 + 0.5) AS BIGINT) AS t_e6
+        |  FROM cc JOIN tot ON cc.doc_id = tot.doc_id)
+        |SELECT doc_id, any_value(n) AS n_ch, count(*) AS n_distinct,
+        | CAST(sum(t_e6) AS BIGINT) AS h_e6
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_llm_shingle_jaccard" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

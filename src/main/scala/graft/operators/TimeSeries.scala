@@ -231,7 +231,80 @@ object TimeSeries {
           .as("ewma_centi"))
       .orderBy(col("user_id"))
 
+  /** Holt linear-trend smoothing (round 6): per-user double exponential
+    * smoothing with α = β = 1/2 in centi-unit BIGINTs —
+    * level' = ⌊(x + level + trend)/2⌋, trend' = ⌊(trend + Δlevel)/2⌋ —
+    * plus the one-step forecast level+trend. EWMA's integer-fold
+    * discipline extended to coupled (level, trend) state; the trend CAN
+    * go negative, and both halvings TRUNCATE toward zero — measured on
+    * this DuckDB build, `//` truncates on negatives (−5//2 = −2),
+    * exactly like Spark's `div`, so the plain operators agree on the
+    * full signed domain (ewma's "DuckDB floors" caveat is stale — it
+    * never mattered there because its domain is nonnegative).
+    *
+    * Scale shape: identical to ewma — ONE user_id groupBy, ordered
+    * collect bounded by per-user event count, map-side `aggregate`
+    * fold. */
+  def holt(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("centi",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("array_sort(collect_list(struct(ts_ns, event_id, centi)))")
+          .as("ord"))
+      .withColumn("vals", expr("transform(ord, r -> r.centi)"))
+      .withColumn("st", expr(
+        """aggregate(slice(vals, 2, size(vals) - 1),
+          |  named_struct('l', element_at(vals, 1),
+          |               'b', CAST(0 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'l', (x + acc.l + acc.b) div 2,
+          |    'b', (acc.b + ((x + acc.l + acc.b) div 2 - acc.l))
+          |         div 2))""".stripMargin))
+      .select(col("user_id"), col("n"),
+        col("st.l").as("level_c"), col("st.b").as("trend_c"),
+        (col("st.l") + col("st.b")).as("forecast_c"))
+      .orderBy(col("user_id"))
+
+  /** CUSUM changepoint (round 6): per user, the index that maximizes the
+    * |cumulative deviation from the mean| — the classic offline
+    * single-changepoint estimator. The mean never materializes as a
+    * float: CUSUM_i = S_i − i·S_n/n is scaled by n to
+    * stat_i = |n·S_i − i·S_n|, pure BIGINT on micro-unit values
+    * (n ≤ ~10², S ≤ ~10² · 3.3e8 µunits ⇒ n·S ≤ ~10¹² — no overflow).
+    * Argmax tiebreak: earliest index.
+    *
+    * Ordering keys on raw ts_ns (ewma's rule): a µs-level tie would
+    * silently diverge the prefix sums.
+    *
+    * Scale shape: everything is user_id-partitioned windows — one
+    * shuffle of the fact table, no global order, no driver loop. A
+    * multi-changepoint variant would recurse on the two halves
+    * (binary segmentation), each level the same single-shuffle shape. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("v", expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+      .withColumn("i", row_number().over(
+        byUser.orderBy(col("ts_ns"), col("event_id"))).cast("long"))
+      .withColumn("s_i", sum(col("v")).over(byUser.orderBy(col("i"))))
+      .withColumn("s_n", sum(col("v")).over(byUser))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("stat",
+        abs(col("n") * col("s_i") - col("i") * col("s_n")))
+      .withColumn("rn", row_number().over(
+        byUser.orderBy(col("stat").desc, col("i"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), col("i").as("cp_idx"),
+        col("stat").as("cp_stat"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_cusum" -> cusum,
+    "q_ts_holt" -> holt,
     "q_ts_ewma" -> ewma,
     "q_ts_rolling_median" -> rollingMedian,
     "q_ts_resample" -> resample,
@@ -241,6 +314,49 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Recursive CTE, NOT a struct-state list_reduce: this DuckDB
+    // build's vectorized list_reduce mis-evaluates struct-literal
+    // lambdas over column data (constant-folded literals are fine —
+    // measured, K=3 prefix already diverges), so the coupled fold is
+    // expressed as per-step recursion on scalar columns instead.
+    "q_ts_holt" ->
+      """WITH RECURSIVE t AS (SELECT user_id,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |nn AS (SELECT user_id, count(*) AS n FROM t GROUP BY user_id),
+        |rec AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS i, x AS l,
+        |    CAST(0 AS BIGINT) AS b
+        |  FROM t WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.i + 1,
+        |    (t.x + r.l + r.b) // 2,
+        |    (r.b + ((t.x + r.l + r.b) // 2 - r.l)) // 2
+        |  FROM rec r JOIN t ON t.user_id = r.user_id AND t.i = r.i + 1)
+        |SELECT r.user_id, nn.n, r.l AS level_c, r.b AS trend_c,
+        | r.l + r.b AS forecast_c
+        |FROM rec r JOIN nn ON nn.user_id = r.user_id AND r.i = nn.n
+        |ORDER BY r.user_id""".stripMargin,
+    "q_ts_cusum" ->
+      """WITH x AS (SELECT user_id,
+        |   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS i
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT user_id, i, v,
+        |   sum(v) OVER (PARTITION BY user_id ORDER BY i) AS s_i,
+        |   sum(v) OVER (PARTITION BY user_id) AS s_n,
+        |   count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM x),
+        |st AS (SELECT user_id, i, n,
+        |   CAST(abs(n * s_i - i * s_n) AS BIGINT) AS stat,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY abs(n * s_i - i * s_n) DESC, i) AS rn
+        |  FROM c)
+        |SELECT user_id, n, i AS cp_idx, stat AS cp_stat
+        |FROM st WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_ts_ewma" ->
       """WITH t AS (SELECT user_id, event_id, ts,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS centi
