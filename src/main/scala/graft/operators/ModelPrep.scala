@@ -256,7 +256,53 @@ object ModelPrep {
         min(col("doc_id")).as("min_doc"))
       .orderBy(col("lang"), col("split"))
 
+  /** Top principal component by integer power iteration (round 6): two
+    * unrolled steps of v ← Σ_x x·(xᵀv) over milli-unit embeddings, the
+    * PCA direction used for embedding whitening / ABTT ("all-but-the-
+    * top") before similarity search. The covariance matrix NEVER
+    * materializes — each step is two passes (dot per vector, then
+    * dim-wise weighted sum), all BIGINT: x ∈ ±370 milli-units, v
+    * rescaled to ≤10⁶ after each step (divide by max|u|÷10⁶, trunc div
+    * — both engines truncate, measured), so Σ xᵢ·(xᵀv) ≤
+    * 64·370·10⁶·370·N ≈ 10¹³·N — exact through ~10⁵ vectors per
+    * partial; at 100 TB the same rescale applies per-partition partial
+    * before the final merge (documented, same lemma as the salted
+    * two-phase agg).
+    *
+    * Scale shape: per-step cost is one map-side dot (crossJoin of the
+    * ONE-ROW broadcast v) + one posexplode groupBy(dim) with 64 keys —
+    * partial-aggregable, no shuffle of the vectors themselves. The
+    * fixed 2-step unroll is the pagerank discipline (declarative plan,
+    * no driver loop); production would loop on the converged-ε driver
+    * check like pagerankConverged. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, t -> CAST(floor(t * 1000 + 0.5) AS BIGINT))")
+        .as("x"))
+    def step(dotted: DataFrame): DataFrame =
+      dotted.select(posexplode(col("x")).as(Seq("i0", "xi")), col("dot"))
+        .groupBy(col("i0")).agg(sum(col("xi") * col("dot")).as("u"))
+    val u1 = step(e.withColumn("dot",
+      expr("aggregate(x, CAST(0 AS BIGINT), (s, t) -> s + t) * 1000000")))
+    val m1 = u1.agg(
+      expr("greatest(max(abs(u)) div 1000000, CAST(1 AS BIGINT))").as("m"))
+    val v1 = u1.crossJoin(broadcast(m1))
+      .withColumn("vi", expr("u div m"))
+      .agg(expr("transform(array_sort(collect_list(struct(i0, vi))), s -> s.vi)")
+        .as("v"))
+    val u2 = step(e.crossJoin(broadcast(v1)).withColumn("dot", expr(
+      """aggregate(zip_with(x, v, (a, b) -> a * b),
+        |          CAST(0 AS BIGINT), (s, t) -> s + t)""".stripMargin)))
+    val m2 = u2.agg(
+      expr("greatest(max(abs(u)) div 1000000, CAST(1 AS BIGINT))").as("m"))
+    u2.crossJoin(broadcast(m2))
+      .select((col("i0") + 1).cast("int").as("dim"),
+        expr("u div m").as("v_e6"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pca_power" -> pcaPower,
     "q_llm_split_assign" -> splitAssign,
     "q_llm_minhash_est" -> minhashEst,
     "q_llm_quality_logreg" -> qualityLogreg,
@@ -267,6 +313,29 @@ object ModelPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_pca_power" ->
+      """WITH e AS (SELECT vec_id,
+        |   [CAST(floor(embedding[i] * 1000 + 0.5) AS BIGINT)
+        |    for i in range(1, 65)] AS x
+        |  FROM embeddings),
+        |d1 AS (SELECT vec_id, x,
+        |   list_sum([x[i] * 1000000 for i in range(1, 65)]) AS dot
+        |  FROM e),
+        |u1 AS (SELECT i, sum(xi * dot) AS u FROM
+        |  (SELECT unnest(range(1, 65)) AS i, unnest(x) AS xi, dot
+        |   FROM d1) GROUP BY i),
+        |m1 AS (SELECT greatest(max(abs(u)) // 1000000, 1) AS m FROM u1),
+        |v1 AS (SELECT list(CAST(u // m AS BIGINT) ORDER BY i) AS v
+        |  FROM u1 CROSS JOIN m1),
+        |d2 AS (SELECT e.vec_id, e.x,
+        |   list_sum([e.x[i] * v1.v[i] for i in range(1, 65)]) AS dot
+        |  FROM e CROSS JOIN v1),
+        |u2 AS (SELECT i, CAST(sum(xi * dot) AS BIGINT) AS u FROM
+        |  (SELECT unnest(range(1, 65)) AS i, unnest(x) AS xi, dot
+        |   FROM d2) GROUP BY i),
+        |m2 AS (SELECT greatest(max(abs(u)) // 1000000, 1) AS m FROM u2)
+        |SELECT CAST(i AS INTEGER) AS dim, CAST(u // m AS BIGINT) AS v_e6
+        |FROM u2 CROSS JOIN m2 ORDER BY dim""".stripMargin,
     "q_llm_split_assign" ->
       """WITH b AS (SELECT doc_id, lang, n_chars,
         |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 198
+    val documented = 199
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -840,5 +840,57 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       u6 * wTot < 50L * w * 1000000L
     }.map(_._1).toSet
     assert(kept == want, s"missing=${want.diff(kept)} extra=${kept.diff(want)}")
+  }
+
+  test("ts_holt: the SQL aggregate fold reproduces a plain-Scala " +
+      "Holt recursion bit-for-bit (trunc-div, coupled level+trend)") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q_ts_holt")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val want = ev.groupBy(_._1).map { case (uid, rows) =>
+      val xs = rows.map(_._2).sortBy(t => (t._1, t._2)).map(_._3)
+      var l = xs.head; var b = 0L
+      xs.tail.foreach { x =>
+        val nl = (x + l + b) / 2 // JVM / on Long truncates = Spark div
+        b = (b + (nl - l)) / 2
+        l = nl
+      }
+      uid -> (l, b)
+    }
+    assert(got == want,
+      s"diverging users: ${want.collect { case (k, v) if got.get(k) != Some(v) => k }.take(5)}")
+  }
+
+  test("pca_power: output is a unit-scaled direction (max|v|=1e6) and " +
+      "two Spark steps match the plain-Scala power iteration exactly") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q_llm_pca_power")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.values.map(math.abs).max == 1000000L,
+      "rescale invariant broken: max|v_e6| != 1e6")
+    val xs = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(embedding, t -> CAST(floor(t * 1000 + 0.5) AS BIGINT))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    def step(v: Array[Long]): Array[Long] = {
+      val u = new Array[Long](64)
+      xs.foreach { x =>
+        var dot = 0L; var i = 0
+        while (i < 64) { dot += x(i) * v(i); i += 1 }
+        i = 0
+        while (i < 64) { u(i) += x(i) * dot; i += 1 }
+      }
+      val m = math.max(u.map(math.abs).max / 1000000L, 1L)
+      u.map(_ / m)
+    }
+    val want = step(step(Array.fill(64)(1000000L)))
+    assert((1 to 64).forall(d => got(d) == want(d - 1)),
+      "Spark power iteration diverges from the reference fold")
   }
 }
