@@ -482,7 +482,33 @@ object Analytics {
       .orderBy(col("p_brand"), col("price_c"), col("p_partkey"))
   }
 
+  /** Gaps & islands (round 6): maximal runs of CONSECUTIVE active days
+    * per user — the activity-streak segmentation behind retention and
+    * engagement reporting. The classic difference trick: day minus the
+    * per-user dense rank of day is constant exactly within a
+    * consecutive run, so islands fall out of one groupBy — no
+    * self-join, no iteration.
+    *
+    * Scale shape: one distinct + one user-partitioned window + one
+    * partial-aggregable groupBy — single shuffle of (user, day), which
+    * is already the daily-active frame q_daily_active_users builds. */
+  def gapIslands(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    d.withColumn("rk", dense_rank().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .withColumn("grp", expr("date_sub(day, rk)"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(date_format(min(col("day")), "yyyy-MM-dd").as("island_start"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("island_start"), col("island_end"),
+        col("n_days"))
+      .orderBy(col("user_id"), col("island_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_gap_islands" -> gapIslands,
     "q_skyline_parts" -> skylineParts,
     "q_funnel_stages" -> funnelStages,
     "q_cohort_retention" -> cohortRetention,
@@ -500,6 +526,18 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_gap_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |r AS (SELECT user_id, day,
+        |   CAST(day - CAST(dense_rank() OVER (PARTITION BY user_id
+        |     ORDER BY day) AS INTEGER) AS DATE) AS grp
+        |  FROM d)
+        |SELECT user_id, strftime(min(day), '%Y-%m-%d') AS island_start,
+        | strftime(max(day), '%Y-%m-%d') AS island_end,
+        | count(*) AS n_days
+        |FROM r GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin,
     // Independent formulation on purpose: the oracle states the
     // DEFINITION (no dominator exists), the Spark side runs the
     // sort-based plan — a window-logic bug can't cancel out.

@@ -349,7 +349,50 @@ object Graph {
       .limit(100)
   }
 
+  /** Label propagation communities (round 6): two unrolled synchronous
+    * LPA rounds on the basket graph — every node starts as its own
+    * label, then repeatedly adopts its neighbors' MOST FREQUENT label
+    * (deterministic tiebreak: min label), a linear-time community
+    * detector that needs no modularity optimization. Distinct from
+    * q_llm_dup_clusters' min-label CC: LPA's plurality vote finds
+    * dense communities inside one connected component. Output is the
+    * community size distribution.
+    *
+    * Scale shape: each round is ONE equi-join of the edge list against
+    * the node-sized label frame (co-partitioned on the join key) + one
+    * partial-aggregable (node, label) count + one node-partitioned
+    * top-1 window — the same per-round cost envelope as pagerank, and
+    * the same fixed-unroll discipline (a driver-loop variant would
+    * follow pagerankConverged). */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = li.as("a")
+      .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val l0 = e0.select(col("u").as("n")).distinct()
+      .withColumn("lab", col("n"))
+    def round(l: DataFrame): DataFrame = {
+      val counts = e0
+        .join(l.withColumnRenamed("n", "v"), Seq("v"))
+        .groupBy(col("u").as("n"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      counts.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("n"))
+            .orderBy(col("c").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("n"), col("lab"))
+    }
+    round(round(l0))
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("n")).as("min_node"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_lpa" -> labelProp,
     "q_graph_jaccard" -> jaccardNeighbors,
     "q_graph_pagerank" -> pagerank,
     "q_graph_degree_dist" -> degreeDist,
@@ -358,6 +401,25 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_lpa" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |l0 AS (SELECT DISTINCT u AS n, u AS lab FROM e0),
+        |n1 AS (SELECT e0.u AS n, l0.lab, count(*) AS c
+        |  FROM e0 JOIN l0 ON e0.v = l0.n GROUP BY e0.u, l0.lab),
+        |l1 AS (SELECT n, lab FROM (SELECT n, lab,
+        |   row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+        |  FROM n1) WHERE rn = 1),
+        |n2 AS (SELECT e0.u AS n, l1.lab, count(*) AS c
+        |  FROM e0 JOIN l1 ON e0.v = l1.n GROUP BY e0.u, l1.lab),
+        |l2 AS (SELECT n, lab FROM (SELECT n, lab,
+        |   row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+        |  FROM n2) WHERE rn = 1)
+        |SELECT lab AS community, count(*) AS n_nodes, min(n) AS min_node
+        |FROM l2 GROUP BY lab
+        |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin,
     "q_graph_jaccard" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

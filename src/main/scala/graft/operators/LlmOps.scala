@@ -1521,6 +1521,47 @@ object LlmOps {
         .as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Count-min sketch (round 6): d=4 rows × w=16 buckets of token
+    * counts, plus the point-query audit — ĉ(w) = min over rows of the
+    * w's bucket, joined against the exact count so the one-sided error
+    * (ĉ ≥ c, overcount = collision mass) is an enrolled NUMBER, not
+    * prose. w=16 is deliberately small so collisions actually occur on
+    * the fixture (measured: 17/31 tokens overcounted at w=16, 0 at
+    * w=256); heavy hitters stay exact because the min picks each
+    * token's least-collided row. Beside q_llm_heavy_hitters
+    * (Misra-Gries keeps the top-k identities; CMS answers ANY point
+    * query at fixed memory).
+    *
+    * Scale shape: the sketch is d·w = 64 cells — partial-aggregable
+    * counts (map-side combine does the heavy lifting; merging shards =
+    * cell-wise add, the HLL-merge property), and the probe side is a
+    * broadcast of those 64 rows. At 100 TB only w grows (error ∝
+    * total/w), never the shuffle shape. The audit builds the sketch
+    * FROM the exact vocab-sized count table rather than re-exploding
+    * the corpus (Σ c_true over colliding tokens ≡ streaming bucket
+    * counts — measured 1.66 → sub-second at sf0.1); a pipeline without
+    * the exact side folds tokens directly, same cells. */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val tru = toks.groupBy(col("w")).agg(count(lit(1)).as("c_true"))
+    val cms = tru
+      .select(col("w"), col("c_true"),
+        explode(expr("sequence(0, 3)")).as("d"))
+      .withColumn("bucket",
+        expr(s"${h60("concat(CAST(d AS STRING), ':', w)")} % 16"))
+      .groupBy(col("d"), col("bucket")).agg(sum(col("c_true")).as("c"))
+    val probes = tru.select(col("w"))
+      .withColumn("d", explode(expr("sequence(0, 3)")))
+      .withColumn("bucket",
+        expr(s"${h60("concat(CAST(d AS STRING), ':', w)")} % 16"))
+    val est = probes.join(broadcast(cms), Seq("d", "bucket"))
+      .groupBy(col("w")).agg(min(col("c")).as("c_est"))
+    tru.join(est, Seq("w"))
+      .withColumn("overcount", col("c_est") - col("c_true"))
+      .orderBy(col("c_true").desc, col("w"))
+  }
+
   /** Winnowing fingerprint selection (round 6): per doc, the min 3-gram
     * rolling hash in every sliding window of 4 consecutive grams,
     * deduplicated — the MOSS document-fingerprint scheme that
@@ -1963,6 +2004,7 @@ object LlmOps {
     "q_llm_ngram_novelty" -> ngramNovelty,
     "q_llm_ppl_buckets" -> pplBuckets,
     "q_llm_char_entropy" -> charEntropy,
+    "q_llm_countmin" -> countMin,
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
     "q_llm_minhash_lsh" -> minhashLsh,
@@ -2207,6 +2249,27 @@ object LlmOps {
       """SELECT sha256(lower(trim(text))) AS text_hash,
         | min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q_llm_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tru AS (SELECT w, count(*) AS c_true FROM toks GROUP BY w),
+        |h AS (SELECT w, d,
+        |   CAST(concat('0x', substr(md5(
+        |     concat(CAST(d AS VARCHAR), ':', w)), 1, 15)) AS BIGINT)
+        |     % 16 AS bucket
+        |  FROM toks, range(0, 4) r(d)),
+        |cms AS (SELECT d, bucket, count(*) AS c FROM h
+        |  GROUP BY d, bucket),
+        |est AS (SELECT t.w, min(cms.c) AS c_est
+        |  FROM tru t, range(0, 4) r(d)
+        |  JOIN cms ON cms.d = r.d
+        |   AND cms.bucket = CAST(concat('0x', substr(md5(
+        |     concat(CAST(r.d AS VARCHAR), ':', t.w)), 1, 15)) AS BIGINT)
+        |     % 16
+        |  GROUP BY t.w)
+        |SELECT t.w, t.c_true, e.c_est, e.c_est - t.c_true AS overcount
+        |FROM tru t JOIN est e ON t.w = e.w
+        |ORDER BY t.c_true DESC, t.w""".stripMargin,
     // Composes the q_llm_perplexity score verbatim, then tertiles it
     "q_llm_ppl_buckets" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
