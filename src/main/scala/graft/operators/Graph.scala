@@ -323,19 +323,29 @@ object Graph {
     * all-pairs ever exists. j_e4 is integer (10⁴·∩) div ∪ —
     * nonnegative, so Spark `div` ≡ DuckDB `//`.
     *
-    * Scale shape: the candidate join is bucketed on orderkey with
-    * per-order fan-out bounded by basket size² (~7² here; a hot-key
-    * order would salt or cap, pre-measured by q_graph_degree_dist);
-    * the degree frame is one small broadcast. Same skeleton as
-    * q_graph_triangles' edge build. */
+    * Scale shape: NO edge self-join — the triangle row's lesson
+    * (broadcasting a corpus-sized edge list measured 4× slower
+    * in-suite and OOMs at 100 TB) applied from the start: ONE shuffle
+    * groups each order's distinct parts into a sorted basket array,
+    * pairs fan out map-side bounded by basket size² (~7² here; a
+    * hot-key order would cap, pre-measured by q_graph_degree_dist),
+    * and the degree frame explodes from the SAME collected baskets
+    * (ReuseExchange dedupes the build). Degree frame broadcast is
+    * node-sized by construction. */
   def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val e = lineitem(spark, dir)
+    val baskets = lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("d"))
-    val pairs = e.as("a")
-      .join(e.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .groupBy(col("o"))
+      .agg(expr("sort_array(collect_set(p))").as("ps"))
+    val deg = baskets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            b -> struct(a AS p1, b AS p2))))""".stripMargin))
+        .as("s"))
+      .groupBy(col("s.p1").as("p1"), col("s.p2").as("p2"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(broadcast(deg.select(col("p").as("p1"), col("d").as("d1"))),
