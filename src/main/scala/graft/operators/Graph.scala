@@ -401,7 +401,52 @@ object Graph {
       .limit(50)
   }
 
+  /** k-core peeling (round 6), two unrolled rounds at k=100: drop
+    * nodes with degree < k, recompute degrees on the induced subgraph,
+    * drop again — the dense-subgraph extractor (spam rings, co-citation
+    * cores) and the standard preprocessing before community detection.
+    * k=100 is fixture-calibrated so BOTH rounds bind (sf0.01:
+    * 2000 → 1512 → 749 nodes; degree medians are scale-stable, ~119 at
+    * sf0.1) — a k below the degree floor would make the row vacuous,
+    * the countmin w=16 principle. Output: surviving nodes with their
+    * in-core degree.
+    *
+    * Scale shape: edges build from basket arrays map-side (the
+    * jaccard/triangle shape — no edge self-join); each peel is one
+    * partial-aggregable degree count + two LeftSemi joins against the
+    * node-sized keep frame (broadcast here, co-partition at 100 TB).
+    * Full k-core runs peels to fixpoint — each round is this same
+    * bounded shape (pagerankConverged's driver-loop pattern). */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val ord = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o"))
+      .agg(expr("sort_array(collect_set(p))").as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            b -> struct(a AS p1, b AS p2))))""".stripMargin))
+        .as("s"))
+      .select(col("s.p1").as("p1"), col("s.p2").as("p2"))
+    val edges = ord.select(col("p1").as("u"), col("p2").as("v"))
+      .union(ord.select(col("p2").as("u"), col("p1").as("v")))
+      .distinct()
+    def peel(e: DataFrame): DataFrame = {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      e.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+    }
+    peel(peel(edges))
+      .groupBy(col("u").as("p_partkey"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_kcore" -> kcore,
     "q_graph_lpa" -> labelProp,
     "q_graph_jaccard" -> jaccardNeighbors,
     "q_graph_pagerank" -> pagerank,
@@ -411,6 +456,21 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_kcore" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |d0 AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+        |k1 AS (SELECT u FROM d0 WHERE d >= 100),
+        |e1 AS (SELECT e.u, e.v FROM e
+        |  JOIN k1 a ON e.u = a.u JOIN k1 b ON e.v = b.u),
+        |d1 AS (SELECT u, count(*) AS d FROM e1 GROUP BY u),
+        |k2 AS (SELECT u FROM d1 WHERE d >= 100),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |  JOIN k2 a ON e1.u = a.u JOIN k2 b ON e1.v = b.u)
+        |SELECT u AS p_partkey, count(*) AS core_deg
+        |FROM e2 GROUP BY u ORDER BY p_partkey""".stripMargin,
     "q_graph_lpa" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

@@ -275,10 +275,17 @@ object ModelPrep {
     * fixed 2-step unroll is the pagerank discipline (declarative plan,
     * no driver loop); production would loop on the converged-ε driver
     * check like pagerankConverged. */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"),
+  /** Milli-unit integer embeddings — shared by pcaPower/abtt. */
+  private def milliVecs(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).select(col("vec_id"),
       expr("transform(embedding, t -> CAST(floor(t * 1000 + 0.5) AS BIGINT))")
         .as("x"))
+
+  /** The ONE-ROW direction frame (array column `v`, components ≤10⁶)
+    * after two integer power-iteration steps — pcaPower explodes it to
+    * enrolled rows; abtt projects against it. */
+  private def pcaV2(spark: SparkSession, dir: String): DataFrame = {
+    val e = milliVecs(spark, dir)
     def step(dotted: DataFrame): DataFrame =
       dotted.select(posexplode(col("x")).as(Seq("i0", "xi")), col("dot"))
         .groupBy(col("i0")).agg(sum(col("xi") * col("dot")).as("u"))
@@ -296,13 +303,53 @@ object ModelPrep {
     val m2 = u2.agg(
       expr("greatest(max(abs(u)) div 1000000, CAST(1 AS BIGINT))").as("m"))
     u2.crossJoin(broadcast(m2))
-      .select((col("i0") + 1).cast("int").as("dim"),
-        expr("u div m").as("v_e6"))
+      .withColumn("vi", expr("u div m"))
+      .agg(expr("transform(array_sort(collect_list(struct(i0, vi))), s -> s.vi)")
+        .as("v"))
+  }
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaV2(spark, dir)
+      .select(posexplode(col("v")).as(Seq("i0", "v_e6")))
+      .select((col("i0") + 1).cast("int").as("dim"), col("v_e6"))
       .orderBy(col("dim"))
+
+  /** All-but-the-top whitening (round 6): remove each embedding's
+    * projection on the dominant PCA direction — the post-processing
+    * that strips the corpus-common component before similarity search
+    * (isotropy correction). Pure integers end to end: with x in milli
+    * and v from [[pcaV2]], the residual is computed vv-SCALED as
+    * y_i = x_i·(vᵀv) − v_i·(xᵀv), which makes the orthogonality EXACT
+    * (yᵀv = vvd − dvv = 0 in BIGINT — ScalaTest-pinned, no rounding
+    * residue); reported magnitudes divide back by vv (trunc div, both
+    * engines). proj_e6 is each vector's signed component along v —
+    * the quantity ABTT subtracts.
+    *
+    * Scale shape: pcaV2's two partial-aggregable steps, then a
+    * map-only projection pass against the ONE-ROW broadcast (v, vv) —
+    * the corpus never shuffles. Overflow: |y_i| ≤ 2·370·10³·vv with
+    * vv ≤ 6.4·10¹³ ⇒ Σ|y_i| ≤ ~3·10¹⁸, inside BIGINT (documented
+    * bound, same lemma family as pcaV2). */
+  def abtt(spark: SparkSession, dir: String): DataFrame = {
+    val v = pcaV2(spark, dir).withColumn("vv",
+      expr("aggregate(v, CAST(0 AS BIGINT), (s, t) -> s + t * t)"))
+    milliVecs(spark, dir).crossJoin(broadcast(v))
+      .withColumn("d", expr(
+        """aggregate(zip_with(x, v, (a, b) -> a * b),
+          |          CAST(0 AS BIGINT), (s, t) -> s + t)""".stripMargin))
+      .withColumn("y", expr("zip_with(x, v, (a, b) -> a * vv - b * d)"))
+      .select(col("vec_id"),
+        expr("aggregate(x, CAST(0 AS BIGINT), (s, t) -> s + abs(t))")
+          .as("l1_before"),
+        expr("""aggregate(y, CAST(0 AS BIGINT), (s, t) -> s + abs(t))
+          | div vv""".stripMargin).as("l1_after"),
+        expr("(d * 1000000) div vv").as("proj_e6"))
+      .orderBy(col("vec_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pca_power" -> pcaPower,
+    "q_llm_abtt" -> abtt,
     "q_llm_split_assign" -> splitAssign,
     "q_llm_minhash_est" -> minhashEst,
     "q_llm_quality_logreg" -> qualityLogreg,
@@ -336,6 +383,45 @@ object ModelPrep {
         |m2 AS (SELECT greatest(max(abs(u)) // 1000000, 1) AS m FROM u2)
         |SELECT CAST(i AS INTEGER) AS dim, CAST(u // m AS BIGINT) AS v_e6
         |FROM u2 CROSS JOIN m2 ORDER BY dim""".stripMargin,
+    // Composes the q_llm_pca_power CTE chain verbatim, then projects
+    "q_llm_abtt" ->
+      """WITH e AS (SELECT vec_id,
+        |   [CAST(floor(embedding[i] * 1000 + 0.5) AS BIGINT)
+        |    for i in range(1, 65)] AS x
+        |  FROM embeddings),
+        |d1 AS (SELECT vec_id, x,
+        |   list_sum([x[i] * 1000000 for i in range(1, 65)]) AS dot
+        |  FROM e),
+        |u1 AS (SELECT i, sum(xi * dot) AS u FROM
+        |  (SELECT unnest(range(1, 65)) AS i, unnest(x) AS xi, dot
+        |   FROM d1) GROUP BY i),
+        |m1 AS (SELECT greatest(max(abs(u)) // 1000000, 1) AS m FROM u1),
+        |v1 AS (SELECT list(CAST(u // m AS BIGINT) ORDER BY i) AS v
+        |  FROM u1 CROSS JOIN m1),
+        |d2 AS (SELECT e.vec_id, e.x,
+        |   list_sum([e.x[i] * v1.v[i] for i in range(1, 65)]) AS dot
+        |  FROM e CROSS JOIN v1),
+        |u2 AS (SELECT i, CAST(sum(xi * dot) AS BIGINT) AS u FROM
+        |  (SELECT unnest(range(1, 65)) AS i, unnest(x) AS xi, dot
+        |   FROM d2) GROUP BY i),
+        |m2 AS (SELECT greatest(max(abs(u)) // 1000000, 1) AS m FROM u2),
+        |v2 AS (SELECT list(CAST(u // m AS BIGINT) ORDER BY i) AS v
+        |  FROM u2 CROSS JOIN m2),
+        |vv AS (SELECT v,
+        |   CAST(list_sum([v[i] * v[i] for i in range(1, 65)]) AS BIGINT)
+        |     AS vv
+        |  FROM v2),
+        |a AS (SELECT e.vec_id, e.x, vv.v, vv.vv,
+        |   CAST(list_sum([e.x[i] * vv.v[i] for i in range(1, 65)])
+        |     AS BIGINT) AS d
+        |  FROM e CROSS JOIN vv)
+        |SELECT vec_id,
+        | CAST(list_sum([abs(x[i]) for i in range(1, 65)]) AS BIGINT)
+        |   AS l1_before,
+        | CAST(list_sum([abs(x[i] * vv - v[i] * d)
+        |   for i in range(1, 65)]) // vv AS BIGINT) AS l1_after,
+        | CAST((d * 1000000) // vv AS BIGINT) AS proj_e6
+        |FROM a ORDER BY vec_id""".stripMargin,
     "q_llm_split_assign" ->
       """WITH b AS (SELECT doc_id, lang, n_chars,
         |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)

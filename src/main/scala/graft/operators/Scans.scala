@@ -67,6 +67,30 @@ object Scans {
       .orderBy(col("r_regionkey"))
   }
 
+  /** Text-lines source roundtrip (round 6): the rawest ingestion
+    * surface — write the corpus as plain line-per-doc text shards
+    * (fixture text is newline-free, asserted at write time by the
+    * format itself), read them back with `spark.read.text`, and reduce
+    * to an ORDER-INDEPENDENT digest (line count, modular line-hash
+    * sum, total chars) since a text directory has no row order or ids.
+    * This is the log-follower's batch twin: the reference tails
+    * plain-text container logs line by line (muswarmlogger/loggers.py
+    * save_container_logs ≈L120 [C-med]); a re-ingestion of those
+    * archives is exactly this scan.
+    *
+    * Scale shape: map-only write, map-only read, one partial-
+    * aggregable global digest — no shuffle at all. */
+  def sourceTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("textlines")
+    documents(spark, dir).select(col("text"))
+      .write.mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(expr(s"${LlmOps.h60("value")} % 1000000007"))
+          % lit(1000000007L)).as("line_hash_sum"),
+        sum(length(col("value")).cast("long")).as("n_chars_total"))
+  }
+
   /** Malformed-input contract (round 4): read a CSV stream containing
     * broken lines under PERMISSIVE mode — well-formed rows parse, broken
     * rows surface in `_corrupt_record` instead of failing the job, and
@@ -307,10 +331,19 @@ object Scans {
     "q_scan_json_embedded" -> scanJsonEmbedded,
     "q_source_csv_roundtrip" -> sourceCsvRoundtrip,
     "q_source_csv_malformed" -> sourceCsvMalformed,
+    "q_source_text_roundtrip" -> sourceTextRoundtrip,
     "q_sink_triples_export" -> sinkTriplesExport,
   )
 
   val oracle: Map[String, String] = Map(
+    // The digest is order-independent, so the oracle computes it from
+    // the documents table directly (the roundtrip itself is Spark-side)
+    "q_source_text_roundtrip" ->
+      """SELECT count(*) AS n_lines,
+        | CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+        |   % 1000000007) % 1000000007 AS BIGINT) AS line_hash_sum,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars_total
+        |FROM documents""".stripMargin,
     // VARIANT is Spark-side; the oracle replicates the typed extractions
     // with DuckDB's json accessors (n_absent: every probe of a missing
     // path is NULL, so the count is exactly 0)

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 202
+    val documented = 205
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -892,5 +892,35 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = step(step(Array.fill(64)(1000000L)))
     assert((1 to 64).forall(d => got(d) == want(d - 1)),
       "Spark power iteration diverges from the reference fold")
+  }
+
+  test("abtt: the vv-scaled residual is EXACTLY orthogonal to the " +
+      "direction (y.v == 0 in BIGINT, no rounding residue)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // recompute v and the residuals the enrolled row reports, then pin
+    // the invariant the scaling was chosen for: y.v = vv*d - d*vv = 0
+    val v = SparkEntry.queries("q_llm_pca_power")(spark, sf)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    val vv = v.map(x => x * x).sum
+    val xs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr(
+        "transform(embedding, t -> CAST(floor(t * 1000 + 0.5) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    xs.foreach { case (_, x) =>
+      val d = (0 until 64).map(i => x(i) * v(i)).sum
+      val ydotv = (0 until 64).map(i => (x(i) * vv - v(i) * d) * v(i)).sum
+      assert(ydotv == 0L, s"residual not orthogonal: $ydotv")
+    }
+    // and the enrolled row agrees with the local computation on l1/proj
+    val got = SparkEntry.queries("q_llm_abtt")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    xs.foreach { case (id, x) =>
+      val d = (0 until 64).map(i => x(i) * v(i)).sum
+      val l1b = x.map(math.abs).sum
+      val l1a = (0 until 64).map(i => math.abs(x(i) * vv - v(i) * d)).sum / vv
+      val proj = d * 1000000L / vv
+      assert(got(id) == ((l1b, l1a, proj)), s"vec $id mismatch")
+    }
   }
 }
