@@ -336,4 +336,29 @@ object GraftProps extends Properties("graft") {
         Math.floorDiv(7 * rel - 3 * maxsim + 10000000L, 10) - 1000000L
       num >= 0 && truncDiv == floorDiv && unshifted == exactFloor
     }
+
+  // --- skyline (q_skyline_parts): the sort-based filter is the
+  // DEFINITION. Duplicates, price ties, and size ties are the traps:
+  // identical points must BOTH survive (domination needs one strict
+  // inequality), same-price points must compare within the group.
+  private val pricedPoints: Gen[List[(Long, Int)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0, 20)))
+
+  property("skyline sort-based filter equals brute-force domination " +
+      "on any point set (ties and duplicates included)") =
+    forAll(pricedPoints) { pts =>
+      val brute = pts.filter { case (pa, sa) =>
+        !pts.exists { case (pb, sb) =>
+          pb <= pa && sb >= sa && (pb < pa || sb > sa)
+        }
+      }
+      val sortBased = pts.filter { case (pa, sa) =>
+        val strictlyCheaperMax =
+          pts.collect { case (pb, sb) if pb < pa => sb }
+        val grpMax = pts.collect { case (pb, sb) if pb == pa => sb }.max
+        (strictlyCheaperMax.isEmpty || sa > strictlyCheaperMax.max) &&
+          sa == grpMax
+      }
+      brute.sorted == sortBased.sorted
+    }
 }
