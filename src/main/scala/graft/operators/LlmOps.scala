@@ -1521,6 +1521,40 @@ object LlmOps {
         .as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Zipf exponent fit (round 6): OLS slope of ln(count) vs ln(rank)
+    * over the top-1000 tokens — the corpus-health diagnostic (natural
+    * text ≈ −1; template/boilerplate corpora flatten toward 0 — this
+    * fixture reads −0.18, which is exactly what the row should expose
+    * about synthetic data). Each log rounds ONCE to MILLI-units
+    * (dsir's rule), then the slope is pure BIGINT moments; e3 not e6
+    * because the n·Σxy term at the 1000-token cap must stay inside
+    * BIGINT (ln(1000)·10³ ≈ 6.9e3 ⇒ n·Σxy ≤ ~5e13; the e6 variant
+    * overflows at 4.8e19 — documented bound). The ×10⁶ output scale
+    * comes from dividing the DENOMINATOR, not multiplying the
+    * numerator.
+    *
+    * Scale shape: one partial-aggregable vocab count, ONE top-1000
+    * rank window over the vocab frame (vocab-sized, not corpus-sized),
+    * then a scalar moment aggregate. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))))
+      .filter(col("r") <= 1000)
+      .select(
+        expr("CAST(floor(ln(r) * 1000 + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), col("sy"), expr(
+        """(n * sxy - sx * sy)
+          | div greatest((n * sxx - sx * sx) div 1000000,
+          |              CAST(1 AS BIGINT))""".stripMargin).as("alpha_e6"))
+
   /** Count-min sketch (round 6): d=4 rows × w=16 buckets of token
     * counts, plus the point-query audit — ĉ(w) = min over rows of the
     * w's bucket, joined against the exact count so the one-sided error
@@ -2005,6 +2039,7 @@ object LlmOps {
     "q_llm_ppl_buckets" -> pplBuckets,
     "q_llm_char_entropy" -> charEntropy,
     "q_llm_countmin" -> countMin,
+    "q_llm_zipf_fit" -> zipfFit,
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
     "q_llm_minhash_lsh" -> minhashLsh,
@@ -2249,6 +2284,25 @@ object LlmOps {
       """SELECT sha256(lower(trim(text))) AS text_hash,
         | min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q_llm_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |rk AS (SELECT w, c,
+        |   row_number() OVER (ORDER BY c DESC, w) AS r FROM vc),
+        |pts AS (SELECT
+        |   CAST(floor(ln(r) * 1000 + 0.5) AS BIGINT) AS x,
+        |   CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT) AS y
+        |  FROM rk WHERE r <= 1000),
+        |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |   CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx FROM pts)
+        |SELECT n, sy,
+        | CAST((n * sxy - sx * sy)
+        |   // greatest((n * sxx - sx * sx) // 1000000, 1) AS BIGINT)
+        |   AS alpha_e6
+        |FROM m""".stripMargin,
     "q_llm_countmin" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
         |  FROM documents),
