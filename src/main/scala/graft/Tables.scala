@@ -26,16 +26,39 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.parquet` carries a parquet TIMESTAMP(NANOS) `ts` column which
-    * Spark 4.x refuses to read by default ([PARQUET_TYPE_ILLEGAL], see
-    * SURVEY.md §7.3-1). We read nanos as a long (`ts_ns`) and derive a
-    * µs-precision timestamp `ts` via integer division (`div`, not `/`,
-    * to avoid double-precision loss on 1.7e18-scale nanos).
+  /** `events.parquet` has shipped with two physical types for `ts` across
+    * fixture regenerations, so this reader adapts to the loaded schema:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4.x refuses to read it by default
+    *    ([PARQUET_TYPE_ILLEGAL], SURVEY.md §7.3-1); with
+    *    `legacy.parquet.nanosAsLong` the column arrives as LongType nanos.
+    *    We keep the raw nanos as `ts_ns` and derive a µs-precision `ts`
+    *    via integer division (`div`, not `/`, to avoid double-precision
+    *    loss on 1.7e18-scale nanos).
+    *  - parquet TIMESTAMP_MICROS (isAdjustedToUTC=false → `timestamp_ntz`):
+    *    `ts` is cast to a session-TZ timestamp and `ts_ns` is reconstructed
+    *    as `unix_micros(ts) * 1000` — identical downstream semantics (the
+    *    DuckDB oracles use `epoch_ns(ts)`, which is µs-granular too).
+    *
+    * The session timezone is pinned to UTC here (not only in the entry
+    * mains) so the NTZ→TZ cast is wall-clock identity in every session,
+    * including ScalaTest ones; a non-UTC default would silently shift
+    * timestamps and break hash parity with the oracle.
+    *
+    * Both branches emit the same column order: original columns with `ts`
+    * in place (as TimestampType), plus `ts_ns` (LongType) appended.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+          .withColumn("ts", expr("cast(ts as timestamp)"))
+    }
   }
 }

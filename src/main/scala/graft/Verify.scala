@@ -17,6 +17,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Round-6 lesson: stderr-only failure reporting let 61 red rows go
+    // unnoticed (the driver records nothing for a missing row). Every
+    // failure now lands in VERIFY_ERRORS.json (name → exception) in
+    // BOTH the out dir and the repo root, so a red row is loud in the
+    // builder loop and in history; the file is written even when empty
+    // so "no errors" is a positive signal, not an absence.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
@@ -24,6 +31,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // queries that cache() intermediate tables (shingle sets) must not
       // pin them in executor memory for the remaining ~70 queries
@@ -44,6 +53,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/VERIFY_ERRORS.json"), errJson)
+    // repo-root copy so a red row lands in git history even when only
+    // artifacts under version control are inspected
+    try Files.writeString(Paths.get("VERIFY_ERRORS.json"), errJson)
+    catch { case _: Throwable => () } // non-writable cwd: outDir copy stands
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

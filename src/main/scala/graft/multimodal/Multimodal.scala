@@ -451,8 +451,15 @@ object Multimodal {
         Seq(Media(id * 2, "image", encodePngGray(orig)),
           Media(id * 2 + 1, "image", encodePngGray(pert)))
       }
+    // localCheckpoint the fingerprint table (ids + two longs, ~1 000
+    // rows at sf0.01): `h` feeds BOTH sides of the banded self-join
+    // below, and without a lineage cut each side would re-run the
+    // PNG encode + ImageIO decode over the doubled corpus — the codec
+    // pass is the dominant cost of this row (r6: 2.5 s of 12 s image
+    // total). At 100 TB the same cut is a persisted fingerprint table.
     val h = imageAHash(media).toDF()
       .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+      .localCheckpoint()
     // 4-way chunk fan-out as a generator (explode) — the simhash shape
     val chunks = h
       .select(col("media_id"), col("hash_hi"), col("hash_lo"),

@@ -296,18 +296,25 @@ object Graph {
         col("nbrs").as("nb"))), Seq("dst"), "left")
       .select(col("src").as("ta"), col("dst").as("tb"),
         expr("array_intersect(na, coalesce(nb, array()))").as("cs"))
-      .withColumn("n_c", size(col("cs")).cast("long"))
-    val perNode = base
-      .groupBy(col("ta").as("p_partkey")).agg(sum(col("n_c")).as("cnt"))
-      .union(base.groupBy(col("tb").as("p_partkey"))
-        .agg(sum(col("n_c")).as("cnt")))
-      .union(base.select(explode(col("cs")).as("p_partkey"))
-        .groupBy(col("p_partkey")).agg(count(lit(1)).as("cnt")))
-      .groupBy(col("p_partkey")).agg(sum(col("cnt")).as("n_tri"))
-      .filter(col("n_tri") > 0)
-    val tot = base.agg(
-      coalesce(sum(col("n_c")), lit(0L)).as("total_tri"))
-    perNode.crossJoin(broadcast(tot))
+    // SINGLE-PASS role counting (round 7): the r6 form consumed `base`
+    // FOUR times (ta-role agg + tb-role agg + c-role explode + total),
+    // and ReuseExchange does not dedupe across separate union branches —
+    // the edge self-join + distinct + adjacency build re-ran per
+    // consumer (measured 12.4 s in the r6 driver bench, the most
+    // expensive row in the suite). Each discovered triangle (ta,tb,c)
+    // now emits its three corners in ONE explode — 3·|triangles| rows,
+    // one groupBy — so `base` is evaluated exactly once. The node-sized
+    // count table is localCheckpoint'd (~2 k rows) so the total-count
+    // branch reuses it instead of re-deriving the whole edge pipeline.
+    val roles = base
+      .select(explode(
+        expr("flatten(transform(cs, c -> array(ta, tb, c)))"))
+        .as("p_partkey"))
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint()
+    val tot = roles.agg(
+      expr("coalesce(sum(n_tri), 0L) div 3").as("total_tri"))
+    roles.crossJoin(broadcast(tot))
       .orderBy(col("n_tri").desc, col("p_partkey"))
       .limit(10)
       .select(col("p_partkey"), col("n_tri"), col("total_tri"))

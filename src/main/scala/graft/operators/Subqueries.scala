@@ -16,10 +16,15 @@ import graft.Tables._
   */
 object Subqueries {
 
+  /** Register only the views these six queries actually reference.
+    * (Round 6 lesson: an unconditional `sq_events` registration here made
+    * an events-reader failure take down all six unrelated subquery rows —
+    * views are registered per use, and `sq_nation` only by the lateral
+    * query that needs it.)
+    */
   private def withViews(spark: SparkSession, dir: String): Unit = {
     customer(spark, dir).createOrReplaceTempView("sq_customer")
     orders(spark, dir).createOrReplaceTempView("sq_orders")
-    events(spark, dir).createOrReplaceTempView("sq_events")
   }
 
   /** Correlated EXISTS → left-semi join after decorrelation. */
