@@ -683,7 +683,17 @@ object LlmOps {
     * home list, so the bucket equi-join widens by exactly nprobe on the
     * (small) probe side and introduces no duplicate pairs. */
   private[operators] def ivfAnnCands(spark: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfAnnCandsPn(spark, dir, nprobe)
+      .select(col("probe_id"), col("vec_id"))
+
+  /** [[ivfAnnCands]] carrying `pn` = the probed list's rank among the
+    * probe's nearest centroids. A candidate surfaces at nprobe=N iff
+    * pn ≤ N, so ONE frame at the widest nprobe serves every narrower
+    * arm as a filter — [[annRecall]] exploits this to run the centroid
+    * crossJoin + assignment window once instead of once per arm. */
+  private[operators] def ivfAnnCandsPn(spark: SparkSession, dir: String,
+      maxProbe: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val emb = embWithNorm(spark, dir)
     val cents = emb.filter(col("vec_id") < 16)
@@ -696,12 +706,13 @@ object LlmOps {
         w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
     val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("c_id").as("bucket"))
-    val probes = ranked.filter(col("vec_id") < 20 && col("arn") <= nprobe)
-      .select(col("vec_id").as("probe_id"), col("c_id").as("p_bucket"))
+    val probes = ranked.filter(col("vec_id") < 20 && col("arn") <= maxProbe)
+      .select(col("vec_id").as("probe_id"), col("c_id").as("p_bucket"),
+        col("arn").as("pn"))
     probes
       .join(assigned, col("p_bucket") === col("bucket") &&
         col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("pn"))
   }
 
   /** IVF-PQ composite search (round 4 part 2): the FAISS-style
@@ -818,11 +829,14 @@ object LlmOps {
 
   /** Candidate pairs for [[lshAnnMulti]] — deduped ids-only union of L
     * per-table bucket collisions. */
-  private[operators] def lshAnnMultiCands(spark: SparkSession, dir: String,
-      tables: Int): DataFrame = {
-    val emb = embWithNorm(spark, dir)
-    // (vec_id, t, bucket) — ids only; lambda references outer column t
-    val keys = emb
+  /** (vec_id, t, bucket) sign-bit keys for L LSH tables — table t
+    * buckets on the sign bits of dims 8t..8t+7, so table 0 is exactly
+    * [[lshAnnCands]]' single-table bucketing. Shared by
+    * [[lshAnnMultiCands]] and [[annRecall]] (which derives BOTH lsh
+    * arms from one checkpointed copy). */
+  private[operators] def lshTableKeys(spark: SparkSession, dir: String,
+      tables: Int): DataFrame =
+    embWithNorm(spark, dir)
       .select(col("vec_id"),
         explode(expr(s"sequence(0, ${tables - 1})")).as("t"), col("v"))
       .withColumn("bucket", expr(
@@ -833,13 +847,23 @@ object LlmOps {
           |    THEN shiftleft(CAST(1 AS BIGINT), d)
           |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
       .select(col("vec_id"), col("t"), col("bucket"))
-    keys.filter(col("vec_id") < 20)
+
+  /** Bucket-collision pairs over a (vec_id, t, bucket) key frame:
+    * probes (vec_id < 20) join candidates per (t, bucket), deduped
+    * across tables when `dedup` (single-table pairs are unique by
+    * construction — the distinct would only add a shuffle). */
+  private def lshKeyPairs(keys: DataFrame, dedup: Boolean): DataFrame = {
+    val pairs = keys.filter(col("vec_id") < 20)
       .withColumnRenamed("vec_id", "probe_id")
       .join(keys, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
   }
+
+  private[operators] def lshAnnMultiCands(spark: SparkSession, dir: String,
+      tables: Int): DataFrame =
+    lshKeyPairs(lshTableKeys(spark, dir, tables), dedup = true)
 
   /** LSH banding quality scoreboard (round 5): MinHash-LSH's verified
     * pair set against the exact all-pairs τ=0.8 baseline
@@ -1023,22 +1047,56 @@ object LlmOps {
     * allows — both knob directions are now demonstrated rows, not
     * extrapolations. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    // NO cache, measured deliberately (A/B at sf0.1: uncached 5.3 s vs
-    // cached 11.5 s): ReuseExchange dedupes the per-method subplans
-    // across the count/hit branches, so a cache only adds the blocking
-    // InMemoryRelation round-trip (the pagerank lesson)
+    // Shared-frame composition (round 7; supersedes the round-5 "no
+    // cache" A/B, which predates the probe4 + pq_r20 arms — the driver
+    // measured the 7-arm uncached form at 5.66 s, a 1.9× regression):
+    //  - the three IVF arms are pn-filters of ONE ivfAnnCandsPn(4)
+    //    frame, so the centroid crossJoin + assignment window runs once;
+    //  - the two PQ arms share ONE ADC ranking (ivf_pq reads its top-3
+    //    directly, the re-rank arm exact-scores its top-20 shortlist);
+    //  - tagged/brute/the shared frames are localCheckpoint'd ids-only
+    //    tables (≤ a few hundred rows after the rank filters), cutting
+    //    every per-method pipeline to exactly one evaluation. cache()
+    //    stays out (the round-5 lesson about the blocking
+    //    InMemoryRelation round-trip holds; a lineage cut is cheaper).
+    // Measured at sf0.1 local[4], min-of-3: 5.51 s (uncached 7-arm) →
+    // 4.39 s (checkpoint only) → 4.2–4.5 s shared-frame (run noise
+    // ±0.3 s); output bit-identical across all forms. Lazy
+    // localCheckpoint(false) measured SLOWER (4.8–5.1 s): concurrent
+    // consumers recompute a lazy checkpoint's partitions before the
+    // first materialization persists them — eager is the right mode
+    // for a frame with multiple same-job consumers.
+    val emb = embWithNorm(spark, dir)
+    val ivfCands = ivfAnnCandsPn(spark, dir, maxProbe = 4)
+      .localCheckpoint()
+    def ivfArm(n: Int): DataFrame =
+      scoreCands(emb, ivfCands.filter(col("pn") <= n)
+        .select(col("probe_id"), col("vec_id")))
+    val adc = ivfPqAdcRanked(spark, dir)
+      .select(col("probe_id"), col("vec_id"), col("rank"))
+      .localCheckpoint()
     val brute = cosineTopk(spark, dir).filter(col("rank") <= 3)
       .select(col("probe_id"), col("vec_id"))
+      .localCheckpoint()
+    // one sign-bit key pass serves both LSH arms: table 0 of the
+    // 4-table frame IS the single-table bucketing
+    val lshKeys = lshTableKeys(spark, dir, tables = 4).localCheckpoint()
     def tag(name: String, df: DataFrame): DataFrame =
       df.filter(col("rank") <= 3)
         .select(lit(name).as("method"), col("probe_id"), col("vec_id"))
-    val tagged = tag("lsh_8bit", lshAnn(spark, dir))
-      .unionAll(tag("lsh_multi4", lshAnnMulti(spark, dir)))
-      .unionAll(tag("ivf_probe1", ivfAnn(spark, dir, nprobe = 1)))
-      .unionAll(tag("ivf_probe2", ivfAnn(spark, dir, nprobe = 2)))
-      .unionAll(tag("ivf_probe4", ivfAnn(spark, dir, nprobe = 4)))
-      .unionAll(tag("ivf_pq", ivfPq(spark, dir)))
-      .unionAll(tag("ivf_pq_r20", ivfPqRerank(spark, dir)))
+    val tagged = tag("lsh_8bit",
+        scoreCands(emb, lshKeyPairs(lshKeys.filter(col("t") === 0),
+          dedup = false)))
+      .unionAll(tag("lsh_multi4",
+        scoreCands(emb, lshKeyPairs(lshKeys, dedup = true))))
+      .unionAll(tag("ivf_probe1", ivfArm(1)))
+      .unionAll(tag("ivf_probe2", ivfArm(2)))
+      .unionAll(tag("ivf_probe4", ivfArm(4)))
+      .unionAll(tag("ivf_pq", adc))
+      .unionAll(tag("ivf_pq_r20",
+        scoreCands(emb, adc.filter(col("rank") <= 20)
+          .select(col("probe_id"), col("vec_id")))))
+      .localCheckpoint()
     val denom = brute.agg(count(lit(1)).as("total"))
     val ret = tagged.groupBy(col("method"))
       .agg(count(lit(1)).as("n_returned"))
