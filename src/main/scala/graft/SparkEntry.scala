@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Graph.queries ++
     operators.Maintenance.queries ++
     operators.Analytics.queries ++
+    operators.Curation.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
     operators.Graph.oracle ++
     operators.Maintenance.oracle ++
     operators.Analytics.oracle ++
+    operators.Curation.oracle ++
     multimodal.Multimodal.oracle
 }

@@ -1,0 +1,556 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2 round-7 widening (J9): the quality-gate / tokenizer /
+  * retrieval-compression rows a production training-data pipeline runs
+  * between ingestion and packing — published-heuristic quality rules
+  * (Gopher/C4-style), tokenizer fertility diagnostics, language-ID
+  * audit aggregation, 1-bit MinHash signature compression, Kneser-Ney
+  * bigram smoothing, truncated-dimension (Matryoshka-style) and
+  * binary-sign retrieval scoreboards, windowed event dedup, and
+  * per-domain unigram KL drift.
+  *
+  * Determinism discipline (SURVEY §7.4): whitespace tokens (`split(text,
+  * ' ')` ≡ DuckDB `string_split`), exact integer arithmetic scaled ×10⁴
+  * or ×10⁶ with truncating `div` ≡ `//`, logs rounded ONCE to
+  * milli-units then BIGINT sums (the zipf/dsir rule), total-order sorts.
+  *
+  * Scale shapes: every row is map-side projection + vocab- or
+  * group-sized shuffles; the only self-joins are over the banded
+  * candidate sets the LSH family already bounds; probe sides are
+  * fixed-arity (20 vectors). Nothing here is corpus × corpus.
+  */
+object Curation {
+
+  private val stop7 = "('the','a','of','and','to','in','is')"
+
+  /** Gopher-style quality rule gate: per-document rule flags + the
+    * composite keep decision. The four rules are the public
+    * Gopher/MassiveText heuristics expressible over whitespace tokens —
+    * word-count bounds, mean-word-length band, alphabetic-word
+    * fraction, minimum stopword evidence — each kept as a SEPARATE
+    * boolean column because a curation pipeline tunes and audits rules
+    * individually before composing them.
+    *
+    * All checks are integer inequalities (mean word length 3 ≤ Σlen/n
+    * ≤ 10 becomes 3n ≤ Σlen ≤ 10n) so both engines agree exactly.
+    * Scale: one columnar pass, no shuffle before the output sort. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        expr("aggregate(tk, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+          .as("sum_len"),
+        expr("CAST(size(filter(tk, t -> t rlike '[A-Za-z]')) AS BIGINT)")
+          .as("n_alpha"),
+        expr(s"CAST(size(filter(tk, t -> t IN $stop7)) AS BIGINT)")
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 5 && col("n_words") <= 10000).as("r_nwords"),
+        (col("sum_len") >= lit(3) * col("n_words") &&
+          col("sum_len") <= lit(10) * col("n_words")).as("r_mwl"),
+        (lit(5) * col("n_alpha") >= lit(4) * col("n_words")).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_nwords") && col("r_mwl") && col("r_alpha") && col("r_stop"))
+      .orderBy(col("doc_id"))
+
+  /** C4-style heuristic gate: terminal punctuation, ≥3 sentence
+    * terminators, no curly brace (code/JSON leak), no "lorem ipsum"
+    * boilerplate, ≥5 words — the published C4 cleanup rules at document
+    * granularity, one boolean column per rule plus the composite.
+    *
+    * The synthetic corpus contains no punctuation, braces, or
+    * boilerplate at all, so the raw fixture would make every
+    * punctuation rule vacuously false and the others vacuously true.
+    * Like the pii_scrub / image-near-dup rows, the query PLANTS the
+    * features deterministically (doc_id residues: %3 → three proper
+    * sentence endings, %7 → a trailing `{code}` block, %11 →
+    * "lorem ipsum"), identically in the oracle, so every rule binds in
+    * BOTH directions and the composite keep is a real partition of the
+    * corpus. Pure regex/contains predicates after the plant — one
+    * columnar pass, no shuffle before the output sort. */
+  def c4Rules(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(". Second sentence here. And a third one.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" {code}")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" lorem ipsum")).otherwise(lit(""))))
+      .select(col("doc_id"),
+        col("t").rlike("[.!?]$").as("r_punct"),
+        (size(expr("regexp_extract_all(t, '[.!?]', 0)")) >= 3)
+          .as("r_sent"),
+        (!col("t").contains("{")).as("r_brace"),
+        (!lower(col("t")).contains("lorem ipsum")).as("r_lorem"),
+        (size(split(col("t"), " ")) >= 5).as("r_minw"))
+      .withColumn("keep", col("r_punct") && col("r_sent") &&
+        col("r_brace") && col("r_lorem") && col("r_minw"))
+      .orderBy(col("doc_id"))
+
+  /** Tokenizer fertility per language: whitespace tokens per character
+    * and BPE-proxy pieces (the \S{1,4} regex family shared with
+    * q_llm_token_count) per whitespace token — THE number a tokenizer
+    * owner watches per language (a fertility spike on one language
+    * means its token budget is being burned on fragmentation).
+    * Integer rates ×10⁴; partial-aggregable lang-keyed sums. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(expr("regexp_extract_all(text, '\\\\S{1,4}', 0)"))
+          .cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_bpe")).as("bpe_tokens"), sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"), col("chars"),
+        expr("(ws_tokens * 10000) div chars").as("tok_per_char_e4"),
+        expr("(bpe_tokens * 10000) div ws_tokens").as("bpe_per_ws_e4"))
+      .orderBy(col("lang"))
+
+  /** Language-ID confusion matrix: the per-document n-gram-profile
+    * predictions of q_llm_lang_id aggregated to (actual, predicted)
+    * counts — the audit table that tells a curation owner WHICH
+    * languages the classifier confuses, not just its accuracy.
+    * Reuses [[LlmOps.langId]] verbatim so the two rows can never
+    * disagree about the classifier. Group-sized output (≤ langs²). */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    LlmOps.langId(spark, dir)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+
+  /** 1-bit MinHash signature compression (b-bit minhash, Li & König):
+    * keep only the PARITY of each of the 16 permutation minimums — a
+    * 16× signature compression — and debias the collision rate
+    * (P[bit match] = (1+J)/2 for random parity bits ⇒ Ĵ = 2p − 1,
+    * clamped at 0). Scored on the SAME banded-LSH candidate pairs as
+    * the production path, next to the full 16-value estimate and the
+    * exact Jaccard, so the row quantifies exactly what the 16× storage
+    * cut costs in estimate quality. All integer ×10⁴ arithmetic.
+    *
+    * Scale: signatures are docs × 16 longs; candidates come from the
+    * banded equi-join (never all-pairs); the exact column reuses the
+    * collected shingle sets like the production verify step. */
+  def minhash1Bit(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = LlmOps.minhashSigs(spark, dir)
+    val cand = LlmOps.minhashCandidates(sigs)
+    def side(p: String, id: String): DataFrame =
+      sigs.select(
+        col("doc_id").as(id) +: col("ss").as(s"${p}ss") +:
+          col("n").as(s"${p}n") +:
+          (0 until 16).map(j => col(s"m$j").as(s"${p}m$j")): _*)
+    val m16 = (0 until 16)
+      .map(j => s"(CASE WHEN am$j = bm$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val m1 = (0 until 16)
+      .map(j => s"(CASE WHEN am$j % 2 = bm$j % 2 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    cand
+      .join(side("a", "a_id"), "a_id")
+      .join(side("b", "b_id"), "b_id")
+      .withColumn("mm16", expr(s"CAST($m16 AS BIGINT)"))
+      .withColumn("mm1", expr(s"CAST($m1 AS BIGINT)"))
+      .withColumn("i",
+        size(array_intersect(col("ass"), col("bss"))).cast("long"))
+      .select(col("a_id"), col("b_id"),
+        expr("(mm16 * 10000) div 16").as("est16_e4"),
+        expr("(greatest(2 * mm1 - 16, CAST(0 AS BIGINT)) * 10000) div 16")
+          .as("est1_e4"),
+        expr("(i * 10000) div (an + bn - i)").as("jacc_e4"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Kneser–Ney smoothed bigram probabilities (d = 0.75), the standard
+    * n-gram LM smoothing: P(w2|w1) = max(c12 − d, 0)/c1 + d·N1(w1•)/c1
+    * · Pcont(w2), with the continuation probability Pcont(w2) =
+    * N1(•w2)/|bigram types|. Every term is rational with d = 3/4, so
+    * the whole computation is exact BIGINT ×10⁶ arithmetic — both
+    * engines produce identical integers (division order pinned:
+    * pcont_e6 first, then each term's single `div`). Top-50 bigrams by
+    * raw count (full tie-break) keep the output bounded.
+    *
+    * Scale: one corpus bigram explode → three vocab-sized groupBys
+    * (bigram, left-context, right-continuation) + one scalar type
+    * count; joins are vocab-sized on hashed keys. */
+  def knBigram(spark: SparkSession, dir: String): DataFrame = {
+    val bg = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(element_at(tk, i) AS w1,
+          |              element_at(tk, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("pcnum"))
+    val nbt = c12.agg(count(lit(1)).as("nbt"))
+    c12
+      .join(left, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(nbt))
+      .withColumn("pcont_e6", expr("(pcnum * 1000000) div nbt"))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("((4 * c12 - 3) * 250000) div c1 +" +
+          " (3 * n1w * pcont_e6) div (4 * c1)").as("p_kn_e6"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  /** Matryoshka-style truncated-dimension retrieval scoreboard:
+    * recall@3 (vs the full 64-dim brute-force top-3) when cosine runs
+    * over only the FIRST d dimensions, d ∈ {8, 16, 32} — the number
+    * that tells an embedding owner how many dimensions the retrieval
+    * tier actually needs (storage and bandwidth scale linearly in d).
+    * Same bounded-probe shape as every ANN row: the 20-probe side
+    * broadcasts, candidates stream, nothing is all-pairs. */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val emb = embeddings(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+    def top3(d: Option[Int]): DataFrame = {
+      val vexpr = d.fold("embedding")(n => s"slice(embedding, 1, $n)")
+      val e = emb.select(col("vec_id"), expr(vexpr).as("v"))
+        .withColumn("nrm", expr("fvec_norm(v)"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pn"))
+      probes.crossJoin(e.select(col("vec_id"), col("v").as("cv"),
+          col("nrm").as("cn")))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos",
+          round(expr("fvec_dot(pv, cv)") / (col("pn") * col("cn")), 6))
+        .withColumn("rank", row_number().over(
+          w.partitionBy(col("probe_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id"))
+    }
+    val full = top3(None).localCheckpoint()
+    val denom = full.agg(count(lit(1)).as("total"))
+    Seq(8, 16, 32)
+      .map { d =>
+        top3(Some(d)).join(full, Seq("probe_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(d).as("dim"), col("n_hits"))
+      }
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(denom))
+      .select(col("dim"), col("n_hits"),
+        expr("(n_hits * 10000) div total").as("recall_e4"))
+      .orderBy(col("dim"))
+  }
+
+  /** Binary-sign embedding retrieval: 64-bit sign fingerprint (bit i =
+    * dim i > 0, packed as two 32-bit halves so both engines stay in
+    * non-negative BIGINT — the aHash convention), Hamming top-3 per
+    * probe. This is the 32×-compression retrieval tier (64 floats →
+    * 8 bytes) whose candidate quality the MRL row's recall axis and
+    * the ANN scoreboards bracket; Hamming is exact integer bit_count
+    * so the row is hash-stable. Fingerprints are map-side; the probe
+    * side is fixed-arity (20). */
+  def hammingEmbed(spark: SparkSession, dir: String): DataFrame = {
+    def half(off: Int): String =
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + CASE
+         |    WHEN element_at(embedding, i + $off) > 0
+         |    THEN shiftleft(CAST(1 AS BIGINT), i)
+         |    ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    val f = embeddings(spark, dir).select(col("vec_id"),
+      expr(half(33)).as("hi"), expr(half(1)).as("lo"))
+    val probes = f.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("hi").as("phi"),
+        col("lo").as("plo"))
+    probes.crossJoin(f)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(phi ^ hi) + bit_count(plo ^ lo) AS BIGINT)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("hamming"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Windowed event dedup: keep the FIRST event per (user, type,
+    * 10-minute tumbling window) — the standard at-least-once log-stream
+    * repair (retries and double-fires land in the same window and
+    * collapse). Window id is integer nanos `div` window span, so both
+    * engines bucket identically; first-in-window via one ranked window
+    * with a total tie-break (ts, event_id). Scale: ONE shuffle on
+    * (user, type, window) — the partition key a streaming version
+    * would key state by. */
+  def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("w_start", expr("ts_ns div 600000000000"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"), col("w_start"))
+          .orderBy(col("ts_ns"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("w_start"))
+      .orderBy(col("event_id"))
+
+  /** Per-source unigram KL divergence against the corpus distribution
+    * over the top-100 corpus tokens — the domain-drift diagnostic a
+    * mixture owner tracks (a source whose KL jumps is drifting away
+    * from the corpus mix). Each ln rounds ONCE to milli-units
+    * (ln(p/q) = lnE3(s_cnt·tot_c) − lnE3(c_cnt·tot_s), products stay
+    * < 2⁵³), then pure BIGINT weighted sums — the zipf/dsir
+    * determinism rule. Scale: vocab-sized counts, a 100-row broadcast,
+    * source-keyed partial aggregation. */
+  def domainKl(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("c_cnt"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_cnt").desc, col("w"))))
+      .filter(col("r") <= 100).drop("r")
+    val totc = top.agg(sum(col("c_cnt")).as("tot_c"))
+    val stok = tok.join(broadcast(top), "w")
+      .groupBy(col("source"), col("w"), col("c_cnt"))
+      .agg(count(lit(1)).as("s_cnt"))
+    val tots = stok.groupBy(col("source"))
+      .agg(sum(col("s_cnt")).as("tot_s"), count(lit(1)).as("n_terms"))
+    stok
+      .join(tots, "source")
+      .crossJoin(broadcast(totc))
+      .withColumn("term", expr(
+        """s_cnt * (CAST(floor(ln(s_cnt * tot_c) * 1000 + 0.5) AS BIGINT)
+          |       - CAST(floor(ln(c_cnt * tot_s) * 1000 + 0.5) AS BIGINT))
+        """.stripMargin))
+      .groupBy(col("source"), col("tot_s"), col("n_terms"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("source"), col("n_terms"), col("tot_s"),
+        expr("num div tot_s").as("kl_e3"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_gopher_rules" -> gopherRules,
+    "q_llm_c4_rules" -> c4Rules,
+    "q_llm_tok_fertility" -> tokenizerFertility,
+    "q_llm_langid_confusion" -> langIdConfusion,
+    "q_llm_minhash_1bit" -> minhash1Bit,
+    "q_llm_kn_bigram" -> knBigram,
+    "q_llm_mrl_recall" -> mrlRecall,
+    "q_llm_hamming_embed" -> hammingEmbed,
+    "q_events_dedup_window" -> eventsDedupWindow,
+    "q_llm_domain_kl" -> domainKl,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |   CAST(len(tk) AS BIGINT) AS n_words,
+         |   CAST(list_sum([length(t) for t in tk]) AS BIGINT) AS sum_len,
+         |   CAST(len([t for t in tk
+         |     if regexp_matches(t, '[A-Za-z]')]) AS BIGINT) AS n_alpha,
+         |   CAST(len([t for t in tk if t IN $stop7]) AS BIGINT) AS n_stop
+         |  FROM d)
+         |SELECT doc_id, n_words,
+         | n_words >= 5 AND n_words <= 10000 AS r_nwords,
+         | sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS r_mwl,
+         | 5 * n_alpha >= 4 * n_words AS r_alpha,
+         | n_stop >= 2 AS r_stop,
+         | (n_words >= 5 AND n_words <= 10000)
+         |   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+         |   AND (5 * n_alpha >= 4 * n_words) AND (n_stop >= 2) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_llm_c4_rules" ->
+      """WITH d AS (SELECT doc_id, text
+        |   || CASE WHEN doc_id % 3 = 0
+        |        THEN '. Second sentence here. And a third one.'
+        |        ELSE '' END
+        |   || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END
+        |   || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+        |   AS t FROM documents)
+        |SELECT doc_id,
+        | regexp_matches(t, '[.!?]$') AS r_punct,
+        | len(regexp_extract_all(t, '[.!?]')) >= 3 AS r_sent,
+        | NOT contains(t, '{') AS r_brace,
+        | NOT contains(lower(t), 'lorem ipsum') AS r_lorem,
+        | len(string_split(t, ' ')) >= 5 AS r_minw,
+        | regexp_matches(t, '[.!?]$')
+        |   AND len(regexp_extract_all(t, '[.!?]')) >= 3
+        |   AND NOT contains(t, '{')
+        |   AND NOT contains(lower(t), 'lorem ipsum')
+        |   AND len(string_split(t, ' ')) >= 5 AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_llm_tok_fertility" ->
+      """WITH d AS (SELECT lang,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |   CAST(len(regexp_extract_all(text, '\S{1,4}')) AS BIGINT)
+        |     AS n_bpe,
+        |   CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+        | CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST((sum(n_ws) * 10000) // sum(n_chars) AS BIGINT)
+        |   AS tok_per_char_e4,
+        | CAST((sum(n_bpe) * 10000) // sum(n_ws) AS BIGINT)
+        |   AS bpe_per_ws_e4
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_llm_langid_confusion" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
+        |    AS token FROM documents),
+        |prof AS (SELECT p_lang, token FROM (
+        |  SELECT lang AS p_lang, token, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, token) AS rn
+        |  FROM tok GROUP BY lang, token) t WHERE rn <= 20),
+        |dtok AS (SELECT doc_id, lang, unnest(list_distinct(
+        |    string_split(text, ' '))) AS token FROM documents),
+        |sc AS (SELECT doc_id, lang, p_lang, count(*) AS score
+        |  FROM dtok JOIN prof USING (token) GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, lang, p_lang FROM (
+        |  SELECT doc_id, lang, p_lang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, p_lang) AS rn FROM sc) t
+        |  WHERE rn = 1)
+        |SELECT lang AS actual_lang, p_lang AS pred_lang,
+        | count(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_llm_minhash_1bit" ->
+      s"""WITH ${LlmOps.minhashCandCte},
+         |pm AS (SELECT c.a_id, c.b_id,
+         |   sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS mm16,
+         |   sum(CASE WHEN x.m % 2 = y.m % 2 THEN 1 ELSE 0 END) AS mm1
+         |  FROM cand c
+         |  JOIN mh x ON x.doc_id = c.a_id
+         |  JOIN mh y ON y.doc_id = c.b_id AND y.j = x.j
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT pm.a_id, pm.b_id,
+         | CAST((mm16 * 10000) // 16 AS BIGINT) AS est16_e4,
+         | CAST((greatest(2 * mm1 - 16, 0) * 10000) // 16 AS BIGINT)
+         |   AS est1_e4,
+         | CAST((coalesce(i, 0) * 10000)
+         |   // (na.n + nb.n - coalesce(i, 0)) AS BIGINT) AS jacc_e4
+         |FROM pm
+         |LEFT JOIN inter ON pm.a_id = ia AND pm.b_id = ib
+         |JOIN sizes na ON pm.a_id = na.doc_id
+         |JOIN sizes nb ON pm.b_id = nb.doc_id
+         |ORDER BY pm.a_id, pm.b_id""".stripMargin,
+    "q_llm_kn_bigram" ->
+      """WITH t0 AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT s.w1, s.w2 FROM (
+        |  SELECT unnest([{'w1': tk[i], 'w2': tk[i + 1]}
+        |     for i in range(1, len(tk))]) AS s FROM t0)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |   count(*) AS n1w FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS pcnum FROM c12 GROUP BY 1),
+        |nbt AS (SELECT count(*) AS nbt FROM c12)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        | CAST(((4 * c12.c12 - 3) * 250000) // lft.c1
+        |  + (3 * lft.n1w * ((cont.pcnum * 1000000) // nbt.nbt))
+        |    // (4 * lft.c1) AS BIGINT) AS p_kn_e6
+        |FROM c12
+        |JOIN lft ON c12.w1 = lft.w1
+        |JOIN cont ON c12.w2 = cont.w2
+        |CROSS JOIN nbt
+        |ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 50""".stripMargin,
+    "q_llm_mrl_recall" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |full3 AS (SELECT probe_id, vec_id FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      round(list_inner_product(p.v, c.v)
+        |        / (sqrt(list_inner_product(p.v, p.v))
+        |           * sqrt(list_inner_product(c.v, c.v))), 6) DESC,
+        |      c.vec_id) AS rank
+        |  FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 20) t WHERE rank <= 3),
+        |tr AS (SELECT d, probe_id, vec_id FROM (
+        |  SELECT dd.d, p.vec_id AS probe_id, c.vec_id,
+        |    row_number() OVER (PARTITION BY dd.d, p.vec_id ORDER BY
+        |      round(list_inner_product(p.v[1:dd.d], c.v[1:dd.d])
+        |        / (sqrt(list_inner_product(p.v[1:dd.d], p.v[1:dd.d]))
+        |           * sqrt(list_inner_product(c.v[1:dd.d], c.v[1:dd.d]))),
+        |        6) DESC, c.vec_id) AS rank
+        |  FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+        |  CROSS JOIN (VALUES (8), (16), (32)) dd(d)
+        |  WHERE p.vec_id < 20) t WHERE rank <= 3),
+        |den AS (SELECT count(*) AS total FROM full3),
+        |hits AS (SELECT tr.d, count(*) AS n_hits
+        |  FROM tr JOIN full3 USING (probe_id, vec_id) GROUP BY tr.d)
+        |SELECT CAST(d AS INTEGER) AS dim, n_hits,
+        | CAST((n_hits * 10000) // total AS BIGINT) AS recall_e4
+        |FROM hits CROSS JOIN den ORDER BY dim""".stripMargin,
+    "q_llm_hamming_embed" ->
+      """WITH f AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN embedding[i + 33] > 0
+        |     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+        |     for i in range(0, 32)]) AS BIGINT) AS hi,
+        |  CAST(list_sum([CASE WHEN embedding[i + 1] > 0
+        |     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+        |     for i in range(0, 32)]) AS BIGINT) AS lo
+        |  FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, hi AS phi, lo AS plo
+        |  FROM f WHERE vec_id < 20)
+        |SELECT probe_id, rank, vec_id, hamming FROM (
+        |  SELECT pr.probe_id, f.vec_id,
+        |    CAST(bit_count(xor(pr.phi, f.hi))
+        |      + bit_count(xor(pr.plo, f.lo)) AS BIGINT) AS hamming,
+        |    CAST(row_number() OVER (PARTITION BY pr.probe_id
+        |      ORDER BY bit_count(xor(pr.phi, f.hi))
+        |        + bit_count(xor(pr.plo, f.lo)), f.vec_id) AS INTEGER)
+        |      AS rank
+        |  FROM pr JOIN f ON f.vec_id <> pr.probe_id) t
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_events_dedup_window" ->
+      """SELECT event_id, user_id, event_type, w_start FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 600000000000 AS w_start,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type,
+        |        epoch_ns(ts) // 600000000000
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_llm_domain_kl" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |top AS (SELECT w, c_cnt FROM (
+        |  SELECT w, count(*) AS c_cnt,
+        |    row_number() OVER (ORDER BY count(*) DESC, w) AS r
+        |  FROM tok GROUP BY w) t WHERE r <= 100),
+        |totc AS (SELECT CAST(sum(c_cnt) AS BIGINT) AS tot_c FROM top),
+        |stok AS (SELECT source, tok.w, top.c_cnt, count(*) AS s_cnt
+        |  FROM tok JOIN top ON tok.w = top.w GROUP BY 1, 2, 3),
+        |tots AS (SELECT source, CAST(sum(s_cnt) AS BIGINT) AS tot_s,
+        |   count(*) AS n_terms FROM stok GROUP BY 1)
+        |SELECT s.source, t.n_terms, t.tot_s,
+        | CAST(CAST(sum(s.s_cnt *
+        |   (CAST(floor(ln(s.s_cnt * c.tot_c) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(s.c_cnt * t.tot_s) * 1000 + 0.5) AS BIGINT)))
+        |   AS BIGINT) // t.tot_s AS BIGINT) AS kl_e3
+        |FROM stok s
+        |JOIN tots t ON s.source = t.source
+        |CROSS JOIN totc c
+        |GROUP BY 1, 2, 3 ORDER BY s.source""".stripMargin,
+  )
+}
