@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Maintenance.queries ++
     operators.Analytics.queries ++
     operators.Curation.queries ++
+    operators.Evaluation.queries ++
     multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
     operators.Maintenance.oracle ++
     operators.Analytics.oracle ++
     operators.Curation.oracle ++
+    operators.Evaluation.oracle ++
     multimodal.Multimodal.oracle
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2 round-7 widening, part 2 (J10): retrieval EVALUATION
+  * metrics — the numbers a search/RAG owner actually reports (nDCG@10,
+  * MRR) — computed over the enrolled BM25 ranking with content-derived
+  * graded relevance, so the metric rows can never disagree with the
+  * ranking rows about what was retrieved.
+  *
+  * Determinism: the only non-rational constants are the 10 per-rank
+  * DCG discount weights 1/log₂(rank+1), each rounded ONCE to ×10⁶
+  * integers via the identical `floor(1e6/(ln(r+1)/ln(2)) + 0.5)` text
+  * in both engines (the zipf/dsir log-rounding rule); everything after
+  * is BIGINT sums and truncating division.
+  */
+object Evaluation {
+
+  /** Per-doc graded relevance 0..3 = how many of the three query terms
+    * the document contains — derived from content, shared by both
+    * metric rows. */
+  private def relevance(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = LlmOps.bm25Terms
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg((max(when(col("tok") === t1, 1L).otherwise(0L)) +
+        max(when(col("tok") === t2, 1L).otherwise(0L)) +
+        max(when(col("tok") === t3, 1L).otherwise(0L))).as("rel"))
+  }
+
+  private val wE6 =
+    "CAST(floor(1000000.0D / (ln(rank + 1) / ln(2.0D)) + 0.5) AS BIGINT)"
+
+  /** nDCG@10 of the BM25 ranking: DCG over the top-10 retrieved docs
+    * with graded relevance, normalized by the ideal DCG (relevance-
+    * sorted top-10 over ALL docs). One summary row (n_rel, dcg_e6,
+    * idcg_e6, ndcg_e4) — the leaderboard number plus its parts so a
+    * regression is attributable.
+    *
+    * Scale shape: the ranked side is the BM25 row's own
+    * TakeOrderedAndProject top-10 (distributed partial top-k — no
+    * global sort); the ideal side is the same cap over the node-sized
+    * relevance frame; the discount weights are 10 constants. */
+  def ndcgAt10(spark: SparkSession, dir: String): DataFrame = {
+    val rel = relevance(spark, dir)
+    val ranked = LlmOps.bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))))
+    val dcg = ranked.join(rel, "doc_id")
+      .select(expr(s"rel * $wE6").as("g"))
+      .agg(coalesce(sum(col("g")), lit(0L)).as("dcg_e6"))
+    val ideal = rel.filter(col("rel") > 0)
+      .orderBy(col("rel").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rel").desc, col("doc_id"))))
+      .select(expr(s"rel * $wE6").as("g"))
+      .agg(coalesce(sum(col("g")), lit(0L)).as("idcg_e6"))
+    val nRel = rel.filter(col("rel") > 0)
+      .agg(count(lit(1)).as("n_rel"))
+    nRel.crossJoin(broadcast(dcg)).crossJoin(broadcast(ideal))
+      .select(col("n_rel"), col("dcg_e6"), col("idcg_e6"),
+        expr("(dcg_e6 * 10000) div idcg_e6").as("ndcg_e4"))
+  }
+
+  /** MRR of the three query terms against the combined BM25 ranking:
+    * per term, the rank of the FIRST document containing it. The rank
+    * is computed WITHOUT a global sort (the scale hazard of a corpus-
+    * wide row_number): best relevant doc per term via one max_by-style
+    * ranked reduction, then its rank = 1 + count of docs strictly
+    * better in (bm25 desc, doc_id asc) order — a broadcast-join count,
+    * partial-aggregable on every arm. */
+  def mrr(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = LlmOps.bm25Terms
+    val scored = LlmOps.bm25Scored(spark, dir).localCheckpoint()
+    val rel = relevance(spark, dir)
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    def arm(q: String): DataFrame = {
+      val has = toks.filter(col("tok") === q)
+        .select(col("doc_id")).distinct()
+      val best = scored.join(has, "doc_id")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id").as("b_id"), col("bm25").as("b_score"))
+      scored.crossJoin(broadcast(best))
+        .filter(col("bm25") > col("b_score") ||
+          (col("bm25") === col("b_score") && col("doc_id") < col("b_id")))
+        .agg(count(lit(1)).as("n_better"))
+        .select(lit(q).as("query"),
+          (col("n_better") + 1).as("first_rank"),
+          expr("1000000 div (n_better + 1)").as("rr_e6"))
+    }
+    arm(t1).unionAll(arm(t2)).unionAll(arm(t3))
+      .orderBy(col("query"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ndcg" -> ndcgAt10,
+    "q_llm_mrr" -> mrr,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_ndcg" -> {
+      val ctes = LlmOps.bm25Ctes
+      s"""WITH $ctes,
+         |rel AS (SELECT doc_id,
+         |   (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS rel
+         |  FROM perdoc),
+         |ranked AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM bmsc ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |dcg AS (SELECT coalesce(CAST(sum(rel.rel *
+         |   CAST(floor(1000000.0 / (ln(rank + 1) / ln(2.0)) + 0.5)
+         |     AS BIGINT)) AS BIGINT), 0) AS dcg_e6
+         |  FROM ranked JOIN rel ON ranked.doc_id = rel.doc_id),
+         |ideal AS (SELECT rel, row_number() OVER
+         |    (ORDER BY rel DESC, doc_id) AS rank
+         |  FROM rel WHERE rel > 0 ORDER BY rel DESC, doc_id LIMIT 10),
+         |idcg AS (SELECT coalesce(CAST(sum(rel *
+         |   CAST(floor(1000000.0 / (ln(rank + 1) / ln(2.0)) + 0.5)
+         |     AS BIGINT)) AS BIGINT), 0) AS idcg_e6 FROM ideal),
+         |nr AS (SELECT count(*) AS n_rel FROM rel WHERE rel > 0)
+         |SELECT n_rel, dcg_e6, idcg_e6,
+         | (dcg_e6 * 10000) // idcg_e6 AS ndcg_e4
+         |FROM nr CROSS JOIN dcg CROSS JOIN idcg""".stripMargin
+    },
+    "q_llm_mrr" -> {
+      val ctes = LlmOps.bm25Ctes
+      val arms = LlmOps.bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"""(SELECT '$t' AS query, first_rank,
+           |  1000000 // first_rank AS rr_e6 FROM (
+           |  SELECT (SELECT count(*) FROM bmsc s
+           |    WHERE s.bm25 > b.bm25
+           |       OR (s.bm25 = b.bm25 AND s.doc_id < b.doc_id)) + 1
+           |    AS first_rank
+           |  FROM (SELECT doc_id, bm25 FROM bmsc
+           |    WHERE doc_id IN (SELECT doc_id FROM perdoc
+           |                     WHERE tf${i + 1} > 0)
+           |    ORDER BY bm25 DESC, doc_id LIMIT 1) b) t)""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH $ctes
+         |SELECT query, CAST(first_rank AS BIGINT) AS first_rank,
+         | CAST(rr_e6 AS BIGINT) AS rr_e6 FROM (
+         |$arms
+         |) u ORDER BY query""".stripMargin
+    },
+  )
+}

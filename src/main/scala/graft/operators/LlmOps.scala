@@ -1219,12 +1219,12 @@ object LlmOps {
 
   /** The three-term BM25 query this row scores ("join vector scan" —
     * mid-df corpus terms, so tf and length normalization both matter). */
-  private val bm25Terms = Seq("join", "vector", "scan")
+  private[operators] val bm25Terms = Seq("join", "vector", "scan")
 
   /** Shared oracle CTE text: tokenize → per-doc (dl, tf₁..tf₃) →
     * corpus stats → rounded BM25 score. Composed by both the bm25 row
     * and the hybrid-RRF row so the two oracles cannot drift. */
-  private def bm25Ctes: String =
+  private[operators] def bm25Ctes: String =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' '))
       |    AS tok FROM documents),
       |perdoc AS (SELECT doc_id, count(*) AS dl,
@@ -1257,7 +1257,7 @@ object LlmOps {
     * final score is map-only + TakeOrderedAndProject. At 100 TB the
     * only full-data move is the single tokenize shuffle, which an
     * inverted index (the companion row) would amortize across queries. */
-  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val Seq(t1, t2, t3) = bm25Terms
     val perDoc = documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

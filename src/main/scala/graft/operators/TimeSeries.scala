@@ -302,7 +302,37 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Seasonal profile + deseasonalized anomalies (round 7): per
+    * (event_type, hour-of-day) mean value — the 24-slot seasonal
+    * baseline an ops dashboard overlays — and the top-20 events by
+    * absolute deviation FROM THEIR OWN SLOT's mean (an event that is
+    * normal at peak hour is anomalous at 4am; the global-mean z-score
+    * q_ts_anomaly_mad complements, this row seasonal-adjusts).
+    * Values in micro-units (floor(v·10⁶ + 0.5), the engine-identical
+    * rounding), slot means by truncating integer div — hash-exact.
+    *
+    * Scale shape: the profile is ONE partial-aggregable groupBy over
+    * (type, hour) — 24·|types| cells; the deviation pass re-joins the
+    * broadcast profile map-side; top-20 via TakeOrderedAndProject. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("hr", hour(col("ts")))
+      .withColumn("v_e6",
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+    val prof = e.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e6")).as("s"))
+      .select(col("event_type"), col("hr"), col("n"),
+        expr("s div n").as("mean_e6"))
+    e.join(broadcast(prof), Seq("event_type", "hr"))
+      .withColumn("dev_e6", abs(col("v_e6") - col("mean_e6")))
+      .select(col("event_id"), col("event_type"), col("hr"),
+        col("v_e6"), col("mean_e6"), col("dev_e6"))
+      .orderBy(col("dev_e6").desc, col("event_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_seasonal" -> seasonalProfile,
     "q_ts_cusum" -> cusum,
     "q_ts_holt" -> holt,
     "q_ts_ewma" -> ewma,
@@ -314,6 +344,19 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_seasonal" ->
+      """WITH e AS (SELECT event_id, event_type, hour(ts) AS hr,
+        |   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_e6
+        |  FROM events),
+        |prof AS (SELECT event_type, hr, count(*) AS n,
+        |   CAST(CAST(sum(v_e6) AS BIGINT) // count(*) AS BIGINT)
+        |     AS mean_e6
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.hr, e.v_e6, prof.mean_e6,
+        | abs(e.v_e6 - prof.mean_e6) AS dev_e6
+        |FROM e JOIN prof
+        |  ON e.event_type = prof.event_type AND e.hr = prof.hr
+        |ORDER BY dev_e6 DESC, e.event_id LIMIT 20""".stripMargin,
     // Recursive CTE, NOT a struct-state list_reduce: this DuckDB
     // build's vectorized list_reduce mis-evaluates struct-literal
     // lambdas over column data (constant-folded literals are fine —
