@@ -59,6 +59,28 @@ object DockerEvents {
     normalizeEvents(spark.readStream.schema(eventSchema)
       .option("mode", "DROPMALFORMED").json(dir))
 
+  /** LIVE socket source of Docker-event JSON lines — the executable
+    * twin of the reference's event pump (`GET /events` over the Docker
+    * socket streams chunked JSON; muswarmlogger/main.py). The sandbox
+    * has no Docker daemon, so the listening end is any line-delimited
+    * JSON emitter over TCP (a `socat UNIX:/var/run/docker.sock` bridge
+    * in real deployments, a ServerSocket in StreamingSpec) — the parse
+    * + normalize pipeline is byte-identical to the file-stream twin.
+    *
+    * Spark's `socket` source is a dev/test source (no offset
+    * replay — a crash loses in-flight lines); the production swap is
+    * `format("kafka")` with the SAME downstream pipeline, documented
+    * at SURVEY §3.2. Malformed lines parse to a NULL struct and are
+    * dropped, like the file twin's DROPMALFORMED. */
+  def readEventSocketStream(spark: SparkSession, host: String,
+      port: Int): DataFrame =
+    normalizeEvents(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load()
+        .select(from_json(col("value"), eventSchema).as("e"))
+        .filter(col("e").isNotNull && col("e.Type").isNotNull)
+        .select(col("e.*")))
+
   /** Parse raw container log lines ("2024-01-01T00:00:00.123456789Z GET
     * /health 200"): split on first space, RFC3339-nano prefix → µs
     * timestamp, mint a deterministic uuid per line (the reference mints

@@ -82,6 +82,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plan shapes: pruned reads and pushed probe filters (no drift)") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // gopher reads ONLY (doc_id, text) — the rule lambdas must not
+    // drag lang/source/n_chars into the scan
+    val g = plan("q_llm_gopher_rules")
+    assert(g.contains("ReadSchema: struct<doc_id:bigint,text:string>"), g
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    // hamming probes push vec_id < 20 into the parquet scan
+    val h = plan("q_llm_hamming_embed")
+    assert(h.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]"),
+      h.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // dedup-window partitions by the full (user, type, window) key —
+    // the state key a streaming twin would use
+    val d = plan("q_events_dedup_window")
+    assert(d.contains("user_id") && d.contains("w_start"),
+      "window partition key missing from plan")
+  }
+
   test("kn_bigram: probabilities positive and below 1e6 (valid e6 scale)") {
     val rows = operators.Curation.knBigram(spark, sf).collect()
     assert(rows.length == 50)

@@ -550,6 +550,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(triples.length == 2)
   }
 
+  test("live socket source: docker-event JSON over TCP -> normalized rows") {
+    // the executable twin of the reference's `GET /events` pump: a real
+    // TCP listener plays the docker daemon (the sandbox has none), the
+    // socket-source query connects, and the SAME normalize pipeline as
+    // the file twin produces queryable rows — malformed lines dropped
+    val server = new java.net.ServerSocket(0) // ephemeral port
+    val lines = Seq(
+      """{"Type":"container","Action":"start","id":"c01","Actor":{"ID":"c01","Attributes":{"image":"app:1","name":"web_1","LOG":"1","com.docker.compose.project":"demo","com.docker.compose.service":"web"}},"time":1704067200,"timeNano":1704067200123456789}""",
+      "this is not json",
+      """{"Type":"container","Action":"die","id":"c02","Actor":{"ID":"c02","Attributes":{"image":"db:2","name":"db_1"}},"time":1704067260,"timeNano":1704067260000000000}""")
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+      // keep the connection open until the query is done reading —
+      // closing early races the source's line reader
+      Thread.sleep(30000)
+      sock.close()
+    })
+    writer.setDaemon(true); writer.start()
+    val df = DockerEvents.readEventSocketStream(spark, "localhost",
+      server.getLocalPort)
+    val q = runQuery(df, "sock_events", "append")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def n(): Long = spark.table("sock_events").count()
+      while (n() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(n() == 2, s"expected 2 normalized rows, got ${n()}")
+      val rows = spark.table("sock_events")
+        .orderBy("container_id").collect()
+      assert(rows(0).getAs[String]("container_id") == "c01")
+      assert(rows(0).getAs[Boolean]("log_opt_in"))
+      assert(rows(0).getAs[java.sql.Timestamp]("ts").toString
+        == "2024-01-01 00:00:00.123456")
+      assert(rows(1).getAs[String]("container_id") == "c02")
+      assert(!rows(1).getAs[Boolean]("log_opt_in"))
+      assert(rows(1).getAs[String]("action") == "die")
+    } finally { q.stop(); server.close() }
+  }
+
   test("log follower: raw log files -> parsed partitioned store") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_logs_")
     val src = tmp.resolve("src"); val store = tmp.resolve("store")
