@@ -339,7 +339,108 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** RAG context packing (round 7 part 3): fill a 2 000-token context
+    * budget greedily down the BM25 ranking — the assembly step between
+    * retrieval and the prompt. Output = the packed docs with their
+    * rank, token cost, and running total; the first doc that would
+    * overflow the budget is excluded (strict prefix property:
+    * cum ≤ B). Deterministic: ranking ties break on doc_id, token
+    * counts are whitespace-exact.
+    *
+    * Scale shape: the ranking caps at top-50 via TakeOrderedAndProject
+    * BEFORE the cumulative window, so the single-partition cumsum only
+    * ever sees 50 rows — the hybridRrf discipline (a corpus-sized
+    * global window would be the scale hazard). */
+  def contextPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = LlmOps.bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("bm25").desc, col("doc_id"))))
+    val toks = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"))
+    ranked.join(toks, "doc_id")
+      .withColumn("cum_tokens", sum(col("n_ws")).over(
+        w.orderBy(col("rank"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= 2000)
+      .select(col("rank"), col("doc_id"), col("n_ws"), col("cum_tokens"))
+      .orderBy(col("rank"))
+  }
+
+  /** Speculative-decoding acceptance proxy (round 7 part 3): predict
+    * every next token with the corpus bigram argmax (the cheapest
+    * draft model) and measure the per-language acceptance rate — the
+    * number that says how much a 1-gram draft would speed this corpus
+    * up. Argmax ties break lexicographically; exact integer ×10⁴
+    * rate.
+    *
+    * Scale shape: positions fan out map-side (no window — each
+    * position carries its own (prev, actual) pair from one array
+    * transform), the draft table is the vocab-sized bigram argmax
+    * joined on the hashed prev-token key, acceptance is a
+    * partial-aggregable lang groupBy. */
+  def specNgram(spark: SparkSession, dir: String): DataFrame = {
+    val pos = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(2, size(tk)),
+          |  i -> struct(element_at(tk, i - 1) AS wp,
+          |              element_at(tk, i) AS w))""".stripMargin)).as("b"))
+      .select(col("lang"), col("b.wp").as("wp"), col("b.w").as("w"))
+    val draft = pos.groupBy(col("wp"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("wp"))
+          .orderBy(col("c").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("wp"), col("w").as("pred"))
+    pos.join(draft, "wp")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("w") === col("pred"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("lang"), col("n_pos"), col("n_hit"),
+        expr("(n_hit * 10000) div n_pos").as("acc_e4"))
+      .orderBy(col("lang"))
+  }
+
+  /** Systematic resampling (round 7 part 3): the low-variance
+    * resampler (particle filters, data re-weighting) — N = 100
+    * equally-spaced picks through the cumulative weight line, weight =
+    * doc length in chars. n_picks(doc) = ⌊cum·N/W⌋ − ⌊(cum−w)·N/W⌋,
+    * which telescopes to exactly N total picks — all integer, no RNG,
+    * identical in both engines. Output: the multi-picked docs (docs
+    * sampled ≥ 1×).
+    *
+    * Scale note: the cumulative sum runs over doc_id order in ONE
+    * global window here (docs-sized input); the production form is the
+    * two-phase per-partition prefix sum (partition totals broadcast,
+    * map-side offset add) — same integers, documented swap, the
+    * ppl_buckets/ntile precedent. */
+  def sysResample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("wt"))
+    val tot = d.agg(sum(col("wt")).as("totw"))
+    d.withColumn("cum", sum(col("wt")).over(
+        w.orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_picks", expr(
+        "(cum * 100) div totw - ((cum - wt) * 100) div totw"))
+      .filter(col("n_picks") >= 1)
+      .select(col("doc_id"), col("wt"), col("n_picks"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_context_pack" -> contextPack,
+    "q_llm_spec_ngram" -> specNgram,
+    "q_llm_sys_resample" -> sysResample,
     "q_llm_gopher_rules" -> gopherRules,
     "q_llm_c4_rules" -> c4Rules,
     "q_llm_tok_fertility" -> tokenizerFertility,
@@ -353,6 +454,50 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_context_pack" -> {
+      val ctes = LlmOps.bm25Ctes
+      s"""WITH $ctes,
+         |ranked AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM bmsc ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |tk AS (SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+         |  FROM documents),
+         |packed AS (SELECT ranked.rank, ranked.doc_id, tk.n_ws,
+         |   CAST(sum(tk.n_ws) OVER (ORDER BY ranked.rank
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM ranked JOIN tk ON ranked.doc_id = tk.doc_id)
+         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_ws, cum_tokens
+         |FROM packed WHERE cum_tokens <= 2000 ORDER BY rank""".stripMargin
+    },
+    "q_llm_spec_ngram" ->
+      """WITH t0 AS (SELECT lang, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |pos AS (SELECT lang, s.wp, s.w FROM (
+        |  SELECT lang, unnest([{'wp': tk[i - 1], 'w': tk[i]}
+        |     for i in range(2, len(tk) + 1)]) AS s FROM t0)),
+        |draft AS (SELECT wp, w AS pred FROM (
+        |  SELECT wp, w, row_number() OVER (PARTITION BY wp
+        |      ORDER BY count(*) DESC, w) AS rn
+        |  FROM pos GROUP BY wp, w) t WHERE rn = 1)
+        |SELECT lang, count(*) AS n_pos,
+        | CAST(sum(CASE WHEN pos.w = draft.pred THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_hit,
+        | CAST((sum(CASE WHEN pos.w = draft.pred THEN 1 ELSE 0 END)
+        |   * 10000) // count(*) AS BIGINT) AS acc_e4
+        |FROM pos JOIN draft ON pos.wp = draft.wp
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_llm_sys_resample" ->
+      """WITH d AS (SELECT doc_id, n_chars AS wt FROM documents),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS totw FROM d),
+        |c AS (SELECT doc_id, wt,
+        |   CAST(sum(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum FROM d)
+        |SELECT doc_id, wt,
+        | (cum * 100) // totw - ((cum - wt) * 100) // totw AS n_picks
+        |FROM c CROSS JOIN tot
+        |WHERE (cum * 100) // totw - ((cum - wt) * 100) // totw >= 1
+        |ORDER BY doc_id""".stripMargin,
     "q_llm_gopher_rules" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
          |  FROM documents),
