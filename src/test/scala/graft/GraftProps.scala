@@ -361,4 +361,26 @@ object GraftProps extends Properties("graft") {
       }
       brute.sorted == sortBased.sorted
     }
+
+  // ---- systematic resampling (q_llm_sys_resample's arithmetic) ------
+
+  private val weightLists =
+    Gen.nonEmptyListOf(Gen.chooseNum(1L, 10000L))
+
+  property("systematic resampling telescopes to exactly N picks for " +
+      "any positive weights, and no doc exceeds ceil(w*N/W)+1") =
+    forAll(weightLists, Gen.chooseNum(1, 500)) { (ws, n) =>
+      val total = ws.sum
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val picks = ws.zip(cums).map { case (w, cum) =>
+        cum * n / total - (cum - w) * n / total
+      }
+      // ⌊cum·N/W⌋ telescopes: the sum is ⌊W·N/W⌋ − ⌊0⌋ = N exactly —
+      // the property that makes the resampler budget-exact with no RNG
+      picks.sum == n.toLong &&
+        picks.forall(_ >= 0) &&
+        picks.zip(ws).forall { case (p, w) =>
+          p <= (w.toDouble * n / total).ceil.toLong + 1
+        }
+    }
 }
