@@ -437,7 +437,142 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-gate ablation (round 7 part 4): per Gopher rule, how many
+    * docs fail it, how many it UNIQUELY kills (all other rules pass),
+    * and the gate's keep-count with the rule removed — the audit a
+    * curation owner reads before tuning a threshold (a rule with zero
+    * unique kills is dead weight; one that dominates deserves a
+    * second look). Composes [[gopherRules]]' own flag frame, so the
+    * ablation can never disagree with the gate. One aggregate pass +
+    * a 4-row stack — group-sized output. */
+  def qualityAblate(spark: SparkSession, dir: String): DataFrame = {
+    val f = gopherRules(spark, dir)
+    val rules = Seq("r_nwords", "r_mwl", "r_alpha", "r_stop")
+    def others(r: String) =
+      rules.filter(_ != r).map(col).reduce(_ && _)
+    val aggs = rules.flatMap { r =>
+      Seq(sum(when(!col(r), 1L).otherwise(0L)).as(s"${r}_fail"),
+        sum(when(!col(r) && others(r), 1L).otherwise(0L))
+          .as(s"${r}_uniq"),
+        sum(when(others(r), 1L).otherwise(0L)).as(s"${r}_without"))
+    }
+    val stackArgs = rules.map { r =>
+      s"'${r.stripPrefix("r_")}', ${r}_fail, ${r}_uniq, ${r}_without"
+    }.mkString(", ")
+    f.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(4, $stackArgs)" +
+        " AS (rule, n_fail, n_unique_kill, keep_without)")
+      .orderBy(col("rule"))
+  }
+
+  /** IVF cluster purity (round 7 part 4): per coarse bucket of the
+    * enrolled IVF quantizer (16 sampled centroids, max-cosine assign —
+    * the SAME asg chain as q_llm_ivf_ann), the majority `label` and
+    * its fraction — the clustering-quality audit that says whether the
+    * coarse quantizer's buckets align with semantic labels at all.
+    * Scale: one broadcast centroid pass + a (bucket, label) count +
+    * bucket-partitioned top-1 window — all bucket-sized after the
+    * map-side assign. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("norm", expr("fvec_norm(v)"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+    val bucketed = emb.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        round(expr("fvec_dot(v, cv)") / (col("norm") * col("cn")), 6))
+      .withColumn("arn", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("label"), col("c_id").as("bucket"))
+    val votes = bucketed.groupBy(col("bucket"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val sizes = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+    votes.withColumn("rn", row_number().over(
+        w.partitionBy(col("bucket")).orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("label").as("maj_label"),
+        col("n").as("n_major"))
+      .join(sizes, "bucket")
+      .select(col("bucket"), col("n_vecs"), col("maj_label"),
+        col("n_major"),
+        expr("(n_major * 10000) div n_vecs").as("purity_e4"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Eval-set n-gram coverage (round 7 part 4): per eval doc (the
+    * doc_id%10 slice of q_llm_decontaminate), the fraction of its
+    * distinct 13-gram hashes that appear ANYWHERE in the train slice —
+    * the coverage twin of decontamination (leakage asks "is eval in
+    * train?"; coverage asks "how familiar will eval look?"). Same
+    * gram hashing, partial-aggregable counts, one hash equi-join. */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val grams = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(tk) >= 13
+           |THEN transform(sequence(1, size(tk) - 12),
+           |  i -> ${LlmOps.h60("concat_ws(' ', slice(tk, i, 13))")})
+           |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+        .as("gh"))
+    val e = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("gh")).distinct()
+    val t = grams.filter(col("doc_id") % 10 =!= 0)
+      .select(col("gh")).distinct()
+    val tot = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val seen = e.join(t, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen"))
+    tot.join(seen, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        expr("(n_seen * 10000) div n_grams").as("cov_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heaps-law fit (round 7 part 4): vocabulary growth V = k·N^β over
+    * 8 NESTED corpus subsets (docs with doc_id%8 < b — monotone by
+    * construction, so the curve is a true growth curve without any
+    * sequential scan). V_b comes from ONE vocab groupBy keeping each
+    * token's minimum bucket (V_b = tokens with min-bucket < b); N_b
+    * from the 8-row bucket counts. β is the zipf-row OLS: each ln
+    * rounds ONCE to milli-units, then BIGINT moments with the
+    * denominator divided for the e6 output scale. Natural text sits
+    * near β≈0.5; the synthetic fixture's value is the diagnostic. */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select((col("doc_id") % 8).as("b"),
+        explode(split(col("text"), " ")).as("w"))
+    val nb = tok.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val vb = tok.groupBy(col("w")).agg(min(col("b")).as("mb"))
+      .groupBy(col("mb")).agg(count(lit(1)).as("vnew"))
+    val pts = spark.range(1, 9).select(col("id").as("t"))
+      .join(nb, col("b") < col("t")).groupBy(col("t"))
+      .agg(sum(col("cnt")).as("n_t"))
+      .join(vb.crossJoin(spark.range(1, 9).select(col("id").as("t")))
+        .filter(col("mb") < col("t"))
+        .groupBy(col("t")).agg(sum(col("vnew")).as("v_t")), "t")
+      .select(
+        expr("CAST(floor(ln(n_t) * 1000 + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(ln(v_t) * 1000 + 0.5) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), expr(
+        """(n * sxy - sx * sy)
+          | div greatest((n * sxx - sx * sx) div 1000000,
+          |              CAST(1 AS BIGINT))""".stripMargin).as("beta_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_quality_ablate" -> qualityAblate,
+    "q_llm_cluster_purity" -> clusterPurity,
+    "q_llm_ngram_coverage" -> ngramCoverage,
+    "q_llm_heaps_fit" -> heapsFit,
     "q_llm_context_pack" -> contextPack,
     "q_llm_spec_ngram" -> specNgram,
     "q_llm_sys_resample" -> sysResample,
@@ -452,6 +587,25 @@ object Curation {
     "q_events_dedup_window" -> eventsDedupWindow,
     "q_llm_domain_kl" -> domainKl,
   )
+
+  /** Gopher rule-flag CTE chain (`flags`: doc_id, n_words, r_*) shared
+    * by the gate row and its ablation audit — mirrors [[gopherRules]]. */
+  private val gopherFlagsCte: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |   CAST(len(tk) AS BIGINT) AS n_words,
+       |   CAST(list_sum([length(t) for t in tk]) AS BIGINT) AS sum_len,
+       |   CAST(len([t for t in tk
+       |     if regexp_matches(t, '[A-Za-z]')]) AS BIGINT) AS n_alpha,
+       |   CAST(len([t for t in tk if t IN $stop7]) AS BIGINT) AS n_stop
+       |  FROM d),
+       |flags AS (SELECT doc_id, n_words,
+       |  n_words >= 5 AND n_words <= 10000 AS r_nwords,
+       |  sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS r_mwl,
+       |  5 * n_alpha >= 4 * n_words AS r_alpha,
+       |  n_stop >= 2 AS r_stop
+       | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_llm_context_pack" -> {
@@ -499,24 +653,95 @@ object Curation {
         |WHERE (cum * 100) // totw - ((cum - wt) * 100) // totw >= 1
         |ORDER BY doc_id""".stripMargin,
     "q_llm_gopher_rules" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
-         |  FROM documents),
-         |f AS (SELECT doc_id,
-         |   CAST(len(tk) AS BIGINT) AS n_words,
-         |   CAST(list_sum([length(t) for t in tk]) AS BIGINT) AS sum_len,
-         |   CAST(len([t for t in tk
-         |     if regexp_matches(t, '[A-Za-z]')]) AS BIGINT) AS n_alpha,
-         |   CAST(len([t for t in tk if t IN $stop7]) AS BIGINT) AS n_stop
-         |  FROM d)
-         |SELECT doc_id, n_words,
-         | n_words >= 5 AND n_words <= 10000 AS r_nwords,
-         | sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS r_mwl,
-         | 5 * n_alpha >= 4 * n_words AS r_alpha,
-         | n_stop >= 2 AS r_stop,
-         | (n_words >= 5 AND n_words <= 10000)
-         |   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
-         |   AND (5 * n_alpha >= 4 * n_words) AND (n_stop >= 2) AS keep
-         |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH $gopherFlagsCte
+         |SELECT doc_id, n_words, r_nwords, r_mwl, r_alpha, r_stop,
+         | r_nwords AND r_mwl AND r_alpha AND r_stop AS keep
+         |FROM flags ORDER BY doc_id""".stripMargin,
+    "q_llm_quality_ablate" -> {
+      val rules = Seq("nwords", "mwl", "alpha", "stop")
+      val arms = rules.map { r =>
+        val others = rules.filter(_ != r)
+          .map(o => s"r_$o").mkString(" AND ")
+        s"""SELECT '$r' AS rule,
+           | CAST(sum(CASE WHEN NOT r_$r THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_fail,
+           | CAST(sum(CASE WHEN NOT r_$r AND $others THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS n_unique_kill,
+           | CAST(sum(CASE WHEN $others THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS keep_without
+           |FROM flags""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $gopherFlagsCte
+         |SELECT * FROM (
+         |$arms
+         |) u ORDER BY rule""".stripMargin
+    },
+    "q_llm_cluster_purity" ->
+      """WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |  sqrt(list_inner_product(embedding::DOUBLE[],
+        |                          embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+        |  FROM emb WHERE vec_id < 16),
+        |asg AS (SELECT e.vec_id, e.label, c.c_id,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_inner_product(e.v, c.cv)
+        |      / (e.nrm * c.cn), 6) DESC, c.c_id) AS arn
+        |  FROM emb e CROSS JOIN cents c),
+        |bk AS (SELECT vec_id, label, c_id AS bucket FROM asg
+        |  WHERE arn = 1),
+        |votes AS (SELECT bucket, label, count(*) AS n FROM bk
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT bucket, count(*) AS n_vecs FROM bk GROUP BY 1),
+        |maj AS (SELECT bucket, label AS maj_label, n AS n_major FROM (
+        |  SELECT bucket, label, n, row_number() OVER (PARTITION BY bucket
+        |      ORDER BY n DESC, label) AS rn FROM votes) t WHERE rn = 1)
+        |SELECT m.bucket, s.n_vecs, m.maj_label,
+        | CAST(m.n_major AS BIGINT) AS n_major,
+        | CAST((m.n_major * 10000) // s.n_vecs AS BIGINT) AS purity_e4
+        |FROM maj m JOIN sizes s ON m.bucket = s.bucket
+        |ORDER BY m.bucket""".stripMargin,
+    "q_llm_ngram_coverage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |  [CAST(concat('0x', substr(md5(
+        |     array_to_string(tk[i:i+12], ' ')), 1, 15)) AS BIGINT)
+        |   for i in range(1, greatest(len(tk) - 11, 1))]) AS gh
+        |  FROM toks),
+        |e AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 10 = 0),
+        |t AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM e GROUP BY 1),
+        |seen AS (SELECT e.doc_id, count(*) AS n_seen
+        |  FROM e JOIN t ON e.gh = t.gh GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_grams,
+        | CAST(coalesce(seen.n_seen, 0) AS BIGINT) AS n_seen,
+        | CAST((coalesce(seen.n_seen, 0) * 10000) // tot.n_grams
+        |   AS BIGINT) AS cov_e4
+        |FROM tot LEFT JOIN seen ON tot.doc_id = seen.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+    "q_llm_heaps_fit" ->
+      """WITH tok AS (SELECT doc_id % 8 AS b,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        |nb AS (SELECT b, count(*) AS cnt FROM tok GROUP BY 1),
+        |vb AS (SELECT mb, count(*) AS vnew FROM (
+        |  SELECT w, min(b) AS mb FROM tok GROUP BY w) t GROUP BY 1),
+        |ts AS (SELECT unnest(range(1, 9)) AS t),
+        |np AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS n_t
+        |  FROM ts JOIN nb ON nb.b < ts.t GROUP BY t),
+        |vp AS (SELECT t, CAST(sum(vnew) AS BIGINT) AS v_t
+        |  FROM ts JOIN vb ON vb.mb < ts.t GROUP BY t),
+        |pts AS (SELECT
+        |   CAST(floor(ln(n_t) * 1000 + 0.5) AS BIGINT) AS x,
+        |   CAST(floor(ln(v_t) * 1000 + 0.5) AS BIGINT) AS y
+        |  FROM np JOIN vp USING (t)),
+        |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |   CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx FROM pts)
+        |SELECT n, CAST((n * sxy - sx * sy)
+        |  // greatest((n * sxx - sx * sx) // 1000000, 1) AS BIGINT)
+        |  AS beta_e6 FROM m""".stripMargin,
     "q_llm_c4_rules" ->
       """WITH d AS (SELECT doc_id, text
         |   || CASE WHEN doc_id % 3 = 0
