@@ -96,6 +96,23 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of the batch q_events_dedup_window row (round 7):
+    * FIRST event per (user, type, 10-min tumbling window), emitted
+    * when the watermark closes the window. `min_by` on the
+    * (ts, event_id) struct is the same total tie-break as the batch
+    * row_number, so closed-window output is row-identical to the
+    * batch formula over the same data — StreamingSpec pins the
+    * parity. State is one (key, window) row per group, watermark-
+    * bounded, keyed exactly as the batch shuffle partitions. */
+  def dedupWindowFirst(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"),
+        col("event_type"))
+      .agg(min_by(struct(col("event_id"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("first"))
+      .select(col("first.event_id").as("event_id"), col("user_id"),
+        col("event_type"), col("window.start").as("w_start"))
+
   /** Stream enriched with a static dimension (broadcast at plan time —
     * the reference's per-event container metadata lookup). */
   def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =

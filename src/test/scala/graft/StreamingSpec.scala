@@ -132,6 +132,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("windowed first-event dedup agrees with the batch formula on " +
+      "closed windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.dedupWindowFirst(in.toDF()), "dwf",
+      "append")
+    // window [10:00,10:10): three in-window twins for (1,click) — only
+    // the (ts, event_id)-minimal one survives; one (2,view) singleton
+    val batch = Seq(ev(11, 3, 1, "click"), ev(10, 3, 1, "click"),
+      ev(12, 7, 1, "click"), ev(20, 4, 2, "view"))
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    // advance the watermark past 10:20 so the window closes and emits
+    in.addData(ev(99, 40, 9, "click"))
+    q.processAllAvailable()
+    val got = spark.table("dwf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // batch formula over the same rows: min (ts, event_id) per
+    // (user, type, 10-min bucket) — the q_events_dedup_window logic
+    val expected = batch.groupBy(e =>
+        (e.user_id, e.event_type, e.ts.getTime / 600000))
+      .values.map(_.minBy(e => (e.ts.getTime, e.event_id)))
+      .map(e => (e.event_id, e.user_id, e.event_type)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    q.stop()
+  }
+
   test("streaming curation: in-horizon content dedup + quality gate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
