@@ -568,7 +568,31 @@ object Curation {
           |              CAST(1 AS BIGINT))""".stripMargin).as("beta_e6"))
   }
 
+  /** Vocabulary tail mass (round 7 part 4): hapax/dis-legomena counts
+    * and their share of vocabulary and of token mass — the third leg
+    * of the corpus-health trio (zipf exponent = head shape, Heaps β =
+    * growth, tail mass = how much of the long tail is noise). A
+    * crawl whose hapax share explodes is accumulating OCR junk;
+    * one whose tail collapses is template-dominated. ONE vocab-sized
+    * groupBy then a scalar class aggregate — partial-aggregable
+    * end to end. */
+  def tailTokens(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("n_vocab"), col("n_tokens"), col("n_hapax"),
+        col("n_dis"),
+        expr("((n_hapax + n_dis) * 10000) div n_vocab")
+          .as("tail_vocab_e4"),
+        expr("((n_hapax + 2 * n_dis) * 10000) div n_tokens")
+          .as("tail_mass_e4"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_tail_tokens" -> tailTokens,
     "q_llm_quality_ablate" -> qualityAblate,
     "q_llm_cluster_purity" -> clusterPurity,
     "q_llm_ngram_coverage" -> ngramCoverage,
@@ -657,6 +681,23 @@ object Curation {
          |SELECT doc_id, n_words, r_nwords, r_mwl, r_alpha, r_stop,
          | r_nwords AND r_mwl AND r_alpha AND r_stop AS keep
          |FROM flags ORDER BY doc_id""".stripMargin,
+    "q_llm_tail_tokens" ->
+      """WITH v AS (SELECT w, count(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w)
+        |SELECT count(*) AS n_vocab,
+        | CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_hapax,
+        | CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dis,
+        | CAST(((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) * 10000)
+        |   // count(*) AS BIGINT) AS tail_vocab_e4,
+        | CAST(((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |   + 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) * 10000)
+        |   // CAST(sum(c) AS BIGINT) AS BIGINT) AS tail_mass_e4
+        |FROM v""".stripMargin,
     "q_llm_quality_ablate" -> {
       val rules = Seq("nwords", "mwl", "alpha", "stop")
       val arms = rules.map { r =>
