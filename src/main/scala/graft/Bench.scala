@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args: subset of query names to bench (fast local
+    // iteration; the driver invokes with no args → full suite)
+    val subset = args.toSet
+    def enrolled = SparkEntry.queries
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +30,7 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         true
       } catch { case _: Throwable => false }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    enrolled.foreach { case (_, fn) =>
       run(fn)
       // CacheManager matches canonicalized plans, so a re-built identical
       // DataFrame in the timed pass would silently reuse warmed cache
@@ -39,7 +44,7 @@ object Bench {
     // in round-1 driver numbers); the min is the standard noise-robust
     // estimator, and an explicit GC between queries (outside any timing
     // window) keeps collector debt from one query out of the next.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = enrolled.map { case (name, fn) =>
       System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -110,8 +110,14 @@ object Curation {
         sum(col("n_bpe")).as("bpe_tokens"), sum(col("n_chars")).as("chars"))
       .select(col("lang"), col("n_docs"), col("ws_tokens"),
         col("bpe_tokens"), col("chars"),
-        expr("(ws_tokens * 10000) div chars").as("tok_per_char_e4"),
-        expr("(bpe_tokens * 10000) div ws_tokens").as("bpe_per_ws_e4"))
+        // greatest(x,1) guards (round 8, advisor): on a degenerate
+        // all-empty-text language Spark's div yields NULL while the
+        // oracle's // raises — the guard (0 div 1 = 0) gives BOTH
+        // engines the same defined value (oracle carries the twin)
+        expr("(ws_tokens * 10000) div greatest(chars, 1)")
+          .as("tok_per_char_e4"),
+        expr("(bpe_tokens * 10000) div greatest(ws_tokens, 1)")
+          .as("bpe_per_ws_e4"))
       .orderBy(col("lang"))
 
   /** Language-ID confusion matrix: the per-document n-gram-profile
@@ -814,9 +820,9 @@ object Curation {
         | CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
         | CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
         | CAST(sum(n_chars) AS BIGINT) AS chars,
-        | CAST((sum(n_ws) * 10000) // sum(n_chars) AS BIGINT)
+        | CAST((sum(n_ws) * 10000) // greatest(sum(n_chars), 1) AS BIGINT)
         |   AS tok_per_char_e4,
-        | CAST((sum(n_bpe) * 10000) // sum(n_ws) AS BIGINT)
+        | CAST((sum(n_bpe) * 10000) // greatest(sum(n_ws), 1) AS BIGINT)
         |   AS bpe_per_ws_e4
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_llm_langid_confusion" ->
@@ -906,8 +912,10 @@ object Curation {
         |  CROSS JOIN (VALUES (8), (16), (32)) dd(d)
         |  WHERE p.vec_id < 20) t WHERE rank <= 3),
         |den AS (SELECT count(*) AS total FROM full3),
-        |hits AS (SELECT tr.d, count(*) AS n_hits
-        |  FROM tr JOIN full3 USING (probe_id, vec_id) GROUP BY tr.d)
+        |hj AS (SELECT tr.d FROM tr JOIN full3 USING (probe_id, vec_id)),
+        |hits AS (SELECT dd.d, count(hj.d) AS n_hits
+        |  FROM (VALUES (8), (16), (32)) dd(d)
+        |  LEFT JOIN hj ON hj.d = dd.d GROUP BY dd.d)
         |SELECT CAST(d AS INTEGER) AS dim, n_hits,
         | CAST((n_hits * 10000) // total AS BIGINT) AS recall_e4
         |FROM hits CROSS JOIN den ORDER BY dim""".stripMargin,

@@ -65,7 +65,10 @@ object Evaluation {
       .agg(count(lit(1)).as("n_rel"))
     nRel.crossJoin(broadcast(dcg)).crossJoin(broadcast(ideal))
       .select(col("n_rel"), col("dcg_e6"), col("idcg_e6"),
-        expr("(dcg_e6 * 10000) div idcg_e6").as("ndcg_e4"))
+        // greatest-guard (round 8, advisor): zero relevant docs makes
+        // idcg_e6 = 0 — Spark div would yield NULL where the oracle's
+        // // raises; both arms guard identically (0 div 1 = 0)
+        expr("(dcg_e6 * 10000) div greatest(idcg_e6, 1)").as("ndcg_e4"))
   }
 
   /** MRR of the three query terms against the combined BM25 ranking:
@@ -90,10 +93,16 @@ object Evaluation {
             .orderBy(col("bm25").desc, col("doc_id"))))
         .filter(col("rn") === 1)
         .select(col("doc_id").as("b_id"), col("bm25").as("b_score"))
+      // groupBy(b_id), not a global agg (round 8, advisor): a term
+      // matching NO document leaves `best` empty, and a global
+      // count-over-empty-crossJoin would still emit one row
+      // (first_rank=1) while the oracle emits none — grouping on a
+      // `best` column makes the empty case emit zero rows on both arms
       scored.crossJoin(broadcast(best))
-        .filter(col("bm25") > col("b_score") ||
-          (col("bm25") === col("b_score") && col("doc_id") < col("b_id")))
-        .agg(count(lit(1)).as("n_better"))
+        .groupBy(col("b_id"))
+        .agg(sum(when(col("bm25") > col("b_score") ||
+            (col("bm25") === col("b_score") && col("doc_id") < col("b_id")),
+          1L).otherwise(0L)).as("n_better"))
         .select(lit(q).as("query"),
           (col("n_better") + 1).as("first_rank"),
           expr("1000000 div (n_better + 1)").as("rr_e6"))
@@ -131,7 +140,7 @@ object Evaluation {
          |     AS BIGINT)) AS BIGINT), 0) AS idcg_e6 FROM ideal),
          |nr AS (SELECT count(*) AS n_rel FROM rel WHERE rel > 0)
          |SELECT n_rel, dcg_e6, idcg_e6,
-         | (dcg_e6 * 10000) // idcg_e6 AS ndcg_e4
+         | (dcg_e6 * 10000) // greatest(idcg_e6, 1) AS ndcg_e4
          |FROM nr CROSS JOIN dcg CROSS JOIN idcg""".stripMargin
     },
     "q_llm_mrr" -> {

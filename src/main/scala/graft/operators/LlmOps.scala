@@ -125,14 +125,18 @@ object LlmOps {
   }
 
   private[operators] def minhashSigs(spark: SparkSession,
-                                     dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-      .withColumn("h", expr(s"${h60("s")} % $P"))
-    sh.groupBy(col("doc_id"))
+                                     dir: String): DataFrame =
+    minhashSigsFrom(shingles(spark, dir)).cache()
+
+  /** Signatures + collected shingle sets from a caller-owned shingle
+    * frame — the kernel of [[minhashSigs]], factored out (round 8) so
+    * [[lshRecall]] can run the full LSH arm over the SAMPLED shingle
+    * frame. Caller owns caching. */
+  private def minhashSigsFrom(sh: DataFrame): DataFrame =
+    sh.withColumn("h", expr(s"${h60("s")} % $P"))
+      .groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("ss"), minExprs: _*)
       .withColumn("n", size(col("ss")))
-      .cache()
-  }
 
   /** Signatures WITHOUT the collected shingle sets, from a caller-owned
     * shingle frame: [[bandSweep]] needs only m0..m15 — materializing the
@@ -173,8 +177,14 @@ object LlmOps {
     * bucket equi-join → exact Jaccard verify (τ=0.8). The bucket join is
     * the scale path: candidates share a band signature, never a cross
     * product. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir)
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(minhashSigs(spark, dir))
+
+  /** Candidate-generation + exact-verify kernel of [[minhashLsh]] over a
+    * caller-owned signature frame (must carry ss/n alongside m0..m15) —
+    * factored out (round 8) so [[lshRecall]]'s LSH arm can run over the
+    * sampled corpus. */
+  private def minhashLshFrom(sigs: DataFrame): DataFrame = {
     val cand = minhashCandidates(sigs)
     // verify candidates only: join the (small) candidate set back to the
     // cached shingle sets, |A∩B| via array_intersect — no all-pairs
@@ -873,15 +883,35 @@ object LlmOps {
     * (asserted as a column); the informative number is RECALL — the
     * fraction of true τ-pairs whose signatures collide in at least one
     * band, i.e. the banding's miss rate, THE knob-tuning number for
-    * (bands, rows-per-band). Exact integer arithmetic throughout. */
+    * (bands, rows-per-band). Exact integer arithmetic throughout.
+    *
+    * SAMPLED (round 8, closing the round-7 verdict's one quadratic cost
+    * law): like [[bandSweep]], the WHOLE audit — exact baseline and LSH
+    * arm both — runs over the deterministic 60 % doc sample
+    * (md5-h60(doc_id) % 5 < 3), because this row is a quality AUDIT,
+    * not a production pair pass: its job is the recall/precision
+    * numbers, and those survive sampling (recall is a per-pair
+    * property; a uniform doc sample keeps an unbiased pair subset).
+    * Sampling ONLY the exact arm would corrupt precision semantics
+    * (full-corpus LSH pairs outside the sample would read as false
+    * positives), so both arms read the same sampled shingle frame —
+    * the subset invariant LSH ⊆ exact still holds by construction.
+    * The df-cap stays computed over the FULL corpus (sample applied to
+    * shingles()'s output, as bandSweep). The UNSAMPLED production pair
+    * passes remain enrolled as q_llm_shingle_jaccard / q_llm_minhash_lsh;
+    * the oracle applies the identical sample so the compare stays
+    * exact. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    // each pair frame feeds two plan branches (its count + the
-    // intersection) — cache so each pair pipeline runs once (measured
-    // A/B at sf0.1: cached 4.3 s vs uncached 5.2 s; lifecycle:
-    // Verify/Bench clearCache between queries, BatchSpec afterAll)
-    val exact = shingleJaccard(spark, dir).select(col("a_id"), col("b_id"))
+    val samplePred = expr(s"${h60("cast(doc_id AS string)")} % 5 < 3")
+    // shSampled feeds both arms; each pair frame feeds two plan
+    // branches (its count + the intersection) — cache so each pair
+    // pipeline runs once (lifecycle: Verify/Bench clearCache between
+    // queries, BatchSpec afterAll)
+    val shSampled = shingles(spark, dir).filter(samplePred).cache()
+    val sigs = minhashSigsFrom(shSampled).cache()
+    val exact = jaccardPairs(shSampled).select(col("a_id"), col("b_id"))
       .cache()
-    val lsh = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val lsh = minhashLshFrom(sigs).select(col("a_id"), col("b_id"))
       .cache()
     spark.range(1).select(lit(1).as("one"))
       .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
@@ -3113,12 +3143,36 @@ object LlmOps {
        |   // (SELECT count(*) FROM documents) AS BIGINT) AS retention_e4
        |""".stripMargin
 
-  /** Composed from the exact-pairs and LSH-pairs oracles (can't-drift
-    * contract, as [[annRecallOracle]]). */
+  /** Sampled twin of the Spark arm (round 8): the identical 60 % doc
+    * sample (md5-h60 % 5 < 3) applied to the shingle frame, df-cap
+    * still full-corpus (shingleCte first, sample on its output — same
+    * order of operations as the Spark side and [[bandSweepOracle]]).
+    * Exact baseline, LSH candidates, and verify all read `shs`. */
   private def lshRecallOracle: String =
-    s"""WITH ex AS (SELECT a_id, b_id
-       |  FROM (${oracleBase("q_llm_shingle_jaccard")}) e),
-       |ls AS (SELECT a_id, b_id FROM ($minhashPairsSql) l),
+    s"""WITH $shingleCte,
+       |shs AS (SELECT doc_id, s FROM sh
+       |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+       |    1, 15)) AS BIGINT) % 5 < 3),
+       |${mhCteFrom("shs")},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |  FROM shs a JOIN shs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT ia AS a_id, ib AS b_id FROM inter
+       |  JOIN sizes na ON ia = na.doc_id
+       |  JOIN sizes nb ON ib = nb.doc_id
+       |  WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8),
+       |bands AS (SELECT doc_id, j // 2 AS band,
+       |  string_agg(j || ':' || m, ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY doc_id, j // 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+       |   AND x.doc_id < y.doc_id),
+       |ls AS (SELECT c.a_id, c.b_id FROM cand c
+       |  JOIN inter iv ON c.a_id = iv.ia AND c.b_id = iv.ib
+       |  JOIN sizes na ON c.a_id = na.doc_id
+       |  JOIN sizes nb ON c.b_id = nb.doc_id
+       |  WHERE 1.0 * iv.i / (na.n + nb.n - iv.i) >= 0.8),
        |bo AS (SELECT * FROM ls WHERE EXISTS (SELECT 1 FROM ex
        |  WHERE ex.a_id = ls.a_id AND ex.b_id = ls.b_id))
        |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,

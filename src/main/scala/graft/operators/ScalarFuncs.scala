@@ -187,7 +187,16 @@ object ScalarFuncs {
     * exception throughput, not the operator — mixed input proves the
     * NULL contract at realistic dirty-data rates. */
   def castSafety(spark: SparkSession, dir: String): DataFrame =
+    // Sort BEFORE the try_cast projection (round 8): the global sort's
+    // range-boundary sampling job re-executes its child plan, and with
+    // the projection below the sort that meant paying the
+    // exception-driven bad_int parse twice (measured sf0.1 min-of-3:
+    // 2.28 → 1.48 s standalone). Sorting the narrow source columns
+    // first, the sampler recomputes only the scan; Project-over-Sort
+    // preserves the total order and is not pushed back down.
     events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("props"))
+      .orderBy(col("event_id"))
       .select(col("event_id"),
         expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_int"),
         expr("try_cast(event_type AS INT)").as("bad_int"),
@@ -195,7 +204,6 @@ object ScalarFuncs {
           ELSE concat('2024-01-',
             lpad(cast(pmod(event_id, 28) + 1 AS string), 2, '0')) END
           AS DATE)""").as("d_mixed"))
-      .orderBy(col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cast_safety" -> castSafety,

@@ -103,7 +103,18 @@ object StreamingOps {
     * row_number, so closed-window output is row-identical to the
     * batch formula over the same data — StreamingSpec pins the
     * parity. State is one (key, window) row per group, watermark-
-    * bounded, keyed exactly as the batch shuffle partitions. */
+    * bounded, keyed exactly as the batch shuffle partitions.
+    *
+    * Parity granularity caveat (round 8, advisor): this tie-break
+    * orders on the µs-truncated `ts` while the batch row orders on
+    * full-precision `ts_ns` — the claim of row-identical output
+    * assumes a µs-granular fixture (what Tables.events documents and
+    * FixtureSpec checks); a true sub-µs TIMESTAMP(NANOS) feed with
+    * ties INSIDE one microsecond could pick a different "first".
+    * Schema note: `w_start` here is the window-start TIMESTAMP
+    * (Structured Streaming's native window struct), whereas the batch
+    * twin's w_start is an integer bucket index — an intentional
+    * difference (StreamingSpec's parity compare excludes w_start). */
   def dedupWindowFirst(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "10 minutes"), col("user_id"),

@@ -98,8 +98,13 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = Tables.events(spark, sf)
     assert(e.schema("ts").dataType == TimestampType)
     assert(e.schema("ts_ns").dataType == LongType)
+    // div-1000 form (round 8, advisor): asserts the two columns are
+    // CONSISTENT without pinning µs granularity of the source — a
+    // regenerated true TIMESTAMP(NANOS) fixture carrying sub-µs values
+    // (the reader's LongType branch exists for exactly that) would
+    // satisfy this but fail the old `ts_ns == unix_micros(ts) * 1000`
     val bad = e.filter(org.apache.spark.sql.functions.expr(
-      "ts_ns != unix_micros(ts) * 1000")).count()
-    assert(bad == 0L, s"$bad rows where ts_ns != unix_micros(ts)*1000")
+      "ts_ns div 1000 != unix_micros(ts)")).count()
+    assert(bad == 0L, s"$bad rows where ts_ns div 1000 != unix_micros(ts)")
   }
 }
