@@ -61,11 +61,25 @@ object Bench {
     // headline total sums only succeeded queries — the -1 failure
     // sentinels stay visible per-query but must not deflate the sum
     val total = r3(results.values.filter(_ >= 0).sum)
+    // Per-row time budget (round 8): any row over the threshold at the
+    // bench SF is surfaced like a failure would be — in the artifact
+    // AND on stderr — so a cost regression is as loud as a red row.
+    // Default 5 s at sf0.1 (the most expensive by-design rows sit at
+    // ~3-4 s); override with SPARK_GRAFT_BUDGET_SEC.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "5.0")
+      .toDouble
+    val overBudget = results.collect {
+      case (name, t) if t > budgetSec => name
+    }.toSeq.sorted
+    if (overBudget.nonEmpty)
+      System.err.println(s"[bench] OVER BUDGET (> $budgetSec s): " +
+        overBudget.mkString(", "))
+    val over = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Detailed line FIRST (per-query breakdown, ~2 KB), then a short
     // total-only line LAST: the driver captures a bounded stdout tail, so
     // the last parseable JSON line must be small enough to always fit.
     val detailed =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"over_budget":$over,"budget_sec":$budgetSec,"sf":"$sfDir"}"""
     println(detailed)
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     // The driver's artifact keeps only a bounded stdout TAIL, which

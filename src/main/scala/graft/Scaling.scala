@@ -1,0 +1,90 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Scaling-curve measurement (round 8): the "designed for 100 TB" claim
+  * turned into data. Runs the most expensive enrolled rows (the suite's
+  * cost ceiling per BENCH_r07) at sf0.001 / sf0.01 / sf0.1 in ONE JVM
+  * and records per-query wall times plus the growth exponent
+  * e = log10(t(sf0.1) / t(sf0.01)) — i.e. t ∝ (corpus size)^e over the
+  * decade where fixed overhead no longer dominates. A bucketed/banded
+  * plan should hold e ≲ 1 (linear in corpus); an unmitigated quadratic
+  * law would read e → 2. The main FAILS (exit 1) when any exponent
+  * exceeds the gate, so a scale regression is as loud as a red
+  * correctness row; ScaleSpec additionally gates on the committed
+  * SCALING.json so the artifact can't silently go stale-red.
+  *
+  * Method notes: min-of-2 timed runs after one warmup pass per SF
+  * (min-of-3 would triple an already multi-minute job for the same
+  * decision); caches cleared between every run exactly as Bench; the
+  * same noop sink so the full plan executes. The sf0.001 column is
+  * recorded for the curve but NOT gated — at that scale fixed overhead
+  * swamps data-dependent cost and the ratio is meaningless.
+  */
+object Scaling {
+  /** Gate on the 0.01 → 0.1 decade. 1.3 allows bounded superlinear
+    * segments (sampled-audit exact arms, triangle closing at O(m^1.5))
+    * riding under linear-dominant totals; a quadratic law reads ~2. */
+  val gate = 1.3
+
+  /** The 12 most expensive rows of BENCH_r07 — every multi-second
+    * family is represented (dedup cascade, LSH audits, iterative
+    * graph, exact set-similarity, ANN scoreboard, fuzzy decontam). */
+  val targets: Seq[String] = Seq(
+    "q_llm_dedup_cascade", "q_llm_lsh_recall", "q_graph_triangles",
+    "q_graph_modularity", "q_llm_band_sweep", "q_llm_prefix_join",
+    "q_llm_dup_clusters", "q_graph_lpa", "q_llm_ann_recall",
+    "q_graph_kcore", "q_llm_minhash_lsh", "q_llm_decontaminate_fuzzy")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String, sfDir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      once() // warmup (JIT + codegen + parquet footers), not recorded
+      System.gc()
+      math.min(once(), once())
+    }
+    val times: Map[String, Map[String, Double]] = sfs.map { sf =>
+      sf -> targets.map(n => n -> run(n, s"$base/$sf")).toMap
+    }.toMap
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val rows = targets.map { n =>
+      val t001 = times("sf0.001")(n)
+      val t01 = times("sf0.01")(n)
+      val t1 = times("sf0.1")(n)
+      val e = math.log10(t1 / t01)
+      (n, t001, t01, t1, e)
+    }
+    val worst = rows.maxBy(_._5)
+    val json = rows.map { case (n, a, b, c, e) =>
+      s""""$n":{"sf0.001":${r3(a)},"sf0.01":${r3(b)},"sf0.1":${r3(c)},"exp":${r3(e)}}"""
+    }.mkString(
+      s"""{"gate":$gate,"worst":"${worst._1}","worst_exp":${r3(worst._5)},"queries":{""",
+      ",", "}}")
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")), json)
+    println(json)
+    spark.stop()
+    if (worst._5 > gate) {
+      System.err.println(f"[scaling] GATE FAILED: ${worst._1} grows as " +
+        f"n^${worst._5}%.2f over sf0.01->sf0.1 (gate $gate)")
+      sys.exit(1)
+    }
+  }
+}

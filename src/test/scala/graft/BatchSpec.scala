@@ -923,4 +923,39 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(id) == ((l1b, l1a, proj)), s"vec $id mismatch")
     }
   }
+
+  // ---- Round-8 plan-shape regression pins for the round-7 perf
+  // rewrites. Each rewrite's win came from a lineage cut
+  // (localCheckpoint) that keeps the expensive subplan OUT of the
+  // final executed plan — if a future edit (or a Spark/AQE change)
+  // drops the checkpoint, the heavy operators leak back into the
+  // final plan and these pins fail long before the bench does.
+
+  test("triangles pin: roles checkpoint keeps the adjacency build out " +
+      "of the final plan (r6 regression: base evaluated 4x, 12.4s)") {
+    val s = executedPlanString("q_graph_triangles")
+    assert(s.contains("ExistingRDD"), s.take(1500))
+    // top-10 without a global sort
+    assert(s.contains("TakeOrderedAndProject"), s.take(1500))
+    // the collect_list adjacency aggregate ran behind the checkpoint
+    assert(!s.toLowerCase.contains("collect_list"), s.take(2000))
+  }
+
+  test("kcore pin: edge-list checkpoint keeps the basket build out of " +
+      "the final plan (six consumers defeat ReuseExchange)") {
+    val s = executedPlanString("q_graph_kcore")
+    assert(s.contains("ExistingRDD"), s.take(1500))
+    // the collect_set basket explode ran once, behind the checkpoint
+    assert(!s.toLowerCase.contains("collect_set"), s.take(2000))
+  }
+
+  test("ann_recall pin: all seven scoring arms ride checkpointed " +
+      "candidate frames (no fvec scoring in the final plan)") {
+    val s = executedPlanString("q_llm_ann_recall")
+    assert(s.contains("ExistingRDD"), s.take(1500))
+    // scoring expressions live behind the tagged/brute checkpoints;
+    // a dropped checkpoint leaks fvec_dot / the centroid window back
+    assert(!s.toLowerCase.contains("fvec_dot"), s.take(2000))
+    assert(!s.toLowerCase.contains("row_number"), s.take(2000))
+  }
 }

@@ -105,4 +105,28 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first()
     assert(m("min_qty") == ref.get(0) && m("max_qty") == ref.get(1), m)
   }
+
+  test("scaling artifact: the committed SCALING.json growth exponents " +
+      "stay under the gate (no enrolled cost law is superlinear-red)") {
+    // graft.Scaling measures the 12 most expensive rows at three SFs
+    // and records e = log10(t(sf0.1)/t(sf0.01)); the main itself exits
+    // nonzero past the gate, and this test keeps the COMMITTED artifact
+    // honest — a regenerated red artifact (or a stale one claiming a
+    // bound the main no longer enforces) fails the suite. The gate
+    // lives in graft.Scaling so the two checks can't drift.
+    val p = java.nio.file.Paths.get("SCALING.json")
+    assert(java.nio.file.Files.exists(p),
+      "SCALING.json missing — run `sbt \"runMain graft.Scaling\"`")
+    val json = java.nio.file.Files.readString(p)
+    val expRe = """"exp":(-?[0-9.]+)""".r
+    val exps = expRe.findAllMatchIn(json).map(_.group(1).toDouble).toSeq
+    assert(exps.size >= graft.Scaling.targets.size, s"only ${exps.size} exponents")
+    val worst = exps.max
+    assert(worst <= graft.Scaling.gate,
+      f"worst growth exponent $worst%.2f exceeds gate ${graft.Scaling.gate}")
+    // and the headline fields agree with the per-query map
+    val worstRe = """"worst_exp":(-?[0-9.]+)""".r
+    val recorded = worstRe.findFirstMatchIn(json).get.group(1).toDouble
+    assert(math.abs(recorded - worst) < 1e-9, s"$recorded vs $worst")
+  }
 }

@@ -833,4 +833,112 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows2.length == 3)
     q.stop()
   }
+
+  test("http chunked bridge: real chunked framing (mid-line splits, " +
+      "malformed header tolerance) -> replayable file source rows") {
+    // the reference's literal transport: GET /events answered as an
+    // HTTP/1.1 chunked stream. A real ServerSocket plays the daemon and
+    // speaks genuine chunked encoding: event 1 split MID-LINE across
+    // two chunks, a malformed size line injected between frames (the
+    // decoder must skip it and resync), event 2 + terminal chunk. The
+    // bridge decodes byte-accurately and lands complete JSON lines as
+    // atomically-renamed files; the SAME file-source pipeline as the
+    // file twin then produces normalized rows — with offset replay,
+    // unlike the raw socket source.
+    val e1 = """{"Type":"container","Action":"start","id":"c11","Actor":{"ID":"c11","Attributes":{"image":"app:1","name":"web_1","LOG":"1"}},"time":1704067200,"timeNano":1704067200123456789}"""
+    val e2 = """{"Type":"container","Action":"die","id":"c12","Actor":{"ID":"c12","Attributes":{"image":"db:2","name":"db_1"}},"time":1704067260,"timeNano":1704067260000000000}"""
+    val (h1, h2) = e1.splitAt(e1.length / 2)
+    def chunk(payload: String): String =
+      payload.getBytes("UTF-8").length.toHexString + "\r\n" + payload + "\r\n"
+    val body = chunk(h1) + chunk(h2 + "\n") +
+      "not-a-hex-size\r\n" +           // malformed frame header
+      chunk(e2 + "\n") + "0\r\n\r\n" // terminal chunk + empty trailer
+    val response = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: application/json\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + body
+    val server = new java.net.ServerSocket(0)
+    val daemon = new Thread(() => {
+      val sock = server.accept()
+      // consume the request head so the client write never blocks
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream))
+      var l = in.readLine()
+      assert(l != null && l.startsWith("GET /events HTTP/1.1"))
+      while (l != null && l.nonEmpty) l = in.readLine()
+      sock.getOutputStream.write(response.getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      sock.close()
+    })
+    daemon.setDaemon(true); daemon.start()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunked_")
+    val outDir = tmp.resolve("lines").toString
+    val bridge = HttpChunkedBridge.start("localhost", server.getLocalPort,
+      "/events", outDir)
+    try {
+      assert(bridge.awaitDone(30000), "bridge did not reach terminal chunk")
+      assert(bridge.linesLanded == 2, s"landed ${bridge.linesLanded}")
+      val df = DockerEvents.readEventStream(spark, outDir)
+      val q = runQuery(df, "chunked_events", "append")
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("chunked_events")
+          .orderBy("container_id").collect()
+        assert(rows.length == 2, s"expected 2 rows, got ${rows.length}")
+        assert(rows(0).getAs[String]("container_id") == "c11")
+        assert(rows(0).getAs[Boolean]("log_opt_in"))
+        assert(rows(0).getAs[java.sql.Timestamp]("ts").toString
+          == "2024-01-01 00:00:00.123456") // nano -> us truncation
+        assert(rows(1).getAs[String]("container_id") == "c12")
+        assert(rows(1).getAs[String]("action") == "die")
+      } finally q.stop()
+    } finally { bridge.stop(); server.close() }
+  }
+
+  test("crash recovery: a batch killed after the sink write but before " +
+      "the offset commit replays without duplicates or loss") {
+    // the exactly-once contract of the file-source + idempotent
+    // batch_id-partitioned sink, made executable. The kill is
+    // simulated deterministically: after batch 0 fully commits, its
+    // checkpoint COMMIT marker is deleted — exactly the on-disk state
+    // of a crash between the foreachBatch parquet write and the commit
+    // log append. On restart Spark replays batch 0 from the offset log
+    // (same batch_id, same files), the dynamic-overwrite sink rewrites
+    // the same batch_id=0 partitions, and the store ends with no dup
+    // and no loss.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay_")
+    val src = tmp.resolve("src"); val store = tmp.resolve("store")
+    val ckpt = tmp.resolve("ckpt")
+    java.nio.file.Files.createDirectories(src)
+    def eventLine(id: String, nano: Long): String =
+      s"""{"Type":"container","Action":"start","id":"$id","Actor":{"ID":"$id","Attributes":{"image":"a:1","name":"$id"}},"time":${nano / 1000000000L},"timeNano":$nano}"""
+    java.nio.file.Files.writeString(src.resolve("a.json"),
+      eventLine("r01", 1704067200000000000L) + "\n" +
+        eventLine("r02", 1704067201000000000L) + "\n")
+    val q1 = EventIngest.start(spark, src.toString, store.toString,
+      ckpt.toString)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(store.toString).count() == 2)
+    // simulate the mid-batch kill: sink data exists, commit marker gone
+    val commit0 = ckpt.resolve("commits").resolve("0")
+    assert(java.nio.file.Files.deleteIfExists(commit0),
+      "expected checkpoint commit marker commits/0")
+    // the local ChecksumFileSystem shadows every file with a .crc
+    // twin; a stale orphan .0.crc makes the replayed commit's rename
+    // throw (read as a concurrent writer). A real crash never leaves
+    // this state — HDFS/S3 checkpoint stores have no client-side crc
+    // shadow — so drop it with the marker it shadows.
+    java.nio.file.Files.deleteIfExists(
+      ckpt.resolve("commits").resolve(".0.crc")): Unit
+    // restart: batch 0 must replay; then new data lands as batch 1
+    val q2 = EventIngest.start(spark, src.toString, store.toString,
+      ckpt.toString)
+    q2.processAllAvailable()
+    java.nio.file.Files.writeString(src.resolve("b.json"),
+      eventLine("r03", 1704067202000000000L) + "\n")
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(store.toString)
+      .select("container_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("r01", "r02", "r03"),
+      s"replay produced $rows — duplicate or lost rows")
+  }
 }
