@@ -1,0 +1,78 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The pure-SQL surface of the engine (round 8, completing the
+  * "engine" story): one call registers every fixture table as a view
+  * and every graft custom function in the session catalog, so a user
+  * who speaks ONLY `spark.sql(...)` can run the entire suite — no
+  * DataFrame code, no imports. On a cluster the same surface comes up
+  * with zero application code via
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (which
+  * injects the functions session-wide; see [[plans.GraftExtensions]])
+  * plus external tables over the warehouse paths.
+  *
+  * The enrolled `q_sql_cosine_topk` row proves the surface
+  * END-TO-END: its Spark arm is a single SQL string over the
+  * registered `embeddings` view using the codegen `fvec_dot` /
+  * `fvec_norm` expressions, and its oracle is the SAME oracle text the
+  * DataFrame-built `q_llm_cosine_topk` row already hash-matches — the
+  * two rows share one truth, reached through two APIs. */
+object GraftCatalog {
+
+  /** Table names backed directly by `<sfDir>/<name>.parquet`. */
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "documents", "embeddings")
+
+  /** Register all graft custom functions (codegen Catalyst
+    * expressions — none of these are UDFs): fvec_dot / fvec_norm /
+    * simhash60, nfc_normalize, graft_bloom_agg / graft_might_contain,
+    * freq_sketch. Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    functions.VectorExprs.register(spark)
+    functions.TextExprs.register(spark)
+    functions.BloomFuncs.register(spark)
+    functions.FreqSketch.register(spark)
+  }
+
+  /** Full SQL surface over one scale-factor directory: functions plus
+    * a temp view per fixture table (`events` through the
+    * schema-adaptive reader, like every enrolled query). */
+  def init(spark: SparkSession, sfDir: String): Unit = {
+    registerFunctions(spark)
+    tableNames.foreach(n =>
+      Tables.t(spark, sfDir, n).createOrReplaceTempView(n))
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
+  /** The DataFrame `q_llm_cosine_topk` row re-expressed as ONE SQL
+    * string over the catalog surface — deliberately near-verbatim to
+    * its DuckDB oracle (fvec_dot ↔ list_inner_product is the only
+    * dialect difference that matters). */
+  private val cosineTopkSql =
+    """WITH e AS (SELECT vec_id, embedding AS v, fvec_norm(embedding) AS nrm
+      |  FROM embeddings),
+      |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
+      |  round(fvec_dot(p.v, c.v) / (p.nrm * c.nrm), 6) AS cos
+      |  FROM e p JOIN e c ON c.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 20),
+      |ranked AS (SELECT probe_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin
+
+  def sqlCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(cosineTopkSql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_cosine_topk" -> sqlCosineTopk,
+  )
+
+  /** Same truth as the DataFrame row: the oracle is shared verbatim. */
+  val oracle: Map[String, String] = Map(
+    "q_sql_cosine_topk" -> operators.LlmOps.oracle("q_llm_cosine_topk"),
+  )
+}

@@ -27,7 +27,8 @@ object SparkEntry {
     operators.Analytics.queries ++
     operators.Curation.queries ++
     operators.Evaluation.queries ++
-    multimodal.Multimodal.queries
+    multimodal.Multimodal.queries ++
+    GraftCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
     operators.Analytics.oracle ++
     operators.Curation.oracle ++
     operators.Evaluation.oracle ++
-    multimodal.Multimodal.oracle
+    multimodal.Multimodal.oracle ++
+    GraftCatalog.oracle
 }

@@ -23,10 +23,37 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
   *    (round 5).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(name: String, clazz: Class[_])(
+      b: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), b)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectCheckRule(spark => CartesianGuard(spark))
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
+    // graft scalar functions session-wide (round 8): the codegen
+    // expressions behind the pure-SQL surface ([[graft.GraftCatalog]])
+    // come up with ZERO application code on an extensions-configured
+    // cluster — a spark.sql-only user gets fvec_dot and friends from
+    // the conf line alone. (The aggregate/sketch builders —
+    // graft_bloom_agg, freq_sketch — keep their per-session register()
+    // path via GraftCatalog.registerFunctions, which validates their
+    // literal-argument contracts.)
+    ext.injectFunction(fn("fvec_dot",
+      classOf[graft.functions.FloatVectorDot])(
+      es => graft.functions.FloatVectorDot(es(0), es(1))))
+    ext.injectFunction(fn("fvec_norm",
+      classOf[graft.functions.FloatVectorNorm])(
+      es => graft.functions.FloatVectorNorm(es.head)))
+    ext.injectFunction(fn("simhash60",
+      classOf[graft.functions.SimHash60])(
+      es => graft.functions.SimHash60(es.head)))
+    ext.injectFunction(fn("nfc_normalize",
+      classOf[graft.functions.NfcNormalize])(
+      es => graft.functions.NfcNormalize(es.head)))
   }
 }
 

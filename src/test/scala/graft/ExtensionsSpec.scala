@@ -171,4 +171,24 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // physical nodes print without the Exec suffix
     assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
+
+  test("graft scalar functions are injected session-wide: a pure-SQL " +
+      "session uses fvec_dot/nfc_normalize from the conf line alone") {
+    // no register() call anywhere on this path — the extensions conf
+    // is the only wiring, exactly the cluster deployment shape
+    val r = spark.sql(
+      "SELECT fvec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d," +
+        " nfc_normalize('Cafe\u0301') AS n," +
+        " simhash60(array(7L)) AS s").collect().head
+    assert(math.abs(r.getDouble(0) - 11.0) < 1e-6, r.toString)
+    assert(r.getString(1) == "Caf\u00e9", r.getString(1))
+    assert(r.getLong(2) == 7L, r.toString) // one hash: sign bits = its bits
+    // and the full pure-SQL surface runs end to end through the views
+    GraftCatalog.init(spark, sf)
+    val topk = spark.sql("SELECT count(*) AS n FROM (" +
+      "SELECT vec_id, fvec_norm(embedding) AS nrm FROM embeddings)" +
+      " WHERE nrm > 0").collect().head.getLong(0)
+    assert(topk > 0)
+  }
 }
