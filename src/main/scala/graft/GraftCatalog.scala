@@ -67,12 +67,44 @@ object GraftCatalog {
     spark.sql(cosineTopkSql)
   }
 
+  /** Recursive CTE surface (round 8; Spark 4 ships WITH RECURSIVE):
+    * hierarchy flattening — the BOM-explosion / org-chart walk every
+    * warehouse eventually needs. The part keys form a decimal forest
+    * (parent = key div 10, roots < 10); the walk descends root→leaf
+    * and the rollup reports per-LEVEL node count, key checksum, and
+    * reachable-root count. Termination is structural (parent < child),
+    * depth = digit count ≈ 4–5; at 100 TB the recursion is depth-bound
+    * by the hierarchy, not the corpus — each iteration is one
+    * equi-join of the frontier against the dimension, exactly the
+    * iterative-join plan the graph rows hand-roll, here delegated to
+    * the engine's own recursion operator. DuckDB twin is the same
+    * text modulo the integer-division spelling (div vs //). */
+  private def recursiveRollupSql(divOp: String): String =
+    s"""WITH RECURSIVE walk(p, root, lvl) AS (
+       |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+       |  UNION ALL
+       |  SELECT c.p_partkey, w.root, w.lvl + 1
+       |  FROM part c JOIN walk w ON c.p_partkey $divOp 10 = w.p
+       |  WHERE c.p_partkey >= 10
+       |)
+       |SELECT lvl, count(*) AS n_nodes,
+       |  CAST(sum(p) AS BIGINT) AS key_sum,
+       |  CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+       |FROM walk GROUP BY lvl ORDER BY lvl""".stripMargin
+
+  def sqlRecursiveRollup(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(recursiveRollupSql("div"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_cosine_topk" -> sqlCosineTopk,
+    "q_sql_recursive_rollup" -> sqlRecursiveRollup,
   )
 
   /** Same truth as the DataFrame row: the oracle is shared verbatim. */
   val oracle: Map[String, String] = Map(
     "q_sql_cosine_topk" -> operators.LlmOps.oracle("q_llm_cosine_topk"),
+    "q_sql_recursive_rollup" -> recursiveRollupSql("//"),
   )
 }

@@ -597,7 +597,101 @@ object Curation {
         expr("((n_hapax + 2 * n_dis) * 10000) div n_tokens")
           .as("tail_mass_e4"))
 
+  /** Content-defined chunking (round 8) — the FastCDC idea over token
+    * streams: a token is a CUT POINT when its 60-bit hash ≡ 0 mod 16
+    * (expected chunk ≈ 16 tokens), so chunk boundaries depend only on
+    * LOCAL content — an insertion early in a document shifts at most
+    * one chunk, where fixed-size chunking shifts every subsequent
+    * boundary (the property that makes CDC the dedup-friendly chunker
+    * for training corpora and blob stores alike). Per document: token
+    * count, chunk count, mean/max chunk size — the distribution a
+    * chunk-store owner watches. Scale shape: one map-side hash per
+    * token, one per-doc-sequence window for the running cut count
+    * (the q_seq_pattern per-key bound), two partial-aggregable
+    * groupBys. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("b", (expr(
+        s"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+        % 16 === 0).cast("long"))
+      // exclusive running cut count = this token's chunk id (a cut
+      // token ENDS its chunk, FastCDC-style)
+      .withColumn("chunk_id", sum(col("b")).over(w) - col("b"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("csize")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        max(col("csize")).as("max_chunk"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        expr("(n_tokens * 100) div n_chunks").as("avg_chunk_e2"),
+        col("max_chunk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stupid-backoff trigram scoring (round 8) — the web-scale LM
+    * smoothing (Brants et al.: no normalization, fixed 0.4 backoff
+    * weight; at corpus scale it matches Kneser–Ney at a fraction of
+    * the cost). For the 20 most frequent bigram contexts (w1,w2), the
+    * continuation probe is the corpus's single most frequent token t*:
+    * score = c(w1,w2,t*)/c(w1,w2) when the trigram exists, else
+    * 0.4 · c(w2,t*)/c(w2) — both branches exercised on the fixture
+    * and emitted with their raw counts so the backoff routing is
+    * auditable. Integer ×10⁶ throughout; complements the enrolled
+    * bigram-MLE and Kneser–Ney rows as the third smoothing family.
+    * Scale shape: three partial-aggregable n-gram counts, a 1-row
+    * broadcast (t*), and a 20-row driver-bounded output join. */
+  def trigramSbo(spark: SparkSession, dir: String): DataFrame = {
+    val tk = documents(spark, dir)
+      .select(split(col("text"), " ").as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tstar = uni.orderBy(col("c1").desc, col("w")).limit(1)
+      .select(col("w").as("probe"))
+    val bi = tk.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(tk[i - 1] AS w1, tk[i] AS w2))""".stripMargin))
+        .as("s"))
+      .groupBy(col("s.w1").as("w1"), col("s.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = tk.filter(size(col("tk")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 2),
+          |  i -> struct(tk[i - 1] AS w1, tk[i] AS w2, tk[i + 1] AS w3))"""
+          .stripMargin)).as("s"))
+      .groupBy(col("s.w1").as("w1"), col("s.w2").as("w2"),
+        col("s.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    bi.orderBy(col("c2").desc, col("w1"), col("w2")).limit(20)
+      .crossJoin(broadcast(tstar))
+      // the n-gram count frames are corpus-sized — never hinted
+      // broadcast; the 20-row probe side is the small one, and AQE
+      // plans these as broadcast joins FROM it (the count frames
+      // stream, the bounded side builds)
+      .join(tri.withColumnRenamed("w3", "probe"),
+        Seq("w1", "w2", "probe"), "left_outer")
+      .na.fill(0L, Seq("c3"))
+      .join(bi.select(col("w1").as("w2"), col("w2").as("probe"),
+        col("c2").as("c2b")), Seq("w2", "probe"), "left_outer")
+      .na.fill(0L, Seq("c2b"))
+      .join(uni.select(col("w").as("w2"), col("c1")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("probe"), col("c2"), col("c3"),
+        col("c2b"), col("c1"),
+        when(col("c3") > 0, lit("tri")).otherwise(lit("backoff"))
+          .as("path"),
+        when(col("c3") > 0, expr("c3 * 1000000 div c2"))
+          .otherwise(expr("400000 * c2b div c1")).as("score_e6"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_cdc_chunks" -> cdcChunks,
+    "q_llm_trigram_sbo" -> trigramSbo,
     "q_llm_tail_tokens" -> tailTokens,
     "q_llm_quality_ablate" -> qualityAblate,
     "q_llm_cluster_purity" -> clusterPurity,
@@ -687,6 +781,57 @@ object Curation {
          |SELECT doc_id, n_words, r_nwords, r_mwl, r_alpha, r_stop,
          | r_nwords AND r_mwl AND r_alpha AND r_stop AS keep
          |FROM flags ORDER BY doc_id""".stripMargin,
+    "q_llm_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest([{'pos': i,
+        |   'b': CASE WHEN CAST(concat('0x', substr(md5(tk[i]), 1, 15))
+        |     AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END}
+        |   for i in range(1, len(tk) + 1)]) AS s FROM toks),
+        |w AS (SELECT doc_id, s.pos,
+        |   sum(s.b) OVER (PARTITION BY doc_id ORDER BY s.pos) - s.b
+        |     AS chunk_id FROM g),
+        |cs AS (SELECT doc_id, chunk_id, count(*) AS csize FROM w
+        |  GROUP BY doc_id, chunk_id)
+        |SELECT doc_id, CAST(sum(csize) AS BIGINT) AS n_tokens,
+        | count(*) AS n_chunks,
+        | CAST((sum(csize) * 100) // count(*) AS BIGINT) AS avg_chunk_e2,
+        | CAST(max(csize) AS BIGINT) AS max_chunk
+        |FROM cs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_llm_trigram_sbo" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT w, count(*) AS c1 FROM (
+        |  SELECT unnest(tk) AS w FROM toks) t GROUP BY w),
+        |tstar AS (SELECT w AS probe FROM uni
+        |  ORDER BY c1 DESC, w LIMIT 1),
+        |b2 AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM (
+        |  SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+        |    for i in range(1, len(tk))]) AS s
+        |  FROM toks WHERE len(tk) >= 2) t),
+        |c2t AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+        |t3 AS (SELECT s.w1 AS w1, s.w2 AS w2, s.w3 AS w3 FROM (
+        |  SELECT unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}
+        |    for i in range(1, len(tk) - 1)]) AS s
+        |  FROM toks WHERE len(tk) >= 3) t),
+        |c3t AS (SELECT w1, w2, w3, count(*) AS c3 FROM t3
+        |  GROUP BY w1, w2, w3),
+        |top AS (SELECT w1, w2, c2 FROM c2t
+        |  ORDER BY c2 DESC, w1, w2 LIMIT 20)
+        |SELECT top.w1, top.w2, ts.probe, top.c2,
+        | coalesce(c3t.c3, 0) AS c3,
+        | coalesce(cb.c2, 0) AS c2b, u.c1,
+        | CASE WHEN coalesce(c3t.c3, 0) > 0 THEN 'tri'
+        |   ELSE 'backoff' END AS path,
+        | CAST(CASE WHEN coalesce(c3t.c3, 0) > 0
+        |   THEN c3t.c3 * 1000000 // top.c2
+        |   ELSE 400000 * coalesce(cb.c2, 0) // u.c1 END AS BIGINT)
+        |   AS score_e6
+        |FROM top CROSS JOIN tstar ts
+        |LEFT JOIN c3t ON c3t.w1 = top.w1 AND c3t.w2 = top.w2
+        |  AND c3t.w3 = ts.probe
+        |LEFT JOIN c2t cb ON cb.w1 = top.w2 AND cb.w2 = ts.probe
+        |JOIN uni u ON u.w = top.w2
+        |ORDER BY top.c2 DESC, top.w1, top.w2""".stripMargin,
     "q_llm_tail_tokens" ->
       """WITH v AS (SELECT w, count(*) AS c FROM (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) t

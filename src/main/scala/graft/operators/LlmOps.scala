@@ -202,6 +202,36 @@ object LlmOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** N-gram CONTAINMENT on the LSH candidate pairs (round 8): the
+    * asymmetric near-dup measure C(A→B) = |A∩B| / |A| over the same
+    * df-capped 5-shingle sets as the Jaccard family. Jaccard misses
+    * SUBSET duplication — a short document quoted whole inside a long
+    * one scores J = |A|/|B| (small) but C(A→B) = 1 — and quote
+    * inclusion is exactly how training-set contamination usually looks
+    * (the decontamination literature thresholds containment, not
+    * Jaccard). Candidates come from the SAME banded-LSH equi-join as
+    * q_llm_minhash_lsh (no new pair machinery, no all-pairs), verified
+    * with exact set intersection, kept when either direction ≥ 0.8.
+    * Integer ×10⁴. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir)
+    val cand = minhashCandidates(sigs)
+    val docsets = sigs.select(col("doc_id"), col("ss"), col("n"))
+    cand
+      .join(docsets.select(col("doc_id"), col("ss").as("sa"),
+        col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(docsets.select(col("doc_id"), col("ss").as("sb"),
+        col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("a_id"), col("b_id"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        col("i").cast("long").as("n_common"),
+        expr("i * 10000 div na").as("cont_a_e4"),
+        expr("i * 10000 div nb").as("cont_b_e4"))
+      .filter(col("cont_a_e4") >= 8000 || col("cont_b_e4") >= 8000)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** SimHash near-dup: 60-bit sign-aggregated token-hash fingerprint;
     * candidates via 4×15-bit chunk banding (pigeonhole: any pair at
     * Hamming distance ≤3 shares a chunk), verified with bit_count.
@@ -2131,6 +2161,7 @@ object LlmOps {
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
     "q_llm_minhash_lsh" -> minhashLsh,
+    "q_llm_containment" -> containment,
     "q_llm_dup_clusters" -> dupClusters,
     "q_llm_simhash" -> simhash,
     "q_llm_cosine_topk" -> cosineTopk,
@@ -2465,6 +2496,23 @@ object LlmOps {
          |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "q_llm_minhash_lsh" -> minhashPairsSql,
+    "q_llm_containment" ->
+      s"""WITH $minhashCandCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         | CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb,
+         | CAST(iv.i AS BIGINT) AS n_common,
+         | CAST(iv.i * 10000 // na.n AS BIGINT) AS cont_a_e4,
+         | CAST(iv.i * 10000 // nb.n AS BIGINT) AS cont_b_e4
+         |FROM cand
+         |JOIN inter iv ON a_id = iv.ia AND b_id = iv.ib
+         |JOIN sizes na ON a_id = na.doc_id
+         |JOIN sizes nb ON b_id = nb.doc_id
+         |WHERE iv.i * 10000 // na.n >= 8000 OR iv.i * 10000 // nb.n >= 8000
+         |ORDER BY a_id, b_id""".stripMargin,
     // composed from the minhash-pairs SQL: train×eval orientation +
     // best-match-per-train-doc (max jaccard, min eval_id tie)
     "q_llm_decontaminate_fuzzy" ->

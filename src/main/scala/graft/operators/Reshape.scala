@@ -179,6 +179,121 @@ object Reshape {
       .limit(100)
   }
 
+  /** TPC-H Q10-shaped composite (round 8): top-20 customers by revenue
+    * LOST to returned items in one quarter — the "who is returning
+    * merchandise" report. Dim filters → 3 fact-dim joins → customer
+    * rollup → bounded top-k. The only corpus-sized shuffle is
+    * lineitem⋈orders on the natural l_orderkey; customer and nation
+    * broadcast; top-20 is TakeOrderedAndProject. */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      // per-row cents then BIGINT sum (the q14 rule): this rollup sums
+      // enough lines per customer that round(sum(float), 2) landed on
+      // a half-cent boundary and diverged between engines
+      .agg(sum(expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
+          " AS BIGINT)")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-shaped composite (round 8): promo revenue share — the
+    * two-class conditional-aggregate-then-ratio shape. Floats leave
+    * the plan PER ROW: each line's discounted price rounds to cents
+    * with the identical floor(x*100+0.5) text in both engines (one
+    * double multiply each — bit-deterministic), and everything after
+    * is BIGINT sums and division, immune to aggregation order. One
+    * fact-dim join (part broadcasts), one scalar row out. */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
+          " AS BIGINT)").as("cents"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("promo_cents * 10000 div greatest(total_cents, 1)")
+          .as("promo_e4"))
+
+  /** TPC-H Q16-shaped composite (round 8, adapted: supplier links come
+    * from lineitem — this schema has no partsupp): distinct supplier
+    * count per (brand, type, size) for parts outside one brand — the
+    * DISTINCT-aggregate-over-join shape. count(DISTINCT) here is the
+    * two-phase partial-distinct plan (per-partition dedup before the
+    * shuffle), the scalable form of the naive collect-and-count. */
+  def supplierCountByPart(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#4")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .join(lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(20)
+
+  /** Warehouse MERGE INTO semantics as one auditable batch row
+    * (round 8): target = the orders snapshot; source = a
+    * deterministically derived delta (every 10th key flips to status
+    * 'D' with a bumped price — MATCHED/UPDATE; every 17th key re-minted
+    * +10⁹ — NOT MATCHED/INSERT). Latest-wins resolution is one
+    * per-key max_by on (key, src_rank) — the same partial-aggregable
+    * reduce as the streaming upsert sink, never a window over the
+    * union. Emits per-status row counts + key/price checksums so any
+    * divergence in matched/unmatched routing is visible in one row. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"), lit(0).as("src"))
+    val updates = orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      // raw ×1.1 price, no intermediate round(): the output rounds
+      // once via the per-row cents floor — engines' round() HALF_UP
+      // vs half-even differences never enter the plan
+      .select(col("o_orderkey").as("k"), lit("D").as("st"),
+        (col("o_totalprice") * 1.1).as("price"), lit(1).as("src"))
+    val inserts = orders(spark, dir)
+      .filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 1000000000L).as("k"), lit("I").as("st"),
+        col("o_totalprice").as("price"), lit(1).as("src"))
+    base.unionAll(updates).unionAll(inserts)
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("st"), col("price")), col("src")).as("w"))
+      .select(col("k"), col("w.st").as("st"), col("w.price").as("price"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("k")).as("key_sum"),
+        // per-row cents then BIGINT sum (the q14 rule): a float sum
+        // rounded once at the end is aggregation-order-sensitive
+        sum(expr("CAST(floor(price * 100 + 0.5) AS BIGINT)"))
+          .as("price_cents"))
+      .orderBy(col("st"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_counts" -> pivotCounts,
     "q_unpivot_measures" -> unpivotMeasures,
@@ -187,6 +302,10 @@ object Reshape {
     "q_tpch_q3_priority" -> shippingPriority,
     "q_tpch_q5_local" -> localSupplierVolume,
     "q_tpch_q18_bigorders" -> largeVolumeOrders,
+    "q_tpch_q10_returns" -> returnedItemRevenue,
+    "q_tpch_q14_promo" -> promoRevenueShare,
+    "q_tpch_q16_suppcnt" -> supplierCountByPart,
+    "q_merge_upsert" -> mergeUpsert,
   )
 
   val oracle: Map[String, String] = Map(
@@ -275,5 +394,57 @@ object Reshape {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey
         |LIMIT 100""".stripMargin,
+    "q_tpch_q10_returns" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        | CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+        |   * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= '1996-01-01'
+        |  AND o.o_orderdate < '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_cents DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_tpch_q14_promo" ->
+      """WITH c AS (SELECT p.p_type,
+        |  CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+        |    AS BIGINT) AS cents
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01')
+        |SELECT
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+        |   AS BIGINT) AS promo_cents,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) * 10000
+        |   // greatest(sum(cents), 1) AS BIGINT) AS promo_e4
+        |FROM c""".stripMargin,
+    "q_tpch_q16_suppcnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        | CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#4'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        |LIMIT 20""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |   o_totalprice AS price, 0 AS src FROM orders),
+        |upd AS (SELECT o_orderkey AS k, 'D' AS st,
+        |   o_totalprice * 1.1 AS price, 1 AS src
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (SELECT o_orderkey + 1000000000 AS k, 'I' AS st,
+        |   o_totalprice AS price, 1 AS src
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |m AS (SELECT k, max_by(st, src) AS st,
+        |   max_by(price, src) AS price FROM u GROUP BY k)
+        |SELECT st, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS price_cents
+        |FROM m GROUP BY st ORDER BY st""".stripMargin,
   )
 }
