@@ -134,6 +134,10 @@ object Multimodal {
   case class AudioDecoded(media_id: Long, sample_rate: Int, channels: Int,
       n_samples: Long, sum_sq: Long, peak: Long, valid: Boolean)
   case class AHash(media_id: Long, n_px: Int, hash_hi: Long, hash_lo: Long)
+  /** Decoded grayscale pixels, the shared intermediate of the decode +
+    * aHash rows (round 8): ImageIO runs once, both rows project it. */
+  case class DecodedPx(media_id: Long, w: Int, h: Int, valid: Boolean,
+      px: Array[Int])
 
   /** Encode bytes as a 1×N 8-bit grayscale PNG through the JDK's real
     * PNG writer. Grayscale-8 PNG is lossless, so a decode reads back the
@@ -246,28 +250,38 @@ object Multimodal {
     media.mapPartitions(_.flatMap { m =>
       decodePixels(m.blob) match {
         case Some((_, _, px)) if px.length >= 64 =>
-          val n = px.length
-          val sums = new Array[Long](64)
-          val cnts = new Array[Long](64)
-          var i = 0
-          while (i < n) {
-            val c = (i.toLong * 64 / n).toInt
-            sums(c) += px(i); cnts(c) += 1; i += 1
-          }
-          val avgs = Array.tabulate(64)(j => sums(j) / cnts(j))
-          val mean = avgs.sum / 64
-          var hi = 0L; var lo = 0L
-          var j = 0
-          while (j < 64) {
-            if (avgs(j) > mean) {
-              if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
-            }
-            j += 1
-          }
-          Some(AHash(m.media_id, n, hi, lo))
+          val (hi, lo) = ahashBits(px)
+          Some(AHash(m.media_id, px.length, hi, lo))
         case _ => None
       }
     })
+  }
+
+  /** The aHash bit math alone (no codec): 64 exact integer chunk means,
+    * bit j set iff chunk j's mean exceeds the mean of means. Factored
+    * out so the pixel-sharing enrolled row and the Dataset[Media] API
+    * compute identical bits from one definition. Caller guarantees
+    * px.length >= 64. */
+  def ahashBits(px: Array[Int]): (Long, Long) = {
+    val n = px.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * 64 / n).toInt
+      sums(c) += px(i); cnts(c) += 1; i += 1
+    }
+    val avgs = Array.tabulate(64)(j => sums(j) / cnts(j))
+    val mean = avgs.sum / 64
+    var hi = 0L; var lo = 0L
+    var j = 0
+    while (j < 64) {
+      if (avgs(j) > mean) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo)
   }
 
   /** Encode 16-bit mono PCM samples as a WAV container through the
@@ -379,14 +393,42 @@ object Multimodal {
   private val mediaMemo =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
-  private def memoizedMedia(spark: org.apache.spark.sql.SparkSession,
-      dir: String, variant: String)(
-      build: => org.apache.spark.sql.Dataset[Media]): DataFrame = {
+  private def memoizedFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String, variant: String)(build: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
     mediaMemo.keys.filterNot(_._1 == appId)
       .foreach(mediaMemo.remove(_): Unit)
     mediaMemo.getOrElseUpdate((appId, dir, variant),
-      build.toDF().localCheckpoint())
+      build.localCheckpoint())
+  }
+
+  private def memoizedMedia(spark: org.apache.spark.sql.SparkSession,
+      dir: String, variant: String)(
+      build: => org.apache.spark.sql.Dataset[Media]): DataFrame =
+    memoizedFrame(spark, dir, variant)(build.toDF())
+
+  /** The decode+aHash rows' SHARED decoded-pixel frame (round 8,
+    * verdict #7): PNG encode AND ImageIO decode both run exactly once
+    * per (application, sfDir); the two enrolled rows are pure integer
+    * projections of these pinned pixels — the minhash `sigs` pattern
+    * applied to the codec pass. At 100 TB this is a persisted
+    * decoded-feature table with two downstream readers. */
+  private def decodedPng(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    memoizedFrame(spark, dir, "png-px") {
+      memoizedMedia(spark, dir, "png") {
+        asciiDocs(spark, dir).map { case (id, text) =>
+          Media(id, "image", encodePngGray(text.getBytes("US-ASCII")))
+        }
+      }.as[Media].mapPartitions(_.map { m =>
+        decodePixels(m.blob) match {
+          case Some((w, h, px)) => DecodedPx(m.media_id, w, h, valid = true, px)
+          case None => DecodedPx(m.media_id, -1, -1, valid = false,
+            Array.empty[Int])
+        }
+      }).toDF()
+    }
   }
 
   /** ASCII-only docs as (id, text) — byte == codepoint by construction
@@ -410,12 +452,20 @@ object Multimodal {
   def mmImageDecode(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    val media = memoizedMedia(spark, dir, "png") {
-      asciiDocs(spark, dir).map { case (id, text) =>
-        Media(id, "image", encodePngGray(text.getBytes("US-ASCII")))
+    // histogram from the SHARED decoded pixels (round 8): no codec in
+    // this row's own plan — identical output to decodeImages over the
+    // same media (same pixels, same 16-bin >> 4 binning)
+    decodedPng(spark, dir).as[DecodedPx].mapPartitions { it =>
+      val hist = new Array[Long](16)
+      it.map { d =>
+        if (d.valid) {
+          java.util.Arrays.fill(hist, 0L)
+          d.px.foreach(p => hist(p >> 4) += 1)
+          ImageDecoded(d.media_id, d.w, d.h, valid = true,
+            hist.mkString(","))
+        } else ImageDecoded(d.media_id, -1, -1, valid = false, "")
       }
-    }.as[Media]
-    decodeImages(media).toDF().orderBy(col("media_id"))
+    }.toDF().orderBy(col("media_id"))
   }
 
   /** Enrolled (round 5): REAL WAV round-trip — per-char 16-bit PCM
@@ -441,16 +491,15 @@ object Multimodal {
   def mmImageAHash(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    // shares the decode row's memoized PNG frame — the pre-filter on
-    // text length is redundant (imageAHash itself drops px < 64, and
-    // pixel count == ASCII byte count for this encoder), so dropping
-    // it keeps output identical while the two rows share one fixture
-    val media = memoizedMedia(spark, dir, "png") {
-      asciiDocs(spark, dir).map { case (id, text) =>
-        Media(id, "image", encodePngGray(text.getBytes("US-ASCII")))
-      }
-    }.as[Media]
-    imageAHash(media).toDF().orderBy(col("media_id"))
+    // aHash from the SHARED decoded pixels (round 8): same bits as
+    // imageAHash over the same media (one ahashBits definition), with
+    // the codec pass paid once across the decode + aHash rows
+    decodedPng(spark, dir).as[DecodedPx].mapPartitions(_.flatMap { d =>
+      if (d.valid && d.px.length >= 64) {
+        val (hi, lo) = ahashBits(d.px)
+        Some(AHash(d.media_id, d.px.length, hi, lo))
+      } else None
+    }).toDF().orderBy(col("media_id"))
   }
 
   /** Enrolled (round 6): image NEAR-DUP PAIRS via banded Hamming

@@ -63,9 +63,11 @@ object DockerEvents {
     * twin of the reference's event pump (`GET /events` over the Docker
     * socket streams chunked JSON; muswarmlogger/main.py). The sandbox
     * has no Docker daemon, so the listening end is any line-delimited
-    * JSON emitter over TCP (a `socat UNIX:/var/run/docker.sock` bridge
-    * in real deployments, a ServerSocket in StreamingSpec) — the parse
+    * JSON emitter over TCP (a ServerSocket in StreamingSpec) — the parse
     * + normalize pipeline is byte-identical to the file-stream twin.
+    * For the daemon's REAL transport — `/var/run/docker.sock` with
+    * HTTP chunked framing — use [[HttpChunkedBridge.startUnix]], which
+    * dials AF_UNIX natively (JDK 16+) and lands replayable files.
     *
     * Spark's `socket` source is a dev/test source (no offset
     * replay — a crash loses in-flight lines); the production swap is

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream}
-import java.net.Socket
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream,
+  OutputStream}
+import java.net.{Socket, StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.channels.{Channels, SocketChannel}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
@@ -40,15 +42,19 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
   * does not parse as hex is SKIPPED and decoding resyncs at the next
   * line (a crashed daemon mid-frame should cost the corrupt event, not
   * the pipeline); a response without `Transfer-Encoding: chunked`
-  * falls back to plain line streaming. Unix-socket caveat: the JDK
-  * cannot dial `unix://` without extra deps — in production the same
-  * bytes arrive via a `socat UNIX-CONNECT:/var/run/docker.sock` TCP
-  * bridge, which is exactly the shape the StreamingSpec test speaks.
+  * falls back to plain line streaming.
+  *
+  * Transports: [[start]] dials TCP (a `DOCKER_HOST=tcp://…` daemon, or
+  * any bridge); [[startUnix]] dials `/var/run/docker.sock` DIRECTLY —
+  * the reference's literal transport — via the JDK's native AF_UNIX
+  * channels (`java.net.UnixDomainSocketAddress`, JDK 16+; no extra
+  * deps, no socat). Both share one header/chunk/landing state machine,
+  * so the framing test coverage applies to either dial.
   */
 object HttpChunkedBridge {
 
   final class Handle private[HttpChunkedBridge] (
-      thread: Thread, stop0: AtomicBoolean, sock: Socket) {
+      thread: Thread, stop0: AtomicBoolean, sock: java.io.Closeable) {
     /** Lines decoded and landed so far (complete files only). */
     private[HttpChunkedBridge] val landed = new AtomicLong(0L)
     def linesLanded: Long = landed.get()
@@ -70,18 +76,42 @@ object HttpChunkedBridge {
     * connection close, or `stop()`. */
   def start(host: String, port: Int, path: String, outDir: String,
       linesPerFile: Int = 64): Handle = {
+    val sock = new Socket(host, port)
+    launch(sock, sock.getInputStream, sock.getOutputStream, host, path,
+      outDir, linesPerFile, s"tcp-$host:$port")
+  }
+
+  /** Dial the Docker daemon's unix socket DIRECTLY (the reference's
+    * literal `/var/run/docker.sock` transport) and consume `path` with
+    * the same chunked decode + atomic file landing as [[start]]. Pure
+    * JDK: `SocketChannel.open(StandardProtocolFamily.UNIX)` (JDK 16+).
+    * The Host header is `localhost` — what the Docker CLI itself sends
+    * on the unix transport, where the header is vestigial. */
+  def startUnix(socketFile: String, path: String, outDir: String,
+      linesPerFile: Int = 64): Handle = {
+    val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+    ch.connect(UnixDomainSocketAddress.of(socketFile))
+    launch(ch, Channels.newInputStream(ch), Channels.newOutputStream(ch),
+      "localhost", path, outDir, linesPerFile, s"unix-$socketFile")
+  }
+
+  /** Shared pump: request, header sniff, chunked-or-plain decode, land.
+    * `conn.close()` must unblock a blocked read on the paired streams —
+    * true for both `Socket` and AF_UNIX `SocketChannel`. */
+  private def launch(conn: java.io.Closeable, rawIn: => InputStream,
+      rawOut: => OutputStream, hostHeader: String, path: String,
+      outDir: String, linesPerFile: Int, label: String): Handle = {
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
     val stopFlag = new AtomicBoolean(false)
-    val sock = new Socket(host, port)
     var handle: Handle = null
     val t = new Thread(() => {
       try {
-        val out = sock.getOutputStream
-        out.write((s"GET $path HTTP/1.1\r\nHost: $host\r\n" +
+        val out = rawOut
+        out.write((s"GET $path HTTP/1.1\r\nHost: $hostHeader\r\n" +
           "Accept: application/json\r\n\r\n").getBytes(UTF_8))
         out.flush()
-        val in = new BufferedInputStream(sock.getInputStream)
+        val in = new BufferedInputStream(rawIn)
         val chunked = readHeaders(in)
           .exists(h => h.toLowerCase.startsWith("transfer-encoding:") &&
             h.toLowerCase.contains("chunked"))
@@ -90,14 +120,14 @@ object HttpChunkedBridge {
         else plainLines(in, sink, stopFlag)
         sink.close()
       } catch {
-        case _: Throwable if stopFlag.get() => () // stop() closed the socket
+        case _: Throwable if stopFlag.get() => () // stop() closed the conn
         case e: java.io.IOException =>
           System.err.println(s"[chunked-bridge] stream ended: ${e.getMessage}")
       } finally {
-        try sock.close() catch { case _: Throwable => () }
+        try conn.close() catch { case _: Throwable => () }
       }
-    }, s"http-chunked-bridge-$host:$port")
-    handle = new Handle(t, stopFlag, sock)
+    }, s"http-chunked-bridge-$label")
+    handle = new Handle(t, stopFlag, conn)
     t.setDaemon(true)
     t.start()
     handle

@@ -894,6 +894,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { bridge.stop(); server.close() }
   }
 
+  test("unix-domain-socket dial: GET /events over AF_UNIX with chunked " +
+      "framing -> same normalized rows (the reference's literal transport)") {
+    // The reference dials /var/run/docker.sock directly; so do we —
+    // JDK-native AF_UNIX channels, no socat, no TCP bridge. A
+    // ServerSocketChannel bound to a filesystem path plays the daemon
+    // and speaks genuine HTTP/1.1 chunked framing (one event split
+    // mid-line across chunks, one whole), through the SAME decode +
+    // file-landing + normalize pipeline as the TCP test above.
+    val e1 = """{"Type":"container","Action":"start","id":"u21","Actor":{"ID":"u21","Attributes":{"image":"app:1","name":"web_1","LOG":"1"}},"time":1704067200,"timeNano":1704067200123456789}"""
+    val e2 = """{"Type":"container","Action":"stop","id":"u22","Actor":{"ID":"u22","Attributes":{"image":"db:2","name":"db_1"}},"time":1704067260,"timeNano":1704067260000000000}"""
+    val (h1, h2) = e1.splitAt(e1.length / 2)
+    def chunk(payload: String): String =
+      payload.getBytes("UTF-8").length.toHexString + "\r\n" + payload + "\r\n"
+    val body = chunk(h1) + chunk(h2 + "\n") + chunk(e2 + "\n") + "0\r\n\r\n"
+    val response = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: application/json\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + body
+    // AF_UNIX sun_path caps at ~108 bytes — mint a short /tmp name,
+    // and unlink it up front (bind fails on an existing path)
+    val sockPath = java.nio.file.Paths.get(
+      s"/tmp/graft_${java.lang.Long.toHexString(System.nanoTime())}.sock")
+    java.nio.file.Files.deleteIfExists(sockPath)
+    val server = java.nio.channels.ServerSocketChannel
+      .open(java.net.StandardProtocolFamily.UNIX)
+      .bind(java.net.UnixDomainSocketAddress.of(sockPath))
+    val daemon = new Thread(() => {
+      val ch = server.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        java.nio.channels.Channels.newInputStream(ch)))
+      var l = in.readLine()
+      assert(l != null && l.startsWith("GET /events HTTP/1.1"))
+      while (l != null && l.nonEmpty) l = in.readLine()
+      val out = java.nio.channels.Channels.newOutputStream(ch)
+      out.write(response.getBytes("UTF-8")); out.flush()
+      ch.close()
+    })
+    daemon.setDaemon(true); daemon.start()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_unixsock_")
+    val outDir = tmp.resolve("lines").toString
+    val bridge = HttpChunkedBridge.startUnix(sockPath.toString, "/events",
+      outDir)
+    try {
+      assert(bridge.awaitDone(30000), "bridge did not reach terminal chunk")
+      assert(bridge.linesLanded == 2, s"landed ${bridge.linesLanded}")
+      val df = DockerEvents.readEventStream(spark, outDir)
+      val q = runQuery(df, "unixsock_events", "append")
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("unixsock_events")
+          .orderBy("container_id").collect()
+        assert(rows.length == 2, s"expected 2 rows, got ${rows.length}")
+        assert(rows(0).getAs[String]("container_id") == "u21")
+        assert(rows(0).getAs[Boolean]("log_opt_in"))
+        assert(rows(1).getAs[String]("container_id") == "u22")
+        assert(rows(1).getAs[String]("action") == "stop")
+      } finally q.stop()
+    } finally {
+      bridge.stop(); server.close()
+      java.nio.file.Files.deleteIfExists(sockPath): Unit
+    }
+  }
+
   test("crash recovery: a batch killed after the sink write but before " +
       "the offset commit replays without duplicates or loss") {
     // the exactly-once contract of the file-source + idempotent
