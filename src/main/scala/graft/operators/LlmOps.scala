@@ -232,6 +232,81 @@ object LlmOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Edit-distance near-dup verify on the LSH candidate pairs
+    * (round 8): exact character-level Levenshtein similarity
+    * (gl − lev)·10⁴ div gl, gl = max(len), kept at ≥ 0.9 — the
+    * measure that catches small in-place edits shingle-Jaccard
+    * dilutes and containment ignores. Candidates come from the SAME
+    * banded-LSH equi-join as q_llm_minhash_lsh (never all-pairs); the
+    * O(len²) DP runs only on the bounded candidate set, exactly where
+    * a 100 TB pipeline can afford it. Both engines run the identical
+    * classic DP (`levenshtein`), so the row is integer-exact. */
+  def editNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidates(minhashSigs(spark, dir))
+    val texts = documents(spark, dir).select(col("doc_id"), col("text"))
+    cand
+      .join(texts.select(col("doc_id"), col("text").as("ta")),
+        col("a_id") === col("doc_id")).drop("doc_id")
+      .join(texts.select(col("doc_id"), col("text").as("tb")),
+        col("b_id") === col("doc_id")).drop("doc_id")
+      .select(col("a_id"), col("b_id"),
+        length(col("ta")).cast("long").as("la"),
+        length(col("tb")).cast("long").as("lb"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+      .withColumn("edit_sim_e4", expr(
+        "(greatest(la, lb) - lev) * 10000 div greatest(la, lb)"))
+      .filter(col("edit_sim_e4") >= 9000)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Out-of-vocabulary rate per language against the corpus top-1000
+    * vocabulary (round 8): the tokenizer-coverage health number a
+    * multilingual curation pass thresholds on (a lang whose tokens
+    * fall outside the shared vocab gets shredded into bytes at
+    * training time). Vocab selection is deterministic (count DESC,
+    * token ASC, LIMIT 1000 — a tie at the boundary resolves the same
+    * way in both engines); the vocab broadcasts to a map-side left
+    * join; per-lang sums are partial-aggregable. At 100 TB the vocab
+    * is still 1000 rows — the only corpus-sized work is the token
+    * count, one shuffle. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(1000)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 10000 div greatest(n_tokens, 1)").as("oov_e4"))
+      .orderBy(col("lang"))
+  }
+
+  /** Square-root-smoothed language sampling weights (round 8): the
+    * classic multilingual mixture rule (sample ∝ n^α, α = 0.5 — the
+    * mBERT/XLM exponential-smoothing recipe) that up-weights tail
+    * languages without drowning the head. All arithmetic is integer-
+    * exact: s = floor(sqrt(n·10⁶)) (IEEE sqrt of an exactly-
+    * representable integer is correctly rounded in both engines, floor
+    * is deterministic), weights = s·10⁶ div Σs — no float sum ever
+    * forms, so the row is immune to aggregation order. One tiny
+    * aggregate (5 langs), 1-row broadcast total. */
+  def sqrtMix(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_e3", expr(
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0)) AS BIGINT)"))
+    val tot = cnt.agg(sum(col("s_e3")).as("tot"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("s_e3"),
+        expr("s_e3 * 1000000 div tot").as("w_e6"))
+      .orderBy(col("lang"))
+  }
+
   /** SimHash near-dup: 60-bit sign-aggregated token-hash fingerprint;
     * candidates via 4×15-bit chunk banding (pigeonhole: any pair at
     * Hamming distance ≤3 shares a chunk), verified with bit_count.
@@ -2162,6 +2237,9 @@ object LlmOps {
     "q_llm_shingle_jaccard" -> shingleJaccard,
     "q_llm_minhash_lsh" -> minhashLsh,
     "q_llm_containment" -> containment,
+    "q_llm_edit_neardup" -> editNeardup,
+    "q_llm_oov_rate" -> oovRate,
+    "q_llm_sqrt_mix" -> sqrtMix,
     "q_llm_dup_clusters" -> dupClusters,
     "q_llm_simhash" -> simhash,
     "q_llm_cosine_topk" -> cosineTopk,
@@ -2513,6 +2591,48 @@ object LlmOps {
          |JOIN sizes nb ON b_id = nb.doc_id
          |WHERE iv.i * 10000 // na.n >= 8000 OR iv.i * 10000 // nb.n >= 8000
          |ORDER BY a_id, b_id""".stripMargin,
+    "q_llm_edit_neardup" ->
+      s"""WITH $minhashCandCte
+         |SELECT a_id, b_id,
+         | CAST(length(da.text) AS BIGINT) AS la,
+         | CAST(length(db.text) AS BIGINT) AS lb,
+         | CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         | (greatest(CAST(length(da.text) AS BIGINT),
+         |    CAST(length(db.text) AS BIGINT))
+         |   - CAST(levenshtein(da.text, db.text) AS BIGINT)) * 10000
+         |  // greatest(CAST(length(da.text) AS BIGINT),
+         |    CAST(length(db.text) AS BIGINT)) AS edit_sim_e4
+         |FROM cand
+         |JOIN documents da ON a_id = da.doc_id
+         |JOIN documents db ON b_id = db.doc_id
+         |WHERE (greatest(CAST(length(da.text) AS BIGINT),
+         |    CAST(length(db.text) AS BIGINT))
+         |   - CAST(levenshtein(da.text, db.text) AS BIGINT)) * 10000
+         |  // greatest(CAST(length(da.text) AS BIGINT),
+         |    CAST(length(db.text) AS BIGINT)) >= 9000
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_llm_oov_rate" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt
+        |  FROM toks GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 1000))
+        |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_oov,
+        | CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000
+        |   // greatest(count(*), 1) AS BIGINT) AS oov_e4
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_llm_sqrt_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n_docs,
+        |   CAST(floor(sqrt(n_docs * 1000000.0)) AS BIGINT) AS s_e3
+        |  FROM c)
+        |SELECT lang, n_docs, s_e3,
+        | CAST(s_e3 * 1000000 // (SELECT sum(s_e3) FROM s) AS BIGINT)
+        |   AS w_e6
+        |FROM s ORDER BY lang""".stripMargin,
     // composed from the minhash-pairs SQL: train×eval orientation +
     // best-match-per-train-doc (max jaccard, min eval_id tie)
     "q_llm_decontaminate_fuzzy" ->

@@ -294,6 +294,127 @@ object Reshape {
       .orderBy(col("st"))
   }
 
+  /** TPC-H Q12-shaped composite (round 8, adapted: this schema has no
+    * l_shipmode, so l_linestatus plays the mode axis): per line status,
+    * high- vs low-priority order counts for lines shipped in one year —
+    * the fact⋈fact join feeding a two-class conditional aggregate. The
+    * date filter prunes lineitem BEFORE the join (predicate pushdown to
+    * the scan); the join shuffles both sides on the natural orderkey;
+    * the conditional counts are partial-aggregable map-side. */
+  def priorityClassByStatus(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q13-shaped composite (round 8): customer order-count
+    * distribution — the OUTER-join-feeding-a-second-aggregation shape
+    * (the filtered left join must preserve order-less customers as
+    * count 0, not drop them; an inner join here is the classic Q13
+    * bug). First groupBy shuffles on c_custkey (the join key — one
+    * exchange serves both); the second input is one row per customer. */
+  def customerOrderDist(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).select(col("c_custkey"))
+      .join(orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q17-shaped composite (round 8): revenue from small-quantity
+    * outlier lines of one brand — the correlated-average shape
+    * (l_quantity < 0.2 × avg(l_quantity) per part), decorrelated into
+    * one per-part aggregate + a re-join. The threshold compare is
+    * EXACT integer cross-multiplication (q·5·cnt < Σq — l_quantity is
+    * integral in this fixture and the per-part sum is a BIGINT), so no
+    * float average ever enters the predicate — a double avg here is
+    * aggregation-order-sensitive and measurably flips boundary rows. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(part(spark, dir)
+        .filter(col("p_brand") === "Brand#2").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_q"),
+        count(lit(1)).as("cnt_q"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(expr("CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q"))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(expr(
+          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")), lit(0L))
+          .as("price_cents"))
+      .select(col("n_lines"), col("price_cents"),
+        expr("price_cents div 7").as("avg_weekly_cents"))
+  }
+
+  /** TPC-H Q19-shaped composite (round 8): disjunctive multi-column
+    * predicate — three (brand, size-range, quantity-range) arms OR-ed
+    * across BOTH join sides, the shape that exercises CNF conversion
+    * and partial pushdown (each arm's part-only conjuncts can reach the
+    * part scan; the mixed conjuncts evaluate post-join). Part
+    * broadcasts; one scalar row out, per-row cents (the q14 rule). */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
+            " AS BIGINT)")), lit(0L)).as("revenue_cents"))
+
+  /** TPC-H Q22-shaped composite (round 8, adapted: no c_phone — the
+    * nation key plays the country code): rich-but-idle customers in a
+    * 5-country set, balance above the set's positive-balance average,
+    * with NO urgent order — scalar-average subquery + anti join +
+    * rollup. The average never materializes as a float: the filter is
+    * the exact integer cross-multiply bal·n > Σbal over cents. The
+    * 1-row stats frame broadcasts; the anti join is the only fact
+    * shuffle. */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+      .filter(col("c_nationkey").isin(3, 7, 11, 17, 23))
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_cents"))
+    val pos = cust.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("tot_cents"),
+        count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(pos))
+      .filter(expr("bal_cents * n_pos > tot_cents"))
+      .join(orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_cents")).as("totbal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_counts" -> pivotCounts,
     "q_unpivot_measures" -> unpivotMeasures,
@@ -305,6 +426,11 @@ object Reshape {
     "q_tpch_q10_returns" -> returnedItemRevenue,
     "q_tpch_q14_promo" -> promoRevenueShare,
     "q_tpch_q16_suppcnt" -> supplierCountByPart,
+    "q_tpch_q12_priority" -> priorityClassByStatus,
+    "q_tpch_q13_custdist" -> customerOrderDist,
+    "q_tpch_q17_smallqty" -> smallQtyRevenue,
+    "q_tpch_q19_disjunct" -> disjunctiveRevenue,
+    "q_tpch_q22_idle" -> idleRichCustomers,
     "q_merge_upsert" -> mergeUpsert,
   )
 
@@ -429,6 +555,69 @@ object Reshape {
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
         |LIMIT 20""".stripMargin,
+    "q_tpch_q12_priority" ->
+      """SELECT l.l_linestatus,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q13_custdist" ->
+      """WITH per_cust AS (SELECT c.c_custkey,
+        |   count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |   ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q17_smallqty" ->
+      """WITH li AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#2'),
+        |per_part AS (SELECT l_partkey AS pk,
+        |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |   count(*) AS cnt_q
+        |  FROM li GROUP BY 1),
+        |small AS (SELECT l_extendedprice
+        |  FROM li JOIN per_part ON l_partkey = pk
+        |  WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | coalesce(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |   AS BIGINT)) AS BIGINT), 0) AS price_cents,
+        | coalesce(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |   AS BIGINT)) AS BIGINT), 0) // 7 AS avg_weekly_cents
+        |FROM small""".stripMargin,
+    "q_tpch_q19_disjunct" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | coalesce(CAST(sum(CAST(floor(l.l_extendedprice
+        |   * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT), 0)
+        |   AS revenue_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |   AND l.l_quantity BETWEEN 1 AND 20)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        |   AND l.l_quantity BETWEEN 10 AND 35)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+        |   AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q_tpch_q22_idle" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey IN (3, 7, 11, 17, 23)),
+        |pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS tot_cents,
+        |   count(*) AS n_pos FROM cust WHERE bal_cents > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(sum(bal_cents) AS BIGINT) AS totbal_cents
+        |FROM cust, pos
+        |WHERE bal_cents * n_pos > tot_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = cust.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |   o_totalprice AS price, 0 AS src FROM orders),
