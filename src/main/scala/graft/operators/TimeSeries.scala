@@ -331,7 +331,49 @@ object TimeSeries {
       .limit(20)
   }
 
+  /** Per-user autocorrelation at lags 1–3 (round 8): the
+    * seasonality/momentum probe of the family — is a user's value
+    * series self-similar one, two, three events later? All arithmetic
+    * is integer-exact: centi values x = floor(value·100+0.5), integer
+    * mean (sum div n — x is non-negative so Spark's truncating div
+    * equals DuckDB's flooring //), centered products summed as BIGINT.
+    * The ratio is emitted SHIFTED: acf_shift_e4 = (num+den)·10⁴ div
+    * (2·den) ∈ [0, 10⁴] maps r ∈ [−1, 1] affinely — Cauchy–Schwarz
+    * gives |num| ≤ den, so the dividend is non-negative and the
+    * truncate-vs-floor divergence between the engines' integer
+    * divisions never fires (a raw negative num div would differ by 1).
+    * Shape: one window pass per user (the regrSlope/ewma per-key
+    * contract) + one partial-aggregable groupBy; lag fan-out is a
+    * 3-row stack of already-aggregated moments, not a row explosion. */
+  def acfLags(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("ts_ns"), col("event_id"))
+    events(spark, dir)
+      .withColumn("x", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("mean_x",
+        expr("sum(x) OVER (PARTITION BY user_id)" +
+          " div count(1) OVER (PARTITION BY user_id)"))
+      .withColumn("c", col("x") - col("mean_x"))
+      .withColumn("c1", lead(col("c"), 1).over(ordered))
+      .withColumn("c2", lead(col("c"), 2).over(ordered))
+      .withColumn("c3", lead(col("c"), 3).over(ordered))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c") * col("c")).as("den"),
+        coalesce(sum(col("c") * col("c1")), lit(0L)).as("num1"),
+        coalesce(sum(col("c") * col("c2")), lit(0L)).as("num2"),
+        coalesce(sum(col("c") * col("c3")), lit(0L)).as("num3"))
+      .selectExpr("user_id", "n", "den",
+        "stack(3, 1, num1, 2, num2, 3, num3) AS (lag, num)")
+      .withColumn("acf_shift_e4",
+        expr("(num + den) * 10000 div greatest(2 * den, 1)"))
+      .select(col("user_id"), col("lag"), col("n"), col("den"),
+        col("num"), col("acf_shift_e4"))
+      .orderBy(col("user_id"), col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_acf" -> acfLags,
     "q_ts_seasonal" -> seasonalProfile,
     "q_ts_cusum" -> cusum,
     "q_ts_holt" -> holt,
@@ -344,6 +386,33 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_acf" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events),
+        |m AS (SELECT *, sum(x) OVER (PARTITION BY user_id)
+        |   // count(*) OVER (PARTITION BY user_id) AS mean_x FROM e),
+        |cc AS (SELECT user_id, event_id, ts_us, x - mean_x AS c FROM m),
+        |w AS (SELECT user_id, c,
+        |   lead(c, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS c1,
+        |   lead(c, 2) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS c2,
+        |   lead(c, 3) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS c3
+        |  FROM cc),
+        |g AS (SELECT user_id, count(*) AS n, sum(c * c) AS den,
+        |   coalesce(sum(c * c1), 0) AS num1,
+        |   coalesce(sum(c * c2), 0) AS num2,
+        |   coalesce(sum(c * c3), 0) AS num3
+        |  FROM w GROUP BY 1),
+        |u AS (SELECT user_id, n, den, 1 AS lag, num1 AS num FROM g
+        | UNION ALL SELECT user_id, n, den, 2, num2 FROM g
+        | UNION ALL SELECT user_id, n, den, 3, num3 FROM g)
+        |SELECT user_id, lag, CAST(n AS BIGINT) AS n,
+        | CAST(den AS BIGINT) AS den, CAST(num AS BIGINT) AS num,
+        | CAST((num + den) * 10000 // greatest(2 * den, 1) AS BIGINT)
+        |   AS acf_shift_e4
+        |FROM u ORDER BY user_id, lag""".stripMargin,
     "q_ts_seasonal" ->
       """WITH e AS (SELECT event_id, event_type, hour(ts) AS hr,
         |   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_e6
