@@ -390,17 +390,9 @@ object Multimodal {
     * Keyed by applicationId (unique per SparkContext, so a stopped
     * test session can never collide with a fresh one); entries from
     * dead sessions are dropped lazily on next lookup. */
-  private val mediaMemo =
-    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
-
   private def memoizedFrame(spark: org.apache.spark.sql.SparkSession,
-      dir: String, variant: String)(build: => DataFrame): DataFrame = {
-    val appId = spark.sparkContext.applicationId
-    mediaMemo.keys.filterNot(_._1 == appId)
-      .foreach(mediaMemo.remove(_): Unit)
-    mediaMemo.getOrElseUpdate((appId, dir, variant),
-      build.localCheckpoint())
-  }
+      dir: String, variant: String)(build: => DataFrame): DataFrame =
+    graft.FrameMemo.cached(spark, dir, s"media-$variant")(build)
 
   private def memoizedMedia(spark: org.apache.spark.sql.SparkSession,
       dir: String, variant: String)(

@@ -124,9 +124,17 @@ object LlmOps {
     min(expr(s"($a * h + $b) % $P")).as(s"m$j")
   }
 
+  /** Memoized per (application, sfDir) with an eager localCheckpoint
+    * (round 8): EIGHT enrolled rows consume these signatures
+    * (minhash_lsh, containment, edit_neardup, dup_clusters,
+    * decontaminate_fuzzy, dedup_cascade, minhash_est, minhash_1bit),
+    * and each previously re-ran the full shingle → 16-perm build.
+    * At 100 TB this frame IS the persisted fingerprint table the
+    * dedup literature assumes — built once, scanned per consumer. */
   private[operators] def minhashSigs(spark: SparkSession,
                                      dir: String): DataFrame =
-    minhashSigsFrom(shingles(spark, dir)).cache()
+    graft.FrameMemo.cached(spark, dir, "minhash-sigs")(
+      minhashSigsFrom(shingles(spark, dir)))
 
   /** Signatures + collected shingle sets from a caller-owned shingle
     * frame — the kernel of [[minhashSigs]], factored out (round 8) so
