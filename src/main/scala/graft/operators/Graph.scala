@@ -494,6 +494,44 @@ object Graph {
     * node-sized keep frame (broadcast here, co-partition at 100 TB).
     * Full k-core runs peels to fixpoint — each round is this same
     * bounded shape (pagerankConverged's driver-loop pattern). */
+  /** Degree assortativity of the basket graph (round 8): Pearson
+    * correlation of endpoint degrees over the DIRECTED edge list — do
+    * hub parts co-occur with hubs (assortative, r > 0) or with leaves
+    * (disassortative, r < 0)? The standard Newman mixing coefficient,
+    * computed entirely in BIGINT moments over the memoized
+    * [[cooccEdges]] frame. Because the directed list contains both
+    * orientations of every edge, the x- and y-marginals are IDENTICAL,
+    * so r = num/den with den = n·Σd² − (Σd)² — no square root, no
+    * float. The ratio ships SHIFTED (the q_ts_acf idiom):
+    * assort_shift_e4 = (num+den)·10⁴ div (2·den) — Cauchy–Schwarz
+    * bounds |num| ≤ den, the dividend is non-negative, and Spark's
+    * truncating div equals DuckDB's flooring //. Overflow bound:
+    * deg ≤ ~10³, edges ≤ ~10⁶ ⇒ n·Σd² ≤ 10⁶·10⁶·10⁶·… stays under
+    * 2⁶³ for this fixture family (d⁴·n² law; documented, not assumed —
+    * the oracle would diverge loudly on overflow). */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = cooccEdges(spark, dir)
+    val dirEdges = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = dirEdges.groupBy(col("u").as("n"))
+      .agg(count(lit(1)).as("d"))
+    val pairs = dirEdges
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("dx"))),
+        Seq("u"))
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dy"))),
+        Seq("v"))
+    pairs.agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n_dir_edges"),
+        expr("n_dir_edges * sxy - sx * sx").as("num"),
+        expr("n_dir_edges * sxx - sx * sx").as("den"))
+      .select(col("n_dir_edges"), col("num"), col("den"),
+        expr("(num + den) * 10000 div greatest(2 * den, 1)")
+          .as("assort_shift_e4"))
+  }
+
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     val k = 100
     // the symmetric edge list feeds SIX consumers through the two
@@ -530,6 +568,7 @@ object Graph {
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_coproj" -> coProjection,
     "q_graph_triangles" -> triangles,
+    "q_graph_assortativity" -> assortativity,
   )
 
   /** Two-round LPA CTE chain (e0 → l0 → l1 → l2) shared by the
@@ -553,6 +592,27 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_assortativity" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |d AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY u),
+        |p AS (SELECT dx.deg AS dxv, dy.deg AS dyv
+        |  FROM e JOIN d dx ON e.u = dx.n JOIN d dy ON e.v = dy.n),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+        |   CAST(sum(dxv) AS BIGINT) AS sx,
+        |   CAST(sum(dxv * dxv) AS BIGINT) AS sxx,
+        |   CAST(sum(dxv * dyv) AS BIGINT) AS sxy
+        |  FROM p)
+        |SELECT n_dir_edges,
+        | CAST(n_dir_edges * sxy - sx * sx AS BIGINT) AS num,
+        | CAST(n_dir_edges * sxx - sx * sx AS BIGINT) AS den,
+        | CAST((n_dir_edges * sxy - sx * sx + n_dir_edges * sxx - sx * sx)
+        |   * 10000 // greatest(2 * (n_dir_edges * sxx - sx * sx), 1)
+        |   AS BIGINT) AS assort_shift_e4
+        |FROM g""".stripMargin,
     "q_graph_kcore" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
