@@ -688,6 +688,22 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster SIZE distribution (round 8): how much of the
+    * duplication mass sits in pairs vs big boilerplate clusters — the
+    * number a dedup owner reads before choosing keep-one-per-cluster
+    * vs cap-per-cluster. Pure rollup of [[dupClusters]] (which rides
+    * the memoized signature frame), grouped twice: cluster → size,
+    * size → count. Both aggregations are partial-aggregable; output is
+    * at most |distinct sizes| rows. */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        min(col("cluster_id")).as("min_cluster"))
+      .orderBy(col("cluster_size").desc, col("min_cluster"))
+
   /** Connected components over an undirected pair list `(a, b)` —
     * returns `(node, component_min_id)` for every node appearing in any
     * pair. Min-label propagation WITH pointer jumping: each round every
@@ -2249,6 +2265,7 @@ object LlmOps {
     "q_llm_oov_rate" -> oovRate,
     "q_llm_sqrt_mix" -> sqrtMix,
     "q_llm_dup_clusters" -> dupClusters,
+    "q_llm_dup_cluster_sizes" -> dupClusterSizes,
     "q_llm_simhash" -> simhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_knn_label" -> knnLabel,
@@ -2369,6 +2386,20 @@ object LlmOps {
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
        |   AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Recursive-CTE reachability clustering over the LSH pair graph —
+    * shared by q_llm_dup_clusters and its size-distribution rollup. */
+  private lazy val dupClustersSql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT a_id, b_id FROM ($minhashPairsSql)),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   private val minhashPairsSql =
     s"""WITH $minhashCandCte,
@@ -2655,17 +2686,14 @@ object LlmOps {
          |    PARTITION BY train_id ORDER BY jaccard DESC, eval_id) AS rn
          |  FROM o) t WHERE rn = 1
          |ORDER BY train_id""".stripMargin,
-    "q_llm_dup_clusters" ->
-      s"""WITH RECURSIVE
-         |pairs AS (SELECT a_id, b_id FROM ($minhashPairsSql)),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q_llm_dup_clusters" -> dupClustersSql,
+    "q_llm_dup_cluster_sizes" ->
+      s"""WITH cl AS ($dupClustersSql)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         | min(cluster_id) AS min_cluster
+         |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM cl GROUP BY 1)
+         |GROUP BY 1 ORDER BY cluster_size DESC, min_cluster""".stripMargin,
     "q_llm_simhash" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_distinct(string_split(text, ' '))) AS t

@@ -219,7 +219,40 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Exact discrete quartiles (percentile_disc semantics) per event
+    * type via DISTRIBUTION COUNTING (round 8): value histogram →
+    * cumulative counts over DISTINCT values → smallest value whose
+    * cumulative count reaches rank ⌈q·n⌉. The naive form is a
+    * row_number over each type's full partition — with 5 event types
+    * that is a corpus/5-sized sort per group, the per-key-window scale
+    * hazard. Here the only corpus-sized operation is the partial-
+    * aggregable (type, value) count; the window runs over distinct
+    * cent values per type (bounded by the value domain, not the
+    * corpus). Ranks are pure integers (⌈n/4⌉ = (n+3) div 4 etc. — all
+    * positive, truncate == floor). */
+  def quartilesDisc(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val hist = events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("cents")))
+          .as("p25_cents"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("cents")))
+          .as("p50_cents"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("cents")))
+          .as("p75_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_quartiles_disc" -> quartilesDisc,
     "q_win_fill_nth" -> fillNth,
     "q_win_streak" -> streak,
     "q_win_percent_cume" -> percentCume,
@@ -233,6 +266,23 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_quartiles_disc" ->
+      """WITH hist AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |   count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, cents,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |   sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM hist)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | CAST(min(CASE WHEN cum >= (n + 3) // 4 THEN cents END)
+        |   AS BIGINT) AS p25_cents,
+        | CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+        |   AS BIGINT) AS p50_cents,
+        | CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END)
+        |   AS BIGINT) AS p75_cents
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_win_streak" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |   CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
