@@ -97,14 +97,38 @@ object GraftCatalog {
     spark.sql(recursiveRollupSql("div"))
   }
 
+  /** The SQL PIVOT surface (round 8): the DataFrame `q_pivot_counts`
+    * row re-expressed through the parser's PIVOT clause over the
+    * catalog views. A pivot cell with no rows is NULL in SQL PIVOT
+    * where the DataFrame row used `na.fill(0)` — the coalesce
+    * projection aligns the two, and the oracle is SHARED VERBATIM
+    * with the DataFrame row: two APIs, one truth. */
+  private val pivotCountsSql =
+    """SELECT user_id,
+      | coalesce(click, 0) AS click, coalesce(error, 0) AS error,
+      | coalesce(purchase, 0) AS purchase, coalesce(signup, 0) AS signup,
+      | coalesce(view, 0) AS view
+      |FROM (SELECT user_id, event_type FROM events)
+      |PIVOT (count(1) FOR event_type
+      |  IN ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+      |      'signup' AS signup, 'view' AS view))
+      |ORDER BY user_id""".stripMargin
+
+  def sqlPivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(pivotCountsSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_cosine_topk" -> sqlCosineTopk,
     "q_sql_recursive_rollup" -> sqlRecursiveRollup,
+    "q_sql_pivot_counts" -> sqlPivotCounts,
   )
 
   /** Same truth as the DataFrame row: the oracle is shared verbatim. */
   val oracle: Map[String, String] = Map(
     "q_sql_cosine_topk" -> operators.LlmOps.oracle("q_llm_cosine_topk"),
     "q_sql_recursive_rollup" -> recursiveRollupSql("//"),
+    "q_sql_pivot_counts" -> operators.Reshape.oracle("q_pivot_counts"),
   )
 }

@@ -315,6 +315,30 @@ object LlmOps {
       .orderBy(col("lang"))
   }
 
+  /** Near-dup SOURCE mixing matrix (round 8): the verified LSH pair
+    * set aggregated to (source_a, source_b) counts — which corpora
+    * duplicate into which (the cross-source view a curation owner
+    * reads before deciding per-source dedup policy; the within-source
+    * diagonal is boilerplate, the off-diagonal is mirroring/
+    * contamination). Sources are ordered lexically per pair so the
+    * matrix is upper-triangular regardless of doc-id order. Rides the
+    * memoized signature frame; the rollup is two broadcast dim joins
+    * + one partial-aggregable groupBy over the (small) pair set. */
+  def neardupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id"), col("source").as("sa")),
+        col("a_id") === col("doc_id")).drop("doc_id")
+      .join(src.select(col("doc_id"), col("source").as("sb")),
+        col("b_id") === col("doc_id")).drop("doc_id")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** SimHash near-dup: 60-bit sign-aggregated token-hash fingerprint;
     * candidates via 4×15-bit chunk banding (pigeonhole: any pair at
     * Hamming distance ≤3 shares a chunk), verified with bit_count.
@@ -2266,6 +2290,7 @@ object LlmOps {
     "q_llm_sqrt_mix" -> sqrtMix,
     "q_llm_dup_clusters" -> dupClusters,
     "q_llm_dup_cluster_sizes" -> dupClusterSizes,
+    "q_llm_neardup_sources" -> neardupSourceMatrix,
     "q_llm_simhash" -> simhash,
     "q_llm_cosine_topk" -> cosineTopk,
     "q_llm_knn_label" -> knnLabel,
@@ -2687,6 +2712,15 @@ object LlmOps {
          |  FROM o) t WHERE rn = 1
          |ORDER BY train_id""".stripMargin,
     "q_llm_dup_clusters" -> dupClustersSql,
+    "q_llm_neardup_sources" ->
+      s"""WITH pairs AS ($minhashPairsSql)
+         |SELECT least(da.source, db.source) AS source_a,
+         | greatest(da.source, db.source) AS source_b,
+         | CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON a_id = da.doc_id
+         |JOIN documents db ON b_id = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_llm_dup_cluster_sizes" ->
       s"""WITH cl AS ($dupClustersSql)
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,

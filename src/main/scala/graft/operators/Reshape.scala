@@ -415,8 +415,57 @@ object Reshape {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q4-shaped composite (round 8, adapted: no commit/receipt
+    * dates in this schema — "late" = a line shipped ≥ 60 days after
+    * the order date): order counts per priority for one quarter,
+    * counting an order once iff ANY of its lines shipped late — the
+    * EXISTS-decorrelated-to-semi-join shape. The semi join carries the
+    * cross-side date predicate into the join condition; the quarter
+    * filter prunes orders before the join. */
+  def latePriorityCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    ord.join(lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= expr("o_orderdate + INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q11-shaped composite (round 8, adapted: supplier links via
+    * lineitem — no partsupp): per-part inventory value for suppliers
+    * of a 5-nation group, keeping parts whose value exceeds 0.1 % of
+    * the group total — the HAVING-over-scalar-subquery shape. The
+    * fraction never materializes: the gate is the integer
+    * cross-multiply val·1000 > Σval over per-row cents. */
+  def partValueShare(spark: SparkSession, dir: String): DataFrame = {
+    val v = lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(supplier(spark, dir)
+        .filter(col("s_nationkey").isin(1, 2, 3, 4, 5))
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .as("val_cents"))
+    val tot = v.agg(sum(col("val_cents")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(expr("val_cents * 1000 > tot"))
+      .select(col("l_partkey"), col("val_cents"))
+      .orderBy(col("val_cents").desc, col("l_partkey"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_counts" -> pivotCounts,
+    "q_tpch_q4_late" -> latePriorityCounts,
+    "q_tpch_q11_partvalue" -> partValueShare,
     "q_unpivot_measures" -> unpivotMeasures,
     "q_sessionize_batch" -> sessionizeBatch,
     "q_scd2_merge" -> scd2Merge,
@@ -604,6 +653,26 @@ object Reshape {
         |   AND l.l_quantity BETWEEN 10 AND 35)
         |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
         |   AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q_tpch_q4_late" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= '1996-07-01'
+        |  AND o.o_orderdate < '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q11_partvalue" ->
+      """WITH v AS (SELECT l.l_partkey,
+        |   CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |     AS BIGINT) AS val_cents
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey IN (1, 2, 3, 4, 5)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(val_cents) AS BIGINT) AS tot FROM v)
+        |SELECT l_partkey, val_cents
+        |FROM v, t WHERE val_cents * 1000 > tot
+        |ORDER BY val_cents DESC, l_partkey LIMIT 50""".stripMargin,
     "q_tpch_q22_idle" ->
       """WITH cust AS (SELECT c_custkey, c_nationkey,
         |   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
