@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Analytics.queries ++
     operators.Curation.queries ++
     operators.Evaluation.queries ++
+    operators.Warehouse.queries ++
     multimodal.Multimodal.queries ++
     GraftCatalog.queries
 
@@ -52,6 +53,7 @@ object SparkEntry {
     operators.Analytics.oracle ++
     operators.Curation.oracle ++
     operators.Evaluation.oracle ++
+    operators.Warehouse.oracle ++
     multimodal.Multimodal.oracle ++
     GraftCatalog.oracle
 }

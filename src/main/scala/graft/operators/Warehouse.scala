@@ -1,0 +1,382 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2-J15 — the TPC-H completion batch (round 8): the eight
+  * remaining decision-support query SHAPES this schema can express
+  * (Q2, Q6, Q7, Q8, Q9, Q15, Q20, Q21 — adapted where the fixture
+  * lacks a column: no partsupp, no commit/receipt dates, no comments).
+  * With these, every TPC-H shape representable on the fixture star
+  * schema is enrolled: 1, 3–5, 10–14, 16–19, 22 were, 2, 6–9, 15,
+  * 20–21 land here. (Q2's region-of-supplier exists via nation;
+  * Q6 is the pure scan-aggregate; Q21's double-EXISTS decorrelates to
+  * per-order distinct-supplier counts.)
+  *
+  * Exactness discipline (the q14 rule throughout): floats leave every
+  * plan PER ROW via floor(x·100 + 0.5) cents; ratios/thresholds are
+  * integer cross-multiplies; signed sums stay BIGINT. Double
+  * comparisons against literals (Q6's discount band) are identical in
+  * both engines because both read the same parquet doubles and parse
+  * the same literal text.
+  *
+  * Scale notes: dims broadcast; the only corpus-sized shuffles are on
+  * natural keys (orderkey / partkey / suppkey); Q21's two EXISTS
+  * collapse into ONE distinct-pair aggregate + counts (never nested
+  * correlated probes per row); Q20/Q15/Q2 gate on broadcast scalar or
+  * per-key aggregates.
+  */
+object Warehouse {
+
+  private def cents(c: String): org.apache.spark.sql.Column =
+    expr(s"CAST(floor($c * 100 + 0.5) AS BIGINT)")
+
+  /** TPC-H Q6: the pure scan-aggregate forecast — predicate pushdown
+    * is the whole story (date band + quantity + discount band reach
+    * the parquet scan; zero joins, zero wide shuffles). */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(cents("l_extendedprice * l_discount")), lit(0L))
+          .as("revenue_cents"))
+
+  /** TPC-H Q7: shipping volume between two nations, both directions,
+    * per ship year — the two-dim-chains join (supplier→nation,
+    * customer→nation) with a pair predicate. */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = broadcast(nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name")))
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        cents("l_extendedprice * (1 - l_discount)").as("vol_cents"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter((col("s_nationkey") === 5 && col("c_nationkey") === 10) ||
+        (col("s_nationkey") === 10 && col("c_nationkey") === 5))
+      .join(nat.withColumnRenamed("n_nationkey", "snk")
+        .withColumnRenamed("n_name", "supp_nation"),
+        col("s_nationkey") === col("snk"))
+      .join(nat.withColumnRenamed("n_nationkey", "cnk")
+        .withColumnRenamed("n_name", "cust_nation"),
+        col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("vol_cents")).as("volume_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8: one nation's market share of a region's PROMO-part
+    * import volume per order year — conditional share over a 4-chain
+    * join; the share is promo-nation cents ·10⁴ div total cents
+    * (non-negative, truncate == floor). */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(nation(spark, dir)
+      .join(broadcast(region(spark, dir)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")))
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents("l_extendedprice * (1 - l_discount)").as("vol_cents"))
+      .join(broadcast(part(spark, dir)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .join(broadcast(supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("s_nationkey") === 5, col("vol_cents"))
+          .otherwise(0L)).as("nation_cents"),
+        sum(col("vol_cents")).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        expr("nation_cents * 10000 div greatest(total_cents, 1)")
+          .as("share_e4"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9: profit per (supplier nation, year) on red parts —
+    * revenue minus a cost model (no partsupp: cost = 20 % of retail
+    * per unit), BOTH sides per-row cents so the signed sum is exact. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(broadcast(part(spark, dir)
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("profit_cents",
+        cents("l_extendedprice * (1 - l_discount)") -
+          cents("p_retailprice * l_quantity * 0.2"))
+      .join(broadcast(supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(sum(col("profit_cents")).as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q15: top supplier(s) by quarter revenue — the
+    * view-plus-scalar-max shape; ties kept (== on exact cents). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents("l_extendedprice * (1 - l_discount)"))
+        .as("revenue_cents"))
+    val mx = rev.agg(max(col("revenue_cents")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("revenue_cents") === col("mx"))
+      .join(broadcast(supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q20-shaped (adapted: no partsupp availqty — "excess" =
+    * CONCENTRATED: a supplier shipping more than an EIGHTH of a small
+    * part's total quantity, ~12× the uniform share across this
+    * fixture's 100+ suppliers; the classic >1/2 gate is vacuously
+    * empty here at every SF — measured before choosing). The
+    * threshold is the integer cross-multiply qty·8 > total. */
+  def q20Dominant(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)
+        .filter(col("p_size") <= 10).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+    val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("qty_s"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("qty_tot"))
+    perPair.join(perPart, col("l_partkey") === col("pk"))
+      .filter(expr("qty_s * 8 > qty_tot"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"),
+        sum(col("qty_s")).as("qty_sum"))
+      .join(broadcast(supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated"),
+        col("qty_sum"))
+      .orderBy(col("n_dominated").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  /** TPC-H Q21-shaped (adapted: "kept waiting" = the ONLY late
+    * supplier — line shipped ≥ 60 days after order date — in a
+    * multi-supplier order): the double-EXISTS (EXISTS other supplier,
+    * NOT EXISTS other late supplier) decorrelated into per-order
+    * distinct-supplier counts — n_supp ≥ 2 ∧ n_late = 1 ⟺ the pair
+    * of correlated subqueries, with ONE aggregate instead of two
+    * per-row probes. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val pairs = lo.groupBy(col("l_orderkey").as("o"), col("l_suppkey"))
+      .agg(max(when(
+        col("l_shipdate") >= expr("o_orderdate + INTERVAL 60 DAY"), 1L)
+        .otherwise(0L)).as("is_late"))
+    val perOrder = pairs.groupBy(col("o").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"))
+    pairs.filter(col("is_late") === 1L)
+      .join(perOrder, col("o") === col("ok"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q2-shaped (adapted: no partsupp — the "cost" a buyer
+    * minimizes is the observed line price in cents): for mid-size
+    * parts, the supplier(s) achieving each part's MINIMUM line price —
+    * correlated-min decorrelated to a per-part aggregate + equality
+    * re-join; ranked by supplier balance (cents). */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)
+        .filter(col("p_size") === 15).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents("l_extendedprice").as("price_cents"))
+    val mn = li.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("price_cents")).as("min_cents"))
+    li.join(mn, col("l_partkey") === col("pk") &&
+        col("price_cents") === col("min_cents"))
+      .select(col("l_partkey"), col("l_suppkey"), col("min_cents"))
+      .distinct()
+      .join(broadcast(supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"),
+          cents("s_acctbal").as("bal_cents"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("bal_cents"), col("s_name"), col("l_partkey"),
+        col("min_cents"))
+      .orderBy(col("bal_cents").desc, col("l_partkey"), col("s_name"))
+      .limit(30)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2_mincost" -> q2MinCost,
+    "q_tpch_q6_forecast" -> q6Forecast,
+    "q_tpch_q7_volume" -> q7Volume,
+    "q_tpch_q8_mktshare" -> q8MarketShare,
+    "q_tpch_q9_profit" -> q9Profit,
+    "q_tpch_q15_topsupp" -> q15TopSupplier,
+    "q_tpch_q20_dominant" -> q20Dominant,
+    "q_tpch_q21_waiting" -> q21Waiting,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q2_mincost" ->
+      """WITH li AS (SELECT l.l_partkey, l.l_suppkey,
+        |   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |     AS price_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_size = 15),
+        |mn AS (SELECT l_partkey AS pk, min(price_cents) AS min_cents
+        |  FROM li GROUP BY 1),
+        |hit AS (SELECT DISTINCT l_partkey, l_suppkey, min_cents
+        |  FROM li JOIN mn ON l_partkey = pk AND price_cents = min_cents)
+        |SELECT CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+        |   AS bal_cents,
+        | s.s_name, hit.l_partkey, hit.min_cents
+        |FROM hit JOIN supplier s ON hit.l_suppkey = s.s_suppkey
+        |ORDER BY bal_cents DESC, l_partkey, s_name LIMIT 30""".stripMargin,
+    "q_tpch_q6_forecast" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | coalesce(CAST(sum(CAST(floor(l_extendedprice * l_discount * 100
+        |   + 0.5) AS BIGINT)) AS BIGINT), 0) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l.l_shipdate) AS INT) AS l_year,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+        |   * 100 + 0.5) AS BIGINT)) AS BIGINT) AS volume_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE (s.s_nationkey = 5 AND c.c_nationkey = 10)
+        |   OR (s.s_nationkey = 10 AND c.c_nationkey = 5)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8_mktshare" ->
+      """WITH v AS (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |   s.s_nationkey,
+        |   CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+        |     AS BIGINT) AS vol_cents
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA')
+        |SELECT o_year,
+        | CAST(sum(CASE WHEN s_nationkey = 5 THEN vol_cents ELSE 0 END)
+        |   AS BIGINT) AS nation_cents,
+        | CAST(sum(vol_cents) AS BIGINT) AS total_cents,
+        | CAST(sum(CASE WHEN s_nationkey = 5 THEN vol_cents ELSE 0 END)
+        |   * 10000 // greatest(sum(vol_cents), 1) AS BIGINT) AS share_e4
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q9_profit" ->
+      """SELECT n.n_name AS nation,
+        | CAST(year(l.l_shipdate) AS INT) AS o_year,
+        | CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+        |     * 100 + 0.5) AS BIGINT)
+        |   - CAST(floor(p.p_retailprice * l.l_quantity * 0.2 * 100 + 0.5)
+        |     AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q_tpch_q15_topsupp" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |     + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, rev.revenue_cents
+        |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q_tpch_q20_dominant" ->
+      """WITH li AS (SELECT l.l_partkey, l.l_suppkey,
+        |   CAST(l.l_quantity AS BIGINT) AS q
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_size <= 10),
+        |pp AS (SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT)
+        |   AS qty_s FROM li GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS qty_tot
+        |  FROM li GROUP BY 1),
+        |dom AS (SELECT l_suppkey, count(*) AS n_dominated,
+        |   CAST(sum(qty_s) AS BIGINT) AS qty_sum
+        |  FROM pp JOIN pt ON l_partkey = pk
+        |  WHERE qty_s * 8 > qty_tot GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        | CAST(dom.n_dominated AS BIGINT) AS n_dominated, dom.qty_sum
+        |FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+        |ORDER BY n_dominated DESC, s_suppkey LIMIT 25""".stripMargin,
+    "q_tpch_q21_waiting" ->
+      """WITH pairs AS (SELECT l.l_orderkey AS o, l.l_suppkey,
+        |   max(CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+        |     THEN 1 ELSE 0 END) AS is_late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |po AS (SELECT o AS ok, count(*) AS n_supp,
+        |   CAST(sum(is_late) AS BIGINT) AS n_late
+        |  FROM pairs GROUP BY 1),
+        |w AS (SELECT l_suppkey, count(*) AS numwait
+        |  FROM pairs JOIN po ON o = ok
+        |  WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(w.numwait AS BIGINT)
+        |   AS numwait
+        |FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+  )
+}
