@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming near-dup GATE — the map-side first pass of a production
+  * dedup pipeline, as real stream processors ship it: a bloom sketch of
+  * the stored corpus's MinHash band signatures broadcasts to every
+  * task, and an incoming document is dropped when ANY of its 8 band
+  * signatures probably exists in the store. No state store, no
+  * shuffle, no watermark — the gate is a pure projection + filter, so
+  * it scales with input rate alone. Bloom false positives over-drop
+  * (tunable via bits/items) and band collisions are the usual LSH
+  * recall trade — both are reclaimed by the exact OFFLINE verify pass
+  * (q_llm_minhash_lsh's exact-Jaccard stage), which is precisely how
+  * the batch + streaming halves of a dedup pipeline divide the work.
+  *
+  * Signature semantics: document-LOCAL 16-perm MinHash over 5-token
+  * shingles, computed per row with `array_min` over HOF transforms —
+  * a stream row cannot know corpus document frequencies, so unlike
+  * the batch family there is no df cap. The store builder and the
+  * stream side share THIS one definition ([[withBands]]), so the two
+  * sides can never drift. Docs with fewer than 5 tokens have no
+  * shingles and pass through unconditionally (n_sh = 0 guard — their
+  * would-be NULL band strings must never match each other). */
+object StreamDedup {
+
+  private val P = 1000000007L
+  private val perms = Seq(
+    (7L, 3L), (11L, 5L), (13L, 17L), (19L, 23L), (29L, 31L), (37L, 41L),
+    (43L, 47L), (53L, 59L), (61L, 67L), (71L, 73L), (79L, 83L),
+    (89L, 97L), (101L, 103L), (107L, 109L), (113L, 127L), (131L, 137L))
+
+  /** Append `bands` (array of 8 "band|j:m,j:m" strings) + `n_sh`
+    * (shingle count) to any frame with a `text` column — one
+    * projection, stream-safe, shared by store builder and gate. */
+  def withBands(df: DataFrame): DataFrame = {
+    val withHs = df
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("hs", expr(
+        """transform(
+          |  CASE WHEN size(tk) >= 5
+          |  THEN transform(sequence(1, size(tk) - 4),
+          |         i -> concat_ws(' ', slice(tk, i, 5)))
+          |  ELSE CAST(array() AS array<string>) END,
+          |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+          |       % 1000000007)""".stripMargin))
+    val withMins = perms.zipWithIndex.foldLeft(withHs) {
+      case (acc, ((a, b), j)) =>
+        acc.withColumn(s"m$j",
+          expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))"))
+    }
+    val bandArr = (0 until 8).map { bd =>
+      val (j1, j2) = (2 * bd, 2 * bd + 1)
+      expr(s"concat('$bd|', '$j1:', m$j1, ',', '$j2:', m$j2)")
+    }
+    withMins
+      .withColumn("n_sh", size(col("hs")))
+      .withColumn("bands", array(bandArr: _*))
+      .drop("tk" +: "hs" +: perms.indices.map(j => s"m$j"): _*)
+  }
+
+  /** One-row bloom sketch over a STATIC corpus's band signatures.
+    * Sized by the caller (estItems ≈ 8 × corpus docs; bits per the
+    * target FP rate — at 100 TB this sketch is MBs where the band
+    * table is TBs, which is the whole point of the gate). */
+  def bandBloom(store: DataFrame, estItems: Long = 100000L,
+      numBits: Long = 1L << 22): DataFrame = {
+    graft.functions.BloomFuncs.register(store.sparkSession)
+    withBands(store)
+      .filter(col("n_sh") > 0)
+      .select(explode(col("bands")).as("b"))
+      .agg(expr(s"graft_bloom_agg(xxhash64(b), ${estItems}L, ${numBits}L)")
+        .as("bloom"))
+  }
+
+  /** The gate itself: stream in, stream minus probable-dups out.
+    * `might_contain` demands a CONSTANT sketch, so the (static,
+    * 1-row) bloom is collected ONCE at query-build time and inlined
+    * as a literal — a control-plane collect of one binary sketch,
+    * exactly how a broadcast variable ships it; the streaming plan
+    * stays a pure projection + filter. The membership test is an
+    * `exists` lambda over the 8 band strings. */
+  def dedupAgainstStore(docs: DataFrame, bloom: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, XxHash64}
+    val sketch = lit(bloom.collect()(0).getAs[Array[Byte]]("bloom"))
+    withBands(docs)
+      .filter(col("n_sh") === 0 ||
+        !exists(col("bands"), b =>
+          GraftBridge.column(
+            BloomFilterMightContain(GraftBridge.expression(sketch),
+              new XxHash64(Seq(GraftBridge.expression(b)))))))
+      .drop("bands", "n_sh")
+  }
+}

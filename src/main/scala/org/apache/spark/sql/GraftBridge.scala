@@ -8,4 +8,17 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column over a hand-built Catalyst Expression (the classic-API
+    * internal `ExpressionUtils.column`) — needed when an expression
+    * (e.g. `BloomFilterMightContain`, which demands a CONSTANT sketch
+    * argument) cannot be reached through the parser or a registered
+    * function with column inputs. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[column]] — Spark 4's Column wraps a ColumnNode and
+    * no longer exposes `.expr` publicly. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
