@@ -48,23 +48,29 @@ object LlmOps {
     * fan-out (≤ 50² candidate pairs per shingle) and keeps stop-shingles
     * out of the MinHash signatures — the CCNet/Gopher boilerplate
     * trick. The oracle CTE applies the identical cap. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val raw = documents(spark, dir)
-      .withColumn("tk", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(tk) >= 5
-          |THEN transform(sequence(1, size(tk) - 4),
-          |               i -> concat_ws(' ', slice(tk, i, 5)))
-          |ELSE CAST(array() AS array<string>) END""".stripMargin)))
-        .as("s"))
-    // anti-join against the STOP set (df > 50), not inner-join against
-    // the rare set: the rare set is nearly the whole vocabulary (full
-    // double shuffle), while the stop set is the handful of boilerplate
-    // shingles — small enough that AQE broadcasts the anti-join side
-    val stop = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 50).select(col("s"))
-    raw.join(stop, Seq("s"), "left_anti").select(col("doc_id"), col("s"))
-  }
+  /** Memoized per (application, sfDir) like [[minhashSigs]] (round 8):
+    * the df-capped shingle frame is the substrate of shingleJaccard,
+    * the signature-memo build, and the two sampled audits — each
+    * previously re-ran the explode + df-cap anti-join. At 100 TB this
+    * is the persisted shingle table of the dedup literature. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    graft.FrameMemo.cached(spark, dir, "shingles") {
+      val raw = documents(spark, dir)
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """CASE WHEN size(tk) >= 5
+            |THEN transform(sequence(1, size(tk) - 4),
+            |               i -> concat_ws(' ', slice(tk, i, 5)))
+            |ELSE CAST(array() AS array<string>) END""".stripMargin)))
+          .as("s"))
+      // anti-join against the STOP set (df > 50), not inner-join against
+      // the rare set: the rare set is nearly the whole vocabulary (full
+      // double shuffle), while the stop set is the handful of boilerplate
+      // shingles — small enough that AQE broadcasts the anti-join side
+      val stop = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select(col("s"))
+      raw.join(stop, Seq("s"), "left_anti").select(col("doc_id"), col("s"))
+    }
 
   /** Exact dedup: normalize → sha256 → group; keep min doc_id. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -81,7 +87,9 @@ object LlmOps {
     * oracle twin applies the identical cap, so the compare stays
     * exact. */
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingles(spark, dir).cache())
+    // no extra cache: the memoized frame is already materialized, and
+    // jaccardPairs' two branches scan the checkpointed RDD directly
+    jaccardPairs(shingles(spark, dir))
 
   /** Exact τ=0.8 Jaccard pairs over a given (doc_id, s) shingle frame —
     * the all-pairs kernel of [[shingleJaccard]], factored out so
