@@ -383,4 +383,33 @@ object GraftProps extends Properties("graft") {
           p <= (w.toDouble * n / total).ceil.toLong + 1
         }
     }
+
+  // ---- shifted-ratio idiom (q_ts_acf / q_graph_assortativity) -------
+
+  private val numDen = for {
+    den <- Gen.chooseNum(1L, 1000000L)
+    num <- Gen.chooseNum(-den, den) // Cauchy–Schwarz regime: |num| ≤ den
+  } yield (num, den)
+
+  property("shifted ratio (num+den)*1e4 div (2*den) is truncation-proof:" +
+      " JVM truncating / equals BigInt floor, and the raw signed div" +
+      " does diverge on negatives (the idiom's reason to exist)") =
+    forAll(numDen) { case (num, den) =>
+      val dividend = (num + den) * 10000L
+      // non-negative dividend ⇒ truncation (Spark div, JVM /) == floor
+      // (DuckDB //) — the engines cannot disagree
+      val trunc = dividend / (2 * den)
+      val floorv = BigInt(dividend)
+        .underlying.divide(java.math.BigInteger.valueOf(2 * den)).longValue
+      // witness for the raw form: floor and trunc differ on any
+      // negative non-exact quotient, which |num| ≤ den permits
+      val rawTrunc = num * 10000L / den
+      val rawFloor = {
+        val q = BigInt(num * 10000L); val d = BigInt(den)
+        val (bq, br) = q /% d
+        (if (br < 0) bq - 1 else bq).longValue
+      }
+      trunc == floorv &&
+        (num * 10000L % den == 0 || num >= 0 || rawTrunc == rawFloor + 1)
+    }
 }
