@@ -507,7 +507,59 @@ object Analytics {
       .orderBy(col("user_id"), col("island_start"))
   }
 
+  /** TextRank keyword extraction (round 8, Mihalcea & Tarau 2004): the
+    * corpus's top-20 keywords by PageRank over the token ADJACENCY graph
+    * — undirected edges between tokens that appear next to each other
+    * anywhere in the corpus (window = 1, unweighted, the paper's base
+    * configuration), self-loops dropped. Centrality separates structural
+    * connector words from merely frequent ones — the graph-native
+    * complement to the count-native tf-idf and PMI rows.
+    *
+    * Exactness + shape: the [[Graph.pagerank]] integer idiom verbatim
+    * (ranks ×10⁶, contrib = rank div outdeg, blend 150000 + 85·Σ div
+    * 100, two unrolled iterations, node-sized rank table broadcast per
+    * step). The only corpus-sized ops are the bigram explode and the
+    * edge-distinct shuffle; the word graph itself is vocabulary-sized
+    * (≪ corpus — Heaps' law, measured by q_llm_heaps_fit), so the
+    * broadcast holds far past 100 TB of text. */
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    val bg = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |          i -> struct(element_at(tk, i) AS w1,
+          |                      element_at(tk, i + 1) AS w2))"""
+          .stripMargin)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = bg.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(bg.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val r0 = deg.select(col("src").as("nid"), lit(1000000L).as("rank"),
+      col("outd"))
+    def step(ranks: DataFrame, last: Boolean): DataFrame = {
+      val msgs = edges
+        .join(broadcast(ranks.withColumn("contrib", expr("rank div outd"))
+          .select(col("nid"), col("contrib"))),
+          edges("src") === col("nid"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("msum"))
+        .select(col("dst").as("nid"),
+          (lit(150000L) + expr("(85 * msum) div 100")).as("rank"))
+      if (last) msgs
+      else msgs.join(broadcast(deg), col("nid") === deg("src"))
+        .select(col("nid"), col("rank"), col("outd"))
+    }
+    step(step(r0, last = false), last = true)
+      .select(col("nid").as("token"), col("rank").as("rank_e6"))
+      .orderBy(col("rank_e6").desc, col("token"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_textrank" -> textrank,
     "q_win_gap_islands" -> gapIslands,
     "q_skyline_parts" -> skylineParts,
     "q_funnel_stages" -> funnelStages,
@@ -526,6 +578,32 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_textrank" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+        |   for i in range(1, len(tk))]) AS g FROM toks),
+        |b2 AS (SELECT g.w1 AS w1, g.w2 AS w2 FROM bg WHERE g.w1 <> g.w2),
+        |e AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT w1 AS src, w2 AS dst FROM b2
+        |   UNION ALL SELECT w2, w1 FROM b2)),
+        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outd
+        |  FROM e GROUP BY src),
+        |r0 AS (SELECT src AS nid, CAST(1000000 AS BIGINT) AS rank,
+        |   outd FROM d),
+        |m1 AS (SELECT e.dst AS nid,
+        |   CAST(sum(r0.rank // r0.outd) AS BIGINT) AS msum
+        |  FROM e JOIN r0 ON e.src = r0.nid GROUP BY e.dst),
+        |r1 AS (SELECT m1.nid, CAST(150000 + (85 * msum) // 100 AS BIGINT)
+        |   AS rank, d.outd
+        |  FROM m1 JOIN d ON m1.nid = d.src),
+        |m2 AS (SELECT e.dst AS nid,
+        |   CAST(sum(r1.rank // r1.outd) AS BIGINT) AS msum
+        |  FROM e JOIN r1 ON e.src = r1.nid GROUP BY e.dst),
+        |r2 AS (SELECT nid, CAST(150000 + (85 * msum) // 100 AS BIGINT)
+        |   AS rank FROM m2)
+        |SELECT nid AS token, rank AS rank_e6 FROM r2
+        |ORDER BY rank_e6 DESC, token LIMIT 20""".stripMargin,
     "q_win_gap_islands" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |  FROM events),

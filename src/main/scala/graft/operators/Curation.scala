@@ -213,6 +213,52 @@ object Curation {
       .limit(50)
   }
 
+  /** Jelinek–Mercer interpolated bigram LM (round 8, λ = 0.7) — the
+    * fourth smoothing family next to add-one MLE (q_llm_bigram_lm),
+    * Kneser–Ney ([[knBigram]]) and stupid backoff (q_llm_trigram_sbo):
+    * p(w2|w1) = λ·c12/c1 + (1−λ)·cu(w2)/N, the linear blend of bigram
+    * MLE with the UNIGRAM prior (where KN backs off to continuation
+    * counts — enrolling both makes the difference auditable on the same
+    * top-50 rows).
+    *
+    * Exactness: each term is floored independently —
+    * jm_e6 = (7·c12·10⁶) div (10·c1) + (3·cu2·10⁶) div (10·N) — a
+    * deterministic fixed-point evaluation within 2 micro-units of the
+    * real-valued mixture. Flooring per-term (rather than one fused
+    * ratio (7·c12·N + 3·cu2·c1)·10⁶ div (10·c1·N)) is deliberate: the
+    * fused dividend crosses 2⁶³ once N·c12 ~ 10¹², i.e. at roughly
+    * sf100 of this fixture, while the per-term form stays ≤ 7·10⁶·c12
+    * — overflow-safe to any corpus a BIGINT count can describe. Both
+    * engines run the identical floored formula, so parity is exact.
+    *
+    * Scale: the knBigram shape — one corpus bigram explode + one token
+    * explode, vocab-sized groupBys, 1-row total broadcast. */
+  def jmInterp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+    val bg = docs
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(element_at(tk, i) AS w1,
+          |              element_at(tk, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val cu = uni.groupBy(col("w").as("w2")).agg(count(lit(1)).as("cu2"))
+    val n = uni.agg(count(lit(1)).as("n_tok"))
+    c12.join(c1, "w1").join(cu, "w2").crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("cu2"), col("n_tok"),
+        expr("(7 * c12 * 1000000) div (10 * c1) +" +
+          " (3 * cu2 * 1000000) div (10 * n_tok)").as("jm_e6"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Matryoshka-style truncated-dimension retrieval scoreboard:
     * recall@3 (vs the full 64-dim brute-force top-3) when cosine runs
     * over only the FIRST d dimensions, d ∈ {8, 16, 32} — the number
@@ -706,6 +752,7 @@ object Curation {
     "q_llm_langid_confusion" -> langIdConfusion,
     "q_llm_minhash_1bit" -> minhash1Bit,
     "q_llm_kn_bigram" -> knBigram,
+    "q_llm_jm_interp" -> jmInterp,
     "q_llm_mrl_recall" -> mrlRecall,
     "q_llm_hamming_embed" -> hammingEmbed,
     "q_events_dedup_window" -> eventsDedupWindow,
@@ -1014,6 +1061,26 @@ object Curation {
          |JOIN sizes na ON pm.a_id = na.doc_id
          |JOIN sizes nb ON pm.b_id = nb.doc_id
          |ORDER BY pm.a_id, pm.b_id""".stripMargin,
+    "q_llm_jm_interp" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk
+        |  FROM documents),
+        |bg AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+        |   for i in range(1, len(tk))]) AS b
+        |  FROM toks WHERE len(tk) >= 2),
+        |b2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |uni AS (SELECT unnest(tk) AS w FROM toks),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM b2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM c12 GROUP BY w1),
+        |cu AS (SELECT w AS w2, CAST(count(*) AS BIGINT) AS cu2
+        |  FROM uni GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni)
+        |SELECT w1, w2, c12, c1, cu2, n_tok,
+        | CAST((7 * c12 * 1000000) // (10 * c1)
+        |   + (3 * cu2 * 1000000) // (10 * n_tok) AS BIGINT) AS jm_e6
+        |FROM c12 JOIN c1 USING (w1) JOIN cu USING (w2) CROSS JOIN n
+        |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_llm_kn_bigram" ->
       """WITH t0 AS (SELECT string_split(text, ' ') AS tk FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),

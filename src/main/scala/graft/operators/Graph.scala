@@ -559,7 +559,91 @@ object Graph {
       .orderBy(col("p_partkey"))
   }
 
+  /** HITS hubs-and-authorities (round 8, Kleinberg 1999) on the DIRECTED
+    * part→supplier graph: parts are pure hubs (only out-edges), suppliers
+    * pure authorities — the bipartite case where HITS and simple degree
+    * diverge only after mutual reinforcement kicks in (a hub's weight is
+    * the sum of its authorities' weights, not its degree). Two full
+    * update rounds (a¹ = Eᵀh⁰, h¹ = Ea¹, a² = Eᵀh¹), each followed by
+    * exact-integer L1 normalization: score_e6 = raw·10⁶ div Σraw. The
+    * division-by-total is the HITS analog of PageRank's damping blend —
+    * without it the powers of EᵀE overflow; with integer div both
+    * engines floor identically (all terms non-negative).
+    *
+    * Scale shape: the [[pagerank]] skeleton — each half-step is the edge
+    * stream hash-joined against ONE node-sized broadcast score table +
+    * one partial-aggregable groupBy; the normalizing Σ is a 1-row
+    * broadcast. Output is bounded top-10 per side. Overflow bound:
+    * raw ≤ 10⁶·max-degree and Σraw ≤ 10⁶·|E|, so raw·10⁶ ≤ 10¹²·degree
+    * — safe until |E| ~ 10⁹ per the documented d·10¹² law (and the
+    * normalization resets the magnitude every half-step, unlike
+    * unnormalized power iteration). */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = lineitem(spark, dir)
+      .select(col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("s"))
+      .distinct()
+    // L1-normalize a raw score frame: ×10⁶ div the 1-row broadcast total
+    def norm(raw: DataFrame, key: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"))))
+        .select(col(key), expr("raw * 1000000 div tot").as("sc"))
+    // h⁰ ≡ 1 ⇒ a¹raw(s) = in-degree(s); the uniform start is folded in
+    val a1 = norm(e.groupBy(col("s")).agg(count(lit(1)).as("raw")), "s")
+    val h1 = norm(e.join(broadcast(a1), Seq("s"))
+      .groupBy(col("p")).agg(sum(col("sc")).as("raw")), "p")
+    val a2 = norm(e.join(broadcast(h1), Seq("p"))
+      .groupBy(col("s")).agg(sum(col("sc")).as("raw")), "s")
+    val hubs = h1.orderBy(col("sc").desc, col("p")).limit(10)
+      .select(lit("hub").as("kind"), col("p").as("node_key"),
+        col("sc").as("score_e6"))
+    val auths = a2.orderBy(col("sc").desc, col("s")).limit(10)
+      .select(lit("authority").as("kind"), col("s").as("node_key"),
+        col("sc").as("score_e6"))
+    hubs.unionAll(auths)
+      .orderBy(col("kind"), col("score_e6").desc, col("node_key"))
+  }
+
+  /** Two-hop BFS from the basket graph's hottest node (round 8): level
+    * sizes and key checksums of the distance-0/1/2 frontiers from the
+    * max-degree part (ties → smallest key) — the reachability /
+    * neighborhood-growth profile that sizes any graph-sampling or
+    * ego-network extraction step, and the missing "shortest distance"
+    * member of the graph family (pagerank/CC/k-core/LPA/triangles are
+    * all here; none answers "how far?").
+    *
+    * Shape per hop: edge stream hash-joined against the node-sized
+    * broadcast frontier + distinct + anti-joins against the visited
+    * levels — the standard frontier-expansion BFS step; an open-ended
+    * variant would driver-loop with localCheckpoint exactly like
+    * [[pagerankConverged]]. Consumes the session-memoized
+    * [[cooccEdges]] frame; the only corpus-sized work is already paid
+    * there. Output is 3 aggregate rows. */
+  def bfs2(spark: SparkSession, dir: String): DataFrame = {
+    val und = cooccEdges(spark, dir)
+    val edges = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val d0 = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(1)
+      .select(col("u").cast("long").as("n"))
+    def expand(frontier: DataFrame): DataFrame =
+      edges.join(broadcast(frontier.select(col("n").as("fn"))),
+          col("u") === col("fn"))
+        .select(col("v").cast("long").as("n")).distinct()
+    val f1 = expand(d0).join(broadcast(d0), Seq("n"), "left_anti")
+    val f2 = expand(f1)
+      .join(broadcast(d0), Seq("n"), "left_anti")
+      .join(broadcast(f1), Seq("n"), "left_anti")
+    def lvl(d: Long, f: DataFrame): DataFrame =
+      f.agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(col("n")), lit(0L)).as("key_sum"))
+        .select(lit(d).as("dist"), col("n_nodes"), col("key_sum"))
+    lvl(0L, d0).unionAll(lvl(1L, f1)).unionAll(lvl(2L, f2))
+      .orderBy(col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_hits" -> hits,
+    "q_graph_bfs2" -> bfs2,
     "q_graph_kcore" -> kcore,
     "q_graph_lpa" -> labelProp,
     "q_graph_modularity" -> modularity,
@@ -592,6 +676,55 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_bfs2" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |s AS (SELECT CAST(u AS BIGINT) AS n FROM
+        |  (SELECT u, count(*) AS dg FROM e GROUP BY u
+        |   ORDER BY dg DESC, u LIMIT 1)),
+        |f1 AS (SELECT DISTINCT CAST(e.v AS BIGINT) AS n
+        |  FROM e JOIN s ON e.u = s.n
+        |  WHERE CAST(e.v AS BIGINT) NOT IN (SELECT n FROM s)),
+        |f2 AS (SELECT DISTINCT CAST(e.v AS BIGINT) AS n
+        |  FROM e JOIN f1 ON e.u = f1.n
+        |  WHERE CAST(e.v AS BIGINT) NOT IN (SELECT n FROM s)
+        |    AND CAST(e.v AS BIGINT) NOT IN (SELECT n FROM f1)),
+        |l0 AS (SELECT CAST(0 AS BIGINT) AS dist, count(*) AS n_nodes,
+        |   CAST(coalesce(sum(n), 0) AS BIGINT) AS key_sum FROM s),
+        |l1 AS (SELECT CAST(1 AS BIGINT), count(*),
+        |   CAST(coalesce(sum(n), 0) AS BIGINT) FROM f1),
+        |l2 AS (SELECT CAST(2 AS BIGINT), count(*),
+        |   CAST(coalesce(sum(n), 0) AS BIGINT) FROM f2)
+        |SELECT dist, n_nodes, key_sum FROM
+        | (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |  UNION ALL SELECT * FROM l2)
+        |ORDER BY dist""".stripMargin,
+    "q_graph_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+        |   CAST(l_suppkey AS BIGINT) AS s FROM lineitem),
+        |a1r AS (SELECT s, CAST(count(*) AS BIGINT) AS raw FROM e GROUP BY s),
+        |a1 AS (SELECT s, CAST(raw * 1000000
+        |   // (SELECT CAST(sum(raw) AS BIGINT) FROM a1r) AS BIGINT) AS sc
+        |  FROM a1r),
+        |h1r AS (SELECT p, CAST(sum(sc) AS BIGINT) AS raw
+        |  FROM e JOIN a1 USING (s) GROUP BY p),
+        |h1 AS (SELECT p, CAST(raw * 1000000
+        |   // (SELECT CAST(sum(raw) AS BIGINT) FROM h1r) AS BIGINT) AS sc
+        |  FROM h1r),
+        |a2r AS (SELECT s, CAST(sum(sc) AS BIGINT) AS raw
+        |  FROM e JOIN h1 USING (p) GROUP BY s),
+        |a2 AS (SELECT s, CAST(raw * 1000000
+        |   // (SELECT CAST(sum(raw) AS BIGINT) FROM a2r) AS BIGINT) AS sc
+        |  FROM a2r),
+        |hubs AS (SELECT 'hub' AS kind, p AS node_key, sc AS score_e6
+        |  FROM h1 ORDER BY sc DESC, p LIMIT 10),
+        |auths AS (SELECT 'authority' AS kind, s AS node_key, sc AS score_e6
+        |  FROM a2 ORDER BY sc DESC, s LIMIT 10)
+        |SELECT kind, node_key, score_e6 FROM
+        | (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+        |ORDER BY kind, score_e6 DESC, node_key""".stripMargin,
     "q_graph_assortativity" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

@@ -282,7 +282,63 @@ object Joins {
       .orderBy(col("k_str"))
   }
 
+  /** Interval-overlap join (round 8): which user pairs were active in
+    * OVERLAPPING sessions — the interval×interval sibling of the
+    * point-in-range [[joinRangeBinned]] row (concurrency detection,
+    * co-presence analysis, meeting/contention windows). Sessions come
+    * from the q_sessionize_batch 30-minute-gap build (one user-window
+    * pass); each [start,end] interval is exploded onto the 1-hour
+    * buckets it covers, candidate pairs come from a bucket EQUI-join
+    * (never interval-theta against the whole table), the exact overlap
+    * predicate then filters, and a distinct collapses pairs that share
+    * several buckets. Overlap length in µs is exact integer
+    * (least(ends) − greatest(starts), ≥ 0 by the predicate).
+    *
+    * Scale: fan-out = interval length / bucket; 30-min-gap sessions
+    * are hours at most, so per-session bucket counts stay single-digit
+    * (same cap argument as joinRangeBinned's bin width). The bucket
+    * join shuffles on (bucket) — time-skew (everyone online at 9am)
+    * is the AQE-skew-split case, and the u<v guard halves the pair
+    * space. Output bounded top-20. */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val sess = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val binned = sess.select(col("user_id"), col("session_no"),
+      col("start_us"), col("end_us"),
+      explode(expr(
+        "sequence(start_us div 3600000000, end_us div 3600000000)"))
+        .as("bkt"))
+    val a = binned.select(col("user_id").as("ua"),
+      col("session_no").as("sa"), col("start_us").as("sa_us"),
+      col("end_us").as("ea_us"), col("bkt"))
+    val b = binned.select(col("user_id").as("ub"),
+      col("session_no").as("sb"), col("start_us").as("sb_us"),
+      col("end_us").as("eb_us"), col("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("ua") < col("ub") &&
+        col("sa_us") <= col("eb_us") && col("sb_us") <= col("ea_us"))
+      .select(col("ua"), col("sa"), col("ub"), col("sb"),
+        (least(col("ea_us"), col("eb_us")) -
+          greatest(col("sa_us"), col("sb_us"))).as("overlap_us"))
+      .distinct()
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("overlap_us")).as("overlap_us_total"))
+      .orderBy(col("overlap_us_total").desc, col("ua"), col("ub"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_interval_overlap" -> intervalOverlapJoin,
     "q_join_null_safe" -> joinNullSafe,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_smj" -> joinSmj,
@@ -301,6 +357,37 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_interval_overlap" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS gap_us
+        | FROM events),
+        |f AS (SELECT user_id, ts_us,
+        |  CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |       THEN 1 ELSE 0 END AS new_sess,
+        |  event_id FROM g),
+        |s AS (SELECT user_id, ts_us,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS BIGINT) AS session_no FROM f),
+        |sess AS (SELECT user_id, session_no,
+        |   CAST(min(ts_us) AS BIGINT) AS start_us,
+        |   CAST(max(ts_us) AS BIGINT) AS end_us
+        |  FROM s GROUP BY user_id, session_no),
+        |binned AS (SELECT user_id, session_no, start_us, end_us,
+        |   unnest(range(start_us // 3600000000,
+        |                end_us // 3600000000 + 1)) AS bkt
+        |  FROM sess),
+        |p AS (SELECT DISTINCT a.user_id AS ua, a.session_no AS sa,
+        |   b.user_id AS ub, b.session_no AS sb,
+        |   CAST(least(a.end_us, b.end_us)
+        |     - greatest(a.start_us, b.start_us) AS BIGINT) AS overlap_us
+        |  FROM binned a JOIN binned b ON a.bkt = b.bkt
+        |  WHERE a.user_id < b.user_id
+        |    AND a.start_us <= b.end_us AND b.start_us <= a.end_us)
+        |SELECT ua, ub, count(*) AS n_pairs,
+        | CAST(sum(overlap_us) AS BIGINT) AS overlap_us_total
+        |FROM p GROUP BY ua, ub
+        |ORDER BY overlap_us_total DESC, ua, ub LIMIT 20""".stripMargin,
     "q_join_null_safe" ->
       """WITH e AS (SELECT event_id,
         |   CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)

@@ -233,6 +233,55 @@ object ModelPrep {
       .orderBy(col("rank"))
   }
 
+  /** WordPiece-style merge ranking (round 8, Schuster & Nakajima 2012):
+    * the same weighted char-pair counts as [[bpeMerge]], but candidates
+    * rank by the LIKELIHOOD score c(ab)/(c(a)·c(b)) instead of raw
+    * frequency — WordPiece picks the merge that most increases corpus
+    * likelihood under a unigram char model, so rare-but-cohesive pairs
+    * beat merely common ones. Enrolling both rankings over the same
+    * counts makes the BPE-vs-WordPiece policy difference auditable row
+    * by row.
+    *
+    * Exactness: score_e6 = ((c(ab)·10⁶) div c(a)) · 10⁶ div c(b),
+    * floored per term. Overflow-proof BY CONSTRUCTION: a char's count
+    * is ≥ any pair count containing it (same weighting), so the first
+    * quotient is ≤ 10⁶ and the dividend of the second ≤ 10¹² — no
+    * corpus size changes that bound.
+    *
+    * Scale: one token groupBy (the corpus shuffle) + two vocab-sized
+    * explodes and groupBys; the char table (≤ alphabet size) joins
+    * broadcast. */
+  def wordpieceMerge(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val pairCnt = vocab.filter(length(col("tok")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_cnt"))
+    val charCnt = vocab
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"))
+        .as("ch"))
+      .groupBy(col("ch")).agg(sum(col("cnt")).as("ccnt"))
+    pairCnt
+      .withColumn("lch", expr("substring(pair, 1, 1)"))
+      .withColumn("rch", expr("substring(pair, 2, 1)"))
+      .join(broadcast(charCnt.select(col("ch").as("lch"),
+        col("ccnt").as("cl"))), "lch")
+      .join(broadcast(charCnt.select(col("ch").as("rch"),
+        col("ccnt").as("cr"))), "rch")
+      .withColumn("score_e6",
+        expr("((pair_cnt * 1000000) div cl) * 1000000 div cr"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("pair"))))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("pair"), col("pair_cnt"), col("cl"),
+        col("cr"), col("score_e6"))
+      .orderBy(col("rank"))
+  }
+
   /** Deterministic train/val/test split (round 4): every corpus release
     * needs a split that is (a) stable under repartitioning/reruns —
     * membership is a pure function of the doc id, not of row order or
@@ -357,6 +406,7 @@ object ModelPrep {
     "q_llm_kmeans_step" -> kmeansStep,
     "q_llm_semdedup" -> semDedup,
     "q_llm_bpe_merge" -> bpeMerge,
+    "q_llm_wordpiece_merge" -> wordpieceMerge,
   )
 
   val oracle: Map[String, String] = Map(
@@ -545,6 +595,29 @@ object ModelPrep {
         |   row_number() OVER (ORDER BY sum(cnt) DESC, pair) AS rank
         |  FROM pairs GROUP BY pair)
         |SELECT rank, pair, pair_cnt FROM ranked
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q_llm_wordpiece_merge" ->
+      """WITH vocab AS (SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY tok),
+        |pairs AS (SELECT unnest([substr(tok, i, 2)
+        |     for i in range(1, length(tok))]) AS pair, cnt
+        |  FROM vocab WHERE length(tok) >= 2),
+        |pc AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+        |  FROM pairs GROUP BY pair),
+        |chars AS (SELECT unnest([substr(tok, i, 1)
+        |     for i in range(1, length(tok) + 1)]) AS ch, cnt
+        |  FROM vocab),
+        |cc AS (SELECT ch, CAST(sum(cnt) AS BIGINT) AS ccnt
+        |  FROM chars GROUP BY ch),
+        |sc AS (SELECT pair, pair_cnt, l.ccnt AS cl, r.ccnt AS cr,
+        |   CAST(((pair_cnt * 1000000) // l.ccnt) * 1000000 // r.ccnt
+        |     AS BIGINT) AS score_e6
+        |  FROM pc JOIN cc l ON substr(pair, 1, 1) = l.ch
+        |           JOIN cc r ON substr(pair, 2, 1) = r.ch),
+        |ranked AS (SELECT *, row_number() OVER
+        |   (ORDER BY score_e6 DESC, pair) AS rank FROM sc)
+        |SELECT rank, pair, pair_cnt, cl, cr, score_e6 FROM ranked
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
   )
 }

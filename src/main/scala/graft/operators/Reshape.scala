@@ -98,6 +98,62 @@ object Reshape {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Point-in-time (as-of) lookup against the SCD-2 history (round 8):
+    * "what state was each user in at time T?" — the temporal-join read
+    * side of [[scd2Merge]]'s write side, and the lookup every
+    * training-data snapshot / feature-store pipeline runs to avoid
+    * label leakage (features must come from the version valid AT the
+    * observation time, not the current one).
+    *
+    * Probes are a deterministic per-user grid: 4 instants at mn +
+    * (mx−mn)·k div 4, k ∈ 0..3, over the user's event span. The lookup
+    * does NOT run as a range join (valid_from ≤ T < valid_to would
+    * nest-loop or need binning): it is the UNION-MERGE as-of pattern —
+    * change rows and probe rows interleave in one user-partitioned
+    * window ordered by (ts, is_probe, ord), and `last(state) ignoring
+    * nulls` over the unbounded-preceding frame carries the in-force
+    * state onto each probe. Change rows sort BEFORE probes at the same
+    * instant (is_probe tiebreak), so a probe exactly at a transition
+    * sees the new state; `ord` = event_id makes same-instant change
+    * runs deterministic.
+    *
+    * Scale shape: one events shuffle (the shared user_id window), one
+    * user-sized probe frame, zero joins — the same single-exchange
+    * budget as scd2Merge itself; AQE skew-split covers hot users. */
+  def scd2PitLookup(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val changes = ev
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type"))
+      .select(col("user_id"), col("ts_us"),
+        col("event_type").as("state"),
+        lit(null).cast("long").as("probe_no"),
+        lit(0).as("is_probe"), col("event_id").cast("long").as("ord"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .select(col("user_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  k -> struct(CAST(k AS BIGINT) AS probe_no,
+          |              mn + ((mx - mn) * k) div 4 AS pts))"""
+          .stripMargin)).as("p"))
+      .select(col("user_id"), col("p.pts").as("ts_us"),
+        lit(null).cast("string").as("state"), col("p.probe_no"),
+        lit(1).as("is_probe"), col("p.probe_no").as("ord"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_probe"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.unionAll(probes)
+      .withColumn("state_at", last(col("state"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("user_id"), col("probe_no"),
+        col("ts_us").as("probe_ts_us"), col("state_at"))
+      .orderBy(col("user_id"), col("probe_no"))
+  }
+
   /** TPC-H Q3-shaped composite (adapted to this schema: no
     * shippriority column, o_orderpriority stands in): top-10 urgent
     * revenue orders for one market segment — dim filter → 3-way join →
@@ -469,6 +525,7 @@ object Reshape {
     "q_unpivot_measures" -> unpivotMeasures,
     "q_sessionize_batch" -> sessionizeBatch,
     "q_scd2_merge" -> scd2Merge,
+    "q_scd2_pit_lookup" -> scd2PitLookup,
     "q_tpch_q3_priority" -> shippingPriority,
     "q_tpch_q5_local" -> localSupplierVolume,
     "q_tpch_q18_bigorders" -> largeVolumeOrders,
@@ -515,6 +572,29 @@ object Reshape {
         | min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+    "q_scd2_pit_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, ts_us, event_type AS state,
+        |   CAST(NULL AS BIGINT) AS probe_no, 0 AS is_probe,
+        |   CAST(event_id AS BIGINT) AS ord
+        |  FROM g WHERE prev IS NULL OR prev <> event_type),
+        |sp AS (SELECT user_id, CAST(min(ts_us) AS BIGINT) AS mn,
+        |   CAST(max(ts_us) AS BIGINT) AS mx FROM e GROUP BY user_id),
+        |pr AS (SELECT user_id,
+        |   CAST(mn + ((mx - mn) * k) // 4 AS BIGINT) AS ts_us,
+        |   CAST(NULL AS VARCHAR) AS state, CAST(k AS BIGINT) AS probe_no,
+        |   1 AS is_probe, CAST(k AS BIGINT) AS ord
+        |  FROM sp, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |x AS (SELECT *, last_value(state IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts_us, is_probe, ord
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_at
+        |  FROM (SELECT * FROM ch UNION ALL SELECT * FROM pr))
+        |SELECT user_id, probe_no, ts_us AS probe_ts_us, state_at
+        |FROM x WHERE is_probe = 1
+        |ORDER BY user_id, probe_no""".stripMargin,
     "q_scd2_merge" ->
       """WITH g AS (SELECT user_id, event_id, event_type,
         |   epoch_us(ts) AS ts_us,
