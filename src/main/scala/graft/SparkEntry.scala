@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Curation.queries ++
     operators.Evaluation.queries ++
     operators.Warehouse.queries ++
+    operators.Governance.queries ++
     multimodal.Multimodal.queries ++
     GraftCatalog.queries
 
@@ -54,6 +55,7 @@ object SparkEntry {
     operators.Curation.oracle ++
     operators.Evaluation.oracle ++
     operators.Warehouse.oracle ++
+    operators.Governance.oracle ++
     multimodal.Multimodal.oracle ++
     GraftCatalog.oracle
 }

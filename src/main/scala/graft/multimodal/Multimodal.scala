@@ -561,8 +561,50 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Enrolled (round 8): video frame sampling through [[sampleFrames]] —
+    * each ASCII doc becomes a GRFT "video" blob (payload = text bytes),
+    * split into 16-byte frames, keep every 2nd (frame_no keeps the
+    * ORIGINAL index — the temporal position survives sampling), then a
+    * per-media rollup: total frames (from the blob header side),
+    * sampled count, sampled bytes, and a position-weighted checksum
+    * Σ (frame_no+1)·Σbytes(frame) that any frame-boundary or stride
+    * error would break. ASCII payload ⇒ the DuckDB twin recomputes all
+    * of it from char codes.
+    *
+    * Scale: the sampler is a typed flatMap (Generator shape) — frames
+    * never leave their partition before the partial-aggregable rollup,
+    * and the media frame rides the shared memoized fixture. Real video
+    * swaps decodeOne for an MP4/keyframe probe; stride sampling, batch
+    * shape, and the corrupt-blob contract (valid=false → zero frames)
+    * are exactly this. */
+  def mmVideoFrames(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = memoizedMedia(spark, dir, "video") {
+      asciiDocs(spark, dir).map { case (id, text) =>
+        Media(id, "video", encode(16, (text.length + 15) / 16,
+          text.getBytes("US-ASCII")))
+      }
+    }.as[Media]
+    val perFrame = sampleFrames(media, 16, 2)
+      .map(f => (f.media_id, f.frame_no.toLong, f.frame.length.toLong,
+        f.frame.map(b => (b & 0xff).toLong).sum))
+      .toDF("media_id", "frame_no", "f_len", "b_sum")
+    val rollup = perFrame.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("f_len")).as("bytes_sampled"),
+        sum(expr("(frame_no + 1) * b_sum")).as("checksum"))
+    media.toDF()
+      .select(col("media_id"),
+        expr("CAST((length(blob) - 12 + 15) div 16 AS BIGINT)")
+          .as("n_frames"))
+      .join(rollup, "media_id")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_video_frames" -> mmVideoFrames,
     "q_mm_features" -> mmFeatures,
     "q_mm_image_decode" -> mmImageDecode,
     "q_mm_audio_decode" -> mmAudioDecode,
@@ -571,6 +613,28 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // frames replay from char codes: byte i of the payload is
+    // ascii(text[i]), frame f covers i ∈ [16f, 16f+16), sampled iff
+    // f % 2 = 0; join keeps only docs with ≥1 sampled frame (every
+    // non-empty doc has frame 0, matching the inner join on rollup)
+    "q_mm_video_frames" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d0),
+        |fr AS (SELECT doc_id, i // 16 AS f,
+        |   ascii(substr(text, CAST(i + 1 AS INT), 1)) AS code
+        |  FROM px),
+        |sam AS (SELECT doc_id, f, count(*) AS flen,
+        |   CAST(sum(code) AS BIGINT) AS bsum
+        |  FROM fr WHERE f % 2 = 0 GROUP BY 1, 2)
+        |SELECT d0.doc_id AS media_id,
+        | CAST((d0.n + 15) // 16 AS BIGINT) AS n_frames,
+        | CAST(count(*) AS BIGINT) AS n_sampled,
+        | CAST(sum(sam.flen) AS BIGINT) AS bytes_sampled,
+        | CAST(sum((sam.f + 1) * sam.bsum) AS BIGINT) AS checksum
+        |FROM d0 JOIN sam USING (doc_id)
+        |GROUP BY d0.doc_id, d0.n ORDER BY media_id""".stripMargin,
     "q_mm_features" ->
       """WITH chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
         |  FROM documents),

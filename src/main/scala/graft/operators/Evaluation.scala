@@ -111,12 +111,93 @@ object Evaluation {
       .orderBy(col("query"))
   }
 
+  /** ROUGE-2-style set overlap between consecutive same-source docs:
+    * candidate a = a doc, reference b = the next doc_id in its source;
+    * over DISTINCT token bigrams, recall = |A∩B|/|B|, precision =
+    * |A∩B|/|A|, F1 = 2|A∩B|/(|A|+|B|) (the Dice identity — on sets,
+    * F1 needs no float P/R intermediates, so ×10⁴ integer division is
+    * exact). The summarization-eval / duplicate-page member of the
+    * evaluation family; top-20 pairs by F1.
+    *
+    * Only docs with ≥2 tokens participate (a bigram needs two), on
+    * BOTH sides of the pair — enforced by inner-joining the per-doc
+    * bigram counts, identically in the oracle.
+    *
+    * Shape: pairing is one doc-sized window (lead over source); the
+    * corpus-sized work is the distinct-bigram build and one equi-join
+    * keyed (doc, bigram) — no cross product anywhere; counts then ride
+    * doc-sized joins. At 100 TB the bigram frame is the inverted-index
+    * build every eval pipeline persists anyway. */
+  def rougeBigram(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val pairs = documents(spark, dir)
+      .select(col("source"), col("doc_id").as("a"),
+        lead(col("doc_id"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+    val bgs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> concat(tk[i], ' ', tk[i + 1]))")).as("bg"))
+      .distinct()
+    val cnt = bgs.groupBy(col("doc_id")).agg(count(lit(1)).as("nbg"))
+    val inter = pairs
+      .join(bgs.select(col("doc_id").as("a"), col("bg")), "a")
+      .join(bgs.select(col("doc_id").as("b"), col("bg")), Seq("b", "bg"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.select(col("doc_id").as("a"), col("nbg").as("na")), "a")
+      .join(cnt.select(col("doc_id").as("b"), col("nbg").as("nb")), "b")
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        coalesce(col("inter"), lit(0L)).as("n_common"))
+      .withColumn("recall_e4", expr("n_common * 10000 div nb"))
+      .withColumn("precision_e4", expr("n_common * 10000 div na"))
+      .withColumn("f1_e4", expr("2 * n_common * 10000 div (na + nb)"))
+      .orderBy(col("f1_e4").desc, col("a"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_rouge_bigram" -> rougeBigram,
     "q_llm_ndcg" -> ndcgAt10,
     "q_llm_mrr" -> mrr,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_rouge_bigram" ->
+      """WITH pairs AS (SELECT doc_id AS a,
+        |   lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b
+        |  FROM documents),
+        |p2 AS (SELECT a, b FROM pairs WHERE b IS NOT NULL),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bgs AS (SELECT DISTINCT doc_id,
+        |   unnest([tk[i] || ' ' || tk[i + 1]
+        |     for i in range(1, len(tk))]) AS bg
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, count(*) AS nbg FROM bgs GROUP BY doc_id),
+        |inter AS (SELECT p2.a, p2.b, count(*) AS i
+        |  FROM p2
+        |  JOIN bgs ba ON ba.doc_id = p2.a
+        |  JOIN bgs bb ON bb.doc_id = p2.b AND bb.bg = ba.bg
+        |  GROUP BY p2.a, p2.b)
+        |SELECT p2.a AS a, p2.b AS b,
+        | CAST(ca.nbg AS BIGINT) AS na, CAST(cb.nbg AS BIGINT) AS nb,
+        | CAST(coalesce(inter.i, 0) AS BIGINT) AS n_common,
+        | CAST(coalesce(inter.i, 0) * 10000 // cb.nbg AS BIGINT)
+        |   AS recall_e4,
+        | CAST(coalesce(inter.i, 0) * 10000 // ca.nbg AS BIGINT)
+        |   AS precision_e4,
+        | CAST(2 * coalesce(inter.i, 0) * 10000 // (ca.nbg + cb.nbg)
+        |   AS BIGINT) AS f1_e4
+        |FROM p2
+        |JOIN cnt ca ON ca.doc_id = p2.a
+        |JOIN cnt cb ON cb.doc_id = p2.b
+        |LEFT JOIN inter ON inter.a = p2.a AND inter.b = p2.b
+        |ORDER BY f1_e4 DESC, a LIMIT 20""".stripMargin,
     "q_llm_ndcg" -> {
       val ctes = LlmOps.bm25Ctes
       s"""WITH $ctes,

@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2-J17 — data-governance audits: privacy risk
+  * (k-anonymity, l-diversity) and Deequ-style declarative data-quality
+  * constraint suites. These are the reports a training-data pipeline
+  * runs BEFORE a corpus ships: "can any quasi-identifier combination
+  * single out a user?" and "does every batch satisfy the contract the
+  * downstream consumers assume?".
+  *
+  * Reference analog: the reference (SURVEY §0.5) logs raw container
+  * events with user-attributable fields into a shared triplestore;
+  * these rows are the read-side governance audits such a log needs
+  * before export.
+  *
+  * Exactness strategy (house rules): all emitted measures are BIGINT —
+  * money through the floor(x·100 + 0.5) cents idiom, ratios ×10⁴ via
+  * integer div, and every quantity that could go negative is SHIFTED
+  * nonnegative before any integer division (Spark `div` truncates
+  * toward zero, DuckDB `//` floors toward −∞; they agree only on
+  * nonnegative operands — the pinned shifted-ratio idiom).
+  *
+  * Scale notes (100 TB): every audit here is one fact-table scan plus
+  * aggregations on shrinking keys. The k-anonymity class table is
+  * bounded by the QI domain (|nations|·|segments|·|bands|), the
+  * l-diversity cell table by |QI classes|·|users-per-class|, and the
+  * constraint suite is ONE pass with conditional aggregates plus
+  * broadcast-dim anti-join checks — no self-joins, no global sorts,
+  * no driver materialization. countDistinct in the profiler is the
+  * exact-audit form; at 100 TB the same plan swaps in
+  * approx_count_distinct (HLL) per column, which this engine already
+  * ships (q_agg_approx_distinct / q_agg_hll_merge).
+  */
+object Governance {
+
+  private def cents(c: String): Column =
+    expr(s"CAST(floor($c * 100 + 0.5) AS BIGINT)")
+
+  /** k-anonymity audit over customer. QI = (nation, market segment,
+    * $1000 account-balance band); for k ∈ {2, 5, 10} report how many
+    * equivalence classes fall below k and what fraction of rows a
+    * suppress-below-k policy would drop.
+    *
+    * The balance band is computed on cents SHIFTED by +10⁸ (TPC-H
+    * acctbal ≥ −$10k, so cents ≥ −10⁶; the shift keeps the integer
+    * division nonnegative where Spark `div` and DuckDB `//` agree).
+    *
+    * Shape: one groupBy on the QI triple (partial-aggregable), then a
+    * QI-domain-sized class table cross-joined with the 3-row k frame —
+    * the cross join is broadcast-trivial on either side. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cls = customer(spark, dir)
+      .withColumn("band",
+        expr("(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)" +
+          " div 100000"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("sz"))
+    val ks = Seq(2L, 5L, 10L).toDF("k")
+    cls.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+          .as("n_suppressed"),
+        sum(col("sz")).as("n_rows"),
+        min(col("sz")).as("min_class"),
+        max(col("sz")).as("max_class"))
+      .select(col("k"), col("n_classes"), col("n_small"),
+        col("n_suppressed"),
+        expr("n_suppressed * 10000 div n_rows").as("supp_rate_e4"),
+        col("min_class"), col("max_class"))
+      .orderBy(col("k"))
+  }
+
+  /** l-diversity audit over events. QI class = (event_type, epoch
+    * day); sensitive attribute = user_id. Per class: size, distinct
+    * sensitive values (the "l"), whether l ≥ 3, and the top sensitive
+    * value's share ×10⁴ (the skew that distinct-l alone hides —
+    * a class can have l = 50 yet be 99% one user).
+    *
+    * Day = unix_micros(ts) div 86400·10⁶ — a pure nonnegative integer
+    * bucket, no calendar functions to disagree on.
+    *
+    * Shape: two partial-aggregable groupBys on strictly shrinking keys
+    * (cell = class × user, then class) — one fact shuffle each, the
+    * classic two-level distinct-count shape. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("event_type"), col("day"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    cells
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("sz"),
+        count(lit(1)).as("l_distinct"),
+        max(col("c")).as("top_cnt"))
+      .select(col("event_type"), col("day"), col("sz"), col("l_distinct"),
+        (col("l_distinct") >= 3L).as("l_ok"),
+        expr("top_cnt * 10000 div sz").as("top_share_e4"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Deequ-style declarative constraint suite: one row per constraint
+    * with (checked, violations, pass). Eight constraints across four
+    * families — completeness, domain/range, uniqueness, referential
+    * integrity — evaluated in TWO fact scans total:
+    *
+    *   - every lineitem row-level check AND both lineitem RI checks
+    *     ride ONE scan: the dim keys are broadcast left-joined onto the
+    *     fact stream and all eight measures come out of a single 1-row
+    *     conditional aggregate, unpivoted with stack(). A naive suite
+    *     runs one scan per constraint — 8× the I/O for the same answer.
+    *   - the orders→customer RI check is the second (orders-sized) scan.
+    *
+    * Uniqueness of (l_orderkey, l_linenumber) is count−countDistinct
+    * over the injective key l_orderkey·10 + l_linenumber (linenumber ∈
+    * 1..7 < 10), keeping the distinct single-column on both engines. */
+  def dqConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+    val li = lineitem(spark, dir)
+      .join(broadcast(ord.select(col("o_orderkey").as("ok_dim"))
+        .distinct()), col("l_orderkey") === col("ok_dim"), "left")
+      .join(broadcast(part(spark, dir)
+        .select(col("p_partkey").as("pk_dim")).distinct()),
+        col("l_partkey") === col("pk_dim"), "left")
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_comp"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("v_flag"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+        .otherwise(0L)).as("v_disc"),
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("ok_dim").isNull, 1L).otherwise(0L)).as("v_ref_o"),
+      sum(when(col("pk_dim").isNull, 1L).otherwise(0L)).as("v_ref_p"),
+      (count(lit(1)) -
+        countDistinct(expr("l_orderkey * 10 + l_linenumber"))).as("v_uniq"))
+    val liRows = liAgg.select(expr(
+      "stack(7," +
+        " 'li_completeness_shipdate', n, v_comp," +
+        " 'li_domain_returnflag', n, v_flag," +
+        " 'li_range_discount', n, v_disc," +
+        " 'li_range_quantity', n, v_qty," +
+        " 'li_ref_orderkey', n, v_ref_o," +
+        " 'li_ref_partkey', n, v_ref_p," +
+        " 'li_unique_order_line', n, v_uniq)" +
+        " AS (check_name, n_checked, n_violations)"))
+    val ordRows = ord
+      .join(broadcast(customer(spark, dir)
+        .select(col("c_custkey").as("ck_dim")).distinct()),
+        col("o_custkey") === col("ck_dim"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("ck_dim").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("ord_ref_custkey").as("check_name"), col("n_checked"),
+        col("n_violations"))
+    liRows.unionAll(ordRows)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  /** Column profiler over orders — the data-catalog summary row per
+    * column: null count, exact distinct count, min/max normalized to
+    * BIGINT (keys as values, money as cents, timestamps as µs, strings
+    * as their length — one homogeneous output type, no engine-specific
+    * value formatting in the output).
+    *
+    * Shape: ONE scan, ONE aggregate row (24 measures), stack() to the
+    * 6-row report. The multi-countDistinct expands the scan 6-way
+    * (Spark's Expand) — the exact-profile cost; the 100 TB form swaps
+    * each countDistinct for approx_count_distinct and the Expand
+    * disappears into mergeable HLL sketches. */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    def prof(c: String, v: Column, tag: String): Seq[Column] = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$tag"),
+      countDistinct(col(c)).as(s"nd_$tag"),
+      min(v).as(s"mn_$tag"), max(v).as(s"mx_$tag"))
+    val aggs: Seq[Column] =
+      prof("o_orderkey", col("o_orderkey"), "ok") ++
+      prof("o_custkey", col("o_custkey"), "ck") ++
+      prof("o_orderstatus", length(col("o_orderstatus")).cast("long"),
+        "st") ++
+      prof("o_totalprice", cents("o_totalprice"), "tp") ++
+      // o_orderdate is TIMESTAMP_NTZ; the NTZ→TZ cast reads it in the
+      // session zone, which every graft entrypoint pins to UTC — so
+      // this equals DuckDB's epoch_us over the same naive value
+      prof("o_orderdate", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"),
+        "od") ++
+      prof("o_orderpriority", length(col("o_orderpriority")).cast("long"),
+        "op")
+    orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        "stack(6," +
+          " 'o_orderkey', nn_ok, nd_ok, mn_ok, mx_ok," +
+          " 'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck," +
+          " 'o_orderstatus', nn_st, nd_st, mn_st, mx_st," +
+          " 'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp," +
+          " 'o_orderdate', nn_od, nd_od, mn_od, mx_od," +
+          " 'o_orderpriority', nn_op, nd_op, mn_op, mx_op)" +
+          " AS (col_name, n_null, n_distinct, min_v, max_v)"))
+      .orderBy(col("col_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priv_k_anon" -> kAnonymity,
+    "q_priv_l_diversity" -> lDiversity,
+    "q_dq_constraints" -> dqConstraints,
+    "q_dq_profile" -> dqProfile,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_priv_k_anon" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |   (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)
+        |     // 100000 AS band,
+        |   count(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |ks AS (SELECT unnest([2, 5, 10]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        | CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_small,
+        | CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |   AS n_suppressed,
+        | CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 10000
+        |   // sum(sz) AS BIGINT) AS supp_rate_e4,
+        | CAST(min(sz) AS BIGINT) AS min_class,
+        | CAST(max(sz) AS BIGINT) AS max_class
+        |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+    "q_priv_l_diversity" ->
+      """WITH cells AS (SELECT event_type,
+        |   epoch_us(ts) // 86400000000 AS day, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        | CAST(sum(c) AS BIGINT) AS sz,
+        | CAST(count(*) AS BIGINT) AS l_distinct,
+        | count(*) >= 3 AS l_ok,
+        | CAST(max(c) * 10000 // sum(c) AS BIGINT) AS top_share_e4
+        |FROM cells GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+    "q_dq_constraints" ->
+      """WITH li AS (SELECT l.*,
+        |   o.o_orderkey AS ok_dim, p.p_partkey AS pk_dim
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |    ON l.l_partkey = p.p_partkey),
+        |la AS (SELECT count(*) AS n,
+        |   sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_comp,
+        |   sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |     THEN 1 ELSE 0 END) AS v_flag,
+        |   sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |     THEN 1 ELSE 0 END) AS v_disc,
+        |   sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v_qty,
+        |   sum(CASE WHEN ok_dim IS NULL THEN 1 ELSE 0 END) AS v_ref_o,
+        |   sum(CASE WHEN pk_dim IS NULL THEN 1 ELSE 0 END) AS v_ref_p,
+        |   count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber)
+        |     AS v_uniq
+        |  FROM li),
+        |oa AS (SELECT count(*) AS n,
+        |   sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |rows0 AS (
+        | SELECT 'li_completeness_shipdate' AS check_name,
+        |   n AS n_checked, v_comp AS n_violations FROM la
+        | UNION ALL SELECT 'li_domain_returnflag', n, v_flag FROM la
+        | UNION ALL SELECT 'li_range_discount', n, v_disc FROM la
+        | UNION ALL SELECT 'li_range_quantity', n, v_qty FROM la
+        | UNION ALL SELECT 'li_ref_orderkey', n, v_ref_o FROM la
+        | UNION ALL SELECT 'li_ref_partkey', n, v_ref_p FROM la
+        | UNION ALL SELECT 'li_unique_order_line', n, v_uniq FROM la
+        | UNION ALL SELECT 'ord_ref_custkey', n, v FROM oa)
+        |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+        | CAST(n_violations AS BIGINT) AS n_violations,
+        | n_violations = 0 AS pass
+        |FROM rows0 ORDER BY check_name""".stripMargin,
+    "q_dq_profile" ->
+      """WITH a AS (SELECT
+        | sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok,
+        | count(DISTINCT o_orderkey) AS nd_ok,
+        | min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+        | sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck,
+        | count(DISTINCT o_custkey) AS nd_ck,
+        | min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+        | sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_st,
+        | count(DISTINCT o_orderstatus) AS nd_st,
+        | min(length(o_orderstatus)) AS mn_st,
+        | max(length(o_orderstatus)) AS mx_st,
+        | sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_tp,
+        | count(DISTINCT o_totalprice) AS nd_tp,
+        | min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mn_tp,
+        | max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mx_tp,
+        | sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_od,
+        | count(DISTINCT o_orderdate) AS nd_od,
+        | min(epoch_us(o_orderdate)) AS mn_od,
+        | max(epoch_us(o_orderdate)) AS mx_od,
+        | sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_op,
+        | count(DISTINCT o_orderpriority) AS nd_op,
+        | min(length(o_orderpriority)) AS mn_op,
+        | max(length(o_orderpriority)) AS mx_op
+        |FROM orders),
+        |rows0 AS (
+        | SELECT 'o_orderkey' AS col_name, nn_ok AS n_null, nd_ok
+        |   AS n_distinct, mn_ok AS min_v, mx_ok AS max_v FROM a
+        | UNION ALL SELECT 'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck FROM a
+        | UNION ALL SELECT 'o_orderstatus', nn_st, nd_st, mn_st, mx_st
+        |   FROM a
+        | UNION ALL SELECT 'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp
+        |   FROM a
+        | UNION ALL SELECT 'o_orderdate', nn_od, nd_od, mn_od, mx_od FROM a
+        | UNION ALL SELECT 'o_orderpriority', nn_op, nd_op, mn_op, mx_op
+        |   FROM a)
+        |SELECT col_name, CAST(n_null AS BIGINT) AS n_null,
+        | CAST(n_distinct AS BIGINT) AS n_distinct,
+        | CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v
+        |FROM rows0 ORDER BY col_name""".stripMargin,
+  )
+}

@@ -641,9 +641,51 @@ object Graph {
       .orderBy(col("dist"))
   }
 
+  /** Radius-2 truncated HARMONIC closeness of the top-20 basket-graph
+    * hubs: score_e6 = n1·10⁶ + n2·(10⁶/2), where n1 = direct neighbors
+    * (degree) and n2 = nodes at exactly distance 2 (reciprocal-distance
+    * weights 1 and 1/2 — exact in integer µ-units, no division at all).
+    * The "how central are the hubs?" audit generalizing [[bfs2]] from
+    * one source to a hub set.
+    *
+    * Scale: all-nodes 2-hop closeness is Σ_m deg(m)² — superlinear and
+    * skew-amplified, the textbook scale killer. Restricting sources to
+    * a fixed hub set caps the expansion at Σ_{s∈20} Σ_{n∈N(s)} deg(n)
+    * (the same volume class as one triangles round), and every step is
+    * an equi-join + distinct on the memoized [[cooccEdges]] frame. The
+    * hub frame (20 rows) and the hub-neighbor frame (20·deg rows) ride
+    * broadcast; only the candidate distinct shuffles corpus-sized. */
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    val und = cooccEdges(spark, dir)
+    val edges = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val hubs = deg.orderBy(col("dg").desc, col("u")).limit(20)
+      .select(col("u").as("s"), col("dg"))
+    // d1: (source hub, direct neighbor) — distinct by construction
+    // (cooccEdges is a distinct pair set)
+    val d1 = edges.join(broadcast(hubs.select(col("s"))),
+        col("u") === col("s"))
+      .select(col("s"), col("v").as("n"))
+    val cand = edges.join(d1.select(col("s"), col("n")),
+        col("u") === col("n"))
+      .select(col("s"), col("v").as("m")).distinct()
+    val d2 = cand.filter(col("m") =!= col("s"))
+      .join(d1.select(col("s"), col("n").as("m")), Seq("s", "m"),
+        "left_anti")
+      .groupBy(col("s")).agg(count(lit(1)).as("n2"))
+    hubs.join(d2, Seq("s"), "left")
+      .select(col("s").as("node"), col("dg").as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .withColumn("harmonic_e6",
+        expr("n1 * 1000000 + n2 * 500000"))
+      .orderBy(col("harmonic_e6").desc, col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_hits" -> hits,
     "q_graph_bfs2" -> bfs2,
+    "q_graph_closeness" -> closeness,
     "q_graph_kcore" -> kcore,
     "q_graph_lpa" -> labelProp,
     "q_graph_modularity" -> modularity,
@@ -676,6 +718,26 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_closeness" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY u),
+        |hubs AS (SELECT u AS s, dg FROM deg ORDER BY dg DESC, u LIMIT 20),
+        |d1 AS (SELECT h.s, e.v AS n FROM e JOIN hubs h ON e.u = h.s),
+        |cand AS (SELECT DISTINCT d1.s, e.v AS m
+        |  FROM e JOIN d1 ON e.u = d1.n),
+        |d2 AS (SELECT s, count(*) AS n2 FROM cand
+        |  WHERE m <> s AND NOT EXISTS (SELECT 1 FROM d1
+        |    WHERE d1.s = cand.s AND d1.n = cand.m)
+        |  GROUP BY s)
+        |SELECT h.s AS node, CAST(h.dg AS BIGINT) AS n1,
+        | CAST(coalesce(d2.n2, 0) AS BIGINT) AS n2,
+        | CAST(h.dg * 1000000 + coalesce(d2.n2, 0) * 500000 AS BIGINT)
+        |   AS harmonic_e6
+        |FROM hubs h LEFT JOIN d2 ON d2.s = h.s
+        |ORDER BY harmonic_e6 DESC, node""".stripMargin,
     "q_graph_bfs2" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

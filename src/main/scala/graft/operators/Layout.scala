@@ -151,13 +151,119 @@ object Layout {
     }
   }
 
+  /** Zone-map pruning evidence: the same lineitem rows laid out into 64
+    * "files" two ways — (a) clustered by arrival key l_orderkey (the
+    * natural ingest layout) and (b) range-partitioned by ship-date —
+    * then, for a fixed one-week ship-date probe, how many files a
+    * min/max zone map lets the scanner SKIP, and the read amplification
+    * (rows in must-read files ÷ rows actually matching, ×10⁴) each
+    * layout pays. This is the measured argument for
+    * sort-on-write: identical bytes, 64× different I/O.
+    *
+    * File assignment is rank-free (key·64 div (max+1)) — no global
+    * row_number, so the assignment is deterministic, shuffle-light,
+    * and scale-independent (a real writer derives it the same way
+    * from the partition value). Days are datediff vs an epoch DATE
+    * (NTZ-cast, timezone-free on both engines).
+    *
+    * Shape per layout: one scan → per-file min/max/count/match zone
+    * aggregate (≤64 groups, partial-aggregable) → 1-row fold. The
+    * 1-row max(key) frame rides a broadcast cross join. */
+  def zonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(spark, dir).select(col("l_orderkey"),
+      expr("datediff(CAST(l_shipdate AS DATE), DATE'1995-01-01')")
+        .as("day"))
+    val probeLo = "datediff(DATE'1998-06-01', DATE'1995-01-01')"
+    def layout(name: String, fileCol: String): DataFrame = {
+      val keyed = base.crossJoin(broadcast(
+        base.agg(max(col("l_orderkey")).as("max_ok"),
+          max(col("day")).as("max_day"))))
+      val zones = keyed
+        .withColumn("file", expr(fileCol))
+        .withColumn("m",
+          expr(s"CASE WHEN day >= $probeLo AND day < $probeLo + 7" +
+            " THEN 1L ELSE 0L END"))
+        .groupBy(col("file"))
+        .agg(min(col("day")).as("zmin"), max(col("day")).as("zmax"),
+          count(lit(1)).as("cnt"), sum(col("m")).as("matched"))
+        .withColumn("read",
+          expr(s"CASE WHEN zmin < $probeLo + 7 AND zmax >= $probeLo" +
+            " THEN 1L ELSE 0L END"))
+      zones.agg(
+        count(lit(1)).as("n_files"),
+        sum(col("read")).as("files_read"),
+        sum(col("cnt")).as("rows_total"),
+        sum(expr("read * cnt")).as("rows_scanned"),
+        sum(col("matched")).as("rows_matched"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_read"),
+          col("rows_total"), col("rows_scanned"), col("rows_matched"),
+          expr("(n_files - files_read) * 10000 div n_files")
+            .as("prune_rate_e4"),
+          expr("rows_scanned * 10000 div greatest(rows_matched, 1)")
+            .as("read_amp_e4"))
+    }
+    layout("arrival_clustered", "l_orderkey * 64 div (max_ok + 1)")
+      .unionAll(layout("shipdate_ranged", "day * 64 div (max_day + 1)"))
+      .orderBy(col("layout"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_zonemap" -> zonemapPrune,
     "q_layout_zorder" -> zorderStats,
     "q_layout_compact" -> compact,
     "q_layout_bucketed_join" -> bucketedJoin,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_layout_zonemap" ->
+      """WITH base AS (SELECT l_orderkey,
+        |   datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+        |     AS day
+        |  FROM lineitem),
+        |mx AS (SELECT max(l_orderkey) AS max_ok, max(day) AS max_day
+        |  FROM base),
+        |lo AS (SELECT datediff('day', DATE '1995-01-01',
+        |   DATE '1998-06-01') AS p FROM (VALUES (1))),
+        |assigned AS (SELECT b.day,
+        |   b.l_orderkey * 64 // (mx.max_ok + 1) AS f_arr,
+        |   b.day * 64 // (mx.max_day + 1) AS f_rng,
+        |   CASE WHEN b.day >= lo.p AND b.day < lo.p + 7
+        |     THEN 1 ELSE 0 END AS m
+        |  FROM base b CROSS JOIN mx CROSS JOIN lo),
+        |za AS (SELECT f_arr AS file, min(day) AS zmin, max(day) AS zmax,
+        |   count(*) AS cnt, sum(m) AS matched
+        |  FROM assigned GROUP BY f_arr),
+        |zr AS (SELECT f_rng AS file, min(day) AS zmin, max(day) AS zmax,
+        |   count(*) AS cnt, sum(m) AS matched
+        |  FROM assigned GROUP BY f_rng),
+        |fold AS (
+        | SELECT 'arrival_clustered' AS layout, count(*) AS n_files,
+        |  sum(CASE WHEN zmin < lo.p + 7 AND zmax >= lo.p
+        |    THEN 1 ELSE 0 END) AS files_read,
+        |  sum(cnt) AS rows_total,
+        |  sum(CASE WHEN zmin < lo.p + 7 AND zmax >= lo.p
+        |    THEN cnt ELSE 0 END) AS rows_scanned,
+        |  sum(matched) AS rows_matched
+        | FROM za CROSS JOIN lo GROUP BY lo.p
+        | UNION ALL
+        | SELECT 'shipdate_ranged', count(*),
+        |  sum(CASE WHEN zmin < lo.p + 7 AND zmax >= lo.p
+        |    THEN 1 ELSE 0 END),
+        |  sum(cnt),
+        |  sum(CASE WHEN zmin < lo.p + 7 AND zmax >= lo.p
+        |    THEN cnt ELSE 0 END),
+        |  sum(matched)
+        | FROM zr CROSS JOIN lo GROUP BY lo.p)
+        |SELECT layout, CAST(n_files AS BIGINT) AS n_files,
+        | CAST(files_read AS BIGINT) AS files_read,
+        | CAST(rows_total AS BIGINT) AS rows_total,
+        | CAST(rows_scanned AS BIGINT) AS rows_scanned,
+        | CAST(rows_matched AS BIGINT) AS rows_matched,
+        | CAST((n_files - files_read) * 10000 // n_files AS BIGINT)
+        |   AS prune_rate_e4,
+        | CAST(rows_scanned * 10000 // greatest(rows_matched, 1)
+        |   AS BIGINT) AS read_amp_e4
+        |FROM fold ORDER BY layout""".stripMargin,
     "q_layout_zorder" ->
       """WITH z AS (SELECT l_partkey, l_suppkey,
         |   CAST(list_sum([
