@@ -602,8 +602,72 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Enrolled (round 8): energy-based voice-activity detection over the
+    * REALLY-decoded WAV corpus — 160-sample (10 ms @ 16 kHz) frames, a
+    * frame is "active" iff its mean square energy exceeds 1600·2⁵⁶²
+    * (i.e. mean (code−64)² > 1600: letter-dense frames clear it,
+    * space-heavy ones don't on the ASCII fixture) — the
+    * silence-trimming pre-filter an audio curation pipeline runs
+    * before transcription. Shares the memoized "wav" media fixture
+    * with q_mm_audio_decode (one encode per application+sfDir).
+    *
+    * The last (short) frame is judged against its OWN length — the
+    * threshold is per-sample, so no zero-pad bias. Lossless PCM ⇒ the
+    * DuckDB twin replays frames from char codes exactly.
+    *
+    * Scale shape: mapPartitions decode + in-loop frame fold — per-frame
+    * rows NEVER materialize, each media row emits one stats row. */
+  def mmAudioVad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = memoizedMedia(spark, dir, "wav") {
+      asciiDocs(spark, dir).map { case (id, text) =>
+        val samples = text.map(c => ((c - 64) * 256).toShort).toArray
+        Media(id, "audio", encodeWavPcm16(samples, 16000f))
+      }
+    }.as[Media]
+    media.mapPartitions(_.flatMap { m =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.blob))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            s"not PCM_SIGNED 16-bit: $fmt")
+        val bytes = ais.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var frames = 0L; var active = 0L; var maxE = 0L
+        var e = 0L; var fLen = 0L
+        def closeFrame(): Unit = if (fLen > 0) {
+          frames += 1
+          // per-sample threshold: Σ s² > 1600·65536·len ⇔ mean
+          // (code−64)² > 1600 (s = (code−64)·256 exactly)
+          if (e > 1600L * 65536L * fLen) active += 1
+          if (e > maxE) maxE = e
+          e = 0L; fLen = 0L
+        }
+        while (bb.remaining() >= 2) {
+          val s = bb.getShort.toLong
+          e += s * s; fLen += 1
+          if (fLen == 160) closeFrame()
+        }
+        closeFrame()
+        if (frames == 0) None
+        else Some((m.media_id, frames, active,
+          active * 10000L / frames, maxE))
+      } catch { case _: Exception => None }
+    }).toDF("media_id", "n_frames", "n_active", "active_e4",
+      "max_frame_energy")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_audio_vad" -> mmAudioVad,
     "q_mm_video_frames" -> mmVideoFrames,
     "q_mm_features" -> mmFeatures,
     "q_mm_image_decode" -> mmImageDecode,
@@ -613,6 +677,28 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // lossless PCM ⇒ frame energies replay from char codes: sample i is
+    // (code_i − 64)·256, frame f covers i ∈ [160f, 160f+160), active
+    // iff Σ(code−64)² > 1600·len; active_e4 uses integer division
+    "q_mm_audio_vad" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, unnest(range(n)) AS i, text FROM d0),
+        |ch AS (SELECT doc_id, i // 160 AS f,
+        |   ascii(substr(text, CAST(i + 1 AS INT), 1)) - 64 AS a
+        |  FROM px),
+        |fr AS (SELECT doc_id, f, count(*) AS flen,
+        |   CAST(sum(a * a) AS BIGINT) AS e
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT doc_id AS media_id,
+        | CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(sum(CASE WHEN e > 1600 * flen THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_active,
+        | CAST(sum(CASE WHEN e > 1600 * flen THEN 1 ELSE 0 END) * 10000
+        |   // count(*) AS BIGINT) AS active_e4,
+        | CAST(max(e) * 65536 AS BIGINT) AS max_frame_energy
+        |FROM fr GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // frames replay from char codes: byte i of the payload is
     // ascii(text[i]), frame f covers i ∈ [16f, 16f+16), sampled iff
     // f % 2 = 0; join keeps only docs with ≥1 sampled frame (every

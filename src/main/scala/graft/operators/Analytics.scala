@@ -558,7 +558,52 @@ object Analytics {
       .limit(20)
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation over
+    * purchase events: per user, days since last purchase, purchase
+    * count, and lifetime cents; each scored 1–5 by ntile quintile
+    * (5 = best: most recent, most frequent, highest spend), then the
+    * segment report per (r, f, m) cell with user count and average
+    * spend. The classic CRM read every event log eventually serves.
+    *
+    * Determinism: every ntile rides a TOTAL order (metric, user_id) —
+    * both engines use standard first-buckets-larger ntile splitting,
+    * so the quintile boundaries are identical. Money is cents via the
+    * floor idiom; recency is epoch-day arithmetic (calendar-free).
+    *
+    * Scale shape: the event scan reduces to a USER-sized frame before
+    * any window runs; the three single-partition ntile sorts are over
+    * |purchasing users|, not |events| — the known bounded-frame
+    * pattern (cf. diag_range_bounds). At true 100 TB user counts the
+    * same scores come from a 2-pass quantile-threshold assignment
+    * (compute 4 cut points per metric, then a broadcast range join);
+    * the enrolled form is the exact-audit twin of that plan. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("mon_cents"))
+    val gmax = users.agg(max(col("last_day")).as("gmax"))
+    val scored = users.crossJoin(broadcast(gmax))
+      .withColumn("rec_days", expr("gmax - last_day"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("rec_days").desc, col("user_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq").asc, col("user_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("mon_cents").asc, col("user_id"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("mon_cents")).as("cents_total"))
+      .withColumn("cents_avg", expr("cents_total div n_users"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_rfm" -> rfmSegments,
     "q_llm_textrank" -> textrank,
     "q_win_gap_islands" -> gapIslands,
     "q_skyline_parts" -> skylineParts,
@@ -578,6 +623,27 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_rfm" ->
+      """WITH u AS (SELECT user_id,
+        |   max(epoch_us(ts) // 86400000000) AS last_day,
+        |   count(*) AS freq,
+        |   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |     AS mon_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |g AS (SELECT max(last_day) AS gmax FROM u),
+        |s AS (SELECT u.*,
+        |   ntile(5) OVER (ORDER BY g.gmax - u.last_day DESC, user_id)
+        |     AS r_score,
+        |   ntile(5) OVER (ORDER BY freq ASC, user_id) AS f_score,
+        |   ntile(5) OVER (ORDER BY mon_cents ASC, user_id) AS m_score
+        |  FROM u CROSS JOIN g)
+        |SELECT CAST(r_score AS INTEGER) AS r_score,
+        | CAST(f_score AS INTEGER) AS f_score,
+        | CAST(m_score AS INTEGER) AS m_score,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(mon_cents) AS BIGINT) AS cents_total,
+        | CAST(sum(mon_cents) // count(*) AS BIGINT) AS cents_avg
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_llm_textrank" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS tk
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

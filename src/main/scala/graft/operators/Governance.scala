@@ -207,7 +207,43 @@ object Governance {
       .orderBy(col("col_name"))
   }
 
+  /** Distribution-drift audit: split events into two cohorts by epoch-
+    * day parity (the even/odd-day A/B the fixture affords; production
+    * compares yesterday vs trailing week), histogram `value` into 10
+    * equal-width cent bands per event_type, and report a chi-square-
+    * style drift statistic Σ (a−b)²·10⁴ div (a+b) over the bands —
+    * the alert a data contract fires when a feed's distribution moves.
+    * Integer end-to-end: PSI's ln(p/q) is replaced by the χ² form,
+    * which needs no logarithm and stays exact.
+    *
+    * Banding rides the global max (1-row broadcast, the zonemap
+    * pattern): band = cents·10 div (max_cents+1) ∈ [0, 10). All values
+    * are nonnegative (fixture min $0.01), so every division sits in
+    * the engine-agreement zone.
+    *
+    * Scale shape: one fact scan → (type, band, parity) partial-
+    * aggregable counts (≤ 2·10·|types| groups) → per-type fold. The
+    * per-band quotient sum is order-independent (each band's term is
+    * computed exactly, then summed). */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("cents", cents("value"))
+    val mx = ev.agg(max(col("cents")).as("maxc"))
+    val bands = ev.crossJoin(broadcast(mx))
+      .withColumn("band", expr("cents * 10 div (maxc + 1)"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(sum(when(col("day") % 2 === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("day") % 2 === 1, 1L).otherwise(0L)).as("b"))
+    bands.groupBy(col("event_type"))
+      .agg(sum(col("a")).as("n_even"), sum(col("b")).as("n_odd"),
+        count(lit(1)).as("n_bands"),
+        sum(expr("(a - b) * (a - b) * 10000 div (a + b)")).as("chi2_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_drift" -> dqDrift,
     "q_priv_k_anon" -> kAnonymity,
     "q_priv_l_diversity" -> lDiversity,
     "q_dq_constraints" -> dqConstraints,
@@ -215,6 +251,22 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_drift" ->
+      """WITH ev AS (SELECT event_type,
+        |   epoch_us(ts) // 86400000000 AS day,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |mx AS (SELECT max(cents) AS maxc FROM ev),
+        |bands AS (SELECT event_type, cents * 10 // (mx.maxc + 1) AS band,
+        |   sum(CASE WHEN day % 2 = 0 THEN 1 ELSE 0 END) AS a,
+        |   sum(CASE WHEN day % 2 = 1 THEN 1 ELSE 0 END) AS b
+        |  FROM ev CROSS JOIN mx GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(a) AS BIGINT) AS n_even,
+        | CAST(sum(b) AS BIGINT) AS n_odd,
+        | CAST(count(*) AS BIGINT) AS n_bands,
+        | CAST(sum((a - b) * (a - b) * 10000 // (a + b)) AS BIGINT)
+        |   AS chi2_e4
+        |FROM bands GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_priv_k_anon" ->
       """WITH cls AS (SELECT c_nationkey, c_mktsegment,
         |   (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)

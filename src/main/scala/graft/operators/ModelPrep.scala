@@ -396,7 +396,41 @@ object ModelPrep {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-dimension int8 affine quantization calibration over the
+    * embedding corpus: for each of the 64 dims, the observed range in
+    * µ-units, the derived affine scale (range div 255) and zero point
+    * (the uint8 code of 0.0, clamped to [0, 255]), plus the component
+    * sum — the calibration table an int8 serving path loads next to
+    * the weights. Complements q_llm_pq_quantize (codebook quant) with
+    * the scalar-quant variant.
+    *
+    * The zero-point division has a negative numerator exactly when
+    * min > 0, where trunc-vs-floor could differ between engines — but
+    * then both quotients are ≤ 0 and the greatest(0, _) clamp lands
+    * both at 0, so the emitted value is engine-identical (the clamp
+    * absorbs the negative-division asymmetry; same argument as the
+    * shifted-ratio idiom).
+    *
+    * Scale shape: one posexplode + one 64-key partial-aggregable
+    * groupBy — the pcaPower step shape without the iteration; no
+    * vector ever shuffles whole. */
+  def embedCalib(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(posexplode(expr(
+        "transform(embedding, t -> CAST(floor(t * 1000000.0D + 0.5)" +
+          " AS BIGINT))")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_e6"),
+        max(col("v")).as("max_e6"), sum(col("v")).as("sum_e6"))
+      .withColumn("scale_e6", expr("(max_e6 - min_e6) div 255"))
+      .withColumn("zero_point", expr(
+        "greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT)," +
+          " (0 - min_e6) * 255 div greatest(max_e6 - min_e6," +
+          " CAST(1 AS BIGINT))))"))
+      .orderBy(col("dim"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_embed_calib" -> embedCalib,
     "q_llm_pca_power" -> pcaPower,
     "q_llm_abtt" -> abtt,
     "q_llm_split_assign" -> splitAssign,
@@ -410,9 +444,25 @@ object ModelPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_embed_calib" ->
+      """WITH v AS (SELECT unnest(range(1, 65)) AS i,
+        |   unnest([CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0E0
+        |       + 0.5E0) AS BIGINT)
+        |     for j in range(1, 65)]) AS x
+        |  FROM embeddings),
+        |a AS (SELECT i, count(*) AS n, min(x) AS min_e6, max(x) AS max_e6,
+        |   CAST(sum(x) AS BIGINT) AS sum_e6
+        |  FROM v GROUP BY i)
+        |SELECT CAST(i - 1 AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+        | min_e6, max_e6, sum_e6,
+        | CAST((max_e6 - min_e6) // 255 AS BIGINT) AS scale_e6,
+        | CAST(greatest(0, least(255,
+        |   (0 - min_e6) * 255 // greatest(max_e6 - min_e6, 1)))
+        |   AS BIGINT) AS zero_point
+        |FROM a ORDER BY dim""".stripMargin,
     "q_llm_pca_power" ->
       """WITH e AS (SELECT vec_id,
-        |   [CAST(floor(embedding[i] * 1000 + 0.5) AS BIGINT)
+        |   [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0E0 + 0.5E0) AS BIGINT)
         |    for i in range(1, 65)] AS x
         |  FROM embeddings),
         |d1 AS (SELECT vec_id, x,
@@ -436,7 +486,7 @@ object ModelPrep {
     // Composes the q_llm_pca_power CTE chain verbatim, then projects
     "q_llm_abtt" ->
       """WITH e AS (SELECT vec_id,
-        |   [CAST(floor(embedding[i] * 1000 + 0.5) AS BIGINT)
+        |   [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0E0 + 0.5E0) AS BIGINT)
         |    for i in range(1, 65)] AS x
         |  FROM embeddings),
         |d1 AS (SELECT vec_id, x,

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 277
+    val documented = 281
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,63 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("events_rfm: quintile cells partition the purchasing users and " +
+      "averages derive from the emitted totals") {
+    val rows = SparkEntry.queries("q_events_rfm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(s =>
+        assert(s >= 1 && s <= 5, r))
+      assert(r.getLong(5) == r.getLong(4) / r.getLong(3), r)
+    }
+    val users = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == users)
+  }
+
+  test("embed_calib: one calibration row per dim, zero point in uint8 " +
+      "range, scale covers the span") {
+    val rows = SparkEntry.queries("q_llm_embed_calib")(spark, sf).collect()
+    assert(rows.length == 64)
+    val nVec = graft.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVec, r)
+      assert(r.getLong(2) <= r.getLong(3), r)          // min <= max
+      val scale = r.getLong(5); val zp = r.getLong(6)
+      assert(scale >= 0 && scale * 255 <= r.getLong(3) - r.getLong(2), r)
+      assert(zp >= 0 && zp <= 255, r)
+    }
+  }
+
+  test("mm_audio_vad frame count agrees with mm_audio_decode sample " +
+      "count (ceil n/160) and activity is bounded") {
+    val vad = SparkEntry.queries("q_mm_audio_vad")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val dec = SparkEntry.queries("q_mm_audio_decode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // media_id -> n_samples
+    assert(vad.nonEmpty && vad.keySet == dec.keySet)
+    vad.foreach { case (id, r) =>
+      val nSamples = dec(id)
+      assert(r.getLong(1) == (nSamples + 159) / 160, s"$id: $r")
+      assert(r.getLong(2) <= r.getLong(1), r)
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1), r)
+    }
+  }
+
+  test("dq_drift: cohorts cover every event and the chi-square is " +
+      "nonnegative with at most 10 bands per type") {
+    val rows = SparkEntry.queries("q_dq_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 10, r)
+      assert(r.getLong(4) >= 0, r)
+    }
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == graft.Tables.events(spark, sf).count())
   }
 
   test("priv_k_anon: suppression census is monotone in k and internally " +
