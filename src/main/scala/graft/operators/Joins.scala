@@ -337,7 +337,51 @@ object Joins {
       .limit(20)
   }
 
+  /** Spatial grid join: parts as 2D points (x = size units, y = retail
+    * dollars), find the 20 closest pairs under Chebyshev (L∞) distance
+    * ≤ 5 — the proximity-join shape (geo tiles, embedding cells,
+    * sensor grids). The plan NEVER runs the interval theta join: each
+    * point gets one 5×5 grid cell, the probe side fans out to its 9
+    * neighbor cells (explode of a 3×3 offset array — bounded, not
+    * data-dependent), candidates come from a cell EQUI-join, and the
+    * exact L∞ predicate prunes false candidates. Every qualifying pair
+    * is found EXACTLY once (both cells are functions of the points, so
+    * the (cell_a → cell_b) edge is unique) — no distinct needed.
+    *
+    * The oracle is deliberately the NAIVE theta join: the grid is pure
+    * optimization, so the hash-match proves plan-shape equivalence,
+    * not formula mirroring.
+    *
+    * Scale: candidate volume = Σ_cell |cell|·|9 neighbors| — linear in
+    * points at constant density (vs the quadratic theta join); a dense
+    * cell is the AQE skew-split case, same argument as
+    * q_join_interval_overlap's buckets. */
+  def spatialGrid(spark: SparkSession, dir: String): DataFrame = {
+    val pts = part(spark, dir).select(col("p_partkey").as("pk"),
+      col("p_size").cast("long").as("x"),
+      expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) div 100")
+        .as("y"))
+      .withColumn("cx", expr("x div 5")).withColumn("cy", expr("y div 5"))
+    val probe = pts
+      .withColumn("dxy", explode(expr(
+        "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dx," +
+          " i % 3 - 1 AS dy))")))
+      .select(col("pk").as("a"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dxy.dx")).as("cx"),
+        (col("cy") + col("dxy.dy")).as("cy"))
+    probe.join(pts.select(col("pk").as("b"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("a") < col("b") &&
+        abs(col("ax") - col("bx")) <= 5 && abs(col("ay") - col("by")) <= 5)
+      .select(col("a"), col("b"),
+        greatest(abs(col("ax") - col("bx")), abs(col("ay") - col("by")))
+          .as("cheb"))
+      .orderBy(col("cheb"), col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_spatial_grid" -> spatialGrid,
     "q_join_interval_overlap" -> intervalOverlapJoin,
     "q_join_null_safe" -> joinNullSafe,
     "q_join_broadcast" -> joinBroadcast,
@@ -357,6 +401,18 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // NAIVE theta join on purpose — proves the grid plan computes the
+    // same relation as the quadratic form it replaces
+    "q_join_spatial_grid" ->
+      """WITH p AS (SELECT p_partkey AS pk,
+        |   CAST(p_size AS BIGINT) AS x,
+        |   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) // 100 AS y
+        |  FROM part)
+        |SELECT a.pk AS a, b.pk AS b,
+        | CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS BIGINT) AS cheb
+        |FROM p a JOIN p b ON a.pk < b.pk
+        | AND abs(a.x - b.x) <= 5 AND abs(a.y - b.y) <= 5
+        |ORDER BY cheb, a, b LIMIT 20""".stripMargin,
     "q_join_interval_overlap" ->
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id

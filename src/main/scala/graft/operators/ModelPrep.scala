@@ -429,7 +429,83 @@ object ModelPrep {
           " CAST(1 AS BIGINT))))"))
       .orderBy(col("dim"))
 
+  /** DPO/RLHF preference-pair mining: per source domain, pair the
+    * highest- and lowest-quality documents (by the enrolled
+    * quality-logreg score, tie-broken on doc_id) as (chosen, rejected)
+    * with the score margin ×10⁴ — the contrastive-pair construction a
+    * preference-tuning data pipeline runs over a scored corpus.
+    * Consumes qualityLogreg's OUTPUT frame, so the pair row can never
+    * disagree with the score row about who scored what.
+    *
+    * The margin subtracts two r4-rounded doubles (exact 10⁻⁴-grid
+    * values); floor(diff·10⁴ + 0.5) recovers the exact integer margin
+    * on both engines.
+    *
+    * Shape: doc-sized score frame ⋈ doc-sized source projection, two
+    * row_numbers over ONE (source) partitioning — single shuffle,
+    * exchange reused — then a |sources|-sized pivot. */
+  def prefPairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val w = Window.partitionBy(col("source"))
+    val ranked = scored
+      .withColumn("rn_best", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("rn_worst", row_number().over(
+        w.orderBy(col("score").asc, col("doc_id"))))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("rn_best") === 1, col("doc_id"))).as("chosen_id"),
+        max(when(col("rn_best") === 1, col("score"))).as("chosen_score"),
+        max(when(col("rn_worst") === 1, col("doc_id"))).as("rejected_id"),
+        max(when(col("rn_worst") === 1, col("score"))).as("rejected_score"))
+      .withColumn("margin_e4", expr(
+        "CAST(floor((chosen_score - rejected_score) * 10000 + 0.5)" +
+          " AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  /** T5-style span-corruption statistics: with the deterministic mask
+    * policy "a 2-token span starts at every token index i ≡ 3 (mod 7)"
+    * (≈28.6% corruption — the T5 recipe's 15% is a knob, the POLICY
+    * shape is what's audited), per doc: token count, span count,
+    * masked-token count, mask ratio ×10⁴, and the position-weighted
+    * checksum Σ (i+1)·len(tokᵢ) of the VISIBLE tokens — any off-by-one
+    * in span placement or truncation at the doc tail breaks it.
+    * Top-20 docs by doc_id keeps the output bounded.
+    *
+    * Shape: pure per-row array arithmetic (transform + aggregate, all
+    * codegen) — zero shuffles before the bounded sort; the 100 TB form
+    * is identical. */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      // span starts: i in [0, n) with i % 7 == 3; each masks tokens
+      // i and i+1 (the second truncated at the tail)
+      .withColumn("n_spans", expr(
+        "CAST((n_tok + 3) div 7 AS BIGINT)"))
+      .withColumn("n_masked", expr(
+        "aggregate(sequence(0, CAST(n_tok AS INT) - 1)," +
+          " CAST(0 AS BIGINT), (s, i) -> s + CASE" +
+          " WHEN i % 7 = 3 THEN CAST(least(2, n_tok - i) AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END)"))
+      .withColumn("mask_ratio_e4", expr("n_masked * 10000 div n_tok"))
+      .withColumn("visible_checksum", expr(
+        "aggregate(sequence(0, CAST(n_tok AS INT) - 1)," +
+          " CAST(0 AS BIGINT), (s, i) -> s + CASE" +
+          " WHEN i % 7 = 3 OR (i % 7 = 4 AND i > 0) THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(i + 1 AS BIGINT) * length(tk[i]) END)"))
+      .filter(col("n_tok") >= 1)
+      .select(col("doc_id"), col("n_tok"), col("n_spans"),
+        col("n_masked"), col("mask_ratio_e4"), col("visible_checksum"))
+      .orderBy(col("doc_id"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pref_pairs" -> prefPairs,
+    "q_llm_span_corrupt" -> spanCorrupt,
     "q_llm_embed_calib" -> embedCalib,
     "q_llm_pca_power" -> pcaPower,
     "q_llm_abtt" -> abtt,
@@ -444,6 +520,61 @@ object ModelPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    // score CTE mirrors q_llm_quality_logreg verbatim (same formula,
+    // same r4 rounding); DOUBLE × decimal-literal is safe here (only
+    // FLOAT × DECIMAL diverges — see embed_calib note)
+    "q_llm_pref_pairs" ->
+      """WITH f AS (SELECT doc_id, source,
+        |   string_split(text, ' ') AS tk,
+        |   len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |feat AS (SELECT doc_id, source, n_tok,
+        |   len(list_distinct(tk)) / CAST(n_tok AS DOUBLE) AS ttr,
+        |   len(list_filter(tk, t -> t IN
+        |     ('the','a','of','and','to','in','is')))
+        |     / CAST(n_tok AS DOUBLE) AS stop_ratio
+        |  FROM f),
+        |z AS (SELECT doc_id, source,
+        |   -1.5 + 2.2 * ttr + 1.1 * (1.0 - stop_ratio)
+        |     + 0.9 * least(n_tok / 100.0, 1.0) AS z
+        |  FROM feat),
+        |sc AS (SELECT doc_id, source,
+        |   floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10000.0 + 0.5)
+        |     / 10000.0 AS score
+        |  FROM z),
+        |r AS (SELECT *,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY score DESC, doc_id) AS rn_b,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY score ASC, doc_id) AS rn_w
+        |  FROM sc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | max(CASE WHEN rn_b = 1 THEN doc_id END) AS chosen_id,
+        | max(CASE WHEN rn_b = 1 THEN score END) AS chosen_score,
+        | max(CASE WHEN rn_w = 1 THEN doc_id END) AS rejected_id,
+        | max(CASE WHEN rn_w = 1 THEN score END) AS rejected_score,
+        | CAST(floor((max(CASE WHEN rn_b = 1 THEN score END)
+        |   - max(CASE WHEN rn_w = 1 THEN score END)) * 10000.0 + 0.5)
+        |   AS BIGINT) AS margin_e4
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // DuckDB lists are 1-based: j = spark_i + 1 throughout
+    "q_llm_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |   len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n,
+        |   CAST((n + 3) // 7 AS BIGINT) AS n_spans,
+        |   CAST(list_sum([CASE WHEN (j - 1) % 7 = 3
+        |       THEN least(2, n - (j - 1)) ELSE 0 END
+        |     for j in range(1, n + 1)]) AS BIGINT) AS n_masked,
+        |   CAST(list_sum([CASE WHEN (j - 1) % 7 = 3 OR (j - 1) % 7 = 4
+        |       THEN 0 ELSE j * length(tk[j]) END
+        |     for j in range(1, n + 1)]) AS BIGINT) AS visible_checksum
+        |  FROM t WHERE n >= 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tok, n_spans, n_masked,
+        | CAST(n_masked * 10000 // n AS BIGINT) AS mask_ratio_e4,
+        | visible_checksum
+        |FROM s ORDER BY doc_id LIMIT 20""".stripMargin,
     "q_llm_embed_calib" ->
       """WITH v AS (SELECT unnest(range(1, 65)) AS i,
         |   unnest([CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0E0

@@ -372,7 +372,45 @@ object TimeSeries {
       .orderBy(col("user_id"), col("lag"))
   }
 
+  /** M4 downsampling (Jugel et al., VLDB'14): per event_type series,
+    * 32 equal-width time buckets ("pixels"), each reduced to min, max,
+    * first, last of `value` (cents) plus its row count — the lossless-
+    * for-rendering reduction a charting layer runs before shipping
+    * points to a browser. First/last are by the TOTAL order
+    * (ts_us, event_id) — both engines pick identical endpoints even on
+    * timestamp ties.
+    *
+    * Shape: bucket index from the global [min,max] span (1-row
+    * broadcast, the zonemap pattern); first/last via two window
+    * row_numbers over the SAME (type,bucket) partitioning — ONE
+    * shuffle, Catalyst reuses the exchange — then a partial-aggregable
+    * fold. At 100 TB the window pass is per-pixel-bucket bounded and
+    * the output is fixed-size (32·|types| rows) regardless of input
+    * volume — the defining property of a downsampler. */
+  def m4Downsample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val span = ev.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+    val bucketed = ev.crossJoin(broadcast(span))
+      .withColumn("bucket", expr("(ts_us - t0) * 32 div (t1 - t0 + 1)"))
+    val w = Window.partitionBy(col("event_type"), col("bucket"))
+    val ordered = bucketed
+      .withColumn("rn_a", row_number().over(
+        w.orderBy(col("ts_us").asc, col("event_id").asc)))
+      .withColumn("rn_d", row_number().over(
+        w.orderBy(col("ts_us").desc, col("event_id").desc)))
+    ordered.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("v_min"), max(col("cents")).as("v_max"),
+        max(when(col("rn_a") === 1, col("cents"))).as("v_first"),
+        max(when(col("rn_d") === 1, col("cents"))).as("v_last"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_m4_downsample" -> m4Downsample,
     "q_ts_acf" -> acfLags,
     "q_ts_seasonal" -> seasonalProfile,
     "q_ts_cusum" -> cusum,
@@ -386,6 +424,26 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_m4_downsample" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |span AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM e),
+        |b AS (SELECT e.*, (ts_us - t0) * 32 // (t1 - t0 + 1) AS bucket
+        |  FROM e CROSS JOIN span),
+        |o AS (SELECT *,
+        |   row_number() OVER (PARTITION BY event_type, bucket
+        |     ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+        |   row_number() OVER (PARTITION BY event_type, bucket
+        |     ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | min(cents) AS v_min, max(cents) AS v_max,
+        | max(CASE WHEN rn_a = 1 THEN cents END) AS v_first,
+        | max(CASE WHEN rn_d = 1 THEN cents END) AS v_last
+        |FROM o GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     "q_ts_acf" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events),

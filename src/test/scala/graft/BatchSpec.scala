@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 281
+    val documented = 285
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,80 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("join_spatial_grid equals the brute-force L-inf theta join " +
+      "(grid fan-out loses no pair, invents no pair)") {
+    val got = SparkEntry.queries("q_join_spatial_grid")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pts = graft.Tables.part(spark, sf)
+      .selectExpr("p_partkey", "CAST(p_size AS BIGINT)",
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) div 100")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b && (ax - bx).abs <= 5 && (ay - by).abs <= 5
+    } yield (a, b, math.max((ax - bx).abs, (ay - by).abs)))
+      .sortBy { case (a, b, c) => (c, a, b) }.take(20)
+    assert(got.toList == brute.toList)
+  }
+
+  test("ts_m4_downsample: 32-pixel envelope brackets first/last and " +
+      "covers every event") {
+    val rows = SparkEntry.queries("q_ts_m4_downsample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(b >= 0 && b < 32, r)
+      assert(mn <= r.getLong(5) && r.getLong(5) <= mx, r) // first
+      assert(mn <= r.getLong(6) && r.getLong(6) <= mx, r) // last
+    }
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.Tables.events(spark, sf).count())
+  }
+
+  test("pref_pairs agree with the enrolled quality scores: chosen is " +
+      "the per-source argmax, rejected the argmin, margin >= 0") {
+    val pairs = SparkEntry.queries("q_llm_pref_pairs")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    val scores = SparkEntry.queries("q_llm_quality_logreg")(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "source"),
+        "doc_id")
+      .select("source", "doc_id", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    pairs.foreach { r =>
+      val src = r.getString(0)
+      val inSrc = scores.filter(_._1 == src)
+      assert(r.getLong(1) == inSrc.length, r)
+      val best = inSrc.minBy { case (_, id, s) => (-s, id) }
+      val worst = inSrc.minBy { case (_, id, s) => (s, id) }
+      assert(r.getLong(2) == best._2 && r.getLong(4) == worst._2, r)
+      assert(r.getLong(6) >= 0, r)
+    }
+  }
+
+  test("span_corrupt: a plain-Scala replay of the mask policy matches " +
+      "the emitted spans, masked counts, and visible checksum") {
+    val rows = SparkEntry.queries("q_llm_span_corrupt")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") <=
+        rows.map(_.getLong(0)).max)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val tk = texts(r.getLong(0)).split(" ", -1)
+      val n = tk.length
+      val spans = (0 until n).count(_ % 7 == 3)
+      val masked = (0 until n).filter(_ % 7 == 3)
+        .map(i => math.min(2, n - i)).sum
+      val visible = (0 until n)
+        .filter(i => i % 7 != 3 && i % 7 != 4)
+        .map(i => (i + 1).toLong * tk(i).length).sum
+      assert(r.getLong(1) == n && r.getLong(2) == spans &&
+        r.getLong(3) == masked && r.getLong(5) == visible, r)
+    }
   }
 
   test("events_rfm: quintile cells partition the purchasing users and " +
