@@ -665,8 +665,35 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Enrolled (round 8): nearest-neighbor resize of the REALLY-decoded
+    * PNG pixel rows to a fixed 16-pixel strip — the thumbnail/
+    * normalize step every vision-data pipeline runs before feature
+    * extraction. Sample j of the output is source pixel (j·n) div 16
+    * (pure integer NN, no interpolation ⇒ exact DuckDB twin from char
+    * codes); emitted as the position-weighted checksum Σ(j+1)·px'[j]
+    * plus the integer mean, so any index off-by-one breaks the hash.
+    * Rides the SHARED decodedPng frame (zero additional codec work —
+    * third consumer of the one decoded-pixel build). */
+  def mmImageResize(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    decodedPng(spark, dir).as[DecodedPx].mapPartitions(_.flatMap { d =>
+      if (!d.valid || d.px.length < 1) None
+      else {
+        val n = d.px.length
+        val out = Array.tabulate(16)(j => d.px((j * n) / 16))
+        val checksum = out.zipWithIndex
+          .map { case (p, j) => (j + 1).toLong * p }.sum
+        Some((d.media_id, n.toLong, 16L,
+          out.map(_.toLong).sum / 16, checksum))
+      }
+    }).toDF("media_id", "src_px", "dst_px", "mean_px", "checksum")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_image_resize" -> mmImageResize,
     "q_mm_audio_vad" -> mmAudioVad,
     "q_mm_video_frames" -> mmVideoFrames,
     "q_mm_features" -> mmFeatures,
@@ -677,6 +704,21 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // lossless PNG ⇒ resized pixels replay from char codes: output j is
+    // the code at 1-based position (j·n)//16 + 1
+    "q_mm_image_resize" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |jx AS (SELECT doc_id, n, unnest(range(16)) AS j, text FROM d0),
+        |r AS (SELECT doc_id, n, j,
+        |   ascii(substr(text, CAST((j * n) // 16 + 1 AS INT), 1)) AS p
+        |  FROM jx)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS src_px,
+        | CAST(16 AS BIGINT) AS dst_px,
+        | CAST(sum(p) // 16 AS BIGINT) AS mean_px,
+        | CAST(sum((j + 1) * p) AS BIGINT) AS checksum
+        |FROM r GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
     // lossless PCM ⇒ frame energies replay from char codes: sample i is
     // (code_i − 64)·256, frame f covers i ∈ [160f, 160f+160), active
     // iff Σ(code−64)² > 1600·len; active_e4 uses integer division

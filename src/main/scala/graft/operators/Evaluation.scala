@@ -160,13 +160,59 @@ object Evaluation {
       .limit(20)
   }
 
+  /** Lexical hard-negative mining for retrieval training: per query
+    * term, the top-5 BM25-scored documents that do NOT contain the
+    * term — high-scoring lookalikes (they match the OTHER query terms)
+    * are exactly the negatives a contrastive retriever needs.
+    * Complements q_llm_triplet_mine (embedding-space negatives) with
+    * the lexical flavor; consumes the enrolled bm25Scored frame so
+    * negatives can never disagree with the ranking row.
+    *
+    * Shape: per term one broadcast anti-join (term-doc set is
+    * df(term)-sized) + a distributed TakeOrderedAndProject top-5; the
+    * rank window then runs on the capped 5-row frame (the
+    * context_pack idiom — never a corpus-wide row_number). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LlmOps.bm25Scored(spark, dir).localCheckpoint()
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val arms = LlmOps.bm25Terms.map { t =>
+      val has = toks.filter(col("tok") === t)
+        .select(col("doc_id")).distinct()
+      scored.join(broadcast(has), Seq("doc_id"), "left_anti")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))))
+        .select(lit(t).as("term"), col("rank"), col("doc_id"),
+          col("bm25"))
+    }
+    arms.reduce(_ unionAll _).orderBy(col("term"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_hard_negatives" -> hardNegatives,
     "q_llm_rouge_bigram" -> rougeBigram,
     "q_llm_ndcg" -> ndcgAt10,
     "q_llm_mrr" -> mrr,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_hard_negatives" -> {
+      val ctes = LlmOps.bm25Ctes
+      val Seq(t1, t2, t3) = LlmOps.bm25Terms
+      def arm(i: Int, t: String) =
+        s"""SELECT '$t' AS term, rank, doc_id, bm25 FROM (
+           |  SELECT doc_id, bm25, CAST(row_number() OVER (
+           |    ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+           |  FROM bmsc JOIN perdoc USING (doc_id)
+           |  WHERE tf$i = 0) t WHERE rank <= 5""".stripMargin
+      s"""WITH $ctes
+         |${arm(1, t1)}
+         |UNION ALL ${arm(2, t2)}
+         |UNION ALL ${arm(3, t3)}
+         |ORDER BY term, rank""".stripMargin
+    },
     "q_llm_rouge_bigram" ->
       """WITH pairs AS (SELECT doc_id AS a,
         |   lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b

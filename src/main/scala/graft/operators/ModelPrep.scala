@@ -503,7 +503,39 @@ object ModelPrep {
       .orderBy(col("doc_id"))
       .limit(20)
 
+  /** Reliability diagram for the quality classifier: bucket the
+    * enrolled logreg scores into 10 bins and report, per bin, the rate
+    * of an INDEPENDENT weak label (doc has ≥ 50 tokens) next to the
+    * bin's mean score — the calibration audit that tells a corpus
+    * owner whether "score 0.8" means anything before they threshold
+    * on it. Consumes qualityLogreg's output frame (no re-derivation).
+    *
+    * Binning floors score·10 on the same r4-grid doubles in both
+    * engines — bit-identical inputs ⇒ bit-identical bins, regardless
+    * of where the decimal boundary falls. Mean score is the integer
+    * mean of floor(score·10⁴ + 0.5) (exact grid recovery), divided
+    * once per bin.
+    *
+    * Shape: doc-sized join + 10-key partial-aggregable groupBy. */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), "doc_id")
+      .withColumn("bin", expr(
+        "least(CAST(9 AS BIGINT), CAST(floor(score * 10) AS BIGINT))"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("n_tok") >= 50, 1L).otherwise(0L)).as("n_label"),
+        sum(expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)"))
+          .as("score_e4_sum"))
+      .select(col("bin"), col("n_docs"), col("n_keep"), col("n_label"),
+        expr("n_label * 10000 div n_docs").as("label_rate_e4"),
+        expr("score_e4_sum div n_docs").as("mean_score_e4"))
+      .orderBy(col("bin"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_score_calibration" -> scoreCalibration,
     "q_llm_pref_pairs" -> prefPairs,
     "q_llm_span_corrupt" -> spanCorrupt,
     "q_llm_embed_calib" -> embedCalib,
@@ -520,6 +552,36 @@ object ModelPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_score_calibration" ->
+      """WITH f AS (SELECT doc_id,
+        |   string_split(text, ' ') AS tk,
+        |   len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |feat AS (SELECT doc_id, n_tok,
+        |   len(list_distinct(tk)) / CAST(n_tok AS DOUBLE) AS ttr,
+        |   len(list_filter(tk, t -> t IN
+        |     ('the','a','of','and','to','in','is')))
+        |     / CAST(n_tok AS DOUBLE) AS stop_ratio
+        |  FROM f),
+        |z AS (SELECT doc_id, n_tok,
+        |   -1.5 + 2.2 * ttr + 1.1 * (1.0 - stop_ratio)
+        |     + 0.9 * least(n_tok / 100.0, 1.0) AS z
+        |  FROM feat),
+        |sc AS (SELECT doc_id, n_tok, z,
+        |   floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10000.0 + 0.5)
+        |     / 10000.0 AS score
+        |  FROM z),
+        |b AS (SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+        |   CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep,
+        |   CASE WHEN n_tok >= 50 THEN 1 ELSE 0 END AS label,
+        |   CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS s_e4
+        |  FROM sc)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(keep) AS BIGINT) AS n_keep,
+        | CAST(sum(label) AS BIGINT) AS n_label,
+        | CAST(sum(label) * 10000 // count(*) AS BIGINT) AS label_rate_e4,
+        | CAST(sum(s_e4) // count(*) AS BIGINT) AS mean_score_e4
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // score CTE mirrors q_llm_quality_logreg verbatim (same formula,
     // same r4 rounding); DOUBLE × decimal-literal is safe here (only
     // FLOAT × DECIMAL diverges — see embed_calib note)

@@ -409,7 +409,38 @@ object TimeSeries {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Time-weighted average (the irregular-series mean): per event_type,
+    * each value holds until the NEXT event of that type, so
+    * TWA = Σ centsᵢ·Δtᵢ div ΣΔtᵢ with Δt from one lead() — the metric
+    * a gauge/sensor series needs where the plain mean over-weights
+    * bursts. The final (open-ended) interval is excluded; zero-length
+    * intervals (timestamp ties) contribute zero weight on both
+    * engines. Overflow: cents ≤ 5·10⁴ and ΣΔt = the type's span
+    * (≈10¹³ µs at fixture scale) ⇒ Σcents·Δt ≤ 5·10¹⁷ < 2⁶³.
+    *
+    * Shape: ONE (type) window shuffle for the lead, then a partial-
+    * aggregable fold to |types| rows. */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt", col("nxt") - col("ts_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("span_us"),
+        sum(col("cents") * col("dt")).as("weighted_sum"))
+      .select(col("event_type"), col("n_intervals"), col("span_us"),
+        expr("weighted_sum div greatest(span_us, 1)").as("twa_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_time_weighted_avg" -> timeWeightedAvg,
     "q_ts_m4_downsample" -> m4Downsample,
     "q_ts_acf" -> acfLags,
     "q_ts_seasonal" -> seasonalProfile,
@@ -424,6 +455,20 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_time_weighted_avg" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (SELECT event_type, cents,
+        |   lead(ts_us) OVER (PARTITION BY event_type
+        |     ORDER BY ts_us, event_id) - ts_us AS dt
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        | CAST(sum(dt) AS BIGINT) AS span_us,
+        | CAST(sum(cents * dt) // greatest(sum(dt), 1) AS BIGINT)
+        |   AS twa_cents
+        |FROM l WHERE dt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ts_m4_downsample" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 285
+    val documented = 289
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,86 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("ts_time_weighted_avg: TWA sits inside [min,max] cents and the " +
+      "interval census matches n_events - n_types") {
+    val rows = SparkEntry.queries("q_ts_time_weighted_avg")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.{col => c, expr => e}
+    val bounds = graft.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(e("min(CAST(floor(value * 100 + 0.5) AS BIGINT))").as("mn"),
+        e("max(CAST(floor(value * 100 + 0.5) AS BIGINT))").as("mx"),
+        e("count(1)").as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (mn, mx, n) = bounds(r.getString(0))
+      assert(r.getLong(1) == n - 1, r) // intervals = events - 1 per type
+      val twa = r.getLong(3)
+      assert(twa >= mn && twa <= mx, s"$r outside [$mn,$mx]")
+    }
+  }
+
+  test("mm_image_resize: a plain-Scala nearest-neighbor replay matches " +
+      "the emitted checksum for the first media row") {
+    val rows = SparkEntry.queries("q_mm_image_resize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) == 16L, r))
+    val first = rows.minBy(_.getLong(0))
+    val text = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") ===
+        first.getLong(0))
+      .select("text").collect()(0).getString(0)
+    val n = text.length
+    val out = Array.tabulate(16)(j => text.charAt(j * n / 16).toLong)
+    assert(first.getLong(1) == n, first)
+    assert(first.getLong(3) == out.sum / 16, first)
+    assert(first.getLong(4) ==
+      out.zipWithIndex.map { case (p, j) => (j + 1) * p }.sum, first)
+  }
+
+  test("score_calibration: bins partition the corpus, keep flips " +
+      "exactly at the 0.5 bin boundary, mean score sits in its bin") {
+    val rows = SparkEntry.queries("q_llm_score_calibration")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (bin, n, keep, mean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))
+      // z >= 0 <=> raw score >= 0.5, but r4 rounding can lift a
+      // just-below-0.5 score onto the 0.5000 grid point (bin 5), so
+      // bin 5 may legitimately mix keep values; the outer bins cannot
+      if (bin >= 6) assert(keep == n, r)
+      if (bin <= 4) assert(keep == 0L, r)
+      // double decade boundaries (0.3*10 = 2.999…) can bin a grid
+      // point one slot down — identical in both engines; allow ±1 e4
+      assert(mean >= bin * 1000 - 1 && mean <= (bin + 1) * 1000, r)
+    }
+  }
+
+  test("hard_negatives never contain their own query term and rank by " +
+      "the enrolled bm25 frame") {
+    val rows = SparkEntry.queries("q_llm_hard_negatives")(spark, sf)
+      .collect()
+    assert(rows.length == 15) // 3 terms x top-5
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    rows.foreach { r =>
+      assert(!docs(r.getLong(2)).contains(r.getString(0)),
+        s"negative ${r.getLong(2)} contains term ${r.getString(0)}")
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 5, r)
+    }
+    // within a term, bm25 is non-increasing with rank
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
   }
 
   test("join_spatial_grid equals the brute-force L-inf theta join " +
