@@ -319,7 +319,42 @@ object Aggregates {
         expr("bit_xor(event_id)").as("bxor"))
       .orderBy(col("event_type"))
 
+  /** Exact central moments per event_type (the skew/kurtosis audit in
+    * pure BIGINT): two passes — integer-dollar mean, then Σ(x−μ)²/³/⁴
+    * of the centered values — plus the excess-kurtosis-style ratio
+    * (m4 div n)·10⁴ div (m2 div n)², whose operands are all
+    * nonnegative (engine-agreement zone). m3 is emitted RAW (it is
+    * signed; no division touches it — the assortativity discipline).
+    *
+    * Overflow bound: |x−μ| ≤ 500 dollars ⇒ c⁴ ≤ 6.25·10¹⁰, so Σc⁴
+    * stays under 2⁶³ through ~10⁸ rows per type (≈sf20 per type);
+    * beyond that the same plan runs on per-partition partial sums with
+    * a documented rescale — the salted-two-phase-agg lemma.
+    *
+    * Shape: one groupBy for μ (|types| rows, broadcast back), one
+    * partial-aggregable centered-moment groupBy. Float moments would
+    * depend on Spark's aggregation order; integer moments cannot. */
+  def momentsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100").as("d"))
+    val mu = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"))
+      .withColumn("mu", expr("s div n"))
+      .select(col("event_type"), col("n"), col("mu"))
+    ev.join(broadcast(mu), "event_type")
+      .withColumn("c", col("d") - col("mu"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("mu")).as("mu_dollars"),
+        sum(col("c") * col("c")).as("m2"),
+        sum(col("c") * col("c") * col("c")).as("m3"),
+        sum(col("c") * col("c") * col("c") * col("c")).as("m4"))
+      .withColumn("kurt_e4", expr(
+        "(m4 div n) * 10000 div greatest((m2 div n) * (m2 div n), 1)"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_moments" -> momentsAgg,
     "q_agg_hist_bucket" -> histBucket,
     "q_agg_stats_family" -> statsFamily,
     "q_agg_cond_bool" -> condBoolAggs,
@@ -343,6 +378,25 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_moments" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS d
+        |  FROM events),
+        |mu AS (SELECT event_type, count(*) AS n,
+        |   sum(d) // count(*) AS mu
+        |  FROM ev GROUP BY event_type),
+        |c AS (SELECT ev.event_type, mu.n, mu.mu, ev.d - mu.mu AS c
+        |  FROM ev JOIN mu USING (event_type))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | CAST(max(mu) AS BIGINT) AS mu_dollars,
+        | CAST(sum(c * c) AS BIGINT) AS m2,
+        | CAST(sum(c * c * c) AS BIGINT) AS m3,
+        | CAST(sum(c * c * c * c) AS BIGINT) AS m4,
+        | CAST((CAST(sum(c * c * c * c) AS BIGINT) // max(n)) * 10000
+        |   // greatest((CAST(sum(c * c) AS BIGINT) // max(n))
+        |     * (CAST(sum(c * c) AS BIGINT) // max(n)), 1) AS BIGINT)
+        |   AS kurt_e4
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_hist_bucket" ->
       """SELECT CAST(CASE WHEN value < 0.0 THEN 0
         |   WHEN value >= 500.0 THEN 8

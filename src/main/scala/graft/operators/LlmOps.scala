@@ -720,6 +720,38 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** SoftDeDup weighting (round 8) — the keep-everything alternative to
+    * dropping near-duplicates: every member of a near-dup cluster of
+    * size s gets training weight 1/s (×10⁴ integer), so boilerplate
+    * stops dominating the loss while no text is discarded. Reported as
+    * the cluster-size histogram with per-doc and total weights,
+    * INCLUDING the size-1 row for docs in no LSH pair (weight 10⁴) —
+    * so Σ n_docs = |corpus| and Σ total_weight_e4 ≈ 10⁴ · effective
+    * corpus size. Rides [[dupClusters]] (the same CC labels as the
+    * cluster rows — the weight row can never disagree with them about
+    * what a duplicate is).
+    *
+    * Shape: cluster rollup (partial-aggregable) + two 1-row frames
+    * cross-joined for the singleton bucket; output ≤ |distinct sizes|
+    * rows. */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dupClusters(spark, dir)
+    val hist = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_groups"))
+    val tot = documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val ncl = cl.agg(count(lit(1)).as("n_cl"))
+    tot.crossJoin(ncl)
+      .select(lit(1L).as("s"), (col("n_total") - col("n_cl")).as("n_groups"))
+      .unionAll(hist.select(col("s"), col("n_groups")))
+      .groupBy(col("s"))
+      .agg(sum(col("n_groups")).as("n_groups"))
+      .select(col("s").as("group_size"), col("n_groups"),
+        (col("s") * col("n_groups")).as("n_docs"),
+        expr("10000 div s").as("weight_per_doc_e4"),
+        expr("n_groups * (10000 div s) * s").as("total_weight_e4"))
+      .orderBy(col("group_size"))
+  }
+
   /** Near-dup cluster SIZE distribution (round 8): how much of the
     * duplication mass sits in pairs vs big boilerplate clusters — the
     * number a dedup owner reads before choosing keep-one-per-cluster
@@ -2298,6 +2330,7 @@ object LlmOps {
     "q_llm_sqrt_mix" -> sqrtMix,
     "q_llm_dup_clusters" -> dupClusters,
     "q_llm_dup_cluster_sizes" -> dupClusterSizes,
+    "q_llm_soft_dedup" -> softDedup,
     "q_llm_neardup_sources" -> neardupSourceMatrix,
     "q_llm_simhash" -> simhash,
     "q_llm_cosine_topk" -> cosineTopk,
@@ -2729,6 +2762,25 @@ object LlmOps {
          |JOIN documents da ON a_id = da.doc_id
          |JOIN documents db ON b_id = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_llm_soft_dedup" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |sz AS (SELECT cluster_id, count(*) AS s FROM cl
+         |  GROUP BY cluster_id),
+         |hist AS (SELECT s, count(*) AS n_groups FROM sz GROUP BY s),
+         |tot AS (SELECT count(*) AS n_total FROM documents),
+         |ncl AS (SELECT count(*) AS n_cl FROM cl),
+         |uni AS (SELECT CAST(1 AS BIGINT) AS s,
+         |   CAST(n_total - n_cl AS BIGINT) AS n_groups
+         |  FROM tot CROSS JOIN ncl
+         |  UNION ALL SELECT CAST(s AS BIGINT), CAST(n_groups AS BIGINT)
+         |  FROM hist)
+         |SELECT s AS group_size,
+         | CAST(sum(n_groups) AS BIGINT) AS n_groups,
+         | CAST(s * sum(n_groups) AS BIGINT) AS n_docs,
+         | CAST(10000 // s AS BIGINT) AS weight_per_doc_e4,
+         | CAST(sum(n_groups) * (10000 // s) * s AS BIGINT)
+         |   AS total_weight_e4
+         |FROM uni GROUP BY s ORDER BY group_size""".stripMargin,
     "q_llm_dup_cluster_sizes" ->
       s"""WITH cl AS ($dupClustersSql)
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,

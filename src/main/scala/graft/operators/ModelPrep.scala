@@ -534,7 +534,71 @@ object ModelPrep {
         expr("score_e4_sum div n_docs").as("mean_score_e4"))
       .orderBy(col("bin"))
 
+  /** Data-constrained epoch scheduling (the Muennighoff-style repeat
+    * policy): quality quintiles (1 = best, by the enrolled logreg
+    * score) are repeated {4,3,2,1,1} epochs, so the best data is seen
+    * most — per quintile: docs, raw tokens, epochs, effective tokens,
+    * and the quintile's share of the effective budget ×10⁴. The
+    * schedule a token-starved pretraining run derives from its
+    * quality scores.
+    *
+    * Shape: doc-sized score frame, ONE ntile window on a total order
+    * (the rfm discipline), 5-key rollup; the effective-share ratio
+    * rides a 1-row broadcast of the global effective sum. */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val sc = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), "doc_id")
+      .withColumn("quintile", ntile(5).over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+    val per = sc.groupBy(col("quintile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .withColumn("epochs", expr(
+        "CAST(CASE quintile WHEN 1 THEN 4 WHEN 2 THEN 3 WHEN 3 THEN 2" +
+          " ELSE 1 END AS BIGINT)"))
+      .withColumn("effective_tokens", col("tokens") * col("epochs"))
+    val tot = per.agg(sum(col("effective_tokens")).as("eff_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("quintile"), col("n_docs"), col("tokens"), col("epochs"),
+        col("effective_tokens"),
+        expr("effective_tokens * 10000 div eff_total").as("eff_share_e4"))
+      .orderBy(col("quintile"))
+  }
+
+  /** Fill-in-middle (FIM) split audit: each doc's token stream cut at
+    * n div 3 and (2n) div 3 into prefix/middle/suffix; per doc the
+    * three lengths plus three position-weighted checksums
+    * Σ (i+1)·len(tokᵢ) over each segment's GLOBAL indices — an
+    * off-by-one at either boundary moves weight between adjacent
+    * checksums and breaks the hash. Top-20 by doc_id. The PSM
+    * reordering itself is a projection of these segments; the audit
+    * pins the cut points, which is where FIM implementations break.
+    *
+    * Shape: per-row array arithmetic only (the span_corrupt class). */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    def seg(name: String, lo: String, hi: String) = Seq(
+      expr(s"CAST($hi - $lo AS BIGINT)").as(s"len_$name"),
+      expr("aggregate(sequence(0, CAST(n_tok AS INT) - 1)," +
+        s" CAST(0 AS BIGINT), (s, i) -> s + CASE WHEN i >= $lo AND" +
+        s" i < $hi THEN CAST(i + 1 AS BIGINT) * length(tk[i])" +
+        " ELSE CAST(0 AS BIGINT) END)").as(s"cs_$name"))
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .filter(col("n_tok") >= 3)
+      .withColumn("p_end", expr("n_tok div 3"))
+      .withColumn("m_end", expr("(2 * n_tok) div 3"))
+      .select(Seq(col("doc_id"), col("n_tok")) ++
+        seg("prefix", "0", "p_end") ++
+        seg("middle", "p_end", "m_end") ++
+        seg("suffix", "m_end", "n_tok"): _*)
+      .orderBy(col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_epoch_schedule" -> epochSchedule,
+    "q_llm_fim_split" -> fimSplit,
     "q_llm_score_calibration" -> scoreCalibration,
     "q_llm_pref_pairs" -> prefPairs,
     "q_llm_span_corrupt" -> spanCorrupt,
@@ -552,6 +616,62 @@ object ModelPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_epoch_schedule" ->
+      """WITH f AS (SELECT doc_id,
+        |   string_split(text, ' ') AS tk,
+        |   len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |feat AS (SELECT doc_id, n_tok,
+        |   len(list_distinct(tk)) / CAST(n_tok AS DOUBLE) AS ttr,
+        |   len(list_filter(tk, t -> t IN
+        |     ('the','a','of','and','to','in','is')))
+        |     / CAST(n_tok AS DOUBLE) AS stop_ratio
+        |  FROM f),
+        |z AS (SELECT doc_id, n_tok,
+        |   -1.5 + 2.2 * ttr + 1.1 * (1.0 - stop_ratio)
+        |     + 0.9 * least(n_tok / 100.0, 1.0) AS z
+        |  FROM feat),
+        |sc AS (SELECT doc_id, n_tok,
+        |   floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10000.0 + 0.5)
+        |     / 10000.0 AS score
+        |  FROM z),
+        |q AS (SELECT n_tok,
+        |   ntile(5) OVER (ORDER BY score DESC, doc_id) AS quintile
+        |  FROM sc),
+        |per AS (SELECT quintile, count(*) AS n_docs,
+        |   CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |   CAST(CASE quintile WHEN 1 THEN 4 WHEN 2 THEN 3
+        |     WHEN 3 THEN 2 ELSE 1 END AS BIGINT) AS epochs
+        |  FROM q GROUP BY quintile),
+        |tot AS (SELECT CAST(sum(tokens * epochs) AS BIGINT) AS eff_total
+        |  FROM per)
+        |SELECT CAST(quintile AS INTEGER) AS quintile,
+        | CAST(n_docs AS BIGINT) AS n_docs, tokens, epochs,
+        | CAST(tokens * epochs AS BIGINT) AS effective_tokens,
+        | CAST(tokens * epochs * 10000 // eff_total AS BIGINT)
+        |   AS eff_share_e4
+        |FROM per CROSS JOIN tot ORDER BY quintile""".stripMargin,
+    // 1-based j = spark i + 1; global cut points n//3 and (2n)//3
+    "q_llm_fim_split" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |   len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |c AS (SELECT doc_id, n, n // 3 AS pe, (2 * n) // 3 AS me, tk
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+        | CAST(pe AS BIGINT) AS len_prefix,
+        | CAST(me - pe AS BIGINT) AS len_middle,
+        | CAST(n - me AS BIGINT) AS len_suffix,
+        | CAST(list_sum([CASE WHEN j - 1 < pe
+        |     THEN j * length(tk[j]) ELSE 0 END
+        |   for j in range(1, n + 1)]) AS BIGINT) AS cs_prefix,
+        | CAST(list_sum([CASE WHEN j - 1 >= pe AND j - 1 < me
+        |     THEN j * length(tk[j]) ELSE 0 END
+        |   for j in range(1, n + 1)]) AS BIGINT) AS cs_middle,
+        | CAST(list_sum([CASE WHEN j - 1 >= me
+        |     THEN j * length(tk[j]) ELSE 0 END
+        |   for j in range(1, n + 1)]) AS BIGINT) AS cs_suffix
+        |FROM c ORDER BY doc_id LIMIT 20""".stripMargin,
     "q_llm_score_calibration" ->
       """WITH f AS (SELECT doc_id,
         |   string_split(text, ' ') AS tk,

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 289
+    val documented = 293
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,77 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("soft_dedup: weights cover the whole corpus and agree with the " +
+      "cluster-size census") {
+    val rows = SparkEntry.queries("q_llm_soft_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (s, w) = (r.getLong(0), r.getLong(3))
+      assert(w == 10000 / s, r)
+      assert(r.getLong(4) == r.getLong(1) * w * s, r)
+    }
+    // sizes >= 2 must match the enrolled cluster-size census
+    val census = SparkEntry.queries("q_llm_dup_cluster_sizes")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getLong(0) >= 2).foreach { r =>
+      assert(census(r.getLong(0)) == r.getLong(1), r)
+    }
+  }
+
+  test("epoch_schedule: quintiles partition the corpus, the repeat " +
+      "policy is {4,3,2,1,1}, and effective shares sum to ~1") {
+    val rows = SparkEntry.queries("q_llm_epoch_schedule")(spark, sf)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq.sorted == Seq(1, 2, 3, 4, 5))
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.documents(spark, sf).count())
+    val policy = Map(1 -> 4L, 2 -> 3L, 3 -> 2L, 4 -> 1L, 5 -> 1L)
+    rows.foreach { r =>
+      assert(r.getLong(3) == policy(r.getInt(0)), r)
+      assert(r.getLong(4) == r.getLong(2) * r.getLong(3), r)
+    }
+    val shareSum = rows.map(_.getLong(5)).sum
+    assert(shareSum >= 10000 - 5 && shareSum <= 10000, shareSum)
+  }
+
+  test("fim_split: the three segments tile each doc exactly — lengths " +
+      "and position-weighted checksums are complementary") {
+    val rows = SparkEntry.queries("q_llm_fim_split")(spark, sf).collect()
+    assert(rows.length == 20)
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") <=
+        rows.map(_.getLong(0)).max)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // columns: doc_id, n_tok, (len, cs) x prefix/middle/suffix
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) + r.getLong(4) + r.getLong(6) == n, r)
+      val tk = texts(r.getLong(0)).split(" ", -1)
+      val all = tk.zipWithIndex.map { case (t, i) =>
+        (i + 1).toLong * t.length }.sum
+      assert(r.getLong(3) + r.getLong(5) + r.getLong(7) == all, r)
+    }
+  }
+
+  test("agg_moments: even central moments nonnegative, counts cover " +
+      "the corpus, and the integer mean brackets the true mean") {
+    val rows = SparkEntry.queries("q_agg_moments")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(5) >= 0, r) // m2, m4
+      assert(r.getLong(6) >= 0, r)                      // kurt ratio
+      // Cauchy-Schwarz on the centered values: m3^2 <= m2 * m4
+      val (m2, m3, m4) = (BigInt(r.getLong(3)), BigInt(r.getLong(4)),
+        BigInt(r.getLong(5)))
+      assert(m3 * m3 <= m2 * m4, r)
+    }
   }
 
   test("ts_time_weighted_avg: TWA sits inside [min,max] cents and the " +
