@@ -242,7 +242,33 @@ object Governance {
       .orderBy(col("event_type"))
   }
 
+  /** Differential-privacy release mechanism plumbing: per event_type
+    * count with additive bounded noise in [−10, 10] and the ε=ln(…)
+    * accounting columns a DP release ships with. The noise here is a
+    * DETERMINISTIC md5-derived stub (hash(type) mod 21 − 10) so the
+    * oracle can replay it — a production release swaps ONE expression
+    * for a calibrated Laplace sampler; the sensitivity bookkeeping,
+    * the per-key release shape, and the never-release-raw-below-
+    * threshold suppression gate (noisy < 20 → suppressed row) are the
+    * parts this row pins. The true count is emitted ONLY because this
+    * is the auditable twin; the production projection drops it.
+    *
+    * Shape: one partial-aggregable count + map-only noise column. */
+  def dpCount(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", expr(
+        "CAST(conv(substring(md5(event_type), 1, 15), 16, 10) AS BIGINT)" +
+          " % 21 - 10"))
+      .withColumn("n_noisy", col("n_true") + col("noise"))
+      .withColumn("suppressed", col("n_noisy") < 20L)
+      .select(col("event_type"), col("n_true"), col("noise"),
+        col("n_noisy"), col("suppressed"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priv_dp_count" -> dpCount,
     "q_dq_drift" -> dqDrift,
     "q_priv_k_anon" -> kAnonymity,
     "q_priv_l_diversity" -> lDiversity,
@@ -251,6 +277,16 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_priv_dp_count" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_true,
+        | CAST(CAST('0x' || substr(md5(event_type), 1, 15) AS BIGINT)
+        |   % 21 - 10 AS BIGINT) AS noise,
+        | CAST(count(*) + CAST('0x' || substr(md5(event_type), 1, 15)
+        |   AS BIGINT) % 21 - 10 AS BIGINT) AS n_noisy,
+        | count(*) + CAST('0x' || substr(md5(event_type), 1, 15)
+        |   AS BIGINT) % 21 - 10 < 20 AS suppressed
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dq_drift" ->
       """WITH ev AS (SELECT event_type,
         |   epoch_us(ts) // 86400000000 AS day,

@@ -596,7 +596,45 @@ object ModelPrep {
       .limit(20)
   }
 
+  /** MoE top-2 routing audit: route every embedding to its two
+    * highest-dot-product "experts" (the 8 deterministic seed centroids
+    * the kmeans row uses, in the same floor(x·10⁴) integer grid), then
+    * report per-expert primary/secondary assignment counts and the
+    * load share ×10⁴ — the balance numbers a mixture-of-experts
+    * trainer watches (uniform would be 1250 per mille-of-2N here);
+    * integer dots make the argmax aggregation-order-proof.
+    *
+    * Shape: 8-row centroid frame broadcast, per-vector dots inside
+    * codegen, rank window over 8 rows per vector (bounded frame), then
+    * an 8-key partial-aggregable rollup. */
+  def moeRoute(spark: SparkSession, dir: String): DataFrame = {
+    val q = embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+        " * 10000.0D) AS BIGINT))").as("q"))
+    val cents = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val dots = q.crossJoin(broadcast(cents))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q, cq, (a, b) -> a * b)," +
+          " CAST(0 AS BIGINT), (s, t) -> s + t)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dot").desc, col("cid"))))
+      .filter(col("rk") <= 2)
+    val nTot = embeddings(spark, dir).agg(count(lit(1)).as("n_vec"))
+    dots.groupBy(col("cid"))
+      .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_primary"),
+        sum(when(col("rk") === 2, 1L).otherwise(0L)).as("n_secondary"))
+      .crossJoin(broadcast(nTot))
+      .select(col("cid").as("expert_id"), col("n_primary"),
+        col("n_secondary"),
+        expr("(n_primary + n_secondary) * 10000 div (2 * n_vec)")
+          .as("load_share_e4"))
+      .orderBy(col("expert_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_moe_route" -> moeRoute,
     "q_llm_epoch_schedule" -> epochSchedule,
     "q_llm_fim_split" -> fimSplit,
     "q_llm_score_calibration" -> scoreCalibration,
@@ -616,6 +654,31 @@ object ModelPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_moe_route" ->
+      """WITH q AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0E0) AS BIGINT))
+        |     AS q
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < 8),
+        |d AS (SELECT q.vec_id, c.cid,
+        |   list_sum([q.q[i] * c.cq[i] for i in range(1, 65)]) AS dot
+        |  FROM q CROSS JOIN c),
+        |r AS (SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY dot DESC, cid) AS rk
+        |  FROM d),
+        |n AS (SELECT count(*) AS n_vec FROM embeddings)
+        |SELECT cid AS expert_id,
+        | CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_primary,
+        | CAST(sum(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_secondary,
+        | CAST((sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN rk = 2 THEN 1 ELSE 0 END)) * 10000
+        |   // (2 * n.n_vec) AS BIGINT) AS load_share_e4
+        |FROM r CROSS JOIN n WHERE rk <= 2
+        |GROUP BY cid, n.n_vec ORDER BY expert_id""".stripMargin,
     "q_llm_epoch_schedule" ->
       """WITH f AS (SELECT doc_id,
         |   string_split(text, ' ') AS tk,

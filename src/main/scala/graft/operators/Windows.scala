@@ -251,7 +251,49 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorized mean per event_type: exact discrete p5/p95 thresholds
+    * from the same distribution-counting pass as [[quartilesDisc]]
+    * (cum ≥ ⌈q·n⌉ over the value histogram), tails CLAMPED to the
+    * thresholds (winsorize, not trim — n stays constant), then the
+    * integer-cents mean — the robust mean a metrics pipeline uses so
+    * one outlier can't move the dashboard. Emits raw and winsorized
+    * means side by side plus the clamp counts, so the row also
+    * quantifies how much the tails were pulling.
+    *
+    * Shape: histogram groupBy (domain-bounded), threshold fold to
+    * |types| rows, broadcast back over the fact stream, one
+    * partial-aggregable mean pass. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val ev = events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val th = ev.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") >= expr("(n * 5 + 99) div 100"), col("cents")))
+          .as("p5"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("cents")))
+          .as("p95"))
+    ev.join(broadcast(th), "event_type")
+      .withColumn("w", expr("greatest(p5, least(p95, cents))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("p5")).as("p5_cents"), max(col("p95")).as("p95_cents"),
+        sum(when(col("cents") < col("p5"), 1L).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col("cents") > col("p95"), 1L).otherwise(0L))
+          .as("n_clamped_hi"),
+        expr("sum(cents) div count(1)").as("mean_cents"),
+        expr("sum(w) div count(1)").as("winsorized_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_winsorized" -> winsorizedMean,
     "q_win_quartiles_disc" -> quartilesDisc,
     "q_win_fill_nth" -> fillNth,
     "q_win_streak" -> streak,
@@ -266,6 +308,33 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_winsorized" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |   sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |th AS (SELECT event_type,
+        |   min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN cents END) AS p5,
+        |   min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN cents END)
+        |     AS p95
+        |  FROM cum GROUP BY event_type)
+        |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(max(p5) AS BIGINT) AS p5_cents,
+        | CAST(max(p95) AS BIGINT) AS p95_cents,
+        | CAST(sum(CASE WHEN cents < p5 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clamped_lo,
+        | CAST(sum(CASE WHEN cents > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clamped_hi,
+        | CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+        | CAST(sum(greatest(p5, least(p95, cents))) // count(*) AS BIGINT)
+        |   AS winsorized_cents
+        |FROM ev JOIN th USING (event_type)
+        |GROUP BY ev.event_type ORDER BY event_type""".stripMargin,
     "q_win_quartiles_disc" ->
       """WITH hist AS (SELECT event_type,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,

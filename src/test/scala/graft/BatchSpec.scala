@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 293
+    val documented = 296
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,46 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("moe_route: every vector lands on exactly two experts and load " +
+      "shares account for the full 2N routing mass") {
+    val rows = SparkEntry.queries("q_llm_moe_route")(spark, sf).collect()
+    assert(rows.length == 8)
+    val nVec = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nVec, "primary mass")
+    assert(rows.map(_.getLong(2)).sum == nVec, "secondary mass")
+    rows.foreach { r =>
+      assert(r.getLong(3) ==
+        (r.getLong(1) + r.getLong(2)) * 10000 / (2 * nVec), r)
+    }
+  }
+
+  test("agg_winsorized: the winsorized mean is pulled toward the " +
+      "body, thresholds bracket it, clamp counts respect 5%/95%") {
+    val rows = SparkEntry.queries("q_agg_winsorized")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p5, p95) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lo, hi, wm) = (r.getLong(4), r.getLong(5), r.getLong(7))
+      assert(p5 <= p95, r)
+      assert(wm >= p5 && wm <= p95, r)
+      // strictly-below-p5 rows are < ceil(5% of n); same above p95
+      assert(lo < (n * 5 + 99) / 100, r)
+      assert(hi <= n - (n * 95 + 99) / 100, r)
+    }
+  }
+
+  test("priv_dp_count: noise is bounded, deterministic across runs, " +
+      "and the suppression gate matches the emitted noisy count") {
+    val a = SparkEntry.queries("q_priv_dp_count")(spark, sf).collect()
+    val b = SparkEntry.queries("q_priv_dp_count")(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      assert(r.getLong(2) >= -10 && r.getLong(2) <= 10, r)
+      assert(r.getLong(3) == r.getLong(1) + r.getLong(2), r)
+      assert(r.getBoolean(4) == (r.getLong(3) < 20), r)
+    }
   }
 
   test("soft_dedup: weights cover the whole corpus and agree with the " +
