@@ -602,7 +602,49 @@ object Analytics {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** A/B experiment readout over purchase values: users split into two
+    * arms by user_id parity, per arm (n, integer-cents mean, exact
+    * central m2), then the normal-approximation significance verdict —
+    * z² ≥ 3.84 (95%) decided WITHOUT square roots by cross-
+    * multiplication: diff²·100 ≥ 384·se² where se² = v_a div n_a +
+    * v_b div n_b and v = m2 div n. The experimentation primitive every
+    * product analytics engine ships; exact integers make the verdict
+    * replayable (a float Welch test would hash-drift).
+    *
+    * diff is emitted RAW (signed; never divided — the m3 discipline).
+    * Magnitudes: |diff| ≤ 5·10⁴ cents ⇒ diff²·100 ≤ 2.5·10¹¹.
+    *
+    * Shape: one fact scan → 2-key mean pass → broadcast means back →
+    * 2-key moment pass → conditional-agg fold to ONE row. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("arm"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val mu = ev.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("mu", expr("s div n"))
+      .select(col("arm"), col("n"), col("mu"))
+    val arms = ev.join(broadcast(mu), "arm")
+      .withColumn("c", col("cents") - col("mu"))
+      .groupBy(col("arm"))
+      .agg(max(col("n")).as("n"), max(col("mu")).as("mu"),
+        sum(col("c") * col("c")).as("m2"))
+    arms.agg(
+      sum(when(col("arm") === 0, col("n"))).as("n_a"),
+      sum(when(col("arm") === 1, col("n"))).as("n_b"),
+      sum(when(col("arm") === 0, col("mu"))).as("mean_a_cents"),
+      sum(when(col("arm") === 1, col("mu"))).as("mean_b_cents"),
+      sum(when(col("arm") === 0, expr("m2 div n"))).as("var_a"),
+      sum(when(col("arm") === 1, expr("m2 div n"))).as("var_b"))
+      .withColumn("diff_cents", expr("mean_a_cents - mean_b_cents"))
+      .withColumn("se2", expr("var_a div n_a + var_b div n_b"))
+      .withColumn("significant_95", expr(
+        "diff_cents * diff_cents * 100 >= 384 * greatest(se2, 1)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ab_ttest" -> abTest,
     "q_events_rfm" -> rfmSegments,
     "q_llm_textrank" -> textrank,
     "q_win_gap_islands" -> gapIslands,
@@ -623,6 +665,36 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_ab_ttest" ->
+      """WITH ev AS (SELECT user_id % 2 AS arm,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |mu AS (SELECT arm, count(*) AS n,
+        |   CAST(sum(cents) AS BIGINT) // count(*) AS mu
+        |  FROM ev GROUP BY arm),
+        |m AS (SELECT ev.arm, mu.n, mu.mu,
+        |   CAST(sum((ev.cents - mu.mu) * (ev.cents - mu.mu)) AS BIGINT)
+        |     AS m2
+        |  FROM ev JOIN mu USING (arm) GROUP BY ev.arm, mu.n, mu.mu),
+        |f AS (SELECT
+        |   CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN arm = 0 THEN mu END) AS BIGINT)
+        |     AS mean_a_cents,
+        |   CAST(sum(CASE WHEN arm = 1 THEN mu END) AS BIGINT)
+        |     AS mean_b_cents,
+        |   CAST(sum(CASE WHEN arm = 0 THEN m2 // n END) AS BIGINT)
+        |     AS var_a,
+        |   CAST(sum(CASE WHEN arm = 1 THEN m2 // n END) AS BIGINT)
+        |     AS var_b
+        |  FROM m)
+        |SELECT n_a, n_b, mean_a_cents, mean_b_cents, var_a, var_b,
+        | CAST(mean_a_cents - mean_b_cents AS BIGINT) AS diff_cents,
+        | CAST(var_a // n_a + var_b // n_b AS BIGINT) AS se2,
+        | (mean_a_cents - mean_b_cents) * (mean_a_cents - mean_b_cents)
+        |   * 100 >= 384 * greatest(var_a // n_a + var_b // n_b, 1)
+        |   AS significant_95
+        |FROM f""".stripMargin,
     "q_events_rfm" ->
       """WITH u AS (SELECT user_id,
         |   max(epoch_us(ts) // 86400000000) AS last_day,

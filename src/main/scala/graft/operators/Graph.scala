@@ -682,7 +682,43 @@ object Graph {
       .orderBy(col("harmonic_e6").desc, col("node"))
   }
 
+  /** Local clustering coefficient of the top-20 hubs: lcc_e6 =
+    * 2·T(s)·10⁶ div (deg·(deg−1)) where T(s) = edges among N(s) — "are
+    * the hub's neighbors a community or a star?", the per-node
+    * complement of the global triangles row. T(s) arrives as the count
+    * of ORDERED neighbor pairs that are edges (each undirected edge
+    * counted once per direction = exactly 2·T, so the numerator needs
+    * no halving and stays integer-exact).
+    *
+    * Scale: same expansion budget as [[closeness]] (Σ_{n∈N(s)} deg(n)
+    * over 20 hubs); the membership test is a semi-join against the
+    * broadcast hub-neighbor frame — never an all-pairs of neighbors. */
+  def localCC(spark: SparkSession, dir: String): DataFrame = {
+    val und = cooccEdges(spark, dir)
+    val edges = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val hubs = deg.orderBy(col("dg").desc, col("u")).limit(20)
+      .select(col("u").as("s"), col("dg"))
+    val d1 = edges.join(broadcast(hubs.select(col("s"))),
+        col("u") === col("s"))
+      .select(col("s"), col("v").as("n"))
+    val tri2 = edges.join(d1.select(col("s"), col("n")),
+        col("u") === col("n"))
+      .select(col("s"), col("v"))
+      .join(d1.select(col("s"), col("n").as("v")), Seq("s", "v"),
+        "left_semi")
+      .groupBy(col("s")).agg(count(lit(1)).as("t2"))
+    hubs.join(tri2, Seq("s"), "left")
+      .select(col("s").as("node"), col("dg").as("degree"),
+        expr("coalesce(t2, CAST(0 AS BIGINT)) div 2").as("n_tri"),
+        expr("coalesce(t2, CAST(0 AS BIGINT)) * 1000000" +
+          " div (dg * (dg - 1))").as("lcc_e6"))
+      .orderBy(col("lcc_e6").desc, col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_local_cc" -> localCC,
     "q_graph_hits" -> hits,
     "q_graph_bfs2" -> bfs2,
     "q_graph_closeness" -> closeness,
@@ -718,6 +754,25 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_local_cc" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY u),
+        |hubs AS (SELECT u AS s, dg FROM deg ORDER BY dg DESC, u LIMIT 20),
+        |d1 AS (SELECT h.s, e.v AS n FROM e JOIN hubs h ON e.u = h.s),
+        |t2 AS (SELECT d1.s, count(*) AS t2
+        |  FROM e JOIN d1 ON e.u = d1.n
+        |  WHERE EXISTS (SELECT 1 FROM d1 i
+        |    WHERE i.s = d1.s AND i.n = e.v)
+        |  GROUP BY d1.s)
+        |SELECT h.s AS node, CAST(h.dg AS BIGINT) AS degree,
+        | CAST(coalesce(t2.t2, 0) // 2 AS BIGINT) AS n_tri,
+        | CAST(coalesce(t2.t2, 0) * 1000000 // (h.dg * (h.dg - 1))
+        |   AS BIGINT) AS lcc_e6
+        |FROM hubs h LEFT JOIN t2 ON t2.s = h.s
+        |ORDER BY lcc_e6 DESC, node""".stripMargin,
     "q_graph_closeness" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

@@ -633,7 +633,44 @@ object ModelPrep {
       .orderBy(col("expert_id"))
   }
 
+  /** Uncertainty (margin) sampling for active labeling: the 20 docs
+    * whose quality score sits closest to the 0.5 decision boundary —
+    * the rows a labeling budget buys first. Margin on the exact e4
+    * grid (|score_e4 − 5000|), ties by doc_id. */
+  def uncertaintySample(spark: SparkSession, dir: String): DataFrame =
+    qualityLogreg(spark, dir)
+      .withColumn("score_e4",
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)"))
+      .withColumn("margin_e4", expr("abs(score_e4 - 5000)"))
+      .select(col("doc_id"), col("score"), col("margin_e4"))
+      .orderBy(col("margin_e4"), col("doc_id"))
+      .limit(20)
+
+  /** GRPO-style group-relative advantage: per source group, each doc's
+    * score minus its group mean (both on the exact e4 grid; the mean
+    * is an integer div, the advantage is a SIGNED raw difference —
+    * never divided, the m3 discipline; the σ-normalized variant needs
+    * a sqrt and is documented as the float-at-the-edge production
+    * step). Top-20 by advantage — the docs that most outperform their
+    * domain, the group-relative signal GRPO feeds back. */
+  def grpoAdvantage(spark: SparkSession, dir: String): DataFrame = {
+    val sc = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .withColumn("s_e4", expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)"))
+    val mu = sc.groupBy(col("source"))
+      .agg(expr("sum(s_e4) div count(1)").as("mean_e4"),
+        count(lit(1)).as("n_group"))
+    sc.join(broadcast(mu), "source")
+      .select(col("source"), col("doc_id"), col("s_e4"), col("mean_e4"),
+        col("n_group"), (col("s_e4") - col("mean_e4")).as("adv_e4"))
+      .orderBy(col("adv_e4").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_uncertainty_sample" -> uncertaintySample,
+    "q_llm_grpo_advantage" -> grpoAdvantage,
     "q_llm_moe_route" -> moeRoute,
     "q_llm_epoch_schedule" -> epochSchedule,
     "q_llm_fim_split" -> fimSplit,
@@ -653,7 +690,48 @@ object ModelPrep {
     "q_llm_wordpiece_merge" -> wordpieceMerge,
   )
 
+  private val scoreCte: String =
+    """f AS (SELECT doc_id,
+      |   string_split(text, ' ') AS tk,
+      |   len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |feat AS (SELECT doc_id, n_tok,
+      |   len(list_distinct(tk)) / CAST(n_tok AS DOUBLE) AS ttr,
+      |   len(list_filter(tk, t -> t IN
+      |     ('the','a','of','and','to','in','is')))
+      |     / CAST(n_tok AS DOUBLE) AS stop_ratio
+      |  FROM f),
+      |zz AS (SELECT doc_id,
+      |   -1.5 + 2.2 * ttr + 1.1 * (1.0 - stop_ratio)
+      |     + 0.9 * least(n_tok / 100.0, 1.0) AS z
+      |  FROM feat),
+      |sc0 AS (SELECT doc_id,
+      |   floor((0.5 * (1.0 + z / (1.0 + abs(z)))) * 10000.0 + 0.5)
+      |     / 10000.0 AS score
+      |  FROM zz)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_llm_uncertainty_sample" ->
+      s"""WITH $scoreCte
+         |SELECT doc_id, score,
+         | CAST(abs(CAST(floor(score * 10000.0 + 0.5) AS BIGINT) - 5000)
+         |   AS BIGINT) AS margin_e4
+         |FROM sc0 ORDER BY margin_e4, doc_id LIMIT 20""".stripMargin,
+    "q_llm_grpo_advantage" ->
+      s"""WITH $scoreCte,
+         |sc AS (SELECT s.doc_id, d.source,
+         |   CAST(floor(s.score * 10000.0 + 0.5) AS BIGINT) AS s_e4
+         |  FROM sc0 s JOIN documents d USING (doc_id)),
+         |mu AS (SELECT source,
+         |   CAST(sum(s_e4) AS BIGINT) // count(*) AS mean_e4,
+         |   count(*) AS n_group
+         |  FROM sc GROUP BY source)
+         |SELECT sc.source, sc.doc_id, sc.s_e4,
+         | CAST(mu.mean_e4 AS BIGINT) AS mean_e4,
+         | CAST(mu.n_group AS BIGINT) AS n_group,
+         | CAST(sc.s_e4 - mu.mean_e4 AS BIGINT) AS adv_e4
+         |FROM sc JOIN mu USING (source)
+         |ORDER BY adv_e4 DESC, doc_id LIMIT 20""".stripMargin,
     "q_llm_moe_route" ->
       """WITH q AS (SELECT vec_id,
         |   list_transform(embedding,

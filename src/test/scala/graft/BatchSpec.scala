@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 296
+    val documented = 300
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,60 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("graph_local_cc: lcc bounded by [0, 1e6] and hub triangle " +
+      "counts are consistent with degree (n_tri <= deg choose 2)") {
+    val rows = SparkEntry.queries("q_graph_local_cc")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (dg, t, lcc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lcc >= 0 && lcc <= 1000000, r)
+      assert(t >= 0 && t <= dg * (dg - 1) / 2, r)
+      assert(lcc == 2 * t * 1000000 / (dg * (dg - 1)), r)
+    }
+  }
+
+  test("events_ab_ttest: arms partition the purchases and the z^2 " +
+      "verdict replays from the emitted pieces") {
+    val r = SparkEntry.queries("q_events_ab_ttest")(spark, sf)
+      .collect()(0)
+    val nPurch = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase").count()
+    assert(r.getLong(0) + r.getLong(1) == nPurch)
+    assert(r.getLong(6) == r.getLong(2) - r.getLong(3))
+    val se2 = r.getLong(4) / r.getLong(0) + r.getLong(5) / r.getLong(1)
+    assert(r.getLong(7) == se2)
+    assert(r.getBoolean(8) ==
+      (r.getLong(6) * r.getLong(6) * 100 >= 384 * math.max(se2, 1L)))
+  }
+
+  test("uncertainty_sample: margins are the 20 smallest and increase " +
+      "monotonically in emission order") {
+    val rows = SparkEntry.queries("q_llm_uncertainty_sample")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val margins = rows.map(_.getLong(2))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a <= b })
+    // margin replays from the emitted score
+    rows.foreach { r =>
+      val e4 = math.floor(r.getDouble(1) * 10000 + 0.5).toLong
+      assert(r.getLong(2) == math.abs(e4 - 5000), r)
+    }
+  }
+
+  test("grpo_advantage: advantages are group-centered (each doc's " +
+      "adv = its score minus its group mean)") {
+    val rows = SparkEntry.queries("q_llm_grpo_advantage")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) - r.getLong(3), r)
+      assert(r.getLong(4) >= 1, r)
+    }
+    val advs = rows.map(_.getLong(5))
+    assert(advs.zip(advs.tail).forall { case (a, b) => a >= b })
   }
 
   test("moe_route: every vector lands on exactly two experts and load " +
