@@ -691,8 +691,47 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Enrolled (round 8): histogram equalization over the really-decoded
+    * PNG pixels — the classic contrast-normalization preprocessing
+    * (OpenCV equalizeHist semantics in pure integers): p′ =
+    * (cdf(p) − cdf_min)·255 div max(n − cdf_min, 1), all from the
+    * media's OWN pixel histogram, computed inside the partition loop
+    * (the pixel array is row-local — no shuffle participates at all).
+    * Emits the position-weighted checksum of the remapped pixels plus
+    * the output range; FOURTH consumer of the shared decodedPng frame. */
+  def mmImageEqualize(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    decodedPng(spark, dir).as[DecodedPx].mapPartitions(_.flatMap { d =>
+      if (!d.valid || d.px.length < 1) None
+      else {
+        val n = d.px.length
+        val hist = new Array[Long](256)
+        d.px.foreach(p => hist(p) += 1)
+        val cdf = new Array[Long](256)
+        var acc = 0L
+        var i = 0
+        while (i < 256) { acc += hist(i); cdf(i) = acc; i += 1 }
+        val cdfMin = cdf(d.px.min)
+        val denom = math.max(n - cdfMin, 1L)
+        var checksum = 0L; var mn = 255L; var mx = 0L
+        var j = 0
+        while (j < n) {
+          val p2 = (cdf(d.px(j)) - cdfMin) * 255L / denom
+          checksum += (j + 1).toLong * p2
+          if (p2 < mn) mn = p2
+          if (p2 > mx) mx = p2
+          j += 1
+        }
+        Some((d.media_id, n.toLong, mn, mx, checksum))
+      }
+    }).toDF("media_id", "n_px", "out_min", "out_max", "checksum")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_image_equalize" -> mmImageEqualize,
     "q_mm_image_resize" -> mmImageResize,
     "q_mm_audio_vad" -> mmAudioVad,
     "q_mm_video_frames" -> mmVideoFrames,
@@ -704,6 +743,34 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // lossless PNG ⇒ the per-media CDF replays from char codes: cdf(p)
+    // = count of chars with code <= p, cdf_min = count of chars at the
+    // min code; p' = (cdf(p) - cdf_min)*255 // max(n - cdf_min, 1)
+    "q_mm_image_equalize" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d0),
+        |ch AS (SELECT doc_id, n, i,
+        |   ascii(substr(text, CAST(i + 1 AS INT), 1)) AS p
+        |  FROM px),
+        |hist AS (SELECT doc_id, p, count(*) AS cnt
+        |  FROM ch GROUP BY 1, 2),
+        |cdf AS (SELECT doc_id, p,
+        |   sum(cnt) OVER (PARTITION BY doc_id ORDER BY p) AS cdf
+        |  FROM hist),
+        |mn AS (SELECT doc_id, min(cdf) AS cdf_min FROM cdf
+        |  GROUP BY doc_id),
+        |mapped AS (SELECT ch.doc_id, ch.n, ch.i,
+        |   (cdf.cdf - mn.cdf_min) * 255
+        |     // greatest(ch.n - mn.cdf_min, 1) AS p2
+        |  FROM ch JOIN cdf ON cdf.doc_id = ch.doc_id AND cdf.p = ch.p
+        |  JOIN mn ON mn.doc_id = ch.doc_id)
+        |SELECT doc_id AS media_id, CAST(max(n) AS BIGINT) AS n_px,
+        | CAST(min(p2) AS BIGINT) AS out_min,
+        | CAST(max(p2) AS BIGINT) AS out_max,
+        | CAST(sum((i + 1) * p2) AS BIGINT) AS checksum
+        |FROM mapped GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // lossless PNG ⇒ resized pixels replay from char codes: output j is
     // the code at 1-based position (j·n)//16 + 1
     "q_mm_image_resize" ->

@@ -643,7 +643,39 @@ object Analytics {
         "diff_cents * diff_cents * 100 >= 384 * greatest(se2, 1)"))
   }
 
+  /** Linear multi-touch attribution: every click/view a user makes
+    * STRICTLY BEFORE their first purchase shares the conversion credit
+    * equally (10⁴ div k per touch, k = that user's touch count) — the
+    * fairness-motivated alternative to q_attr_last_touch, reported per
+    * touch type with total credit and touch census. Per-user rounding
+    * loss (k·(10⁴ div k) ≤ 10⁴) is the documented price of integer
+    * credit; Σ total_credit_e4 ≤ 10⁴·converted users, exact on both
+    * engines.
+    *
+    * Shape: one user-partitioned window (first-purchase timestamp
+    * travels with the rows), a per-user touch count over the same
+    * partitioning (exchange reused), then a partial-aggregable
+    * per-type rollup. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .over(byUser))
+      .filter(col("first_purchase").isNotNull &&
+        col("event_type").isin("click", "view") &&
+        col("ts_us") < col("first_purchase"))
+      .withColumn("k", count(lit(1)).over(byUser))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("10000 div k")).as("total_credit_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attr_linear_multi" -> linearAttribution,
     "q_events_ab_ttest" -> abTest,
     "q_events_rfm" -> rfmSegments,
     "q_llm_textrank" -> textrank,
@@ -665,6 +697,22 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attr_linear_multi" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |fp AS (SELECT user_id, min(ts_us) AS first_purchase
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+        |t AS (SELECT e.user_id, e.event_type
+        |  FROM e JOIN fp USING (user_id)
+        |  WHERE e.event_type IN ('click', 'view')
+        |    AND e.ts_us < fp.first_purchase),
+        |k AS (SELECT user_id, count(*) AS k FROM t GROUP BY user_id)
+        |SELECT t.event_type,
+        | CAST(count(*) AS BIGINT) AS n_touches,
+        | CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+        | CAST(sum(10000 // k.k) AS BIGINT) AS total_credit_e4
+        |FROM t JOIN k USING (user_id)
+        |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin,
     "q_events_ab_ttest" ->
       """WITH ev AS (SELECT user_id % 2 AS arm,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

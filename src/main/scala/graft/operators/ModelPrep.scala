@@ -668,7 +668,47 @@ object ModelPrep {
       .limit(20)
   }
 
+  /** Nucleus (top-p, p=0.9) vocabulary audit over the corpus bigram
+    * LM: per context token, the smallest count-descending next-token
+    * prefix whose cumulative mass reaches ⌈0.9·total⌉, and how much of
+    * the full next-vocab it keeps — the sampling-time vocab reduction
+    * an inference stack gets from nucleus filtering. A row is in the
+    * nucleus iff the cumulative mass BEFORE it is still short of the
+    * target (cum − c < ⌈9·total div 10⌉) — the standard take-until
+    * definition, expressed in pure integers.
+    *
+    * Shape: bigram groupBy (corpus shuffle), per-context window over
+    * the VOCAB-sized count table (Heaps-bounded, never corpus-sized),
+    * bounded top-20-contexts output. */
+  def topPVocab(spark: SparkSession, dir: String): DataFrame = {
+    val bg = documents(spark, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("w1"))
+    val cum = bg
+      .withColumn("cum", sum(col("c")).over(
+        w.orderBy(col("c").desc, col("w2"))))
+      .withColumn("total", sum(col("c")).over(w))
+      .withColumn("target", expr("(9 * total + 9) div 10"))
+      .withColumn("kept",
+        when(col("cum") - col("c") < col("target"), 1L).otherwise(0L))
+    cum.groupBy(col("w1"))
+      .agg(max(col("total")).as("total"),
+        count(lit(1)).as("vocab_full"),
+        sum(col("kept")).as("vocab_nucleus"))
+      .withColumn("keep_rate_e4",
+        expr("vocab_nucleus * 10000 div vocab_full"))
+      .orderBy(col("total").desc, col("w1"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_top_p_vocab" -> topPVocab,
     "q_llm_uncertainty_sample" -> uncertaintySample,
     "q_llm_grpo_advantage" -> grpoAdvantage,
     "q_llm_moe_route" -> moeRoute,
@@ -711,6 +751,27 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_top_p_vocab" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg0 AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i + 1]}
+        |   for i in range(1, len(tk))]) AS s FROM toks),
+        |bg AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c
+        |  FROM bg0 GROUP BY 1, 2),
+        |cum AS (SELECT w1, w2, c,
+        |   sum(c) OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS cum,
+        |   sum(c) OVER (PARTITION BY w1) AS total
+        |  FROM bg),
+        |k AS (SELECT w1, total, c,
+        |   CASE WHEN cum - c < (9 * total + 9) // 10 THEN 1 ELSE 0 END
+        |     AS kept
+        |  FROM cum)
+        |SELECT w1, CAST(max(total) AS BIGINT) AS total,
+        | CAST(count(*) AS BIGINT) AS vocab_full,
+        | CAST(sum(kept) AS BIGINT) AS vocab_nucleus,
+        | CAST(sum(kept) * 10000 // count(*) AS BIGINT) AS keep_rate_e4
+        |FROM k GROUP BY w1
+        |ORDER BY total DESC, w1 LIMIT 20""".stripMargin,
     "q_llm_uncertainty_sample" ->
       s"""WITH $scoreCte
          |SELECT doc_id, score,

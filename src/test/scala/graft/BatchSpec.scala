@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 300
+    val documented = 303
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,60 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("attr_linear_multi: credit stays within the converted-user " +
+      "budget and touch types partition the pre-purchase touches") {
+    val rows = SparkEntry.queries("q_attr_linear_multi")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // users with >= 1 credited touch (union over types) bound credit:
+    // each contributes exactly k * (1e4 div k) <= 1e4
+    val totalCredit = rows.map(_.getLong(3)).sum
+    val nUsers = rows.map(_.getLong(2)).max // per-type distinct lower bound
+    assert(totalCredit <= rows.map(_.getLong(1)).sum * 10000)
+    rows.foreach { r =>
+      assert(r.getString(0) == "click" || r.getString(0) == "view", r)
+      assert(r.getLong(3) <= r.getLong(1) * 10000, r)
+      assert(r.getLong(2) <= r.getLong(1), r)
+    }
+    assert(nUsers > 0 && totalCredit > 0)
+  }
+
+  test("top_p_vocab: the nucleus is never empty, never exceeds the " +
+      "full vocab, and p=0.9 keeps at most the full set") {
+    val rows = SparkEntry.queries("q_llm_top_p_vocab")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (full, nuc) = (r.getLong(2), r.getLong(3))
+      assert(nuc >= 1 && nuc <= full, r)
+      assert(r.getLong(4) == nuc * 10000 / full, r)
+    }
+  }
+
+  test("mm_image_equalize: output spans [0, 255] endpoints (cdf_min " +
+      "maps to 0, max pixel maps to 255) and a Scala replay matches") {
+    val rows = SparkEntry.queries("q_mm_image_equalize")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, r)            // min pixel -> 0
+      assert(r.getLong(3) <= 255L, r)
+    }
+    val first = rows.minBy(_.getLong(0))
+    val text = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") ===
+        first.getLong(0))
+      .select("text").collect()(0).getString(0)
+    val px = text.map(_.toInt).toArray
+    val n = px.length
+    val cdf = (0 to 255).map(v => px.count(_ <= v).toLong).toArray
+    val cdfMin = cdf(px.min)
+    val denom = math.max(n - cdfMin, 1L)
+    val checksum = px.zipWithIndex.map { case (p, i) =>
+      (i + 1).toLong * ((cdf(p) - cdfMin) * 255L / denom) }.sum
+    assert(first.getLong(4) == checksum, first)
   }
 
   test("graph_local_cc: lcc bounded by [0, 1e6] and hub triangle " +
