@@ -267,7 +267,47 @@ object Governance {
         col("n_noisy"), col("suppressed"))
       .orderBy(col("event_type"))
 
+  /** Cross-table reconciliation audit: per order, the header total vs
+    * the sum of its line extended prices (both in exact cents), bucketed
+    * by relative deviation ×10⁴ — the finance-style "do the fact and
+    * summary tables agree?" check every warehouse runs after load. The
+    * fixture is TPC-H-ish, so the row REPORTS the real deviation
+    * distribution instead of asserting zero (the dq_constraints
+    * uniqueness lesson: an audit that can only pass is not an audit).
+    * |diff| is used so every division is nonnegative; the signed
+    * direction census (n_over / n_under) is carried separately as
+    * pure counts.
+    *
+    * Shape: lineitem groupBy(orderkey) partial-aggregable fold, one
+    * key-shuffle join with orders (co-partitioned at scale), ≤12-key
+    * band rollup. */
+  def dqReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val lineSum = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents("l_extendedprice")).as("line_cents"))
+    orders(spark, dir)
+      .select(col("o_orderkey"), cents("o_totalprice").as("total_cents"))
+      .join(lineSum, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("line_cents", coalesce(col("line_cents"), lit(0L)))
+      .withColumn("abs_diff",
+        expr("abs(total_cents - line_cents)"))
+      .withColumn("rel_e4",
+        expr("abs_diff * 10000 div greatest(total_cents, 1)"))
+      .withColumn("band", expr("least(CAST(10 AS BIGINT), rel_e4 div 1000)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("total_cents") > col("line_cents"), 1L)
+          .otherwise(0L)).as("n_over"),
+        sum(when(col("total_cents") < col("line_cents"), 1L)
+          .otherwise(0L)).as("n_under"),
+        sum(when(col("abs_diff") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        min(col("rel_e4")).as("rel_min_e4"),
+        max(col("rel_e4")).as("rel_max_e4"))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_reconcile" -> dqReconcile,
     "q_priv_dp_count" -> dpCount,
     "q_dq_drift" -> dqDrift,
     "q_priv_k_anon" -> kAnonymity,
@@ -277,6 +317,32 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_reconcile" ->
+      """WITH ls AS (SELECT l_orderkey,
+        |   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |     AS BIGINT) AS line_cents
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT o.o_orderkey,
+        |   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |     AS total_cents,
+        |   coalesce(ls.line_cents, 0) AS line_cents
+        |  FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey),
+        |b AS (SELECT total_cents, line_cents,
+        |   abs(total_cents - line_cents) AS abs_diff,
+        |   abs(total_cents - line_cents) * 10000
+        |     // greatest(total_cents, 1) AS rel_e4
+        |  FROM j)
+        |SELECT least(10, rel_e4 // 1000) AS band,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CASE WHEN total_cents > line_cents THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_over,
+        | CAST(sum(CASE WHEN total_cents < line_cents THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_under,
+        | CAST(sum(CASE WHEN abs_diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_exact,
+        | CAST(min(rel_e4) AS BIGINT) AS rel_min_e4,
+        | CAST(max(rel_e4) AS BIGINT) AS rel_max_e4
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
     "q_priv_dp_count" ->
       """SELECT event_type,
         | CAST(count(*) AS BIGINT) AS n_true,

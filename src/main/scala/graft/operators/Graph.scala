@@ -717,7 +717,53 @@ object Graph {
       .orderBy(col("lcc_e6").desc, col("node"))
   }
 
+  /** Deterministic random-walk sampling (node2vec/DeepWalk plumbing):
+    * from each of the top-5 hubs, a 3-step walk whose "random" next
+    * hop is the md5-derived index hash(node, step) mod deg(node) into
+    * the id-ordered neighbor list — the md5 sketch-hash discipline
+    * applied to walk sampling, so the oracle replays the exact walks.
+    * Production swaps the hash for a seeded PRNG per walker; the
+    * ranked-adjacency build, the iterated hop join, and the bounded
+    * walker frontier are what this row pins.
+    *
+    * Shape: ranked adjacency = one corpus window (the degree-dist
+    * shuffle, built once); each hop is an equi-join of the 5-row
+    * walker frame (broadcast) against it — O(steps) tiny joins, the
+    * Pregel frontier pattern at walker scale. */
+  def walkSample(spark: SparkSession, dir: String): DataFrame = {
+    val und = cooccEdges(spark, dir)
+    val edges = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val adj = edges.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("v"))))
+    val hubs = deg.orderBy(col("dg").desc, col("u")).limit(5)
+      .select(col("u").as("s"), col("u").as("cur"))
+    def hop(walkers: DataFrame, step: Int): DataFrame = {
+      val picked = walkers
+        .join(deg.select(col("u").as("cur"), col("dg")), "cur")
+        .withColumn("pick", expr(
+          s"1 + CAST(conv(substring(md5(concat(CAST(cur AS STRING)," +
+            s" '#', '$step')), 1, 15), 16, 10) AS BIGINT) % dg"))
+      adj.join(broadcast(picked),
+          col("u") === col("cur") && col("rn") === col("pick"))
+        .select(col("s"), col("v").as("cur"))
+    }
+    val w1 = hop(hubs, 1).withColumnRenamed("cur", "step1")
+    val w2 = hop(w1.select(col("s"), col("step1").as("cur")), 2)
+      .withColumnRenamed("cur", "step2")
+    val w3 = hop(w2.select(col("s"), col("step2").as("cur")), 3)
+      .withColumnRenamed("cur", "step3")
+    hubs.select(col("s"))
+      .join(w1, "s").join(w2, "s").join(w3, "s")
+      .select(col("s").as("start"), col("step1"), col("step2"),
+        col("step3"))
+      .orderBy(col("start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_walk_sample" -> walkSample,
     "q_graph_local_cc" -> localCC,
     "q_graph_hits" -> hits,
     "q_graph_bfs2" -> bfs2,
@@ -754,6 +800,34 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_walk_sample" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u, count(*) AS dg FROM e0 GROUP BY u),
+        |adj AS (SELECT u, v,
+        |   row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+        |  FROM e0),
+        |hubs AS (SELECT u AS s FROM deg ORDER BY dg DESC, u LIMIT 5),
+        |w1 AS (SELECT h.s, a.v AS step1
+        |  FROM hubs h JOIN deg d ON d.u = h.s
+        |  JOIN adj a ON a.u = h.s AND a.rn = 1 +
+        |   CAST('0x' || substr(md5(h.s || '#' || '1'), 1, 15) AS BIGINT)
+        |     % d.dg),
+        |w2 AS (SELECT w1.s, a.v AS step2
+        |  FROM w1 JOIN deg d ON d.u = w1.step1
+        |  JOIN adj a ON a.u = w1.step1 AND a.rn = 1 +
+        |   CAST('0x' || substr(md5(w1.step1 || '#' || '2'), 1, 15)
+        |     AS BIGINT) % d.dg),
+        |w3 AS (SELECT w2.s, a.v AS step3
+        |  FROM w2 JOIN deg d ON d.u = w2.step2
+        |  JOIN adj a ON a.u = w2.step2 AND a.rn = 1 +
+        |   CAST('0x' || substr(md5(w2.step2 || '#' || '3'), 1, 15)
+        |     AS BIGINT) % d.dg)
+        |SELECT w1.s AS start, w1.step1, w2.step2, w3.step3
+        |FROM w1 JOIN w2 ON w2.s = w1.s JOIN w3 ON w3.s = w1.s
+        |ORDER BY start""".stripMargin,
     "q_graph_local_cc" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

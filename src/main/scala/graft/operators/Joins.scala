@@ -380,7 +380,46 @@ object Joins {
       .limit(20)
   }
 
+  /** NEAREST-event as-of join (both directions, unlike the backward-
+    * only q_join_asof): for each user's first purchase, the closest
+    * 'error' event of the same user on either side of it — backward
+    * wins ties. The "closest reading to the event" join a sensor/
+    * observability pipeline needs where backward-only as-of loses the
+    * just-after reading.
+    *
+    * Expressed as ONE conditional aggregate per user (max of ts ≤ probe,
+    * min of ts > probe) — no range join, no window over the fact
+    * stream; the per-user probe travels with the rows via one
+    * key-shuffle join. Users with no error event drop (inner). */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000").as("ts_us"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("probe_us"))
+    ev.filter(col("event_type") === "error")
+      .join(probes, "user_id")
+      .groupBy(col("user_id"))
+      .agg(max(col("probe_us")).as("probe_us"),
+        max(when(col("ts_us") <= col("probe_us"), col("ts_us")))
+          .as("back_us"),
+        min(when(col("ts_us") > col("probe_us"), col("ts_us")))
+          .as("fwd_us"))
+      .withColumn("nearest_us", expr(
+        "CASE WHEN back_us IS NULL THEN fwd_us" +
+          " WHEN fwd_us IS NULL THEN back_us" +
+          " WHEN probe_us - back_us <= fwd_us - probe_us THEN back_us" +
+          " ELSE fwd_us END"))
+      .withColumn("delta_us", expr("abs(probe_us - nearest_us)"))
+      .withColumn("direction", expr(
+        "CASE WHEN nearest_us <= probe_us THEN 'backward'" +
+          " ELSE 'forward' END"))
+      .select(col("user_id"), col("probe_us"), col("nearest_us"),
+        col("delta_us"), col("direction"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_nearest" -> asofNearest,
     "q_join_spatial_grid" -> spatialGrid,
     "q_join_interval_overlap" -> intervalOverlapJoin,
     "q_join_null_safe" -> joinNullSafe,
@@ -401,6 +440,29 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |p AS (SELECT user_id, min(ts_us) AS probe_us FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |a AS (SELECT ev.user_id, max(p.probe_us) AS probe_us,
+        |   max(CASE WHEN ev.ts_us <= p.probe_us THEN ev.ts_us END)
+        |     AS back_us,
+        |   min(CASE WHEN ev.ts_us > p.probe_us THEN ev.ts_us END)
+        |     AS fwd_us
+        |  FROM ev JOIN p USING (user_id)
+        |  WHERE ev.event_type = 'error' GROUP BY ev.user_id),
+        |n AS (SELECT user_id, probe_us,
+        |   CASE WHEN back_us IS NULL THEN fwd_us
+        |    WHEN fwd_us IS NULL THEN back_us
+        |    WHEN probe_us - back_us <= fwd_us - probe_us THEN back_us
+        |    ELSE fwd_us END AS nearest_us
+        |  FROM a)
+        |SELECT user_id, probe_us, nearest_us,
+        | CAST(abs(probe_us - nearest_us) AS BIGINT) AS delta_us,
+        | CASE WHEN nearest_us <= probe_us THEN 'backward'
+        |  ELSE 'forward' END AS direction
+        |FROM n ORDER BY user_id""".stripMargin,
     // NAIVE theta join on purpose — proves the grid plan computes the
     // same relation as the quadratic form it replaces
     "q_join_spatial_grid" ->

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 303
+    val documented = 306
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,73 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("dq_reconcile: the band census covers every order and bands " +
+      "bracket their own min/max relative deviations") {
+    val rows = SparkEntry.queries("q_dq_reconcile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (band, n, over, under, exact) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(over + under + exact == n, r)
+      assert(band >= 0 && band <= 10, r)
+      val (mn, mx) = (r.getLong(5), r.getLong(6))
+      assert(mn <= mx, r)
+      if (band < 10) assert(mn / 1000 == band && mx / 1000 == band, r)
+      else assert(mn >= 10000, r)
+      if (band == 0) assert(exact <= n) else assert(exact == 0, r)
+    }
+  }
+
+  test("join_asof_nearest: the chosen side is genuinely nearest — " +
+      "delta never exceeds the other side's distance (spot replay)") {
+    val rows = SparkEntry.queries("q_join_asof_nearest")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // replay from raw events for the first 5 users
+    val sample = rows.take(5).map(_.getLong(0)).toSet
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts_ns div 1000 AS ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(t => sample(t._1))
+    rows.filter(r => sample(r.getLong(0))).foreach { r =>
+      val u = r.getLong(0)
+      val probe = ev.filter(t => t._1 == u && t._2 == "purchase")
+        .map(_._3).min
+      assert(r.getLong(1) == probe, r)
+      val errs = ev.filter(t => t._1 == u && t._2 == "error").map(_._3)
+      val best = errs.minBy(t =>
+        (math.abs(t - probe), if (t <= probe) 0 else 1))
+      assert(r.getLong(2) == best, r)
+      assert(r.getLong(3) == math.abs(probe - best), r)
+    }
+  }
+
+  test("graph_walk_sample: every hop follows a real edge of the " +
+      "basket graph") {
+    val rows = SparkEntry.queries("q_graph_walk_sample")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    // rebuild the raw edge set directly for membership checks
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq
+      .flatMap { g =>
+        for (a <- g.toSeq; b <- g.toSeq if a._2 != b._2)
+          yield (a._2, b._2)
+      }.toSet
+    rows.foreach { r =>
+      val path = Seq(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(byOrder((a, b)), s"hop $a -> $b is not an edge: $r")
+      }
+    }
   }
 
   test("attr_linear_multi: credit stays within the converted-user " +
