@@ -674,7 +674,50 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Concurrency curve via sweep line: sessionize (the 30-min-gap rule
+    * shared with q_join_interval_overlap), explode each session into a
+    * +1 start / −1 end point, order by (ts, +1-before-−1, user, sess)
+    * — a TOTAL order, and the tie rule "starts before ends" counts
+    * touching sessions as concurrent, identically in the oracle — and
+    * take the running sum; report per hour the max concurrency and
+    * point census. The "how many users at once" load audit (queueing /
+    * capacity planning) the interval-overlap join family lacked.
+    *
+    * The running sum runs over the SESSION-sized point list (2 points
+    * per session — bounded by users·sessions, not events; the
+    * diag_range_bounds single-partition discipline). Hours with no
+    * session boundary emit no row (the curve is constant there —
+    * documented). */
+  def concurrencyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val sess = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val points = sess
+      .select(col("user_id"), col("session_no"),
+        col("start_us").as("ts_us"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("user_id"), col("session_no"),
+        col("end_us").as("ts_us"), lit(-1L).as("delta")))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts_us"), col("delta").desc, col("user_id"),
+        col("session_no"))
+    points
+      .withColumn("conc", sum(col("delta")).over(sweep))
+      .withColumn("hour", expr("ts_us div 3600000000"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_points"), max(col("conc")).as("max_conc"))
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_concurrency" -> concurrencyCurve,
     "q_attr_linear_multi" -> linearAttribution,
     "q_events_ab_ttest" -> abTest,
     "q_events_rfm" -> rfmSegments,
@@ -697,6 +740,34 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, ts_us,
+        |   CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) > 1800000000
+        |    OR lag(ts_us) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |s AS (SELECT user_id, ts_us,
+        |   sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM g),
+        |sess AS (SELECT user_id, session_no,
+        |   min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY 1, 2),
+        |pts AS (SELECT user_id, session_no, start_us AS ts_us,
+        |   CAST(1 AS BIGINT) AS delta FROM sess
+        | UNION ALL SELECT user_id, session_no, end_us,
+        |   CAST(-1 AS BIGINT) FROM sess),
+        |sw AS (SELECT ts_us,
+        |   sum(delta) OVER (ORDER BY ts_us, delta DESC, user_id,
+        |     session_no ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM pts)
+        |SELECT ts_us // 3600000000 AS hour,
+        | CAST(count(*) AS BIGINT) AS n_points,
+        | CAST(max(conc) AS BIGINT) AS max_conc
+        |FROM sw GROUP BY hour ORDER BY hour""".stripMargin,
     "q_attr_linear_multi" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

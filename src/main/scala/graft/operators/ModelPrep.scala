@@ -707,7 +707,38 @@ object ModelPrep {
       .limit(20)
   }
 
+  /** Linear-probe signal per embedding dimension: split vectors by
+    * label parity and report, for the 10 most discriminative dims, the
+    * per-group integer means (µ-units) and their RAW signed difference
+    * — which dimensions carry the class signal, the one-weight-per-dim
+    * diagnostic run before training a real probe. Means use the
+    * SHIFTED division (+10⁶ per element ⇒ nonnegative dividend, since
+    * every component > −1; the pinned idiom), so trunc-vs-floor never
+    * fires; the difference itself is never divided.
+    *
+    * Shape: one posexplode → (dim, parity) 128-key partial-aggregable
+    * groupBy → 64-key pivot → bounded top-10. */
+  def dimProbe(spark: SparkSession, dir: String): DataFrame = {
+    val v = embeddings(spark, dir)
+      .select((col("label") % 2).as("parity"),
+        posexplode(expr("transform(embedding," +
+          " t -> CAST(floor(CAST(t AS DOUBLE) * 1000000.0D + 0.5)" +
+          " AS BIGINT))")).as(Seq("dim", "x")))
+    v.groupBy(col("dim"), col("parity"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .withColumn("mean_e6",
+        expr("(s + n * 1000000) div n - 1000000"))
+      .groupBy(col("dim"))
+      .agg(max(when(col("parity") === 0, col("mean_e6"))).as("mean0_e6"),
+        max(when(col("parity") === 1, col("mean_e6"))).as("mean1_e6"))
+      .withColumn("diff_e6", col("mean0_e6") - col("mean1_e6"))
+      .withColumn("abs_diff_e6", abs(col("diff_e6")))
+      .orderBy(col("abs_diff_e6").desc, col("dim"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dim_probe" -> dimProbe,
     "q_llm_top_p_vocab" -> topPVocab,
     "q_llm_uncertainty_sample" -> uncertaintySample,
     "q_llm_grpo_advantage" -> grpoAdvantage,
@@ -751,6 +782,29 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_dim_probe" ->
+      """WITH v AS (SELECT label % 2 AS parity,
+        |   unnest(range(1, 65)) AS i,
+        |   unnest([CAST(floor(CAST(embedding[j] AS DOUBLE)
+        |       * 1000000.0E0 + 0.5E0) AS BIGINT)
+        |     for j in range(1, 65)]) AS x
+        |  FROM embeddings),
+        |g AS (SELECT i - 1 AS dim, parity, count(*) AS n,
+        |   CAST(sum(x) AS BIGINT) AS s
+        |  FROM v GROUP BY 1, 2),
+        |m AS (SELECT dim, parity,
+        |   (s + n * 1000000) // n - 1000000 AS mean_e6
+        |  FROM g),
+        |p AS (SELECT dim,
+        |   max(CASE WHEN parity = 0 THEN mean_e6 END) AS mean0_e6,
+        |   max(CASE WHEN parity = 1 THEN mean_e6 END) AS mean1_e6
+        |  FROM m GROUP BY dim)
+        |SELECT CAST(dim AS INTEGER) AS dim,
+        | CAST(mean0_e6 AS BIGINT) AS mean0_e6,
+        | CAST(mean1_e6 AS BIGINT) AS mean1_e6,
+        | CAST(mean0_e6 - mean1_e6 AS BIGINT) AS diff_e6,
+        | CAST(abs(mean0_e6 - mean1_e6) AS BIGINT) AS abs_diff_e6
+        |FROM p ORDER BY abs_diff_e6 DESC, dim LIMIT 10""".stripMargin,
     "q_llm_top_p_vocab" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS tk
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

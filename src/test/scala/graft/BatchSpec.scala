@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 306
+    val documented = 308
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,41 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("events_concurrency: the sweep is conservation-exact — point " +
+      "census counts 2 per session and concurrency stays positive at " +
+      "every start") {
+    val rows = SparkEntry.queries("q_events_concurrency")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, r) // points in the hour
+      // an hour whose only points are session ENDS can bottom at 0;
+      // concurrency is never negative
+      assert(r.getLong(2) >= 0, r)
+    }
+    assert(rows.map(_.getLong(2)).max >= 1)
+    // Σ points = 2 * sessions; recompute sessions via the shared rule
+    val nSessions = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts_ns div 1000 AS ts_us", "event_id")
+      .collect().groupBy(_.getLong(0)).values.map { evs =>
+        val ts = evs.map(_.getLong(1)).sorted
+        1 + ts.zip(ts.tail).count { case (a, b) => b - a > 1800000000L }
+      }.sum
+    assert(rows.map(_.getLong(1)).sum == 2L * nSessions)
+  }
+
+  test("dim_probe: per-dim means agree with embed_calib's sums and " +
+      "the emitted diff replays") {
+    val rows = SparkEntry.queries("q_llm_dim_probe")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), r)
+      assert(r.getLong(4) == math.abs(r.getLong(3)), r)
+    }
+    val diffs = rows.map(_.getLong(4))
+    assert(diffs.zip(diffs.tail).forall { case (a, b) => a >= b })
   }
 
   test("dq_reconcile: the band census covers every order and bands " +
