@@ -716,7 +716,84 @@ object Analytics {
       .orderBy(col("hour"))
   }
 
+  /** Stationary distribution of the event-type Markov chain: three
+    * power-iteration steps π←πP over the SAME transition counts as
+    * q_events_markov (shared build — the two rows cannot disagree on
+    * P), in the integer pagerank idiom: P in ×10⁶ units, each step's
+    * contribution π(i)·p_e6(i,j) div 10⁶, emitted per type with all
+    * three iterates so convergence is visible in the output. The
+    * "long-run state mix" read of the lifecycle chain.
+    *
+    * Shape: the chain state is |types|² (25 cells) — every join below
+    * broadcasts; only the transition-count build touches the corpus
+    * (one window + one groupBy, markov's own shape). */
+  def markovSteady(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val p = trans
+      .join(trans.groupBy(col("src").as("s2")).agg(sum(col("n")).as("t")),
+        col("src") === col("s2"))
+      .select(col("src"), col("dst"), expr("n * 1000000 div t").as("p_e6"))
+      .localCheckpoint()
+    val states = p.select(col("src").as("state")).distinct()
+    val n0 = states.crossJoin(broadcast(
+        states.agg(count(lit(1)).as("k"))))
+      .select(col("state"), expr("1000000 div k").as("pi"))
+    def step(pi: DataFrame): DataFrame =
+      p.join(broadcast(pi.select(col("state").as("src"), col("pi"))), "src")
+        .groupBy(col("dst").as("state"))
+        .agg(sum(expr("pi * p_e6 div 1000000")).as("pi"))
+    val pi1 = step(n0); val pi2 = step(pi1); val pi3 = step(pi2)
+    states
+      .join(pi1.select(col("state"), col("pi").as("pi1_e6")), Seq("state"),
+        "left")
+      .join(pi2.select(col("state"), col("pi").as("pi2_e6")), Seq("state"),
+        "left")
+      .join(pi3.select(col("state"), col("pi").as("pi3_e6")), Seq("state"),
+        "left")
+      .select(col("state"), coalesce(col("pi1_e6"), lit(0L)).as("pi1_e6"),
+        coalesce(col("pi2_e6"), lit(0L)).as("pi2_e6"),
+        coalesce(col("pi3_e6"), lit(0L)).as("pi3_e6"))
+      .orderBy(col("state"))
+  }
+
+  /** DAU/MAU stickiness: per active day, distinct users that day vs
+    * distinct users over the trailing 30 days, ratio ×10⁴ — the
+    * engagement number every consumer product reports. The trailing
+    * distinct is EXACT via the user-day fan-out (each user-day serves
+    * the 30 report days it falls into — a bounded 30× explode of the
+    * deduped user-day frame, never of raw events), not an approximate
+    * sliding sketch.
+    *
+    * Shape: user-day distinct (one fact shuffle) → 30× generator →
+    * (report_day, user) distinct → per-day counts; all partial-
+    * aggregable, report days restricted to genuinely active days. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"), explode(expr(
+        "sequence(day, day + 29)")).as("rday"))
+      .distinct()
+      .groupBy(col("rday")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, col("day") === col("rday"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 10000 div mau").as("stickiness_e4"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_markov_steady" -> markovSteady,
+    "q_events_stickiness" -> stickiness,
     "q_events_concurrency" -> concurrencyCurve,
     "q_attr_linear_multi" -> linearAttribution,
     "q_events_ab_ttest" -> abTest,
@@ -740,6 +817,51 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_markov_steady" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |tr AS (SELECT event_type AS src,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS dst
+        |  FROM e),
+        |tc AS (SELECT src, dst, count(*) AS n FROM tr
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT tc.src, tc.dst,
+        |   tc.n * 1000000 // t.t AS p_e6
+        |  FROM tc JOIN (SELECT src, CAST(sum(n) AS BIGINT) AS t
+        |    FROM tc GROUP BY src) t ON t.src = tc.src),
+        |st AS (SELECT DISTINCT src AS state FROM p),
+        |k AS (SELECT count(*) AS k FROM st),
+        |p0 AS (SELECT state, 1000000 // k.k AS pi FROM st CROSS JOIN k),
+        |p1 AS (SELECT p.dst AS state,
+        |   CAST(sum(p0.pi * p.p_e6 // 1000000) AS BIGINT) AS pi
+        |  FROM p JOIN p0 ON p0.state = p.src GROUP BY p.dst),
+        |p2 AS (SELECT p.dst AS state,
+        |   CAST(sum(p1.pi * p.p_e6 // 1000000) AS BIGINT) AS pi
+        |  FROM p JOIN p1 ON p1.state = p.src GROUP BY p.dst),
+        |p3 AS (SELECT p.dst AS state,
+        |   CAST(sum(p2.pi * p.p_e6 // 1000000) AS BIGINT) AS pi
+        |  FROM p JOIN p2 ON p2.state = p.src GROUP BY p.dst)
+        |SELECT st.state AS state,
+        | CAST(coalesce(p1.pi, 0) AS BIGINT) AS pi1_e6,
+        | CAST(coalesce(p2.pi, 0) AS BIGINT) AS pi2_e6,
+        | CAST(coalesce(p3.pi, 0) AS BIGINT) AS pi3_e6
+        |FROM st LEFT JOIN p1 ON p1.state = st.state
+        |LEFT JOIN p2 ON p2.state = st.state
+        |LEFT JOIN p3 ON p3.state = st.state
+        |ORDER BY 1""".stripMargin,
+    "q_events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |f AS (SELECT DISTINCT ud.user_id, ud.day + o.o AS rday
+        |  FROM ud CROSS JOIN (SELECT unnest(range(30)) AS o) o),
+        |mau AS (SELECT rday, count(*) AS mau FROM f GROUP BY rday)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        | CAST(mau.mau AS BIGINT) AS mau,
+        | CAST(dau.dau * 10000 // mau.mau AS BIGINT) AS stickiness_e4
+        |FROM dau JOIN mau ON mau.rday = dau.day
+        |ORDER BY day""".stripMargin,
     "q_events_concurrency" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
         |  FROM events),

@@ -735,7 +735,37 @@ object Curation {
       .orderBy(col("c2").desc, col("w1"), col("w2"))
   }
 
+  /** Context-budget overflow audit: per source, fill context windows of
+    * 1k/4k/16k tokens in doc_id order and report how many docs fit,
+    * tokens used, and tokens lost to overflow — the capacity-planning
+    * read behind a RAG context_pack deployment (how much of each
+    * domain a budget actually admits). Cumulative sums run per SOURCE
+    * partition (never a global window); the 3-row budget frame rides
+    * a broadcast cross join. */
+  def ctxOverflow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val cum = documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+    val budgets = Seq(1000L, 4000L, 16000L).toDF("budget")
+    cum.crossJoin(broadcast(budgets))
+      .groupBy(col("source"), col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("cum") <= col("budget"), 1L).otherwise(0L))
+          .as("n_fit"),
+        sum(when(col("cum") <= col("budget"), col("n_tok")).otherwise(0L))
+          .as("tokens_used"))
+      .withColumn("tokens_lost",
+        col("tokens_total") - col("tokens_used"))
+      .orderBy(col("source"), col("budget"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ctx_overflow" -> ctxOverflow,
     "q_llm_cdc_chunks" -> cdcChunks,
     "q_llm_trigram_sbo" -> trigramSbo,
     "q_llm_tail_tokens" -> tailTokens,
@@ -779,6 +809,26 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_ctx_overflow" ->
+      """WITH d AS (SELECT source, doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
+        |b AS (SELECT unnest([1000, 4000, 16000]) AS budget)
+        |SELECT c.source, CAST(b.budget AS BIGINT) AS budget,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(c.n_tok) AS BIGINT) AS tokens_total,
+        | CAST(sum(CASE WHEN c.cum <= b.budget THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_fit,
+        | CAST(sum(CASE WHEN c.cum <= b.budget THEN c.n_tok ELSE 0 END)
+        |   AS BIGINT) AS tokens_used,
+        | CAST(sum(c.n_tok) - sum(CASE WHEN c.cum <= b.budget
+        |   THEN c.n_tok ELSE 0 END) AS BIGINT) AS tokens_lost
+        |FROM c CROSS JOIN b GROUP BY c.source, b.budget
+        |ORDER BY source, budget""".stripMargin,
     "q_llm_context_pack" -> {
       val ctes = LlmOps.bm25Ctes
       s"""WITH $ctes,

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 308
+    val documented = 311
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,55 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("markov_steady: each iterate stays a (floored) distribution — " +
+      "mass sums to 1e6 minus bounded flooring loss, never above") {
+    val rows = SparkEntry.queries("q_events_markov_steady")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    Seq(1, 2, 3).foreach { it =>
+      val mass = rows.map(_.getLong(it)).sum
+      // per step: < k² from the floored products plus < k² inherited
+      // from P's own row rounding; 3 steps + the uniform init ⇒ the
+      // conservative envelope 10k² + k
+      assert(mass <= 1000000L && mass >= 1000000L - (10L * k * k + k),
+        s"iterate $it mass $mass")
+    }
+  }
+
+  test("events_stickiness: DAU <= MAU always, ratio bounded, and day " +
+      "census matches daily_active_users") {
+    val rows = SparkEntry.queries("q_events_stickiness")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), r)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 10000, r)
+    }
+    val dau = SparkEntry.queries("q_daily_active_users")(spark, sf)
+      .collect()
+    assert(rows.length == dau.length, "active-day census differs")
+  }
+
+  test("ctx_overflow: fit counts are monotone in budget and used + " +
+      "lost always reconciles to the source total") {
+    val rows = SparkEntry.queries("q_llm_ctx_overflow")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) + r.getLong(6) == r.getLong(3), r)
+      assert(r.getLong(4) <= r.getLong(2), r)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byBudget = rs.sortBy(_.getLong(1))
+      val fits = byBudget.map(_.getLong(4))
+      assert(fits.zip(fits.tail).forall { case (a, b) => a <= b })
+      // docs/total identical across budgets of one source
+      assert(byBudget.map(r => (r.getLong(2), r.getLong(3)))
+        .distinct.length == 1)
+    }
   }
 
   test("events_concurrency: the sweep is conservation-exact — point " +
