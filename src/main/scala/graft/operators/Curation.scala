@@ -764,7 +764,27 @@ object Curation {
       .orderBy(col("source"), col("budget"))
   }
 
+  /** Term burstiness (Church & Gale): for the 20 highest-frequency
+    * terms, collection frequency vs document frequency and their ratio
+    * ×10⁴ (mean occurrences per CONTAINING doc) — bursty terms (high
+    * cf/df) concentrate in few docs and are topical; flat terms are
+    * function words. The linguistic complement to tf-idf that a
+    * stopword-list builder actually thresholds on.
+    *
+    * Shape: one tokenize shuffle → per-term (cf, df) partial-
+    * aggregable aggregate (df via countDistinct over doc_id) →
+    * bounded top-20. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("burst_e4", expr("cf * 10000 div df"))
+      .orderBy(col("cf").desc, col("tok"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_burstiness" -> burstiness,
     "q_llm_ctx_overflow" -> ctxOverflow,
     "q_llm_cdc_chunks" -> cdcChunks,
     "q_llm_trigram_sbo" -> trigramSbo,
@@ -809,6 +829,14 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_burstiness" ->
+      """WITH t AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cf,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        | CAST(count(*) * 10000 // count(DISTINCT doc_id) AS BIGINT)
+        |   AS burst_e4
+        |FROM t GROUP BY tok ORDER BY cf DESC, tok LIMIT 20""".stripMargin,
     "q_llm_ctx_overflow" ->
       """WITH d AS (SELECT source, doc_id,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

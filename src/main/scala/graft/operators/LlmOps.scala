@@ -1524,19 +1524,26 @@ object LlmOps {
     * The arms themselves are the already-enrolled shapes (BM25's one
     * tokenize shuffle; one broadcast probe row against the vector
     * scan). */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  /** Top-50 lexical (BM25) and dense (cosine) rankings — the two
+    * retrieval arms shared by hybridRrf and bordaFusion (one
+    * definition, so the fusion rows cannot disagree on the inputs). */
+  private def lexTop50(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lexTop = bm25Scored(spark, dir)
+    bm25Scored(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id")).limit(50)
       // 50 rows by construction — the global window is trivially cheap
       .withColumn("lex_rank", row_number()
         .over(Window.orderBy(col("bm25").desc, col("doc_id")))
         .cast("long"))
       .select(col("doc_id"), col("lex_rank"))
+  }
+
+  private def denseTop50(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val emb = embWithNorm(spark, dir)
     val probe = emb.filter(col("vec_id") === 7)
       .select(col("v").as("av"), col("norm").as("an"))
-    val denseTop = emb.filter(col("vec_id") =!= 7)
+    emb.filter(col("vec_id") =!= 7)
       .crossJoin(broadcast(probe))
       .withColumn("cos",
         round(expr("fvec_dot(av, v)") / (col("an") * col("norm")), 6))
@@ -1545,7 +1552,26 @@ object LlmOps {
         .over(Window.orderBy(col("cos").desc, col("vec_id")))
         .cast("long"))
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
-    lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+  }
+
+  /** Borda-count fusion of the two retrieval arms (the RRF row's
+    * integer sibling: points = 51 − rank per list, absent = 0) —
+    * rank-fusion family complete with both the reciprocal and the
+    * positional rule; pure BIGINT, no float reciprocals at all. */
+  def bordaFusion(spark: SparkSession, dir: String): DataFrame =
+    lexTop50(spark, dir)
+      .join(denseTop50(spark, dir), Seq("doc_id"), "full_outer")
+      .withColumn("borda", expr(
+        "coalesce(51 - lex_rank, CAST(0 AS BIGINT)) + " +
+          "coalesce(51 - dense_rank, CAST(0 AS BIGINT))"))
+      .select(col("doc_id"), col("borda"), col("lex_rank"),
+        col("dense_rank"))
+      .orderBy(col("borda").desc, col("doc_id"))
+      .limit(15)
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    lexTop50(spark, dir).join(denseTop50(spark, dir), Seq("doc_id"),
+      "full_outer")
       // 1.0D: Spark parses a bare 1.0 as DECIMAL (DuckDB: DOUBLE) — the
       // double literal keeps both the schema and the arithmetic aligned
       .withColumn("rrf", round(
@@ -2356,6 +2382,7 @@ object LlmOps {
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_hybrid_rrf" -> hybridRrf,
+    "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
     "q_llm_quality_score" -> qualityScore,
     "q_llm_token_count" -> tokenCount,
@@ -3018,6 +3045,25 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_rank_fusion_borda" ->
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT doc_id, lex_rank FROM (
+        |   SELECT doc_id, CAST(row_number() OVER (
+        |     ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        |   FROM bmsc) t WHERE lex_rank <= 50),
+        |$cosCte,
+        |dense AS (SELECT doc_id, dense_rank FROM (
+        |   SELECT c.vec_id AS doc_id, CAST(row_number() OVER (ORDER BY
+        |     round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+        |       DESC, c.vec_id) AS BIGINT) AS dense_rank
+        |   FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+        |   WHERE p.vec_id = 7) t WHERE dense_rank <= 50)
+        |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+        | CAST(coalesce(51 - lex_rank, 0) + coalesce(51 - dense_rank, 0)
+        |   AS BIGINT) AS borda,
+        | lex_rank, dense_rank
+        |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        |ORDER BY borda DESC, doc_id LIMIT 15""".stripMargin,
     "q_llm_hybrid_rrf" ->
       s"""WITH $bm25Ctes,
         |lex AS (SELECT doc_id, lex_rank FROM (

@@ -292,7 +292,46 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** Exact Gini coefficient per event_type — the inequality/
+    * concentration audit (is revenue spread or whale-dominated?) — via
+    * HISTOGRAM ALGEBRA, never a corpus sort: a run of c equal values v
+    * with a smaller-values mass a contributes exactly
+    * v·c·(2a + c − n) to the classical Σ(2i−n−1)xᵢ numerator (the
+    * closed form of the rank sum over the run), so the whole statistic
+    * folds from the domain-bounded value histogram. Final ratio
+    * ×10⁴ over n·Σx — numerator provably ≥ 0 (Gini ≥ 0), so the
+    * division sits in the engine-agreement zone; per-run terms are
+    * signed but only summed.
+    *
+    * Overflow: |term| ≤ cents·c·n ≤ 5·10⁴·n² — exact through ~10⁷
+    * rows per type; beyond, dollars units (the moments row's note).
+    *
+    * Shape: partial-aggregable histogram → per-type window over
+    * DISTINCT values (domain-bounded, the quartiles_disc discipline)
+    * → |types|-row fold. */
+  def giniAgg(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val hist = events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    hist
+      .withColumn("cum", sum(col("c")).over(byType.orderBy(col("cents"))))
+      .withColumn("a", col("cum") - col("c"))
+      .withColumn("n", sum(col("c")).over(byType))
+      .withColumn("term", expr("cents * c * (2 * a + c - n)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(expr("cents * c")).as("total_cents"),
+        sum(col("term")).as("num"))
+      .select(col("event_type"), col("n"), col("total_cents"),
+        expr("num * 10000 div (n * total_cents)").as("gini_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_gini" -> giniAgg,
     "q_agg_winsorized" -> winsorizedMean,
     "q_win_quartiles_disc" -> quartilesDisc,
     "q_win_fill_nth" -> fillNth,
@@ -308,6 +347,21 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_gini" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |w AS (SELECT event_type, cents, c,
+        |   sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |   sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | CAST(sum(cents * c) AS BIGINT) AS total_cents,
+        | CAST(sum(cents * c * (2 * (cum - c) + c - n)) * 10000
+        |   // (max(n) * sum(cents * c)) AS BIGINT) AS gini_e4
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_winsorized" ->
       """WITH ev AS (SELECT event_type,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

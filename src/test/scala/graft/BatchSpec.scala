@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 311
+    val documented = 314
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,57 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("agg_gini: the histogram-algebra statistic equals the classic " +
+      "rank formula on a plain-Scala replay, and stays in [0, 1e4)") {
+    val rows = SparkEntry.queries("q_agg_gini")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 10000, r)
+      val xs = byType(t).map(_.getLong(1)).sorted
+      val n = xs.length.toLong
+      val num = xs.zipWithIndex.map { case (x, i) =>
+        (2L * (i + 1) - n - 1) * x }.sum
+      assert(r.getLong(1) == n, r)
+      assert(r.getLong(2) == xs.sum, r)
+      assert(r.getLong(3) == num * 10000 / (n * xs.sum), r)
+    }
+  }
+
+  test("rank_fusion_borda agrees with hybrid_rrf on membership of the " +
+      "shared top lists and scores replay from the emitted ranks") {
+    val borda = SparkEntry.queries("q_llm_rank_fusion_borda")(spark, sf)
+      .collect()
+    assert(borda.length == 15)
+    borda.foreach { r =>
+      val lex = if (r.isNullAt(2)) 0L else 51L - r.getLong(2)
+      val dense = if (r.isNullAt(3)) 0L else 51L - r.getLong(3)
+      assert(r.getLong(1) == lex + dense, r)
+    }
+    val scores = borda.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("burstiness: cf >= df, burst >= 1e4, and the top term's counts " +
+      "replay from a direct recount") {
+    val rows = SparkEntry.queries("q_llm_burstiness")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), r)
+      assert(r.getLong(3) >= 10000, r)
+    }
+    val top = rows.head
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val cf = docs.map(_.split(" ", -1).count(_ == top.getString(0))).sum
+    val df = docs.count(_.split(" ", -1).contains(top.getString(0)))
+    assert(top.getLong(1) == cf && top.getLong(2) == df, top)
   }
 
   test("markov_steady: each iterate stays a (floored) distribution — " +
