@@ -791,7 +791,36 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Bounce rate per day: single-event sessions ÷ sessions started
+    * that day, ×10⁴ — the engagement-quality complement to the
+    * concurrency and stickiness rows, on the SAME 30-min session rule
+    * (one definition across the session family). Day = epoch day of
+    * the session start.
+    *
+    * Shape: the sessionize window + a (user, session) rollup carrying
+    * the event count, then a per-day partial-aggregable fold. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts_us")).as("start_us"), count(lit(1)).as("n_ev"))
+      .withColumn("day", expr("start_us div 86400000000"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_e4", expr("n_bounce * 10000 div n_sessions"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_bounce_rate" -> bounceRate,
     "q_events_markov_steady" -> markovSteady,
     "q_events_stickiness" -> stickiness,
     "q_events_concurrency" -> concurrencyCurve,
@@ -817,6 +846,29 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, ts_us,
+        |   CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) > 1800000000
+        |    OR lag(ts_us) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |s AS (SELECT user_id, ts_us,
+        |   sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM g),
+        |sess AS (SELECT user_id, session_no, min(ts_us) AS start_us,
+        |   count(*) AS n_ev
+        |  FROM s GROUP BY 1, 2)
+        |SELECT start_us // 86400000000 AS day,
+        | CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bounce,
+        | CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 10000
+        |   // count(*) AS BIGINT) AS bounce_e4
+        |FROM sess GROUP BY day ORDER BY day""".stripMargin,
     "q_events_markov_steady" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |   epoch_us(ts) AS ts_us FROM events),

@@ -783,7 +783,84 @@ object Curation {
       .orderBy(col("cf").desc, col("tok"))
       .limit(20)
 
+  /** Entity-resolution BLOCKING audit: three candidate blocking keys
+    * (first token, source+lang, 100-char length band) scored against
+    * the enrolled MinHash-LSH near-dup pairs as ground truth — per
+    * strategy, pair completeness (truth pairs whose two docs share a
+    * block) vs reduction ratio (candidate pairs vs all pairs). The
+    * measurement an ER/dedup owner runs BEFORE trusting a blocking
+    * key at a scale where all-pairs is unaffordable; consuming
+    * minhashLsh's own pairs means the audit can't disagree with the
+    * dedup rows about what a duplicate is.
+    *
+    * Candidate volume is NEVER materialized — Σ s(s−1)/2 folds from
+    * block sizes; coverage is two doc-sized key joins onto the
+    * (small) truth-pair frame. */
+  def erBlocking(spark: SparkSession, dir: String): DataFrame = {
+    val truth = LlmOps.minhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val keyed = documents(spark, dir).select(col("doc_id"),
+      expr("split(text, ' ')[0]").as("k_first"),
+      expr("concat(source, '|', lang)").as("k_srclang"),
+      expr("CAST(n_chars div 100 AS STRING)").as("k_lenband"))
+    val strategies = Seq("first_token" -> "k_first",
+      "source_lang" -> "k_srclang", "length_band" -> "k_lenband")
+    val nDocs = keyed.agg(count(lit(1)).as("n_docs"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    strategies.map { case (name, kcol) =>
+      val blocks = keyed.groupBy(col(kcol)).agg(count(lit(1)).as("s"))
+      val stats = blocks.agg(count(lit(1)).as("n_blocks"),
+        sum(expr("s * (s - 1) div 2")).as("cand_pairs"))
+      val covered = truth
+        .join(keyed.select(col("doc_id").as("a_id"),
+          col(kcol).as("ka")), "a_id")
+        .join(keyed.select(col("doc_id").as("b_id"),
+          col(kcol).as("kb")), "b_id")
+        .filter(col("ka") === col("kb"))
+        .agg(count(lit(1)).as("covered"))
+      stats.crossJoin(covered).crossJoin(broadcast(nDocs))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(name).as("strategy"), col("n_blocks"),
+          col("cand_pairs"), col("n_truth"), col("covered"),
+          expr("covered * 10000 div greatest(n_truth, 1)")
+            .as("completeness_e4"),
+          expr("cand_pairs * 10000 div (n_docs * (n_docs - 1) div 2)")
+            .as("reduction_e4"))
+    }.reduce(_ unionAll _).orderBy(col("strategy"))
+  }
+
+  /** Cross-language vocabulary overlap matrix: pairwise Jaccard ×10⁴
+    * of the distinct-token vocabularies per language — the
+    * contamination/segmentation audit behind "are these languages
+    * actually separable?" (shared script + loanwords inflate it,
+    * misrouted docs blow it up). All |langs|·(|langs|−1)/2 pairs.
+    *
+    * Shape: (lang, token) distinct (vocab-sized), self-join on token
+    * with la < lb — the join is vocab-keyed (Heaps-bounded), never
+    * corpus-sized; per-lang sizes broadcast back. */
+  def langOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lv = documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sizes = lv.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val inter = lv.as("a")
+      .join(lv.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("la"), col("b.lang").as("lb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("lang").as("la"),
+        col("v").as("va"))), "la")
+      .join(broadcast(sizes.select(col("lang").as("lb"),
+        col("v").as("vb"))), "lb")
+      .select(col("la"), col("lb"), col("va"), col("vb"), col("inter"),
+        expr("inter * 10000 div (va + vb - inter)").as("jaccard_e4"))
+      .orderBy(col("la"), col("lb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_lang_overlap" -> langOverlap,
+    "q_llm_er_blocking" -> erBlocking,
     "q_llm_burstiness" -> burstiness,
     "q_llm_ctx_overflow" -> ctxOverflow,
     "q_llm_cdc_chunks" -> cdcChunks,
@@ -829,6 +906,52 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_lang_overlap" ->
+      """WITH lv AS (SELECT DISTINCT lang,
+        |   unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sz AS (SELECT lang, count(*) AS v FROM lv GROUP BY lang),
+        |i AS (SELECT a.lang AS la, b.lang AS lb, count(*) AS inter
+        |  FROM lv a JOIN lv b ON a.tok = b.tok AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT i.la, i.lb, CAST(sa.v AS BIGINT) AS va,
+        | CAST(sb.v AS BIGINT) AS vb, CAST(i.inter AS BIGINT) AS inter,
+        | CAST(i.inter * 10000 // (sa.v + sb.v - i.inter) AS BIGINT)
+        |   AS jaccard_e4
+        |FROM i JOIN sz sa ON sa.lang = i.la JOIN sz sb ON sb.lang = i.lb
+        |ORDER BY la, lb""".stripMargin,
+    "q_llm_er_blocking" -> {
+      val arm = (name: String, k: String) =>
+        s"""SELECT '$name' AS strategy,
+           | CAST((SELECT count(*) FROM (SELECT $k, count(*) AS s
+           |   FROM k GROUP BY 1)) AS BIGINT) AS n_blocks,
+           | CAST((SELECT sum(s * (s - 1) // 2) FROM (SELECT $k,
+           |   count(*) AS s FROM k GROUP BY 1)) AS BIGINT) AS cand_pairs,
+           | CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth,
+           | CAST((SELECT count(*) FROM tp
+           |   JOIN k a ON a.doc_id = tp.a_id
+           |   JOIN k b ON b.doc_id = tp.b_id
+           |   WHERE a.$k = b.$k) AS BIGINT) AS covered,
+           | CAST((SELECT count(*) FROM tp
+           |   JOIN k a ON a.doc_id = tp.a_id
+           |   JOIN k b ON b.doc_id = tp.b_id
+           |   WHERE a.$k = b.$k) * 10000
+           |  // greatest((SELECT count(*) FROM tp), 1) AS BIGINT)
+           |   AS completeness_e4,
+           | CAST((SELECT sum(s * (s - 1) // 2) FROM (SELECT $k,
+           |   count(*) AS s FROM k GROUP BY 1)) * 10000
+           |  // ((SELECT count(*) FROM k)
+           |    * ((SELECT count(*) FROM k) - 1) // 2) AS BIGINT)
+           |   AS reduction_e4""".stripMargin
+      s"""WITH tp AS (SELECT a_id, b_id FROM (${LlmOps.minhashPairsSql})),
+         |k AS (SELECT doc_id, string_split(text, ' ')[1] AS k_first,
+         |   source || '|' || lang AS k_srclang,
+         |   CAST(n_chars // 100 AS VARCHAR) AS k_lenband
+         |  FROM documents)
+         |${arm("first_token", "k_first")}
+         |UNION ALL ${arm("length_band", "k_lenband")}
+         |UNION ALL ${arm("source_lang", "k_srclang")}
+         |ORDER BY strategy""".stripMargin
+    },
     "q_llm_burstiness" ->
       """WITH t AS (SELECT doc_id,
         |   unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -2494,7 +2494,7 @@ object LlmOps {
        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
-  private val minhashPairsSql =
+  private[operators] val minhashPairsSql =
     s"""WITH $minhashCandCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 314
+    val documented = 317
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,53 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("er_blocking: completeness and reduction are proper rates, and " +
+      "the source_lang strategy covers every truth pair (near-dups " +
+      "share source by construction)") {
+    val rows = SparkEntry.queries("q_llm_er_blocking")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 3)
+    rows.values.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), r)      // covered <= truth
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000, r)
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 10000, r)
+    }
+    // all strategies see the same ground truth
+    assert(rows.values.map(_.getLong(3)).toSet.size == 1)
+  }
+
+  test("events_bounce_rate: bounce <= sessions per day and the " +
+      "session census agrees with the concurrency row") {
+    val rows = SparkEntry.queries("q_events_bounce_rate")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), r)
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1), r)
+    }
+    val conc = SparkEntry.queries("q_events_concurrency")(spark, sf)
+      .collect()
+    // both rows derive from the SAME 30-min rule: total sessions in
+    // the bounce census = half the sweep's point census
+    assert(2L * rows.map(_.getLong(1)).sum ==
+      conc.map(_.getLong(1)).sum)
+  }
+
+  test("lang_overlap: all unordered lang pairs present, jaccard " +
+      "bounded, and intersection bounded by both vocabularies") {
+    val rows = SparkEntry.queries("q_llm_lang_overlap")(spark, sf)
+      .collect()
+    val langs = graft.Tables.documents(spark, sf)
+      .select("lang").distinct().count()
+    assert(rows.length == langs * (langs - 1) / 2)
+    rows.foreach { r =>
+      val (va, vb, inter) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(inter <= math.min(va, vb), r)
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000, r)
+      assert(r.getString(0) < r.getString(1), r)
+    }
   }
 
   test("agg_gini: the histogram-algebra statistic equals the classic " +
