@@ -439,7 +439,38 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Cross-correlation of the purchase and error DAILY series at lags
+    * −3..+3: raw Σ x_d·y_{d+lag} cross-products (counts are
+    * nonnegative integers — no centering, no division, nothing to
+    * floor) plus both marginal sums over the overlap window, so the
+    * reader can normalize however they like. "Does the error series
+    * lag the purchase series?" — the lead/lag diagnostic the
+    * autocorrelation row (q_ts_acf) can't answer because it never
+    * crosses series.
+    *
+    * Shape: two tiny daily-count frames (30 rows each) equi-joined per
+    * lag on day+lag — a 7-element lag frame cross-joined broadcast;
+    * only the daily rollup touches the corpus (one shuffle). */
+  def crossCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def daily(t: String, cnt: String) = events(spark, dir)
+      .filter(col("event_type") === t)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as(cnt))
+    val x = daily("purchase", "x").withColumnRenamed("day", "xday")
+    val y = daily("error", "y").withColumnRenamed("day", "yday")
+    val lags = (-3L to 3L).toDF("lag")
+    x.crossJoin(broadcast(lags))
+      .join(y, col("xday") + col("lag") === col("yday"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("x * y")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_xcorr" -> crossCorrelation,
     "q_ts_time_weighted_avg" -> timeWeightedAvg,
     "q_ts_m4_downsample" -> m4Downsample,
     "q_ts_acf" -> acfLags,
@@ -455,6 +486,21 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_xcorr" ->
+      """WITH x AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   count(*) AS x FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1),
+        |y AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   count(*) AS y FROM events WHERE event_type = 'error'
+        |  GROUP BY 1),
+        |l AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag)
+        |SELECT CAST(l.lag AS BIGINT) AS lag,
+        | CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(x.x * y.y) AS BIGINT) AS sxy,
+        | CAST(sum(x.x) AS BIGINT) AS sx,
+        | CAST(sum(y.y) AS BIGINT) AS sy
+        |FROM x CROSS JOIN l JOIN y ON x.day + l.lag = y.day
+        |GROUP BY l.lag ORDER BY lag""".stripMargin,
     "q_ts_time_weighted_avg" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

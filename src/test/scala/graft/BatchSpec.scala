@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 317
+    val documented = 318
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,27 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("ts_xcorr: lag 0 replays from the daily-count series and " +
+      "overlap shrinks toward the lag extremes") {
+    val rows = SparkEntry.queries("q_ts_xcorr")(spark, sf).collect()
+    assert(rows.length == 7)
+    val byLag = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byLag.keySet == (-3L to 3L).toSet)
+    // replay lag 0 directly
+    val daily = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "(ts_ns div 1000) div 86400000000 AS d")
+      .collect().groupBy(_.getString(0))
+    def counts(t: String) = daily(t).groupBy(_.getLong(1))
+      .map { case (d, g) => d -> g.size.toLong }
+    val (px, ex) = (counts("purchase"), counts("error"))
+    val shared = px.keySet.intersect(ex.keySet)
+    val r0 = byLag(0L)
+    assert(r0.getLong(1) == shared.size)
+    assert(r0.getLong(2) == shared.toSeq.map(d => px(d) * ex(d)).sum)
+    // overlap census can only shrink as |lag| grows on a contiguous span
+    assert(rows.map(_.getLong(1)).max == r0.getLong(1))
   }
 
   test("er_blocking: completeness and reduction are proper rates, and " +
