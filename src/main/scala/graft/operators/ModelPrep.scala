@@ -737,7 +737,38 @@ object ModelPrep {
       .limit(10)
   }
 
+  /** Best-of-N selection curve: docs bucketed into pseudo-prompts of
+    * N ∈ {2, 4, 8} consecutive doc_ids; per N, the mean of each
+    * group's BEST quality score vs the mean of its average — the
+    * BoN uplift and how it scales with N (the selection-pressure
+    * curve an RLHF/rejection-sampling pipeline budgets against).
+    * Scores on the e4 grid; per-group mean is a nonneg integer
+    * division; the uplift is a raw difference of two already-floored
+    * averages (provably ≥ 0: best ≥ mean per group, sums preserve it,
+    * and floor is monotone).
+    *
+    * Shape: doc-sized score frame, 3 grouping passes (broadcast-free,
+    * partial-aggregable), 3-row output. */
+  def bestOfN(spark: SparkSession, dir: String): DataFrame = {
+    val sc = qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s_e4"))
+    Seq(2, 4, 8).map { n =>
+      sc.withColumn("grp", expr(s"doc_id div $n"))
+        .groupBy(col("grp"))
+        .agg(max(col("s_e4")).as("best"),
+          expr("sum(s_e4) div count(1)").as("mean"))
+        .agg(count(lit(1)).as("n_groups"),
+          expr("sum(best) div count(1)").as("avg_best_e4"),
+          expr("sum(mean) div count(1)").as("avg_mean_e4"))
+        .select(lit(n.toLong).as("n"), col("n_groups"),
+          col("avg_best_e4"), col("avg_mean_e4"),
+          (col("avg_best_e4") - col("avg_mean_e4")).as("uplift_e4"))
+    }.reduce(_ unionAll _).orderBy(col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_best_of_n" -> bestOfN,
     "q_llm_dim_probe" -> dimProbe,
     "q_llm_top_p_vocab" -> topPVocab,
     "q_llm_uncertainty_sample" -> uncertaintySample,
@@ -782,6 +813,26 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_best_of_n" -> {
+      val arm = (n: Int) =>
+        s"""SELECT CAST($n AS BIGINT) AS n,
+           | CAST(count(*) AS BIGINT) AS n_groups,
+           | CAST(sum(best) // count(*) AS BIGINT) AS avg_best_e4,
+           | CAST(sum(mean) // count(*) AS BIGINT) AS avg_mean_e4,
+           | CAST(sum(best) // count(*) - sum(mean) // count(*)
+           |   AS BIGINT) AS uplift_e4
+           |FROM (SELECT doc_id // $n AS grp, max(s_e4) AS best,
+           |   sum(s_e4) // count(*) AS mean
+           |  FROM sc1 GROUP BY 1)""".stripMargin
+      s"""WITH $scoreCte,
+         |sc1 AS (SELECT doc_id,
+         |   CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS s_e4
+         |  FROM sc0)
+         |${arm(2)}
+         |UNION ALL ${arm(4)}
+         |UNION ALL ${arm(8)}
+         |ORDER BY n""".stripMargin
+    },
     "q_llm_dim_probe" ->
       """WITH v AS (SELECT label % 2 AS parity,
         |   unnest(range(1, 65)) AS i,

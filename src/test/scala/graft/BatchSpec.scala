@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 318
+    val documented = 319
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1080,6 +1080,25 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rng.getLong(7) < arr.getLong(7), "read amplification not reduced")
     // every matching row lives in a read file on both layouts
     Seq(arr, rng).foreach(r => assert(r.getLong(4) >= r.getLong(5), r))
+  }
+
+  test("best_of_n: uplift is nonnegative and nondecreasing in N, and " +
+      "groups cover the corpus at every N") {
+    val rows = SparkEntry.queries("q_llm_best_of_n")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      // doc_ids are dense from 0 ⇒ group census = ceil(docs / N)
+      assert(r.getLong(1) == (nDocs + n - 1) / n, r)
+      assert(r.getLong(4) >= 0, r)
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), r)
+    }
+    // E[max of N] grows with N; allow 1 e4-unit of flooring noise
+    val uplifts = rows.map(_.getLong(4))
+    assert(uplifts.zip(uplifts.tail).forall { case (a, b) => b >= a - 1 },
+      uplifts.toSeq.toString)
   }
 
   test("ts_xcorr: lag 0 replays from the daily-count series and " +
