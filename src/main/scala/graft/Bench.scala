@@ -86,9 +86,15 @@ object Bench {
     // truncated the per-query map in past rounds and left perf claims
     // unreproducible from the repo — persist the full detailed line
     // too (cwd, or $SPARK_GRAFT_BENCH_OUT when set; best-effort).
+    // A SUBSET run must NOT clobber the committed full-suite artifact
+    // (round 8: a 2-query iteration run silently shrank
+    // BENCH_LOCAL.json to 2 rows) — subset runs land in a scratch file
+    // unless SPARK_GRAFT_BENCH_OUT is set explicitly.
+    val defaultOut =
+      if (subset.isEmpty) "BENCH_LOCAL.json" else "/tmp/BENCH_SUBSET.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), detailed + "\n")
+        "SPARK_GRAFT_BENCH_OUT", defaultOut)), detailed + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
