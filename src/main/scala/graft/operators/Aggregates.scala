@@ -353,7 +353,56 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** HLL set-ALGEBRA beyond union (round 8): estimate the
+    * INTERSECTION of two user cohorts per event_type by
+    * inclusion–exclusion over sketches — |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), with A/B = even/odd-epoch-day actives and the union
+    * estimated from `hll_union` of the two per-cohort sketches (the
+    * sketch-algebra step — NOT a rescan). This is the overlap/audience
+    * question (retention, cross-feature reach) that raw
+    * approx_count_distinct cannot answer, and the reason rollup tables
+    * store sketches rather than numbers.
+    *
+    * Verdict-row convention (the hll_merge pattern): sketch bits differ
+    * across engines, so the enrolled columns are the EXACT census plus
+    * a bound check the oracle emits as literal `true` — a hash match
+    * certifies |est − exact| ≤ max(5%, 20). Inclusion–exclusion sums
+    * three ±0.8% (lgK=14) estimates, so the slack is 5% + a small-count
+    * absolute floor.
+    *
+    * Shape: sketches are one partial-aggregable pass (conditional
+    * NULL-masked inputs — agg skips NULLs); the exact side is the
+    * two-level (type, user) census. Both are single-shuffle. */
+  def hllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("u_even", when(col("day") % 2 === 0, col("user_id")))
+      .withColumn("u_odd", when(col("day") % 2 === 1, col("user_id")))
+    val sk = ev.groupBy(col("event_type")).agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(u_even, 14))").as("est_a"),
+      expr("hll_sketch_estimate(hll_sketch_agg(u_odd, 14))").as("est_b"),
+      expr("hll_sketch_estimate(hll_union(hll_sketch_agg(u_even, 14)," +
+        " hll_sketch_agg(u_odd, 14)))").as("est_u"))
+    val ex = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(max(when(col("day") % 2 === 0, 1L).otherwise(0L)).as("a"),
+        max(when(col("day") % 2 === 1, 1L).otherwise(0L)).as("b"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("a")).as("n_even_exact"),
+        sum(col("b")).as("n_odd_exact"),
+        sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+          .as("n_inter_exact"))
+    sk.join(broadcast(ex), Seq("event_type"))
+      .select(col("event_type"),
+        (abs(col("est_a") + col("est_b") - col("est_u")
+          - col("n_inter_exact"))
+          <= greatest(expr("n_inter_exact div 20"), lit(20L)))
+          .as("within_5pct"),
+        col("n_even_exact"), col("n_odd_exact"), col("n_inter_exact"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hll_intersect" -> hllIntersect,
     "q_agg_moments" -> momentsAgg,
     "q_agg_hist_bucket" -> histBucket,
     "q_agg_stats_family" -> statsFamily,
@@ -378,6 +427,19 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_hll_intersect" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |   epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT event_type, user_id,
+        |   max(CASE WHEN day % 2 = 0 THEN 1 ELSE 0 END) AS a,
+        |   max(CASE WHEN day % 2 = 1 THEN 1 ELSE 0 END) AS bb
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT event_type, true AS within_5pct,
+        | CAST(sum(a) AS BIGINT) AS n_even_exact,
+        | CAST(sum(bb) AS BIGINT) AS n_odd_exact,
+        | CAST(sum(CASE WHEN a = 1 AND bb = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_inter_exact
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_moments" ->
       """WITH ev AS (SELECT event_type,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS d

@@ -819,7 +819,44 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Kaplan–Meier hazard table (round 8) over user lifetimes: per
+    * observed lifetime t (days between a user's first and last event),
+    * the at-risk count n(t) = users with lifetime ≥ t, the event count
+    * d(t) = users whose lifetime is exactly t, and the discrete hazard
+    * d(t)·10⁶ div n(t). These ARE the KM inputs — the survival curve
+    * S(t) = Π(1 − d/n) is a product of rationals (inexact under any
+    * fixed scaling), so the row emits the exact per-step table and the
+    * consumer folds the product off-engine (the gm2_e8 philosophy:
+    * exact components beat a sealed rounded composite). Complements
+    * q_cohort_retention (calendar cohorts) with the duration-domain
+    * view churn analysis actually models.
+    *
+    * Shape: per-user min/max fold (partial-aggregable) → lifetime
+    * census (≤ span-days rows) → ONE ordered cumulative pass over the
+    * census frame (n_risk = total − cum-prior). The window runs on
+    * the ~90-row census, never the fact table. */
+  def kmSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val life = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).as("lt"))
+    val census = life.groupBy(col("lt")).agg(count(lit(1)).as("n_end"))
+    val tot = life.agg(count(lit(1)).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    census
+      .withColumn("n_prior", coalesce(sum(col("n_end")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("lt").as("lifetime_days"), col("n_end"),
+        (col("n_users") - col("n_prior")).as("n_risk"))
+      .withColumn("hazard_e6", expr("n_end * 1000000 div n_risk"))
+      .orderBy(col("lifetime_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_survival" -> kmSurvival,
     "q_events_bounce_rate" -> bounceRate,
     "q_events_markov_steady" -> markovSteady,
     "q_events_stickiness" -> stickiness,
@@ -846,6 +883,24 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_survival" ->
+      """WITH life AS (SELECT user_id,
+        |   max(epoch_us(ts) // 86400000000)
+        |     - min(epoch_us(ts) // 86400000000) AS lt
+        |  FROM events GROUP BY user_id),
+        |census AS (SELECT lt, count(*) AS n_end FROM life GROUP BY lt),
+        |tot AS (SELECT count(*) AS n_users FROM life),
+        |c2 AS (SELECT lt, n_end,
+        |   coalesce(sum(n_end) OVER (ORDER BY lt
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS n_prior
+        |  FROM census)
+        |SELECT CAST(lt AS BIGINT) AS lifetime_days,
+        | CAST(n_end AS BIGINT) AS n_end,
+        | CAST(tot.n_users - n_prior AS BIGINT) AS n_risk,
+        | CAST(n_end * 1000000 // (tot.n_users - n_prior) AS BIGINT)
+        |   AS hazard_e6
+        |FROM c2 CROSS JOIN tot ORDER BY lifetime_days""".stripMargin,
     "q_events_bounce_rate" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
         |  FROM events),

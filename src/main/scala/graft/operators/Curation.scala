@@ -858,7 +858,99 @@ object Curation {
       .orderBy(col("la"), col("lb"))
   }
 
+  /** Block-MATTR lexical diversity (round 8): the moving-average
+    * type-token ratio, the standard fix for raw TTR's length bias (a
+    * longer text ALWAYS has a lower TTR, so corpus-level TTR mostly
+    * measures document length). Tumbling 50-token blocks (the
+    * fixed-window variant of MATTR's sliding window — same estimator
+    * family, shuffle-free per block); only FULL blocks score (a
+    * partial tail block has upward-biased TTR), with the excluded
+    * short-doc census carried alongside. Per language: the block-TTR
+    * mean (mattr_e4) next to the naive whole-language TTR (ttr_e4) —
+    * the gap between the two IS the length-bias the row exists to
+    * expose.
+    *
+    * Shape: posexplode → (doc, block, token) partial-aggregable
+    * two-level distinct census (the lDiversity cell pattern) →
+    * language-sized fold. The whole-language TTR reuses the same
+    * token frame with a (lang, token) distinct. Nothing above
+    * vocab-sized shuffles; 100 TB-safe by construction. */
+  def mattr(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val blocks = toks
+      .withColumn("blk", expr("pos div 50"))
+      .groupBy(col("lang"), col("doc_id"), col("blk"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("doc_id"), col("blk"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"))
+      .filter(col("n_tok") === 50L)
+      .withColumn("ttr_blk_e4", expr("n_types * 10000 div n_tok"))
+    val perLang = blocks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("ttr_blk_e4")).as("s"))
+      .select(col("lang"), col("n_blocks"),
+        expr("s div n_blocks").as("mattr_e4"))
+    val naive = toks
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_vocab"))
+      .select(col("lang"), col("n_tokens"), col("n_vocab"),
+        expr("n_vocab * 10000 div n_tokens").as("ttr_e4"))
+    naive.join(perLang, Seq("lang"), "left")
+      .withColumn("n_blocks", coalesce(col("n_blocks"), lit(0L)))
+      .withColumn("mattr_e4", coalesce(col("mattr_e4"), lit(0L)))
+      .orderBy(col("lang"))
+  }
+
+  /** Vocabulary-budget coverage curve (round 8): for vocab budgets
+    * N ∈ {4, 8, 16, 32}, the share of all token OCCURRENCES covered by
+    * the top-N most frequent types — the curve a tokenizer designer
+    * reads to pick a vocab size (complement of q_llm_tail_tokens'
+    * tail-mass view: this is the cumulative head, walked at fixed
+    * budgets). Budgets are sized to the synthetic fixture's ~31-type
+    * vocab so the curve actually bends; the production form is the
+    * same plan with {1k, 8k, 32k, 128k}.
+    *
+    * Rank = row_number over the deterministic (count desc, token)
+    * total order; the rank window and the cumulative pass both run on
+    * the VOCAB-sized census frame (never the corpus), the documented
+    * audit-window exception. Coverage_e4 is truncating div on
+    * nonnegative sums — exact.
+    *
+    * Shape: corpus scan → (token) census (partial-aggregable) → two
+    * vocab-frame windows → 4-row broadcast budget join. */
+  def vocabBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("big_n"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val cum = cnt.withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("cum", sum(col("c")).over(wc))
+    val budgets = Seq(4L, 8L, 16L, 32L).toDF("budget")
+    cum.crossJoin(broadcast(budgets))
+      .filter(col("rk") <= col("budget"))
+      .groupBy(col("budget"))
+      .agg(max(col("rk")).as("n_types_used"),
+        max(col("cum")).as("n_covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("budget"), col("n_types_used"), col("n_covered"),
+        expr("n_covered * 10000 div big_n").as("coverage_e4"))
+      .orderBy(col("budget"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_vocab_budget" -> vocabBudget,
+    "q_llm_mattr" -> mattr,
     "q_llm_lang_overlap" -> langOverlap,
     "q_llm_er_blocking" -> erBlocking,
     "q_llm_burstiness" -> burstiness,
@@ -906,6 +998,46 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_vocab_budget" ->
+      """WITH cnt AS (SELECT tok, count(*) AS c FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS tok
+        |   FROM documents) t GROUP BY tok),
+        |tot AS (SELECT sum(c) AS big_n FROM cnt),
+        |rk AS (SELECT tok, c, CAST(row_number() OVER
+        |    (ORDER BY c DESC, tok) AS BIGINT) AS rk FROM cnt),
+        |cum AS (SELECT rk, sum(c) OVER (ORDER BY rk
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rk),
+        |b AS (SELECT CAST(unnest([4, 8, 16, 32]) AS BIGINT) AS budget)
+        |SELECT budget,
+        | CAST(max(rk) AS BIGINT) AS n_types_used,
+        | CAST(max(cum) AS BIGINT) AS n_covered,
+        | CAST(max(cum) * 10000 // tot.big_n AS BIGINT) AS coverage_e4
+        |FROM cum CROSS JOIN b CROSS JOIN tot
+        |WHERE rk <= budget
+        |GROUP BY budget, tot.big_n ORDER BY budget""".stripMargin,
+    "q_llm_mattr" ->
+      """WITH toks AS (SELECT lang, doc_id,
+        |   string_split(text, ' ') AS tk FROM documents),
+        |pt AS (SELECT lang, doc_id,
+        |   unnest([{'blk': (i - 1) // 50, 'tok': tk[i]}
+        |     for i in range(1, len(tk) + 1)]) AS s FROM toks),
+        |blocks AS (SELECT lang, doc_id, s.blk,
+        |   count(*) AS n_tok, count(DISTINCT s.tok) AS n_types
+        |  FROM pt GROUP BY 1, 2, 3),
+        |fb AS (SELECT lang, n_types * 10000 // n_tok AS ttr_blk_e4
+        |  FROM blocks WHERE n_tok = 50),
+        |per_lang AS (SELECT lang, count(*) AS n_blocks,
+        |   sum(ttr_blk_e4) AS s FROM fb GROUP BY lang),
+        |naive AS (SELECT lang, count(*) AS n_tokens,
+        |   count(DISTINCT s.tok) AS n_vocab FROM pt GROUP BY lang)
+        |SELECT n.lang, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n.n_vocab AS BIGINT) AS n_vocab,
+        | CAST(n.n_vocab * 10000 // n.n_tokens AS BIGINT) AS ttr_e4,
+        | CAST(coalesce(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+        | CAST(coalesce(p.s // p.n_blocks, 0) AS BIGINT) AS mattr_e4
+        |FROM naive n LEFT JOIN per_lang p ON p.lang = n.lang
+        |ORDER BY n.lang""".stripMargin,
     "q_llm_lang_overlap" ->
       """WITH lv AS (SELECT DISTINCT lang,
         |   unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -190,7 +190,76 @@ object Evaluation {
     arms.reduce(_ unionAll _).orderBy(col("term"), col("rank"))
   }
 
+  /** BLEU-2 components (round 8) over the same consecutive-same-source
+    * pairs as rougeBigram — candidate a, reference b. Unlike ROUGE's
+    * set overlap, BLEU uses CLIPPED MULTIPLICITY counts: per n-gram g,
+    * min(count_a(g), count_b(g)), so a candidate repeating one
+    * reference word does not farm precision. Emitted exactly:
+    * p1_e4/p2_e4 (clipped 1/2-gram precisions), gm2_e8 = p1_e4·p2_e4
+    * (the geometric mean SQUARED — sqrt-free per the house rule; the
+    * consumer takes √gm2_e8/10⁴ off-engine), and len_ratio_e4 =
+    * min(1, |c|/|r|) ×10⁴ (the brevity-penalty argument — BP's exp is
+    * transcendental, its argument is rational; exact beats sealed).
+    * Top-20 pairs by gm2_e8.
+    *
+    * Both sides need ≥2 tokens (a bigram exists), enforced by inner-
+    * joining the ≥2-token length frame on BOTH pair legs — identical
+    * in the oracle.
+    *
+    * Shape: pairing is the doc-sized lead window; clip counts are
+    * (doc,gram)-keyed equi-joins — the ROUGE plan with count payloads
+    * instead of distinct sets. No cross products; at 100 TB the gram
+    * frames are the same persisted inverted-index build. */
+  def bleuPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val lens = toks.select(col("doc_id"),
+      size(col("tk")).cast("long").as("len"))
+    val pairs = documents(spark, dir)
+      .select(col("source"), col("doc_id").as("a"),
+        lead(col("doc_id"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+      .join(lens.select(col("doc_id").as("a"), col("len").as("len_c")),
+        "a")
+      .join(lens.select(col("doc_id").as("b"), col("len").as("len_r")),
+        "b")
+    val uni = toks
+      .select(col("doc_id"), explode(col("tk")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val big = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> concat(tk[i], ' ', tk[i + 1]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    def clip(grams: DataFrame, name: String): DataFrame = pairs
+      .select(col("a"), col("b"))
+      .join(grams.select(col("doc_id").as("a"), col("g"),
+        col("c").as("ca")), "a")
+      .join(grams.select(col("doc_id").as("b"), col("g"),
+        col("c").as("cb")), Seq("b", "g"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(least(col("ca"), col("cb"))).as(name))
+    pairs
+      .join(clip(uni, "clip1"), Seq("a", "b"), "left")
+      .join(clip(big, "clip2"), Seq("a", "b"), "left")
+      .withColumn("clip1", coalesce(col("clip1"), lit(0L)))
+      .withColumn("clip2", coalesce(col("clip2"), lit(0L)))
+      .withColumn("p1_e4", expr("clip1 * 10000 div len_c"))
+      .withColumn("p2_e4", expr("clip2 * 10000 div (len_c - 1)"))
+      .withColumn("gm2_e8", expr("p1_e4 * p2_e4"))
+      .withColumn("len_ratio_e4",
+        expr("least(CAST(10000 AS BIGINT), len_c * 10000 div len_r)"))
+      .select(col("a"), col("b"), col("len_c"), col("len_r"),
+        col("p1_e4"), col("p2_e4"), col("gm2_e8"), col("len_ratio_e4"))
+      .orderBy(col("gm2_e8").desc, col("a"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_bleu" -> bleuPairs,
     "q_llm_hard_negatives" -> hardNegatives,
     "q_llm_rouge_bigram" -> rougeBigram,
     "q_llm_ndcg" -> ndcgAt10,
@@ -198,6 +267,48 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_bleu" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len
+        |  FROM toks),
+        |pairs0 AS (SELECT doc_id AS a,
+        |   lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b
+        |  FROM documents),
+        |pairs AS (SELECT p.a, p.b, la.len AS len_c, lb.len AS len_r
+        |  FROM pairs0 p
+        |  JOIN lens la ON la.doc_id = p.a
+        |  JOIN lens lb ON lb.doc_id = p.b
+        |  WHERE p.b IS NOT NULL),
+        |uni AS (SELECT doc_id, g, count(*) AS c FROM (
+        |   SELECT doc_id, unnest(tk) AS g FROM toks) t GROUP BY 1, 2),
+        |big AS (SELECT doc_id, g, count(*) AS c FROM (
+        |   SELECT doc_id, unnest([tk[i] || ' ' || tk[i + 1]
+        |     for i in range(1, len(tk))]) AS g FROM toks) t
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT p.a, p.b, sum(least(ua.c, ub.c)) AS clip1
+        |  FROM pairs p
+        |  JOIN uni ua ON ua.doc_id = p.a
+        |  JOIN uni ub ON ub.doc_id = p.b AND ub.g = ua.g
+        |  GROUP BY 1, 2),
+        |c2 AS (SELECT p.a, p.b, sum(least(ba.c, bb.c)) AS clip2
+        |  FROM pairs p
+        |  JOIN big ba ON ba.doc_id = p.a
+        |  JOIN big bb ON bb.doc_id = p.b AND bb.g = ba.g
+        |  GROUP BY 1, 2),
+        |f AS (SELECT pairs.a, pairs.b, len_c, len_r,
+        |   coalesce(c1.clip1, 0) * 10000 // len_c AS p1_e4,
+        |   coalesce(c2.clip2, 0) * 10000 // (len_c - 1) AS p2_e4
+        |  FROM pairs
+        |  LEFT JOIN c1 ON c1.a = pairs.a AND c1.b = pairs.b
+        |  LEFT JOIN c2 ON c2.a = pairs.a AND c2.b = pairs.b)
+        |SELECT a, b, len_c, len_r,
+        | CAST(p1_e4 AS BIGINT) AS p1_e4,
+        | CAST(p2_e4 AS BIGINT) AS p2_e4,
+        | CAST(p1_e4 * p2_e4 AS BIGINT) AS gm2_e8,
+        | CAST(least(10000, len_c * 10000 // len_r) AS BIGINT)
+        |   AS len_ratio_e4
+        |FROM f ORDER BY gm2_e8 DESC, a LIMIT 20""".stripMargin,
     "q_llm_hard_negatives" -> {
       val ctes = LlmOps.bm25Ctes
       val Seq(t1, t2, t3) = LlmOps.bm25Terms

@@ -306,7 +306,155 @@ object Governance {
       .orderBy(col("band"))
   }
 
+  /** t-closeness audit (round 8) — completes the privacy trio with
+    * k-anonymity and l-diversity: per QI class (event_type × epoch
+    * day, the lDiversity classes), the TOTAL-VARIATION distance
+    * between the class's distribution of the sensitive attribute and
+    * the corpus-global distribution. Sensitive attribute = the
+    * `value` cent decile band (the dqDrift banding — 10 outcomes, the
+    * categorical-EMD case where EMD = ½·Σ|p−q| exactly). A class can
+    * be k-anonymous AND l-diverse yet still leak (its sensitive mix
+    * differs sharply from background knowledge); t-closeness is the
+    * audit that catches it.
+    *
+    * Exactness: tv_e4 = Σ_v |c_v·N − g_v·n| · 5000 div (n·N) — the
+    * ½ folded into the ×5000, every operand nonnegative (abs), so
+    * Spark `div` ≡ DuckDB `//`. ABSENT bands contribute |0 − g_v·n|,
+    * so the class×band grid is completed (10-row broadcast) before
+    * the fold. Overflow bound: Σ ≤ 2nN ≤ 2N², ×5000 exact to
+    * N ≤ 3·10⁷ events (sf ~30); past that the same plan runs on
+    * DECIMAL(38,0) or per-band pre-divided e4 shares.
+    *
+    * Shape: one fact scan → (type, day, band) partial-aggregable
+    * cells; global band census is 10 rows (broadcast); the grid
+    * completion is class-table × 10 — dimension-sized. No self-joins,
+    * no global sorts. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("cents", cents("value"))
+    val mx = ev.agg(max(col("cents")).as("maxc"))
+    val banded = ev.crossJoin(broadcast(mx))
+      .withColumn("band", expr("cents * 10 div (maxc + 1)"))
+    val cells = banded
+      .groupBy(col("event_type"), col("day"), col("band"))
+      .agg(count(lit(1)).as("c"))
+    val classes = cells
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("n"))
+    val global = cells
+      .groupBy(col("band")).agg(sum(col("c")).as("g"))
+    val total = global.agg(sum(col("g")).as("big_n"))
+    classes
+      .crossJoin(broadcast(global))
+      .join(cells, Seq("event_type", "day", "band"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("n")).as("n_rows"),
+        count(lit(1)).as("n_bands"),
+        sum(when(col("c0") > 0L, 1L).otherwise(0L)).as("n_present"),
+        sum(expr("abs(c0 * big_n - g * n)")).as("s"),
+        max(expr("n * big_n")).as("nn"))
+      .select(col("event_type"), col("day"), col("n_rows"),
+        col("n_present"),
+        expr("s * 5000 div nn").as("tv_e4"))
+      .withColumn("t_ok", col("tv_e4") <= 2500L)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Benford's-law first-digit audit (round 8) over lineitem extended
+    * prices — the classic forensic-accounting screen for fabricated or
+    * truncated numeric feeds: the observed share of each leading
+    * significant digit 1..9 vs Benford's log₁₀(1+1/d) expectation.
+    * A synthetic fixture is NOT Benford-distributed (TPC-H prices are
+    * near-uniform in a band) — like dqReconcile, the row REPORTS the
+    * deviation rather than asserting conformance; the audit shape
+    * (per-digit census vs pinned expectation) is what it pins.
+    *
+    * The nine expected shares are IRRATIONAL, so they enter as nine
+    * e4 literal constants written identically in both arms (the
+    * zipf/dcg rounding rule: round once, share the text). The leading
+    * digit is taken from the CENTS integer — same significant digit
+    * as the dollar value (×100 preserves the mantissa), and the
+    * BIGINT→string cast is engine-agnostic where doubles are not.
+    *
+    * Shape: one scan → 9-group census → broadcast literal join.
+    * Purely partial-aggregable; at 100 TB it is as cheap as a count. */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bd = Seq(1L -> 3010L, 2L -> 1760L, 3L -> 1249L, 4L -> 969L,
+      5L -> 791L, 6L -> 669L, 7L -> 579L, 8L -> 511L, 9L -> 457L)
+      .toDF("digit", "benford_e4")
+    val obs = lineitem(spark, dir)
+      .select(expr(
+        "CAST(substring(CAST(" +
+          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("big_n"))
+    obs.join(broadcast(bd), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 10000 div big_n").as("share_e4"),
+        col("benford_e4"))
+      .withColumn("abs_dev_e4", expr("abs(share_e4 - benford_e4)"))
+      .orderBy(col("digit"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test (round 8): the exact KS
+    * D statistic between the order-total distributions of the even-
+    * and odd-orderkey cohorts — the distribution-level data contract
+    * check that chi-square banding (dqDrift) approximates; KS needs no
+    * binning choice and is sensitive to location AND shape shifts.
+    *
+    * Exact integer form: on the distinct-cents support, D·(n0·n1) =
+    * max |cum0·n1 − cum1·n0| — cross-multiplied CDFs, no division
+    * until the final d_e4 = D_num·10⁴ div (n0·n1). The argmax
+    * location is tie-broken to the smallest cents (deterministic).
+    * Overflow: D_num ≤ n0·n1, so ×10⁴ is exact to n ≈ 6·10⁷ rows per
+    * cohort; past that, pre-divide one side to e6 quantization.
+    *
+    * Shape: one scan → distinct-cents census (support ≪ facts) → ONE
+    * ordered cumulative pass over the support table. The global
+    * window runs on the support frame, not the fact table — the
+    * documented audit cost; the 100 TB variant runs the identical
+    * plan on an e2-quantized support (cents div 100) to cap the
+    * support size, trading exactness for a bounded sort. */
+  def dqKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val sup = orders(spark, dir)
+      .select(cents("o_totalprice").as("v"),
+        (col("o_orderkey") % 2 === 0).as("even"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("even"), 1L).otherwise(0L)).as("c0"),
+        sum(when(!col("even"), 1L).otherwise(0L)).as("c1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val tot = sup.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      count(lit(1)).as("n_support"))
+    val cum = sup
+      .withColumn("cum0", sum(col("c0")).over(w))
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_num", expr("abs(cum0 * n1 - cum1 * n0)"))
+    val dmax = cum.agg(max(col("d_num")).as("d_max"))
+    cum.crossJoin(broadcast(dmax))
+      .filter(col("d_num") === col("d_max"))
+      .groupBy(col("n0"), col("n1"), col("n_support"), col("d_max"))
+      .agg(min(col("v")).as("d_at_cents"))
+      .select(col("n0").as("n_even"), col("n1").as("n_odd"),
+        col("n_support"),
+        expr("d_max * 10000 div (n0 * n1)").as("d_e4"),
+        col("d_at_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priv_t_closeness" -> tCloseness,
+    "q_dq_benford" -> dqBenford,
+    "q_dq_ks_test" -> dqKsTest,
     "q_dq_reconcile" -> dqReconcile,
     "q_priv_dp_count" -> dpCount,
     "q_dq_drift" -> dqDrift,
@@ -317,6 +465,81 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_priv_t_closeness" ->
+      """WITH ev AS (SELECT event_type,
+        |   epoch_us(ts) // 86400000000 AS day,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |mx AS (SELECT max(cents) AS maxc FROM ev),
+        |banded AS (SELECT event_type, day,
+        |   cents * 10 // (mx.maxc + 1) AS band
+        |  FROM ev CROSS JOIN mx),
+        |cells AS (SELECT event_type, day, band, count(*) AS c
+        |  FROM banded GROUP BY 1, 2, 3),
+        |classes AS (SELECT event_type, day, sum(c) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |gb AS (SELECT band, sum(c) AS g FROM cells GROUP BY band),
+        |tot AS (SELECT sum(g) AS big_n FROM gb),
+        |grid AS (SELECT cl.event_type, cl.day, cl.n, gl.band, gl.g,
+        |   coalesce(ce.c, 0) AS c0
+        |  FROM classes cl CROSS JOIN gb gl
+        |  LEFT JOIN cells ce ON ce.event_type = cl.event_type
+        |   AND ce.day = cl.day AND ce.band = gl.band),
+        |folded AS (SELECT event_type, day,
+        |   max(n) AS n_rows,
+        |   sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS n_present,
+        |   sum(abs(c0 * tot.big_n - g * n)) AS s,
+        |   max(n * tot.big_n) AS nn
+        |  FROM grid CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        | CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_present AS BIGINT) AS n_present,
+        | CAST(s * 5000 // nn AS BIGINT) AS tv_e4,
+        | s * 5000 // nn <= 2500 AS t_ok
+        |FROM folded ORDER BY event_type, day""".stripMargin,
+    "q_dq_benford" ->
+      """WITH obs AS (SELECT
+        |   CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+        |     AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |   count(*) AS n_obs
+        |  FROM lineitem GROUP BY 1),
+        |bd AS (SELECT * FROM (VALUES (1, 3010), (2, 1760), (3, 1249),
+        |   (4, 969), (5, 791), (6, 669), (7, 579), (8, 511), (9, 457))
+        |   AS t(digit, benford_e4)),
+        |tot AS (SELECT sum(n_obs) AS big_n FROM obs)
+        |SELECT CAST(obs.digit AS BIGINT) AS digit,
+        | CAST(n_obs AS BIGINT) AS n_obs,
+        | CAST(n_obs * 10000 // tot.big_n AS BIGINT) AS share_e4,
+        | CAST(benford_e4 AS BIGINT) AS benford_e4,
+        | CAST(abs(n_obs * 10000 // tot.big_n - benford_e4) AS BIGINT)
+        |   AS abs_dev_e4
+        |FROM obs JOIN bd ON bd.digit = obs.digit CROSS JOIN tot
+        |ORDER BY digit""".stripMargin,
+    "q_dq_ks_test" ->
+      """WITH sup AS (SELECT
+        |   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |   sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+        |   sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1,
+        |   count(*) AS n_support FROM sup),
+        |cum AS (SELECT v,
+        |   sum(c0) OVER (ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+        |   sum(c1) OVER (ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+        |  FROM sup),
+        |d AS (SELECT v, abs(cum0 * tot.n1 - cum1 * tot.n0) AS d_num
+        |  FROM cum CROSS JOIN tot),
+        |dm AS (SELECT max(d_num) AS d_max FROM d)
+        |SELECT CAST(tot.n0 AS BIGINT) AS n_even,
+        | CAST(tot.n1 AS BIGINT) AS n_odd,
+        | CAST(tot.n_support AS BIGINT) AS n_support,
+        | CAST(dm.d_max * 10000 // (tot.n0 * tot.n1) AS BIGINT) AS d_e4,
+        | CAST(min(d.v) AS BIGINT) AS d_at_cents
+        |FROM d CROSS JOIN dm CROSS JOIN tot
+        |WHERE d.d_num = dm.d_max
+        |GROUP BY tot.n0, tot.n1, tot.n_support, dm.d_max""".stripMargin,
     "q_dq_reconcile" ->
       """WITH ls AS (SELECT l_orderkey,
         |   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))

@@ -505,10 +505,17 @@ object Graph {
     * float. The ratio ships SHIFTED (the q_ts_acf idiom):
     * assort_shift_e4 = (num+den)·10⁴ div (2·den) — Cauchy–Schwarz
     * bounds |num| ≤ den, the dividend is non-negative, and Spark's
-    * truncating div equals DuckDB's flooring //. Overflow bound:
-    * deg ≤ ~10³, edges ≤ ~10⁶ ⇒ n·Σd² ≤ 10⁶·10⁶·10⁶·… stays under
-    * 2⁶³ for this fixture family (d⁴·n² law; documented, not assumed —
-    * the oracle would diverge loudly on overflow). */
+    * truncating div equals DuckDB's flooring //.
+    *
+    * Overflow (round-8 lesson): the sf0.01 fixture fit the raw BIGINT
+    * moment products, but sf0.1 did NOT — n·Σ(dx·dy) and (Σd)² crossed
+    * 2⁶³ and ANSI mode threw mid-bench. The cross moments therefore
+    * accumulate in DECIMAL(38,0) (the engine-portable 128-bit lane —
+    * DuckDB's side was already HUGEINT), and the two REPORTING columns
+    * ship divided by n_dir_edges so they fit BIGINT at any scale:
+    * numpd_div_n = (num+den) div n (nonnegative by Cauchy–Schwarz, so
+    * truncate ≡ floor) and den_div_n = den div n. The e4 ratio itself
+    * is computed on the full decimal values — unchanged. */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     val und = cooccEdges(spark, dir)
     val dirEdges = und.select(col("u"), col("v"))
@@ -522,13 +529,21 @@ object Graph {
         Seq("v"))
     pairs.agg(count(lit(1)).as("n_dir_edges"),
         sum(col("dx")).as("sx"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dx") * col("dy")).as("sxy"))
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"))
       .select(col("n_dir_edges"),
-        expr("n_dir_edges * sxy - sx * sx").as("num"),
-        expr("n_dir_edges * sxx - sx * sx").as("den"))
-      .select(col("n_dir_edges"), col("num"), col("den"),
-        expr("(num + den) * 10000 div greatest(2 * den, 1)")
+        expr("CAST(n_dir_edges AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))")
+          .as("num"),
+        expr("CAST(n_dir_edges AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))")
+          .as("den"))
+      .select(col("n_dir_edges"),
+        expr("CAST((num + den) div n_dir_edges AS BIGINT)")
+          .as("numpd_div_n"),
+        expr("CAST(den div n_dir_edges AS BIGINT)").as("den_div_n"),
+        expr("CAST((num + den) * 10000" +
+          " div greatest(2 * den, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
           .as("assort_shift_e4"))
   }
 
@@ -950,8 +965,10 @@ object Graph {
         |   CAST(sum(dxv * dyv) AS BIGINT) AS sxy
         |  FROM p)
         |SELECT n_dir_edges,
-        | CAST(n_dir_edges * sxy - sx * sx AS BIGINT) AS num,
-        | CAST(n_dir_edges * sxx - sx * sx AS BIGINT) AS den,
+        | CAST((n_dir_edges * sxy - sx * sx + n_dir_edges * sxx - sx * sx)
+        |   // n_dir_edges AS BIGINT) AS numpd_div_n,
+        | CAST((n_dir_edges * sxx - sx * sx) // n_dir_edges AS BIGINT)
+        |   AS den_div_n,
         | CAST((n_dir_edges * sxy - sx * sx + n_dir_edges * sxx - sx * sx)
         |   * 10000 // greatest(2 * (n_dir_edges * sxx - sx * sx), 1)
         |   AS BIGINT) AS assort_shift_e4

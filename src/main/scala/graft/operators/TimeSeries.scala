@@ -469,7 +469,49 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** Spearman rank-correlation trend test (round 8): per event_type,
+    * the rank correlation between `value` and event time — the
+    * distribution-free monotone-trend detector (the Mann–Kendall
+    * question answered with ranks): is this feed's value drifting up
+    * or down over time? Complements q_ts_regr_slope (linear fit —
+    * outlier-sensitive) and q_ts_acf (self-correlation) with a
+    * robust cross-signal statistic.
+    *
+    * Ranks are row_number over deterministic total orders ((cents,
+    * event_id) and (ts_ns, event_id)) — the documented tie-break
+    * variant of Spearman, identical in both engines. rho_e4 =
+    * 10⁴ − Σd²·6·10⁴ div (n(n²−1)): the divided operand is
+    * nonnegative (d² sums), the possibly-negative result comes from
+    * the SUBTRACTION — after all division, where the engines agree.
+    * Overflow: Σd² ≤ (n³−n)/3, ×6·10⁴ exact to n ≈ 7·10⁴ rows per
+    * group (sf0.1-scale); at 100 TB the production form runs the
+    * identical plan on the per-day aggregate series (≤ 10³ points per
+    * key), which is also the statistically right granularity there.
+    *
+    * Shape: two per-type window rank passes (partitioned — no global
+    * sort) + one partial-aggregable fold. */
+  def spearmanTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("ts_ns"))
+    val wv = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val wt = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    ev.withColumn("rv", row_number().over(wv).cast("long"))
+      .withColumn("rt", row_number().over(wt).cast("long"))
+      .withColumn("d", col("rv") - col("rt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr("d * d")).as("sum_d2"))
+      .select(col("event_type"), col("n"), col("sum_d2"),
+        expr("10000 - sum_d2 * 60000 div greatest(n * (n * n - 1), 1)")
+          .as("rho_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_spearman_trend" -> spearmanTrend,
     "q_ts_xcorr" -> crossCorrelation,
     "q_ts_time_weighted_avg" -> timeWeightedAvg,
     "q_ts_m4_downsample" -> m4Downsample,
@@ -486,6 +528,24 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_spearman_trend" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |   epoch_us(ts) * 1000 AS ts_ns FROM events),
+        |r AS (SELECT event_type,
+        |   CAST(row_number() OVER (PARTITION BY event_type
+        |     ORDER BY cents, event_id) AS BIGINT) AS rv,
+        |   CAST(row_number() OVER (PARTITION BY event_type
+        |     ORDER BY ts_ns, event_id) AS BIGINT) AS rt
+        |  FROM ev),
+        |f AS (SELECT event_type, count(*) AS n,
+        |   sum((rv - rt) * (rv - rt)) AS sum_d2
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | CAST(sum_d2 AS BIGINT) AS sum_d2,
+        | CAST(10000 - sum_d2 * 60000
+        |   // greatest(n * (n * n - 1), 1) AS BIGINT) AS rho_e4
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_ts_xcorr" ->
       """WITH x AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   count(*) AS x FROM events WHERE event_type = 'purchase'

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 319
+    val documented = 328
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1875,6 +1875,148 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach { r =>
       assert(r.getLong(3) <= r.getLong(4), r)
       assert(r.getLong(1) >= 0 && r.getLong(2) >= 1, r)
+    }
+  }
+
+  test("priv_t_closeness: TV distance is a probability-metric value in " +
+      "[0, 1e4], bands stay within the decile domain, and the class " +
+      "sizes partition the fact table") {
+    val rows = SparkEntry.queries("q_priv_t_closeness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("tv_e4")
+      assert(tv >= 0L && tv <= 10000L, r)
+      assert(r.getAs[Boolean]("t_ok") == (tv <= 2500L), r)
+      val present = r.getAs[Long]("n_present")
+      assert(present >= 1L && present <= 10L, r)
+    }
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.Tables.events(spark, sf).count())
+  }
+
+  test("dq_benford: digit census partitions lineitem, truncated shares " +
+      "sum to within 9 of 1e4, and the deviation column is consistent") {
+    val rows = SparkEntry.queries("q_dq_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).forall(d => d >= 1 && d <= 9))
+    val n = rows.map(_.getAs[Long]("n_obs")).sum
+    assert(n == graft.Tables.lineitem(spark, sf).count())
+    val shareSum = rows.map(_.getAs[Long]("share_e4")).sum
+    assert(shareSum <= 10000L && shareSum >= 10000L - 9, s"sum=$shareSum")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("abs_dev_e4") ==
+        math.abs(r.getAs[Long]("share_e4") - r.getAs[Long]("benford_e4")),
+        r)
+    }
+  }
+
+  test("dq_ks_test: cohorts partition orders and the D statistic is a " +
+      "CDF-distance value in [0, 1e4] at a support point") {
+    val rows = SparkEntry.queries("q_dq_ks_test")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_even") + r.getAs[Long]("n_odd") ==
+      graft.Tables.orders(spark, sf).count())
+    val d = r.getAs[Long]("d_e4")
+    assert(d >= 0L && d <= 10000L, r)
+    assert(r.getAs[Long]("n_support") >= 1L)
+    assert(r.getAs[Long]("d_at_cents") > 0L)
+  }
+
+  test("llm_bleu: clipped precisions are probabilities, gm2 is their " +
+      "exact product, and the frame is sorted by gm2 desc") {
+    val rows = SparkEntry.queries("q_llm_bleu")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val p1 = r.getAs[Long]("p1_e4"); val p2 = r.getAs[Long]("p2_e4")
+      assert(p1 >= 0L && p1 <= 10000L, r)
+      assert(p2 >= 0L && p2 <= 10000L, r)
+      assert(r.getAs[Long]("gm2_e8") == p1 * p2, r)
+      assert(r.getAs[Long]("len_ratio_e4") <= 10000L, r)
+      assert(r.getAs[Long]("len_c") >= 2L && r.getAs[Long]("len_r") >= 2L,
+        r)
+    }
+    val gms = rows.map(_.getAs[Long]("gm2_e8")).toSeq
+    assert(gms == gms.sorted.reverse, "not sorted by gm2_e8 desc")
+  }
+
+  test("llm_mattr: vocab bounds, full blocks consume at most the " +
+      "language's tokens, and the naive TTR column recomputes") {
+    val rows = SparkEntry.queries("q_llm_mattr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens"); val nv = r.getAs[Long]("n_vocab")
+      assert(nv >= 1L && nv <= nt, r)
+      assert(r.getAs[Long]("ttr_e4") == nv * 10000L / nt, r)
+      assert(r.getAs[Long]("n_blocks") * 50L <= nt, r)
+      val m = r.getAs[Long]("mattr_e4")
+      assert(m >= 0L && m <= 10000L, r)
+    }
+  }
+
+  test("events_survival: the lifetime census is a valid KM input table " +
+      "(risk set telescopes, hazards are probabilities, last row dies)") {
+    val rows = SparkEntry.queries("q_events_survival")(spark, sf)
+      .orderBy("lifetime_days").collect()
+    assert(rows.nonEmpty)
+    val nUsers = rows.map(_.getAs[Long]("n_end")).sum
+    // first row's risk set is everyone; risk sets telescope by n_end
+    assert(rows.head.getAs[Long]("n_risk") == nUsers)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") ==
+          a.getAs[Long]("n_risk") - a.getAs[Long]("n_end"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hazard_e6")
+      assert(h >= 0L && h <= 1000000L, r)
+    }
+    // everyone still at risk at the max lifetime dies there: h = 1
+    assert(rows.last.getAs[Long]("hazard_e6") == 1000000L)
+  }
+
+  test("ts_spearman_trend: rho is a correlation in [-1e4, 1e4] and the " +
+      "rank-d2 sum is bounded by the permutation maximum") {
+    val rows = SparkEntry.queries("q_ts_spearman_trend")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val s = r.getAs[Long]("sum_d2")
+      val rho = r.getAs[Long]("rho_e4")
+      assert(rho >= -10000L && rho <= 10000L, r)
+      // max sum d^2 over permutations = (n^3 - n) / 3 (full reversal)
+      assert(s >= 0L && s <= (n * n * n - n) / 3L, r)
+    }
+  }
+
+  test("llm_vocab_budget: the coverage curve is monotone in budget and " +
+      "caps at the full occurrence mass") {
+    val rows = SparkEntry.queries("q_llm_vocab_budget")(spark, sf)
+      .orderBy("budget").collect()
+    assert(rows.map(_.getAs[Long]("budget")).toSeq ==
+      Seq(4L, 8L, 16L, 32L))
+    val covs = rows.map(_.getAs[Long]("coverage_e4")).toSeq
+    assert(covs == covs.sorted, "coverage not monotone in budget")
+    covs.foreach(c => assert(c >= 0L && c <= 10000L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types_used") <= r.getAs[Long]("budget"), r)
+      assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
+        r)
+    }
+  }
+
+  test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
+      "verdict bound at test scale and the exact census is consistent") {
+    val rows = SparkEntry.queries("q_agg_hll_intersect")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the REAL sketch-accuracy gate (the oracle only pins `true`)
+      assert(r.getAs[Boolean]("within_5pct"), r)
+      val inter = r.getAs[Long]("n_inter_exact")
+      assert(inter <= math.min(r.getAs[Long]("n_even_exact"),
+        r.getAs[Long]("n_odd_exact")), r)
+      assert(inter >= 0L, r)
     }
   }
 }
