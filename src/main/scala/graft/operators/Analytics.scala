@@ -855,7 +855,86 @@ object Analytics {
       .orderBy(col("lifetime_days"))
   }
 
+  /** Weighted digraph reciprocity (round 8) of the event-type
+    * transition graph: per unordered type pair {a, b}, the forward and
+    * reverse transition weights and the pair-level reciprocity
+    * 2·min(w_ab, w_ba)·10⁴ div (w_ab + w_ba) — 10⁴ means perfectly
+    * bidirectional traffic, 0 means one-way. The directed-graph audit
+    * (is A→B ever answered by B→A?) that the Markov row's conditional
+    * probabilities normalize away; built on the IDENTICAL lead()
+    * transition census as q_events_markov so the two rows cannot
+    * disagree on what a transition is.
+    *
+    * No self-join: the unordered pairing is a canonicalization
+    * (least/greatest) + conditional sums — one ≤|types|²-key rollup.
+    * Missing directions contribute 0 via the conditional sum, not a
+    * join's NULL. */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+      .filter(col("dst").isNotNull && col("dst") =!= col("event_type"))
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        when(col("src") < col("dst"), col("n")).otherwise(0L).as("f"),
+        when(col("src") > col("dst"), col("n")).otherwise(0L).as("r"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("f")).as("n_fwd"), sum(col("r")).as("n_rev"))
+      .select(col("a"), col("b"), col("n_fwd"), col("n_rev"),
+        least(col("n_fwd"), col("n_rev")).as("n_min"),
+        expr("2 * least(n_fwd, n_rev) * 10000 div (n_fwd + n_rev)")
+          .as("recip_e4"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Mann–Whitney U rank-sum test (round 8) on the SAME experiment as
+    * q_events_ab_ttest (purchase cents, user-parity arms) — the
+    * distribution-free verdict the t-test approximation needs when
+    * values are skewed (purchase amounts are). Computed EXACTLY and
+    * without ranking a single row: on the distinct-cents support,
+    * 2U = Σ_v cA(v)·(2·cumB(<v) + cB(v)) — doubling folds the ½-tie
+    * credit into integers. Emitted: the common-language effect size
+    * cles_e4 = 2U·10⁴ div (2·nA·nB) (P[A > B] + ½P[=]) and the
+    * normal-approximation 95% verdict 3·(2U − nAnB)²·100 ≥
+    * 384·nAnB·(n+1), cross-multiplied sqrt-free with the square in
+    * DECIMAL(38,0) (the assortativity lesson — (2U−nAnB)² crosses
+    * 2⁶³ near nAnB ~ 10¹⁰). Tie correction is omitted ⇒ variance
+    * over-estimated ⇒ the verdict is CONSERVATIVE (documented).
+    *
+    * Shape: fact scan → distinct-cents support census → ONE ordered
+    * pass over the support (the ks_test idiom) → 1-row fold. */
+  def abUTest(spark: SparkSession, dir: String): DataFrame = {
+    val sup = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"),
+        (col("user_id") % 2 === 0).as("in_a"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    sup
+      .withColumn("cum_b", coalesce(sum(col("cb")).over(w), lit(0L)))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(expr("ca * (2 * cum_b + cb)")).as("u2"))
+      .select(col("n_a"), col("n_b"), col("u2"),
+        expr("u2 * 10000 div (2 * n_a * n_b)").as("cles_e4"),
+        expr("CAST(u2 - n_a * n_b AS DECIMAL(38,0))" +
+          " * (u2 - n_a * n_b) * 300" +
+          " >= CAST(384 AS DECIMAL(38,0)) * n_a * n_b" +
+          " * (n_a + n_b + 1)").as("significant_95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ab_utest" -> abUTest,
+    "q_events_reciprocity" -> reciprocity,
     "q_events_survival" -> kmSurvival,
     "q_events_bounce_rate" -> bounceRate,
     "q_events_markov_steady" -> markovSteady,
@@ -883,6 +962,43 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_ab_utest" ->
+      """WITH sup AS (SELECT
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |   sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |   sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT v, ca, cb,
+        |   coalesce(sum(cb) OVER (ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS cum_b
+        |  FROM sup),
+        |f AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b,
+        |   sum(ca * (2 * cum_b + cb)) AS u2 FROM c)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(u2 AS BIGINT) AS u2,
+        | CAST(u2 * 10000 // (2 * n_a * n_b) AS BIGINT) AS cles_e4,
+        | (u2 - n_a * n_b) * (u2 - n_a * n_b) * 300
+        |   >= 384 * n_a * n_b * (n_a + n_b + 1) AS significant_95
+        |FROM f""".stripMargin,
+    "q_events_reciprocity" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |t0 AS (SELECT event_type AS src,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS dst FROM e),
+        |tr AS (SELECT src, dst, count(*) AS n FROM t0
+        |  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+        |c AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |   sum(CASE WHEN src < dst THEN n ELSE 0 END) AS n_fwd,
+        |   sum(CASE WHEN src > dst THEN n ELSE 0 END) AS n_rev
+        |  FROM tr GROUP BY 1, 2)
+        |SELECT a, b, CAST(n_fwd AS BIGINT) AS n_fwd,
+        | CAST(n_rev AS BIGINT) AS n_rev,
+        | CAST(least(n_fwd, n_rev) AS BIGINT) AS n_min,
+        | CAST(2 * least(n_fwd, n_rev) * 10000 // (n_fwd + n_rev)
+        |   AS BIGINT) AS recip_e4
+        |FROM c ORDER BY a, b""".stripMargin,
     "q_events_survival" ->
       """WITH life AS (SELECT user_id,
         |   max(epoch_us(ts) // 86400000000)

@@ -948,7 +948,70 @@ object Curation {
       .orderBy(col("budget"))
   }
 
+  /** RAKE keyphrase extraction (round 8, Rose et al. 2010): candidate
+    * phrases are maximal stopword-free token runs; a word scores
+    * deg/freq (deg = Σ length of phrases containing it, freq = its
+    * occurrence count — favors words that live in long collocations);
+    * a phrase scores the sum of its member words' scores. The
+    * co-occurrence-window complement of q_llm_textrank (graph
+    * centrality) and q_llm_tfidf_top_terms (corpus contrast) — three
+    * different published answers to "what are the key terms".
+    * Corpus-level variant: word statistics aggregate across ALL
+    * documents (the keyword-dictionary build), so identical phrases
+    * score identically wherever they appear — deduped by phrase text
+    * with an occurrence count. Top-15 by (score desc, phrase).
+    * RANKED phrases are capped at 4 tokens (the standard practical
+    * RAKE cap; on this low-stopword synthetic fixture an uncapped run
+    * returns whole documents as "phrases") — the word deg/freq
+    * statistics still come from ALL runs, per the original algorithm.
+    *
+    * Integer-exact: word score_e4 = deg·10⁴ div freq (≥ 10⁴ since
+    * deg ≥ freq); phrase score = Σ member-occurrence scores — sums of
+    * already-floored integers, same in both engines.
+    *
+    * Shape: one stopword-flag pass + per-doc running-sum window for
+    * phrase ids (the cdcChunks idiom), phrase assembly via
+    * sort_array(collect_list(struct(pos,tok))) ≡ string_agg ORDER BY,
+    * then vocab-sized word joins. Never corpus × corpus. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("isstop",
+        when(col("tok").isin(stop: _*), 1L).otherwise(0L))
+    val words = toks
+      .withColumn("gid", sum(col("isstop")).over(w))
+      .filter(col("isstop") === 0L)
+      .select(col("doc_id"), col("gid"), col("pos"), col("tok"))
+    val phrases = words.groupBy(col("doc_id"), col("gid"))
+      .agg(count(lit(1)).as("plen"),
+        expr("concat_ws(' ', transform(" +
+          "sort_array(collect_list(struct(pos, tok))), s -> s.tok))")
+          .as("phrase"))
+    val wscore = words
+      .join(phrases.select(col("doc_id"), col("gid"), col("plen")),
+        Seq("doc_id", "gid"))
+      .groupBy(col("tok"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .withColumn("s_e4", expr("deg * 10000 div freq"))
+    val occScore = words
+      .join(broadcast(wscore.select(col("tok"), col("s_e4"))), Seq("tok"))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(sum(col("s_e4")).as("score_e4"))
+    phrases.join(occScore, Seq("doc_id", "gid"))
+      .filter(col("plen") <= 4L)
+      .groupBy(col("phrase"))
+      .agg(max(col("plen")).as("plen"), count(lit(1)).as("n_occur"),
+        max(col("score_e4")).as("score_e4"))
+      .orderBy(col("score_e4").desc, col("phrase"))
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_rake_keywords" -> rakeKeywords,
     "q_llm_vocab_budget" -> vocabBudget,
     "q_llm_mattr" -> mattr,
     "q_llm_lang_overlap" -> langOverlap,
@@ -998,6 +1061,32 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_rake_keywords" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |pt AS (SELECT doc_id, unnest([{'pos': i, 'tok': tk[i]}
+        |   for i in range(1, len(tk) + 1)]) AS s FROM toks),
+        |m AS (SELECT doc_id, s.pos AS pos, s.tok AS tok,
+        |   CASE WHEN s.tok IN ('the','a','of','and','to','in','is')
+        |    THEN 1 ELSE 0 END AS isstop FROM pt),
+        |g AS (SELECT doc_id, pos, tok, isstop,
+        |   sum(isstop) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |  FROM m),
+        |wds AS (SELECT doc_id, gid, pos, tok FROM g WHERE isstop = 0),
+        |ph AS (SELECT doc_id, gid, count(*) AS plen,
+        |   string_agg(tok, ' ' ORDER BY pos) AS phrase
+        |  FROM wds GROUP BY 1, 2),
+        |ws AS (SELECT tok, sum(plen) * 10000 // count(*) AS s_e4
+        |  FROM wds JOIN ph USING (doc_id, gid) GROUP BY tok),
+        |occ AS (SELECT doc_id, gid, sum(s_e4) AS score_e4
+        |  FROM wds JOIN ws USING (tok) GROUP BY 1, 2)
+        |SELECT phrase, CAST(max(ph.plen) AS BIGINT) AS plen,
+        | CAST(count(*) AS BIGINT) AS n_occur,
+        | CAST(max(occ.score_e4) AS BIGINT) AS score_e4
+        |FROM ph JOIN occ USING (doc_id, gid)
+        |WHERE ph.plen <= 4
+        |GROUP BY phrase
+        |ORDER BY score_e4 DESC, phrase LIMIT 15""".stripMargin,
     "q_llm_vocab_budget" ->
       """WITH cnt AS (SELECT tok, count(*) AS c FROM (
         |   SELECT unnest(string_split(text, ' ')) AS tok

@@ -451,7 +451,54 @@ object Governance {
         col("d_at_cents"))
   }
 
+  /** Feed-freshness / arrival-rate audit (round 8): per event_type,
+    * the staleness of the latest record relative to the corpus
+    * watermark (global max ts) AND the final-day arrival count vs the
+    * type's prior daily average — the two alarms a data-contract
+    * monitor fires ("the feed stopped" / "the feed thinned"). A type
+    * can be fresh yet collapsing (one straggler event keeps staleness
+    * at zero while volume dropped 90%) — which is why the rate column
+    * exists beside the staleness column.
+    *
+    * drop_e4 = n_last_day·10⁴ div max(prior_daily_avg, 1), where
+    * prior_daily_avg = n_prior div max(n_prior_days, 1) (distinct
+    * ACTIVE prior days — a silent day should lower the average's
+    * denominator, not hide in it). All operands nonnegative.
+    *
+    * Shape: one fact scan → (type, day) partial-aggregable census →
+    * type-sized fold against the 1-row broadcast watermark. */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val wm = ev.agg(max(col("ts_us")).as("wm_us"),
+      max(col("day")).as("wm_day"))
+    val daily = ev.crossJoin(broadcast(wm))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), max(col("ts_us")).as("d_max_us"),
+        max(col("wm_us")).as("wm_us"), max(col("wm_day")).as("wm_day"))
+    daily.groupBy(col("event_type"))
+      .agg(max(col("d_max_us")).as("last_us"),
+        max(col("wm_us")).as("wm_us"),
+        sum(when(col("day") === col("wm_day"), col("n")).otherwise(0L))
+          .as("n_last_day"),
+        sum(when(col("day") < col("wm_day"), col("n")).otherwise(0L))
+          .as("n_prior"),
+        sum(when(col("day") < col("wm_day"), 1L).otherwise(0L))
+          .as("n_prior_days"))
+      .withColumn("staleness_us", col("wm_us") - col("last_us"))
+      .withColumn("prior_daily_avg",
+        expr("n_prior div greatest(n_prior_days, 1)"))
+      .withColumn("drop_e4",
+        expr("n_last_day * 10000 div greatest(prior_daily_avg, 1)"))
+      .select(col("event_type"), col("last_us"), col("staleness_us"),
+        col("n_last_day"), col("n_prior_days"), col("prior_daily_avg"),
+        col("drop_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_freshness" -> dqFreshness,
     "q_priv_t_closeness" -> tCloseness,
     "q_dq_benford" -> dqBenford,
     "q_dq_ks_test" -> dqKsTest,
@@ -465,6 +512,32 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_freshness" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us,
+        |   epoch_us(ts) // 86400000000 AS day FROM events),
+        |wm AS (SELECT max(ts_us) AS wm_us, max(day) AS wm_day FROM ev),
+        |daily AS (SELECT event_type, day, count(*) AS n,
+        |   max(ts_us) AS d_max_us
+        |  FROM ev GROUP BY 1, 2),
+        |f AS (SELECT event_type,
+        |   max(d_max_us) AS last_us,
+        |   sum(CASE WHEN day = wm.wm_day THEN n ELSE 0 END)
+        |     AS n_last_day,
+        |   sum(CASE WHEN day < wm.wm_day THEN n ELSE 0 END) AS n_prior,
+        |   sum(CASE WHEN day < wm.wm_day THEN 1 ELSE 0 END)
+        |     AS n_prior_days,
+        |   max(wm.wm_us) AS wm_us
+        |  FROM daily CROSS JOIN wm GROUP BY event_type)
+        |SELECT event_type, CAST(last_us AS BIGINT) AS last_us,
+        | CAST(wm_us - last_us AS BIGINT) AS staleness_us,
+        | CAST(n_last_day AS BIGINT) AS n_last_day,
+        | CAST(n_prior_days AS BIGINT) AS n_prior_days,
+        | CAST(n_prior // greatest(n_prior_days, 1) AS BIGINT)
+        |   AS prior_daily_avg,
+        | CAST(n_last_day * 10000
+        |   // greatest(n_prior // greatest(n_prior_days, 1), 1)
+        |   AS BIGINT) AS drop_e4
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_priv_t_closeness" ->
       """WITH ev AS (SELECT event_type,
         |   epoch_us(ts) // 86400000000 AS day,

@@ -418,7 +418,50 @@ object Joins {
       .orderBy(col("user_id"))
   }
 
+  /** Salted skew join (round 8): the manual hot-key mitigation for the
+    * worst join distribution — a fact table whose join key has a
+    * handful of giant values (event_type: 5 keys, ~N/5 rows EACH).
+    * A plain shuffle join puts every row of a hot key in ONE task;
+    * salting spreads each key across S=8 subkeys (salt = pmod of the
+    * row-unique event_id hash) and replicates the dim row S ways, so
+    * the same join runs on 40 balanced partitions instead of 5
+    * stragglers. The merge hint pins a shuffle join on BOTH plans —
+    * at fixture scale the dim would otherwise broadcast and hide the
+    * skew this row exists to demonstrate (production case: the dim is
+    * itself too big to broadcast).
+    *
+    * The enrolled output is the post-join rollup, which provably
+    * equals the UNSALTED join's rollup (salting is a partition-level
+    * identity: every (row, dim-row) match pairs exactly once, with
+    * salt = that row's salt) — the oracle runs the plain join, so a
+    * hash match IS the identity proof; BatchSpec additionally pins
+    * the salt key into the executed join and the absence of a
+    * broadcast. AQE's skew-split does this automatically for sort-
+    * merge stages (ScaleSpec pins that engagement); the manual salt
+    * is the form that also works under bucketing and in older
+    * runtimes, and the one you reach for when AQE's thresholds
+    * don't fire. */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val dim = events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val dimSalted = dim
+      .withColumn("salt", explode(expr(s"sequence(0, ${S - 1})")))
+    val fact = events(spark, dir)
+      .withColumn("salt", expr(s"pmod(hash(event_id), $S)"))
+    fact.hint("merge")
+      .join(dimSalted.hint("merge"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), max(col("n_type")).as("n_type"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("cents_total"))
+      .withColumn("match_ok", col("n_rows") === col("n_type"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_salted_skew" -> joinSaltedSkew,
     "q_join_asof_nearest" -> asofNearest,
     "q_join_spatial_grid" -> spatialGrid,
     "q_join_interval_overlap" -> intervalOverlapJoin,
@@ -440,6 +483,19 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // the UNSALTED join+rollup: a hash match proves the salted plan is
+    // a row-level identity of the plain join
+    "q_join_salted_skew" ->
+      """WITH dim AS (SELECT event_type, count(*) AS n_type
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(max(dim.n_type) AS BIGINT) AS n_type,
+        | CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS cents_total,
+        | count(*) = max(dim.n_type) AS match_ok
+        |FROM events e JOIN dim ON dim.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_join_asof_nearest" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

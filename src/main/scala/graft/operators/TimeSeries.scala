@@ -510,7 +510,63 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Single changepoint by binary segmentation (round 8) on the daily
+    * event-count series: the split that maximizes the between-segment
+    * contrast — equivalently minimizes total within-segment SSE, via
+    * the identity argmin SSE ≡ argmax (S₁n₂ − S₂n₁)²/(n₁n₂) (the
+    * constant n cancels). The LOCATION answer to the level-shift
+    * question q_ts_cusum only scores pointwise. The squared contrast
+    * runs in DECIMAL(38,0) (the assortativity lesson: S·n ≤ 9·10⁸
+    * even at sf10, but its square crosses 2⁶³ by sf100); the final
+    * score is BIGINT after one truncating div, so the argmax compares
+    * identical integers in both engines, tie-broken to the earliest
+    * day.
+    *
+    * Shape: fact scan → day census (≤ span days) → one ordered
+    * cumulative pass + 1-row broadcast totals → argmax filter. Every
+    * window runs on the ~90-row census. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val wIdx = Window.orderBy(col("day"))
+    val wCum = wIdx.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("t_days"),
+      sum(col("x")).as("s_tot"))
+    val scored = daily
+      .withColumn("idx", row_number().over(wIdx).cast("long"))
+      .withColumn("s1", sum(col("x")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("idx") < col("t_days"))
+      .withColumn("n1", col("idx"))
+      .withColumn("n2", col("t_days") - col("idx"))
+      .withColumn("s2", col("s_tot") - col("s1"))
+      // greatest-guard: the filter above makes n1·n2 ≥ 1, but ANSI
+      // mode + predicate inlining can evaluate this expression on the
+      // idx = t_days row BEFORE the guard conjunct (seen in round 8:
+      // DIVIDE_BY_ZERO from inside a collapsed filter) — a total
+      // expression is the only safe form under optimizer reordering
+      .withColumn("score", expr(
+        "CAST(CAST(s1 * n2 - s2 * n1 AS DECIMAL(38,0))" +
+          " * (s1 * n2 - s2 * n1) div greatest(n1 * n2, 1) AS BIGINT)"))
+    val best = scored.agg(max(col("score")).as("best_score"))
+    scored.crossJoin(broadcast(best))
+      .filter(col("score") === col("best_score"))
+      .groupBy(col("best_score"))
+      .agg(min(col("day")).as("split_day"))
+      .select(col("split_day"), col("best_score"))
+      .join(scored.select(col("day").as("split_day"), col("n1"),
+        col("n2"), expr("s1 div greatest(n1, 1)").as("mean_left"),
+        expr("s2 div greatest(n2, 1)").as("mean_right")),
+        Seq("split_day"))
+      .select(col("split_day"), col("n1").as("n_left"),
+        col("n2").as("n_right"), col("mean_left"), col("mean_right"),
+        col("best_score").as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_changepoint" -> changepoint,
     "q_ts_spearman_trend" -> spearmanTrend,
     "q_ts_xcorr" -> crossCorrelation,
     "q_ts_time_weighted_avg" -> timeWeightedAvg,
@@ -528,6 +584,32 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_changepoint" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   count(*) AS x FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS t_days, sum(x) AS s_tot FROM daily),
+        |c AS (SELECT day,
+        |   CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+        |   sum(x) OVER (ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+        |  FROM daily),
+        |sc AS (SELECT day, idx AS n1, tot.t_days - idx AS n2, s1,
+        |   tot.s_tot - s1 AS s2,
+        |   CAST((s1 * (tot.t_days - idx) - (tot.s_tot - s1) * idx)
+        |     * (s1 * (tot.t_days - idx) - (tot.s_tot - s1) * idx)
+        |     // greatest(idx * (tot.t_days - idx), 1) AS BIGINT) AS score
+        |  FROM c CROSS JOIN tot WHERE idx < tot.t_days),
+        |mx AS (SELECT max(score) AS best_score FROM sc),
+        |pick AS (SELECT min(day) AS split_day, mx.best_score
+        |  FROM sc CROSS JOIN mx WHERE sc.score = mx.best_score
+        |  GROUP BY mx.best_score)
+        |SELECT pick.split_day,
+        | CAST(sc.n1 AS BIGINT) AS n_left,
+        | CAST(sc.n2 AS BIGINT) AS n_right,
+        | CAST(sc.s1 // sc.n1 AS BIGINT) AS mean_left,
+        | CAST(sc.s2 // sc.n2 AS BIGINT) AS mean_right,
+        | CAST(pick.best_score AS BIGINT) AS score
+        |FROM pick JOIN sc ON sc.day = pick.split_day""".stripMargin,
     "q_ts_spearman_trend" ->
       """WITH ev AS (SELECT event_type, event_id,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,

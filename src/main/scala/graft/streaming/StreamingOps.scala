@@ -124,6 +124,20 @@ object StreamingOps {
       .select(col("first.event_id").as("event_id"), col("user_id"),
         col("event_type"), col("window.start").as("w_start"))
 
+  /** Streaming twin of the batch q_dq_freshness audit's core signal
+    * (round 8): per event_type, the latest event time and running
+    * count — ONE tiny state row per type (max/count are mergeable
+    * partial aggregates, so state never grows with the stream).
+    * The batch row answers "how stale was each feed in this corpus";
+    * this one maintains the same census continuously, and the
+    * staleness subtraction (watermark − last_ts) happens in the sink
+    * against the trigger's clock — a stream can't know "now" in-plan.
+    * StreamingSpec pins parity with the batch max/count over the same
+    * rows and that a later batch advances the census. */
+  def freshnessMonitor(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+
   /** Stream enriched with a static dimension (broadcast at plan time —
     * the reference's per-event container metadata lookup). */
   def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 328
+    val documented = 334
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2003,6 +2003,126 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
     }
+  }
+
+  test("join_salted_skew: the executed join keys include the salt, no " +
+      "broadcast sneaks in, and every type matches its dim row") {
+    val plan = planString("q_join_salted_skew")
+    assert(plan.contains("salt"), "salt column not in the executed plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "dim was broadcast — the skew demo requires a shuffle join:\n" +
+        plan.take(2000))
+    val rows = SparkEntry.queries("q_join_salted_skew")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("match_ok"), r)
+      assert(r.getAs[Long]("n_rows") == r.getAs[Long]("n_type"), r)
+    }
+  }
+
+  test("events_ab_utest: 2U is bounded by the pair count and CLES is a " +
+      "probability; a brute-force pair count replays 2U exactly") {
+    val rows = SparkEntry.queries("q_events_ab_utest")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+    val u2 = r.getAs[Long]("u2")
+    assert(u2 >= 0L && u2 <= 2L * na * nb, r)
+    val cles = r.getAs[Long]("cles_e4")
+    assert(cles >= 0L && cles <= 10000L, r)
+    // brute-force replay on the sf0.001 fixture (small): 2U =
+    // 2·#{a>b} + #{a=b} over all cross pairs
+    val vals = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        === "purchase")
+      .selectExpr("CAST(floor(value * 100 + 0.5) AS BIGINT) AS v",
+        "user_id % 2 = 0 AS in_a")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val as = vals.filter(_._2).map(_._1); val bs =
+      vals.filterNot(_._2).map(_._1)
+    assert(as.length.toLong == na && bs.length.toLong == nb)
+    var brute = 0L
+    for (a <- as; b <- bs)
+      brute += (if (a > b) 2L else if (a == b) 1L else 0L)
+    assert(brute == u2, s"brute=$brute u2=$u2")
+  }
+
+  test("ts_changepoint: the argmax split beats or ties every other " +
+      "split and the segment census is consistent") {
+    val rows = SparkEntry.queries("q_ts_changepoint")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val nl = r.getAs[Long]("n_left"); val nr = r.getAs[Long]("n_right")
+    assert(nl >= 1L && nr >= 1L)
+    assert(r.getAs[Long]("score") >= 0L)
+    // replay: daily census, every split's score <= the reported one
+    val daily = graft.Tables.events(spark, sf)
+      .selectExpr("(ts_ns div 1000) div 86400000000 AS day")
+      .groupBy("day").count().orderBy("day")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(nl + nr == daily.length.toLong)
+    val sTot = daily.map(_._2).sum
+    var s1 = 0L
+    var bestSeen = -1L
+    for (i <- 0 until daily.length - 1) {
+      s1 += daily(i)._2
+      val n1 = (i + 1).toLong; val n2 = daily.length - n1
+      val d = s1 * n2 - (sTot - s1) * n1
+      val sc = (BigInt(d) * BigInt(d) / BigInt(n1 * n2)).toLong
+      bestSeen = math.max(bestSeen, sc)
+    }
+    assert(bestSeen == r.getAs[Long]("score"),
+      s"replay best=$bestSeen reported=${r.getAs[Long]("score")}")
+  }
+
+  test("events_reciprocity: pairs are canonical, bounded by the type " +
+      "count, and the reciprocity ratio is consistent with its parts") {
+    val rows = SparkEntry.queries("q_events_reciprocity")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10) // C(5,2) type pairs
+    rows.foreach { r =>
+      val a = r.getAs[String]("a"); val b = r.getAs[String]("b")
+      assert(a < b, r)
+      val f = r.getAs[Long]("n_fwd"); val v = r.getAs[Long]("n_rev")
+      assert(r.getAs[Long]("n_min") == math.min(f, v), r)
+      val re = r.getAs[Long]("recip_e4")
+      assert(re >= 0L && re <= 10000L, r)
+      assert(re == 2L * math.min(f, v) * 10000L / (f + v), r)
+    }
+  }
+
+  test("dq_freshness: the watermark holder has zero staleness and the " +
+      "final-day census is bounded by the fact table") {
+    val rows = SparkEntry.queries("q_dq_freshness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("staleness_us")).min == 0L,
+      "no type holds the watermark")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("staleness_us") >= 0L, r)
+      assert(r.getAs[Long]("drop_e4") >= 0L, r)
+      assert(r.getAs[Long]("prior_daily_avg") >= 0L, r)
+    }
+    val lastTotal = rows.map(_.getAs[Long]("n_last_day")).sum
+    assert(lastTotal >= 1L &&
+      lastTotal <= graft.Tables.events(spark, sf).count())
+  }
+
+  test("llm_rake_keywords: ranked phrases honor the 4-token cap and " +
+      "every phrase scores at least 1e4 per member word") {
+    val rows = SparkEntry.queries("q_llm_rake_keywords")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { r =>
+      val plen = r.getAs[Long]("plen")
+      assert(plen >= 1L && plen <= 4L, r)
+      // each member word's deg >= freq, so s_e4 >= 1e4
+      assert(r.getAs[Long]("score_e4") >= plen * 10000L, r)
+      assert(r.getAs[Long]("n_occur") >= 1L, r)
+      assert(r.getAs[String]("phrase").split(" ").length == plen, r)
+    }
+    val scores = rows.map(_.getAs[Long]("score_e4")).toSeq
+    assert(scores == scores.sorted.reverse, "not sorted by score desc")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +

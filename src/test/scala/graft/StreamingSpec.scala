@@ -184,6 +184,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming freshness monitor: per-type census matches the batch " +
+      "fold and a later batch advances it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.freshnessMonitor(in.toDF()), "fresh",
+      "complete")
+    in.addData(ev(1, 0, 1, "click"), ev(2, 10, 1, "click"),
+      ev(3, 5, 2, "view"))
+    q.processAllAvailable()
+    val first = spark.table("fresh").collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1).toString,
+        r.getLong(2))).toMap
+    assert(first("click") == ("2024-01-01 10:10:00.0", 2L))
+    assert(first("view") == ("2024-01-01 10:05:00.0", 1L))
+    // a later batch advances last_ts and the count for its type only
+    in.addData(ev(4, 42, 3, "click"))
+    q.processAllAvailable()
+    val second = spark.table("fresh").collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1).toString,
+        r.getLong(2))).toMap
+    assert(second("click") == ("2024-01-01 10:42:00.0", 3L))
+    assert(second("view") == ("2024-01-01 10:05:00.0", 1L))
+    q.stop()
+  }
+
   test("stream-static enrichment join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
