@@ -932,7 +932,76 @@ object Analytics {
           " * (n_a + n_b + 1)").as("significant_95"))
   }
 
+  /** Exact inter-arrival latency percentiles per feed (round 8): the
+    * p50/p95/p99 gaps between consecutive events of each type — the
+    * cadence SLO a feed monitor alerts on (q_dq_freshness says "the
+    * feed stopped"; this says "the feed's tail latency moved").
+    * Percentiles are EXACT discrete quantiles (smallest value whose
+    * CDF ≥ p) from the distribution-counting idiom: delta census →
+    * cumulative pass → min value clearing the cross-multiplied
+    * threshold (cum·20 ≥ 19·n for p95 — no float p·n anywhere).
+    *
+    * Shape: one lag() per type partition (5-way parallel), then all
+    * windows run on the per-type DELTA CENSUS (distinct gap values ≪
+    * events); three percentiles ride one cumulative pass. */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val deltas = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(byType))
+      .filter(col("prev").isNotNull)
+      .withColumn("d", col("ts_us") - col("prev"))
+    val census = deltas.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_deltas"),
+        min(when(col("cum") * 2 >= col("n"), col("d"))).as("p50_us"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("d")))
+          .as("p95_us"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("d")))
+          .as("p99_us"),
+        max(col("d")).as("max_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Herfindahl–Hirschman activity-concentration index per feed
+    * (round 8): HHI = Σ (user share)², computed with ONE division at
+    * the end — Σ n_u²·10⁸ div N², the square sum in DECIMAL(38,0)
+    * (the overflow-lane discipline). 10⁸/HHI is the "effective number
+    * of equally-active users" — the abuse/bot-concentration signal a
+    * per-user census hides (a feed can have 10⁴ users and still be
+    * 95% one scraper). Complements q_diag_skew (shuffle-key skew)
+    * with the behavioral-concentration view.
+    *
+    * Shape: two partial-aggregable rollups on shrinking keys (the
+    * two-level census), a 5-row output. */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("nu"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("nu")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        max(col("nu")).as("top_user"),
+        sum(expr("CAST(nu AS DECIMAL(38,0)) * nu")).as("s2"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        expr("top_user * 10000 div n_events").as("top_share_e4"),
+        expr("CAST(s2 * 100000000 div (CAST(n_events AS DECIMAL(38,0))" +
+          " * n_events) AS BIGINT)").as("hhi_e8"))
+      .withColumn("eff_users",
+        expr("100000000 div greatest(hhi_e8, 1)"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_interarrival" -> interarrival,
+    "q_events_hhi" -> hhiConcentration,
     "q_events_ab_utest" -> abUTest,
     "q_events_reciprocity" -> reciprocity,
     "q_events_survival" -> kmSurvival,
@@ -962,6 +1031,44 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_interarrival" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |d0 AS (SELECT event_type,
+        |   ts_us - lag(ts_us) OVER (PARTITION BY event_type
+        |     ORDER BY ts_us, event_id) AS d FROM e),
+        |census AS (SELECT event_type, d, count(*) AS c FROM d0
+        |  WHERE d IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT event_type, d, c,
+        |   sum(c) OVER (PARTITION BY event_type ORDER BY d
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM census)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_deltas,
+        | CAST(min(CASE WHEN cum * 2 >= n THEN d END) AS BIGINT)
+        |   AS p50_us,
+        | CAST(min(CASE WHEN cum * 20 >= n * 19 THEN d END) AS BIGINT)
+        |   AS p95_us,
+        | CAST(min(CASE WHEN cum * 100 >= n * 99 THEN d END) AS BIGINT)
+        |   AS p99_us,
+        | CAST(max(d) AS BIGINT) AS max_us
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_hhi" ->
+      """WITH u AS (SELECT event_type, user_id, count(*) AS nu
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, sum(nu) AS n_events,
+        |   count(*) AS n_users, max(nu) AS top_user,
+        |   sum(nu * nu) AS s2
+        |  FROM u GROUP BY event_type)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        | CAST(n_users AS BIGINT) AS n_users,
+        | CAST(top_user * 10000 // n_events AS BIGINT) AS top_share_e4,
+        | CAST(s2 * 100000000 // (n_events * n_events) AS BIGINT)
+        |   AS hhi_e8,
+        | CAST(100000000 // greatest(
+        |   s2 * 100000000 // (n_events * n_events), 1) AS BIGINT)
+        |   AS eff_users
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_events_ab_utest" ->
       """WITH sup AS (SELECT
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,

@@ -796,7 +796,49 @@ object Graph {
       .orderBy(col("start"))
   }
 
+  /** Market-basket LIFT over the part co-occurrence graph (round 8):
+    * lift(a,b) = P(a,b)/(P(a)·P(b)) over order baskets — the
+    * association-rule measure that separates "bought together because
+    * popular" from "bought together because related" (the co-occ EDGE
+    * set and q_graph_coproj's counts can't make that distinction —
+    * lift normalizes by both marginals). Exact ×10⁴ with ONE
+    * truncating division: n_ab·N·10⁴ div (n_a·n_b), the triple
+    * product in DECIMAL(38,0) (n_ab·N crosses 2⁶³ near N ~ 10⁸
+    * baskets). Support floor n_ab ≥ 2 — fixture-scaled (TPC-H-ish
+    * baskets are near-independent, so co-occurrence counts are thin;
+    * production floors sit at 10s-100s); top-20 by (lift desc, u, v).
+    *
+    * Shape: the coocc per-order pair join (per-basket fan-out bounded
+    * by basket size ≤ 7) with COUNT payloads, part-sized marginal
+    * broadcast, distributed top-k. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    val baskets = li.agg(countDistinct(col("o")).as("big_n"))
+    val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2L)
+    pairs
+      .join(broadcast(marg.select(col("pk").as("u"), col("np").as("n_a"))),
+        Seq("u"))
+      .join(broadcast(marg.select(col("pk").as("v"), col("np").as("n_b"))),
+        Seq("v"))
+      .crossJoin(broadcast(baskets))
+      .select(col("u"), col("v"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * big_n * 10000" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_e4"))
+      .orderBy(col("lift_e4").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_lift" -> basketLift,
     "q_graph_walk_sample" -> walkSample,
     "q_graph_local_cc" -> localCC,
     "q_graph_hits" -> hits,
@@ -834,6 +876,23 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+        |  FROM lineitem),
+        |bn AS (SELECT count(DISTINCT o) AS big_n FROM li),
+        |marg AS (SELECT pk, count(*) AS np FROM li GROUP BY pk),
+        |pairs AS (SELECT a.pk AS u, b.pk AS v, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u, v, CAST(n_ab AS BIGINT) AS n_ab,
+        | CAST(ma.np AS BIGINT) AS n_a, CAST(mb.np AS BIGINT) AS n_b,
+        | CAST(n_ab * bn.big_n * 10000 // (ma.np * mb.np) AS BIGINT)
+        |   AS lift_e4
+        |FROM pairs
+        |JOIN marg ma ON ma.pk = pairs.u
+        |JOIN marg mb ON mb.pk = pairs.v
+        |CROSS JOIN bn
+        |ORDER BY lift_e4 DESC, u, v LIMIT 20""".stripMargin,
     "q_graph_walk_sample" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 334
+    val documented = 337
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2003,6 +2003,57 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
     }
+  }
+
+  test("events_interarrival: percentiles are ordered, bounded by max, " +
+      "and the delta census covers every consecutive pair") {
+    val rows = SparkEntry.queries("q_events_interarrival")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val p50 = r.getAs[Long]("p50_us"); val p95 = r.getAs[Long]("p95_us")
+      val p99 = r.getAs[Long]("p99_us"); val mx = r.getAs[Long]("max_us")
+      assert(p50 <= p95 && p95 <= p99 && p99 <= mx, r)
+      assert(p50 >= 0L, r)
+      total += r.getAs[Long]("n_deltas")
+    }
+    // deltas per type = events per type - 1
+    val ev = graft.Tables.events(spark, sf)
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(total == ev.count() - nTypes)
+  }
+
+  test("events_hhi: the concentration index sits between perfect " +
+      "spread and monopoly, and effective users never exceed actual") {
+    val rows = SparkEntry.queries("q_events_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hhi = r.getAs[Long]("hhi_e8"); val nu = r.getAs[Long]("n_users")
+      // HHI >= 1/n (perfect spread, with floor slack) and <= 1
+      assert(hhi >= 100000000L / nu - 1L && hhi <= 100000000L, r)
+      assert(r.getAs[Long]("eff_users") <= nu + 1L, r)
+      assert(r.getAs[Long]("eff_users") >= 1L, r)
+      assert(r.getAs[Long]("top_share_e4") <= 10000L, r)
+    }
+  }
+
+  test("basket_lift: lift recomputes from its marginals and the frame " +
+      "is sorted; support floor holds") {
+    val rows = SparkEntry.queries("q_basket_lift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val bigN = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    rows.foreach { r =>
+      val nab = r.getAs[Long]("n_ab"); val na = r.getAs[Long]("n_a")
+      val nb = r.getAs[Long]("n_b")
+      assert(nab >= 2L && nab <= math.min(na, nb), r)
+      val expect = (BigInt(nab) * BigInt(bigN) * 10000 /
+        (BigInt(na) * BigInt(nb))).toLong
+      assert(r.getAs[Long]("lift_e4") == expect, r)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_e4")).toSeq
+    assert(lifts == lifts.sorted.reverse)
   }
 
   test("join_salted_skew: the executed join keys include the salt, no " +
