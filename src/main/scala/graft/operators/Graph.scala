@@ -837,7 +837,63 @@ object Graph {
       .limit(20)
   }
 
+  /** Rich-club coefficient (round 8): for the degree-distribution
+    * quantiles q ∈ {p50, p75, p90}, the edge density among nodes with
+    * degree > k_q — φ = 2·E_club·10⁴ div (N_club·(N_club−1)) — the
+    * "do the hubs form a club?" audit that degree distribution and
+    * assortativity (one global number) both miss. Thresholds are
+    * QUANTILES of the degree census (exact discrete percentiles via
+    * the interarrival cross-multiplied-CDF idiom), not fixed
+    * constants — a fixed k degenerates the moment the fixture's
+    * minimum degree crosses it (observed: every co-occ node exceeds
+    * deg 40 at sf0.01), while quantile thresholds keep the three
+    * clubs strictly nested at any scale.
+    *
+    * Shape: the memoized coocc edge frame + node-sized degree
+    * broadcast on both endpoints; the quantile computation runs on
+    * the DEGREE-VALUE census (≪ nodes); 3-row threshold broadcast,
+    * conditional sums. φ's N_club product stays in BIGINT (node
+    * counts, not fixture-growing moments). */
+  def richClub(spark: SparkSession, dir: String): DataFrame = {
+    val e = cooccEdges(spark, dir)
+    val deg = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val ks = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(org.apache.spark.sql
+        .expressions.Window.partitionBy(lit(1))))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("d"))).as("k50"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("d"))).as("k75"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("d"))).as("k90"))
+      .select(expr(
+        "stack(3, 5000, k50, 7500, k75, 9000, k90) AS (q_e4, k)"))
+      .select(col("q_e4").cast("long").as("q_e4"), col("k"))
+    val nodes = deg.crossJoin(broadcast(ks))
+      .groupBy(col("q_e4"), col("k"))
+      .agg(sum(when(col("d") > col("k"), 1L).otherwise(0L)).as("n_club"))
+    val edges = e
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))),
+        Seq("u"))
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))),
+        Seq("v"))
+      .crossJoin(broadcast(ks))
+      .groupBy(col("q_e4"))
+      .agg(sum(when(col("du") > col("k") && col("dv") > col("k"), 1L)
+        .otherwise(0L)).as("e_club"))
+    nodes.join(edges, Seq("q_e4"))
+      .select(col("q_e4"), col("k"), col("n_club"), col("e_club"),
+        expr("2 * e_club * 10000" +
+          " div greatest(n_club * (n_club - 1), 1)").as("phi_e4"))
+      .orderBy(col("q_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_richclub" -> richClub,
     "q_basket_lift" -> basketLift,
     "q_graph_walk_sample" -> walkSample,
     "q_graph_local_cc" -> localCC,
@@ -876,6 +932,43 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_richclub" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |d AS (SELECT n, count(*) AS deg FROM (
+        |   SELECT u AS n FROM e UNION ALL SELECT v FROM e) t
+        |  GROUP BY n),
+        |dc AS (SELECT deg, count(*) AS c FROM d GROUP BY deg),
+        |cum AS (SELECT deg, sum(c) OVER (ORDER BY deg
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(c) OVER () AS n FROM dc),
+        |kq AS (SELECT
+        |   min(CASE WHEN cum * 2 >= n THEN deg END) AS k50,
+        |   min(CASE WHEN cum * 4 >= n * 3 THEN deg END) AS k75,
+        |   min(CASE WHEN cum * 10 >= n * 9 THEN deg END) AS k90
+        |  FROM cum),
+        |ks AS (SELECT 5000 AS q_e4, k50 AS k FROM kq
+        | UNION ALL SELECT 7500, k75 FROM kq
+        | UNION ALL SELECT 9000, k90 FROM kq),
+        |nodes AS (SELECT q_e4, k,
+        |   sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS n_club
+        |  FROM d CROSS JOIN ks GROUP BY 1, 2),
+        |ed AS (SELECT q_e4,
+        |   sum(CASE WHEN du.deg > k AND dv.deg > k THEN 1 ELSE 0 END)
+        |     AS e_club
+        |  FROM e
+        |  JOIN d du ON du.n = e.u JOIN d dv ON dv.n = e.v
+        |  CROSS JOIN ks GROUP BY q_e4)
+        |SELECT CAST(nodes.q_e4 AS BIGINT) AS q_e4,
+        | CAST(nodes.k AS BIGINT) AS k,
+        | CAST(n_club AS BIGINT) AS n_club,
+        | CAST(e_club AS BIGINT) AS e_club,
+        | CAST(2 * e_club * 10000
+        |   // greatest(n_club * (n_club - 1), 1) AS BIGINT) AS phi_e4
+        |FROM nodes JOIN ed ON ed.q_e4 = nodes.q_e4
+        |ORDER BY nodes.q_e4""".stripMargin,
     "q_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
         |  FROM lineitem),

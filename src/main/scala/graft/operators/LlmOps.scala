@@ -2021,6 +2021,38 @@ object LlmOps {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** Context-length packing sweep (round 8): the seqPack bin
+    * assignment evaluated at THREE context budgets {512, 1024, 2048}
+    * in one pass — per budget, bins needed and fill utilization ×10⁴.
+    * This is the capacity-planning curve behind the context-length
+    * decision (a longer context packs fewer, fuller bins; the sweep
+    * quantifies the padding loss at each choice). The running token
+    * sum is computed ONCE (it doesn't depend on the budget); each
+    * budget is a map-side `div` on the shared cum — the 3-way sweep
+    * costs one extra broadcast, not three window passes.
+    *
+    * Shape: one per-lang window (seqPack's shuffle), 3-row broadcast
+    * budget frame, two shrinking-key rollups. */
+  def packSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    val base = documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+    val ctx = Seq(512L, 1024L, 2048L).toDF("context")
+    base.crossJoin(broadcast(ctx))
+      .withColumn("bin", expr("(cum - n_tok) div context"))
+      .groupBy(col("context"), col("lang"))
+      .agg((max(col("bin")) + 1L).as("bins"),
+        sum(col("n_tok")).as("tok"))
+      .groupBy(col("context"))
+      .agg(sum(col("bins")).as("n_bins"), sum(col("tok")).as("total_tok"))
+      .select(col("context"), col("n_bins"), col("total_tok"),
+        expr("total_tok * 10000 div (n_bins * context)").as("util_e4"))
+      .orderBy(col("context"))
+  }
+
   /** Domain-mixture resampling (round 3): downsample every language to
     * the smallest language's document count via a DETERMINISTIC content
     * hash threshold — the mixture-rebalancing step before training. The
@@ -2393,6 +2425,7 @@ object LlmOps {
     "q_llm_curation" -> curationPipeline,
     "q_llm_dataset_card" -> datasetCard,
     "q_llm_seq_pack" -> seqPack,
+    "q_llm_pack_sweep" -> packSweep,
     "q_llm_domain_mix" -> domainMix,
     "q_llm_perplexity" -> perplexity,
     "q_llm_chunk_split" -> chunkSplit,
@@ -3216,6 +3249,25 @@ object LlmOps {
         | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tok,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM d GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q_llm_pack_sweep" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |   CAST(sum(len(string_split(text, ' ')))
+        |     OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM documents),
+        |ctx AS (SELECT CAST(unnest([512, 1024, 2048]) AS BIGINT)
+        |   AS context),
+        |perlang AS (SELECT context, lang,
+        |   max((cum - n_tok) // context) + 1 AS bins,
+        |   sum(n_tok) AS tok
+        |  FROM d CROSS JOIN ctx GROUP BY 1, 2),
+        |f AS (SELECT context, sum(bins) AS n_bins,
+        |   sum(tok) AS total_tok FROM perlang GROUP BY context)
+        |SELECT context, CAST(n_bins AS BIGINT) AS n_bins,
+        | CAST(total_tok AS BIGINT) AS total_tok,
+        | CAST(total_tok * 10000 // (n_bins * context) AS BIGINT)
+        |   AS util_e4
+        |FROM f ORDER BY context""".stripMargin,
     "q_llm_domain_mix" ->
       """WITH d AS (SELECT lang, doc_id,
         |   len(string_split(text, ' ')) AS n_tok,

@@ -565,7 +565,49 @@ object TimeSeries {
         col("best_score").as("score"))
   }
 
+  /** One-way ANOVA for day-of-week seasonality (round 8): does the
+    * daily event count differ by weekday more than within-weekday
+    * noise explains? F = (SSB/(k−1)) / (SSW/(n−k)) over the daily
+    * census grouped by epoch-day mod 7 (no calendar functions — the
+    * lDiversity day idiom). The TESTED answer to what q_ts_seasonal
+    * only profiles; completes the inference family (t-test, U test,
+    * KS, chi-square) with the k-group comparison.
+    *
+    * Exactness: group means are floored integers (the abTest m2
+    * discipline — mu_g = S_g div n_g, a documented quantization both
+    * engines share), so SSW = Σ(x−mu_g)² and SSB = Σ n_g(mu_g−mu)²
+    * are exact BIGINTs; F_e4 = SSB·(n−k)·10⁴ div (SSW·(k−1)) with
+    * the product in DECIMAL(38,0) (overflow-lane discipline).
+    * seasonal_95 compares against F crit(6, 60+) ≈ 2.25 as the e4
+    * literal 22500 — round-once shared text.
+    *
+    * Shape: fact scan → day census (≤ span days) → 7-group fold →
+    * 1-row verdict. */
+  def anovaDow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .withColumn("dow", col("day") % 7)
+    val mu = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+      .withColumn("mug", expr("sg div ng"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .withColumn("mu", expr("s div n"))
+    daily.join(broadcast(mu), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_days"),
+        countDistinct(col("dow")).as("k_groups"),
+        sum(expr("(x - mug) * (x - mug)")).as("ssw"),
+        sum(expr("(mug - mu) * (mug - mu)")).as("ssb"))
+      .select(col("n_days"), col("k_groups"), col("ssw"), col("ssb"),
+        expr("CAST(CAST(ssb AS DECIMAL(38,0)) * (n_days - k_groups)" +
+          " * 10000 div greatest(CAST(ssw AS DECIMAL(38,0))" +
+          " * (k_groups - 1), 1) AS BIGINT)").as("f_e4"))
+      .withColumn("seasonal_95", col("f_e4") >= 22500L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_anova_dow" -> anovaDow,
     "q_ts_changepoint" -> changepoint,
     "q_ts_spearman_trend" -> spearmanTrend,
     "q_ts_xcorr" -> crossCorrelation,
@@ -584,6 +626,27 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_anova_dow" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   count(*) AS x FROM events GROUP BY 1),
+        |d2 AS (SELECT day, x, day % 7 AS dow FROM daily),
+        |mu AS (SELECT dow, count(*) AS ng, sum(x) AS sg,
+        |   sum(x) // count(*) AS mug FROM d2 GROUP BY dow),
+        |tot AS (SELECT count(*) AS n, sum(x) AS s,
+        |   sum(x) // count(*) AS mu FROM d2),
+        |f AS (SELECT max(tot.n) AS n_days,
+        |   count(DISTINCT d2.dow) AS k_groups,
+        |   sum((x - mug) * (x - mug)) AS ssw,
+        |   sum((mug - tot.mu) * (mug - tot.mu)) AS ssb
+        |  FROM d2 JOIN mu ON mu.dow = d2.dow CROSS JOIN tot)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        | CAST(k_groups AS BIGINT) AS k_groups,
+        | CAST(ssw AS BIGINT) AS ssw, CAST(ssb AS BIGINT) AS ssb,
+        | CAST(ssb * (n_days - k_groups) * 10000
+        |   // greatest(ssw * (k_groups - 1), 1) AS BIGINT) AS f_e4,
+        | ssb * (n_days - k_groups) * 10000
+        |   // greatest(ssw * (k_groups - 1), 1) >= 22500 AS seasonal_95
+        |FROM f""".stripMargin,
     "q_ts_changepoint" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   count(*) AS x FROM events GROUP BY 1),

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 337
+    val documented = 340
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2002,6 +2002,54 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_types_used") <= r.getAs[Long]("budget"), r)
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
+    }
+  }
+
+  test("graph_richclub: quantile thresholds nest the clubs strictly " +
+      "and phi is a density in [0, 1e4]") {
+    val rows = SparkEntry.queries("q_graph_richclub")(spark, sf)
+      .orderBy("q_e4").collect()
+    assert(rows.map(_.getAs[Long]("q_e4")).toSeq ==
+      Seq(5000L, 7500L, 9000L))
+    val clubs = rows.map(_.getAs[Long]("n_club")).toSeq
+    assert(clubs == clubs.sorted.reverse, s"clubs not nested: $clubs")
+    assert(clubs.forall(_ >= 1L), s"degenerate club: $clubs")
+    val ks = rows.map(_.getAs[Long]("k")).toSeq
+    assert(ks == ks.sorted, s"thresholds not monotone: $ks")
+    rows.foreach { r =>
+      val phi = r.getAs[Long]("phi_e4")
+      assert(phi >= 0L && phi <= 10000L, r)
+      val nc = r.getAs[Long]("n_club")
+      assert(r.getAs[Long]("e_club") <= nc * (nc - 1L) / 2L, r)
+    }
+  }
+
+  test("ts_anova_dow: the F decomposition is internally consistent " +
+      "and the verdict matches the statistic") {
+    val rows = SparkEntry.queries("q_ts_anova_dow")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("k_groups") == 7L)
+    assert(r.getAs[Long]("n_days") > r.getAs[Long]("k_groups"))
+    assert(r.getAs[Long]("ssw") >= 0L && r.getAs[Long]("ssb") >= 0L)
+    assert(r.getAs[Boolean]("seasonal_95") ==
+      (r.getAs[Long]("f_e4") >= 22500L))
+  }
+
+  test("llm_pack_sweep: bigger contexts never need more bins, token " +
+      "mass is budget-invariant, and utilization is a fill fraction") {
+    val rows = SparkEntry.queries("q_llm_pack_sweep")(spark, sf)
+      .orderBy("context").collect()
+    assert(rows.map(_.getAs[Long]("context")).toSeq ==
+      Seq(512L, 1024L, 2048L))
+    val bins = rows.map(_.getAs[Long]("n_bins")).toSeq
+    assert(bins == bins.sorted.reverse, s"bins not monotone: $bins")
+    assert(rows.map(_.getAs[Long]("total_tok")).distinct.length == 1)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("util_e4")
+      // util can nominally exceed 1e4 when a straddling doc overflows
+      // the final bin (pack-then-split) — allow that headroom
+      assert(u >= 1L && u <= 12000L, r)
     }
   }
 
