@@ -767,7 +767,50 @@ object ModelPrep {
     }.reduce(_ unionAll _).orderBy(col("n"))
   }
 
+  /** Pairwise win-rate matrix (round 8): the leaderboard primitive
+    * behind every model comparison — per source pair (the pseudo-
+    * "models"), over the 20-doc pseudo-prompt groups where both
+    * fielded an entry, who scored higher, how often, and the tie
+    * census. Consumes qualityLogreg's OUTPUT frame (the bestOfN
+    * rule: a derived row must not re-derive its input). Win rates
+    * exclude ties from neither side: winrate_a_e4 = wins_a·10⁴ div
+    * n_shared, so winrate_a + winrate_b + tie_share ≈ 10⁴ and the
+    * matrix is antisymmetric by construction (only a < b pairs ship).
+    *
+    * Shape: doc-sized score frame → (group, source) best fold → a
+    * GROUP-KEYED self-join whose fan-out is models²-per-prompt
+    * (bounded by the roster, never by the corpus) → pair rollup.
+    * This is exactly the eval-harness shape at scale: prompts
+    * partition, rosters are small. */
+  def pairwiseWins(spark: SparkSession, dir: String): DataFrame = {
+    val sc = qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s_e4"))
+    val entries = documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(sc, "doc_id")
+      .withColumn("grp", expr("doc_id div 20"))
+      .groupBy(col("grp"), col("source"))
+      .agg(max(col("s_e4")).as("s"))
+    entries.as("x")
+      .join(entries.as("y"),
+        col("x.grp") === col("y.grp") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("a"), col("y.source").as("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(col("x.s") > col("y.s"), 1L).otherwise(0L))
+          .as("n_win_a"),
+        sum(when(col("x.s") < col("y.s"), 1L).otherwise(0L))
+          .as("n_win_b"),
+        sum(when(col("x.s") === col("y.s"), 1L).otherwise(0L))
+          .as("n_tie"))
+      .withColumn("winrate_a_e4",
+        expr("n_win_a * 10000 div n_shared"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pairwise_wins" -> pairwiseWins,
     "q_llm_best_of_n" -> bestOfN,
     "q_llm_dim_probe" -> dimProbe,
     "q_llm_top_p_vocab" -> topPVocab,
@@ -813,6 +856,25 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_pairwise_wins" -> {
+      s"""WITH $scoreCte,
+         |e AS (SELECT d.doc_id // 20 AS grp, d.source,
+         |   max(CAST(floor(sc0.score * 10000 + 0.5) AS BIGINT)) AS s
+         |  FROM documents d JOIN sc0 ON sc0.doc_id = d.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT x.source AS a, y.source AS b,
+         | CAST(count(*) AS BIGINT) AS n_shared,
+         | CAST(sum(CASE WHEN x.s > y.s THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_win_a,
+         | CAST(sum(CASE WHEN x.s < y.s THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_win_b,
+         | CAST(sum(CASE WHEN x.s = y.s THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_tie,
+         | CAST(sum(CASE WHEN x.s > y.s THEN 1 ELSE 0 END) * 10000
+         |   // count(*) AS BIGINT) AS winrate_a_e4
+         |FROM e x JOIN e y ON x.grp = y.grp AND x.source < y.source
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+    },
     "q_llm_best_of_n" -> {
       val arm = (n: Int) =>
         s"""SELECT CAST($n AS BIGINT) AS n,

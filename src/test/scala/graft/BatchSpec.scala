@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 340
+    val documented = 341
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2002,6 +2002,21 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_types_used") <= r.getAs[Long]("budget"), r)
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
+    }
+  }
+
+  test("llm_pairwise_wins: every comparison is accounted for and the " +
+      "matrix is canonical (a < b, win rate from its own parts)") {
+    val rows = SparkEntry.queries("q_llm_pairwise_wins")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("a") < r.getAs[String]("b"), r)
+      val ns = r.getAs[Long]("n_shared")
+      assert(r.getAs[Long]("n_win_a") + r.getAs[Long]("n_win_b") +
+        r.getAs[Long]("n_tie") == ns, r)
+      assert(r.getAs[Long]("winrate_a_e4") ==
+        r.getAs[Long]("n_win_a") * 10000L / ns, r)
     }
   }
 
