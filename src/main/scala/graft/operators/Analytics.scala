@@ -999,7 +999,73 @@ object Analytics {
         expr("100000000 div greatest(hhi_e8, 1)"))
       .orderBy(col("event_type"))
 
+  /** CUPED variance-reduced experiment readout (round 8, Deng et al.
+    * 2013): the pre-period covariate adjustment every experimentation
+    * platform ships — per user, pre-period purchase spend x and
+    * post-period spend y (calendar midpoint split), θ = cov(x,y)/
+    * var(x) pooled, adjusted effect = Δy − θ·Δx. When pre-period
+    * behavior predicts post-period behavior, the adjustment cancels
+    * the between-user variance the randomization didn't, shrinking
+    * the CI for free. The t/U/KS rows test; this row is how a mature
+    * platform makes the same test sharper.
+    *
+    * Exactness: floored pooled means (the abTest m2 discipline) make
+    * cov and var exact; both accumulate in DECIMAL(38,0) (overflow
+    * lane). θ_e4 is SIGNED — cov can be negative — so the truncation
+    * is an explicit toward-zero CASE on |cov| (Spark div truncates,
+    * DuckDB // floors; they disagree on negatives, the CASE makes
+    * both arms compute |cov|·10⁴ div var then re-sign). The adjusted
+    * effect is then pure multiply/subtract — no further division.
+    *
+    * Shape: fact scan → per-user conditional sums (one shuffle) →
+    * 1-row pooled moments (broadcast back) → 1-row verdict. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+        .as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+          .as("y"))
+      .withColumn("arm", col("user_id") % 2)
+    val pooled = users.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .withColumn("mx", expr("sx div n"))
+      .withColumn("my", expr("sy div n"))
+    val moments = users.crossJoin(broadcast(pooled))
+      .agg(max(col("n")).as("n"),
+        sum(expr("CAST(x - mx AS DECIMAL(38,0)) * (y - my)")).as("cov"),
+        sum(expr("CAST(x - mx AS DECIMAL(38,0)) * (x - mx)")).as("vx"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxb"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sya"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syb"))
+    moments
+      .withColumn("theta_e4", expr(
+        "CASE WHEN cov >= 0" +
+          " THEN CAST(cov * 10000 div greatest(vx, 1) AS BIGINT)" +
+          " ELSE -CAST((-cov) * 10000 div greatest(vx, 1) AS BIGINT)" +
+          " END"))
+      .withColumn("mxa", expr("sxa div n_a"))
+      .withColumn("mxb", expr("sxb div n_b"))
+      .withColumn("mya", expr("sya div n_a"))
+      .withColumn("myb", expr("syb div n_b"))
+      .select(col("n_a"), col("n_b"),
+        (col("mya") - col("myb")).as("diff_y_cents"),
+        (col("mxa") - col("mxb")).as("diff_x_cents"),
+        col("theta_e4"),
+        expr("(mya - myb) * 10000 - theta_e4 * (mxa - mxb)")
+          .as("adj_diff_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_cuped" -> cuped,
     "q_events_interarrival" -> interarrival,
     "q_events_hhi" -> hhiConcentration,
     "q_events_ab_utest" -> abUTest,
@@ -1031,6 +1097,44 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_cuped" ->
+      """WITH ev AS (SELECT user_id,
+        |   epoch_us(ts) // 86400000000 AS day,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        |users AS (SELECT user_id,
+        |   sum(CASE WHEN day < mid.mid THEN cents ELSE 0 END) AS x,
+        |   sum(CASE WHEN day >= mid.mid THEN cents ELSE 0 END) AS y,
+        |   user_id % 2 AS arm
+        |  FROM ev CROSS JOIN mid GROUP BY user_id),
+        |pooled AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x) // count(*) AS mx, sum(y) // count(*) AS my
+        |  FROM users),
+        |m AS (SELECT max(pooled.n) AS n,
+        |   sum((x - mx) * (y - my)) AS cov,
+        |   sum((x - mx) * (x - mx)) AS vx,
+        |   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        |   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+        |   sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sxa,
+        |   sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sxb,
+        |   sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sya,
+        |   sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS syb
+        |  FROM users CROSS JOIN pooled),
+        |t AS (SELECT n_a, n_b,
+        |   CASE WHEN cov >= 0
+        |    THEN cov * 10000 // greatest(vx, 1)
+        |    ELSE -((-cov) * 10000 // greatest(vx, 1)) END AS theta_e4,
+        |   sxa // n_a AS mxa, sxb // n_b AS mxb,
+        |   sya // n_a AS mya, syb // n_b AS myb
+        |  FROM m)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(mya - myb AS BIGINT) AS diff_y_cents,
+        | CAST(mxa - mxb AS BIGINT) AS diff_x_cents,
+        | CAST(theta_e4 AS BIGINT) AS theta_e4,
+        | CAST((mya - myb) * 10000 - theta_e4 * (mxa - mxb) AS BIGINT)
+        |   AS adj_diff_e4
+        |FROM t""".stripMargin,
     "q_events_interarrival" ->
       """WITH e AS (SELECT event_type, event_id,
         |   epoch_us(ts) AS ts_us FROM events),

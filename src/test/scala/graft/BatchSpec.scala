@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 341
+    val documented = 342
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2003,6 +2003,18 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
     }
+  }
+
+  test("events_cuped: the adjustment algebra replays from the emitted " +
+      "parts and theta carries the sign of the covariance") {
+    val rows = SparkEntry.queries("q_events_cuped")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_a") >= 1L && r.getAs[Long]("n_b") >= 1L)
+    // adj = diff_y*1e4 - theta*diff_x, replayed exactly
+    assert(r.getAs[Long]("adj_diff_e4") ==
+      r.getAs[Long]("diff_y_cents") * 10000L -
+        r.getAs[Long]("theta_e4") * r.getAs[Long]("diff_x_cents"), r)
   }
 
   test("llm_pairwise_wins: every comparison is accounted for and the " +
