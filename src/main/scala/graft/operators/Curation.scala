@@ -1010,7 +1010,48 @@ object Curation {
       .limit(15)
   }
 
+  /** Count-of-counts spectrum over TRIGRAMS (round 8): N_c = how many
+    * trigram types occur exactly c times, for c ∈ 1..10 plus the ≥11
+    * head — the INPUT table of Good–Turing smoothing (its estimate
+    * r* = (r+1)·N_{r+1}/N_r is a ratio of these exact integers; the
+    * exact-components rule says ship the table, not the smoothed
+    * composite) and the fourth member of the corpus-health family
+    * (zipf slope, Heaps growth, tail mass, and now the frequency
+    * spectrum — singleton mass N₁ is the classic unseen-mass
+    * predictor). Trigrams, not unigrams, because the synthetic
+    * 31-type vocabulary saturates (every unigram lands in the ≥11
+    * bucket — measured) while the trigram space shows the Zipf-like
+    * singleton-heavy spectrum real corpora have. Emitted per c: type
+    * count, share of type inventory ×10⁴, share of occurrence MASS
+    * ×10⁴.
+    *
+    * Shape: trigram census → count-of-counts (two partial-aggregable
+    * rollups on strictly shrinking keys: corpus → gram inventory →
+    * ≤11 rows). */
+  def freqOfFreqs(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = documents(spark, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 2)," +
+          " i -> concat(tk[i - 1], ' ', tk[i], ' ', tk[i + 1]))"))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val spec = cnt
+      .withColumn("cc", least(col("c"), lit(11L)))
+      .groupBy(col("cc"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("mass"))
+    val tot = spec.agg(sum(col("n_types")).as("v"),
+      sum(col("mass")).as("big_n"))
+    spec.crossJoin(broadcast(tot))
+      .select(col("cc").as("c_capped"), col("n_types"), col("mass"),
+        expr("n_types * 10000 div v").as("vocab_share_e4"),
+        expr("mass * 10000 div big_n").as("mass_share_e4"))
+      .orderBy(col("c_capped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_freq_of_freqs" -> freqOfFreqs,
     "q_llm_rake_keywords" -> rakeKeywords,
     "q_llm_vocab_budget" -> vocabBudget,
     "q_llm_mattr" -> mattr,
@@ -1061,6 +1102,22 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_freq_of_freqs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |cnt AS (SELECT tok, count(*) AS c FROM (
+        |   SELECT unnest([tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+        |     for i in range(1, len(tk) - 1)]) AS tok
+        |   FROM toks) t GROUP BY tok),
+        |spec AS (SELECT least(c, 11) AS cc, count(*) AS n_types,
+        |   sum(c) AS mass FROM cnt GROUP BY 1),
+        |tot AS (SELECT sum(n_types) AS v, sum(mass) AS big_n FROM spec)
+        |SELECT CAST(cc AS BIGINT) AS c_capped,
+        | CAST(n_types AS BIGINT) AS n_types,
+        | CAST(mass AS BIGINT) AS mass,
+        | CAST(n_types * 10000 // tot.v AS BIGINT) AS vocab_share_e4,
+        | CAST(mass * 10000 // tot.big_n AS BIGINT) AS mass_share_e4
+        |FROM spec CROSS JOIN tot ORDER BY c_capped""".stripMargin,
     "q_llm_rake_keywords" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 342
+    val documented = 343
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2003,6 +2003,26 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
     }
+  }
+
+  test("llm_freq_of_freqs: the spectrum partitions the trigram " +
+      "inventory and mass, and N_c is c-consistent") {
+    val rows = SparkEntry.queries("q_llm_freq_of_freqs")(spark, sf)
+      .orderBy("c_capped").collect()
+    assert(rows.nonEmpty)
+    var vShare = 0L; var mShare = 0L
+    rows.foreach { r =>
+      val c = r.getAs[Long]("c_capped")
+      assert(c >= 1L && c <= 11L, r)
+      val nt = r.getAs[Long]("n_types"); val m = r.getAs[Long]("mass")
+      // mass of the exactly-c bucket is exactly c * n_types (c < 11)
+      if (c < 11L) assert(m == c * nt, r) else assert(m >= 11L * nt, r)
+      vShare += r.getAs[Long]("vocab_share_e4")
+      mShare += r.getAs[Long]("mass_share_e4")
+    }
+    // truncated shares sum to just under 1e4
+    assert(vShare <= 10000L && vShare >= 10000L - rows.length, vShare)
+    assert(mShare <= 10000L && mShare >= 10000L - rows.length, mShare)
   }
 
   test("events_cuped: the adjustment algebra replays from the emitted " +
