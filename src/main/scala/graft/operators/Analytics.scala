@@ -1064,7 +1064,51 @@ object Analytics {
           .as("adj_diff_e4"))
   }
 
+  /** Funnel time-to-convert distribution (round 8): for users whose
+    * first signup is later followed by a purchase, the exact
+    * p50/p90/max of the conversion lag — q_funnel_stages counts WHO
+    * converts; this measures HOW LONG conversion takes (the number a
+    * growth team actually budgets against: "median time-to-purchase
+    * after signup"). Percentiles are exact discrete quantiles via the
+    * interarrival cross-multiplied-CDF idiom on the lag census.
+    *
+    * Shape: one per-user conditional fold (first signup = min ts
+    * filtered; first purchase after = min ts guarded by the signup
+    * broadcast — two partial-aggregable passes keyed by user), then
+    * all windows run on the converted-user LAG CENSUS. */
+  def funnelLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("ts_us") > col("s_us"))
+      .groupBy(col("user_id"))
+      .agg((min(col("ts_us")) - min(col("s_us"))).as("lag_us"))
+    val census = conv.groupBy(col("lag_us")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("lag_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nS = signup.agg(count(lit(1)).as("n_signup"))
+    census
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(lit(1))))
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") * 2 >= col("n"), col("lag_us")))
+          .as("p50_lag_us"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lag_us")))
+          .as("p90_lag_us"),
+        max(col("lag_us")).as("max_lag_us"))
+      .crossJoin(broadcast(nS))
+      .select(col("n_signup"), col("n_converted"),
+        expr("n_converted * 10000 div n_signup").as("conv_rate_e4"),
+        col("p50_lag_us"), col("p90_lag_us"), col("max_lag_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_funnel_lag" -> funnelLag,
     "q_events_cuped" -> cuped,
     "q_events_interarrival" -> interarrival,
     "q_events_hhi" -> hhiConcentration,
@@ -1097,6 +1141,35 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_funnel_lag" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |s AS (SELECT user_id, min(ts_us) AS s_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (SELECT ev.user_id,
+        |   min(ev.ts_us) - min(s.s_us) AS lag_us
+        |  FROM ev JOIN s ON s.user_id = ev.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.ts_us > s.s_us
+        |  GROUP BY ev.user_id),
+        |census AS (SELECT lag_us, count(*) AS c FROM conv GROUP BY 1),
+        |cum AS (SELECT lag_us, c,
+        |   sum(c) OVER (ORDER BY lag_us
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(c) OVER () AS n FROM census),
+        |f AS (SELECT max(n) AS n_converted,
+        |   min(CASE WHEN cum * 2 >= n THEN lag_us END) AS p50_lag_us,
+        |   min(CASE WHEN cum * 10 >= n * 9 THEN lag_us END)
+        |     AS p90_lag_us,
+        |   max(lag_us) AS max_lag_us FROM cum),
+        |ns AS (SELECT count(*) AS n_signup FROM s)
+        |SELECT CAST(n_signup AS BIGINT) AS n_signup,
+        | CAST(n_converted AS BIGINT) AS n_converted,
+        | CAST(n_converted * 10000 // n_signup AS BIGINT)
+        |   AS conv_rate_e4,
+        | CAST(p50_lag_us AS BIGINT) AS p50_lag_us,
+        | CAST(p90_lag_us AS BIGINT) AS p90_lag_us,
+        | CAST(max_lag_us AS BIGINT) AS max_lag_us
+        |FROM f CROSS JOIN ns""".stripMargin,
     "q_events_cuped" ->
       """WITH ev AS (SELECT user_id,
         |   epoch_us(ts) // 86400000000 AS day,

@@ -1050,7 +1050,73 @@ object Curation {
       .orderBy(col("c_capped"))
   }
 
+  /** UMass topic coherence (round 8, Mimno et al. 2011): per
+    * embedding-cluster "topic", the top-5 in-cluster terms and
+    * Σ_{i<j} ln((D_ij+1)/D_j) over their ordered pairs — the standard
+    * automatic answer to "are these clusters topics or noise" (a
+    * coherent topic's top words co-occur in documents; incoherent
+    * ones don't). Completes the cluster-eval family: purity grades
+    * clusters against labels, coherence grades them against the
+    * corpus itself (no labels needed).
+    *
+    * Logs follow the zipf/dsir round-once rule: each pair's term is
+    * floor(1000·ln((D_ij+1)/D_j) + 0.5) — identical text in both
+    * engines — then BIGINT-summed. Ranking tie-break (count desc,
+    * term asc) is total, so the top-5 sets are bit-identical.
+    *
+    * Shape: doc×vocab distinct term frame (bounded by corpus vocab),
+    * per-cluster count + rank window, then the pair D_ij counts ride
+    * equi-joins keyed on the ≤ topics·C(5,2) pair frame — never
+    * corpus × corpus. */
+  def topicCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val docterm = documents(spark, dir)
+      .join(embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("doc_id"), col("label"),
+        explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val top5 = docterm.groupBy(col("label"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+          .orderBy(col("c").desc, col("tok"))))
+      .filter(col("rk") <= 5)
+    val dfGlobal = docterm.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("dj"))
+    val pairs = top5.as("i")
+      .join(top5.as("j"),
+        col("i.label") === col("j.label") && col("i.rk") < col("j.rk"))
+      .select(col("i.label").as("label"), col("i.tok").as("wi"),
+        col("j.tok").as("wj"))
+    val dt = docterm.select(col("doc_id").as("d"), col("tok"))
+    val dij = pairs
+      .join(dt.select(col("d"), col("tok").as("wi")), Seq("wi"))
+      .join(dt.select(col("d"), col("tok").as("wj")), Seq("wj", "d"))
+      .groupBy(col("label"), col("wi"), col("wj"))
+      .agg(count(lit(1)).as("dij"))
+    val terms = pairs
+      .join(dij, Seq("label", "wi", "wj"), "left")
+      .withColumn("dij", coalesce(col("dij"), lit(0L)))
+      .join(broadcast(dfGlobal.select(col("tok").as("wj"),
+        col("dj"))), Seq("wj"))
+      .withColumn("t_e3", expr(
+        "CAST(floor(1000 * ln((dij + 1.0D) / dj) + 0.5) AS BIGINT)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("t_e3")).as("coh_e3"))
+    val tops = top5.groupBy(col("label"))
+      .agg(expr("concat_ws(' ', transform(" +
+        "sort_array(collect_list(struct(rk, tok))), s -> s.tok))")
+        .as("top_terms"))
+    val sizes = docterm.select(col("doc_id"), col("label")).distinct()
+      .groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    sizes.join(tops, Seq("label")).join(terms, Seq("label"))
+      .select(col("label").cast("long").as("label"), col("n_docs"),
+        col("top_terms"), col("n_pairs"), col("coh_e3"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_topic_coherence" -> topicCoherence,
     "q_llm_freq_of_freqs" -> freqOfFreqs,
     "q_llm_rake_keywords" -> rakeKeywords,
     "q_llm_vocab_budget" -> vocabBudget,
@@ -1102,6 +1168,46 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_topic_coherence" ->
+      """WITH docterm AS (SELECT DISTINCT d.doc_id, e.label, t.tok
+        |  FROM documents d
+        |  JOIN embeddings e ON e.vec_id = d.doc_id,
+        |  LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) t),
+        |top5 AS (SELECT label, tok, c, rk FROM (
+        |   SELECT label, tok, count(*) AS c,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY count(*) DESC, tok) AS rk
+        |   FROM docterm GROUP BY label, tok) x WHERE rk <= 5),
+        |dfg AS (SELECT tok, count(DISTINCT doc_id) AS dj FROM docterm
+        |  GROUP BY tok),
+        |pairs AS (SELECT i.label, i.tok AS wi, j.tok AS wj
+        |  FROM top5 i JOIN top5 j
+        |   ON i.label = j.label AND i.rk < j.rk),
+        |dij AS (SELECT p.label, p.wi, p.wj, count(*) AS dij
+        |  FROM pairs p
+        |  JOIN docterm a ON a.tok = p.wi
+        |  JOIN docterm b ON b.tok = p.wj AND b.doc_id = a.doc_id
+        |  GROUP BY 1, 2, 3),
+        |terms AS (SELECT p.label, count(*) AS n_pairs,
+        |   sum(CAST(floor(1000 * ln((coalesce(dij.dij, 0) + 1.0)
+        |     / dfg.dj) + 0.5) AS BIGINT)) AS coh_e3
+        |  FROM pairs p
+        |  LEFT JOIN dij ON dij.label = p.label AND dij.wi = p.wi
+        |   AND dij.wj = p.wj
+        |  JOIN dfg ON dfg.tok = p.wj
+        |  GROUP BY p.label),
+        |tops AS (SELECT label,
+        |   string_agg(tok, ' ' ORDER BY rk) AS top_terms FROM top5
+        |  GROUP BY label),
+        |sizes AS (SELECT label, count(DISTINCT doc_id) AS n_docs
+        |  FROM docterm GROUP BY label)
+        |SELECT CAST(s.label AS BIGINT) AS label,
+        | CAST(n_docs AS BIGINT) AS n_docs, top_terms,
+        | CAST(n_pairs AS BIGINT) AS n_pairs,
+        | CAST(coh_e3 AS BIGINT) AS coh_e3
+        |FROM sizes s JOIN tops ON tops.label = s.label
+        |JOIN terms ON terms.label = s.label
+        |ORDER BY label""".stripMargin,
     "q_llm_freq_of_freqs" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS tk
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),

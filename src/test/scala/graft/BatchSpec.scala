@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 343
+    val documented = 345
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2003,6 +2003,37 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
     }
+  }
+
+  test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
+      "pairs, and coherence is nonpositive (log of a probability)") {
+    val rows = SparkEntry.queries("q_llm_topic_coherence")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("top_terms").split(" ").length == 5, r)
+      assert(r.getAs[Long]("n_pairs") == 10L, r)
+      // each term is ln((d_ij+1)/d_j) with d_ij+1 <= d_j + 1; a
+      // positive sum would need d_ij > d_j which is impossible (with
+      // the +1 smoothing a single pair can reach at most ln((dj+1)/dj)
+      // ~ +epsilon; allow that rounding headroom)
+      assert(r.getAs[Long]("coh_e3") <= 10L, r)
+      assert(r.getAs[Long]("n_docs") >= 1L, r)
+    }
+  }
+
+  test("events_funnel_lag: conversion census is bounded by the signup " +
+      "census and lags are ordered percentiles") {
+    val rows = SparkEntry.queries("q_events_funnel_lag")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val ns = r.getAs[Long]("n_signup"); val nc = r.getAs[Long]("n_converted")
+    assert(nc <= ns && nc >= 1L, r)
+    assert(r.getAs[Long]("conv_rate_e4") == nc * 10000L / ns, r)
+    val p50 = r.getAs[Long]("p50_lag_us"); val p90 = r.getAs[Long]("p90_lag_us")
+    assert(p50 > 0L && p50 <= p90 && p90 <= r.getAs[Long]("max_lag_us"),
+      r)
   }
 
   test("llm_freq_of_freqs: the spectrum partitions the trigram " +
