@@ -202,11 +202,15 @@ object Analytics {
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), expr(shingleExpr).as("ts"))
       .cache()
-    val toks = sets.select(col("doc_id"), explode(col("ts")).as("tok"))
+    // sz rides the explode as size(ts) — the set size is already in
+    // the cached array, so the per-doc count WINDOW (a second agg pass
+    // over the token frame) is pure waste (round 8: removed, one of
+    // the two per-doc window passes gone)
+    val toks = sets.select(col("doc_id"),
+      size(col("ts")).cast("long").as("sz"), explode(col("ts")).as("tok"))
     val dfCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val ranked = toks.join(dfCounts, "tok")
-      .withColumn("sz", count(lit(1)).over(byDoc))
       .withColumn("rn",
         row_number().over(byDoc.orderBy(col("df"), col("tok"))))
     val prefix = ranked
