@@ -1111,7 +1111,77 @@ object Analytics {
         col("p50_lag_us"), col("p90_lag_us"), col("max_lag_us"))
   }
 
+  /** Day-N retention curve (round 8): for N ∈ {1, 7, 14}, the share
+    * of users active again exactly-or-after N days from their FIRST
+    * day — the growth KPI headline ("D7 retention") that
+    * q_cohort_retention's full cohort matrix summarizes away. An
+    * "unbounded" definition (active on ANY day ≥ first+N) is used so
+    * the three points are monotone non-increasing by construction —
+    * the curve shape a dashboard expects; cohorts whose observation
+    * window is shorter than N are EXCLUDED from that N's denominator
+    * (right-censoring — counting them as churned is survivorship bias
+    * in reverse; the KM row handles censoring at full granularity).
+    *
+    * Shape: per-user (first, last) fold → 1-row window census →
+    * 3-row broadcast horizon frame, conditional sums. */
+  def retentionCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val wm = users.agg(max(col("last_day")).as("wm_day"))
+    val horizons = Seq(1L, 7L, 14L).toDF("n_days")
+    users.crossJoin(broadcast(wm))
+      .crossJoin(broadcast(horizons))
+      .filter(col("first_day") + col("n_days") <= col("wm_day"))
+      .groupBy(col("n_days"))
+      .agg(count(lit(1)).as("n_cohort"),
+        sum(when(col("last_day") >= col("first_day") + col("n_days"), 1L)
+          .otherwise(0L)).as("n_retained"))
+      .withColumn("retention_e4",
+        expr("n_retained * 10000 div n_cohort"))
+      .orderBy(col("n_days"))
+  }
+
+  /** ABC / Pareto revenue classification (round 8): parts classified
+    * by cumulative revenue share — A = the head covering 80% of
+    * revenue, B = the next 15%, C = the tail 5% — then the census per
+    * class (how many parts, what revenue). The inventory-management
+    * classic ("20% of SKUs carry 80% of revenue") — the
+    * vocab-budget cumulative idiom applied to money. Class boundary
+    * is the FIRST rank whose cumulative share crosses the threshold
+    * (so every class is non-empty on any non-degenerate input);
+    * revenue in exact cents, shares ×10⁴ truncating.
+    *
+    * Shape: lineitem fold to part revenue (partial-aggregable) → one
+    * ordered pass over the PART-sized frame (rank + running sum) →
+    * 3-class census. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("cents")).as("big_c"))
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("cls", expr(
+        "CASE WHEN (cum - cents) * 100 < big_c * 80 THEN 'A'" +
+          " WHEN (cum - cents) * 100 < big_c * 95 THEN 'B'" +
+          " ELSE 'C' END"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_parts"), col("cents"),
+        expr("cents * 10000 div big_c").as("rev_share_e4"))
+      .orderBy(col("cls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_retention_curve" -> retentionCurve,
+    "q_parts_abc" -> abcAnalysis,
     "q_events_funnel_lag" -> funnelLag,
     "q_events_cuped" -> cuped,
     "q_events_interarrival" -> interarrival,
@@ -1145,6 +1215,42 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_retention_curve" ->
+      """WITH u AS (SELECT user_id,
+        |   min(epoch_us(ts) // 86400000000) AS first_day,
+        |   max(epoch_us(ts) // 86400000000) AS last_day
+        |  FROM events GROUP BY user_id),
+        |wm AS (SELECT max(last_day) AS wm_day FROM u),
+        |h AS (SELECT CAST(unnest([1, 7, 14]) AS BIGINT) AS n_days)
+        |SELECT n_days, CAST(count(*) AS BIGINT) AS n_cohort,
+        | CAST(sum(CASE WHEN last_day >= first_day + n_days
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        | CAST(sum(CASE WHEN last_day >= first_day + n_days
+        |   THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+        |   AS retention_e4
+        |FROM u CROSS JOIN wm CROSS JOIN h
+        |WHERE first_day + n_days <= wm.wm_day
+        |GROUP BY n_days ORDER BY n_days""".stripMargin,
+    "q_parts_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+        |   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |     AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT sum(cents) AS big_c FROM rev),
+        |c AS (SELECT l_partkey, cents,
+        |   sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |cls AS (SELECT cents,
+        |   CASE WHEN (cum - cents) * 100 < tot.big_c * 80 THEN 'A'
+        |    WHEN (cum - cents) * 100 < tot.big_c * 95 THEN 'B'
+        |    ELSE 'C' END AS cls
+        |  FROM c CROSS JOIN tot)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        | CAST(sum(cents) AS BIGINT) AS cents,
+        | CAST(sum(cents) * 10000 // max(tot.big_c) AS BIGINT)
+        |   AS rev_share_e4
+        |FROM cls CROSS JOIN tot GROUP BY cls ORDER BY cls""".stripMargin,
     "q_events_funnel_lag" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

@@ -892,7 +892,35 @@ object Graph {
       .orderBy(col("q_e4"))
   }
 
+  /** Global transitivity (round 8): 3·triangles / wedges — the one-
+    * number closure summary that complements q_graph_local_cc
+    * (per-node) and q_graph_triangles (per-node census + total). A
+    * graph can have high mean LOCAL cc yet low transitivity when
+    * closure lives only in low-degree corners — the global ratio
+    * weights by wedge count, the local mean doesn't. Consumes the
+    * enrolled triangles frame (total_tri rides every row — max picks
+    * it) so the two rows cannot disagree on the triangle census;
+    * wedges fold from the degree frame as Σ d(d−1)/2.
+    *
+    * Shape: the triangles plan (edge-iterator closing, O(m^1.5))
+    * plus one degree fold; output is 1 row. */
+  def transitivity(spark: SparkSession, dir: String): DataFrame = {
+    val t = triangles(spark, dir)
+      .agg(max(col("total_tri")).as("n_triangles"))
+    val e = cooccEdges(spark, dir)
+    val wedges = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    wedges.crossJoin(broadcast(t))
+      .select(col("n_nodes"), col("n_wedges"), col("n_triangles"),
+        expr("3 * n_triangles * 10000 div greatest(n_wedges, 1)")
+          .as("transitivity_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_transitivity" -> transitivity,
     "q_graph_richclub" -> richClub,
     "q_basket_lift" -> basketLift,
     "q_graph_walk_sample" -> walkSample,
@@ -932,6 +960,31 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_transitivity" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |   SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) t
+        |  GROUP BY n),
+        |o AS (SELECT
+        |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |     THEN e0.u ELSE e0.v END AS src,
+        |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |     THEN e0.v ELSE e0.u END AS dst
+        |  FROM e0 JOIN deg du ON e0.u = du.n JOIN deg dv ON e0.v = dv.n),
+        |tri AS (SELECT count(*) AS n_triangles
+        |  FROM o o1 JOIN o o2
+        |    ON o1.src = o2.src AND o1.dst < o2.dst
+        |  JOIN e0 ON o1.dst = e0.u AND o2.dst = e0.v),
+        |w AS (SELECT count(*) AS n_nodes,
+        |   sum(d * (d - 1) // 2) AS n_wedges FROM deg)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(n_wedges AS BIGINT) AS n_wedges,
+        | CAST(n_triangles AS BIGINT) AS n_triangles,
+        | CAST(3 * n_triangles * 10000 // greatest(n_wedges, 1)
+        |   AS BIGINT) AS transitivity_e4
+        |FROM w CROSS JOIN tri""".stripMargin,
     "q_graph_richclub" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 345
+    val documented = 348
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2003,6 +2003,49 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
     }
+  }
+
+  test("graph_transitivity: the closure ratio is a probability and " +
+      "triangles are bounded by wedges") {
+    val rows = SparkEntry.queries("q_graph_transitivity")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val t = r.getAs[Long]("n_triangles"); val w = r.getAs[Long]("n_wedges")
+    assert(t >= 0L && 3L * t <= w, r)
+    val tr = r.getAs[Long]("transitivity_e4")
+    assert(tr >= 0L && tr <= 10000L, r)
+    assert(tr == 3L * t * 10000L / w, r)
+  }
+
+  test("events_retention_curve: the curve is monotone non-increasing " +
+      "and cohorts shrink with the horizon") {
+    val rows = SparkEntry.queries("q_events_retention_curve")(spark, sf)
+      .orderBy("n_days").collect()
+    assert(rows.map(_.getAs[Long]("n_days")).toSeq == Seq(1L, 7L, 14L))
+    val rets = rows.map(_.getAs[Long]("retention_e4")).toSeq
+    assert(rets == rets.sorted.reverse, s"curve not monotone: $rets")
+    val cohorts = rows.map(_.getAs[Long]("n_cohort")).toSeq
+    assert(cohorts == cohorts.sorted.reverse,
+      s"cohorts grew with horizon: $cohorts")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_retained") <= r.getAs[Long]("n_cohort"), r)
+    }
+  }
+
+  test("parts_abc: classes partition parts and revenue, and the " +
+      "cumulative shares respect the 80/95 boundaries") {
+    val rows = SparkEntry.queries("q_parts_abc")(spark, sf).collect()
+    val byCls = rows.map(r => r.getAs[String]("cls") -> r).toMap
+    assert(byCls.keySet == Set("A", "B", "C"))
+    val nParts = rows.map(_.getAs[Long]("n_parts")).sum
+    assert(nParts ==
+      graft.Tables.lineitem(spark, sf).select("l_partkey")
+        .distinct().count())
+    val shares = rows.map(_.getAs[Long]("rev_share_e4")).sum
+    assert(shares <= 10000L && shares >= 10000L - 3, shares)
+    // A covers at least the 80% threshold (boundary part included)
+    assert(byCls("A").getAs[Long]("rev_share_e4") >= 8000L - 1L)
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
