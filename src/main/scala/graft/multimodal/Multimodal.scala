@@ -729,8 +729,47 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  case class ImgStats(media_id: Long, n_px: Long, mean_px: Long,
+    m2_px: Long, min_px: Long, max_px: Long)
+
+  /** Per-image brightness/contrast statistics (round 8): exact pixel
+    * count, floored mean (the abTest m2 discipline — mean = Σp div n,
+    * a shared quantization), the exact second central moment about
+    * that floored mean, and min/max — the exposure/contrast screen a
+    * vision-data pipeline runs before training (all-dark, blown-out,
+    * or zero-contrast images are the image-domain quality gate). Runs
+    * on the SHARED decoded-pixel frame (no codec work in this row's
+    * own plan); the grayscale PNG round-trip is lossless, so the
+    * DuckDB twin recomputes every statistic from character codes and
+    * a hash match re-certifies the codec end-to-end.
+    *
+    * Shape: one mapPartitions projection over the memoized pixels —
+    * map-only beyond the shared decode. */
+  def mmImageStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    decodedPng(spark, dir).as[DecodedPx]
+      .filter(_.valid)
+      .map { d =>
+        val n = d.px.length.toLong
+        var s = 0L
+        d.px.foreach(s += _)
+        val mu = s / n
+        var m2 = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        d.px.foreach { p =>
+          val dd = p - mu; m2 += dd * dd
+          if (p < mn) mn = p
+          if (p > mx) mx = p
+        }
+        ImgStats(d.media_id, n, mu, m2, mn, mx)
+      }.toDF().orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_image_stats" -> mmImageStats,
     "q_mm_image_equalize" -> mmImageEqualize,
     "q_mm_image_resize" -> mmImageResize,
     "q_mm_audio_vad" -> mmAudioVad,
@@ -743,6 +782,27 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // lossless PNG ⇒ per-media pixel stats replay from char codes;
+    // mean is the FLOORED Σp // n both engines share, m2 is exact
+    // about that floored mean
+    "q_mm_image_stats" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |ch AS (SELECT doc_id, n,
+        |   ascii(substr(text, CAST(i + 1 AS INT), 1)) AS p
+        |  FROM (SELECT doc_id, n, text, unnest(range(n)) AS i FROM d0)),
+        |mu AS (SELECT doc_id, max(n) AS n_px, sum(p) // max(n) AS mu
+        |  FROM ch GROUP BY doc_id)
+        |SELECT ch.doc_id AS media_id,
+        | CAST(max(mu.n_px) AS BIGINT) AS n_px,
+        | CAST(max(mu.mu) AS BIGINT) AS mean_px,
+        | CAST(sum((p - mu.mu) * (p - mu.mu)) AS BIGINT) AS m2_px,
+        | CAST(min(p) AS BIGINT) AS min_px,
+        | CAST(max(p) AS BIGINT) AS max_px
+        |FROM ch JOIN mu ON mu.doc_id = ch.doc_id
+        |GROUP BY ch.doc_id ORDER BY media_id""".stripMargin,
     // lossless PNG ⇒ the per-media CDF replays from char codes: cdf(p)
     // = count of chars with code <= p, cdf_min = count of chars at the
     // min code; p' = (cdf(p) - cdf_min)*255 // max(n - cdf_min, 1)

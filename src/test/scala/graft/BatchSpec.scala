@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 348
+    val documented = 349
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2002,6 +2002,23 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_types_used") <= r.getAs[Long]("budget"), r)
       assert(r.getAs[Long]("n_covered") >= r.getAs[Long]("n_types_used"),
         r)
+    }
+  }
+
+  test("mm_image_stats: pixel stats are internally consistent (mean " +
+      "between min and max, m2 zero iff flat image)") {
+    val rows = SparkEntry.queries("q_mm_image_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("min_px"); val mx = r.getAs[Long]("max_px")
+      val mu = r.getAs[Long]("mean_px")
+      assert(mn <= mu && mu <= mx, r)
+      assert(mn >= 0L && mx <= 255L, r)
+      val m2 = r.getAs[Long]("m2_px")
+      assert(m2 >= 0L, r)
+      if (mn == mx) assert(m2 == 0L, r)
+      if (mn < mx) assert(m2 > 0L, r)
+      assert(r.getAs[Long]("n_px") >= 1L, r)
     }
   }
 
