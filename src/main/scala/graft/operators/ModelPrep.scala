@@ -809,7 +809,62 @@ object ModelPrep {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Bradley–Terry strength fit (round 8): the leaderboard step AFTER
+    * the pairwise win-rate matrix — turn the antisymmetric wins table
+    * into a single per-model strength so non-shared-prompt models
+    * become comparable. Two unrolled minorization–maximization
+    * iterations from the uniform prior: w_i ← W_i / Σ_j n_ij/(w_i+w_j),
+    * then normalized to mean 10⁶ across the roster (BT is
+    * scale-invariant, so the normalization is presentation only).
+    * Consumes pairwiseWins' OUTPUT frame (the bestOfN rule: a derived
+    * row must not re-derive its input).
+    *
+    * Exactness: strengths in e6 fixed point; each MM term is
+    * n_ij·10¹² div greatest(w_i+w_j, 1) (units e6, total division per
+    * the greatest-guard rule), w' = W_i·10¹² div greatest(den, 1).
+    * All operands nonnegative, so truncating div ≡ floor div in both
+    * engines. Overflow bound: W_i ≤ 19·groups ≈ 4750 at sf0.1 →
+    * W_i·10¹² ≈ 5·10¹⁵ ≪ 2⁶³; w·k·10⁶ ≈ 2·10⁶·20·10⁶ = 4·10¹³. Safe
+    * through sf10.
+    *
+    * Shape (100 TB): the pair matrix is rosters², never corpus-sized —
+    * every join below is on a ≤k²-row frame (k = 20 sources here), so
+    * the whole fit is broadcast-joined driver-free arithmetic; the
+    * only data-scale work is inside pairwiseWins itself. */
+  def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val pw = pairwiseWins(spark, dir)
+      .select(col("a"), col("b"), col("n_shared"),
+        col("n_win_a"), col("n_win_b"))
+    val sym = pw.select(col("a").as("i"), col("b").as("j"),
+        col("n_shared").as("n"), col("n_win_a").as("w"))
+      .unionAll(pw.select(col("b").as("i"), col("a").as("j"),
+        col("n_shared").as("n"), col("n_win_b").as("w")))
+    val tot = sym.groupBy(col("i"))
+      .agg(sum(col("w")).as("wins"), sum(col("n")).as("games"))
+    // iteration 1 from the uniform prior w0 = 1e6 (so w_i + w_j = 2e6)
+    val w1 = sym.groupBy(col("i"))
+      .agg(sum(expr("n * 1000000000000 div 2000000")).as("den"))
+      .join(tot, Seq("i"))
+      .select(col("i"),
+        expr("wins * 1000000000000 div greatest(den, 1)").as("w"))
+    val w2 = sym.as("s")
+      .join(w1.as("wi"), col("s.i") === col("wi.i"))
+      .join(w1.as("wj"), col("s.j") === col("wj.i"))
+      .groupBy(col("s.i").as("i"))
+      .agg(sum(expr("s.n * 1000000000000" +
+        " div greatest(wi.w + wj.w, 1)")).as("den"))
+      .join(tot, Seq("i"))
+      .select(col("i"), col("wins"), col("games"),
+        expr("wins * 1000000000000 div greatest(den, 1)").as("w"))
+    val norm = w2.agg(sum(col("w")).as("sw"), count(lit(1)).as("k"))
+    w2.crossJoin(broadcast(norm))
+      .select(col("i").as("source"), col("games"), col("wins"),
+        expr("w * k * 1000000 div greatest(sw, 1)").as("bt_e6"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_bradley_terry" -> bradleyTerry,
     "q_llm_pairwise_wins" -> pairwiseWins,
     "q_llm_best_of_n" -> bestOfN,
     "q_llm_dim_probe" -> dimProbe,
@@ -856,6 +911,40 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_bradley_terry" -> {
+      s"""WITH $scoreCte,
+         |e AS (SELECT d.doc_id // 20 AS grp, d.source,
+         |   max(CAST(floor(sc0.score * 10000 + 0.5) AS BIGINT)) AS s
+         |  FROM documents d JOIN sc0 ON sc0.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |pw AS (SELECT x.source AS a, y.source AS b, count(*) AS n,
+         |   sum(CASE WHEN x.s > y.s THEN 1 ELSE 0 END) AS wa,
+         |   sum(CASE WHEN x.s < y.s THEN 1 ELSE 0 END) AS wb
+         |  FROM e x JOIN e y ON x.grp = y.grp AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT a AS i, b AS j, n, wa AS w FROM pw
+         |  UNION ALL SELECT b AS i, a AS j, n, wb AS w FROM pw),
+         |tot AS (SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+         |   CAST(sum(n) AS BIGINT) AS games FROM sym GROUP BY 1),
+         |d1 AS (SELECT i, sum(n * 1000000000000 // 2000000) AS den
+         |  FROM sym GROUP BY 1),
+         |w1 AS (SELECT tot.i,
+         |   wins * 1000000000000 // greatest(den, 1) AS w
+         |  FROM tot JOIN d1 ON tot.i = d1.i),
+         |d2 AS (SELECT s.i,
+         |   sum(s.n * 1000000000000 // greatest(wi.w + wj.w, 1)) AS den
+         |  FROM sym s JOIN w1 wi ON s.i = wi.i
+         |  JOIN w1 wj ON s.j = wj.i GROUP BY 1),
+         |w2 AS (SELECT tot.i,
+         |   wins * 1000000000000 // greatest(den, 1) AS w
+         |  FROM tot JOIN d2 ON tot.i = d2.i),
+         |norm AS (SELECT sum(w) AS sw, count(*) AS k FROM w2)
+         |SELECT w2.i AS source, tot.games, tot.wins,
+         |  CAST(w2.w * k * 1000000 // greatest(sw, 1) AS BIGINT)
+         |    AS bt_e6
+         |FROM w2 JOIN tot ON w2.i = tot.i CROSS JOIN norm
+         |ORDER BY source""".stripMargin
+    },
     "q_llm_pairwise_wins" -> {
       s"""WITH $scoreCte,
          |e AS (SELECT d.doc_id // 20 AS grp, d.source,

@@ -606,7 +606,97 @@ object TimeSeries {
       .withColumn("seasonal_95", col("f_e4") >= 22500L)
   }
 
+  /** Theil–Sen robust slope (round 8): per-user median of all pairwise
+    * day-slopes over the daily centi-value series — the estimator that
+    * survives up to 29% outlier days where q_ts_regr_slope's least
+    * squares is dragged by a single corrupt batch. Completes the robust
+    * family (median/MAD anomaly, Spearman trend) with the robust SLOPE.
+    *
+    * Exactness: slope_e6 = trunc((y_j−y_i)·10⁶ / (d_j−d_i)) — Spark's
+    * `div` and DuckDB's INTEGER `//` BOTH truncate toward zero
+    * (measured: -7//2 = -3 in DuckDB; only the FLOAT `//` floors), so
+    * plain `num div den` is parity-exact even though 766 of 1500
+    * users carry negative slopes at sf0.1. The denominator is always
+    * positive by the d_i < d_j join predicate.
+    * Median = the lower median, rn = (cnt+1) div 2 over the ascending
+    * slope order — deterministic even under slope ties because rank
+    * selection among equal values picks an equal value.
+    *
+    * Shape (100 TB): fact scan → (user, day) daily fold (one shuffle)
+    * → user-keyed self-join whose per-key fan-out is bounded by the
+    * calendar span (≤30 days/user in fixture ⇒ ≤435 pairs — the
+    * per-key-sequence family contract, never corpus-quadratic) → one
+    * window pass for the rank → per-user fold. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("c", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sum(col("c")).as("y"))
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") < col("b.d"))
+      .select(col("a.user_id").as("user_id"),
+        ((col("b.y") - col("a.y")) * lit(1000000L)).as("num"),
+        (col("b.d") - col("a.d")).as("den"))
+      .withColumn("s", expr("num div den"))
+    val byUser = Window.partitionBy(col("user_id"))
+    slopes
+      .withColumn("rn", row_number().over(byUser.orderBy(col("s"))))
+      .withColumn("cnt", count(lit(1)).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("cnt")).as("n_pairs"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("s")))
+          .as("theil_sen_e6"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Mann–Kendall trend test (round 8): the significance test whose
+    * point estimator IS Theil–Sen — S = Σ sign(y_j − y_i) over day
+    * pairs i<j, Var(S) = n(n−1)(2n+5)/18 (ties contribute 0 to S; the
+    * tie-correction term is omitted and documented — daily centi sums
+    * tie with probability ≈0). Completes the J32 robust-trend family:
+    * theil_sen answers "how steep", mann_kendall answers "is it real".
+    *
+    * Sqrt-free verdict (the J21 discipline): |z| > 1.96 ⟺
+    * z² > 3.8416 ⟺ S²·18·10⁴ > 38416·n(n−1)(2n+5) — exact BIGINT
+    * cross-multiplication, no libm on either engine. Overflow bound:
+    * S ≤ C(30,2) = 435 ⇒ S²·18·10⁴ ≈ 3.4·10¹⁰; var18 ≤ 30·29·65.
+    *
+    * Shape: identical to theilSen — daily fold, user-keyed self-join
+    * bounded by the calendar span, per-user verdict fold. The sign
+    * census is partial-aggregable (a plain sum), so unlike the median
+    * this row needs NO rank window at all. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("c", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sum(col("c")).as("y"))
+    val nd = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"))
+    daily.as("a")
+      .join(daily.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") < col("b.d"))
+      .select(col("a.user_id").as("user_id"),
+        when(col("b.y") > col("a.y"), 1L)
+          .when(col("b.y") < col("a.y"), -1L).otherwise(0L).as("sg"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("sg")).as("s_stat"), count(lit(1)).as("n_pairs"))
+      .join(nd, Seq("user_id"))
+      .select(col("user_id"), col("n_days"), col("n_pairs"),
+        col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5)").as("var18"),
+        (col("s_stat") > 0L).as("trend_up"),
+        expr("s_stat * s_stat * 180000 >" +
+          " 38416 * n_days * (n_days - 1) * (2 * n_days + 5)")
+          .as("significant_95"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_mann_kendall" -> mannKendall,
+    "q_ts_theil_sen" -> theilSen,
     "q_ts_anova_dow" -> anovaDow,
     "q_ts_changepoint" -> changepoint,
     "q_ts_spearman_trend" -> spearmanTrend,
@@ -626,6 +716,46 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.user_id,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |    ELSE 0 END AS sg
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.d < b.d),
+        |nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM daily GROUP BY 1),
+        |s AS (SELECT user_id, CAST(sum(sg) AS BIGINT) AS s_stat,
+        |   CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1)
+        |SELECT s.user_id AS user_id, nd.n AS n_days, s.n_pairs,
+        |  s.s_stat, nd.n * (nd.n - 1) * (2 * nd.n + 5) AS var18,
+        |  s.s_stat > 0 AS trend_up,
+        |  s.s_stat * s.s_stat * 180000 >
+        |    38416 * nd.n * (nd.n - 1) * (2 * nd.n + 5) AS significant_95
+        |FROM s JOIN nd ON s.user_id = nd.user_id
+        |ORDER BY s.user_id""".stripMargin,
+    "q_ts_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.user_id, (b.y - a.y) * 1000000 // (b.d - a.d) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.d < b.d),
+        |r AS (
+        |  SELECT user_id, s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM slopes)
+        |SELECT user_id, CAST(max(cnt) AS BIGINT) AS n_pairs,
+        |  CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN s END) AS BIGINT)
+        |    AS theil_sen_e6
+        |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_ts_anova_dow" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   count(*) AS x FROM events GROUP BY 1),

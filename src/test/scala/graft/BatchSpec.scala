@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 349
+    val documented = 352
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2063,6 +2063,57 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shares <= 10000L && shares >= 10000L - 3, shares)
     // A covers at least the 80% threshold (boundary part included)
     assert(byCls("A").getAs[Long]("rev_share_e4") >= 8000L - 1L)
+  }
+
+  test("ts_theil_sen + mann_kendall: shared pair census, estimator " +
+      "sign forces test sign, verdict is the pinned cross-multiply") {
+    val ts = SparkEntry.queries("q_ts_theil_sen")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val mk = SparkEntry.queries("q_ts_mann_kendall")(spark, sf).collect()
+    assert(mk.nonEmpty && ts.nonEmpty)
+    assert(mk.map(_.getAs[Long]("user_id")).toSet == ts.keySet)
+    mk.foreach { r =>
+      val n = r.getAs[Long]("n_days"); val np = r.getAs[Long]("n_pairs")
+      assert(np == n * (n - 1) / 2, r)
+      assert(ts(r.getAs[Long]("user_id")).getAs[Long]("n_pairs") == np, r)
+      val s = r.getAs[Long]("s_stat")
+      assert(math.abs(s) <= np, r)
+      val var18 = r.getAs[Long]("var18")
+      assert(var18 == n * (n - 1) * (2 * n + 5), r)
+      assert(r.getAs[Boolean]("significant_95") ==
+        (s * s * 180000L > 38416L * var18), r)
+      // lower median > 0 ⟹ ≥ half the pair slopes are positive ⟹
+      // S ≥ 1; lower median < 0 ⟹ S ≤ 0 (counting argument over the
+      // ascending rank — see theilSen scaladoc)
+      val slope = ts(r.getAs[Long]("user_id")).getAs[Long]("theil_sen_e6")
+      if (slope > 0) assert(s > 0, r)
+      if (slope < 0) assert(s <= 0, r)
+    }
+  }
+
+  test("llm_bradley_terry: normalized to mean 1e6 over the roster; " +
+      "with a uniform game matrix strength order follows win order") {
+    val rows = SparkEntry.queries("q_llm_bradley_terry")(spark, sf)
+      .collect()
+    assert(rows.length >= 2)
+    val k = rows.length.toLong
+    val sumBt = rows.map(_.getAs[Long]("bt_e6")).sum
+    // normalization truncates per row, so the sum sits in [k·1e6−k, k·1e6]
+    assert(sumBt <= k * 1000000L && sumBt >= k * 1000000L - k, sumBt)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wins") <= r.getAs[Long]("games"), r)
+      assert(r.getAs[Long]("bt_e6") >= 0L, r)
+    }
+    // uniform games ⇒ MM iteration 1 orders by wins, iteration 2
+    // preserves it (higher w1 shrinks the denominator) — so BT must
+    // not invert a win-count comparison
+    if (rows.map(_.getAs[Long]("games")).distinct.length == 1) {
+      for {
+        a <- rows; b <- rows
+        if a.getAs[Long]("wins") > b.getAs[Long]("wins")
+      } assert(a.getAs[Long]("bt_e6") >= b.getAs[Long]("bt_e6"),
+        s"BT inverted wins: $a vs $b")
+    }
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
