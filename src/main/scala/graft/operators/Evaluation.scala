@@ -258,7 +258,61 @@ object Evaluation {
       .limit(20)
   }
 
+  /** Rank-biased overlap @10, p = 0.9 (round 8): how much do two
+    * enrolled doc rankers agree — the heuristic quality score
+    * (LlmOps.qualityScore) vs the logreg probability
+    * (ModelPrep.qualityLogreg)? RBO is THE top-weighted list-compare
+    * metric (Webber et al. 2010): truncated here at depth 10,
+    * RBO₁₀ = Σ_{d=1..10} (1−p)p^{d−1}·|A₁..d ∩ B₁..d|/d, so rank-1
+    * disagreement costs ~26× rank-10 disagreement. Completes the eval
+    * family: nDCG/MRR judge ONE ranking against relevance; RBO judges
+    * two rankings against each other (the ranker-regression check).
+    *
+    * Exactness: the 10 weights (1−p)p^{d−1}/d are irrational-free but
+    * non-terminating in e9 — each is rounded ONCE at authoring time as
+    * the exact integer (9^{d−1}·10⁹) div (d·10^d), the same literal
+    * array in both engines (the DCG-weight discipline above). Output
+    * per depth: both rank-d docs, prefix overlap, weighted term, and
+    * the running RBO — the full agreement curve, not just the scalar.
+    *
+    * Shape (100 TB): both top-10s come from orderBy(...).limit(10) —
+    * Spark plans TakeOrderedAndProject (per-partition heaps + driver
+    * merge of 10-row frames), NEVER a global sort; everything after
+    * runs on ≤10-row frames. */
+  def rbo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = LlmOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("quality").desc, col("doc_id")).limit(10)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("quality").desc, col("doc_id"))))
+      .select(col("doc_id").as("a_doc"), col("r").as("ra"))
+    val rb = ModelPrep.qualityLogreg(spark, dir)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("b_doc"), col("r").as("rb"))
+    val m = ra.join(rb, col("a_doc") === col("b_doc"))
+      .select(greatest(col("ra"), col("rb")).as("mr"))
+    val weights = "array(100000000L, 45000000L, 27000000L, 18225000L," +
+      " 13122000L, 9841500L, 7592014L, 5978711L, 4782969L, 3874204L)"
+    spark.range(1, 11).select(col("id").as("depth"))
+      .join(m, col("mr") <= col("depth"), "left")
+      .groupBy(col("depth")).agg(count(col("mr")).as("ov"))
+      .join(ra, col("ra") === col("depth"))
+      .join(rb, col("rb") === col("depth"))
+      .withColumn("term_e9",
+        expr(s"ov * element_at($weights, CAST(depth AS INT))"))
+      .withColumn("rbo_cum_e9",
+        sum(col("term_e9")).over(Window.orderBy(col("depth"))))
+      .select(col("depth"), col("a_doc"), col("b_doc"), col("ov"),
+        col("term_e9"), col("rbo_cum_e9"))
+      .orderBy(col("depth"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_rbo" -> rbo,
     "q_llm_bleu" -> bleuPairs,
     "q_llm_hard_negatives" -> hardNegatives,
     "q_llm_rouge_bigram" -> rougeBigram,
@@ -267,6 +321,42 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_rbo" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |qa AS (SELECT doc_id,
+         |   floor((0.4 * (1.0 * len(list_distinct(tk)) / len(tk))
+         |     + 0.3 * (1 - 1.0 * len([t for t in tk
+         |         if t IN ('the','a','of','and','to','in','is')])
+         |         / len(tk))
+         |     + 0.3 * least(len(tk) / 100.0, 1.0)) * 10000.0 + 0.5)
+         |   / 10000.0 AS quality
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+         |        FROM documents) t),
+         |ra AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY quality DESC, doc_id) AS r
+         |  FROM qa),
+         |rb AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM sc0),
+         |mm AS (SELECT greatest(ra.r, rb.r) AS mr
+         |  FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+         |  WHERE ra.r <= 10 AND rb.r <= 10),
+         |dep AS (SELECT unnest(range(1, 11)) AS depth),
+         |ov AS (SELECT dep.depth, CAST(count(mm.mr) AS BIGINT) AS ov
+         |  FROM dep LEFT JOIN mm ON mm.mr <= dep.depth
+         |  GROUP BY dep.depth),
+         |w(depth, l_e9) AS (VALUES (1, 100000000), (2, 45000000),
+         |  (3, 27000000), (4, 18225000), (5, 13122000), (6, 9841500),
+         |  (7, 7592014), (8, 5978711), (9, 4782969), (10, 3874204))
+         |SELECT CAST(ov.depth AS BIGINT) AS depth,
+         |  ra.doc_id AS a_doc, rb.doc_id AS b_doc, ov.ov,
+         |  ov.ov * w.l_e9 AS term_e9,
+         |  CAST(sum(ov.ov * w.l_e9) OVER (ORDER BY ov.depth)
+         |    AS BIGINT) AS rbo_cum_e9
+         |FROM ov JOIN w ON w.depth = ov.depth
+         |JOIN ra ON ra.r = ov.depth JOIN rb ON rb.r = ov.depth
+         |ORDER BY depth""".stripMargin
+    },
     "q_llm_bleu" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

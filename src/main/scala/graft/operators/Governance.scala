@@ -497,7 +497,49 @@ object Governance {
       .orderBy(col("event_type"))
   }
 
+  /** Functional-dependency audit (round 8): does LHS → RHS actually
+    * hold in the data? The schema-contract primitive Deequ/profiling
+    * suites check beyond per-column stats — a silently broken FD
+    * (one supplier in two nations, one source in five languages) is
+    * how downstream joins start fanning out. Six declared FDs audited
+    * over five tables: two that hold (key → attribute) and four that
+    * fail, so the row proves both verdict directions. Census per FD:
+    * LHS group count, #groups with >1 distinct RHS, the worst group's
+    * RHS cardinality, and the verdict max_rhs == 1.
+    *
+    * Shape (100 TB): each audit is groupBy(lhs).agg(countDistinct
+    * (rhs)) — partial-aggregable to a distinct-pair shuffle, then a
+    * 1-row fold; the union is 6 rows. No row-level data leaves the
+    * executors. */
+  def fdViolations(spark: SparkSession, dir: String): DataFrame = {
+    def arm(df: DataFrame, name: String, lhs: String, rhs: String) =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("c"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("c")).as("max_rhs"))
+        .select(lit(name).as("fd"), col("n_groups"),
+          col("n_violating"), col("max_rhs"),
+          (col("max_rhs") === 1L).as("fd_holds"))
+    arm(documents(spark, dir), "documents.source->lang",
+        "source", "lang")
+      .unionAll(arm(events(spark, dir), "events.user_id->event_type",
+        "user_id", "event_type"))
+      .unionAll(arm(lineitem(spark, dir),
+        "lineitem.l_returnflag->l_linestatus",
+        "l_returnflag", "l_linestatus"))
+      .unionAll(arm(nation(spark, dir),
+        "nation.n_nationkey->n_regionkey",
+        "n_nationkey", "n_regionkey"))
+      .unionAll(arm(part(spark, dir), "part.p_brand->p_type",
+        "p_brand", "p_type"))
+      .unionAll(arm(supplier(spark, dir),
+        "supplier.s_suppkey->s_nationkey",
+        "s_suppkey", "s_nationkey"))
+      .orderBy(col("fd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_fd_violations" -> fdViolations,
     "q_dq_freshness" -> dqFreshness,
     "q_priv_t_closeness" -> tCloseness,
     "q_dq_benford" -> dqBenford,
@@ -512,6 +554,27 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_fd_violations" -> {
+      def arm(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(max(c) AS BIGINT) AS max_rhs, max(c) = 1 AS fd_holds
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS c FROM $table
+           |      GROUP BY 1)""".stripMargin
+      Seq(
+        arm("documents.source->lang", "documents", "source", "lang"),
+        arm("events.user_id->event_type", "events",
+          "user_id", "event_type"),
+        arm("lineitem.l_returnflag->l_linestatus", "lineitem",
+          "l_returnflag", "l_linestatus"),
+        arm("nation.n_nationkey->n_regionkey", "nation",
+          "n_nationkey", "n_regionkey"),
+        arm("part.p_brand->p_type", "part", "p_brand", "p_type"),
+        arm("supplier.s_suppkey->s_nationkey", "supplier",
+          "s_suppkey", "s_nationkey"),
+      ).mkString("", "\nUNION ALL ", "\nORDER BY fd")
+    },
     "q_dq_freshness" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us,
         |   epoch_us(ts) // 86400000000 AS day FROM events),

@@ -890,7 +890,10 @@ object ModelPrep {
     "q_llm_wordpiece_merge" -> wordpieceMerge,
   )
 
-  private val scoreCte: String =
+  // private[operators]: Evaluation.rbo's oracle composes the same
+  // logreg scoring CTE so the two rankers can't drift from the
+  // enrolled q_llm_quality_logreg row
+  private[operators] val scoreCte: String =
     """f AS (SELECT doc_id,
       |   string_split(text, ' ') AS tk,
       |   len(string_split(text, ' ')) AS n_tok

@@ -694,7 +694,61 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Kendall τ-b concordance (round 8): do the two GLOBAL daily
+    * metrics — event count x and centi-value sum y — move together?
+    * Pair census over day pairs (concordant / discordant / tie_x /
+    * tie_y / tie_both), then the tie-corrected squared correlation
+    * τ_b² = (C−D)²/((n₀−tx)(n₀−ty)) as a SIGNED e8 integer (the
+    * sqrt-free discipline: report the square with sign(C−D), never a
+    * libm sqrt). Completes the correlation family: Pearson-on-ranks
+    * (spearman), sign-census trend (mann_kendall per user), and now
+    * cross-METRIC concordance.
+    *
+    * Concordance tests compare SIGNS of (dx, dy) — no dx·dy product,
+    * so no overflow lane is needed there; the one squared moment
+    * (C−D)² rides DECIMAL(38,0) from the start (the assortativity
+    * lesson — C(10⁴ days, 2) pairs would blow BIGINT at ·10⁸).
+    *
+    * Shape: fact scan → day census (span-sized, NOT corpus-sized) →
+    * theta self-join on the tiny daily frame (≤C(span,2) pairs —
+    * broadcast nested loop on a frame of tens of rows) → 1-row fold. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("c", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("x"), sum(col("c")).as("y"))
+    val census = daily.as("a")
+      .join(daily.as("b"), col("a.d") < col("b.d"))
+      .select((col("b.x") - col("a.x")).as("dx"),
+        (col("b.y") - col("a.y")).as("dy"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("dx") > 0 && col("dy") > 0) ||
+          (col("dx") < 0 && col("dy") < 0), 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when((col("dx") > 0 && col("dy") < 0) ||
+          (col("dx") < 0 && col("dy") > 0), 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ties_y"),
+        sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+          .as("ties_both"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    census.crossJoin(broadcast(n))
+      .select(col("n_days"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"),
+        col("ties_both"),
+        expr("""CAST(CASE WHEN concordant >= discordant THEN 1
+          |  ELSE -1 END
+          |* ((CAST(concordant - discordant AS DECIMAL(38,0))
+          |    * (concordant - discordant) * 100000000)
+          |   div greatest(CAST(n_pairs - ties_x AS DECIMAL(38,0))
+          |    * (n_pairs - ties_y), 1)) AS BIGINT)""".stripMargin)
+          .as("taub2_e8"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_kendall_tau" -> kendallTau,
     "q_ts_mann_kendall" -> mannKendall,
     "q_ts_theil_sen" -> theilSen,
     "q_ts_anova_dow" -> anovaDow,
@@ -716,6 +770,34 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_kendall_tau" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ties_x,
+        |  CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ties_y,
+        |  CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ties_both
+        | FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n.n_days, c.n_pairs, c.concordant, c.discordant,
+        |  c.ties_x, c.ties_y, c.ties_both,
+        |  CAST(CASE WHEN concordant >= discordant THEN 1 ELSE -1 END
+        |    * ((CAST(concordant - discordant AS HUGEINT)
+        |        * (concordant - discordant) * 100000000)
+        |       // greatest(CAST(n_pairs - ties_x AS HUGEINT)
+        |        * (n_pairs - ties_y), 1)) AS BIGINT) AS taub2_e8
+        |FROM c CROSS JOIN n""".stripMargin,
     "q_ts_mann_kendall" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,

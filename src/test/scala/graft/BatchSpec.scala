@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 352
+    val documented = 355
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2114,6 +2114,66 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       } assert(a.getAs[Long]("bt_e6") >= b.getAs[Long]("bt_e6"),
         s"BT inverted wins: $a vs $b")
     }
+  }
+
+  test("ts_kendall_tau: the pair census partitions C(n,2) and tau-b " +
+      "squared is a bounded probability ratio") {
+    val rows = SparkEntry.queries("q_ts_kendall_tau")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val n = r.getAs[Long]("n_days"); val np = r.getAs[Long]("n_pairs")
+    assert(np == n * (n - 1) / 2, r)
+    val (c, d) = (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"))
+    val (tx, ty, tb) = (r.getAs[Long]("ties_x"), r.getAs[Long]("ties_y"),
+      r.getAs[Long]("ties_both"))
+    // every pair is concordant, discordant, or tied in ≥1 metric;
+    // ties_x/ties_y both count the both-tied pairs once
+    assert(c + d + tx + ty - tb == np, r)
+    assert(tb <= tx && tb <= ty, r)
+    val t2 = r.getAs[Long]("taub2_e8")
+    assert(math.abs(t2) <= 100000000L, r) // |tau_b| <= 1
+  }
+
+  test("llm_rbo: overlap curve is monotone, depth-bounded, and the " +
+      "running RBO reproduces the authored weight literals") {
+    val rows = SparkEntry.queries("q_llm_rbo")(spark, sf)
+      .orderBy("depth").collect()
+    assert(rows.map(_.getAs[Long]("depth")).toSeq == (1L to 10L))
+    // L_d = (9^(d-1) * 10^9) div (d * 10^d), the single-rounding
+    // authored literals shared by both arms
+    val l = (1 to 10).map(dd =>
+      (BigInt(9).pow(dd - 1) * BigInt(10).pow(9) /
+        (BigInt(dd) * BigInt(10).pow(dd))).toLong)
+    var prevOv = 0L; var cum = 0L
+    rows.foreach { r =>
+      val dd = r.getAs[Long]("depth").toInt
+      val ov = r.getAs[Long]("ov")
+      assert(ov >= prevOv && ov <= dd, r); prevOv = ov
+      assert(r.getAs[Long]("term_e9") == ov * l(dd - 1), r)
+      cum += ov * l(dd - 1)
+      assert(r.getAs[Long]("rbo_cum_e9") == cum, r)
+    }
+    // truncated RBO_10 can never exceed sum(d * L_d) (identical lists)
+    assert(cum <= (1 to 10).map(dd => dd * l(dd - 1)).sum)
+  }
+
+  test("dq_fd_violations: six declared FDs audited, verdicts match " +
+      "the census, and the two key FDs hold") {
+    val rows = SparkEntry.queries("q_dq_fd_violations")(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_groups"), r)
+      assert(r.getAs[Boolean]("fd_holds") ==
+        (r.getAs[Long]("max_rhs") == 1L), r)
+      assert(r.getAs[Boolean]("fd_holds") ==
+        (r.getAs[Long]("n_violating") == 0L), r)
+    }
+    val byFd = rows.map(r => r.getAs[String]("fd") -> r).toMap
+    assert(byFd("nation.n_nationkey->n_regionkey")
+      .getAs[Boolean]("fd_holds"))
+    assert(byFd("supplier.s_suppkey->s_nationkey")
+      .getAs[Boolean]("fd_holds"))
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
