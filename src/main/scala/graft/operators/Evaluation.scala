@@ -311,7 +311,91 @@ object Evaluation {
       .orderBy(col("depth"))
   }
 
+  /** Cohen's κ between two enrolled keep-judges (round 8): the logreg
+    * gate (score ≥ 0.76) vs the fixed-weight heuristic gate
+    * (quality ≥ 0.64) — thresholds authored at each judge's fixture
+    * median so BOTH gates have variance (z ≥ 0 and quality ≥ 0.75 are
+    * constant-1 on this corpus — measured; a constant judge makes κ
+    * degenerate 0/0). κ = (p_o − p_e)/(1 − p_e) computed EXACTLY by
+    * clearing denominators: κ·10⁴ = (N(n11+n00) − Σ marginal products)
+    * ·10⁴ div (N² − Σ marginal products) — signed trunc-div, parity-
+    * verified. The observed κ ≈ 0 at sf0.1 is the finding: two
+    * monotone scores of the same features can still disagree around
+    * their medians almost at chance level.
+    *
+    * Shape (100 TB): two doc-sized score scans → one equi-join → a
+    * 1-row partial-aggregable census; the marginal products ride
+    * DECIMAL(38,0) (N² blows BIGINT past ~3·10⁹ docs). */
+  def judgeKappa(spark: SparkSession, dir: String): DataFrame = {
+    val j1 = ModelPrep.qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        when(col("score") >= 0.76, 1L).otherwise(0L).as("j1"))
+    val j2 = LlmOps.qualityScore(spark, dir)
+      .select(col("doc_id"),
+        when(col("quality") >= 0.64, 1L).otherwise(0L).as("j2"))
+    j1.join(j2, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("j1") * col("j2")).as("n11"),
+        sum(col("j1") * (lit(1L) - col("j2"))).as("n10"),
+        sum((lit(1L) - col("j1")) * col("j2")).as("n01"),
+        sum((lit(1L) - col("j1")) * (lit(1L) - col("j2"))).as("n00"))
+      .select(col("n").as("n_docs"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        expr("(n11 + n00) * 10000 div n").as("po_e4"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+          | - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+          |    + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)))
+          | * 10000
+          | div greatest(CAST(n AS DECIMAL(38,0)) * n
+          | - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+          |    + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)), 1)
+          | AS BIGINT)""".stripMargin).as("kappa_e4"))
+  }
+
+  /** Deterministic Poisson bootstrap CI (round 8): the error bar every
+    * reported corpus metric needs — B = 100 resampled means of the
+    * logreg score, percentile CI from the replicate order statistics
+    * (rank 3 / rank 98 of 100 ≈ the 95% interval). Replicate weights
+    * are Poisson(1) drawn WITHOUT randomness: the md5-h60 residue of
+    * (doc_id, b) mod 1000 against the authored cumulative thresholds
+    * 368/736/920/981/996 (e³-rounded e⁻¹/k! CDF) — the split_assign
+    * hash-salt discipline, so both engines draw the identical sample.
+    *
+    * Shape (100 TB): the ×B fan-out is a map-side generator (explode
+    * of a literal sequence — no shuffle); each replicate mean is a
+    * partial-aggregable (Σ k·s, Σ k) pair over B groups; the order
+    * statistics run on the B-row frame. Poisson bootstrap is THE
+    * distributed-bootstrap formulation (no global resample pass). */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc1 = ModelPrep.qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s_e4"))
+    val means = sc1
+      .withColumn("b", explode(expr("sequence(0, 99)")))
+      .withColumn("r", expr(LlmOps.h60(
+        "concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))")
+        + " % 1000"))
+      .withColumn("k", expr("""CASE WHEN r < 368 THEN 0
+        |WHEN r < 736 THEN 1 WHEN r < 920 THEN 2 WHEN r < 981 THEN 3
+        |WHEN r < 996 THEN 4 ELSE 5 END""".stripMargin))
+      .groupBy(col("b"))
+      .agg(expr("sum(k * s_e4) div greatest(sum(k), 1)").as("mean_e4"))
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_e4"), col("b"))))
+    val fm = sc1.agg(count(lit(1)).as("n_docs"),
+      expr("sum(s_e4) div count(1)").as("mean_full_e4"))
+    ranked
+      .agg(max(when(col("rn") === 3, col("mean_e4"))).as("ci_lo_e4"),
+        max(when(col("rn") === 98, col("mean_e4"))).as("ci_hi_e4"))
+      .crossJoin(broadcast(fm))
+      .select(col("n_docs"), lit(100L).as("b_reps"),
+        col("mean_full_e4"), col("ci_lo_e4"), col("ci_hi_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_judge_kappa" -> judgeKappa,
+    "q_llm_bootstrap_ci" -> bootstrapCi,
     "q_llm_rbo" -> rbo,
     "q_llm_bleu" -> bleuPairs,
     "q_llm_hard_negatives" -> hardNegatives,
@@ -321,6 +405,69 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_judge_kappa" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |qa AS (SELECT doc_id,
+         |   floor((0.4 * (1.0 * len(list_distinct(tk)) / len(tk))
+         |     + 0.3 * (1 - 1.0 * len([t for t in tk
+         |         if t IN ('the','a','of','and','to','in','is')])
+         |         / len(tk))
+         |     + 0.3 * least(len(tk) / 100.0, 1.0)) * 10000.0 + 0.5)
+         |   / 10000.0 AS quality
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+         |        FROM documents) t),
+         |j AS (SELECT sc0.doc_id,
+         |   CASE WHEN sc0.score >= 0.76 THEN 1 ELSE 0 END AS j1,
+         |   CASE WHEN qa.quality >= 0.64 THEN 1 ELSE 0 END AS j2
+         |  FROM sc0 JOIN qa ON qa.doc_id = sc0.doc_id),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(j1 * j2) AS BIGINT) AS n11,
+         |  CAST(sum(j1 * (1 - j2)) AS BIGINT) AS n10,
+         |  CAST(sum((1 - j1) * j2) AS BIGINT) AS n01,
+         |  CAST(sum((1 - j1) * (1 - j2)) AS BIGINT) AS n00
+         | FROM j)
+         |SELECT n AS n_docs, n11, n10, n01, n00,
+         |  CAST((n11 + n00) * 10000 // n AS BIGINT) AS po_e4,
+         |  CAST((CAST(n AS HUGEINT) * (n11 + n00)
+         |     - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |        + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))) * 10000
+         |   // greatest(CAST(n AS HUGEINT) * n
+         |     - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |        + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)), 1)
+         |   AS BIGINT) AS kappa_e4
+         |FROM c""".stripMargin
+    },
+    "q_llm_bootstrap_ci" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |sc1 AS (SELECT doc_id,
+         |   CAST(floor(score * 10000 + 0.5) AS BIGINT) AS s_e4
+         |  FROM sc0),
+         |reps AS (SELECT unnest(range(0, 100)) AS b),
+         |w AS (SELECT sc1.doc_id, reps.b, sc1.s_e4,
+         |   CAST('0x' || substr(md5(sc1.doc_id || ':' || reps.b), 1, 15)
+         |     AS BIGINT) % 1000 AS r
+         |  FROM sc1 CROSS JOIN reps),
+         |k AS (SELECT b, s_e4, CASE WHEN r < 368 THEN 0
+         |   WHEN r < 736 THEN 1 WHEN r < 920 THEN 2 WHEN r < 981 THEN 3
+         |   WHEN r < 996 THEN 4 ELSE 5 END AS k FROM w),
+         |means AS (SELECT b,
+         |   CAST(sum(k * s_e4) // greatest(sum(k), 1) AS BIGINT)
+         |     AS mean_e4
+         |  FROM k GROUP BY b),
+         |ranked AS (SELECT b, mean_e4,
+         |   row_number() OVER (ORDER BY mean_e4, b) AS rn FROM means),
+         |fm AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(s_e4) // count(*) AS BIGINT) AS mean_full_e4
+         |  FROM sc1)
+         |SELECT fm.n_docs, CAST(100 AS BIGINT) AS b_reps,
+         |  fm.mean_full_e4,
+         |  CAST(max(CASE WHEN rn = 3 THEN mean_e4 END) AS BIGINT)
+         |    AS ci_lo_e4,
+         |  CAST(max(CASE WHEN rn = 98 THEN mean_e4 END) AS BIGINT)
+         |    AS ci_hi_e4
+         |FROM ranked CROSS JOIN fm
+         |GROUP BY fm.n_docs, fm.mean_full_e4""".stripMargin
+    },
     "q_llm_rbo" -> {
       s"""WITH ${ModelPrep.scoreCte},
          |qa AS (SELECT doc_id,

@@ -747,7 +747,62 @@ object TimeSeries {
           .as("taub2_e8"))
   }
 
+  /** STL-lite decomposition (round 8): trend = centered 7-day moving
+    * average (floored; edge days use their available window — the
+    * rows-frame is over OBSERVED days, a documented simplification vs
+    * calendar STL), seasonal = floored per-weekday mean of the
+    * detrended series, residual = what's left. The summary the anova
+    * row tests and the seasonal row profiles, now QUANTIFIED:
+    * seasonal strength = max(0, 1 − SSQ(resid)/SSQ(detrended)) —
+    * Hyndman's F_s measure — as e4, with the one divided product in
+    * the DECIMAL(38,0)/HUGEINT lane. Emits the seven seasonal indices
+    * (s0..s6 pivoted, weekday = epoch-day mod 7) plus the exact SSQs
+    * so the strength can be replayed from the row.
+    *
+    * Exactness: trend and seasonal means are floored integer divisions
+    * of BIGINT sums (the anovaDow mu discipline — a documented
+    * quantization, identical in both engines); detrended/residual are
+    * then exact signed BIGINTs.
+    *
+    * Shape: fact scan → day census (span-sized) → one ordered window
+    * pass (7-row frame) → 7-group fold → broadcast join back →
+    * 1-row census. */
+  def stlLite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val det = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("sw", sum(col("x")).over(w))
+      .withColumn("cw", count(lit(1)).over(w))
+      .withColumn("det", col("x") - expr("sw div cw"))
+      .withColumn("dow", col("d") % 7)
+    val s = det.groupBy(col("dow"))
+      .agg(expr("sum(det) div count(1)").as("sdow"))
+    val agg = det.join(broadcast(s), Seq("dow"))
+      .withColumn("resid", col("det") - col("sdow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("det") * col("det")).as("ssq_det"),
+        sum(col("resid") * col("resid")).as("ssq_resid"))
+    val piv = s.agg(
+      max(when(col("dow") === 0, col("sdow"))).as("s0"),
+      max(when(col("dow") === 1, col("sdow"))).as("s1"),
+      max(when(col("dow") === 2, col("sdow"))).as("s2"),
+      max(when(col("dow") === 3, col("sdow"))).as("s3"),
+      max(when(col("dow") === 4, col("sdow"))).as("s4"),
+      max(when(col("dow") === 5, col("sdow"))).as("s5"),
+      max(when(col("dow") === 6, col("sdow"))).as("s6"))
+    agg.crossJoin(broadcast(piv))
+      .select(col("n_days"), col("s0"), col("s1"), col("s2"),
+        col("s3"), col("s4"), col("s5"), col("s6"),
+        col("ssq_det"), col("ssq_resid"),
+        expr("""CAST(greatest(0, 10000
+          | - CAST(ssq_resid AS DECIMAL(38,0)) * 10000
+          |   div greatest(ssq_det, 1)) AS BIGINT)""".stripMargin)
+          .as("strength_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_stl_lite" -> stlLite,
     "q_ts_kendall_tau" -> kendallTau,
     "q_ts_mann_kendall" -> mannKendall,
     "q_ts_theil_sen" -> theilSen,
@@ -770,6 +825,34 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_stl_lite" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |t AS (SELECT d, x, sum(x) OVER w // count(*) OVER w AS tr
+        |  FROM daily WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT d, d % 7 AS dow, x - tr AS det FROM t),
+        |s AS (SELECT dow, CAST(sum(det) // count(*) AS BIGINT) AS sdow
+        |  FROM det GROUP BY 1),
+        |r AS (SELECT det.dow, det.det, det.det - s.sdow AS resid
+        |  FROM det JOIN s ON s.dow = det.dow),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |   CAST(sum(det * det) AS BIGINT) AS ssq_det,
+        |   CAST(sum(resid * resid) AS BIGINT) AS ssq_resid FROM r),
+        |piv AS (SELECT
+        |   CAST(max(CASE WHEN dow = 0 THEN sdow END) AS BIGINT) AS s0,
+        |   CAST(max(CASE WHEN dow = 1 THEN sdow END) AS BIGINT) AS s1,
+        |   CAST(max(CASE WHEN dow = 2 THEN sdow END) AS BIGINT) AS s2,
+        |   CAST(max(CASE WHEN dow = 3 THEN sdow END) AS BIGINT) AS s3,
+        |   CAST(max(CASE WHEN dow = 4 THEN sdow END) AS BIGINT) AS s4,
+        |   CAST(max(CASE WHEN dow = 5 THEN sdow END) AS BIGINT) AS s5,
+        |   CAST(max(CASE WHEN dow = 6 THEN sdow END) AS BIGINT) AS s6
+        |  FROM s)
+        |SELECT agg.n_days, piv.s0, piv.s1, piv.s2, piv.s3, piv.s4,
+        |  piv.s5, piv.s6, agg.ssq_det, agg.ssq_resid,
+        |  CAST(greatest(0, 10000 - CAST(ssq_resid AS HUGEINT) * 10000
+        |    // greatest(ssq_det, 1)) AS BIGINT) AS strength_e4
+        |FROM agg CROSS JOIN piv""".stripMargin,
     "q_ts_kendall_tau" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    CAST(count(*) AS BIGINT) AS x,

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 355
+    val documented = 358
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2174,6 +2174,49 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Boolean]("fd_holds"))
     assert(byFd("supplier.s_suppkey->s_nationkey")
       .getAs[Boolean]("fd_holds"))
+  }
+
+  test("llm_judge_kappa: confusion cells partition the corpus, both " +
+      "judges vary, and kappa is bounded by observed agreement") {
+    val r = SparkEntry.queries("q_llm_judge_kappa")(spark, sf)
+      .collect().head
+    val Seq(n, n11, n10, n01, n00) = Seq("n_docs", "n11", "n10",
+      "n01", "n00").map(r.getAs[Long])
+    assert(n11 + n10 + n01 + n00 == n, r)
+    // the thresholds exist to give BOTH judges variance — a constant
+    // judge (the z>=0 trap this row documents) degenerates kappa
+    assert(n11 + n10 > 0 && n01 + n00 > 0, s"judge1 constant: $r")
+    assert(n11 + n01 > 0 && n10 + n00 > 0, s"judge2 constant: $r")
+    assert(r.getAs[Long]("po_e4") == (n11 + n00) * 10000 / n, r)
+    val k = r.getAs[Long]("kappa_e4")
+    assert(k <= 10000 && k >= -10000, r)
+    assert(k <= r.getAs[Long]("po_e4") + 1, r) // kappa <= p_o
+  }
+
+  test("llm_bootstrap_ci: 100 replicates, ordered interval, and the " +
+      "full-corpus mean sits inside (or hugs) the percentile CI") {
+    val r = SparkEntry.queries("q_llm_bootstrap_ci")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("b_reps") == 100L)
+    val (lo, hi) = (r.getAs[Long]("ci_lo_e4"), r.getAs[Long]("ci_hi_e4"))
+    val m = r.getAs[Long]("mean_full_e4")
+    assert(lo <= hi, r)
+    // Poisson-bootstrap replicate means concentrate on the full mean;
+    // a 20-e4 slack absorbs the floored-division quantization
+    assert(lo <= m + 20 && hi >= m - 20, r)
+  }
+
+  test("ts_stl_lite: strength replays from the emitted SSQs and the " +
+      "decomposition is variance-reducing on a seasonal fixture") {
+    val r = SparkEntry.queries("q_ts_stl_lite")(spark, sf)
+      .collect().head
+    val (sd, sr) = (r.getAs[Long]("ssq_det"), r.getAs[Long]("ssq_resid"))
+    assert(sd >= 0 && sr >= 0, r)
+    val st = r.getAs[Long]("strength_e4")
+    assert(st >= 0 && st <= 10000, r)
+    assert(st == math.max(0L,
+      10000L - sr * 10000L / math.max(sd, 1L)), r)
+    (0 to 6).foreach(i => assert(!r.isNullAt(r.fieldIndex(s"s$i")), r))
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
