@@ -1179,7 +1179,52 @@ object Analytics {
       .orderBy(col("cls"))
   }
 
+  /** Markov entropy rate (round 8): completes the chain family —
+    * q_events_markov gives the transition matrix, q_events_markov_steady
+    * the stationary distribution; this row gives the information rate:
+    * H = Σ_i π_i H_i with H_i = Σ_j p_ij ln(1/p_ij), the expected
+    * per-step unpredictability of the behavior stream (uniform 5-state
+    * chain ⇒ ln 5 ≈ 1.609 — the observed fixture value, a built-in
+    * sanity pin). π comes from markovSteady's OUTPUT frame (pi3_e6 —
+    * the bestOfN derived-frame rule).
+    *
+    * Exactness: the only transcendental is ln of an integer count,
+    * rounded ONCE via the shared `floor(ln(x)·1000 + 0.5)` text (the
+    * PMI/coherence lnE3 discipline); H_i·e3 = Σ_j n_ij(lnE3(t_i) −
+    * lnE3(n_ij)) div t_i — all BIGINT after the rounding.
+    *
+    * Shape: one window pass for transitions (the markov family
+    * contract), k²-sized joins after (k = 5 states), π broadcast. */
+  def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("t"))
+    val h = trans.join(tot, "src")
+      .groupBy(col("src"))
+      .agg(max(col("t")).as("n_trans"),
+        expr("""CAST(sum(n * (CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT)
+          | - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
+          | div max(t) AS BIGINT)""".stripMargin).as("h_cond_e3"))
+    val pi = markovSteady(spark, dir)
+      .select(col("state").as("src"), col("pi3_e6"))
+    val joined = h.join(pi, "src")
+    val rate = joined.agg(expr(
+      "sum(pi3_e6 * h_cond_e3) div greatest(sum(pi3_e6), 1)")
+      .as("rate_e3"))
+    joined.crossJoin(broadcast(rate))
+      .select(col("src").as("state"), col("n_trans"),
+        col("h_cond_e3"), col("pi3_e6"), col("rate_e3"))
+      .orderBy(col("state"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_markov_entropy" -> markovEntropy,
     "q_events_retention_curve" -> retentionCurve,
     "q_parts_abc" -> abcAnalysis,
     "q_events_funnel_lag" -> funnelLag,
@@ -1215,6 +1260,44 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_markov_entropy" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |tr AS (SELECT event_type AS src,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS dst
+        |  FROM e),
+        |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS t
+        |  FROM tc GROUP BY src),
+        |h AS (SELECT tc.src, max(tt.t) AS n_trans,
+        |   CAST(sum(n * (CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
+        |     // max(tt.t) AS BIGINT) AS h_cond_e3
+        |  FROM tc JOIN tt ON tt.src = tc.src GROUP BY 1),
+        |p AS (SELECT tc.src, tc.dst, tc.n * 1000000 // tt.t AS p_e6
+        |  FROM tc JOIN tt ON tt.src = tc.src),
+        |st AS (SELECT DISTINCT src AS state FROM p),
+        |k AS (SELECT count(*) AS k FROM st),
+        |p0 AS (SELECT state, 1000000 // k.k AS pi FROM st CROSS JOIN k),
+        |p1 AS (SELECT p.dst AS state,
+        |   CAST(sum(p0.pi * p.p_e6 // 1000000) AS BIGINT) AS pi
+        |  FROM p JOIN p0 ON p0.state = p.src GROUP BY p.dst),
+        |p2 AS (SELECT p.dst AS state,
+        |   CAST(sum(p1.pi * p.p_e6 // 1000000) AS BIGINT) AS pi
+        |  FROM p JOIN p1 ON p1.state = p.src GROUP BY p.dst),
+        |p3 AS (SELECT p.dst AS state,
+        |   CAST(sum(p2.pi * p.p_e6 // 1000000) AS BIGINT) AS pi
+        |  FROM p JOIN p2 ON p2.state = p.src GROUP BY p.dst),
+        |j AS (SELECT h.src, h.n_trans, h.h_cond_e3,
+        |   CAST(coalesce(p3.pi, 0) AS BIGINT) AS pi3_e6
+        |  FROM h LEFT JOIN p3 ON p3.state = h.src),
+        |rt AS (SELECT CAST(sum(pi3_e6 * h_cond_e3)
+        |   // greatest(sum(pi3_e6), 1) AS BIGINT) AS rate_e3 FROM j)
+        |SELECT j.src AS state, j.n_trans, j.h_cond_e3, j.pi3_e6,
+        |  rt.rate_e3
+        |FROM j CROSS JOIN rt ORDER BY state""".stripMargin,
     "q_events_retention_curve" ->
       """WITH u AS (SELECT user_id,
         |   min(epoch_us(ts) // 86400000000) AS first_day,

@@ -1115,7 +1115,63 @@ object Curation {
       .orderBy(col("label"))
   }
 
+  /** Length-bias audit of the quality judge (round 8): per source, is
+    * the logreg score correlated with document LENGTH once you look
+    * pairwise? Kendall τ-a over (n_tok, score) pairs inside a FIXED-
+    * SIZE deterministic sample — the 40 lowest md5-h60 doc hashes per
+    * source (a reservoir-sample twin: sample size stays 40 at any
+    * corpus scale, so the per-source pair count is pinned at C(40,2)
+    * = 780 forever — unlike a rate-based sample, whose pair count
+    * grows quadratically with the corpus). τ-a (ties in the
+    * denominator, no correction) keeps the row divide-free except the
+    * final e4. The fixture verdict is a NEGATIVE bias (τ ≈ −0.35 to
+    * −0.45): longer docs repeat tokens, TTR falls faster than the
+    * length bonus rises — exactly the judge artifact this audit
+    * exists to catch; length_biased fires on |τ| > 0.2 either way.
+    *
+    * Shape (100 TB): score scan → per-source rank window on the hash
+    * (one shuffle) → 40-row-per-source self-join (bounded 780 pairs/
+    * source) → per-source census. */
+  def lengthBias(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s40 = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+      .join(ModelPrep.qualityLogreg(spark, dir)
+        .select(col("doc_id"),
+          expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s_e4")),
+        "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          expr(LlmOps.h60("CAST(doc_id AS STRING)")), col("doc_id"))))
+      .filter(col("rn") <= 40)
+    s40.as("a")
+      .join(s40.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        when((col("b.n_tok") > col("a.n_tok") &&
+            col("b.s_e4") > col("a.s_e4")) ||
+          (col("b.n_tok") < col("a.n_tok") &&
+            col("b.s_e4") < col("a.s_e4")), 1L).otherwise(0L).as("conc"),
+        when((col("b.n_tok") > col("a.n_tok") &&
+            col("b.s_e4") < col("a.s_e4")) ||
+          (col("b.n_tok") < col("a.n_tok") &&
+            col("b.s_e4") > col("a.s_e4")), 1L).otherwise(0L).as("disc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"),
+        sum(col("disc")).as("discordant"))
+      .select(col("source"), col("n_pairs"), col("concordant"),
+        col("discordant"),
+        expr("(concordant - discordant) * 10000 div n_pairs")
+          .as("tau_a_e4"),
+        expr("abs((concordant - discordant) * 10000 div n_pairs) > 2000")
+          .as("length_biased"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_length_bias" -> lengthBias,
     "q_llm_topic_coherence" -> topicCoherence,
     "q_llm_freq_of_freqs" -> freqOfFreqs,
     "q_llm_rake_keywords" -> rakeKeywords,
@@ -1168,6 +1224,37 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_length_bias" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |nt AS (SELECT doc_id, source,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |sampled AS (SELECT nt.doc_id, nt.source, nt.n_tok,
+         |   CAST(floor(sc0.score * 10000 + 0.5) AS BIGINT) AS s_e4,
+         |   row_number() OVER (PARTITION BY nt.source
+         |     ORDER BY CAST('0x' ||
+         |       substr(md5(CAST(nt.doc_id AS VARCHAR)), 1, 15)
+         |       AS BIGINT), nt.doc_id) AS rn
+         |  FROM nt JOIN sc0 ON sc0.doc_id = nt.doc_id),
+         |s40 AS (SELECT * FROM sampled WHERE rn <= 40),
+         |p AS (SELECT a.source,
+         |   CASE WHEN (b.n_tok > a.n_tok AND b.s_e4 > a.s_e4)
+         |     OR (b.n_tok < a.n_tok AND b.s_e4 < a.s_e4)
+         |     THEN 1 ELSE 0 END AS conc,
+         |   CASE WHEN (b.n_tok > a.n_tok AND b.s_e4 < a.s_e4)
+         |     OR (b.n_tok < a.n_tok AND b.s_e4 > a.s_e4)
+         |     THEN 1 ELSE 0 END AS disc
+         |  FROM s40 a JOIN s40 b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(conc) AS BIGINT) AS concordant,
+         |  CAST(sum(disc) AS BIGINT) AS discordant,
+         |  CAST((sum(conc) - sum(disc)) * 10000 // count(*) AS BIGINT)
+         |    AS tau_a_e4,
+         |  abs((sum(conc) - sum(disc)) * 10000 // count(*)) > 2000
+         |    AS length_biased
+         |FROM p GROUP BY 1 ORDER BY source""".stripMargin
+    },
     "q_llm_topic_coherence" ->
       """WITH docterm AS (SELECT DISTINCT d.doc_id, e.label, t.tok
         |  FROM documents d

@@ -250,7 +250,43 @@ object Warehouse {
       .limit(30)
   }
 
+  /** Grouped discount elasticity (round 8): per part type, the least-
+    * squares slope of quantity on discount percentage points — "does
+    * discounting move volume for this category?" — the grouped twin of
+    * q_ts_regr_slope's per-user fit, on the sales fact instead of the
+    * event stream. Discount rides as x ∈ 0..10 (floor(d·100+0.5)),
+    * quantity as its integer y; slope_e6 = (nΣxy − ΣxΣy)·10⁶ div
+    * (nΣxx − (Σx)²) with every cross product in the DECIMAL(38,0)
+    * lane (n ≈ 10⁵ per group at sf0.1 ⇒ n·Σxy ≈ 10¹⁴; BIGINT dies at
+    * ~sf100, the lane does not).
+    *
+    * Shape (100 TB): fact⋈dim equi-join (part is broadcastable), then
+    * ONE partial-aggregable 5-moment fold per group — the canonical
+    * grouped-regression shape: no window, no sort, no row retained. */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("p_type"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("y"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_type"), col("n"), col("sy").as("sum_qty"),
+        expr("""CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx
+          |   - CAST(sx AS DECIMAL(38,0)) * sx <> 0
+          | THEN (CAST(n AS DECIMAL(38,0)) * sxy
+          |   - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+          |   div (CAST(n AS DECIMAL(38,0)) * sxx
+          |   - CAST(sx AS DECIMAL(38,0)) * sx)
+          | ELSE 0 END AS BIGINT)""".stripMargin).as("slope_e6"))
+      .orderBy(col("p_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parts_elasticity" -> discountElasticity,
     "q_tpch_q2_mincost" -> q2MinCost,
     "q_tpch_q6_forecast" -> q6Forecast,
     "q_tpch_q7_volume" -> q7Volume,
@@ -262,6 +298,23 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_parts_elasticity" ->
+      """WITH li AS (SELECT p.p_type,
+        |   CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+        |   CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |m AS (SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+        |   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |   sum(x * x) AS sxx
+        |  FROM li GROUP BY 1)
+        |SELECT p_type, n, CAST(sy AS BIGINT) AS sum_qty,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * sxx
+        |     - CAST(sx AS HUGEINT) * sx <> 0
+        |   THEN (CAST(n AS HUGEINT) * sxy
+        |     - CAST(sx AS HUGEINT) * sy) * 1000000
+        |     // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |   ELSE 0 END AS BIGINT) AS slope_e6
+        |FROM m ORDER BY p_type""".stripMargin,
     "q_tpch_q2_mincost" ->
       """WITH li AS (SELECT l.l_partkey, l.l_suppkey,
         |   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 358
+    val documented = 361
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2217,6 +2217,58 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st == math.max(0L,
       10000L - sr * 10000L / math.max(sd, 1L)), r)
     (0 to 6).foreach(i => assert(!r.isNullAt(r.fieldIndex(s"s$i")), r))
+  }
+
+  test("parts_elasticity: groups partition the fact table and slopes " +
+      "stay inside the physically possible range") {
+    val rows = SparkEntry.queries("q_parts_elasticity")(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.lineitem(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_qty") > 0, r)
+      // qty ∈ [1,50], discount pp ∈ [0,10] ⇒ |slope| < 50 per pp
+      assert(math.abs(r.getAs[Long]("slope_e6")) <= 50000000L, r)
+    }
+  }
+
+  test("events_markov_entropy: conditional entropies bounded by ln k, " +
+      "rate is a pi-weighted mean, and pi3 is near-stochastic") {
+    val rows = SparkEntry.queries("q_events_markov_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val hs = rows.map(_.getAs[Long]("h_cond_e3"))
+    // max entropy over <=5 destinations = ln 5 ~ 1.6094 -> 1609 e3
+    hs.foreach(h => assert(h >= 0 && h <= 1611, hs.mkString(",")))
+    val rate = rows.head.getAs[Long]("rate_e3")
+    assert(rows.forall(_.getAs[Long]("rate_e3") == rate))
+    assert(rate >= hs.min - 2 && rate <= hs.max + 2,
+      s"rate $rate outside [${hs.min}, ${hs.max}]")
+    val piSum = rows.map(_.getAs[Long]("pi3_e6")).sum
+    // three truncating power-iteration steps leak at most a few ppm
+    assert(piSum <= 1000000L && piSum >= 990000L, piSum)
+  }
+
+  test("llm_length_bias: fixed 780-pair census per source and the " +
+      "verdict replays from the emitted tau") {
+    val rows = SparkEntry.queries("q_llm_length_bias")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val np = r.getAs[Long]("n_pairs")
+      // cap = C(40,2): the fixed-size sample pins the census at any sf
+      assert(np <= 780L && np > 0L, r)
+      // n_pairs must be a triangular number C(k,2) for the k <= 40
+      // docs the source actually has
+      val k = (1 + math.sqrt(1 + 8.0 * np)).toLong / 2
+      assert(k * (k - 1) / 2 == np, r)
+      val (c, d) = (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"))
+      assert(c + d <= np, r)
+      val tau = r.getAs[Long]("tau_a_e4")
+      assert(tau == (c - d) * 10000L / np, r)
+      assert(r.getAs[Boolean]("length_biased") == (math.abs(tau) > 2000L), r)
+    }
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
