@@ -732,6 +732,47 @@ object Multimodal {
   case class ImgStats(media_id: Long, n_px: Long, mean_px: Long,
     m2_px: Long, min_px: Long, max_px: Long)
 
+  case class ImgEntropy(media_id: Long, n_px: Long, n_bins: Long,
+    h_e3: Long, low_contrast: Boolean)
+
+  /** Per-image histogram entropy (round 8): Shannon entropy of the
+    * 16-bin pixel histogram (the image_decode binning), H =
+    * Σ (c/n)·ln(n/c) in e3 nats — the companion screen to
+    * mmImageStats: m2 catches LOW-VARIANCE frames, entropy catches
+    * CONCENTRATED ones (an image split between pure black and pure
+    * white has huge variance but ~1 bit of entropy). low_contrast
+    * fires below 1040 e3 (half of ln 8, the max over the ASCII bin
+    * range — an authored literal both engines share).
+    *
+    * Exactness: the lnE3 floor-once discipline (PMI/coherence/
+    * markov-entropy family) on INTEGER counts only — H_e3 =
+    * Σ c·(lnE3(n) − lnE3(c)) div n, all BIGINT after rounding; the
+    * map-side math.log is the same java.lang.Math.log Spark's ln
+    * expression evaluates, so the in-JVM fold and the SQL text are
+    * one idiom.
+    *
+    * Shape: map-only over the SHARED memoized decode — zero codec or
+    * shuffle work beyond it. */
+  def mmImageEntropy(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    def lnE3(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    decodedPng(spark, dir).as[DecodedPx]
+      .filter(_.valid)
+      .map { d =>
+        val n = d.px.length.toLong
+        val hist = new Array[Long](16)
+        d.px.foreach(p => hist(p >> 4) += 1)
+        var acc = 0L; var bins = 0L
+        hist.foreach { c =>
+          if (c > 0) { bins += 1; acc += c * (lnE3(n) - lnE3(c)) }
+        }
+        val h = acc / n
+        ImgEntropy(d.media_id, n, bins, h, h < 1040L)
+      }.toDF().orderBy(col("media_id"))
+  }
+
   /** Per-image brightness/contrast statistics (round 8): exact pixel
     * count, floored mean (the abTest m2 discipline — mean = Σp div n,
     * a shared quantization), the exact second central moment about
@@ -769,6 +810,7 @@ object Multimodal {
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_image_entropy" -> mmImageEntropy,
     "q_mm_image_stats" -> mmImageStats,
     "q_mm_image_equalize" -> mmImageEqualize,
     "q_mm_image_resize" -> mmImageResize,
@@ -785,6 +827,29 @@ object Multimodal {
     // lossless PNG ⇒ per-media pixel stats replay from char codes;
     // mean is the FLOORED Σp // n both engines share, m2 is exact
     // about that floored mean
+    // lossless PNG ⇒ the 16-bin histogram replays from char codes;
+    // lnE3 floor-once on integer counts only (the markov-entropy
+    // discipline), so H_e3 is BIGINT-exact on both engines
+    "q_mm_image_entropy" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |ch AS (SELECT doc_id, n,
+        |   ascii(substr(text, CAST(i + 1 AS INT), 1)) // 16 AS b
+        |  FROM (SELECT doc_id, n, text, unnest(range(n)) AS i FROM d0)),
+        |hist AS (SELECT doc_id, max(n) AS n, b,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY doc_id, b),
+        |h AS (SELECT doc_id, max(n) AS n_px,
+        |   CAST(count(*) AS BIGINT) AS n_bins,
+        |   CAST(sum(c * (CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT)))
+        |     // max(n) AS BIGINT) AS h_e3
+        |  FROM hist GROUP BY doc_id)
+        |SELECT doc_id AS media_id, CAST(n_px AS BIGINT) AS n_px,
+        |  n_bins, h_e3, h_e3 < 1040 AS low_contrast
+        |FROM h ORDER BY media_id""".stripMargin,
     "q_mm_image_stats" ->
       """WITH d0 AS (SELECT doc_id, text, length(text) AS n
         |  FROM documents

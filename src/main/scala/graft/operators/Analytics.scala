@@ -1223,7 +1223,46 @@ object Analytics {
       .orderBy(col("state"))
   }
 
+  /** Experiment power analysis (round 8): the question asked BEFORE
+    * q_events_ab_ttest's question — per event type, what lift could a
+    * 50/50 split of the current population even detect? MDE² =
+    * (z_{α/2} + z_β)²·2σ²/n_g with α = 5%, power = 80% ⇒ the constant
+    * (1.96+0.84)² = 7.84, authored as 1568/100·2 — no libm, no sqrt
+    * (the verdict compares SQUARES, the abTest cross-multiply
+    * discipline). detect_10pct: is a 10% lift over the current mean
+    * inside detection range, i.e. (mean/10)² ≥ MDE²?
+    *
+    * Exactness: centi values, floored mean, exact central m2 (the
+    * abTest two-pass), var = m2 div n; every later quantity replays
+    * from the emitted parts.
+    *
+    * Shape: two partial-aggregable passes (mean, then moments about
+    * the broadcast floored mean) → 5-row fold. */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+    val mu = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("mu", expr("s div n"))
+      .select(col("event_type"), col("n"), col("mu"))
+    ev.join(broadcast(mu), "event_type")
+      .withColumn("d", col("c") - col("mu"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("mu")).as("mean_centi"),
+        sum(col("d") * col("d")).as("m2"))
+      .select(col("event_type"), col("n"), col("mean_centi"),
+        expr("m2 div n").as("var_c2"),
+        expr("1568 * (m2 div n) div (100 * greatest(n div 2, 1))")
+          .as("mde2_c2"),
+        expr("mean_centi * mean_centi div 100 >= " +
+          "1568 * (m2 div n) div (100 * greatest(n div 2, 1))")
+          .as("detect_10pct"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_power_mde" -> powerMde,
     "q_events_markov_entropy" -> markovEntropy,
     "q_events_retention_curve" -> retentionCurve,
     "q_parts_abc" -> abcAnalysis,
@@ -1260,6 +1299,22 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_power_mde" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |mu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) // count(*) AS BIGINT) AS mu FROM ev GROUP BY 1),
+        |m AS (SELECT ev.event_type, max(mu.n) AS n, max(mu.mu) AS mu,
+        |   CAST(sum((ev.c - mu.mu) * (ev.c - mu.mu)) AS BIGINT) AS m2
+        |  FROM ev JOIN mu ON mu.event_type = ev.event_type GROUP BY 1)
+        |SELECT event_type, n, mu AS mean_centi,
+        |  CAST(m2 // n AS BIGINT) AS var_c2,
+        |  CAST(1568 * (m2 // n) // (100 * greatest(n // 2, 1))
+        |    AS BIGINT) AS mde2_c2,
+        |  mu * mu // 100 >=
+        |    1568 * (m2 // n) // (100 * greatest(n // 2, 1))
+        |    AS detect_10pct
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_events_markov_entropy" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |   epoch_us(ts) AS ts_us FROM events),

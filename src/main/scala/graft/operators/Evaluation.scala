@@ -393,7 +393,40 @@ object Evaluation {
         col("mean_full_e4"), col("ci_lo_e4"), col("ci_hi_e4"))
   }
 
+  /** Metric stability curve (round 8): how big a sample does the
+    * corpus metric need? The mean logreg score over NESTED
+    * deterministic samples — the n ∈ {50,100,200,400} lowest
+    * md5-h60 doc hashes (each arm a superset of the last, so the
+    * curve shows pure sample-size effect, not sample-identity noise)
+    * — against the full-corpus mean. The eval-ops companion to
+    * q_llm_bootstrap_ci: the CI says how uncertain the mean is, this
+    * says when a cheap subsample would have sufficed.
+    *
+    * Shape (100 TB): each arm is orderBy(hash).limit(n) —
+    * TakeOrderedAndProject (per-partition heaps, no global sort), so
+    * the four arms cost four bounded top-k passes; n_used is emitted
+    * so a corpus smaller than an arm is visible, not silent. */
+  def metricStability(spark: SparkSession, dir: String): DataFrame = {
+    val sc1 = ModelPrep.qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s_e4"))
+      .withColumn("h", expr(LlmOps.h60("CAST(doc_id AS STRING)")))
+    val fm = sc1.agg(expr("sum(s_e4) div count(1)").as("full_mean_e4"))
+    Seq(50, 100, 200, 400).map { n =>
+      sc1.orderBy(col("h"), col("doc_id")).limit(n)
+        .agg(count(lit(1)).as("n_used"),
+          expr("sum(s_e4) div count(1)").as("mean_e4"))
+        .select(lit(n.toLong).as("n"), col("n_used"), col("mean_e4"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(fm))
+      .select(col("n"), col("n_used"), col("mean_e4"),
+        col("full_mean_e4"),
+        (col("mean_e4") - col("full_mean_e4")).as("delta_e4"))
+      .orderBy(col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_metric_stability" -> metricStability,
     "q_llm_judge_kappa" -> judgeKappa,
     "q_llm_bootstrap_ci" -> bootstrapCi,
     "q_llm_rbo" -> rbo,
@@ -405,6 +438,26 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_metric_stability" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |sc1 AS (SELECT doc_id,
+         |   CAST(floor(score * 10000 + 0.5) AS BIGINT) AS s_e4,
+         |   row_number() OVER (ORDER BY CAST('0x' ||
+         |     substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+         |     doc_id) AS rn
+         |  FROM sc0),
+         |fm AS (SELECT CAST(sum(s_e4) // count(*) AS BIGINT)
+         |   AS full_mean_e4 FROM sc1),
+         |arms AS (SELECT CAST(unnest([50, 100, 200, 400]) AS BIGINT)
+         |   AS n)
+         |SELECT arms.n, CAST(count(*) AS BIGINT) AS n_used,
+         |  CAST(sum(s_e4) // count(*) AS BIGINT) AS mean_e4,
+         |  max(fm.full_mean_e4) AS full_mean_e4,
+         |  CAST(sum(s_e4) // count(*) - max(fm.full_mean_e4) AS BIGINT)
+         |    AS delta_e4
+         |FROM arms JOIN sc1 ON sc1.rn <= arms.n CROSS JOIN fm
+         |GROUP BY arms.n ORDER BY arms.n""".stripMargin
+    },
     "q_llm_judge_kappa" -> {
       s"""WITH ${ModelPrep.scoreCte},
          |qa AS (SELECT doc_id,

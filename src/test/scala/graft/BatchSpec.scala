@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 361
+    val documented = 364
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2268,6 +2268,55 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       val tau = r.getAs[Long]("tau_a_e4")
       assert(tau == (c - d) * 10000L / np, r)
       assert(r.getAs[Boolean]("length_biased") == (math.abs(tau) > 2000L), r)
+    }
+  }
+
+  test("events_power_mde: MDE replays from the emitted moments and " +
+      "all current metrics can detect a 10% lift") {
+    val rows = SparkEntry.queries("q_events_power_mde")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach { r =>
+      val (n, v) = (r.getAs[Long]("n"), r.getAs[Long]("var_c2"))
+      assert(n > 0 && v >= 0, r)
+      val mde2 = r.getAs[Long]("mde2_c2")
+      assert(mde2 == 1568L * v / (100L * math.max(n / 2, 1L)), r)
+      val mu = r.getAs[Long]("mean_centi")
+      assert(r.getAs[Boolean]("detect_10pct") ==
+        (mu * mu / 100 >= mde2), r)
+    }
+  }
+
+  test("llm_metric_stability: nested arms, deltas replay, and the " +
+      "largest arm is closest-or-equal in sample coverage") {
+    val rows = SparkEntry.queries("q_llm_metric_stability")(spark, sf)
+      .orderBy("n").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq ==
+      Seq(50L, 100L, 200L, 400L))
+    val full = rows.head.getAs[Long]("full_mean_e4")
+    var prevUsed = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("full_mean_e4") == full, r)
+      val used = r.getAs[Long]("n_used")
+      assert(used >= prevUsed && used <= r.getAs[Long]("n"), r)
+      prevUsed = used
+      assert(r.getAs[Long]("delta_e4") ==
+        r.getAs[Long]("mean_e4") - full, r)
+    }
+  }
+
+  test("mm_image_entropy: entropy bounded by ln(bins used) and the " +
+      "verdict replays from the emitted h") {
+    val rows = SparkEntry.queries("q_mm_image_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h_e3"); val b = r.getAs[Long]("n_bins")
+      assert(b >= 1 && b <= 16, r)
+      assert(h >= 0, r)
+      // H <= ln(n_bins); +2 e3 slack for the per-term floor rounding
+      assert(h <= math.floor(math.log(b.toDouble) * 1000).toLong + 2, r)
+      assert(r.getAs[Boolean]("low_contrast") == (h < 1040L), r)
     }
   }
 
