@@ -538,7 +538,47 @@ object Governance {
       .orderBy(col("fd"))
   }
 
+  /** Temporal-order audit (round 8): the cross-table twin of the FD
+    * audit — does the EVENT ORDER contract "ordered before shipped"
+    * hold between orders and lineitem? Census per order priority:
+    * violation count and share, plus the exact lower-median and p90
+    * of the lag-days distribution (the distribution-counting rank
+    * idiom — rank (cnt+1) div 2 and (cnt·9+9) div 10, identical text
+    * both engines). On this fixture ~48% of lineitems ship BEFORE
+    * their order date — the synthetic dates are uncorrelated, and
+    * this is the row that makes that visible instead of silently
+    * feeding lag analytics garbage.
+    *
+    * Shape (100 TB): fact⋈fact equi-join on the order key (co-
+    * partitionable), one rank window per priority (5 groups), 5-row
+    * fold. */
+  def temporalOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lag = lineitem(spark, dir).as("l")
+      .join(orders(spark, dir).as("o"),
+        col("o.o_orderkey") === col("l.l_orderkey"))
+      .select(col("o.o_orderpriority").as("pri"),
+        datediff(col("l.l_shipdate"), col("o.o_orderdate"))
+          .cast("long").as("lg"))
+    val byPri = Window.partitionBy(col("pri"))
+    lag
+      .withColumn("rn", row_number().over(byPri.orderBy(col("lg"))))
+      .withColumn("cnt", count(lit(1)).over(byPri))
+      .groupBy(col("pri"))
+      .agg(max(col("cnt")).as("n"),
+        sum(when(col("lg") < 0, 1L).otherwise(0L)).as("n_negative"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("lg")))
+          .as("p50_days"),
+        max(when(col("rn") === expr("(cnt * 9 + 9) div 10"), col("lg")))
+          .as("p90_days"))
+      .select(col("pri"), col("n"), col("n_negative"),
+        expr("n_negative * 10000 div n").as("neg_share_e4"),
+        col("p50_days"), col("p90_days"))
+      .orderBy(col("pri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_temporal_order" -> temporalOrder,
     "q_dq_fd_violations" -> fdViolations,
     "q_dq_freshness" -> dqFreshness,
     "q_priv_t_closeness" -> tCloseness,
@@ -554,6 +594,26 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_temporal_order" ->
+      """WITH lagd AS (SELECT o.o_orderpriority AS pri,
+        |   CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+        |     AS BIGINT) AS lg
+        |  FROM lineitem l JOIN orders o
+        |    ON o.o_orderkey = l.l_orderkey),
+        |r AS (SELECT pri, lg,
+        |   row_number() OVER (PARTITION BY pri ORDER BY lg) AS rn,
+        |   count(*) OVER (PARTITION BY pri) AS cnt
+        |  FROM lagd)
+        |SELECT pri, CAST(max(cnt) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN lg < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative,
+        |  CAST(sum(CASE WHEN lg < 0 THEN 1 ELSE 0 END) * 10000
+        |    // max(cnt) AS BIGINT) AS neg_share_e4,
+        |  CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN lg END)
+        |    AS BIGINT) AS p50_days,
+        |  CAST(max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN lg END)
+        |    AS BIGINT) AS p90_days
+        |FROM r GROUP BY 1 ORDER BY pri""".stripMargin,
     "q_dq_fd_violations" -> {
       def arm(name: String, table: String, lhs: String, rhs: String) =
         s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_groups,

@@ -768,6 +768,43 @@ object LlmOps {
         min(col("cluster_id")).as("min_cluster"))
       .orderBy(col("cluster_size").desc, col("min_cluster"))
 
+  /** Dedup survivorship audit (round 8): when min-id survivorship
+    * drops the other members of each near-dup cluster, what QUALITY
+    * walks out the door? Per multi-member cluster: the kept doc's
+    * logreg score vs the dropped docs' scores, rolled up to one row —
+    * including n_kept_suboptimal, the count of clusters where some
+    * dropped copy outscores the survivor (10 of 23 at sf0.01: the
+    * actionable argument for score-ranked survivorship). Consumes
+    * dupClusters' OUTPUT (kept ⟺ doc_id = cluster_id, the min-label
+    * CC invariant) and the logreg score — the derived-frame rule both
+    * ways.
+    *
+    * Shape: cluster frame ⋈ score frame (equi-join) → per-cluster
+    * fold → 1-row census; scale cost is dupClusters itself. */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val sc1 = ModelPrep.qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s_e4"))
+    dupClusters(spark, dir)
+      .join(sc1, "doc_id")
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("kept"), col("s_e4"))).as("ks"),
+        sum(when(!col("kept"), col("s_e4")).otherwise(0L)).as("ds"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("dn"),
+        max(when(!col("kept"), col("s_e4"))).as("max_dropped"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("dn")).as("n_dropped"),
+        expr("sum(ks) div count(1)").as("avg_kept_e4"),
+        expr("sum(ds) div greatest(sum(dn), 1)").as("avg_dropped_e4"),
+        expr("sum(ks) div count(1) - sum(ds) div greatest(sum(dn), 1)")
+          .as("delta_e4"),
+        sum(when(col("max_dropped") > col("ks"), 1L).otherwise(0L))
+          .as("n_kept_suboptimal"))
+  }
+
   /** Connected components over an undirected pair list `(a, b)` —
     * returns `(node, component_min_id)` for every node appearing in any
     * pair. Min-label propagation WITH pointer jumping: each round every
@@ -2388,6 +2425,7 @@ object LlmOps {
     "q_llm_sqrt_mix" -> sqrtMix,
     "q_llm_dup_clusters" -> dupClusters,
     "q_llm_dup_cluster_sizes" -> dupClusterSizes,
+    "q_llm_dedup_survivorship" -> dedupSurvivorship,
     "q_llm_soft_dedup" -> softDedup,
     "q_llm_neardup_sources" -> neardupSourceMatrix,
     "q_llm_simhash" -> simhash,
@@ -2822,6 +2860,31 @@ object LlmOps {
          |JOIN documents da ON a_id = da.doc_id
          |JOIN documents db ON b_id = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_llm_dedup_survivorship" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |${ModelPrep.scoreCte},
+         |sc1 AS (SELECT doc_id,
+         |   CAST(floor(score * 10000 + 0.5) AS BIGINT) AS s_e4
+         |  FROM sc0),
+         |m AS (SELECT cl.cluster_id, cl.doc_id, sc1.s_e4,
+         |   cl.doc_id = cl.cluster_id AS kept
+         |  FROM cl JOIN sc1 ON sc1.doc_id = cl.doc_id),
+         |g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+         |   max(CASE WHEN kept THEN s_e4 END) AS ks,
+         |   sum(CASE WHEN NOT kept THEN s_e4 ELSE 0 END) AS ds,
+         |   sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS dn,
+         |   max(CASE WHEN NOT kept THEN s_e4 END) AS max_dropped
+         |  FROM m GROUP BY 1 HAVING count(*) > 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(dn) AS BIGINT) AS n_dropped,
+         |  CAST(sum(ks) // count(*) AS BIGINT) AS avg_kept_e4,
+         |  CAST(sum(ds) // greatest(sum(dn), 1) AS BIGINT)
+         |    AS avg_dropped_e4,
+         |  CAST(sum(ks) // count(*)
+         |    - sum(ds) // greatest(sum(dn), 1) AS BIGINT) AS delta_e4,
+         |  CAST(sum(CASE WHEN max_dropped > ks THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept_suboptimal
+         |FROM g""".stripMargin,
     "q_llm_soft_dedup" ->
       s"""WITH cl AS ($dupClustersSql),
          |sz AS (SELECT cluster_id, count(*) AS s FROM cl

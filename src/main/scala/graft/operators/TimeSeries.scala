@@ -801,7 +801,39 @@ object TimeSeries {
           .as("strength_e4"))
   }
 
+  /** Forecast-baseline backtest (round 8): the M-competition rule —
+    * before trusting any model forecast, beat naive (ŷ_t = y_{t−1})
+    * and seasonal-naive (ŷ_t = y_{t−7}) on held-in one-step errors.
+    * MAE×100 for both on the global daily count series, plus the
+    * verdict. On this fixture seasonal-naive WINS (13.00 vs 17.75 —
+    * the third independent confirmation of weekday seasonality after
+    * anova_dow and stl_lite, from a forecasting angle). Pure window
+    * lags — integer-exact, no smoothing state, no recursion.
+    *
+    * Shape: day census → one ordered window pass (two lags) → 1-row
+    * fold. Each baseline's n is its own valid-forecast count (the
+    * first 1 resp. 7 days have no forecast — emitted, not hidden). */
+  def forecastBaselines(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d"))
+    events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("f1", lag(col("x"), 1).over(w))
+      .withColumn("f7", lag(col("x"), 7).over(w))
+      .agg(count(col("f1")).as("n1"),
+        sum(abs(col("x") - col("f1"))).as("sae1"),
+        count(col("f7")).as("n7"),
+        sum(when(col("f7").isNotNull, abs(col("x") - col("f7"))))
+          .as("sae7"))
+      .select(col("n1").as("n_naive"), col("n7").as("n_snaive"),
+        expr("sae1 * 100 div greatest(n1, 1)").as("mae_naive_x100"),
+        expr("sae7 * 100 div greatest(n7, 1)").as("mae_snaive_x100"),
+        expr("sae7 * 100 div greatest(n7, 1) < " +
+          "sae1 * 100 div greatest(n1, 1)").as("snaive_better"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_forecast_baselines" -> forecastBaselines,
     "q_ts_stl_lite" -> stlLite,
     "q_ts_kendall_tau" -> kendallTau,
     "q_ts_mann_kendall" -> mannKendall,
@@ -825,6 +857,27 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_forecast_baselines" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |f AS (SELECT d, x,
+        |   lag(x, 1) OVER (ORDER BY d) AS f1,
+        |   lag(x, 7) OVER (ORDER BY d) AS f7
+        |  FROM daily),
+        |e AS (SELECT CAST(count(f1) AS BIGINT) AS n1,
+        |   CAST(sum(abs(x - f1)) AS BIGINT) AS sae1,
+        |   CAST(count(f7) AS BIGINT) AS n7,
+        |   CAST(sum(CASE WHEN f7 IS NOT NULL THEN abs(x - f7) END)
+        |     AS BIGINT) AS sae7
+        |  FROM f)
+        |SELECT n1 AS n_naive, n7 AS n_snaive,
+        |  CAST(sae1 * 100 // greatest(n1, 1) AS BIGINT)
+        |    AS mae_naive_x100,
+        |  CAST(sae7 * 100 // greatest(n7, 1) AS BIGINT)
+        |    AS mae_snaive_x100,
+        |  sae7 * 100 // greatest(n7, 1) < sae1 * 100 // greatest(n1, 1)
+        |    AS snaive_better
+        |FROM e""".stripMargin,
     "q_ts_stl_lite" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

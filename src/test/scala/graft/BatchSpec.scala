@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 364
+    val documented = 367
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2318,6 +2318,44 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(h <= math.floor(math.log(b.toDouble) * 1000).toLong + 2, r)
       assert(r.getAs[Boolean]("low_contrast") == (h < 1040L), r)
     }
+  }
+
+  test("ts_forecast_baselines: lag counts differ by exactly the " +
+      "horizon and the verdict replays from the MAEs") {
+    val r = SparkEntry.queries("q_ts_forecast_baselines")(spark, sf)
+      .collect().head
+    val (n1, n7) = (r.getAs[Long]("n_naive"), r.getAs[Long]("n_snaive"))
+    assert(n1 - n7 == 6L, r) // lag-7 loses 6 more leading days than lag-1
+    val (m1, m7) = (r.getAs[Long]("mae_naive_x100"),
+      r.getAs[Long]("mae_snaive_x100"))
+    assert(m1 >= 0 && m7 >= 0, r)
+    assert(r.getAs[Boolean]("snaive_better") == (m7 < m1), r)
+  }
+
+  test("dq_temporal_order: census per priority is consistent and the " +
+      "percentiles are ordered") {
+    val rows = SparkEntry.queries("q_dq_temporal_order")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.lineitem(spark, sf).count())
+    rows.foreach { r =>
+      val (n, neg) = (r.getAs[Long]("n"), r.getAs[Long]("n_negative"))
+      assert(neg <= n, r)
+      assert(r.getAs[Long]("neg_share_e4") == neg * 10000 / n, r)
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"), r)
+    }
+  }
+
+  test("llm_dedup_survivorship: dropped docs outnumber clusters, the " +
+      "delta replays, and suboptimal keeps are bounded by clusters") {
+    val r = SparkEntry.queries("q_llm_dedup_survivorship")(spark, sf)
+      .collect().head
+    val (nc, nd) = (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_dropped"))
+    assert(nd >= nc, r) // every multi-member cluster drops >= 1 doc
+    assert(r.getAs[Long]("delta_e4") ==
+      r.getAs[Long]("avg_kept_e4") - r.getAs[Long]("avg_dropped_e4"), r)
+    assert(r.getAs[Long]("n_kept_suboptimal") <= nc, r)
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
