@@ -577,7 +577,48 @@ object Governance {
       .orderBy(col("pri"))
   }
 
+  /** Re-identification uniqueness curve (round 8): how fast does
+    * record-level uniqueness escalate as quasi-identifier sets widen?
+    * Four nested QI levels — {type} → {type, weekday} → {type, day} →
+    * {type, day, exact centi value} — each reporting combo count,
+    * singleton combos, records in singleton combos, and the at-risk
+    * share. The fixture tells the canonical story: 0% risk at every
+    * coarse level, then 99.2% the moment the raw value joins the set
+    * — the quantified argument for k-anonymity generalization
+    * (q_priv_k_anon's GATE, this row's CURVE).
+    *
+    * Shape (100 TB): four independent partial-aggregable
+    * groupBy-count folds (no window, no join wider than the broadcast
+    * total) — the audit costs four shuffles of shrinking key spaces. */
+  def uniquenessCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type").as("t"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"),
+        expr("((ts_ns div 1000) div 86400000000) % 7").as("dow"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+    val tot = e.agg(count(lit(1)).as("n"))
+    def level(name: String, keys: Seq[String]): DataFrame =
+      e.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("combos"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("singletons"),
+          sum(when(col("cnt") === 1, col("cnt")).otherwise(0L))
+            .as("at_risk"))
+        .select(lit(name).as("ql"), col("combos"), col("singletons"),
+          col("at_risk"))
+    level("Q1:type", Seq("t"))
+      .unionAll(level("Q2:type+dow", Seq("t", "dow")))
+      .unionAll(level("Q3:type+day", Seq("t", "day")))
+      .unionAll(level("Q4:type+day+centi", Seq("t", "day", "c")))
+      .crossJoin(broadcast(tot))
+      .select(col("ql"), col("combos").as("n_combos"),
+        col("singletons").as("n_singletons"),
+        col("at_risk").as("n_records_at_risk"),
+        expr("at_risk * 10000 div n").as("risk_share_e4"))
+      .orderBy(col("ql"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priv_uniqueness_curve" -> uniquenessCurve,
     "q_dq_temporal_order" -> temporalOrder,
     "q_dq_fd_violations" -> fdViolations,
     "q_dq_freshness" -> dqFreshness,
@@ -594,6 +635,37 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_priv_uniqueness_curve" ->
+      """WITH e AS (SELECT event_type AS t,
+        |   epoch_us(ts) // 86400000000 AS day,
+        |   (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |q1 AS (SELECT 'Q1:type' AS ql, count(*) AS combos,
+        |   sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS singletons,
+        |   sum(CASE WHEN cnt = 1 THEN cnt ELSE 0 END) AS at_risk
+        |  FROM (SELECT t, count(*) AS cnt FROM e GROUP BY 1)),
+        |q2 AS (SELECT 'Q2:type+dow', count(*),
+        |   sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END),
+        |   sum(CASE WHEN cnt = 1 THEN cnt ELSE 0 END)
+        |  FROM (SELECT t, dow, count(*) AS cnt FROM e GROUP BY 1, 2)),
+        |q3 AS (SELECT 'Q3:type+day', count(*),
+        |   sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END),
+        |   sum(CASE WHEN cnt = 1 THEN cnt ELSE 0 END)
+        |  FROM (SELECT t, day, count(*) AS cnt FROM e GROUP BY 1, 2)),
+        |q4 AS (SELECT 'Q4:type+day+centi', count(*),
+        |   sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END),
+        |   sum(CASE WHEN cnt = 1 THEN cnt ELSE 0 END)
+        |  FROM (SELECT t, day, c, count(*) AS cnt FROM e
+        |        GROUP BY 1, 2, 3))
+        |SELECT ql, CAST(combos AS BIGINT) AS n_combos,
+        |  CAST(singletons AS BIGINT) AS n_singletons,
+        |  CAST(at_risk AS BIGINT) AS n_records_at_risk,
+        |  CAST(at_risk * 10000 // tot.n AS BIGINT) AS risk_share_e4
+        |FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2
+        |  UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4)
+        |  t(ql, combos, singletons, at_risk) CROSS JOIN tot
+        |ORDER BY ql""".stripMargin,
     "q_dq_temporal_order" ->
       """WITH lagd AS (SELECT o.o_orderpriority AS pri,
         |   CAST(date_diff('day', o.o_orderdate, l.l_shipdate)

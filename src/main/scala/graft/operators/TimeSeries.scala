@@ -832,7 +832,101 @@ object TimeSeries {
           "sae1 * 100 div greatest(n1, 1)").as("snaive_better"))
   }
 
+  /** Max drawdown of the daily activity level (round 8): the largest
+    * peak-to-trough decline of the daily event count — the KPI-
+    * monitoring standard for "how bad did the dip get" (the finance
+    * drawdown applied to the LEVEL series; the cumulative-sum variant
+    * is degenerate here because values are nonnegative). Running max
+    * via one ordered window, trough = the EARLIEST day attaining the
+    * max drawdown (min-day tie-break, the changepoint pick idiom).
+    *
+    * Shape: day census → one window pass → broadcast argmax pick →
+    * 1-row fold. */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("peak", max(col("x")).over(w))
+      .withColumn("dd", col("peak") - col("x"))
+    val mx = dd.agg(max(col("dd")).as("max_dd"))
+    val pick = dd.crossJoin(broadcast(mx))
+      .filter(col("dd") === col("max_dd"))
+      .agg(min(col("d")).as("trough_day"))
+    dd.crossJoin(broadcast(mx)).crossJoin(broadcast(pick))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("max_dd")).as("max_drawdown"),
+        max(when(col("d") === col("trough_day"), col("peak")))
+          .as("peak_level"),
+        max(when(col("d") === col("trough_day"), col("x")))
+          .as("trough_level"),
+        max(when(col("d") === col("trough_day"),
+          expr("dd * 10000 div greatest(peak, 1)"))).as("dd_share_e4"),
+        max(col("trough_day")).as("trough_day"))
+  }
+
+  /** Anomaly attribution (round 8): q_ts_anomaly_mad finds WHEN the
+    * stream misbehaved; this row answers WHAT drove it — on the day
+    * whose global count deviates most from the global lower median
+    * (earliest such day), each event type's deviation from ITS OWN
+    * median daily count, and its signed share of the total absolute
+    * deviation. The on-call decomposition ("the spike was 34%
+    * clicks") as a 5-row frame.
+    *
+    * Exactness: lower medians via the distribution-counting rank
+    * (cnt+1) div 2; shares are signed e4 over Σ|dev| (trunc-div
+    * parity measured). A type absent on the anomaly day contributes
+    * c_day = 0, not a dropped row (left join + coalesce).
+    *
+    * Shape: (type, day) census → two rank windows on span-sized
+    * frames → broadcast argmax day → 5-row fold. */
+  def anomalyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val td = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("event_type").as("t"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    val byT = Window.partitionBy(col("t"))
+    val med = td
+      .withColumn("rn", row_number().over(byT.orderBy(col("c"))))
+      .withColumn("cnt", count(lit(1)).over(byT))
+      .groupBy(col("t"))
+      .agg(max(when(col("rn") === expr("(cnt + 1) div 2"), col("c")))
+        .as("med"))
+    val g = td.groupBy(col("d")).agg(sum(col("c")).as("x"))
+    val gw = Window.orderBy(col("x"))
+    val gm = g
+      .withColumn("rn", row_number().over(gw))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .agg(max(when(col("rn") === expr("(cnt + 1) div 2"), col("x")))
+        .as("m"))
+    val pick = g.crossJoin(broadcast(gm))
+      .withColumn("ad", abs(col("x") - col("m")))
+      .crossJoin(broadcast(g.crossJoin(broadcast(gm))
+        .agg(max(abs(col("x") - col("m"))).as("mad"))))
+      .filter(col("ad") === col("mad"))
+      .agg(min(col("d")).as("aday"))
+    // left join per (type, anomaly day): coalesce absent types to 0
+    val dev2 = med.crossJoin(broadcast(pick)).as("m")
+      .join(td.as("td2"),
+        col("td2.t") === col("m.t") && col("td2.d") === col("m.aday"),
+        "left")
+      .select(col("m.t").as("event_type"), col("m.aday").as("anomaly_day"),
+        coalesce(col("td2.c"), lit(0L)).as("c_day"),
+        col("m.med").as("median_daily"),
+        (coalesce(col("td2.c"), lit(0L)) - col("m.med")).as("dev"))
+    val tot = dev2.agg(sum(abs(col("dev"))).as("sad"))
+    dev2.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("anomaly_day"), col("c_day"),
+        col("median_daily"), col("dev"),
+        expr("dev * 10000 div greatest(sad, 1)").as("share_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_max_drawdown" -> maxDrawdown,
+    "q_ts_anomaly_attribution" -> anomalyAttribution,
     "q_ts_forecast_baselines" -> forecastBaselines,
     "q_ts_stl_lite" -> stlLite,
     "q_ts_kendall_tau" -> kendallTau,
@@ -857,6 +951,60 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_max_drawdown" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |r AS (SELECT d, x,
+        |   max(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |dd AS (SELECT d, x, peak, peak - x AS dd FROM r),
+        |mx AS (SELECT max(dd) AS max_dd FROM dd),
+        |pick AS (SELECT min(d) AS trough_day FROM dd CROSS JOIN mx
+        |  WHERE dd.dd = mx.max_dd)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(max(mx.max_dd) AS BIGINT) AS max_drawdown,
+        |  CAST(max(CASE WHEN dd.d = pick.trough_day THEN dd.peak END)
+        |    AS BIGINT) AS peak_level,
+        |  CAST(max(CASE WHEN dd.d = pick.trough_day THEN dd.x END)
+        |    AS BIGINT) AS trough_level,
+        |  CAST(max(CASE WHEN dd.d = pick.trough_day
+        |    THEN dd.dd * 10000 // greatest(dd.peak, 1) END) AS BIGINT)
+        |    AS dd_share_e4,
+        |  CAST(max(pick.trough_day) AS BIGINT) AS trough_day
+        |FROM dd CROSS JOIN mx CROSS JOIN pick""".stripMargin,
+    "q_ts_anomaly_attribution" ->
+      """WITH td AS (SELECT event_type AS t,
+        |   epoch_us(ts) // 86400000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |med AS (SELECT t,
+        |   CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN c END)
+        |     AS BIGINT) AS med
+        |  FROM (SELECT t, c,
+        |     row_number() OVER (PARTITION BY t ORDER BY c) AS rn,
+        |     count(*) OVER (PARTITION BY t) AS cnt FROM td)
+        |  GROUP BY t),
+        |g AS (SELECT d, CAST(sum(c) AS BIGINT) AS x FROM td
+        |  GROUP BY d),
+        |gm AS (SELECT CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN x
+        |    END) AS BIGINT) AS m
+        |  FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+        |     count(*) OVER () AS cnt FROM g)),
+        |pick AS (SELECT min(g.d) AS aday FROM g CROSS JOIN gm
+        |  WHERE abs(g.x - gm.m) =
+        |    (SELECT max(abs(x - m)) FROM g CROSS JOIN gm)),
+        |dev AS (SELECT med.t, pick.aday, coalesce(td.c, 0) AS c_day,
+        |   med.med, coalesce(td.c, 0) - med.med AS dev
+        |  FROM med CROSS JOIN pick
+        |  LEFT JOIN td ON td.t = med.t AND td.d = pick.aday),
+        |tot AS (SELECT CAST(sum(abs(dev)) AS BIGINT) AS sad FROM dev)
+        |SELECT dev.t AS event_type,
+        |  CAST(dev.aday AS BIGINT) AS anomaly_day,
+        |  CAST(dev.c_day AS BIGINT) AS c_day,
+        |  dev.med AS median_daily, CAST(dev.dev AS BIGINT) AS dev,
+        |  CAST(dev.dev * 10000 // greatest(tot.sad, 1) AS BIGINT)
+        |    AS share_e4
+        |FROM dev CROSS JOIN tot ORDER BY event_type""".stripMargin,
     "q_ts_forecast_baselines" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 367
+    val documented = 370
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2356,6 +2356,58 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("delta_e4") ==
       r.getAs[Long]("avg_kept_e4") - r.getAs[Long]("avg_dropped_e4"), r)
     assert(r.getAs[Long]("n_kept_suboptimal") <= nc, r)
+  }
+
+  test("priv_uniqueness_curve: risk is monotone along the nested QI " +
+      "levels and every census is internally consistent") {
+    val rows = SparkEntry.queries("q_priv_uniqueness_curve")(spark, sf)
+      .orderBy("ql").collect()
+    assert(rows.length == 4)
+    val n = graft.Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_singletons") <=
+        r.getAs[Long]("n_combos"), r)
+      assert(r.getAs[Long]("n_records_at_risk") ==
+        r.getAs[Long]("n_singletons"), r) // singleton combo = 1 record
+      assert(r.getAs[Long]("risk_share_e4") ==
+        r.getAs[Long]("n_records_at_risk") * 10000 / n, r)
+    }
+    // nested QI sets: a singleton under a COARSER set stays singleton
+    // under a finer one, so risk is monotone non-decreasing Q1->Q4
+    // (Q2 uses dow which is NOT a refinement of Q3's day -> compare
+    // only the genuinely nested chain Q1 <= Q2, Q1 <= Q3 <= Q4)
+    val byQl = rows.map(r => r.getAs[String]("ql").take(2) -> r).toMap
+    def risk(q: String) = byQl(q).getAs[Long]("risk_share_e4")
+    assert(risk("Q1") <= risk("Q2"))
+    assert(risk("Q1") <= risk("Q3") && risk("Q3") <= risk("Q4"))
+  }
+
+  test("ts_max_drawdown: drawdown replays from the emitted levels " +
+      "and the share is a probability") {
+    val r = SparkEntry.queries("q_ts_max_drawdown")(spark, sf)
+      .collect().head
+    val dd = r.getAs[Long]("max_drawdown")
+    assert(dd >= 0, r)
+    assert(dd == r.getAs[Long]("peak_level") -
+      r.getAs[Long]("trough_level"), r)
+    val sh = r.getAs[Long]("dd_share_e4")
+    assert(sh >= 0 && sh <= 10000, r)
+  }
+
+  test("ts_anomaly_attribution: one anomaly day, shares sum to ~1 in " +
+      "absolute value, and devs replay from the census") {
+    val rows = SparkEntry.queries("q_ts_anomaly_attribution")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.map(_.getAs[Long]("anomaly_day")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev") ==
+        r.getAs[Long]("c_day") - r.getAs[Long]("median_daily"), r)
+    }
+    val absSum = rows.map(r => math.abs(r.getAs[Long]("share_e4"))).sum
+    // truncating shares lose at most 1 e4 per row
+    assert(absSum <= 10000 && absSum >= 10000 - rows.length,
+      s"abs share sum $absSum")
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
