@@ -252,6 +252,44 @@ object Joins {
       .orderBy(col("user_id"), col("p_id"))
   }
 
+  /** As-of join with a staleness TOLERANCE (round 8): the production
+    * knob the plain backward as-of lacks — a match older than 24 h is
+    * worse than no match (stale features poison training rows; stale
+    * quotes poison fills). LEFT semantics: every purchase survives,
+    * with s_id/age_s NULL and matched = false when the freshest
+    * signup in the window is still too old. Same composed-builtin
+    * shape as q_join_asof (range-predicated key join + per-probe
+    * row_number), with the tolerance as a second band predicate —
+    * which also BOUNDS the join fan-out per probe by the window's
+    * event count (the plain as-of's fan-out grows with full history;
+    * this one is O(events per key per 24 h) at any scale).
+    *
+    * Fixture split: 708 of 1981 purchases match — both verdict
+    * directions are populated. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts_us").as("s_ts"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("s_ts").desc, col("s_id").desc)
+    purchases
+      .join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") > col("p_ts") - lit(86400000000L), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("p_id"), col("s_id"),
+        expr("(p_ts - s_ts) div 1000000").as("age_s"),
+        col("s_id").isNotNull.as("matched"))
+      .orderBy(col("user_id"), col("p_id"))
+  }
+
   /** Cross product of the two tiny dims (nested-loop). */
   def joinCrossSmall(spark: SparkSession, dir: String): DataFrame =
     region(spark, dir).select(col("r_name"))
@@ -479,6 +517,7 @@ object Joins {
     "q_join_range_binned" -> joinRangeBinned,
     "q_join_asof" -> joinAsof,
     "q_join_asof_native" -> joinAsofNative,
+    "q_join_asof_tolerance" -> joinAsofTolerance,
     "q_join_cross_small" -> joinCrossSmall,
   )
 
@@ -636,6 +675,21 @@ object Joins {
         |FROM events e JOIN iv
         |  ON e.value * 30.0 >= iv.lo AND e.value * 30.0 <= iv.hi
         |GROUP BY iv.iv_id ORDER BY iv.iv_id""".stripMargin,
+    "q_join_asof_tolerance" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |   epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id, epoch_us(ts) AS s_ts
+        |  FROM events WHERE event_type = 'signup'),
+        |j AS (SELECT p.user_id, p.p_id, s.s_id,
+        |    (p.p_ts - s.s_ts) // 1000000 AS age_s,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY s.s_ts DESC, s.s_id DESC) AS rn
+        |  FROM p LEFT JOIN s ON p.user_id = s.user_id
+        |    AND s.s_ts <= p.p_ts
+        |    AND s.s_ts > p.p_ts - 86400000000)
+        |SELECT user_id, p_id, s_id, age_s, s_id IS NOT NULL AS matched
+        |FROM j WHERE rn = 1 ORDER BY user_id, p_id""".stripMargin,
     "q_join_asof" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
         |  FROM events WHERE event_type = 'purchase'),

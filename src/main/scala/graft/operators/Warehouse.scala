@@ -285,7 +285,61 @@ object Warehouse {
           | ELSE 0 END AS BIGINT)""".stripMargin).as("slope_e6"))
       .orderBy(col("p_type"))
 
+  /** Repurchase-interval profile (round 8): per market segment, how
+    * often do customers come back? One-time-customer share plus the
+    * exact lower-median and p90 of consecutive-order gaps (days) —
+    * the retention economics readout behind every LTV model, built
+    * from a yet-unused column pair (o_orderdate sequences ⋈
+    * c_mktsegment). Gaps via one per-customer lag window; percentiles
+    * via the distribution-counting rank idiom.
+    *
+    * Shape (100 TB): orders shuffle once by customer (the lag
+    * window), once by segment (the rank window on the GAP frame,
+    * which is orders-sized minus first orders); the customer dim join
+    * is key-shuffled (not broadcast — customers scale with the
+    * fact). */
+  def repurchaseInterval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val custSeg = customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders(spark, dir)
+      .withColumn("prev_d", lag(col("o_orderdate"), 1).over(byCust))
+      .filter(col("prev_d").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev_d")).cast("long")
+          .as("gap"))
+    val segs = orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .join(custSeg, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+          .as("n_repeat"))
+    val bySeg = Window.partitionBy(col("seg"))
+    val pct = gaps
+      .join(custSeg, col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("gap"))
+      .withColumn("rn", row_number().over(bySeg.orderBy(col("gap"))))
+      .withColumn("cnt", count(lit(1)).over(bySeg))
+      .groupBy(col("seg"))
+      .agg(max(col("cnt")).as("n_gaps"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("gap")))
+          .as("p50_gap_days"),
+        max(when(col("rn") === expr("(cnt * 9 + 9) div 10"),
+          col("gap"))).as("p90_gap_days"))
+    segs.join(pct, "seg")
+      .select(col("seg").as("segment"), col("n_customers"),
+        col("n_repeat"),
+        expr("(n_customers - n_repeat) * 10000 div n_customers")
+          .as("one_time_share_e4"),
+        col("n_gaps"), col("p50_gap_days"), col("p90_gap_days"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_repurchase" -> repurchaseInterval,
     "q_parts_elasticity" -> discountElasticity,
     "q_tpch_q2_mincost" -> q2MinCost,
     "q_tpch_q6_forecast" -> q6Forecast,
@@ -298,6 +352,40 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orders_repurchase" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+        |   lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey) AS prev_d
+        |  FROM orders),
+        |g AS (SELECT o.o_custkey,
+        |   CAST(date_diff('day', prev_d, o_orderdate) AS BIGINT) AS gap
+        |  FROM o WHERE prev_d IS NOT NULL),
+        |cust AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+        |   count(*) AS n_orders
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |segs AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_customers,
+        |   CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_repeat
+        |  FROM cust GROUP BY 1),
+        |gseg AS (SELECT c.c_mktsegment AS seg, g.gap FROM g
+        |  JOIN customer c ON c.c_custkey = g.o_custkey),
+        |r AS (SELECT seg, gap,
+        |   row_number() OVER (PARTITION BY seg ORDER BY gap) AS rn,
+        |   count(*) OVER (PARTITION BY seg) AS cnt
+        |  FROM gseg),
+        |pct AS (SELECT seg, CAST(max(cnt) AS BIGINT) AS n_gaps,
+        |   CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN gap END)
+        |     AS BIGINT) AS p50_gap_days,
+        |   CAST(max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN gap END)
+        |     AS BIGINT) AS p90_gap_days
+        |  FROM r GROUP BY 1)
+        |SELECT segs.seg AS segment, segs.n_customers, segs.n_repeat,
+        |  CAST((segs.n_customers - segs.n_repeat) * 10000
+        |    // segs.n_customers AS BIGINT) AS one_time_share_e4,
+        |  pct.n_gaps, pct.p50_gap_days, pct.p90_gap_days
+        |FROM segs JOIN pct ON pct.seg = segs.seg
+        |ORDER BY segment""".stripMargin,
     "q_parts_elasticity" ->
       """WITH li AS (SELECT p.p_type,
         |   CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS x,

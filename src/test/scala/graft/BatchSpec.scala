@@ -511,7 +511,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 370
+    val documented = 372
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2408,6 +2408,44 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // truncating shares lose at most 1 e4 per row
     assert(absSum <= 10000 && absSum >= 10000 - rows.length,
       s"abs share sum $absSum")
+  }
+
+  test("join_asof_tolerance: every purchase survives, matches are " +
+      "inside the 24h window, and the verdict replays") {
+    val rows = SparkEntry.queries("q_join_asof_tolerance")(spark, sf)
+      .collect()
+    val nPurch = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") ===
+        "purchase").count()
+    assert(rows.length == nPurch) // LEFT semantics: no probe dropped
+    val matched = rows.filter(_.getAs[Boolean]("matched"))
+    assert(matched.nonEmpty && matched.length < rows.length,
+      s"${matched.length}/${rows.length}") // both directions populated
+    matched.foreach { r =>
+      val age = r.getAs[Long]("age_s")
+      assert(age >= 0 && age < 86400L, r)
+    }
+    rows.filterNot(_.getAs[Boolean]("matched"))
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("s_id")), r))
+  }
+
+  test("orders_repurchase: segment census partitions customers and " +
+      "the gap percentiles are ordered") {
+    val rows = SparkEntry.queries("q_orders_repurchase")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ==
+      graft.Tables.orders(spark, sf)
+        .select("o_custkey").distinct().count())
+    rows.foreach { r =>
+      val (nc, nr) = (r.getAs[Long]("n_customers"), r.getAs[Long]("n_repeat"))
+      assert(nr <= nc, r)
+      assert(r.getAs[Long]("one_time_share_e4") ==
+        (nc - nr) * 10000 / nc, r)
+      assert(r.getAs[Long]("p50_gap_days") <=
+        r.getAs[Long]("p90_gap_days"), r)
+      assert(r.getAs[Long]("p50_gap_days") >= 0, r)
+    }
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
