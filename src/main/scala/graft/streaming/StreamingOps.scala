@@ -33,6 +33,15 @@ case class FunnelConversion(user_id: Long, signup_ms: Long,
 /** Attribution row emitted per purchase by the streaming attributor. */
 case class Attribution(user_id: Long, purchase_id: Long, channel: String)
 
+/** Integer-EWMA fold state held per user by the streaming smoother. */
+private case class EwmaSt(acc: Long, n: Long, last: Long)
+
+/** Per-user EWMA snapshot emitted each micro-batch by ewmaStream —
+  * schema-identical to the batch q_ts_ewma row so parity is a direct
+  * frame compare. */
+case class EwmaOut(user_id: Long, n_events: Long, last_centi: Long,
+    ewma_centi: Long)
+
 /** Closed SCD-2 version row emitted when a user's attribute changes. */
 case class Scd2Closed(user_id: Long, version: Int, state: String,
     valid_from_us: Long, valid_to_us: Long)
@@ -216,6 +225,41 @@ object StreamingOps {
     * an already-processed purchase cannot retroactively re-attribute
     * it — the watermark bounds that reordering window exactly as it
     * does for every streaming aggregate. */
+  /** Streaming integer EWMA (round 8): the incremental twin of the
+    * batch q_ts_ewma row — per user, the SAME `(acc + x) div 2`
+    * BIGINT fold over centi values in event-time order, held as O(1)
+    * state (acc, n, last) and snapshotted every micro-batch (Update
+    * mode; the test takes each user's final snapshot). Parity
+    * contract: identical to the batch row whenever events ARRIVE in
+    * event-time order across micro-batches (within a batch the fn
+    * sorts by (ts, event_id) itself) — the same in-order-feed
+    * assumption the dedupWindowFirst parity documents; out-of-order
+    * arrival ACROSS batches folds in arrival order (the streaming
+    * semantics an EWMA consumer actually gets).
+    *
+    * No watermark/timeout: EWMA state is a live per-key aggregate a
+    * monitoring consumer reads forever (three longs per user —
+    * key-count-bounded, not time-bounded; the lifecycle FSM shows the
+    * timeout pattern when expiry IS wanted). */
+  def ewmaStream(events: Dataset[Ev]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: GroupState[EwmaSt]): EwmaOut = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(EwmaSt(0L, 0L, 0L))
+      sorted.foreach { e =>
+        val c = math.floor(e.value * 100 + 0.5).toLong
+        st =
+          if (st.n == 0L) EwmaSt(c, 1L, c)
+          else EwmaSt((st.acc + c) / 2, st.n + 1, c)
+      }
+      state.update(st)
+      EwmaOut(userId, st.n, st.last, st.acc)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def attributionStream(events: Dataset[Ev]): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     val lookbackMs = 7L * 24 * 3600 * 1000

@@ -160,6 +160,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming integer EWMA matches the batch fold on an in-order " +
+      "feed across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.ewmaStream(in.toDS()).toDF(),
+      "sewma", "update")
+    // three time-ordered micro-batches; users 1 and 2 interleave, and
+    // batch 1 carries an intra-batch disorder (ids 2,1 swapped) that
+    // the fn's own (ts, event_id) sort must repair
+    val chunk1 = Seq(ev(2, 5, 1, "view", 2.00), ev(1, 0, 1, "click", 1.00),
+      ev(3, 7, 2, "click", 5.00))
+    val chunk2 = Seq(ev(4, 10, 1, "click", 3.00), ev(5, 12, 2, "view", 1.00))
+    val chunk3 = Seq(ev(6, 20, 1, "error", 10.00))
+    Seq(chunk1, chunk2, chunk3).foreach { c =>
+      in.addData(c: _*); q.processAllAvailable()
+    }
+    // update-mode memory sink appends each snapshot; the final state
+    // per user is the emission with the highest n_events
+    val got = spark.table("sewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+    // the batch q_ts_ewma fold over the same rows in (ts, id) order
+    val expected = (chunk1 ++ chunk2 ++ chunk3)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .groupBy(_.user_id).map { case (u, es) =>
+        val centis = es.map(e => math.floor(e.value * 100 + 0.5).toLong)
+        val acc = centis.tail.foldLeft(centis.head)((a, x) => (a + x) / 2)
+        (u, es.size.toLong, centis.last, acc)
+      }.toSet
+    assert(got == expected, s"got $got expected $expected")
+    q.stop()
+  }
+
   test("streaming curation: in-horizon content dedup + quality gate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
