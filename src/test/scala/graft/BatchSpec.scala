@@ -88,6 +88,26 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.take(1500))
   }
 
+  test("rbo + metric_stability top-ks plan as TakeOrderedAndProject, " +
+      "never a global sort (round-8 plan pins)") {
+    val s1 = executedPlanString("q_llm_rbo")
+    assert(s1.contains("TakeOrderedAndProject"), s1.take(1500))
+    val s2 = executedPlanString("q_llm_metric_stability")
+    assert(s2.contains("TakeOrderedAndProject"), s2.take(1500))
+  }
+
+  test("theil_sen and asof_tolerance self/band joins stay keyed — no " +
+      "cartesian product in the executed plan (round-8 plan pins)") {
+    val s1 = executedPlanString("q_ts_theil_sen")
+    assert(!s1.contains("CartesianProduct"), s1.take(1500))
+    assert(s1.contains("HashJoin") || s1.contains("SortMergeJoin"),
+      s1.take(1500))
+    val s2 = executedPlanString("q_join_asof_tolerance")
+    assert(!s2.contains("CartesianProduct"), s2.take(1500))
+    assert(s2.contains("HashJoin") || s2.contains("SortMergeJoin"),
+      s2.take(1500))
+  }
+
   test("join_broadcast plans a broadcast hash join") {
     val s = executedPlanString("q_join_broadcast")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
