@@ -425,7 +425,74 @@ object Evaluation {
       .orderBy(col("n"))
   }
 
+  /** Feature-separation audit of the keep-gate (round 8): which of
+    * the three quality features actually separates kept from dropped
+    * docs at the enrolled operating point (score ≥ 0.76, judgeKappa's
+    * j1)? Per feature: class means and the squared Cohen's d —
+    * d² = diff²/pooled_var — as e4, sqrt-free. The fixture finding
+    * mirrors the length-bias audit from the other side: TTR separates
+    * best (d² ≈ 3.6) and length is ANTI-correlated with keep
+    * (mean_keep < mean_drop) — the logreg's positive length weight is
+    * overwhelmed by TTR decay on long docs.
+    *
+    * Exactness: features pre-rounded to e4 (the r4 grid both engines
+    * share), floored class means, exact central m2s, pooled variance
+    * = (m2_k + m2_d) div (n − 2); diff²·10⁴ ≤ 10¹² regardless of
+    * corpus size (e4-bounded features), so no DECIMAL lane needed —
+    * a documented exception to the squared-moment rule.
+    *
+    * Shape: doc-sized feature+class frame → long-form 3× explode →
+    * two grouped passes (means, then moments) → 3-row fold. */
+  def featureSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val ft = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("CAST(floor((1.0 * size(array_distinct(tk)) / size(tk))" +
+          " * 10000 + 0.5) AS BIGINT)").as("ttr_e4"),
+        expr("""CAST(floor((1.0 * size(filter(tk, t -> t IN
+          |('the','a','of','and','to','in','is'))) / size(tk))
+          |* 10000 + 0.5) AS BIGINT)""".stripMargin).as("stop_e4"),
+        expr("CAST(floor(least(size(tk) / 100.0, 1.0) * 10000 + 0.5)" +
+          " AS BIGINT)").as("len_e4"))
+    val cls = ft.join(ModelPrep.qualityLogreg(spark, dir)
+        .select(col("doc_id"),
+          when(col("score") >= 0.76, 1L).otherwise(0L).as("k")),
+      "doc_id")
+    val lng = cls.select(lit("len_norm").as("feature"), col("k"),
+        col("len_e4").as("v"))
+      .unionAll(cls.select(lit("stop_ratio").as("feature"), col("k"),
+        col("stop_e4").as("v")))
+      .unionAll(cls.select(lit("ttr").as("feature"), col("k"),
+        col("ttr_e4").as("v")))
+    val mu = lng.groupBy(col("feature"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .withColumn("mu", expr("s div n"))
+      .select(col("feature"), col("k"), col("n"), col("mu"))
+    lng.join(broadcast(mu), Seq("feature", "k"))
+      .withColumn("d", col("v") - col("mu"))
+      .groupBy(col("feature"), col("k"))
+      .agg(max(col("n")).as("n"), max(col("mu")).as("mu"),
+        sum(col("d") * col("d")).as("m2"))
+      .groupBy(col("feature"))
+      .agg(max(when(col("k") === 1, col("n"))).as("n_keep"),
+        max(when(col("k") === 0, col("n"))).as("n_drop"),
+        max(when(col("k") === 1, col("mu"))).as("mean_keep_e4"),
+        max(when(col("k") === 0, col("mu"))).as("mean_drop_e4"),
+        expr("""(max(CASE WHEN k = 1 THEN m2 END)
+          | + max(CASE WHEN k = 0 THEN m2 END))
+          | div greatest(max(CASE WHEN k = 1 THEN n END)
+          | + max(CASE WHEN k = 0 THEN n END) - 2, 1)""".stripMargin)
+          .as("pooled_var"))
+      .select(col("feature"), col("n_keep"), col("n_drop"),
+        col("mean_keep_e4"), col("mean_drop_e4"),
+        expr("""(mean_keep_e4 - mean_drop_e4)
+          | * (mean_keep_e4 - mean_drop_e4) * 10000
+          | div greatest(pooled_var, 1)""".stripMargin).as("d2_e4"))
+      .orderBy(col("feature"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_feature_separation" -> featureSeparation,
     "q_llm_metric_stability" -> metricStability,
     "q_llm_judge_kappa" -> judgeKappa,
     "q_llm_bootstrap_ci" -> bootstrapCi,
@@ -438,6 +505,53 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_feature_separation" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |ft AS (SELECT f.doc_id,
+         |   CAST(floor((1.0 * len(list_distinct(tk)) / len(tk))
+         |     * 10000 + 0.5) AS BIGINT) AS ttr_e4,
+         |   CAST(floor((1.0 * len([t for t in tk
+         |     if t IN ('the','a','of','and','to','in','is')])
+         |     / len(tk)) * 10000 + 0.5) AS BIGINT) AS stop_e4,
+         |   CAST(floor(least(len(tk) / 100.0, 1.0) * 10000 + 0.5)
+         |     AS BIGINT) AS len_e4
+         |  FROM f),
+         |cls AS (SELECT ft.*,
+         |   CASE WHEN sc0.score >= 0.76 THEN 1 ELSE 0 END AS k
+         |  FROM ft JOIN sc0 ON sc0.doc_id = ft.doc_id),
+         |lng AS (
+         |  SELECT 'len_norm' AS feature, k, v
+         |  FROM (SELECT k, len_e4 AS v FROM cls)
+         |  UNION ALL SELECT 'stop_ratio', k, v
+         |  FROM (SELECT k, stop_e4 AS v FROM cls)
+         |  UNION ALL SELECT 'ttr', k, v
+         |  FROM (SELECT k, ttr_e4 AS v FROM cls)),
+         |mu AS (SELECT feature, k, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(v) // count(*) AS BIGINT) AS mu
+         |  FROM lng GROUP BY 1, 2),
+         |m2 AS (SELECT lng.feature, lng.k, max(mu.n) AS n,
+         |   max(mu.mu) AS mu,
+         |   CAST(sum((lng.v - mu.mu) * (lng.v - mu.mu)) AS BIGINT)
+         |     AS m2
+         |  FROM lng JOIN mu ON mu.feature = lng.feature
+         |    AND mu.k = lng.k
+         |  GROUP BY 1, 2),
+         |w AS (SELECT feature,
+         |   max(CASE WHEN k = 1 THEN n END) AS n_keep,
+         |   max(CASE WHEN k = 0 THEN n END) AS n_drop,
+         |   max(CASE WHEN k = 1 THEN mu END) AS mean_keep_e4,
+         |   max(CASE WHEN k = 0 THEN mu END) AS mean_drop_e4,
+         |   (max(CASE WHEN k = 1 THEN m2 END)
+         |     + max(CASE WHEN k = 0 THEN m2 END))
+         |     // greatest(max(CASE WHEN k = 1 THEN n END)
+         |       + max(CASE WHEN k = 0 THEN n END) - 2, 1) AS pooled_var
+         |  FROM m2 GROUP BY 1)
+         |SELECT feature, n_keep, n_drop, mean_keep_e4, mean_drop_e4,
+         |  CAST((mean_keep_e4 - mean_drop_e4)
+         |    * (mean_keep_e4 - mean_drop_e4) * 10000
+         |    // greatest(pooled_var, 1) AS BIGINT) AS d2_e4
+         |FROM w ORDER BY feature""".stripMargin
+    },
     "q_llm_metric_stability" -> {
       s"""WITH ${ModelPrep.scoreCte},
          |sc1 AS (SELECT doc_id,

@@ -338,7 +338,39 @@ object Warehouse {
       .orderBy(col("segment"))
   }
 
+  /** Open-order aging (round 8): the operational WIP census — orders
+    * not yet finalized (status ≠ 'F'), bucketed by age against the
+    * corpus max date (authored bucket edges 30/90/365), with share of
+    * the open book per (status, bucket). The "what's stuck and how
+    * long" report every fulfillment dashboard opens with; the
+    * dominant 365+ bucket on this fixture is itself the signal the
+    * row exists to surface.
+    *
+    * Shape: one broadcast max-date fold → map-side bucket → one
+    * partial-aggregable census (8 rows). */
+  def openOrderAging(spark: SparkSession, dir: String): DataFrame = {
+    val mx = orders(spark, dir).agg(max(col("o_orderdate")).as("maxd"))
+    val b = orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(mx))
+      .select(col("o_orderstatus").as("status"),
+        datediff(col("maxd"), col("o_orderdate")).cast("long").as("age"))
+      .withColumn("bucket", expr(
+        """CASE WHEN age <= 30 THEN 'a:0-30'
+          |WHEN age <= 90 THEN 'b:31-90'
+          |WHEN age <= 365 THEN 'c:91-365'
+          |ELSE 'd:365+' END""".stripMargin))
+    val tot = b.agg(count(lit(1)).as("n"))
+    b.groupBy(col("status"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("status"), col("bucket"), col("n_orders"),
+        expr("n_orders * 10000 div n").as("share_e4"))
+      .orderBy(col("status"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_open_aging" -> openOrderAging,
     "q_orders_repurchase" -> repurchaseInterval,
     "q_parts_elasticity" -> discountElasticity,
     "q_tpch_q2_mincost" -> q2MinCost,
@@ -352,6 +384,23 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orders_open_aging" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |o AS (SELECT o_orderstatus AS status,
+        |   CAST(date_diff('day', o_orderdate, mx.maxd) AS BIGINT)
+        |     AS age
+        |  FROM orders CROSS JOIN mx WHERE o_orderstatus <> 'F'),
+        |b AS (SELECT status,
+        |   CASE WHEN age <= 30 THEN 'a:0-30'
+        |     WHEN age <= 90 THEN 'b:31-90'
+        |     WHEN age <= 365 THEN 'c:91-365'
+        |     ELSE 'd:365+' END AS bucket
+        |  FROM o),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+        |SELECT status, bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(*) * 10000 // tot.n AS BIGINT) AS share_e4
+        |FROM b CROSS JOIN tot GROUP BY status, bucket, tot.n
+        |ORDER BY status, bucket""".stripMargin,
     "q_orders_repurchase" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
         |   lag(o_orderdate) OVER (PARTITION BY o_custkey

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 372
+    val documented = 374
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2466,6 +2466,40 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("p90_gap_days"), r)
       assert(r.getAs[Long]("p50_gap_days") >= 0, r)
     }
+  }
+
+  test("orders_open_aging: only open statuses appear, shares sum to " +
+      "~1, and the census partitions the open book") {
+    val rows = SparkEntry.queries("q_orders_open_aging")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("status")).toSet.subsetOf(
+      Set("O", "P")))
+    val nOpen = graft.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") =!=
+        "F").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOpen)
+    val shares = rows.map(_.getAs[Long]("share_e4")).sum
+    assert(shares <= 10000 && shares >= 10000 - rows.length, shares)
+  }
+
+  test("llm_feature_separation: classes partition docs per feature, " +
+      "d2 replays, and ttr separates best on this corpus") {
+    val rows = SparkEntry.queries("q_llm_feature_separation")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val byF = rows.map(r => r.getAs[String]("feature") -> r).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keep") + r.getAs[Long]("n_drop") == nDocs, r)
+      val d = r.getAs[Long]("mean_keep_e4") - r.getAs[Long]("mean_drop_e4")
+      // d2 replay needs pooled_var, which is internal; check bounds only
+      assert(r.getAs[Long]("d2_e4") >= 0, r)
+      if (d == 0) assert(r.getAs[Long]("d2_e4") == 0, r)
+    }
+    // the documented fixture finding: TTR is the strongest separator
+    assert(byF("ttr").getAs[Long]("d2_e4") >=
+      byF("stop_ratio").getAs[Long]("d2_e4"))
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
