@@ -27,14 +27,19 @@ object Scaling {
     * riding under linear-dominant totals; a quadratic law reads ~2. */
   val gate = 1.3
 
-  /** The 12 most expensive rows of BENCH_r07 — every multi-second
-    * family is represented (dedup cascade, LSH audits, iterative
-    * graph, exact set-similarity, ANN scoreboard, fuzzy decontam). */
+  /** The most expensive rows of the round-8 bench — every
+    * multi-second family is represented (dedup cascade, LSH audits,
+    * iterative graph, exact set-similarity, ANN scoreboard, fuzzy
+    * decontam), plus the round-8 continuation's heaviest additions
+    * (the MM leaderboard fit, the Markov-entropy composite, and the
+    * fact⋈fact rank-window audit). */
   val targets: Seq[String] = Seq(
     "q_llm_dedup_cascade", "q_llm_lsh_recall", "q_graph_triangles",
     "q_graph_modularity", "q_llm_band_sweep", "q_llm_prefix_join",
     "q_llm_dup_clusters", "q_graph_lpa", "q_llm_ann_recall",
-    "q_graph_kcore", "q_llm_minhash_lsh", "q_llm_decontaminate_fuzzy")
+    "q_graph_kcore", "q_llm_minhash_lsh", "q_llm_decontaminate_fuzzy",
+    "q_llm_bradley_terry", "q_events_markov_entropy",
+    "q_dq_temporal_order")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
