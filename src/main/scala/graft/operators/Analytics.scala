@@ -1261,7 +1261,37 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Cumulative-user growth curve (round 8): per active day, new
+    * users (first-ever appearance) and the running total — THE
+    * top-left chart of every growth dashboard. Exact cumulative
+    * DISTINCT without a distinct-over-window (which Spark can't do
+    * incrementally): each user contributes once at their min-day, so
+    * the curve is a running SUM of the first-seen census — the
+    * first-seen-flag reduction that makes cumulative-distinct linear
+    * at any scale. Days with no new users still emit (left join on
+    * the active-day spine, new_users = 0).
+    *
+    * Shape: per-user min fold (one shuffle) → day census → one
+    * span-sized running-sum window. */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("d"))
+    val nu = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_day"))
+      .groupBy(col("first_day").as("d"))
+      .agg(count(lit(1)).as("new_users"))
+    ev.select(col("d")).distinct()
+      .join(nu, Seq("d"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cumulative_users", sum(col("new_users")).over(
+        Window.orderBy(col("d"))))
+      .select(col("d").as("day"), col("new_users"),
+        col("cumulative_users"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_cumulative_users" -> cumulativeUsers,
     "q_events_power_mde" -> powerMde,
     "q_events_markov_entropy" -> markovEntropy,
     "q_events_retention_curve" -> retentionCurve,
@@ -1299,6 +1329,19 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_cumulative_users" ->
+      """WITH fs AS (SELECT user_id,
+        |   min(epoch_us(ts) // 86400000000) AS first_day FROM events
+        |  GROUP BY user_id),
+        |days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |nu AS (SELECT first_day AS d, CAST(count(*) AS BIGINT)
+        |   AS new_users FROM fs GROUP BY 1)
+        |SELECT days.d AS day,
+        |  CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY days.d)
+        |    AS BIGINT) AS cumulative_users
+        |FROM days LEFT JOIN nu ON nu.d = days.d ORDER BY day""".stripMargin,
     "q_events_power_mde" ->
       """WITH ev AS (SELECT event_type,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),

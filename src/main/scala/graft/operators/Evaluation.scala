@@ -491,7 +491,43 @@ object Evaluation {
       .orderBy(col("feature"))
   }
 
+  /** Exact AUC by rank-sum (round 8): AUC of a scalar score against a
+    * binary label WITHOUT ranking a single row — the support-census
+    * idiom (dqKsTest/abUTest's family): group by distinct score
+    * value, one ordered pass accumulates negatives below, and
+    * 2U = Σ c1·(2·c0_below + c0) credits ties at ½ exactly in
+    * integers; AUC·10⁴ = 2U·10⁴ div (2·n1·n0). Score = embedding
+    * dim 0 (e4), label = parity — AUC ≈ 0.52, an honest
+    * near-chance readout (dim 0 carries little parity signal; the
+    * dim_probe row says which dims carry more). The machinery is the
+    * row: exact distributed AUC at any scale, no sort of the corpus.
+    *
+    * Shape: one groupBy on score support → one support-sized window
+    * pass → 1-row fold. */
+  def aucRankSum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = embeddings(spark, dir)
+      .select(expr("CAST(floor(element_at(embedding, 1) * 10000 + 0.5)" +
+        " AS BIGINT)").as("sc"),
+        (col("label") % 2).cast("long").as("y"))
+    val n = s.agg(sum(col("y")).as("n1"),
+      sum(lit(1L) - col("y")).as("n0"))
+    val sup = s.groupBy(col("sc"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"),
+        sum(lit(1L) - col("y")).as("c0"))
+    val u = sup
+      .withColumn("c0_below", coalesce(sum(col("c0")).over(
+        Window.orderBy(col("sc"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("c1") * (lit(2L) * col("c0_below") + col("c0")))
+        .as("u2"))
+    u.crossJoin(broadcast(n))
+      .select(col("n1"), col("n0"), col("u2"),
+        expr("u2 * 10000 div (2 * n1 * n0)").as("auc_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_auc" -> aucRankSum,
     "q_llm_feature_separation" -> featureSeparation,
     "q_llm_metric_stability" -> metricStability,
     "q_llm_judge_kappa" -> judgeKappa,
@@ -505,6 +541,26 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_auc" ->
+      """WITH s AS (SELECT vec_id,
+        |   CAST(floor(embedding[1] * 10000 + 0.5) AS BIGINT) AS sc,
+        |   label % 2 AS y FROM embeddings),
+        |n AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+        |   CAST(sum(1 - y) AS BIGINT) AS n0 FROM s),
+        |sup AS (SELECT sc, CAST(count(*) AS BIGINT) AS c,
+        |   CAST(sum(y) AS BIGINT) AS c1,
+        |   CAST(sum(1 - y) AS BIGINT) AS c0
+        |  FROM s GROUP BY sc),
+        |r AS (SELECT sc, c, c1, c0,
+        |   CAST(coalesce(sum(c0) OVER (ORDER BY sc
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS BIGINT) AS c0_below
+        |  FROM sup),
+        |u AS (SELECT CAST(sum(c1 * (2 * c0_below + c0)) AS BIGINT)
+        |   AS u2 FROM r)
+        |SELECT n.n1, n.n0, u.u2,
+        |  CAST(u.u2 * 10000 // (2 * n.n1 * n.n0) AS BIGINT) AS auc_e4
+        |FROM u CROSS JOIN n""".stripMargin,
     "q_llm_feature_separation" -> {
       s"""WITH ${ModelPrep.scoreCte},
          |ft AS (SELECT f.doc_id,

@@ -617,7 +617,54 @@ object Governance {
       .orderBy(col("ql"))
   }
 
+  /** Tukey-fence outlier audit (round 8): IQR fences (1.5×) over
+    * supplier balances, with PLANTED contamination (every 97th
+    * supplier's balance ×10 — the c4_rules/pii_scrub planting
+    * discipline: the uniform synthetic balances contain no natural
+    * outliers, so the audit must create the condition it exists to
+    * catch). Emits the fence parts (exact quartiles via the
+    * distribution-counting rank (cnt+3) div 4 / (3·cnt+3) div 4),
+    * the outlier census, and the planted-vs-caught reconciliation:
+    * 2/2 caught at sf0.01 but 6/11 at sf0.1 — a ×10 on a SMALL
+    * balance stays inside the fences, the known IQR blind spot the
+    * row documents rather than hides (MAD on events is the robust
+    * sibling). Fence compare is integer-exact: 10·c vs 10·q ± 15·IQR.
+    *
+    * Shape: one rank window over the supplier frame → broadcast
+    * quartiles → map-side fence compare → 1-row census. */
+  def balanceFences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = supplier(spark, dir)
+      .select(col("s_suppkey"),
+        expr("""CASE WHEN s_suppkey % 97 = 0
+          |THEN CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) * 10
+          |ELSE CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+          |END""".stripMargin).as("c"),
+        (col("s_suppkey") % 97 === 0).as("planted"))
+    val q = s
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c"), col("s_suppkey"))))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .agg(max(col("cnt")).as("n"),
+        max(when(col("rn") === expr("(cnt + 3) div 4"), col("c")))
+          .as("q1"),
+        max(when(col("rn") === expr("(3 * cnt + 3) div 4"), col("c")))
+          .as("q3"))
+    s.crossJoin(broadcast(q))
+      .withColumn("out", expr("10 * c < 10 * q1 - 15 * (q3 - q1)" +
+        " OR 10 * c > 10 * q3 + 15 * (q3 - q1)"))
+      .agg(max(col("n")).as("n_suppliers"),
+        max(col("q1")).as("q1_c"), max(col("q3")).as("q3_c"),
+        max(col("q3") - col("q1")).as("iqr_c"),
+        sum(when(col("out"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("planted") && col("out"), 1L).otherwise(0L))
+          .as("n_planted_caught"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_balance_fences" -> balanceFences,
     "q_priv_uniqueness_curve" -> uniquenessCurve,
     "q_dq_temporal_order" -> temporalOrder,
     "q_dq_fd_violations" -> fdViolations,
@@ -635,6 +682,35 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_balance_fences" ->
+      """WITH s AS (SELECT s_suppkey,
+        |   CASE WHEN s_suppkey % 97 = 0
+        |     THEN CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) * 10
+        |     ELSE CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+        |   END AS c,
+        |   s_suppkey % 97 = 0 AS planted
+        |  FROM supplier),
+        |r AS (SELECT s_suppkey, c, planted,
+        |   row_number() OVER (ORDER BY c, s_suppkey) AS rn,
+        |   count(*) OVER () AS cnt FROM s),
+        |q AS (SELECT CAST(max(cnt) AS BIGINT) AS n,
+        |   CAST(max(CASE WHEN rn = (cnt + 3) // 4 THEN c END)
+        |     AS BIGINT) AS q1,
+        |   CAST(max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN c END)
+        |     AS BIGINT) AS q3
+        |  FROM r)
+        |SELECT q.n AS n_suppliers, q.q1 AS q1_c, q.q3 AS q3_c,
+        |  CAST(q.q3 - q.q1 AS BIGINT) AS iqr_c,
+        |  CAST(sum(CASE WHEN 10 * s.c < 10 * q.q1 - 15 * (q.q3 - q.q1)
+        |    OR 10 * s.c > 10 * q.q3 + 15 * (q.q3 - q.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN s.planted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_planted,
+        |  CAST(sum(CASE WHEN s.planted AND (10 * s.c < 10 * q.q1
+        |    - 15 * (q.q3 - q.q1) OR 10 * s.c > 10 * q.q3
+        |    + 15 * (q.q3 - q.q1)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_planted_caught
+        |FROM s CROSS JOIN q GROUP BY q.n, q.q1, q.q3""".stripMargin,
     "q_priv_uniqueness_curve" ->
       """WITH e AS (SELECT event_type AS t,
         |   epoch_us(ts) // 86400000000 AS day,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 374
+    val documented = 377
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2500,6 +2500,51 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the documented fixture finding: TTR is the strongest separator
     assert(byF("ttr").getAs[Long]("d2_e4") >=
       byF("stop_ratio").getAs[Long]("d2_e4"))
+  }
+
+  test("llm_auc: the rank-sum AUC is a probability, classes " +
+      "partition the vectors, and 2U is bounded by 2*n1*n0") {
+    val r = SparkEntry.queries("q_llm_auc")(spark, sf).collect().head
+    val (n1, n0) = (r.getAs[Long]("n1"), r.getAs[Long]("n0"))
+    assert(n1 + n0 ==
+      graft.Tables.embeddings(spark, sf).count())
+    val u2 = r.getAs[Long]("u2")
+    assert(u2 >= 0 && u2 <= 2 * n1 * n0, r)
+    val auc = r.getAs[Long]("auc_e4")
+    assert(auc >= 0 && auc <= 10000, r)
+    assert(auc == u2 * 10000 / (2 * n1 * n0), r)
+  }
+
+  test("events_cumulative_users: the curve is monotone, ends at the " +
+      "distinct-user total, and new_users sums to it") {
+    val rows = SparkEntry.queries("q_events_cumulative_users")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cumulative_users") == total)
+    assert(rows.map(_.getAs[Long]("new_users")).sum == total)
+    var prev = 0L
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cumulative_users")
+      assert(c >= prev, r); prev = c
+      assert(c >= r.getAs[Long]("new_users"), r)
+    }
+  }
+
+  test("dq_balance_fences: planted contamination reconciles and the " +
+      "fence census never exceeds the population") {
+    val r = SparkEntry.queries("q_dq_balance_fences")(spark, sf)
+      .collect().head
+    val n = r.getAs[Long]("n_suppliers")
+    assert(n == graft.Tables.supplier(spark, sf).count())
+    assert(r.getAs[Long]("q1_c") <= r.getAs[Long]("q3_c"), r)
+    assert(r.getAs[Long]("iqr_c") ==
+      r.getAs[Long]("q3_c") - r.getAs[Long]("q1_c"), r)
+    val (out, planted, caught) = (r.getAs[Long]("n_outliers"),
+      r.getAs[Long]("n_planted"), r.getAs[Long]("n_planted_caught"))
+    assert(caught <= planted && caught <= out, r)
+    assert(out <= n, r)
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
