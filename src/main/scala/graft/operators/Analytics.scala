@@ -1290,7 +1290,57 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Markov absorption curve (round 8): from each behavior state, the
+    * probability of reaching 'purchase' within 1 / 3 / 5 steps —
+    * closing the chain family (transitions → steady state → entropy
+    * rate → ABSORPTION): the "how close is this user to converting"
+    * number a growth team actually acts on. Five unrolled value-
+    * iteration steps in e6 fixed point: a_{t+1}(s) = p(s→purchase) +
+    * Σ_{s'≠purchase} p(s→s')·a_t(s') div 10⁶ — truncating each step
+    * identically in both engines, monotone non-decreasing in t by
+    * construction (every term is nonnegative).
+    *
+    * Shape: one transitions window → k²-sized joins (k = 5) chained
+    * five times — roster-sized frames, the bradleyTerry unrolled-
+    * fixpoint discipline. */
+  def absorptionCurve(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("t"))
+    val p = trans.join(tot, "src")
+      .select(col("src"), col("dst"),
+        expr("n * 1000000 div t").as("p_e6"))
+      .localCheckpoint()
+    val dirP = p.groupBy(col("src"))
+      .agg(coalesce(max(when(col("dst") === "purchase", col("p_e6"))),
+        lit(0L)).as("pd"))
+    def step(prev: DataFrame): DataFrame =
+      p.join(dirP, "src")
+        .join(prev.select(col("state").as("dst"), col("a").as("pa")),
+          Seq("dst"), "left")
+        .groupBy(col("src"))
+        .agg(max(col("pd")).as("pd"),
+          coalesce(sum(when(col("dst") =!= "purchase",
+            expr("p_e6 * pa div 1000000"))), lit(0L)).as("acc"))
+        .select(col("src").as("state"), (col("pd") + col("acc")).as("a"))
+    val a1 = dirP.select(col("src").as("state"), col("pd").as("a"))
+    val a3 = step(step(a1))
+    val a5 = step(step(a3))
+    p.select(col("src").as("state")).distinct()
+      .join(a1.select(col("state"), col("a").as("a1_e6")), "state")
+      .join(a3.select(col("state"), col("a").as("a3_e6")), "state")
+      .join(a5.select(col("state"), col("a").as("a5_e6")), "state")
+      .orderBy(col("state"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_absorption" -> absorptionCurve,
     "q_events_cumulative_users" -> cumulativeUsers,
     "q_events_power_mde" -> powerMde,
     "q_events_markov_entropy" -> markovEntropy,
@@ -1329,6 +1379,48 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_absorption" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |tr AS (SELECT event_type AS src,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS dst FROM e),
+        |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS t FROM tc
+        |  GROUP BY src),
+        |p AS (SELECT tc.src, tc.dst, tc.n * 1000000 // tt.t AS p_e6
+        |  FROM tc JOIN tt ON tt.src = tc.src),
+        |st AS (SELECT DISTINCT src AS state FROM p),
+        |dirp AS (SELECT src, CAST(coalesce(max(CASE WHEN
+        |   dst = 'purchase' THEN p_e6 END), 0) AS BIGINT) AS pd
+        |  FROM p GROUP BY src),
+        |a1 AS (SELECT src AS state, pd AS a FROM dirp),
+        |a2 AS (SELECT p.src AS state, CAST(max(dirp.pd)
+        |   + coalesce(sum(CASE WHEN p.dst <> 'purchase'
+        |     THEN p.p_e6 * a1.a // 1000000 END), 0) AS BIGINT) AS a
+        |  FROM p JOIN dirp ON dirp.src = p.src
+        |  LEFT JOIN a1 ON a1.state = p.dst GROUP BY p.src),
+        |a3 AS (SELECT p.src AS state, CAST(max(dirp.pd)
+        |   + coalesce(sum(CASE WHEN p.dst <> 'purchase'
+        |     THEN p.p_e6 * a2.a // 1000000 END), 0) AS BIGINT) AS a
+        |  FROM p JOIN dirp ON dirp.src = p.src
+        |  LEFT JOIN a2 ON a2.state = p.dst GROUP BY p.src),
+        |a4 AS (SELECT p.src AS state, CAST(max(dirp.pd)
+        |   + coalesce(sum(CASE WHEN p.dst <> 'purchase'
+        |     THEN p.p_e6 * a3.a // 1000000 END), 0) AS BIGINT) AS a
+        |  FROM p JOIN dirp ON dirp.src = p.src
+        |  LEFT JOIN a3 ON a3.state = p.dst GROUP BY p.src),
+        |a5 AS (SELECT p.src AS state, CAST(max(dirp.pd)
+        |   + coalesce(sum(CASE WHEN p.dst <> 'purchase'
+        |     THEN p.p_e6 * a4.a // 1000000 END), 0) AS BIGINT) AS a
+        |  FROM p JOIN dirp ON dirp.src = p.src
+        |  LEFT JOIN a4 ON a4.state = p.dst GROUP BY p.src)
+        |SELECT st.state, a1.a AS a1_e6, a3.a AS a3_e6, a5.a AS a5_e6
+        |FROM st JOIN a1 ON a1.state = st.state
+        |JOIN a3 ON a3.state = st.state
+        |JOIN a5 ON a5.state = st.state
+        |ORDER BY st.state""".stripMargin,
     "q_events_cumulative_users" ->
       """WITH fs AS (SELECT user_id,
         |   min(epoch_us(ts) // 86400000000) AS first_day FROM events

@@ -805,6 +805,37 @@ object LlmOps {
           .as("n_kept_suboptimal"))
   }
 
+  /** Cluster-inflation audit (round 8): how many pairs does
+    * TRANSITIVE closure add beyond the direct LSH evidence? Near-dup
+    * dedup treats every within-cluster pair as duplicate, but only
+    * the direct pairs carried Jaccard ≥ τ evidence — the difference
+    * (n_implied − n_direct) is the over-merge exposure of chaining
+    * (A≈B≈C declared A≈C). Implied pairs fold from cluster SIZES
+    * (Σ s(s−1)/2, the erBlocking trick — no pair materialized);
+    * n_implied ≥ n_direct always (each direct pair lies inside one
+    * cluster). The sf0.01 reading is equality (inflation 1.0000 —
+    * no chaining happened); a long chain shows up here before it
+    * shows up as a bad merge.
+    *
+    * Consumes dupClusters' and minhashLsh's OUTPUTS (derived-frame
+    * rule); cost is theirs. */
+  def clusterInflation(spark: SparkSession, dir: String): DataFrame = {
+    val nd = minhashLsh(spark, dir).agg(count(lit(1)).as("n_direct"))
+    val sz = dupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("s"))
+      .filter(col("s") > 1)
+    val mx = sz.agg(max(col("s")).as("max_s"))
+    sz.agg(count(lit(1)).as("n_clusters"),
+        sum(expr("s * (s - 1) div 2")).as("n_implied_pairs"))
+      .crossJoin(broadcast(nd)).crossJoin(broadcast(mx))
+      .select(col("n_clusters"), col("max_s").as("max_cluster"),
+        col("n_implied_pairs"), col("n_direct").as("n_direct_pairs"),
+        (col("n_implied_pairs") - col("n_direct"))
+          .as("n_transitive_only"),
+        expr("n_implied_pairs * 10000 div greatest(n_direct, 1)")
+          .as("inflation_e4"))
+  }
+
   /** Connected components over an undirected pair list `(a, b)` —
     * returns `(node, component_min_id)` for every node appearing in any
     * pair. Min-label propagation WITH pointer jumping: each round every
@@ -2426,6 +2457,7 @@ object LlmOps {
     "q_llm_dup_clusters" -> dupClusters,
     "q_llm_dup_cluster_sizes" -> dupClusterSizes,
     "q_llm_dedup_survivorship" -> dedupSurvivorship,
+    "q_llm_cluster_inflation" -> clusterInflation,
     "q_llm_soft_dedup" -> softDedup,
     "q_llm_neardup_sources" -> neardupSourceMatrix,
     "q_llm_simhash" -> simhash,
@@ -2860,6 +2892,23 @@ object LlmOps {
          |JOIN documents da ON a_id = da.doc_id
          |JOIN documents db ON b_id = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_llm_cluster_inflation" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |dp AS (SELECT CAST(count(*) AS BIGINT) AS n_direct
+         |  FROM ($minhashPairsSql)),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS s
+         |  FROM cl GROUP BY 1 HAVING count(*) > 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(max(sz2.max_s) AS BIGINT) AS max_cluster,
+         |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_implied_pairs,
+         |  CAST(max(dp.n_direct) AS BIGINT) AS n_direct_pairs,
+         |  CAST(sum(s * (s - 1) // 2) - max(dp.n_direct) AS BIGINT)
+         |    AS n_transitive_only,
+         |  CAST(sum(s * (s - 1) // 2) * 10000
+         |    // greatest(max(dp.n_direct), 1) AS BIGINT)
+         |    AS inflation_e4
+         |FROM sz CROSS JOIN dp
+         |CROSS JOIN (SELECT max(s) AS max_s FROM sz) sz2""".stripMargin,
     "q_llm_dedup_survivorship" ->
       s"""WITH cl AS ($dupClustersSql),
          |${ModelPrep.scoreCte},

@@ -924,7 +924,62 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Ljung–Box white-noise test (round 8): the SIGNIFICANCE layer on
+    * q_ts_acf — per user, Q = n(n+2)·Σ_{k≤3} r_k²/(n−k) against
+    * χ²(3, 95%) = 7.815 (the authored 78150 e4 literal). Q·10⁴ folds
+    * from the SAME integer moments the acf row emits, with r_k
+    * QUANTIZED to e4 before squaring (a shared definition both
+    * engines execute verbatim — the raw num²/den² form needs 10²²
+    * products that overflow BIGINT and fought Spark's decimal
+    * planner; the quantized form stays ≤ ~10¹⁵ in plain longs and is
+    * the acf row's own emitted granularity anyway).
+    * The fixture result is its own sanity pin:
+    * 6 of 150 users reject white noise ≈ the 5% false-positive rate
+    * α promises on genuinely uncorrelated data.
+    *
+    * Shape: identical to acfLags (mean window + three leads + one
+    * grouped fold) — one extra 1-row-per-user projection. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("ts_ns"), col("event_id"))
+    // r_k is quantized to e4 BEFORE squaring (a shared definition:
+    // both engines run this exact text) — the raw num²/den² form needs
+    // 10²²-scale products that fought Spark's decimal planning; the
+    // quantized form keeps every intermediate ≤ ~10¹⁵ in plain BIGINT
+    val q = """n * (n + 2)
+      | * ((num1 * 10000 div greatest(den, 1))
+      |      * (num1 * 10000 div greatest(den, 1))
+      |      div greatest(n - 1, 1)
+      |  + (num2 * 10000 div greatest(den, 1))
+      |      * (num2 * 10000 div greatest(den, 1))
+      |      div greatest(n - 2, 1)
+      |  + (num3 * 10000 div greatest(den, 1))
+      |      * (num3 * 10000 div greatest(den, 1))
+      |      div greatest(n - 3, 1))
+      | div 10000""".stripMargin
+    events(spark, dir)
+      .withColumn("x", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("mean_x",
+        expr("sum(x) OVER (PARTITION BY user_id)" +
+          " div count(1) OVER (PARTITION BY user_id)"))
+      .withColumn("c", col("x") - col("mean_x"))
+      .withColumn("c1", lead(col("c"), 1).over(ordered))
+      .withColumn("c2", lead(col("c"), 2).over(ordered))
+      .withColumn("c3", lead(col("c"), 3).over(ordered))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c") * col("c")).as("den"),
+        coalesce(sum(col("c") * col("c1")), lit(0L)).as("num1"),
+        coalesce(sum(col("c") * col("c2")), lit(0L)).as("num2"),
+        coalesce(sum(col("c") * col("c3")), lit(0L)).as("num3"))
+      .select(col("user_id"), col("n"),
+        expr(s"CAST($q AS BIGINT)").as("q_e4"),
+        expr(s"$q > 78150").as("white_noise_rejected"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ljung_box" -> ljungBox,
     "q_ts_max_drawdown" -> maxDrawdown,
     "q_ts_anomaly_attribution" -> anomalyAttribution,
     "q_ts_forecast_baselines" -> forecastBaselines,
@@ -951,6 +1006,51 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_ljung_box" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events),
+        |m AS (SELECT *, sum(x) OVER (PARTITION BY user_id)
+        |   // count(*) OVER (PARTITION BY user_id) AS mean_x FROM e),
+        |cc AS (SELECT user_id, event_id, ts_us, x - mean_x AS c
+        |  FROM m),
+        |w AS (SELECT user_id, c,
+        |   lead(c, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS c1,
+        |   lead(c, 2) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS c2,
+        |   lead(c, 3) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS c3
+        |  FROM cc),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c * c) AS BIGINT) AS den,
+        |   CAST(coalesce(sum(c * c1), 0) AS BIGINT) AS num1,
+        |   CAST(coalesce(sum(c * c2), 0) AS BIGINT) AS num2,
+        |   CAST(coalesce(sum(c * c3), 0) AS BIGINT) AS num3
+        |  FROM w GROUP BY 1)
+        |SELECT user_id, n,
+        |  CAST(n * (n + 2)
+        |    * ((num1 * 10000 // greatest(den, 1))
+        |         * (num1 * 10000 // greatest(den, 1))
+        |         // greatest(n - 1, 1)
+        |     + (num2 * 10000 // greatest(den, 1))
+        |         * (num2 * 10000 // greatest(den, 1))
+        |         // greatest(n - 2, 1)
+        |     + (num3 * 10000 // greatest(den, 1))
+        |         * (num3 * 10000 // greatest(den, 1))
+        |         // greatest(n - 3, 1))
+        |    // 10000 AS BIGINT) AS q_e4,
+        |  n * (n + 2)
+        |    * ((num1 * 10000 // greatest(den, 1))
+        |         * (num1 * 10000 // greatest(den, 1))
+        |         // greatest(n - 1, 1)
+        |     + (num2 * 10000 // greatest(den, 1))
+        |         * (num2 * 10000 // greatest(den, 1))
+        |         // greatest(n - 2, 1)
+        |     + (num3 * 10000 // greatest(den, 1))
+        |         * (num3 * 10000 // greatest(den, 1))
+        |         // greatest(n - 3, 1))
+        |    // 10000 > 78150 AS white_noise_rejected
+        |FROM g ORDER BY user_id""".stripMargin,
     "q_ts_max_drawdown" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 377
+    val documented = 380
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2545,6 +2545,46 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Long]("n_planted"), r.getAs[Long]("n_planted_caught"))
     assert(caught <= planted && caught <= out, r)
     assert(out <= n, r)
+  }
+
+  test("ts_ljung_box: Q is nonnegative, the verdict replays, and the " +
+      "rejection rate sits near the 5% alpha on white-noise data") {
+    val rows = SparkEntry.queries("q_ts_ljung_box")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_e4")
+      assert(q >= 0, r)
+      assert(r.getAs[Boolean]("white_noise_rejected") == (q > 78150L), r)
+    }
+    val rejRate = rows.count(_.getAs[Boolean]("white_noise_rejected"))
+      .toDouble / rows.length
+    assert(rejRate <= 0.15, s"rejection rate $rejRate on iid values")
+  }
+
+  test("events_absorption: the curve is monotone in steps and every " +
+      "probability stays in [0, 1e6]") {
+    val rows = SparkEntry.queries("q_events_absorption")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach { r =>
+      val (a1, a3, a5) = (r.getAs[Long]("a1_e6"), r.getAs[Long]("a3_e6"),
+        r.getAs[Long]("a5_e6"))
+      assert(a1 >= 0 && a5 <= 1000000L, r)
+      assert(a1 <= a3 && a3 <= a5, r) // value iteration only adds mass
+    }
+  }
+
+  test("llm_cluster_inflation: implied pairs bound direct pairs and " +
+      "the inflation ratio replays") {
+    val r = SparkEntry.queries("q_llm_cluster_inflation")(spark, sf)
+      .collect().head
+    val (imp, dir) = (r.getAs[Long]("n_implied_pairs"),
+      r.getAs[Long]("n_direct_pairs"))
+    assert(imp >= dir, r) // every direct pair lies inside one cluster
+    assert(r.getAs[Long]("n_transitive_only") == imp - dir, r)
+    assert(r.getAs[Long]("inflation_e4") ==
+      imp * 10000 / math.max(dir, 1), r)
+    assert(r.getAs[Long]("max_cluster") >= 2, r)
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
