@@ -401,7 +401,38 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Weighted percentiles (round 8): the quantity-weighted p25/50/75
+    * of the unit price per return flag — "the price a MEDIAN UNIT
+    * shipped at", not the median line item (a 50-unit line should
+    * count 50×; the unweighted median row already exists as
+    * q_agg_median). Exact by the distribution-counting discipline:
+    * fold weights per distinct cent value, one running-weight window
+    * per group, cut points via integer cross-multiplication
+    * (4·cw ≥ tw etc. — no division at all).
+    *
+    * Shape: value-support fold (partial-aggregable) → one support-
+    * sized window per group → 3-cut fold. */
+  def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("c"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("w"))
+      .groupBy(col("flag"), col("c")).agg(sum(col("w")).as("w"))
+    val byFlag = Window.partitionBy(col("flag"))
+    g.withColumn("cw", sum(col("w")).over(byFlag.orderBy(col("c"))))
+      .withColumn("tw", sum(col("w")).over(byFlag))
+      .groupBy(col("flag"))
+      .agg(max(col("tw")).as("total_weight"),
+        min(when(expr("4 * cw >= tw"), col("c"))).as("wp25_c"),
+        min(when(expr("2 * cw >= tw"), col("c"))).as("wp50_c"),
+        min(when(expr("4 * cw >= 3 * tw"), col("c"))).as("wp75_c"))
+      .orderBy(col("flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_weighted_median" -> weightedPercentiles,
     "q_agg_hll_intersect" -> hllIntersect,
     "q_agg_moments" -> momentsAgg,
     "q_agg_hist_bucket" -> histBucket,
@@ -427,6 +458,24 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_weighted_median" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+        |   CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT flag, c, sum(w) AS w FROM v GROUP BY 1, 2),
+        |r AS (SELECT flag, c, w,
+        |   sum(w) OVER (PARTITION BY flag ORDER BY c) AS cw,
+        |   sum(w) OVER (PARTITION BY flag) AS tw
+        |  FROM g)
+        |SELECT flag, CAST(max(tw) AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN 4 * cw >= tw THEN c END) AS BIGINT)
+        |    AS wp25_c,
+        |  CAST(min(CASE WHEN 2 * cw >= tw THEN c END) AS BIGINT)
+        |    AS wp50_c,
+        |  CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN c END) AS BIGINT)
+        |    AS wp75_c
+        |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
     "q_agg_hll_intersect" ->
       """WITH ev AS (SELECT event_type, user_id,
         |   epoch_us(ts) // 86400000000 AS day FROM events),

@@ -863,7 +863,37 @@ object ModelPrep {
       .orderBy(col("source"))
   }
 
+  /** Embedding-space outlier scan (round 8): the vectors farthest
+    * from their OWN label's centroid — the mislabeled-candidate /
+    * corrupt-vector queue an embedding pipeline reviews before
+    * training a classifier on the labels. Exact integers: dims
+    * floored to e4, centroid = floored per-dim mean (the kmeansStep
+    * quantization), dist² = Σ(v − c)² in BIGINT (64 dims × (2·10⁴)²
+    * ≈ 2.6·10¹⁰ per vector — no overflow lane needed at any corpus
+    * size since dims and the e4 grid are fixed). Top-10 by distance,
+    * vec_id tie-break.
+    *
+    * Shape (100 TB): posexplode (map-side) → (label, dim) centroid
+    * fold (k·64 rows, broadcastable) → map-side dist² fold →
+    * TakeOrderedAndProject top-10. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dims = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("CAST(floor(e * 10000 + 0.5) AS BIGINT)").as("v"))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(expr("sum(v) div count(1)").as("cv"))
+    dims.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+        .as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_embed_outliers" -> embedOutliers,
     "q_llm_bradley_terry" -> bradleyTerry,
     "q_llm_pairwise_wins" -> pairwiseWins,
     "q_llm_best_of_n" -> bestOfN,
@@ -914,6 +944,22 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_embed_outliers" ->
+      """WITH dims AS (SELECT vec_id, label, i AS dim,
+        |   CAST(floor(e * 10000 + 0.5) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
+        |     generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |cent AS (SELECT label, dim,
+        |   CAST(sum(v) // count(*) AS BIGINT) AS cv
+        |  FROM dims GROUP BY 1, 2),
+        |d2 AS (SELECT dims.vec_id, dims.label,
+        |   CAST(sum((dims.v - cent.cv) * (dims.v - cent.cv))
+        |     AS BIGINT) AS dist2
+        |  FROM dims JOIN cent ON cent.label = dims.label
+        |    AND cent.dim = dims.dim
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label, dist2 FROM d2
+        |ORDER BY dist2 DESC, vec_id LIMIT 10""".stripMargin,
     "q_llm_bradley_terry" -> {
       s"""WITH $scoreCte,
          |e AS (SELECT d.doc_id // 20 AS grp, d.source,
