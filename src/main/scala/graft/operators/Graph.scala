@@ -919,7 +919,51 @@ object Graph {
           .as("transitivity_e4"))
   }
 
+  /** Community label entropy (round 8): are the LPA communities
+    * BRAND-coherent? Per community (top-10 by size): member count,
+    * distinct brands, the modal brand (min-brand tie-break), and the
+    * brand-mix Shannon entropy in e3 nats (the lnE3 floor-once
+    * family) — the graph-community twin of q_llm_cluster_purity's
+    * embedding-cluster purity. Low entropy = the co-purchase graph
+    * recovers brand structure; high entropy = communities are
+    * cross-brand baskets. Consumes lpaParts' label frame (shared with
+    * q_graph_lpa/modularity, so the three rows can't disagree about
+    * the partition).
+    *
+    * Shape: label frame ⋈ broadcast part dim → (community, brand)
+    * census → community-sized folds; top-10 via TakeOrdered. */
+  def communityEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = lpaParts(spark, dir)._2
+    val bc = labels
+      .join(broadcast(part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("n"))
+      .groupBy(col("lab"), col("p_brand"))
+      .agg(count(lit(1)).as("c"))
+    val sz = bc.groupBy(col("lab"))
+      .agg(sum(col("c")).as("n_nodes"),
+        count(lit(1)).as("n_brands"))
+    val topb = bc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("lab"))
+          .orderBy(col("c").desc, col("p_brand"))))
+      .filter(col("rn") === 1)
+      .select(col("lab"), col("p_brand").as("top_brand"))
+    val h = bc.join(sz.select(col("lab"), col("n_nodes")), "lab")
+      .groupBy(col("lab"))
+      .agg(expr("""CAST(sum(c *
+        | (CAST(floor(ln(n_nodes) * 1000 + 0.5) AS BIGINT)
+        |  - CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT)))
+        | div max(n_nodes) AS BIGINT)""".stripMargin).as("h_e3"))
+    sz.orderBy(col("n_nodes").desc, col("lab")).limit(10)
+      .join(topb, "lab").join(h, "lab")
+      .select(col("lab").as("community"), col("n_nodes"),
+        col("n_brands"), col("top_brand"), col("h_e3"))
+      .orderBy(col("n_nodes").desc, col("community"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_community_entropy" -> communityEntropy,
     "q_graph_transitivity" -> transitivity,
     "q_graph_richclub" -> richClub,
     "q_basket_lift" -> basketLift,
@@ -960,6 +1004,31 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_community_entropy" -> {
+      s"""WITH $lpaCtes,
+         |bc AS (SELECT l2.lab, p.p_brand,
+         |   CAST(count(*) AS BIGINT) AS c
+         |  FROM l2 JOIN part p ON p.p_partkey = l2.n
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT lab, CAST(sum(c) AS BIGINT) AS n_nodes,
+         |   CAST(count(*) AS BIGINT) AS n_brands FROM bc GROUP BY 1),
+         |topb AS (SELECT lab, p_brand AS top_brand FROM (
+         |   SELECT lab, p_brand, row_number() OVER (PARTITION BY lab
+         |     ORDER BY c DESC, p_brand) AS rn FROM bc) WHERE rn = 1),
+         |h AS (SELECT bc.lab,
+         |   CAST(sum(bc.c *
+         |     (CAST(floor(ln(sz.n_nodes) * 1000 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln(bc.c) * 1000 + 0.5) AS BIGINT)))
+         |     // max(sz.n_nodes) AS BIGINT) AS h_e3
+         |  FROM bc JOIN sz ON sz.lab = bc.lab GROUP BY bc.lab),
+         |top10 AS (SELECT lab, n_nodes, n_brands FROM sz
+         |  ORDER BY n_nodes DESC, lab LIMIT 10)
+         |SELECT top10.lab AS community, top10.n_nodes, top10.n_brands,
+         |  topb.top_brand, h.h_e3
+         |FROM top10 JOIN topb ON topb.lab = top10.lab
+         |JOIN h ON h.lab = top10.lab
+         |ORDER BY n_nodes DESC, community""".stripMargin
+    },
     "q_graph_transitivity" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

@@ -1570,6 +1570,74 @@ object LlmOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Pseudo-relevance-feedback expansion (round 8): the Rocchio-lite
+    * step after BM25 — take the top-5 retrieved docs, rank the terms
+    * they contain (query terms and stopwords excluded) by
+    * tf_top · idfE3 (idfE3 = lnE3(N) − lnE3(df), the floor-once
+    * discipline), and propose the top-5 as query expansions. Composed
+    * from the SAME bm25Scored frame as the ranking rows (the
+    * nDCG/MRR rule: expansion can't drift from what was retrieved).
+    *
+    * Shape: TakeOrdered top-5 probe (broadcast) → one token-stream
+    * semi-join + census; the df side is the inverted-index fold the
+    * corpus already pays once. */
+  def prfExpand(spark: SparkSession, dir: String): DataFrame = {
+    val top5 = bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+      .select(col("doc_id"))
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val excluded = bm25Terms ++
+      Seq("the", "a", "of", "and", "to", "in", "is")
+    val tfTop = toks.join(broadcast(top5), "doc_id")
+      .filter(!col("tok").isin(excluded: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf_top"))
+    val dfs = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("nn"))
+    tfTop.join(dfs, "tok").crossJoin(broadcast(n))
+      .select(col("tok").as("term"), col("tf_top"), col("df"),
+        expr("tf_top * (CAST(floor(ln(nn) * 1000 + 0.5) AS BIGINT)" +
+          " - CAST(floor(ln(df) * 1000 + 0.5) AS BIGINT))")
+          .as("score_e3"))
+      .orderBy(col("score_e3").desc, col("term"))
+      .limit(5)
+  }
+
+  /** Prompt prefix-cache analysis (round 8): how much prefill compute
+    * would a prefix cache save on this corpus? Docs sharing an exact
+    * 10-token prefix (md5-grouped) re-use the first 10 tokens'
+    * KV-cache after the first member — savings = Σ (group−1)·10
+    * tokens over groups of size ≥ 2. The serving-side twin of the
+    * dedup family: near-dup docs share prefixes (the 47 docs in 23
+    * groups here ARE the near-dup population), so the cache-hit
+    * census doubles as a dedup cross-check. Docs shorter than 10
+    * tokens are excluded (documented precondition — their prefix is
+    * not comparable).
+    *
+    * Shape: map-side prefix hash → one groupBy census → 1-row fold. */
+  def prefixCache(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 10)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        expr(h60("array_join(slice(tk, 1, 10), ' ')")).as("p"))
+    val g = d.groupBy(col("p"))
+      .agg(count(lit(1)).as("ng"), sum(col("n_tok")).as("toks"))
+    g.agg(sum(col("ng")).as("n_docs"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(col("ng") > 1, 1L).otherwise(0L)).as("n_groups_shared"),
+        sum(when(col("ng") > 1, col("ng")).otherwise(0L))
+          .as("n_docs_shared"),
+        sum(when(col("ng") > 1, (col("ng") - 1) * 10L).otherwise(0L))
+          .as("tokens_saved"))
+      .select(col("n_docs"), col("tokens_total"),
+        col("n_groups_shared"), col("n_docs_shared"),
+        col("tokens_saved"),
+        expr("tokens_saved * 10000 div greatest(tokens_total, 1)")
+          .as("saved_share_e4"))
+  }
+
   def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
     bm25Scored(spark, dir)
       .orderBy(col("bm25").desc, col("doc_id"))
@@ -2458,6 +2526,8 @@ object LlmOps {
     "q_llm_dup_cluster_sizes" -> dupClusterSizes,
     "q_llm_dedup_survivorship" -> dedupSurvivorship,
     "q_llm_cluster_inflation" -> clusterInflation,
+    "q_llm_prf_expand" -> prfExpand,
+    "q_llm_prefix_cache" -> prefixCache,
     "q_llm_soft_dedup" -> softDedup,
     "q_llm_neardup_sources" -> neardupSourceMatrix,
     "q_llm_simhash" -> simhash,
@@ -2892,6 +2962,47 @@ object LlmOps {
          |JOIN documents da ON a_id = da.doc_id
          |JOIN documents db ON b_id = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_llm_prf_expand" ->
+      s"""WITH $bm25Ctes,
+         |top5 AS (SELECT doc_id FROM bmsc
+         |  ORDER BY bm25 DESC, doc_id LIMIT 5),
+         |tftop AS (SELECT toks.tok, CAST(count(*) AS BIGINT) AS tf_top
+         |  FROM toks JOIN top5 ON top5.doc_id = toks.doc_id
+         |  WHERE toks.tok NOT IN ('${bm25Terms(0)}',
+         |    '${bm25Terms(1)}', '${bm25Terms(2)}',
+         |    'the', 'a', 'of', 'and', 'to', 'in', 'is')
+         |  GROUP BY toks.tok),
+         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok FROM toks)
+         |  GROUP BY tok),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+         |SELECT tftop.tok AS term, tftop.tf_top, dfs.df,
+         |  CAST(tf_top * (CAST(floor(ln(nn.nn) * 1000 + 0.5)
+         |    AS BIGINT) - CAST(floor(ln(dfs.df) * 1000 + 0.5)
+         |    AS BIGINT)) AS BIGINT) AS score_e3
+         |FROM tftop JOIN dfs ON dfs.tok = tftop.tok CROSS JOIN nn
+         |ORDER BY score_e3 DESC, term LIMIT 5""".stripMargin,
+    "q_llm_prefix_cache" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 10),
+        |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |   CAST('0x' || substr(md5(array_to_string(tk[1:10], ' ')),
+        |     1, 15) AS BIGINT) AS p
+        |  FROM d),
+        |g AS (SELECT p, CAST(count(*) AS BIGINT) AS ng,
+        |   CAST(sum(n_tok) AS BIGINT) AS toks FROM p GROUP BY p)
+        |SELECT CAST(sum(ng) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN ng > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_shared,
+        |  CAST(sum(CASE WHEN ng > 1 THEN ng ELSE 0 END) AS BIGINT)
+        |    AS n_docs_shared,
+        |  CAST(sum(CASE WHEN ng > 1 THEN (ng - 1) * 10 ELSE 0 END)
+        |    AS BIGINT) AS tokens_saved,
+        |  CAST(sum(CASE WHEN ng > 1 THEN (ng - 1) * 10 ELSE 0 END)
+        |    * 10000 // greatest(sum(toks), 1) AS BIGINT)
+        |    AS saved_share_e4
+        |FROM g""".stripMargin,
     "q_llm_cluster_inflation" ->
       s"""WITH cl AS ($dupClustersSql),
          |dp AS (SELECT CAST(count(*) AS BIGINT) AS n_direct

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 383
+    val documented = 386
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2628,6 +2628,51 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.toSeq == ds.sortBy(-_).toSeq)
     // 64 dims, each diff <= 2*1e4 in the e4 grid => dist2 <= 64*(2e4)^2
     ds.foreach(d => assert(d > 0 && d <= 64L * 40000L * 40000L, d))
+  }
+
+  test("llm_prf_expand: five expansion terms, none a query term or " +
+      "stopword, scores ranked and nonnegative") {
+    val rows = SparkEntry.queries("q_llm_prf_expand")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    val banned = Set("join", "vector", "scan",
+      "the", "a", "of", "and", "to", "in", "is")
+    val scores = rows.map(_.getAs[Long]("score_e3"))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      assert(!banned.contains(r.getAs[String]("term")), r)
+      assert(r.getAs[Long]("df") > 0, r)
+      assert(r.getAs[Long]("score_e3") >= 0, r) // df <= N => idf >= 0
+    }
+  }
+
+  test("llm_prefix_cache: shared docs bound groups, savings replay, " +
+      "and the share is a probability") {
+    val r = SparkEntry.queries("q_llm_prefix_cache")(spark, sf)
+      .collect().head
+    val (g, d) = (r.getAs[Long]("n_groups_shared"),
+      r.getAs[Long]("n_docs_shared"))
+    assert(d >= 2 * g, r) // every shared group has >= 2 docs
+    assert(r.getAs[Long]("tokens_saved") == (d - g) * 10L, r)
+    val sh = r.getAs[Long]("saved_share_e4")
+    assert(sh >= 0 && sh <= 10000, r)
+    assert(d <= r.getAs[Long]("n_docs"), r)
+  }
+
+  test("graph_community_entropy: top-10 by size, entropy bounded by " +
+      "ln(brands), and a one-brand community has zero entropy") {
+    val rows = SparkEntry.queries("q_graph_community_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val sizes = rows.map(_.getAs[Long]("n_nodes"))
+    assert(sizes.toSeq == sizes.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      val (b, h) = (r.getAs[Long]("n_brands"), r.getAs[Long]("h_e3"))
+      assert(b >= 1 && h >= 0, r)
+      assert(h <= math.floor(math.log(b.toDouble) * 1000).toLong + 2, r)
+      if (b == 1) assert(h == 0, r)
+      assert(r.getAs[String]("top_brand").nonEmpty, r)
+    }
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
