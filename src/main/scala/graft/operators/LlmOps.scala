@@ -444,6 +444,28 @@ object LlmOps {
       .orderBy(col("probe_id"))
   }
 
+  /** Label-noise estimate (round 8): share of audited vectors whose
+    * 5-NN majority label disagrees with their own — the standard
+    * cheap noise-rate probe run before training a classifier on
+    * harvested labels (Northcutt's confident-learning intuition at
+    * k-NN fidelity). Consumes knnLabel's OUTPUT over its bounded
+    * 20-probe audit population (the quarantined-all-pairs rule: the
+    * probe set, not the corpus, bounds the cross join).
+    *
+    * Shape: knnLabel's plan + one 20-row join and fold. */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val pred = knnLabel(spark, dir)
+      .select(col("probe_id"), col("pred_label"))
+    val truth = embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("label"))
+    pred.join(truth, col("vec_id") === col("probe_id"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("pred_label") =!= col("label"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .select(col("n_probes"), col("n_mismatch"),
+        expr("n_mismatch * 10000 div n_probes").as("noise_share_e4"))
+  }
+
   /** Hard-triplet mining (round 6): per probe, the hardest positive
     * (same label, LOWEST cosine — the in-class example the model finds
     * least similar) and the hardest negative (different label, HIGHEST
@@ -2528,6 +2550,7 @@ object LlmOps {
     "q_llm_cluster_inflation" -> clusterInflation,
     "q_llm_prf_expand" -> prfExpand,
     "q_llm_prefix_cache" -> prefixCache,
+    "q_llm_label_noise" -> labelNoise,
     "q_llm_soft_dedup" -> softDedup,
     "q_llm_neardup_sources" -> neardupSourceMatrix,
     "q_llm_simhash" -> simhash,
@@ -3108,6 +3131,34 @@ object LlmOps {
          |  FROM scored)
          |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
          |ORDER BY probe_id, rank""".stripMargin,
+    "q_llm_label_noise" ->
+      s"""WITH $cosCte,
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id, c.label,
+         |  round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+         |    AS cos
+         |  FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 20),
+         |knn AS (SELECT probe_id, label FROM (
+         |  SELECT probe_id, label,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored) t WHERE rank <= 5),
+         |votes AS (SELECT probe_id, label, count(*) AS votes
+         |  FROM knn GROUP BY probe_id, label),
+         |pr AS (SELECT probe_id, label AS pred_label FROM (
+         |  SELECT probe_id, label, votes,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY votes DESC, label) AS rn
+         |  FROM votes) t WHERE rn = 1),
+         |tr AS (SELECT vec_id, label FROM embeddings
+         |  WHERE vec_id < 20)
+         |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN pr.pred_label <> tr.label
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |  CAST(sum(CASE WHEN pr.pred_label <> tr.label
+         |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+         |    AS noise_share_e4
+         |FROM pr JOIN tr ON tr.vec_id = pr.probe_id""".stripMargin,
     "q_llm_knn_label" ->
       s"""WITH $cosCte,
          |scored AS (SELECT p.vec_id AS probe_id, c.vec_id, c.label,

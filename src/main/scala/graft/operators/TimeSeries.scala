@@ -1022,7 +1022,35 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** Rolling 7-day trend slope (round 8): per day, the least-squares
+    * slope of the trailing 7-day window of the daily count — the
+    * live "is it trending up RIGHT NOW" monitor (q_ts_regr_slope is
+    * the global fit; this is its windowed twin, one row per day).
+    * Five windowed moments over one ROWS frame, slope_e6 by the
+    * shared integer formula; short leading windows (n < 7) emit
+    * their own n_window so the warm-up is visible.
+    *
+    * Shape: day census → ONE window pass with five sums → map-side
+    * slope. */
+  def rollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+    events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sd", sum(col("d")).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sdx", sum(col("d") * col("x")).over(w))
+      .withColumn("sdd", sum(col("d") * col("d")).over(w))
+      .select(col("d").as("day"), col("n").as("n_window"),
+        expr("""CAST(CASE WHEN n * sdd - sd * sd <> 0
+          |THEN (n * sdx - sd * sx) * 1000000 div (n * sdd - sd * sd)
+          |ELSE 0 END AS BIGINT)""".stripMargin).as("slope_e6"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_rolling_slope" -> rollingSlope,
     "q_ts_period_detect" -> periodDetect,
     "q_ts_ljung_box" -> ljungBox,
     "q_ts_max_drawdown" -> maxDrawdown,
@@ -1051,6 +1079,20 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_rolling_slope" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |w AS (SELECT d, x,
+        |   count(*) OVER win AS n, sum(d) OVER win AS sd,
+        |   sum(x) OVER win AS sx, sum(d * x) OVER win AS sdx,
+        |   sum(d * d) OVER win AS sdd
+        |  FROM daily WINDOW win AS (ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT d AS day, CAST(n AS BIGINT) AS n_window,
+        |  CAST(CASE WHEN n * sdd - sd * sd <> 0
+        |   THEN (n * sdx - sd * sx) * 1000000 // (n * sdd - sd * sd)
+        |   ELSE 0 END AS BIGINT) AS slope_e6
+        |FROM w ORDER BY day""".stripMargin,
     "q_ts_period_detect" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

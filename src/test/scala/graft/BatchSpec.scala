@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 386
+    val documented = 389
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2673,6 +2673,36 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (b == 1) assert(h == 0, r)
       assert(r.getAs[String]("top_brand").nonEmpty, r)
     }
+  }
+
+  test("llm_label_noise: audits exactly the 20-probe population and " +
+      "the share replays") {
+    val r = SparkEntry.queries("q_llm_label_noise")(spark, sf)
+      .collect().head
+    val (n, m) = (r.getAs[Long]("n_probes"), r.getAs[Long]("n_mismatch"))
+    assert(n == 20L, r)
+    assert(m >= 0 && m <= n, r)
+    assert(r.getAs[Long]("noise_share_e4") == m * 10000 / n, r)
+  }
+
+  test("ts_rolling_slope: one row per active day and the warm-up " +
+      "window census counts up to 7") {
+    val rows = SparkEntry.queries("q_ts_rolling_slope")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_window") == math.min(i + 1, 7).toLong, r)
+    }
+  }
+
+  test("win_range_vs_rows: the frames disagree on a gappy series and " +
+      "the share replays from the census") {
+    val r = SparkEntry.queries("q_win_range_vs_rows")(spark, sf)
+      .collect().head
+    val (n, d) = (r.getAs[Long]("n_user_days"), r.getAs[Long]("n_differ"))
+    assert(d > 0 && d <= n, r) // gaps exist => the frames MUST differ
+    assert(r.getAs[Long]("differ_share_e4") == d * 10000 / n, r)
+    assert(r.getAs[Long]("max_abs_diff") >= 1, r)
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
