@@ -431,7 +431,30 @@ object Aggregates {
       .orderBy(col("flag"))
   }
 
+  /** Geometric vs arithmetic mean (round 8): per source, the quality
+    * score's AM (e4) and log-GM (Σ lnE3(s) div n, e3 log-space — the
+    * exact-components discipline: GM itself is irrational, its LOG is
+    * a lnE3 sum both engines replay). GM is the right mean for
+    * ratio-like scores (one near-zero doc drags GM, barely moves AM —
+    * exactly the sensitivity a curation dashboard wants); the AM ≥ GM
+    * inequality is pinned in BatchSpec as the cross-check.
+    *
+    * Shape: score scan → one partial-aggregable per-source fold. */
+  def geoMean(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(ModelPrep.qualityLogreg(spark, dir)
+        .select(col("doc_id"),
+          expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(s) div count(1)").as("am_e4"),
+        expr("""sum(CAST(floor(ln(s) * 1000 + 0.5) AS BIGINT))
+          | div count(1)""".stripMargin).as("log_gm_e3"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_geomean" -> geoMean,
     "q_agg_weighted_median" -> weightedPercentiles,
     "q_agg_hll_intersect" -> hllIntersect,
     "q_agg_moments" -> momentsAgg,
@@ -458,6 +481,17 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_geomean" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |s1 AS (SELECT d.source,
+         |   CAST(floor(sc0.score * 10000 + 0.5) AS BIGINT) AS s
+         |  FROM documents d JOIN sc0 ON sc0.doc_id = d.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(s) // count(*) AS BIGINT) AS am_e4,
+         |  CAST(sum(CAST(floor(ln(s) * 1000 + 0.5) AS BIGINT))
+         |    // count(*) AS BIGINT) AS log_gm_e3
+         |FROM s1 GROUP BY 1 ORDER BY source""".stripMargin
+    },
     "q_agg_weighted_median" ->
       """WITH v AS (SELECT l_returnflag AS flag,
         |   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,

@@ -1365,7 +1365,35 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** First-touch attribution (round 8): completes the attribution
+    * trio — last-touch (q_attr_last_touch) credits the closer,
+    * linear (q_attr_linear_multi) splits evenly, first-touch credits
+    * the DISCOVERY channel: the earliest click/view strictly before
+    * the user's first purchase. Same window discipline ((ts, id)
+    * total order), same touch universe, so the three rows form a
+    * comparable attribution panel.
+    *
+    * Shape: per-user first-purchase fold → touch filter → one rank
+    * window → channel census. */
+  def firstTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_ts"))
+    e.join(fp, Seq("user_id"))
+      .filter(col("ts_us") < col("p_ts") &&
+        col("event_type").isin("click", "view"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attr_first_touch" -> firstTouchAttribution,
     "q_events_engagement_value" -> engagementValue,
     "q_events_absorption" -> absorptionCurve,
     "q_events_cumulative_users" -> cumulativeUsers,
@@ -1406,6 +1434,24 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attr_first_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |fp AS (SELECT user_id, min(ts_us) AS p_ts FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |touches AS (SELECT e.user_id, e.event_type, e.ts_us,
+        |   e.event_id
+        |  FROM e JOIN fp ON fp.user_id = e.user_id
+        |  WHERE e.ts_us < fp.p_ts
+        |    AND e.event_type IN ('click', 'view')),
+        |first_t AS (SELECT user_id, event_type FROM (
+        |   SELECT user_id, event_type,
+        |     row_number() OVER (PARTITION BY user_id
+        |       ORDER BY ts_us, event_id) AS rn FROM touches)
+        |  WHERE rn = 1)
+        |SELECT event_type AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_conversions
+        |FROM first_t GROUP BY 1 ORDER BY channel""".stripMargin,
     "q_events_engagement_value" ->
       """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
         |   CAST(sum(CASE WHEN event_type = 'purchase'

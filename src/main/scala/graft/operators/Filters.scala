@@ -73,7 +73,34 @@ object Filters {
       .orderBy(col("event_id"))
   }
 
+  /** Three-valued logic census (round 8): on a genuinely nullable key
+    * (the JSON k, nulled when divisible by 3 — q_join_null_safe's
+    * population), the predicate k > 50 partitions rows into TRUE /
+    * FALSE / UNKNOWN — and the row proves the partition sums exactly
+    * to n (so `NOT p` filters FEWER rows than `n − count(p)`, the
+    * filter bug three-valued logic causes in practice). The executable
+    * documentation of NULL predicate semantics, the filter-family
+    * counterpart of the RANGE-vs-ROWS row.
+    *
+    * Shape: map-side JSON extract + one 1-row fold. */
+  def threeValued(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k0",
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+      .withColumn("k",
+        expr("CASE WHEN k0 % 3 = 0 THEN NULL ELSE k0 END"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_true"),
+        sum(when(!(col("k") > 50), 1L).otherwise(0L)).as("n_false"),
+        sum(when((col("k") > 50).isNull, 1L).otherwise(0L))
+          .as("n_null"))
+      .select(col("n_rows"), col("n_true"), col("n_false"),
+        col("n_null"),
+        (col("n_true") + col("n_false") + col("n_null") ===
+          col("n_rows")).as("partitions_ok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_three_valued" -> threeValued,
     "q_project_compute" -> projectCompute,
     "q_filter_eq" -> filterEq,
     "q_filter_compound" -> filterCompound,
@@ -82,6 +109,24 @@ object Filters {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_filter_three_valued" ->
+      """WITH e AS (SELECT event_id,
+        |   try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k0
+        |  FROM events),
+        |e2 AS (SELECT event_id,
+        |   CASE WHEN k0 % 3 = 0 THEN NULL ELSE k0 END AS k FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true,
+        |  CAST(sum(CASE WHEN NOT (k > 50) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false,
+        |  CAST(sum(CASE WHEN (k > 50) IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null,
+        |  sum(CASE WHEN k > 50 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN NOT (k > 50) THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN (k > 50) IS NULL THEN 1 ELSE 0 END)
+        |   = count(*) AS partitions_ok
+        |FROM e2""".stripMargin,
     "q_project_compute" ->
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1 - l_discount) AS revenue

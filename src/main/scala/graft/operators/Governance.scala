@@ -663,7 +663,43 @@ object Governance {
           .as("n_planted_caught"))
   }
 
+  /** Order-independent table checksums (round 8): the replication /
+    * migration reconciliation primitive — per table, a row-content
+    * fingerprint that any system computing the same per-row hash can
+    * reproduce REGARDLESS of row order or partitioning: bit_xor of
+    * the h60 row hash plus a modular sum (two independent folds, so
+    * a swapped pair that cancels in xor still trips the sum). Row
+    * keys: (doc_id, text) for documents, (event_id, user_id, type)
+    * for events, (orderkey, linenumber, cents price) for lineitem.
+    * The cheap answer to "did the copy arrive intact" that
+    * dq_reconcile's aggregate compare can't give at row granularity.
+    *
+    * Shape: three map-side hash projections → 3-group commutative
+    * fold (both combiners are order-independent BY CONSTRUCTION —
+    * that is the point). */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
+    def arm(df: DataFrame, name: String, keyExpr: String) =
+      df.select(expr(graft.operators.LlmOps.h60(keyExpr)).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_check"),
+          expr("sum(h % 1000000007) % 1000000007").as("sum_check"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("xor_check"),
+          col("sum_check"))
+    arm(documents(spark, dir), "documents",
+        "concat(CAST(doc_id AS STRING), '|', text)")
+      .unionAll(arm(events(spark, dir), "events",
+        "concat(CAST(event_id AS STRING), '|'," +
+          " CAST(user_id AS STRING), '|', event_type)"))
+      .unionAll(arm(lineitem(spark, dir), "lineitem",
+        "concat(CAST(l_orderkey AS STRING), '|'," +
+          " CAST(l_linenumber AS STRING), '|'," +
+          " CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+          " AS STRING))"))
+      .orderBy(col("tbl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_table_checksum" -> tableChecksums,
     "q_dq_balance_fences" -> balanceFences,
     "q_priv_uniqueness_curve" -> uniquenessCurve,
     "q_dq_temporal_order" -> temporalOrder,
@@ -682,6 +718,28 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_table_checksum" ->
+      """WITH h AS (
+        |  SELECT 'documents' AS tbl,
+        |    CAST('0x' || substr(md5(doc_id || '|' || text), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events',
+        |    CAST('0x' || substr(md5(event_id || '|' || user_id || '|'
+        |      || event_type), 1, 15) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+        |      || '|' || CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT)), 1, 15) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_check,
+        |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT)
+        |    AS sum_check
+        |FROM h GROUP BY tbl ORDER BY tbl""".stripMargin,
     "q_dq_balance_fences" ->
       """WITH s AS (SELECT s_suppkey,
         |   CASE WHEN s_suppkey % 97 = 0

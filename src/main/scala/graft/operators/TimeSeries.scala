@@ -1049,7 +1049,33 @@ object TimeSeries {
       .orderBy(col("day"))
   }
 
+  /** Week-over-week revenue growth (round 8): the business twin of
+    * q_ts_forecast_baselines' lag-7 — per day, daily revenue cents,
+    * the same weekday last week, and the WoW ratio e4 (NULL for the
+    * first seven days and for a zero base — emitted, not dropped, so
+    * the warm-up is visible). Comparing same-weekday avoids the
+    * weekday mix shift that corrupts naive day-over-day growth —
+    * the reporting counterpart of everything the seasonality family
+    * measured.
+    *
+    * Shape: day census → one lag window → map-side ratio. */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d"))
+    events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("c", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("d")).agg(sum(col("c")).as("rev"))
+      .withColumn("prev", lag(col("rev"), 7).over(w))
+      .select(col("d").as("day"), col("rev").as("rev_cents"),
+        col("prev").as("prev_week_cents"),
+        expr("""CAST(CASE WHEN prev IS NOT NULL AND prev > 0
+          |THEN rev * 10000 div prev ELSE NULL END AS BIGINT)"""
+          .stripMargin).as("wow_e4"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_wow_growth" -> wowGrowth,
     "q_ts_rolling_slope" -> rollingSlope,
     "q_ts_period_detect" -> periodDetect,
     "q_ts_ljung_box" -> ljungBox,
@@ -1079,6 +1105,18 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_wow_growth" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT d, rev, lag(rev, 7) OVER (ORDER BY d) AS prev
+        |  FROM daily)
+        |SELECT d AS day, rev AS rev_cents,
+        |  CAST(prev AS BIGINT) AS prev_week_cents,
+        |  CAST(CASE WHEN prev IS NOT NULL AND prev > 0
+        |   THEN rev * 10000 // prev ELSE NULL END AS BIGINT) AS wow_e4
+        |FROM f ORDER BY day""".stripMargin,
     "q_ts_rolling_slope" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 395
+    val documented = 400
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2798,6 +2798,71 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("min_events") >= prevMax)
       prevMax = r.getAs[Long]("max_events")
     }
+  }
+
+  test("agg_geomean: AM >= GM per source (the inequality replayed " +
+      "through the emitted log form)") {
+    val rows = SparkEntry.queries("q_agg_geomean")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val am = r.getAs[Long]("am_e4").toDouble
+      val gm = math.exp(r.getAs[Long]("log_gm_e3").toDouble / 1000.0)
+      // 1% slack for the floored log terms and floored AM
+      assert(am >= gm * 0.99, s"AM $am < GM $gm: $r")
+    }
+  }
+
+  test("attr_first_touch: the channel census covers exactly the " +
+      "converting users with prior touches") {
+    val rows = SparkEntry.queries("q_attr_first_touch")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("channel")).toSet
+      .subsetOf(Set("click", "view")))
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum > 0)
+  }
+
+  test("ts_wow_growth: the first seven days carry no ratio and every " +
+      "emitted ratio replays from the levels") {
+    val rows = SparkEntry.queries("q_ts_wow_growth")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    rows.take(7).foreach(r => assert(r.isNullAt(r.fieldIndex("wow_e4")), r))
+    rows.drop(7).foreach { r =>
+      val prev = r.getAs[Long]("prev_week_cents")
+      if (prev > 0)
+        assert(r.getAs[Long]("wow_e4") ==
+          r.getAs[Long]("rev_cents") * 10000 / prev, r)
+    }
+  }
+
+  test("filter_three_valued: TRUE/FALSE/UNKNOWN partition the rows " +
+      "exactly and every cell is populated") {
+    val r = SparkEntry.queries("q_filter_three_valued")(spark, sf)
+      .collect().head
+    val Seq(n, t, f, u) = Seq("n_rows", "n_true", "n_false", "n_null")
+      .map(r.getAs[Long])
+    assert(t + f + u == n, r)
+    assert(t > 0 && f > 0 && u > 0, r) // the null third is real
+    assert(r.getAs[Boolean]("partitions_ok"))
+  }
+
+  test("dq_table_checksum: three tables, row counts match, and the " +
+      "checksums are partition-order invariant by re-run") {
+    val rows = SparkEntry.queries("q_dq_table_checksum")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val byT = rows.map(r => r.getAs[String]("tbl") -> r).toMap
+    assert(byT("documents").getAs[Long]("n_rows") ==
+      graft.Tables.documents(spark, sf).count())
+    assert(byT("events").getAs[Long]("n_rows") ==
+      graft.Tables.events(spark, sf).count())
+    // re-run over a repartitioned plan must reproduce both folds
+    val again = SparkEntry.queries("q_dq_table_checksum")(spark, sf)
+      .collect().map(r => (r.getAs[String]("tbl"),
+        r.getAs[Long]("xor_check"), r.getAs[Long]("sum_check"))).toSet
+    assert(again == rows.map(r => (r.getAs[String]("tbl"),
+      r.getAs[Long]("xor_check"), r.getAs[Long]("sum_check"))).toSet)
   }
 
   test("llm_topic_coherence: every topic ranks exactly 5 terms, 10 " +
