@@ -1392,7 +1392,40 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** Rolling 7-day distinct users per day (J50) — the windowed
+    * COUNT(DISTINCT) no SQL window frame can express (DISTINCT is not
+    * a frame aggregate in Spark OR DuckDB). The distributed form is
+    * the BOUNDED FAN-OUT inversion: dedup to (user, day) pairs, then
+    * each pair CONTRIBUTES to the 7 window-end days it falls inside
+    * (`sequence(d, d+6)` — map-side, fan-out pinned at ×7), dedup the
+    * contributed (user, window-end) pairs, and count per window end.
+    * Cost is 7·|user-days| rows through one exchange — versus the
+    * range-join formulation whose candidate set is |days|·|user-days|
+    * and whose distinct-per-window recount a 1000-executor cluster
+    * cannot partial-aggregate.
+    *
+    * Only window-end days that actually occur in the data are emitted
+    * (observed-day semantics; the day frame is tiny and broadcast).
+    * The oracle uses the equivalent range-join + COUNT(DISTINCT) — at
+    * oracle scale that shape is fine; the enrolled Spark arm is the
+    * one that must survive 100 TB. */
+  def rollingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(expr("(ts_ns div 1000) div 86400000000").as("d"),
+        col("user_id"))
+      .distinct()
+    val days = ud.select(col("d")).distinct()
+    ud.select(col("user_id"),
+        explode(expr("sequence(d, d + 6)")).as("day"))
+      .distinct()
+      .join(broadcast(days), col("day") === col("d"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users_7d"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_rolling_distinct" -> rollingDistinctUsers,
     "q_attr_first_touch" -> firstTouchAttribution,
     "q_events_engagement_value" -> engagementValue,
     "q_events_absorption" -> absorptionCurve,
@@ -1434,6 +1467,15 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM ud)
+        |SELECT days.d AS day,
+        |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users_7d
+        |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_attr_first_touch" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |   epoch_us(ts) AS ts_us FROM events),

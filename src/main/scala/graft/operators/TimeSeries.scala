@@ -1074,7 +1074,94 @@ object TimeSeries {
       .orderBy(col("day"))
   }
 
+  /** Wald–Wolfowitz runs test per user (J50): is the SIGN sequence of
+    * day-over-day activity deltas random, or does it streak? Zero
+    * deltas are dropped (the classic dichotomized form); R = number of
+    * maximal same-sign runs, n1/n2 = up/down counts, n = n1+n2,
+    * A = 2·n1·n2. Under randomness μ_R = 1 + A/n and
+    * σ²_R = A(A−n) / (n²(n−1)); the 95% two-sided verdict is the
+    * denominator-cleared z² > 1.96² form (the mann_kendall /
+    * ljung_box idiom — no float, no sqrt):
+    *   ((R−1)·n − A)² · (n−1) · 10000  >  38416 · A · (A−n).
+    * Users with A ≤ n (degenerate variance: fewer than two of either
+    * sign) are excluded on both arms.
+    *
+    * Overflow bound: n ≤ 30 days ⇒ A ≤ 450; LHS ≤ (450·30)²·29·10⁴
+    * < 6e13 — far inside BIGINT.
+    *
+    * Shape: one day census (partial-aggregable), two per-user window
+    * passes (lag for the delta, lag for the run boundary), one
+    * per-user aggregate. No self-joins; per-user series are
+    * shuffle-partitioned by user_id, the 100 TB layout. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val sg = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dy", col("y") - lag(col("y"), 1).over(byU))
+      .filter(col("dy").isNotNull && col("dy") =!= 0L)
+      .withColumn("s", when(col("dy") > 0, 1L).otherwise(-1L))
+    sg.withColumn("pv", lag(col("s"), 1).over(byU))
+      .withColumn("chg",
+        when(col("pv").isNull || col("pv") =!= col("s"), 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("chg")).as("r_runs"),
+        sum(when(col("s") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_down"))
+      .withColumn("n", col("n_up") + col("n_down"))
+      .withColumn("a2", expr("2 * n_up * n_down"))
+      .filter(col("a2") > col("n"))
+      .select(col("user_id"), col("n_up"), col("n_down"), col("r_runs"),
+        expr("((r_runs - 1) * n - a2) * ((r_runs - 1) * n - a2)" +
+          " * (n - 1) * 10000 > 38416 * a2 * (a2 - n)")
+          .as("nonrandom_95"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Turning-point randomness test per user (J50): count interior days
+    * that are a strict local max or min of the daily event count. For
+    * a continuous iid series of length n, E[T] = 2(n−2)/3 and
+    * Var[T] = (16n − 29)/90; the 95% verdict is denominator-cleared:
+    *   (3T − 2(n−2))² · 100000  >  38416 · 9 · (16n − 29) / 90·…
+    * simplified with z² = (T−μ)²/σ² = (3T−2(n−2))²·10 / (16n−29):
+    *   (3T − 2(n−2))² · 10 · 10000  >  38416 · (16n − 29).
+    * Honest caveat (documented, mirrored in the oracle): counts are
+    * DISCRETE, so tied neighbors never count as turning points — ties
+    * deflate T below the continuous-theory mean and the test reads as
+    * a "too smooth / too streaky" screen, the same screening posture
+    * as ljung_box. n = full series length (interior + 2); users with
+    * n < 4 are excluded (16n−29 and the interior both need room).
+    *
+    * Shape: day census → one lag+lead window pass per user → per-user
+    * aggregate. Single shuffle on user_id. */
+  def turningPoints(spark: SparkSession, dir: String): DataFrame = {
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("pv", lag(col("y"), 1).over(byU))
+      .withColumn("nx", lead(col("y"), 1).over(byU))
+      .filter(col("pv").isNotNull && col("nx").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_interior"),
+        sum(when((col("pv") < col("y") && col("nx") < col("y")) ||
+            (col("pv") > col("y") && col("nx") > col("y")), 1L)
+          .otherwise(0L)).as("t_pts"))
+      .withColumn("n", col("n_interior") + lit(2L))
+      .filter(col("n") >= 4L)
+      .select(col("user_id"), col("n").as("n_days"), col("t_pts"),
+        expr("2 * (n - 2)").as("expected_3t"),
+        expr("(3 * t_pts - 2 * (n - 2)) * (3 * t_pts - 2 * (n - 2))" +
+          " * 100000 > 38416 * (16 * n - 29)").as("nonrandom_95"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_runs_test" -> runsTest,
+    "q_ts_turning_points" -> turningPoints,
     "q_ts_wow_growth" -> wowGrowth,
     "q_ts_rolling_slope" -> rollingSlope,
     "q_ts_period_detect" -> periodDetect,
@@ -1105,6 +1192,62 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_runs_test" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |dl AS (
+        |  SELECT user_id, d, y,
+        |    y - lag(y) OVER (PARTITION BY user_id ORDER BY d) AS dy
+        |  FROM daily),
+        |sg AS (
+        |  SELECT user_id, d,
+        |    CASE WHEN dy > 0 THEN 1 ELSE -1 END AS s
+        |  FROM dl WHERE dy IS NOT NULL AND dy <> 0),
+        |ch AS (
+        |  SELECT user_id, s,
+        |    CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY d)
+        |      IS DISTINCT FROM s THEN 1 ELSE 0 END AS chg
+        |  FROM sg),
+        |r AS (
+        |  SELECT user_id, CAST(sum(chg) AS BIGINT) AS r_runs,
+        |    CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down
+        |  FROM ch GROUP BY 1)
+        |SELECT user_id, n_up, n_down, r_runs,
+        |  ((r_runs - 1) * (n_up + n_down) - 2 * n_up * n_down)
+        |    * ((r_runs - 1) * (n_up + n_down) - 2 * n_up * n_down)
+        |    * (n_up + n_down - 1) * 10000 >
+        |  38416 * (2 * n_up * n_down)
+        |    * (2 * n_up * n_down - (n_up + n_down)) AS nonrandom_95
+        |FROM r WHERE 2 * n_up * n_down > n_up + n_down
+        |ORDER BY user_id""".stripMargin,
+    "q_ts_turning_points" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, y,
+        |    lag(y) OVER (PARTITION BY user_id ORDER BY d) AS pv,
+        |    lead(y) OVER (PARTITION BY user_id ORDER BY d) AS nx
+        |  FROM daily),
+        |t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_interior,
+        |    CAST(sum(CASE WHEN (pv < y AND nx < y)
+        |      OR (pv > y AND nx > y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_pts
+        |  FROM w WHERE pv IS NOT NULL AND nx IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_interior + 2 AS n_days, t_pts,
+        |  2 * n_interior AS expected_3t,
+        |  (3 * t_pts - 2 * n_interior) * (3 * t_pts - 2 * n_interior)
+        |    * 100000 > 38416 * (16 * (n_interior + 2) - 29)
+        |    AS nonrandom_95
+        |FROM t WHERE n_interior + 2 >= 4
+        |ORDER BY user_id""".stripMargin,
     "q_ts_wow_growth" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))

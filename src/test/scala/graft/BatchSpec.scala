@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 400
+    val documented = 403
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2559,6 +2559,61 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rejRate = rows.count(_.getAs[Boolean]("white_noise_rejected"))
       .toDouble / rows.length
     assert(rejRate <= 0.15, s"rejection rate $rejRate on iid values")
+  }
+
+  test("ts_runs_test: runs bounded by sign count, both signs present, " +
+      "and the cross-multiplied 95% verdict replays") {
+    val rows = SparkEntry.queries("q_ts_runs_test")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (up, dn, runs) = (r.getAs[Long]("n_up"),
+        r.getAs[Long]("n_down"), r.getAs[Long]("r_runs"))
+      assert(up > 0 && dn > 0, r) // degenerate-variance users excluded
+      // both signs present => at least one boundary; at most one run
+      // per sign flip possibility
+      assert(runs >= 2 && runs <= up + dn, r)
+      val n = up + dn
+      val a = 2 * up * dn
+      assert(a > n, r) // the enrolled variance guard
+      val lhs = (runs - 1) * n - a
+      assert(r.getAs[Boolean]("nonrandom_95") ==
+        (lhs * lhs * (n - 1) * 10000 > 38416 * a * (a - n)), r)
+    }
+  }
+
+  test("ts_turning_points: T bounded by interior size, expected value " +
+      "replays, and the 95% verdict replays") {
+    val rows = SparkEntry.queries("q_ts_turning_points")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t) = (r.getAs[Long]("n_days"), r.getAs[Long]("t_pts"))
+      assert(n >= 4, r)
+      assert(t >= 0 && t <= n - 2, r)
+      assert(r.getAs[Long]("expected_3t") == 2 * (n - 2), r)
+      val lhs = 3 * t - 2 * (n - 2)
+      assert(r.getAs[Boolean]("nonrandom_95") ==
+        (lhs * lhs * 100000 > 38416 * (16 * n - 29)), r)
+    }
+  }
+
+  test("events_rolling_distinct: the bounded fan-out form equals the " +
+      "brute-force range count on every observed day") {
+    val got = SparkEntry.queries("q_events_rolling_distinct")(spark, sf)
+      .collect().map(r => r.getAs[Long]("day") ->
+        r.getAs[Long]("n_users_7d")).toMap
+    val ud = graft.Tables.events(spark, sf)
+      .selectExpr("(ts_ns div 1000) div 86400000000 AS d", "user_id")
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("user_id")))
+    val days = ud.map(_._1).distinct
+    val want = days.map(day =>
+      day -> ud.filter(p => p._1 >= day - 6 && p._1 <= day)
+        .map(_._2).distinct.length.toLong).toMap
+    assert(got == want, s"got=$got want=$want")
+    // the 7-day window can only see MORE users than any single day
+    val dau = ud.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    days.foreach(d => assert(got(d) >= dau(d), s"day $d"))
   }
 
   test("events_absorption: the curve is monotone in steps and every " +
