@@ -1226,7 +1226,51 @@ object Curation {
       .orderBy(col("loo_delta_e4").desc, col("source"))
   }
 
+  /** Readability census per source (J51) — the Flesch–Kincaid /
+    * Gunning-fog signal family adapted HONESTLY to this corpus: the
+    * synthetic text carries no sentence punctuation, so the classic
+    * words-per-sentence factor is undefined; what IS measurable is
+    * the syllable side. Syllables are approximated as maximal vowel
+    * runs `[aeiouy]+` (the standard heuristic), complex words as ≥3
+    * vowel runs. Emitted per source: syllables-per-word ×10⁴,
+    * complex-word share ×10⁴, plus the doc-as-sentence FK grade
+    * (39·W div D + 1180·Syl div W − 1559) and fog index
+    * (40·W div D + 4000·Cx div W) under the documented "each doc is
+    * one sentence" convention — defensible here because docs are
+    * single prose-free word streams; on punctuated corpora swap D
+    * for the `[.!?]+` run count, same plan.
+    *
+    * All divisions have nonnegative operands (div/`//` agree); the
+    * two trailing subtractions happen AFTER division, identical in
+    * both arms.
+    *
+    * Shape: map-only per-doc regexp census (codegen'd
+    * RegExpExtractAll + higher-order filter — no UDF), one
+    * partial-aggregable groupBy(source). The regexp cost is one scan
+    * of each text, the same cost class as the token census rows. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"),
+        expr("size(split(text, ' '))").as("w"),
+        expr("size(regexp_extract_all(text, '[aeiouy]+', 0))").as("syl"),
+        expr("size(filter(split(text, ' '), " +
+          "x -> size(regexp_extract_all(x, '[aeiouy]+', 0)) >= 3))")
+          .as("cx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("syl")).as("n_syllables"), sum(col("cx")).as("n_complex"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_syllables"), col("n_complex"),
+        expr("n_syllables * 10000 div n_words").as("syll_per_word_e4"),
+        expr("n_complex * 10000 div n_words").as("complex_share_e4"),
+        expr("39 * n_words div n_docs + 1180 * n_syllables div n_words" +
+          " - 1559").as("fk_doc_e2"),
+        expr("40 * n_words div n_docs + 4000 * n_complex div n_words")
+          .as("fog_doc_e2"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_readability" -> readability,
     "q_llm_source_influence" -> sourceInfluence,
     "q_llm_stopword_discovery" -> stopwordDiscovery,
     "q_llm_length_bias" -> lengthBias,
@@ -1282,6 +1326,26 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_readability" ->
+      """WITH d AS (SELECT source,
+        |   len(string_split(text, ' ')) AS w,
+        |   len(regexp_extract_all(text, '[aeiouy]+')) AS syl,
+        |   len(list_filter(string_split(text, ' '),
+        |     x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)) AS cx
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(w) AS BIGINT) AS n_words,
+        |   CAST(sum(syl) AS BIGINT) AS n_syllables,
+        |   CAST(sum(cx) AS BIGINT) AS n_complex
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_words, n_syllables, n_complex,
+        |  n_syllables * 10000 // n_words AS syll_per_word_e4,
+        |  n_complex * 10000 // n_words AS complex_share_e4,
+        |  39 * n_words // n_docs + 1180 * n_syllables // n_words
+        |    - 1559 AS fk_doc_e2,
+        |  40 * n_words // n_docs + 4000 * n_complex // n_words
+        |    AS fog_doc_e2
+        |FROM a ORDER BY source""".stripMargin,
     "q_llm_source_influence" -> {
       s"""WITH ${ModelPrep.scoreCte},
          |s1 AS (SELECT d.source,

@@ -526,7 +526,47 @@ object Evaluation {
         expr("u2 * 10000 div (2 * n1 * n0)").as("auc_e4"))
   }
 
+  /** Precision@k / recall@k curve of the BM25 ranking (J51) at
+    * k ∈ {1, 3, 5, 10} — the two numbers every retrieval dashboard
+    * plots beside nDCG/MRR, composed from the SAME bm25Scored and
+    * relevance frames (the family rule: metrics cannot drift from
+    * the ranking). Binary relevance is rel ≥ 2 (doc contains at
+    * least two of the three query terms): rel ≥ 1 would make every
+    * SCORED doc relevant by construction (a BM25 match IS a term
+    * match) and precision identically 1 — the stricter cut keeps the
+    * metric informative, and is mirrored in the oracle.
+    *
+    * Scale shape: ranked side = the BM25 TakeOrderedAndProject top-10
+    * (no global sort); the k-fold is a 4-row broadcast against 10
+    * rows; n_rel is one partial-aggregable count. Everything after
+    * the top-k cap is driver-trivial by construction. */
+  def prAtK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rel = relevance(spark, dir).filter(col("rel") >= 2)
+      .select(col("doc_id"), lit(1L).as("is_rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel"))
+    val top10 = LlmOps.bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .join(rel, Seq("doc_id"), "left")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+    val ks = Seq(1L, 3L, 5L, 10L).toDF("k")
+    top10.crossJoin(broadcast(ks))
+      .filter(col("rn") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("is_rel")).as("hits"))
+      .crossJoin(broadcast(nRel))
+      .select(col("k"), col("hits"),
+        expr("hits * 10000 div k").as("precision_e4"),
+        expr("hits * 10000 div greatest(n_rel, 1)").as("recall_e4"),
+        col("n_rel"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pr_at_k" -> prAtK,
     "q_llm_auc" -> aucRankSum,
     "q_llm_feature_separation" -> featureSeparation,
     "q_llm_metric_stability" -> metricStability,
@@ -541,6 +581,32 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_pr_at_k" ->
+      s"""WITH ${LlmOps.bm25Ctes},
+        |ranked AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM bmsc),
+        |rel AS (SELECT doc_id FROM (
+        |   SELECT doc_id,
+        |     max(CASE WHEN tok = '${LlmOps.bm25Terms(0)}' THEN 1
+        |       ELSE 0 END) +
+        |     max(CASE WHEN tok = '${LlmOps.bm25Terms(1)}' THEN 1
+        |       ELSE 0 END) +
+        |     max(CASE WHEN tok = '${LlmOps.bm25Terms(2)}' THEN 1
+        |       ELSE 0 END) AS g
+        |   FROM toks GROUP BY doc_id) WHERE g >= 2),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+        |t AS (SELECT rn,
+        |   CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        |  FROM ranked LEFT JOIN rel USING (doc_id) WHERE rn <= 10),
+        |ks AS (SELECT CAST(unnest([1, 3, 5, 10]) AS BIGINT) AS k)
+        |SELECT k, CAST(sum(is_rel) AS BIGINT) AS hits,
+        |  CAST(sum(is_rel) AS BIGINT) * 10000 // k AS precision_e4,
+        |  CAST(sum(is_rel) AS BIGINT) * 10000
+        |    // greatest(max(nr.n_rel), 1) AS recall_e4,
+        |  CAST(max(nr.n_rel) AS BIGINT) AS n_rel
+        |FROM ks JOIN t ON t.rn <= ks.k CROSS JOIN nr
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q_llm_auc" ->
       """WITH s AS (SELECT vec_id,
         |   CAST(floor(embedding[1] * 10000 + 0.5) AS BIGINT) AS sc,

@@ -916,7 +916,58 @@ object ModelPrep {
         expr("min_norm2_e6 >= 1000000 - 100" +
           " AND max_norm2_e6 <= 1000000 + 100").as("all_unit"))
 
+  /** Split-representativeness KL (J51): KL(val ‖ train) over the
+    * token distribution, using the SAME md5-h60 buckets as
+    * q_llm_split_assign — the audit that closes the split family:
+    * assignment says WHO is in val; this row says whether val still
+    * LOOKS like train (a skewed val set silently mis-ranks
+    * checkpoints). Restricted + renormalized over the shared vocab
+    * (Gibbs ⇒ KL ≥ 0 in exact arithmetic); val-only tokens are
+    * counted separately as `oov_val_tokens` (the q_llm_oov_rate
+    * companion number) rather than smoothed in.
+    *
+    * Arithmetic: the domain_kl lnE3 idiom — each ln rounded ONCE to
+    * milli-nats, term = vc·(lnE3(vc·tt) − lnE3(tc·tv)), all BIGINT.
+    * The e3 floors can push a near-zero sum a hair negative, and
+    * Spark `div` truncates toward zero while DuckDB `//` floors — so
+    * the final division uses the SHIFTED-nonnegative idiom
+    * ((num + tv·10⁶) div tv − 10⁶), exact-identical on both engines
+    * for |KL| < 1000 nats.
+    *
+    * Shape: one tokenize shuffle into a vocab-keyed conditional
+    * census (split membership is a map-side projection of doc_id —
+    * zero extra shuffles, the split_assign property), then a
+    * vocab-sized fold to one row. 100 TB cost = the token census
+    * every corpus-health row already pays. */
+  def splitKl(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = documents(spark, dir)
+      .withColumn("bucket",
+        expr(s"${LlmOps.h60("CAST(doc_id AS STRING)")} % 1000"))
+      .filter(col("bucket") < 990)
+      .withColumn("s", expr("CASE WHEN bucket < 980 THEN 0 ELSE 1 END"))
+      .select(col("s"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("tc"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("vc"))
+    val shared = cnt.filter(col("tc") > 0 && col("vc") > 0)
+    val tots = shared.agg(sum(col("tc")).as("tt"), sum(col("vc")).as("tv"),
+      count(lit(1)).as("n_shared"))
+    val oov = cnt.filter(col("vc") > 0 && col("tc") === 0)
+      .agg(coalesce(sum(col("vc")), lit(0L)).as("oov_val_tokens"))
+    shared.crossJoin(broadcast(tots))
+      .withColumn("term", expr(
+        "vc * (CAST(floor(ln(vc * tt) * 1000 + 0.5) AS BIGINT)" +
+          " - CAST(floor(ln(tc * tv) * 1000 + 0.5) AS BIGINT))"))
+      .groupBy(col("n_shared"), col("tt"), col("tv"))
+      .agg(sum(col("term")).as("num"))
+      .crossJoin(broadcast(oov))
+      .select(col("n_shared"), col("tt").as("tot_train"),
+        col("tv").as("tot_val"), col("oov_val_tokens"),
+        expr("(num + tv * 1000000) div tv - 1000000").as("kl_e3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_split_kl" -> splitKl,
     "q_llm_norm_audit" -> normAudit,
     "q_llm_embed_outliers" -> embedOutliers,
     "q_llm_bradley_terry" -> bradleyTerry,
@@ -969,6 +1020,32 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_split_kl" ->
+      """WITH b AS (SELECT doc_id, text,
+        |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+        |     % 1000 AS bucket FROM documents),
+        |tok AS (SELECT CASE WHEN bucket < 980 THEN 0 ELSE 1 END AS s,
+        |   unnest(string_split(text, ' ')) AS w
+        |  FROM b WHERE bucket < 990),
+        |cnt AS (SELECT w,
+        |   CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+        |   CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS vc
+        |  FROM tok GROUP BY w),
+        |sh AS (SELECT * FROM cnt WHERE tc > 0 AND vc > 0),
+        |tots AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+        |   CAST(sum(vc) AS BIGINT) AS tv,
+        |   CAST(count(*) AS BIGINT) AS n_shared FROM sh),
+        |oov AS (SELECT CAST(coalesce(sum(vc), 0) AS BIGINT)
+        |   AS oov_val_tokens FROM cnt WHERE vc > 0 AND tc = 0),
+        |terms AS (SELECT
+        |   CAST(sum(vc * (CAST(floor(ln(vc * tt) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(tc * tv) * 1000 + 0.5) AS BIGINT)))
+        |     AS BIGINT) AS num
+        |  FROM sh CROSS JOIN tots)
+        |SELECT tots.n_shared, tots.tt AS tot_train, tots.tv AS tot_val,
+        |  oov.oov_val_tokens,
+        |  (terms.num + tots.tv * 1000000) // tots.tv - 1000000 AS kl_e3
+        |FROM tots CROSS JOIN oov CROSS JOIN terms""".stripMargin,
     "q_llm_norm_audit" ->
       """WITH n2 AS (SELECT
         |   CAST(floor(list_inner_product(embedding::DOUBLE[],

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 403
+    val documented = 406
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2559,6 +2559,65 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rejRate = rows.count(_.getAs[Boolean]("white_noise_rejected"))
       .toDouble / rows.length
     assert(rejRate <= 0.15, s"rejection rate $rejRate on iid values")
+  }
+
+  test("llm_pr_at_k: four k rows, precision falls and recall rises " +
+      "with k, and both ratios replay from hits") {
+    val rows = SparkEntry.queries("q_llm_pr_at_k")(spark, sf)
+      .orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L, 10L))
+    val nRel = rows.head.getAs[Long]("n_rel")
+    assert(rows.forall(_.getAs[Long]("n_rel") == nRel))
+    var prevHits = -1L
+    rows.foreach { r =>
+      val (k, h) = (r.getAs[Long]("k"), r.getAs[Long]("hits"))
+      assert(h >= 0 && h <= k, r)
+      assert(h >= prevHits, r) // hits cumulative in k
+      prevHits = h
+      assert(r.getAs[Long]("precision_e4") == h * 10000 / k, r)
+      assert(r.getAs[Long]("recall_e4") ==
+        h * 10000 / math.max(nRel, 1), r)
+    }
+    val precs = rows.map(r => r.getAs[Long]("precision_e4"))
+    assert(precs.zip(precs.tail).forall { case (a, b) => a >= b },
+      precs.toSeq) // hits ≤ k growth ⇒ precision monotone down
+  }
+
+  test("llm_readability: census bounds hold per source and the four " +
+      "emitted ratios replay from the counts") {
+    val rows = SparkEntry.queries("q_llm_readability")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, w, syl, cx) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_syllables"),
+        r.getAs[Long]("n_complex"))
+      assert(d > 0 && w >= d, r)
+      assert(cx <= w, r) // a complex word is a word
+      assert(syl >= cx, r) // ≥3 runs each ⇒ at least one run each
+      assert(r.getAs[Long]("syll_per_word_e4") == syl * 10000 / w, r)
+      assert(r.getAs[Long]("complex_share_e4") == cx * 10000 / w, r)
+      assert(r.getAs[Long]("fk_doc_e2") ==
+        39 * w / d + 1180 * syl / w - 1559, r)
+      assert(r.getAs[Long]("fog_doc_e2") ==
+        40 * w / d + 4000 * cx / w, r)
+    }
+  }
+
+  test("llm_split_kl: one summary row, KL nonnegative up to lnE3 " +
+      "rounding, 98:1 train/val mass, and the shifted div replays") {
+    val r = SparkEntry.queries("q_llm_split_kl")(spark, sf)
+      .collect() match { case Array(x) => x }
+    val (ns, tt, tv) = (r.getAs[Long]("n_shared"),
+      r.getAs[Long]("tot_train"), r.getAs[Long]("tot_val"))
+    assert(ns > 0 && tt > 0 && tv > 0, r)
+    assert(tt > tv, r) // 980 vs 10 buckets of mass
+    val kl = r.getAs[Long]("kl_e3")
+    // Gibbs on the renormalized shared vocab: exact KL ≥ 0; the only
+    // negative room is the once-per-term milli-nat floor
+    assert(kl >= -2L, r)
+    assert(kl < 1000000L, r)
+    assert(r.getAs[Long]("oov_val_tokens") >= 0, r)
   }
 
   test("ts_runs_test: runs bounded by sign count, both signs present, " +
