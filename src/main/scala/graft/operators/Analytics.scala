@@ -1424,7 +1424,38 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Cohort LTV curve (J52): cumulative order revenue per first-order
+    * cohort month over month-index since acquisition — the lifetime-
+    * value twin of q_cohort_retention (which counts ACTIVITY; this
+    * accumulates MONEY, the number acquisition budgets are set
+    * against). Month key = year·12 + month − 1 (calendar-free integer
+    * arithmetic, no date truncation roundtrips); revenue in exact
+    * cents.
+    *
+    * Shape: one groupBy(custkey) for the cohort frame, one shuffle
+    * join back on custkey (both sides key-partitioned — co-located at
+    * scale), one partial-aggregable groupBy (cohort, idx), then a
+    * running sum over the TINY (cohort × month-index) grid — the
+    * window touches |cohorts·months| rows, never |orders| (the
+    * daily_active_users discipline). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_custkey").as("ck"),
+      expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1" +
+        " AS BIGINT)").as("m"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"))
+    val cohort = o.groupBy(col("ck")).agg(min(col("m")).as("m0"))
+    o.join(cohort, "ck")
+      .withColumn("idx", col("m") - col("m0"))
+      .groupBy(col("m0").as("cohort_month"), col("idx"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cohort_month")).orderBy(col("idx"))))
+      .orderBy(col("cohort_month"), col("idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_cohort_ltv" -> cohortLtv,
     "q_events_rolling_distinct" -> rollingDistinctUsers,
     "q_attr_first_touch" -> firstTouchAttribution,
     "q_events_engagement_value" -> engagementValue,
@@ -1467,6 +1498,20 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+        |   year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+        |   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |ch AS (SELECT ck, min(m) AS m0 FROM o GROUP BY ck),
+        |g AS (SELECT m0 AS cohort_month, m - m0 AS idx,
+        |   CAST(count(*) AS BIGINT) AS n_orders,
+        |   CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN ch USING (ck) GROUP BY 1, 2)
+        |SELECT cohort_month, idx, n_orders, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_month
+        |    ORDER BY idx) AS BIGINT) AS cum_rev_cents
+        |FROM g ORDER BY cohort_month, idx""".stripMargin,
     "q_events_rolling_distinct" ->
       """WITH ud AS (
         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id

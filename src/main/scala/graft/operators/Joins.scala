@@ -498,7 +498,79 @@ object Joins {
       .orderBy(col("event_type"))
   }
 
+  /** Mutual nearest-neighbor join (J52): customer↔supplier pairs in
+    * the same nation that each pick the OTHER as their closest
+    * account-balance peer — the 1-D version of the mutual-kNN filter
+    * embedding-alignment pipelines use to keep only high-confidence
+    * matches. Distance = |cents diff|, tie-break = lower neighbor key
+    * (the brute-force `ORDER BY d, key` order).
+    *
+    * Scale design — NO per-nation cross product: in one dimension the
+    * nearest neighbor is ADJACENT in sort order, so each direction is
+    * a union + one window pass (the as-of-join shape): sort
+    * (nation, cents) with the neighbor side deduped to min-key per
+    * cents (which is exactly what makes prev/next tie-breaks equal
+    * the brute-force order), take prev/next neighbor via
+    * last/first-ignoreNulls, pick the nearer map-side. O(n log n)
+    * per direction vs the O(|C|·|S|) candidate join the oracle uses
+    * (oracle scale only). Mutuality = one equi-join of the two
+    * directed best frames on the (ck, sk) pair.
+    *
+    * Equal-cents rows sort neighbor-first (side 0 < 1), so a zero-
+    * distance neighbor is always the `prev` — deterministic without
+    * any float. */
+  def mutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).select(col("c_nationkey").as("nk"),
+      col("c_custkey").as("ck"),
+      expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cb"))
+    val s = supplier(spark, dir).select(col("s_nationkey").as("nk"),
+      col("s_suppkey").as("sk"),
+      expr("CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)").as("sb"))
+    val sd = s.groupBy(col("nk"), col("sb")).agg(min(col("sk")).as("sk"))
+    val cd = c.groupBy(col("nk"), col("cb")).agg(min(col("ck")).as("ck"))
+    def bestFor(full: DataFrame, fk: String, fb: String,
+        nbr: DataFrame, nk2: String, nb2: String): DataFrame = {
+      val u = full.select(col("nk"), col(fk).as("k"), col(fb).as("b"),
+          lit(1).as("side"))
+        .unionAll(nbr.select(col("nk"), col(nk2).as("k"),
+          col(nb2).as("b"), lit(0).as("side")))
+      val w = Window.partitionBy(col("nk"))
+        .orderBy(col("b"), col("side"), col("k"))
+      val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+      val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+      val nbB = when(col("side") === 0, col("b"))
+      val nbK = when(col("side") === 0, col("k"))
+      u.withColumn("pb", last(nbB, ignoreNulls = true).over(prevW))
+        .withColumn("pk", last(nbK, ignoreNulls = true).over(prevW))
+        .withColumn("nxb", first(nbB, ignoreNulls = true).over(nextW))
+        .withColumn("nxk", first(nbK, ignoreNulls = true).over(nextW))
+        .filter(col("side") === 1)
+        .withColumn("pd", col("b") - col("pb"))
+        .withColumn("nd", col("nxb") - col("b"))
+        .filter(col("pd").isNotNull || col("nd").isNotNull)
+        .withColumn("take_prev", col("pd").isNotNull &&
+          (col("nd").isNull || col("pd") < col("nd") ||
+            (col("pd") === col("nd") && col("pk") < col("nxk"))))
+        .select(col("nk"), col("k"),
+          when(col("take_prev"), col("pk")).otherwise(col("nxk"))
+            .as("bk"),
+          when(col("take_prev"), col("pd")).otherwise(col("nd"))
+            .as("d"))
+    }
+    val bc = bestFor(c, "ck", "cb", sd, "sk", "sb")
+      .select(col("nk"), col("k").as("ck"), col("bk").as("sk"),
+        col("d"))
+    val bs = bestFor(s, "sk", "sb", cd, "ck", "cb")
+      .select(col("k").as("sk2"), col("bk").as("ck2"))
+    bc.join(bs, col("ck") === col("ck2") && col("sk") === col("sk2"))
+      .select(col("nk").cast("long").as("nationkey"),
+        col("ck").cast("long").as("custkey"),
+        col("sk").cast("long").as("suppkey"), col("d").as("diff_cents"))
+      .orderBy(col("custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_mutual_nn" -> mutualNn,
     "q_join_salted_skew" -> joinSaltedSkew,
     "q_join_asof_nearest" -> asofNearest,
     "q_join_spatial_grid" -> spatialGrid,
@@ -522,6 +594,25 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_mutual_nn" ->
+      """WITH c AS (SELECT c_nationkey AS nk, c_custkey AS ck,
+        |   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cb
+        |  FROM customer),
+        |s AS (SELECT s_nationkey AS nk, s_suppkey AS sk,
+        |   CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS sb
+        |  FROM supplier),
+        |cand AS (SELECT c.nk, ck, sk, abs(cb - sb) AS d
+        |  FROM c JOIN s ON c.nk = s.nk),
+        |bc AS (SELECT nk, ck, sk, d FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY ck
+        |     ORDER BY d, sk) AS rn FROM cand) WHERE rn = 1),
+        |bs AS (SELECT ck, sk FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY sk
+        |     ORDER BY d, ck) AS rn FROM cand) WHERE rn = 1)
+        |SELECT bc.nk AS nationkey, bc.ck AS custkey, bc.sk AS suppkey,
+        |  bc.d AS diff_cents
+        |FROM bc JOIN bs ON bc.ck = bs.ck AND bc.sk = bs.sk
+        |ORDER BY custkey""".stripMargin,
     // the UNSALTED join+rollup: a hash match proves the salted plan is
     // a row-level identity of the plain join
     "q_join_salted_skew" ->

@@ -1159,7 +1159,68 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** PACF at lags 1–3 per user (J52) — completes the ACF family:
+    * partial autocorrelation via Durbin–Levinson with every level
+    * cleared to integers. The moment frame (n, den, num1..num3) is
+    * the ljung_box frame verbatim (shared definition — the two rows
+    * cannot disagree about what r_k is); r_k is quantized ONCE to e4
+    * (`num_k·10⁴ div den`, signed div parity-exact per the J32
+    * probe), then with R = 10⁴:
+    *   φ11 = r1
+    *   φ22 = N2·R div D2            N2 = r2·R − r1², D2 = R² − r1²
+    *   φ33 = num3·R div den3   (exact-cleared cubic, ONE rounding):
+    *     num3 = r3·R·D2 − r1·r2·(D2−N2) − N2·r1·R
+    *     den3 = R²·D2 − r1²·(D2−N2) − N2·r2·R
+    * Bounds: |r|≤10⁴ ⇒ |num3|,|den3| ≤ ~3·10¹⁶ (BIGINT); the final
+    * ×R rides the DECIMAL(38,0)/HUGEINT lane (assortativity lesson).
+    * Degenerate users are filtered identically on both arms: den>0
+    * (constant series), D2>0 (|r1|=1), den3>0 (level-2 perfect fit —
+    * the prediction-error variance that must stay positive).
+    *
+    * Shape: identical to ljung_box — one windowed lead pass per user
+    * + one partial-aggregable fold; everything after is map-only. */
+  def pacf(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("ts_ns"), col("event_id"))
+    events(spark, dir)
+      .withColumn("x", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("mean_x",
+        expr("sum(x) OVER (PARTITION BY user_id)" +
+          " div count(1) OVER (PARTITION BY user_id)"))
+      .withColumn("c", col("x") - col("mean_x"))
+      .withColumn("c1", lead(col("c"), 1).over(ordered))
+      .withColumn("c2", lead(col("c"), 2).over(ordered))
+      .withColumn("c3", lead(col("c"), 3).over(ordered))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c") * col("c")).as("den"),
+        coalesce(sum(col("c") * col("c1")), lit(0L)).as("num1"),
+        coalesce(sum(col("c") * col("c2")), lit(0L)).as("num2"),
+        coalesce(sum(col("c") * col("c3")), lit(0L)).as("num3"))
+      .filter(col("den") > 0)
+      .withColumn("r1", expr("num1 * 10000 div den"))
+      .withColumn("r2", expr("num2 * 10000 div den"))
+      .withColumn("r3", expr("num3 * 10000 div den"))
+      .withColumn("n2v", expr("r2 * 10000 - r1 * r1"))
+      .withColumn("d2v", expr("100000000 - r1 * r1"))
+      .filter(col("d2v") > 0)
+      .withColumn("num3p", expr(
+        "r3 * 10000 * d2v - r1 * r2 * (d2v - n2v) - n2v * r1 * 10000"))
+      .withColumn("den3p", expr(
+        "100000000 * d2v - r1 * r1 * (d2v - n2v) - n2v * r2 * 10000"))
+      .filter(col("den3p") > 0)
+      .select(col("user_id"), col("n"),
+        col("r1").as("r1_e4"), col("r2").as("r2_e4"),
+        col("r3").as("r3_e4"),
+        col("r1").as("pacf1_e4"),
+        expr("n2v * 10000 div d2v").as("pacf2_e4"),
+        expr("CAST(CAST(num3p AS DECIMAL(38,0)) * 10000 div den3p" +
+          " AS BIGINT)").as("pacf3_e4"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_pacf" -> pacf,
     "q_ts_runs_test" -> runsTest,
     "q_ts_turning_points" -> turningPoints,
     "q_ts_wow_growth" -> wowGrowth,
@@ -1192,6 +1253,57 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_pacf" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |    epoch_ns(ts) AS ts_ns, event_id
+        |  FROM events),
+        |c0 AS (
+        |  SELECT user_id, x, ts_ns, event_id,
+        |    x - (CAST(sum(x) OVER (PARTITION BY user_id) AS BIGINT)
+        |      // CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT))
+        |      AS c
+        |  FROM m),
+        |l AS (
+        |  SELECT user_id, c,
+        |    lead(c, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id) AS c1,
+        |    lead(c, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id) AS c2,
+        |    lead(c, 3) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id) AS c3
+        |  FROM c0),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c * c) AS BIGINT) AS den,
+        |    CAST(coalesce(sum(c * c1), 0) AS BIGINT) AS num1,
+        |    CAST(coalesce(sum(c * c2), 0) AS BIGINT) AS num2,
+        |    CAST(coalesce(sum(c * c3), 0) AS BIGINT) AS num3
+        |  FROM l GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, n,
+        |    num1 * 10000 // den AS r1, num2 * 10000 // den AS r2,
+        |    num3 * 10000 // den AS r3
+        |  FROM a WHERE den > 0),
+        |d2 AS (
+        |  SELECT *, r2 * 10000 - r1 * r1 AS n2v,
+        |    100000000 - r1 * r1 AS d2v
+        |  FROM r),
+        |f AS (
+        |  SELECT *,
+        |    r3 * 10000 * d2v - r1 * r2 * (d2v - n2v)
+        |      - n2v * r1 * 10000 AS num3p,
+        |    100000000 * d2v - r1 * r1 * (d2v - n2v)
+        |      - n2v * r2 * 10000 AS den3p
+        |  FROM d2 WHERE d2v > 0)
+        |SELECT user_id, n, r1 AS r1_e4, r2 AS r2_e4, r3 AS r3_e4,
+        |  r1 AS pacf1_e4,
+        |  n2v * 10000 // d2v AS pacf2_e4,
+        |  CAST(CAST(num3p AS HUGEINT) * 10000 // den3p AS BIGINT)
+        |    AS pacf3_e4
+        |FROM f WHERE den3p > 0
+        |ORDER BY user_id""".stripMargin,
     "q_ts_runs_test" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 406
+    val documented = 409
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2559,6 +2559,85 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rejRate = rows.count(_.getAs[Boolean]("white_noise_rejected"))
       .toDouble / rows.length
     assert(rejRate <= 0.15, s"rejection rate $rejRate on iid values")
+  }
+
+  test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
+      "and all three stay inside the rounding-slack unit bound") {
+    val rows = SparkEntry.queries("q_ts_pacf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (r1, r2, r3) = (r.getAs[Long]("r1_e4"), r.getAs[Long]("r2_e4"),
+        r.getAs[Long]("r3_e4"))
+      Seq(r1, r2, r3).foreach(x => assert(math.abs(x) <= 10000L, r))
+      assert(r.getAs[Long]("pacf1_e4") == r1, r)
+      val n2v = r2 * 10000 - r1 * r1
+      val d2v = 100000000L - r1 * r1
+      assert(d2v > 0, r)
+      assert(r.getAs[Long]("pacf2_e4") == n2v * 10000 / d2v, r)
+      // exact PACF lies in [-1,1]; e4 quantization of the r's can
+      // push the cleared ratio slightly out — slack, not structure
+      assert(math.abs(r.getAs[Long]("pacf2_e4")) <= 12000L, r)
+      assert(math.abs(r.getAs[Long]("pacf3_e4")) <= 20000L, r)
+    }
+  }
+
+  test("join_mutual_nn: every pair is mutual (keys appear once per " +
+      "side) and matches the brute-force nearest computation") {
+    val rows = SparkEntry.queries("q_join_mutual_nn")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val cks = rows.map(_.getAs[Long]("custkey"))
+    val sks = rows.map(_.getAs[Long]("suppkey"))
+    assert(cks.distinct.length == cks.length, "custkey repeated")
+    assert(sks.distinct.length == sks.length, "suppkey repeated")
+    rows.foreach(r => assert(r.getAs[Long]("diff_cents") >= 0, r))
+    // brute force at fixture scale
+    val c = graft.Tables.customer(spark, sf)
+      .selectExpr("CAST(c_nationkey AS BIGINT)",
+        "CAST(c_custkey AS BIGINT)",
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s = graft.Tables.supplier(spark, sf)
+      .selectExpr("CAST(s_nationkey AS BIGINT)",
+        "CAST(s_suppkey AS BIGINT)",
+        "CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS sb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def best(from: Array[(Long, Long, Long)],
+        to: Array[(Long, Long, Long)]): Map[Long, Long] =
+      from.flatMap { case (nk, k, b) =>
+        val cand = to.filter(_._1 == nk)
+          .map(t => (math.abs(b - t._3), t._2))
+        if (cand.isEmpty) None else Some(k -> cand.min._2)
+      }.toMap
+    val bc = best(c, s)
+    val bs = best(s, c)
+    val want = bc.filter { case (ck, sk) => bs.get(sk).contains(ck) }
+    val got = rows.map(r =>
+      r.getAs[Long]("custkey") -> r.getAs[Long]("suppkey")).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("orders_cohort_ltv: every cohort starts at index 0, the " +
+      "cumulative curve is monotone, and total mass is conserved") {
+    val rows = SparkEntry.queries("q_orders_cohort_ltv")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_month"))
+    byCohort.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("idx"))
+      assert(sorted.head.getAs[Long]("idx") == 0L, // first order month
+        sorted.head)
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("rev_cents")
+        assert(r.getAs[Long]("cum_rev_cents") == cum, r)
+      }
+    }
+    val total = rows.map(_.getAs[Long]("rev_cents")).sum
+    val expect = graft.Tables.orders(spark, sf)
+      .selectExpr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)" +
+        " AS BIGINT)) AS BIGINT) AS t").collect().head.getAs[Long]("t")
+    assert(total == expect, s"$total != $expect")
   }
 
   test("llm_pr_at_k: four k rows, precision falls and recall rises " +
