@@ -1454,7 +1454,33 @@ object Analytics {
       .orderBy(col("cohort_month"), col("idx"))
   }
 
+  /** Daily new-vs-returning split (J53): per active day, how many
+    * active users are brand new (first-ever day) vs returning — the
+    * acquisition/retention decomposition every growth dashboard draws,
+    * and the daily twin of q_events_cumulative_users (whose first-seen
+    * reduction this reuses).
+    *
+    * Shape: (user, day) dedup → per-user min-day reduction → one
+    * key-partitioned join back → day census. All partial-aggregable;
+    * the join is user_id-keyed on both sides (co-located at scale). */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(expr("(ts_ns div 1000) div 86400000000").as("d"),
+        col("user_id"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    ud.join(first, "user_id")
+      .groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("d") === col("d0"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        expr("n_new * 10000 div n_active").as("new_share_e4"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_new_returning" -> newVsReturning,
     "q_orders_cohort_ltv" -> cohortLtv,
     "q_events_rolling_distinct" -> rollingDistinctUsers,
     "q_attr_first_touch" -> firstTouchAttribution,
@@ -1498,6 +1524,18 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id),
+        |g AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS n_active,
+        |   CAST(sum(CASE WHEN ud.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_new
+        |  FROM ud JOIN f USING (user_id) GROUP BY 1)
+        |SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+        |  n_new * 10000 // n_active AS new_share_e4
+        |FROM g ORDER BY day""".stripMargin,
     "q_orders_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey AS ck,
         |   year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,

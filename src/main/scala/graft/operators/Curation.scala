@@ -1269,7 +1269,52 @@ object Curation {
           .as("fog_doc_e2"))
       .orderBy(col("source"))
 
+  /** Quantile-normalization audit (J53): per (source, decile), the
+    * raw mean doc length vs the GLOBAL mid-decile target length — the
+    * mapping table quantile normalization (the batch-effect-correction
+    * standard) would apply to align every source's length distribution
+    * to the corpus-wide one. A large raw-vs-target gap in a decile =
+    * that source's lengths are skewed there and any length-sensitive
+    * quality gate treats it unfairly.
+    *
+    * Decile assignment is a per-SOURCE ranked window (partitioned by
+    * source — the key-partitioned window class, scale-fine); the
+    * global side never sorts rows: targets come from the length
+    * SUPPORT census (value → count → running cum, support-sized) with
+    * the mid-decile rank r_d = (2d+1)·N div 20 + 1 resolved by one
+    * broadcast 10-row join — the AUC/weighted-percentile idiom.
+    * All integers; mean ×10² by truncating division. */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lens = documents(spark, dir)
+      .select(col("source"), col("n_chars").as("len"), col("doc_id"))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("len"), col("doc_id"))
+    val srcCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val dec = lens
+      .withColumn("rn", row_number().over(bySrc))
+      .withColumn("cnt", count(lit(1)).over(srcCnt))
+      .withColumn("decile", expr("CAST((rn - 1) * 10 div cnt AS BIGINT)"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("len_sum"))
+    val census = lens.groupBy(col("len")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("len"))))
+    val n = lens.agg(count(lit(1)).as("nn"))
+    val targets = census.crossJoin(broadcast(n))
+      .crossJoin(broadcast((0L to 9L).toDF("decile")))
+      .filter(col("cum") >= expr("(2 * decile + 1) * nn div 20 + 1"))
+      .groupBy(col("decile")).agg(min(col("len")).as("target_len"))
+    dec.join(broadcast(targets), "decile")
+      .select(col("source"), col("decile"), col("n_docs"),
+        expr("len_sum * 100 div n_docs").as("mean_len_e2"),
+        col("target_len"))
+      .orderBy(col("source"), col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_quantile_norm" -> quantileNorm,
     "q_llm_readability" -> readability,
     "q_llm_source_influence" -> sourceInfluence,
     "q_llm_stopword_discovery" -> stopwordDiscovery,
@@ -1326,6 +1371,34 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_quantile_norm" ->
+      """WITH lens AS (SELECT source, n_chars AS len, doc_id
+        |  FROM documents),
+        |dec AS (SELECT source,
+        |   (row_number() OVER (PARTITION BY source
+        |      ORDER BY len, doc_id) - 1) * 10
+        |     // (count(*) OVER (PARTITION BY source)) AS decile,
+        |   len
+        |  FROM lens),
+        |g AS (SELECT source, CAST(decile AS BIGINT) AS decile,
+        |   CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(len) AS BIGINT) AS len_sum
+        |  FROM dec GROUP BY 1, 2),
+        |census AS (SELECT len, count(*) AS c FROM lens GROUP BY len),
+        |cum AS (SELECT len,
+        |   CAST(sum(c) OVER (ORDER BY len) AS BIGINT) AS cum
+        |  FROM census),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM lens),
+        |ks AS (SELECT CAST(unnest([0,1,2,3,4,5,6,7,8,9]) AS BIGINT)
+        |   AS decile),
+        |t AS (SELECT decile, CAST(min(len) AS BIGINT) AS target_len
+        |  FROM cum CROSS JOIN n JOIN ks
+        |    ON cum.cum >= (2 * ks.decile + 1) * n.nn // 20 + 1
+        |  GROUP BY decile)
+        |SELECT g.source, g.decile, g.n_docs,
+        |  g.len_sum * 100 // g.n_docs AS mean_len_e2, t.target_len
+        |FROM g JOIN t ON g.decile = t.decile
+        |ORDER BY g.source, g.decile""".stripMargin,
     "q_llm_readability" ->
       """WITH d AS (SELECT source,
         |   len(string_split(text, ' ')) AS w,

@@ -565,7 +565,52 @@ object Evaluation {
       .orderBy(col("k"))
   }
 
+  /** Expected Reciprocal Rank of the BM25 top-10 (J53) — the cascade
+    * eval metric (Chapelle et al.): the user scans ranks in order and
+    * stops at rank r with probability R_r·Π_{i<r}(1−R_i),
+    * R = (2^g − 1)/2^gmax with graded g ∈ 0..3 ⇒ R ∈ {0,⅛,⅜,⅞}.
+    * All stop probabilities are EIGHTHS, so the whole cascade is
+    * exact rational: a = 2^g − 1 (gain numerator), continue factor
+    * 8 − a, prefix product P = Π(8 − a_i) ≤ 8⁹, and the rank-r term
+    * is a·P·10⁶ div (8^r · r) — one truncation per rank, 8^r via
+    * exact shiftleft. Emitted per rank with the running ERR so the
+    * whole cascade is hash-auditable, not just the final scalar.
+    *
+    * The prefix product is a ≤9-element collect_list over the 10-row
+    * ranked frame folded with a BIGINT `aggregate` lambda (DuckDB:
+    * list + list_aggregate 'product' — float-typed but exact below
+    * 2⁵³, cast back to BIGINT). The single-partition window touches
+    * exactly 10 rows (the nDCG discipline).
+    *
+    * Scale shape: everything corpus-sized is the BM25
+    * TakeOrderedAndProject; the cascade itself is constant work. */
+  def errCascade(spark: SparkSession, dir: String): DataFrame = {
+    val rel = relevance(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val ranked = LlmOps.bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(w))
+      .join(rel, Seq("doc_id"), "left")
+      .withColumn("g", coalesce(col("rel"), lit(0L)))
+      .withColumn("a", expr("shiftleft(1L, CAST(g AS INT)) - 1"))
+    val prefixW = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ranked
+      .withColumn("prefix", collect_list(expr("8L - a")).over(prefixW))
+      .withColumn("p_num", expr("aggregate(prefix, 1L, " +
+        "(acc, x) -> acc * x)"))
+      .select(col("rn").cast("long").as("rank"), col("doc_id"),
+        col("g").as("gain"), col("p_num"),
+        expr("a * p_num * 1000000 div" +
+          " (shiftleft(1L, CAST(3 * rn AS INT)) * rn)").as("term_e6"))
+      .withColumn("err_cum_e6", sum(col("term_e6")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("rank"))))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_err" -> errCascade,
     "q_llm_pr_at_k" -> prAtK,
     "q_llm_auc" -> aucRankSum,
     "q_llm_feature_separation" -> featureSeparation,
@@ -581,6 +626,41 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_err" ->
+      s"""WITH ${LlmOps.bm25Ctes},
+        |ranked AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM bmsc),
+        |g AS (SELECT doc_id,
+        |   max(CASE WHEN tok = '${LlmOps.bm25Terms(0)}' THEN 1
+        |     ELSE 0 END) +
+        |   max(CASE WHEN tok = '${LlmOps.bm25Terms(1)}' THEN 1
+        |     ELSE 0 END) +
+        |   max(CASE WHEN tok = '${LlmOps.bm25Terms(2)}' THEN 1
+        |     ELSE 0 END) AS gv
+        |  FROM toks GROUP BY doc_id),
+        |t AS (SELECT rn, ranked.doc_id,
+        |   CAST(coalesce(gv, 0) AS BIGINT) AS gn
+        |  FROM ranked LEFT JOIN g USING (doc_id) WHERE rn <= 10),
+        |av AS (SELECT rn, doc_id, gn,
+        |   (CAST(1 AS BIGINT) << CAST(gn AS INTEGER)) - 1 AS a
+        |  FROM t),
+        |p AS (SELECT rn, doc_id, gn, a,
+        |   CAST(coalesce(list_aggregate(
+        |     list(8 - a) OVER (ORDER BY rn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |     'product'), 1) AS BIGINT) AS p_num
+        |  FROM av),
+        |tm AS (SELECT rn, doc_id, gn, p_num,
+        |   a * p_num * 1000000
+        |     // ((CAST(1 AS BIGINT) << CAST(3 * rn AS INTEGER)) * rn)
+        |     AS term_e6
+        |  FROM p)
+        |SELECT CAST(rn AS BIGINT) AS rank, doc_id, gn AS gain, p_num,
+        |  term_e6,
+        |  CAST(sum(term_e6) OVER (ORDER BY rn) AS BIGINT)
+        |    AS err_cum_e6
+        |FROM tm ORDER BY rank""".stripMargin,
     "q_llm_pr_at_k" ->
       s"""WITH ${LlmOps.bm25Ctes},
         |ranked AS (SELECT doc_id,

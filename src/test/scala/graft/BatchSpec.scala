@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 409
+    val documented = 412
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2559,6 +2559,68 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rejRate = rows.count(_.getAs[Boolean]("white_noise_rejected"))
       .toDouble / rows.length
     assert(rejRate <= 0.15, s"rejection rate $rejRate on iid values")
+  }
+
+  test("llm_err: ten cascade rows whose products, terms, and running " +
+      "ERR all replay exactly, with ERR bounded by one") {
+    val rows = SparkEntry.queries("q_llm_err")(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    var p = 1L
+    var cum = 0L
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gain")
+      assert(g >= 0 && g <= 3, r)
+      val a = (1L << g) - 1
+      assert(r.getAs[Long]("p_num") == p, r) // prefix product replay
+      val rk = r.getAs[Long]("rank")
+      val term = a * p * 1000000L / ((1L << (3 * rk)) * rk)
+      assert(r.getAs[Long]("term_e6") == term, r)
+      cum += term
+      assert(r.getAs[Long]("err_cum_e6") == cum, r)
+      p = p * (8 - a)
+    }
+    assert(cum >= 0 && cum <= 1000000L, cum) // ERR is a probability mix
+  }
+
+  test("events_new_returning: the first day is all-new, new users " +
+      "sum to the distinct-user total, and the split is conserved") {
+    val rows = SparkEntry.queries("q_events_new_returning")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    val head = rows.head
+    assert(head.getAs[Long]("n_new") == head.getAs[Long]("n_active"),
+      head)
+    rows.foreach { r =>
+      val (a, nw, rt) = (r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_returning"))
+      assert(nw + rt == a && nw >= 0 && rt >= 0, r)
+      assert(r.getAs[Long]("new_share_e4") == nw * 10000 / a, r)
+    }
+    val totalNew = rows.map(_.getAs[Long]("n_new")).sum
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(totalNew == users, s"$totalNew != $users")
+  }
+
+  test("llm_quantile_norm: deciles partition each source, targets " +
+      "are monotone along the global distribution, and means replay") {
+    val rows = SparkEntry.queries("q_llm_quantile_norm")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDocsTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocsTotal ==
+      graft.Tables.documents(spark, sf).count(), "decile partition")
+    val targets = rows.groupBy(_.getAs[Long]("decile"))
+      .view.mapValues(_.head.getAs[Long]("target_len")).toMap
+    val sortedT = targets.toSeq.sortBy(_._1).map(_._2)
+    assert(sortedT.zip(sortedT.tail).forall { case (a, b) => a <= b },
+      sortedT)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("decile") >= 0 &&
+        r.getAs[Long]("decile") <= 9, r)
+      assert(r.getAs[Long]("n_docs") > 0, r)
+    }
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
