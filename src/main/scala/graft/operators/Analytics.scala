@@ -1479,7 +1479,61 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Cramér's V association audit (J54): IS event type associated
+    * with day-of-week, and how strongly? The chi-square independence
+    * test completes the inference family's CATEGORICAL×CATEGORICAL
+    * cell (t/U test = numeric×binary, ANOVA = numeric×k-group, KS =
+    * two distributions); V = sqrt(chi2/(N·min(r−1,c−1))) is the
+    * effect size that, unlike raw chi2, does not grow with N — the
+    * number a dashboard can threshold. Sqrt-free discipline: V² is
+    * emitted (the abTest/mannKendall squared-verdict idiom).
+    *
+    * Exactness: per-cell term_e6 = (n·N − r·c)²·10⁶ div (N·r·c) —
+    * the expected-count division is cleared by cross-multiplication,
+    * one truncating div per cell, identical text in both engines.
+    * (n·N)² reaches ~10²⁰ at sf0.1 (N = 10⁵), past 2⁶³ — the square
+    * lives in DECIMAL(38,0) (the assortativity overflow lane), which
+    * holds to N ≈ 10¹⁸ events.
+    *
+    * Shape (100 TB): fact scan → one partial-aggregable (type, dow)
+    * census (35 cells) → broadcast margins → 35-row fold. dow =
+    * epoch-day mod 7 (the anovaDow no-calendar idiom). dof is
+    * data-derived; the 95% critical value is the authored literal for
+    * dof 24 = (5−1)(7−1), valid while the census stays 5×7 (pinned by
+    * the spec test). */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .select(col("event_type"),
+        expr("((ts_ns div 1000) div 86400000000) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("n")).as("c"))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      countDistinct(col("event_type")).as("k_types"),
+      countDistinct(col("dow")).as("k_dows"))
+    cells.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("n"), max(col("k_types")).as("k_types"),
+        max(col("k_dows")).as("k_dows"),
+        sum(expr("""CAST((CAST(n AS DECIMAL(38,0)) * nn - CAST(r AS
+          | DECIMAL(38,0)) * c) * (CAST(n AS DECIMAL(38,0)) * nn -
+          | CAST(r AS DECIMAL(38,0)) * c) * 1000000
+          | div (CAST(nn AS DECIMAL(38,0)) * r * c) AS BIGINT)"""
+          .stripMargin)).as("chi2_e6"))
+      .select(col("n"), col("k_types"), col("k_dows"),
+        expr("(k_types - 1) * (k_dows - 1)").as("dof"),
+        col("chi2_e6"),
+        expr("chi2_e6 div (n * least(k_types - 1, k_dows - 1))")
+          .as("v2_e6"),
+        // chi2 crit(dof=24, 95%) = 36.415 — authored e6 literal; the
+        // spec pins dof == 24 so the literal cannot silently misapply
+        expr("chi2_e6 >= 36415000").as("assoc_95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_cramers_v" -> cramersV,
     "q_events_new_returning" -> newVsReturning,
     "q_orders_cohort_ltv" -> cohortLtv,
     "q_events_rolling_distinct" -> rollingDistinctUsers,
@@ -1524,6 +1578,32 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(n) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS k_types,
+        |  CAST(count(DISTINCT dow) AS BIGINT) AS k_dows FROM cells),
+        |f AS (SELECT max(nn) AS n, max(k_types) AS k_types,
+        |  max(k_dows) AS k_dows,
+        |  CAST(sum(CAST((CAST(n AS HUGEINT) * nn - CAST(r AS
+        |    HUGEINT) * c) * (CAST(n AS HUGEINT) * nn -
+        |    CAST(r AS HUGEINT) * c) * 1000000
+        |    // (CAST(nn AS HUGEINT) * r * c) AS BIGINT)) AS BIGINT)
+        |    AS chi2_e6
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow),
+        |    tt)
+        |SELECT n, k_types, k_dows,
+        |  (k_types - 1) * (k_dows - 1) AS dof, chi2_e6,
+        |  chi2_e6 // (n * least(k_types - 1, k_dows - 1)) AS v2_e6,
+        |  chi2_e6 >= 36415000 AS assoc_95
+        |FROM f""".stripMargin,
     "q_events_new_returning" ->
       """WITH ud AS (
         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id

@@ -1313,7 +1313,47 @@ object Curation {
       .orderBy(col("source"), col("decile"))
   }
 
+  /** Simpson diversity per source (J54): the probability that two
+    * tokens drawn WITHOUT replacement from a source are the same type
+    * (match_e6), its Gini–Simpson complement, and the inverse-Simpson
+    * effective vocabulary (×10³) — the evenness number that, unlike
+    * Shannon entropy (char_entropy) and raw TTR (mattr), is an EXACT
+    * RATIONAL of integer counts: D = Σ nᵢ(nᵢ−1) / (N(N−1)), no
+    * transcendental anywhere. Inverse Simpson ≈ "how many equally
+    * common types would look this concentrated" — the retrieval-side
+    * twin of the HHI concentration row, computed on the token
+    * distribution instead of the user-revenue one.
+    *
+    * Exactness: fully integer; the two emitted ratios repeat the same
+    * division text (round-once per column). Σnᵢ(nᵢ−1) and N(N−1) live
+    * in DECIMAL(38,0) from the start (the overflow lane — at 100 TB a
+    * source's N ≈ 10¹² makes N² ≈ 10²⁴, past 2⁶³; DuckDB side rides
+    * HUGEINT).
+    *
+    * Shape (100 TB): one partial-aggregable (source, token) census →
+    * per-source vocab-sized fold. No window, no join. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tok"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("m"))
+      .select(col("source"), col("vocab"), col("n_tok"),
+        expr("""CAST(m * 1000000 div (CAST(n_tok AS DECIMAL(38,0))
+          | * greatest(n_tok - 1, 1)) AS BIGINT)""".stripMargin)
+          .as("match_e6"),
+        expr("""CAST(1000000 - m * 1000000 div (CAST(n_tok AS
+          | DECIMAL(38,0)) * greatest(n_tok - 1, 1)) AS BIGINT)"""
+          .stripMargin).as("gini_simpson_e6"),
+        expr("""CAST(CAST(n_tok AS DECIMAL(38,0))
+          | * greatest(n_tok - 1, 1) * 1000
+          | div greatest(m, 1) AS BIGINT)""".stripMargin)
+          .as("inv_simpson_e3"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_simpson" -> simpsonDiversity,
     "q_llm_quantile_norm" -> quantileNorm,
     "q_llm_readability" -> readability,
     "q_llm_source_influence" -> sourceInfluence,
@@ -1371,6 +1411,23 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_simpson" ->
+      """WITH toks AS (SELECT source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        |vc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |f AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |   CAST(sum(c) AS BIGINT) AS n_tok,
+        |   CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS m
+        |  FROM vc GROUP BY 1)
+        |SELECT source, vocab, n_tok,
+        | CAST(m * 1000000 // (CAST(n_tok AS HUGEINT)
+        |   * greatest(n_tok - 1, 1)) AS BIGINT) AS match_e6,
+        | CAST(1000000 - m * 1000000 // (CAST(n_tok AS HUGEINT)
+        |   * greatest(n_tok - 1, 1)) AS BIGINT) AS gini_simpson_e6,
+        | CAST(CAST(n_tok AS HUGEINT) * greatest(n_tok - 1, 1) * 1000
+        |   // greatest(m, 1) AS BIGINT) AS inv_simpson_e3
+        |FROM f ORDER BY source""".stripMargin,
     "q_llm_quantile_norm" ->
       """WITH lens AS (SELECT source, n_chars AS len, doc_id
         |  FROM documents),

@@ -1219,9 +1219,57 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Permutation entropy, order 3 (J54, Bandt–Pompe 2002): the
+    * complexity of the daily event-count series measured by the
+    * diversity of its consecutive-triple ORDER PATTERNS — immune to
+    * monotone rescaling (a log-transformed series scores identically),
+    * which no moment-based screen in the randomness family (runs,
+    * turning points, Ljung–Box) is. Low PE = rigid trend/cycle; PE
+    * near 1 = pattern-free. The 6 patterns are encoded by the three
+    * pairwise comparisons (x1≥x0, x2≥x1, x2≥x0) — ties rank the LATER
+    * day higher (the Bandt–Pompe convention), so the encoding is
+    * deterministic with no random tie-break; two of the 8 codes are
+    * logically impossible (transitivity) and never appear.
+    *
+    * Exactness: H_e3 = Σ n·(lnE3(N) − lnE3(n)) div N — the shared
+    * floor-once lnE3 text (markovEntropy discipline); pe_norm_e4
+    * divides by lnE3(6) = 1792 exactly.
+    *
+    * Shape (100 TB): fact scan → partial-aggregable daily census
+    * (span-sized, ≤ a few thousand rows at any corpus size) → ONE
+    * window pass over that bounded series → 6-row fold. The global
+    * window is on the day grid, never the fact table — the
+    * changepoint/acf family contract. */
+  def permEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val pat = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .withColumn("x1", lead(col("x"), 1).over(w))
+      .withColumn("x2", lead(col("x"), 2).over(w))
+      .filter(col("x2").isNotNull)
+      .select(expr("""(CASE WHEN x1 >= x THEN 4 ELSE 0 END)
+        | + (CASE WHEN x2 >= x1 THEN 2 ELSE 0 END)
+        | + (CASE WHEN x2 >= x THEN 1 ELSE 0 END)""".stripMargin)
+        .as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n"))
+    val tot = pat.agg(sum(col("n")).as("nn"))
+    val h = pat.crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("nn"),
+        expr("""CAST(sum(n * (CAST(floor(ln(nn) * 1000 + 0.5) AS BIGINT)
+          | - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
+          | div max(nn) AS BIGINT)""".stripMargin).as("h_e3"))
+    pat.crossJoin(broadcast(h))
+      .select(col("pattern"), col("n"),
+        expr("n * 10000 div nn").as("share_e4"), col("h_e3"),
+        expr("h_e3 * 10000 div 1792").as("pe_norm_e4"))
+      .orderBy(col("pattern"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_pacf" -> pacf,
     "q_ts_runs_test" -> runsTest,
+    "q_ts_perm_entropy" -> permEntropy,
     "q_ts_turning_points" -> turningPoints,
     "q_ts_wow_growth" -> wowGrowth,
     "q_ts_rolling_slope" -> rollingSlope,
@@ -1253,6 +1301,27 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_perm_entropy" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |t AS (SELECT x, lead(x, 1) OVER (ORDER BY day) AS x1,
+        |   lead(x, 2) OVER (ORDER BY day) AS x2 FROM daily),
+        |p AS (SELECT (CASE WHEN x1 >= x THEN 4 ELSE 0 END)
+        |   + (CASE WHEN x2 >= x1 THEN 2 ELSE 0 END)
+        |   + (CASE WHEN x2 >= x THEN 1 ELSE 0 END) AS pattern
+        |  FROM t WHERE x2 IS NOT NULL),
+        |c AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |h AS (SELECT max(nn) AS nn,
+        |   CAST(sum(n * (CAST(floor(ln(nn) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
+        |     // max(nn) AS BIGINT) AS h_e3
+        |  FROM c CROSS JOIN tot)
+        |SELECT CAST(pattern AS BIGINT) AS pattern, n,
+        | n * 10000 // h.nn AS share_e4, h_e3,
+        | h_e3 * 10000 // 1792 AS pe_norm_e4
+        |FROM c CROSS JOIN h ORDER BY pattern""".stripMargin,
     "q_ts_pacf" ->
       """WITH m AS (
         |  SELECT user_id,

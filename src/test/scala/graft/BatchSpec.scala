@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 412
+    val documented = 415
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2620,6 +2620,64 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("decile") >= 0 &&
         r.getAs[Long]("decile") <= 9, r)
       assert(r.getAs[Long]("n_docs") > 0, r)
+    }
+  }
+
+  test("events_cramers_v: dof pins the authored 24 crit literal, V-sq " +
+      "is bounded by one, and the verdict replays from chi2") {
+    val rows = SparkEntry.queries("q_events_cramers_v")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // the assoc_95 literal is chi2 crit for dof=24 — this assertion is
+    // what licenses it; a fixture with fewer types/dows must re-author
+    assert(r.getAs[Long]("dof") == 24, r)
+    assert(r.getAs[Long]("n") ==
+      graft.Tables.events(spark, sf).count(), r)
+    val chi2 = r.getAs[Long]("chi2_e6")
+    assert(chi2 >= 0, r)
+    val v2 = r.getAs[Long]("v2_e6")
+    assert(v2 == chi2 / (r.getAs[Long]("n") *
+      math.min(r.getAs[Long]("k_types") - 1,
+        r.getAs[Long]("k_dows") - 1)), r)
+    assert(v2 >= 0 && v2 <= 1000000L, r) // V² is a squared correlation
+    assert(r.getAs[Boolean]("assoc_95") == (chi2 >= 36415000L), r)
+  }
+
+  test("ts_perm_entropy: only transitively-possible patterns appear, " +
+      "the census covers every triple, and H is bounded by ln 6") {
+    val rows = SparkEntry.queries("q_ts_perm_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val valid = Set(0L, 2L, 3L, 4L, 5L, 7L) // 1 and 6 violate transitivity
+    rows.foreach { r =>
+      assert(valid(r.getAs[Long]("pattern")), r)
+      assert(r.getAs[Long]("n") > 0, r)
+    }
+    val nDays = graft.Tables.events(spark, sf)
+      .selectExpr("(ts_ns div 1000) div 86400000000 as d")
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDays - 2, s"$nDays")
+    val h = rows.head.getAs[Long]("h_e3")
+    // ln 6 · 1000 = 1792 (+1 slack: six lnE3 half-up roundings)
+    assert(h >= 0 && h <= 1793, h)
+    assert(rows.head.getAs[Long]("pe_norm_e4") == h * 10000 / 1792)
+  }
+
+  test("llm_simpson: the two complements sum to one, effective vocab " +
+      "never exceeds actual vocab, and concentration bounds hold") {
+    val rows = SparkEntry.queries("q_llm_simpson")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("match_e6")
+      assert(m >= 0 && m <= 1000000L, r)
+      assert(m + r.getAs[Long]("gini_simpson_e6") == 1000000L, r)
+      val inv = r.getAs[Long]("inv_simpson_e3")
+      assert(inv >= 1000L, r) // at least one effective type
+      // the without-replacement estimator can exceed V by up to
+      // (V−1)/(c̄−1) on even counts — one effective type of slack
+      assert(inv <= r.getAs[Long]("vocab") * 1000L + 1000L, r)
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tok"), r)
     }
   }
 
