@@ -1532,7 +1532,56 @@ object Analytics {
         expr("chi2_e6 >= 36415000").as("assoc_95"))
   }
 
+  /** Paired sign-flip permutation test (J55): is the daily
+    * purchase-minus-error count difference centered at zero? The
+    * EXACT-null nonparametric answer the parametric ab_ttest and the
+    * rank-based ab_utest both approximate: under H₀ each day's
+    * difference is symmetric around 0, so flipping signs at random
+    * must produce statistics as extreme as the observed one about as
+    * often as not. B = 100 deterministic sign patterns from the shared
+    * md5-h60 residue (the Poisson-bootstrap discipline — no RNG, both
+    * engines replay the same flips); p uses the add-one permutation
+    * convention (n_extreme+1)/(B+1), the exact-test form that can
+    * never emit p = 0.
+    *
+    * Exactness: all integers end-to-end — counts, signed sums, one
+    * truncating div for p_e4.
+    *
+    * Shape (100 TB): fact scan → partial-aggregable daily census →
+    * bounded ×100 fan-out of the SPAN-SIZED frame (never the fact
+    * table) → 100-row fold. */
+  def permTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        - sum(when(col("event_type") === "error", 1L).otherwise(0L)))
+        .as("d"))
+    val obs = daily.agg(sum(col("d")).as("t_obs"),
+      count(lit(1)).as("n_days"))
+    val tb = daily
+      .select(col("day"), col("d"),
+        explode(expr("sequence(1, 100)")).as("b"))
+      .withColumn("s", expr(
+        """CASE WHEN CAST(conv(substring(md5(concat(CAST(b AS STRING),
+          | ':', CAST(day AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          | % 2 = 0 THEN 1 ELSE -1 END""".stripMargin))
+      .groupBy(col("b")).agg(sum(expr("s * d")).as("t_b"))
+    tb.crossJoin(broadcast(obs))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("t_obs")).as("t_obs"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_days"), col("t_obs"), col("n_perms"),
+        col("n_extreme"),
+        expr("(n_extreme + 1) * 10000 div (n_perms + 1)").as("p_e4"),
+        expr("(n_extreme + 1) * 10000 div (n_perms + 1) <= 500")
+          .as("sig_95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_perm_test" -> permTest,
     "q_events_cramers_v" -> cramersV,
     "q_events_new_returning" -> newVsReturning,
     "q_orders_cohort_ltv" -> cohortLtv,
@@ -1578,6 +1627,30 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_perm_test" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |     END) - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |     END) AS BIGINT) AS d
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT CAST(sum(d) AS BIGINT) AS t_obs,
+        |   CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |fl AS (SELECT b.b, day, d,
+        |   CASE WHEN CAST(concat('0x', substr(md5(concat(
+        |     CAST(b.b AS VARCHAR), ':', CAST(day AS VARCHAR))), 1, 15))
+        |     AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM daily, range(1, 101) b(b)),
+        |tb AS (SELECT b, CAST(sum(s * d) AS BIGINT) AS t_b
+        |  FROM fl GROUP BY b),
+        |f AS (SELECT max(n_days) AS n_days, max(t_obs) AS t_obs,
+        |   CAST(count(*) AS BIGINT) AS n_perms,
+        |   CAST(sum(CASE WHEN abs(t_b) >= abs(t_obs) THEN 1 ELSE 0
+        |     END) AS BIGINT) AS n_extreme
+        |  FROM tb CROSS JOIN obs)
+        |SELECT n_days, t_obs, n_perms, n_extreme,
+        | (n_extreme + 1) * 10000 // (n_perms + 1) AS p_e4,
+        | (n_extreme + 1) * 10000 // (n_perms + 1) <= 500 AS sig_95
+        |FROM f""".stripMargin,
     "q_events_cramers_v" ->
       """WITH cells AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,

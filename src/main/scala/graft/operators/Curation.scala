@@ -1352,7 +1352,60 @@ object Curation {
           .as("inv_simpson_e3"))
       .orderBy(col("source"))
 
+  /** Conditional character entropy per source (J55): H(c₂|c₁) over
+    * adjacent character pairs, the marginal H(c₂), and their gap —
+    * the character-level mutual information I(c₁;c₂) that measures
+    * how PREDICTABLE a source's text is one character ahead. The
+    * bigram complement of q_llm_char_entropy (unigram, per doc):
+    * natural text sits far below its unigram entropy (Shannon's
+    * printed-English observation); machine-generated or encrypted
+    * payloads show near-zero gap. Pairs never cross doc boundaries.
+    *
+    * Exactness: the markovEntropy lnE3 form — H(c₂|c₁)·e3 =
+    * Σ n·(lnE3(t₁) − lnE3(n)) div N over the bigram census, marginal
+    * from the same census; mi_e3 = h₂ − h_cond can dip a rounding
+    * hair negative (each lnE3 carries ≤0.5 milli-nat), emitted raw
+    * with the slack documented in the spec.
+    *
+    * Shape (100 TB): map-only pair fan-out (substring over an index
+    * range — RE2 has no lookahead, so no overlapping-regex trick) →
+    * one partial-aggregable (source, c₁, c₂) census (≤ alphabet²
+    * cells per source) → alphabet-sized folds. */
+  def charCondEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val pc = documents(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(col("source"), col("text"),
+        explode(expr("sequence(1, length(text) - 1)")).as("i"))
+      .select(col("source"), expr("substring(text, i, 1)").as("c1"),
+        expr("substring(text, i + 1, 1)").as("c2"))
+      .groupBy(col("source"), col("c1"), col("c2"))
+      .agg(count(lit(1)).as("n"))
+    val t1 = pc.groupBy(col("source"), col("c1"))
+      .agg(sum(col("n")).as("t"))
+    val t2 = pc.groupBy(col("source"), col("c2"))
+      .agg(sum(col("n")).as("u"))
+    val nn = pc.groupBy(col("source")).agg(sum(col("n")).as("nn"))
+    val hc = pc.join(t1, Seq("source", "c1")).join(broadcast(nn), "source")
+      .groupBy(col("source"))
+      .agg(max(col("nn")).as("n_pairs"),
+        count(lit(1)).as("vocab_bigrams"),
+        expr("""CAST(sum(n * (CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT)
+          | - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
+          | div max(nn) AS BIGINT)""".stripMargin).as("h_cond_e3"))
+    val h2 = t2.join(broadcast(nn), "source")
+      .groupBy(col("source"))
+      .agg(expr("""CAST(sum(u * (CAST(floor(ln(nn) * 1000 + 0.5)
+          | AS BIGINT) - CAST(floor(ln(u) * 1000 + 0.5) AS BIGINT)))
+          | div max(nn) AS BIGINT)""".stripMargin).as("h2_e3"))
+    hc.join(h2, "source")
+      .select(col("source"), col("n_pairs"), col("vocab_bigrams"),
+        col("h_cond_e3"), col("h2_e3"),
+        (col("h2_e3") - col("h_cond_e3")).as("mi_e3"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_char_cond_entropy" -> charCondEntropy,
     "q_llm_simpson" -> simpsonDiversity,
     "q_llm_quantile_norm" -> quantileNorm,
     "q_llm_readability" -> readability,
@@ -1411,6 +1464,38 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_char_cond_entropy" ->
+      """WITH pr AS (SELECT source, substr(text, i, 1) AS c1,
+        |   substr(text, i + 1, 1) AS c2
+        |  FROM (SELECT source, text,
+        |     unnest(generate_series(1, length(text) - 1)) AS i
+        |    FROM documents WHERE length(text) >= 2)),
+        |pc AS (SELECT source, c1, c2, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2, 3),
+        |t1 AS (SELECT source, c1, CAST(sum(n) AS BIGINT) AS t
+        |  FROM pc GROUP BY 1, 2),
+        |t2 AS (SELECT source, c2, CAST(sum(n) AS BIGINT) AS u
+        |  FROM pc GROUP BY 1, 2),
+        |nn AS (SELECT source, CAST(sum(n) AS BIGINT) AS nn
+        |  FROM pc GROUP BY 1),
+        |hc AS (SELECT pc.source, max(nn) AS n_pairs,
+        |   CAST(count(*) AS BIGINT) AS vocab_bigrams,
+        |   CAST(sum(n * (CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
+        |     // max(nn) AS BIGINT) AS h_cond_e3
+        |  FROM pc JOIN t1 ON pc.source = t1.source AND pc.c1 = t1.c1
+        |   JOIN nn ON pc.source = nn.source
+        |  GROUP BY pc.source),
+        |h2 AS (SELECT t2.source,
+        |   CAST(sum(u * (CAST(floor(ln(nn) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(u) * 1000 + 0.5) AS BIGINT)))
+        |     // max(nn) AS BIGINT) AS h2_e3
+        |  FROM t2 JOIN nn ON t2.source = nn.source
+        |  GROUP BY t2.source)
+        |SELECT hc.source, n_pairs, vocab_bigrams, h_cond_e3, h2_e3,
+        | h2_e3 - h_cond_e3 AS mi_e3
+        |FROM hc JOIN h2 ON hc.source = h2.source
+        |ORDER BY hc.source""".stripMargin,
     "q_llm_simpson" ->
       """WITH toks AS (SELECT source,
         |   unnest(string_split(text, ' ')) AS w FROM documents),

@@ -369,7 +369,47 @@ object Warehouse {
       .orderBy(col("status"), col("bucket"))
   }
 
+  /** Unit-value price index per brand (J55): the Laspeyres-family
+    * index economics applies to exactly this star schema — per brand
+    * and ship-year, the unit value uv_y = Σ extendedprice / Σ quantity,
+    * indexed to the brand's FIRST year: idx = uv_y / uv_0 ×10⁴. The
+    * deflator behind q_parts_elasticity's price axis and the
+    * year-over-year complement of q_ts_wow_growth's weekly one.
+    *
+    * Exactness: cents per row (the q14 floor rule), the index division
+    * cleared by cross-multiplication — s_e·q0·10⁴ div (s_q·e0) — with
+    * the product in DECIMAL(38,0)/HUGEINT (s_e·q0 ≈ 10¹⁵ at sf0.1
+    * already; the overflow-lane discipline).
+    *
+    * Shape (100 TB): part is a broadcast dim; one partial-aggregable
+    * (brand, year) census; the base frame is brand-sized and
+    * broadcast. No window, no corpus sort. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val by = lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("CAST(year(l_shipdate) AS BIGINT)").as("yr"),
+        cents("l_extendedprice").as("c"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"))
+      .groupBy(col("brand"), col("yr"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("c")).as("s_e"),
+        sum(col("qty")).as("s_q"))
+    val base = by.groupBy(col("brand")).agg(min(col("yr")).as("base_yr"))
+      .join(by.select(col("brand"), col("yr").as("base_yr"),
+        col("s_e").as("e0"), col("s_q").as("q0")), Seq("brand", "base_yr"))
+    by.join(broadcast(base), Seq("brand"))
+      .select(col("brand"), col("yr"), col("n_lines"), col("s_e"),
+        col("s_q"), col("base_yr"),
+        expr("""CAST(CAST(s_e AS DECIMAL(38,0)) * q0 * 10000
+          | div (CAST(s_q AS DECIMAL(38,0)) * e0) AS BIGINT)"""
+          .stripMargin).as("uv_index_e4"))
+      .orderBy(col("brand"), col("yr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parts_price_index" -> priceIndex,
     "q_orders_open_aging" -> openOrderAging,
     "q_orders_repurchase" -> repurchaseInterval,
     "q_parts_elasticity" -> discountElasticity,
@@ -384,6 +424,26 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_parts_price_index" ->
+      """WITH li AS (SELECT p_brand AS brand,
+        |   CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+        |   CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |by1 AS (SELECT brand, yr, CAST(count(*) AS BIGINT) AS n_lines,
+        |   CAST(sum(c) AS BIGINT) AS s_e,
+        |   CAST(sum(qty) AS BIGINT) AS s_q
+        |  FROM li GROUP BY 1, 2),
+        |b0 AS (SELECT by1.brand, by1.yr AS base_yr,
+        |   s_e AS e0, s_q AS q0
+        |  FROM by1 JOIN (SELECT brand, min(yr) AS base_yr
+        |    FROM by1 GROUP BY 1) m
+        |   ON by1.brand = m.brand AND by1.yr = m.base_yr)
+        |SELECT by1.brand, yr, n_lines, s_e, s_q, base_yr,
+        | CAST(CAST(s_e AS HUGEINT) * q0 * 10000
+        |   // (CAST(s_q AS HUGEINT) * e0) AS BIGINT) AS uv_index_e4
+        |FROM by1 JOIN b0 ON by1.brand = b0.brand
+        |ORDER BY by1.brand, yr""".stripMargin,
     "q_orders_open_aging" ->
       """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
         |o AS (SELECT o_orderstatus AS status,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 415
+    val documented = 418
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2678,6 +2678,64 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       // (V−1)/(c̄−1) on even counts — one effective type of slack
       assert(inv <= r.getAs[Long]("vocab") * 1000L + 1000L, r)
       assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tok"), r)
+    }
+  }
+
+  test("parts_price_index: every brand's base year indexes to 10000 " +
+      "exactly and the base year is that brand's first") {
+    val rows = SparkEntry.queries("q_parts_price_index")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byBrand = rows.groupBy(_.getAs[String]("brand"))
+    byBrand.foreach { case (b, rs) =>
+      val minYr = rs.map(_.getAs[Long]("yr")).min
+      assert(rs.forall(_.getAs[Long]("base_yr") == minYr), b)
+      val baseRow = rs.find(_.getAs[Long]("yr") == minYr).get
+      assert(baseRow.getAs[Long]("uv_index_e4") == 10000L, baseRow)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("uv_index_e4") > 0, r)
+        assert(r.getAs[Long]("n_lines") > 0, r)
+      }
+    }
+  }
+
+  test("events_perm_test: exactly 100 deterministic permutations, the " +
+      "add-one p can never be zero, and the verdict replays") {
+    val rows = SparkEntry.queries("q_events_perm_test")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_perms") == 100L, r)
+    val p = r.getAs[Long]("p_e4")
+    assert(p == (r.getAs[Long]("n_extreme") + 1) * 10000 / 101, r)
+    assert(p > 0 && p <= 10000, r) // add-one convention floor
+    assert(r.getAs[Boolean]("sig_95") == (p <= 500), r)
+  }
+
+  test("llm_char_cond_entropy: conditioning never raises entropy " +
+      "(within lnE3 slack), MI replays, and the pair census is total") {
+    val rows = SparkEntry.queries("q_llm_char_cond_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hc, h2) = (r.getAs[Long]("h_cond_e3"), r.getAs[Long]("h2_e3"))
+      assert(hc >= 0 && h2 >= 0, r)
+      // H(c2|c1) ≤ H(c2): each side carries ≤1 milli-nat of lnE3
+      // rounding, so allow 2
+      assert(hc <= h2 + 2, r)
+      assert(r.getAs[Long]("mi_e3") == h2 - hc, r)
+    }
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 2)
+      .selectExpr("source", "length(text) - 1 AS np")
+      .groupBy("source").agg(
+        org.apache.spark.sql.functions.sum("np").as("np"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("np")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") ==
+        expected(r.getAs[String]("source")), r)
     }
   }
 
