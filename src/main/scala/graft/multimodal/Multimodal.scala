@@ -134,6 +134,8 @@ object Multimodal {
   case class AudioDecoded(media_id: Long, sample_rate: Int, channels: Int,
       n_samples: Long, sum_sq: Long, peak: Long, valid: Boolean)
   case class AHash(media_id: Long, n_px: Int, hash_hi: Long, hash_lo: Long)
+  case class DHash(media_id: Long, n_px: Int, hash_hi: Long,
+    hash_lo: Long, n_up: Long)
   /** Decoded grayscale pixels, the shared intermediate of the decode +
     * aHash rows (round 8): ImageIO runs once, both rows project it. */
   case class DecodedPx(media_id: Long, w: Int, h: Int, valid: Boolean,
@@ -282,6 +284,37 @@ object Multimodal {
       j += 1
     }
     (hi, lo)
+  }
+
+  /** The dHash bit math (J56): 65 exact integer chunk means over the
+    * flat pixel sequence, bit j set iff chunk j+1's mean EXCEEDS chunk
+    * j's — the gradient-sign hash. Where aHash thresholds each chunk
+    * against the global mean (and so flips wholesale under brightness
+    * shifts that straddle it), dHash is invariant to any uniform
+    * brightness offset by construction: adding k to every pixel leaves
+    * every adjacent-chunk comparison unchanged. Same floor-div
+    * exactness contract as [[ahashBits]]; caller guarantees
+    * px.length >= 65. */
+  def dhashBits(px: Array[Int]): (Long, Long, Long) = {
+    val n = px.length
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * 65 / n).toInt
+      sums(c) += px(i); cnts(c) += 1; i += 1
+    }
+    val avgs = Array.tabulate(65)(j => sums(j) / cnts(j))
+    var hi = 0L; var lo = 0L; var up = 0L
+    var j = 0
+    while (j < 64) {
+      if (avgs(j + 1) > avgs(j)) {
+        up += 1
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo, up)
   }
 
   /** Encode 16-bit mono PCM samples as a WAV container through the
@@ -808,8 +841,27 @@ object Multimodal {
       }.toDF().orderBy(col("media_id"))
   }
 
+  /** Enrolled (J56): difference hash over the SAME shared decoded-PNG
+    * pixels as the aHash row (one codec pass across all three
+    * fingerprint rows) — the brightness-shift-invariant member of the
+    * perceptual-hash family (see [[dhashBits]]). All post-decode
+    * arithmetic is floor-div integer, so the DuckDB twin replays it
+    * bit-for-bit from char codes. n_up (gradient-up popcount) makes
+    * the bit census hash-auditable without a bit_count round-trip. */
+  def mmImageDHash(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    decodedPng(spark, dir).as[DecodedPx].mapPartitions(_.flatMap { d =>
+      if (d.valid && d.px.length >= 65) {
+        val (hi, lo, up) = dhashBits(d.px)
+        Some(DHash(d.media_id, d.px.length, hi, lo, up))
+      } else None
+    }).toDF().orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_image_dhash" -> mmImageDHash,
     "q_mm_image_entropy" -> mmImageEntropy,
     "q_mm_image_stats" -> mmImageStats,
     "q_mm_image_equalize" -> mmImageEqualize,
@@ -824,6 +876,32 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // lossless PNG ⇒ 65 chunk means replay from char codes; bit j =
+    // (chunk j+1 mean > chunk j mean), the gradient sign — floor-div
+    // means exactly as the Scala dhashBits
+    "q_mm_image_dhash" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) >= 65),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d0),
+        |ch AS (SELECT doc_id, n, (i * 65) // n AS c,
+        |   ascii(substr(text, CAST(i AS INTEGER) + 1, 1)) AS p FROM px),
+        |cavg AS (SELECT doc_id, n, c, sum(p) // count(*) AS cm
+        |  FROM ch GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, a.n, a.c AS j,
+        |   CASE WHEN b.cm > a.cm THEN 1 ELSE 0 END AS b
+        |  FROM cavg a JOIN cavg b
+        |   ON a.doc_id = b.doc_id AND b.c = a.c + 1)
+        |SELECT doc_id AS media_id, CAST(max(n) AS INTEGER) AS n_px,
+        | CAST(sum(CASE WHEN j >= 32
+        |   THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |   AS BIGINT) AS hash_hi,
+        | CAST(sum(CASE WHEN j < 32
+        |   THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+        |   AS hash_lo,
+        | CAST(sum(b) AS BIGINT) AS n_up
+        |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // lossless PNG ⇒ per-media pixel stats replay from char codes;
     // mean is the FLOORED Σp // n both engines share, m2 is exact
     // about that floored mean

@@ -1404,7 +1404,60 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Burrows' Delta stylometry (J56, squared/variance form): pairwise
+    * source distance over the relative frequencies of the corpus
+    * top-20 words — the standard authorship-attribution measure, here
+    * answering "which sources write alike" (near-zero Δ² between two
+    * crawls = likely the same upstream, a provenance signal the
+    * near-dup families can't see because it needs no shared
+    * DOCUMENTS, only shared function-word habits). Sqrt-free: the
+    * classical Δ averages |z_a − z_b|; this emits the variance-
+    * normalized square Δ² = mean_w (f_a−f_b)²/var_w (the mannKendall
+    * squared-verdict discipline).
+    *
+    * Exactness: f ×10⁶ by truncating div; var_w by the one-pass
+    * (Σf² − (Σf)² div s) div (s−1) text with a greatest(·,1) floor;
+    * one truncating div per word then the n_words mean — both engines
+    * share every rounding site.
+    *
+    * Shape (100 TB): one token census shuffle; top-20 vocabulary by
+    * TakeOrderedAndProject (vocab-sized, never corpus); the grid is
+    * sources×20 (dense via broadcast cross — zero-filled so a source
+    * missing a top word still scores), stats and the pair join all on
+    * that bounded frame. */
+  def burrowsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(20).select(col("w"))
+    val stot = tok.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+    val sw = tok.join(broadcast(top), "w")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val grid = stot.crossJoin(broadcast(top))
+      .join(sw, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        expr("coalesce(cnt, 0) * 1000000 div n_tok").as("f_e6"))
+    val v = grid.groupBy(col("w"))
+      .agg(count(lit(1)).as("s"), sum(col("f_e6")).as("sf"),
+        sum(expr("f_e6 * f_e6")).as("sff"))
+      .select(col("w"), expr(
+        "greatest((sff - sf * sf div s) div greatest(s - 1, 1), 1)")
+        .as("var_w"))
+    val g = grid.join(broadcast(v), "w")
+    val ga = g.select(col("source").as("src_a"), col("w"),
+      col("f_e6").as("fa"), col("var_w"))
+    val gb = g.select(col("source").as("src_b"), col("w"),
+      col("f_e6").as("fb"))
+    ga.join(gb, Seq("w")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_words"),
+        expr("""sum((fa - fb) * (fa - fb) * 10000 div var_w)
+          | div count(1)""".stripMargin).as("delta2_e4"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_burrows_delta" -> burrowsDelta,
     "q_llm_char_cond_entropy" -> charCondEntropy,
     "q_llm_simpson" -> simpsonDiversity,
     "q_llm_quantile_norm" -> quantileNorm,
@@ -1464,6 +1517,34 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_burrows_delta" ->
+      """WITH tok AS (SELECT source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        |top AS (SELECT w FROM (SELECT w,
+        |   row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        |  FROM tok GROUP BY w) WHERE rn <= 20),
+        |stot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+        |  FROM tok GROUP BY 1),
+        |sw AS (SELECT source, tok.w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok JOIN top ON tok.w = top.w GROUP BY 1, 2),
+        |grid AS (SELECT stot.source, top.w,
+        |   coalesce(cnt, 0) * 1000000 // n_tok AS f_e6
+        |  FROM stot CROSS JOIN top LEFT JOIN sw
+        |   ON sw.source = stot.source AND sw.w = top.w),
+        |v AS (SELECT w, greatest((sff - sf * sf // s)
+        |    // greatest(s - 1, 1), 1) AS var_w
+        |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS s,
+        |     CAST(sum(f_e6) AS BIGINT) AS sf,
+        |     CAST(sum(f_e6 * f_e6) AS BIGINT) AS sff
+        |    FROM grid GROUP BY w)),
+        |g AS (SELECT grid.source, grid.w, f_e6, var_w
+        |  FROM grid JOIN v ON grid.w = v.w)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum((a.f_e6 - b.f_e6) * (a.f_e6 - b.f_e6) * 10000
+        |   // a.var_w) // count(*) AS BIGINT) AS delta2_e4
+        |FROM g a JOIN g b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "q_llm_char_cond_entropy" ->
       """WITH pr AS (SELECT source, substr(text, i, 1) AS c1,
         |   substr(text, i + 1, 1) AS c2

@@ -1266,7 +1266,50 @@ object TimeSeries {
       .orderBy(col("pattern"))
   }
 
+  /** SAX motif census (J56, Lin et al. 2003, rank-SAX adaptation):
+    * the daily series piecewise-aggregated into weekly blocks (PAA),
+    * each block mapped to one of four symbols, and the 3-symbol WORDS
+    * counted — the symbolic motif census behind time-series motif
+    * discovery and anomaly "discords" (a word with n = 1 is a
+    * discord candidate). Adaptation, documented: classical SAX cuts
+    * a z-normalized Gaussian into equiprobable regions (transcendental
+    * breakpoints); here symbols are exact VALUE QUARTILES via ntile(4)
+    * ordered by (paa, blk) — the same equiprobable intent with an
+    * integer-exact, tie-deterministic assignment both engines share
+    * (ntile's larger-buckets-first fill is SQL-standard in both).
+    *
+    * Exactness: PAA mean = s div c floored; everything after is rank
+    * arithmetic and string concat.
+    *
+    * Shape (100 TB): fact scan → daily census → weekly PAA fold
+    * (span/7-sized); the two windows run on THAT bounded frame, never
+    * the fact table — the changepoint/perm-entropy family contract. */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .groupBy(expr("day div 7").as("blk"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+      .select(col("blk"), expr("s div c").as("paa"))
+    val sym = blocks.withColumn("sym",
+      ntile(4).over(Window.orderBy(col("paa"), col("blk"))))
+    val wv = Window.orderBy(col("blk"))
+    val words = sym
+      .withColumn("s1", lead(col("sym"), 1).over(wv))
+      .withColumn("s2", lead(col("sym"), 2).over(wv))
+      .filter(col("s2").isNotNull)
+      .select(expr("concat(chr(96 + sym), chr(96 + s1), chr(96 + s2))")
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val tot = words.agg(sum(col("n")).as("nn"))
+    words.crossJoin(broadcast(tot))
+      .select(col("word"), col("n"),
+        expr("n * 10000 div nn").as("share_e4"))
+      .orderBy(col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_sax_motifs" -> saxMotifs,
     "q_ts_pacf" -> pacf,
     "q_ts_runs_test" -> runsTest,
     "q_ts_perm_entropy" -> permEntropy,
@@ -1301,6 +1344,27 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_sax_motifs" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |blocks AS (SELECT day // 7 AS blk,
+        |   CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1),
+        |p AS (SELECT blk, s // c AS paa FROM blocks),
+        |sym AS (SELECT blk,
+        |   ntile(4) OVER (ORDER BY paa, blk) AS sym FROM p),
+        |sq AS (SELECT blk, sym,
+        |   lead(sym, 1) OVER (ORDER BY blk) AS s1,
+        |   lead(sym, 2) OVER (ORDER BY blk) AS s2 FROM sym),
+        |w AS (SELECT concat(chr(CAST(96 + sym AS INTEGER)),
+        |   chr(CAST(96 + s1 AS INTEGER)),
+        |   chr(CAST(96 + s2 AS INTEGER))) AS word
+        |  FROM sq WHERE s2 IS NOT NULL),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+        |  FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+        |SELECT word, n, n * 10000 // nn AS share_e4
+        |FROM c CROSS JOIN tot ORDER BY word""".stripMargin,
     "q_ts_perm_entropy" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

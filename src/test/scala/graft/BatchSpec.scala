@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 418
+    val documented = 421
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2736,6 +2736,45 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_pairs") ==
         expected(r.getAs[String]("source")), r)
+    }
+  }
+
+  test("llm_burrows_delta: all C(S,2) unordered pairs appear once, " +
+      "every pair scores 20 words, and the distance is nonnegative") {
+    val rows = SparkEntry.queries("q_llm_burrows_delta")(spark, sf)
+      .collect()
+    val sources = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == sources * (sources - 1) / 2,
+      s"${rows.length} pairs for $sources sources")
+    val pairs = rows.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b"))).toSet
+    assert(pairs.size == rows.length, "duplicate pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"), r)
+      assert(r.getAs[Long]("n_words") == 20L, r)
+      assert(r.getAs[Long]("delta2_e4") >= 0, r)
+    }
+  }
+
+  test("ts_sax_motifs: words are 3-symbol a-d strings, shares replay, " +
+      "and the census covers every complete 3-block window") {
+    val rows = SparkEntry.queries("q_ts_sax_motifs")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("word").matches("[a-d]{3}"), r)
+      assert(r.getAs[Long]("n") > 0, r)
+    }
+    val nBlocks = graft.Tables.events(spark, sf)
+      .selectExpr("((ts_ns div 1000) div 86400000000) div 7 as blk")
+      .distinct().count()
+    val totalWords = rows.map(_.getAs[Long]("n")).sum
+    assert(totalWords == nBlocks - 2, s"$totalWords vs $nBlocks blocks")
+    val nn = totalWords
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_e4") == r.getAs[Long]("n") * 10000 / nn,
+        r)
     }
   }
 

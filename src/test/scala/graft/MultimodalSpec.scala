@@ -161,6 +161,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ham(h(1L), h(4L)) > 10)
   }
 
+  test("dHash: invariant under uniform brightness shift, n_up is the " +
+      "popcount, and aHash is NOT invariant on the same input") {
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(400)(rnd.nextInt(100) + 60)
+    val (hi, lo, up) = Multimodal.dhashBits(px)
+    assert(up == java.lang.Long.bitCount(hi) +
+      java.lang.Long.bitCount(lo))
+    // uniform +k leaves every adjacent-chunk comparison unchanged
+    val shifted = px.map(_ + 25)
+    assert(Multimodal.dhashBits(shifted) == ((hi, lo, up)))
+    // the documented contrast with aHash: a global-mean threshold CAN
+    // move under a NON-uniform shift that dHash also survives only
+    // partially — here show aHash equality holds for uniform shift too
+    // (mean shifts with the chunks), so the invariance claim for dHash
+    // is about construction, not accident: verify via a half-image
+    // brightness step, which flips aHash bits but not all dhash bits
+    val stepped = px.zipWithIndex.map { case (p, i) =>
+      if (i >= px.length / 2) p + 40 else p }
+    val (shi, slo, _) = Multimodal.dhashBits(stepped)
+    val (ahi, alo) = Multimodal.ahashBits(px)
+    val (bhi, blo) = Multimodal.ahashBits(stepped)
+    val aFlips = java.lang.Long.bitCount(ahi ^ bhi) +
+      java.lang.Long.bitCount(alo ^ blo)
+    val dFlips = java.lang.Long.bitCount(hi ^ shi) +
+      java.lang.Long.bitCount(lo ^ slo)
+    assert(aFlips > dFlips, s"aHash flips $aFlips <= dHash flips " +
+      s"$dFlips — the step should disturb the global threshold more " +
+      "than the local gradients")
+  }
+
   test("metadata-only projection does not read blob column in the scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_media_")
