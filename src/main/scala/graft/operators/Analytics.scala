@@ -1580,7 +1580,45 @@ object Analytics {
           .as("sig_95"))
   }
 
+  /** Behavioral-entropy histogram (J57): per user, the Shannon entropy
+    * of their event-TYPE distribution (how specialized vs diverse each
+    * user's behavior is), then the population histogram over 25-milli-nat
+    * buckets — the segmentation axis RFM misses (two users with equal
+    * recency/frequency/monetary can be a single-habit bot and a
+    * browser). Bucket = h_e3 div 25 (the fixture population is
+    * tightly clustered near ln 5 — measured 1.505–1.608 nats at
+    * sf0.01 — so coarse 0.25-nat bins would collapse to one row);
+    * max possible H = ln 5 ≈ 1.609 ⇒ buckets ≤ 64.
+    *
+    * Exactness: the markovEntropy lnE3 text per user; bucket, census
+    * and share are pure integer.
+    *
+    * Shape (100 TB): one partial-aggregable (user, type) census →
+    * user-keyed fold (k ≤ 5 cells each) → 7-bucket census. No window,
+    * no join. */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = ut.groupBy(col("user_id")).agg(sum(col("n")).as("t"))
+    val h = ut.join(tot, "user_id")
+      .groupBy(col("user_id"))
+      .agg(expr("""CAST(sum(n * (CAST(floor(ln(t) * 1000 + 0.5)
+        | AS BIGINT) - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
+        | div max(t) AS BIGINT)""".stripMargin).as("h_e3"))
+    val buckets = h.groupBy(expr("h_e3 div 25").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("h_e3")).as("min_h_e3"), max(col("h_e3")).as("max_h_e3"))
+    val nn = buckets.agg(sum(col("n_users")).as("nn"))
+    buckets.crossJoin(broadcast(nn))
+      .select(col("bucket"), col("n_users"),
+        expr("n_users * 10000 div nn").as("share_e4"),
+        col("min_h_e3"), col("max_h_e3"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_user_entropy" -> userEntropy,
     "q_events_perm_test" -> permTest,
     "q_events_cramers_v" -> cramersV,
     "q_events_new_returning" -> newVsReturning,
@@ -1627,6 +1665,26 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_user_entropy" ->
+      """WITH ut AS (SELECT user_id, event_type,
+        |   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS t
+        |  FROM ut GROUP BY 1),
+        |h AS (SELECT ut.user_id,
+        |   CAST(sum(n * (CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
+        |     // max(t) AS BIGINT) AS h_e3
+        |  FROM ut JOIN tot ON ut.user_id = tot.user_id
+        |  GROUP BY ut.user_id),
+        |b AS (SELECT h_e3 // 25 AS bucket,
+        |   CAST(count(*) AS BIGINT) AS n_users,
+        |   CAST(min(h_e3) AS BIGINT) AS min_h_e3,
+        |   CAST(max(h_e3) AS BIGINT) AS max_h_e3
+        |  FROM h GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n_users) AS BIGINT) AS nn FROM b)
+        |SELECT bucket, n_users, n_users * 10000 // nn AS share_e4,
+        | min_h_e3, max_h_e3
+        |FROM b CROSS JOIN nn ORDER BY bucket""".stripMargin,
     "q_events_perm_test" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0

@@ -1592,6 +1592,57 @@ object LlmOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Dirichlet-smoothed query likelihood (J57, Zhai & Lafferty 2001):
+    * the language-modeling retrieval scorer beside BM25 — rank docs by
+    * Σ_q ln((tf + μ·cf/C)/(dl + μ)) with μ = 100, over the SAME query
+    * terms and candidate set (tf₁+tf₂+tf₃ > 0) as the BM25 row, with
+    * the cross-scorer audit column in_bm25_top10 so ranker DISAGREEMENT
+    * is an enrolled number (the hybrid-RRF/Borda rows fuse rankers;
+    * this one measures how much there is to fuse).
+    *
+    * Exactness: each term is the log of a RATIONAL with integer parts —
+    * ln((tf·C + μ·cf)/((dl+μ)·C)) = lnE3(tf·C + μ·cf) −
+    * lnE3((dl+μ)·C) — two floor-once lnE3 calls per term (the PMI
+    * products discipline); scores are negative BIGINT milli-nats.
+    * Fixture precondition: every query term occurs in the corpus
+    * (cf > 0), so no ln(0) lane exists even at tf = 0.
+    *
+    * Shape (100 TB): the ONE tokenize shuffle (shared shape with
+    * bm25Scored), a scalar stats broadcast, map-only scoring, two
+    * TakeOrderedAndProject top-10s, and a 10-row broadcast join. */
+  def qlDirichlet(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = bm25Terms
+    val perDoc = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
+        sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    val qst = perDoc.agg(sum(col("dl")).as("cc"),
+      sum(col("tf1")).as("cf1"), sum(col("tf2")).as("cf2"),
+      sum(col("tf3")).as("cf3"))
+    def term(i: Int): String =
+      s"(CAST(floor(ln(tf$i * cc + 100 * cf$i) * 1000 + 0.5) AS BIGINT)" +
+        s" - CAST(floor(ln((dl + 100) * cc) * 1000 + 0.5) AS BIGINT))"
+    val top = perDoc.crossJoin(broadcast(qst))
+      .filter(col("tf1") + col("tf2") + col("tf3") > 0)
+      .withColumn("ql_e3", expr(s"${term(1)} + ${term(2)} + ${term(3)}"))
+      .orderBy(col("ql_e3").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("ql_e3"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ql_e3").desc, col("doc_id"))))
+    val bmTop = bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), lit(true).as("in_bm"))
+    top.join(broadcast(bmTop), Seq("doc_id"), "left")
+      .select(col("doc_id"), expr("CAST(rank AS BIGINT)").as("rank"),
+        col("ql_e3"),
+        coalesce(col("in_bm"), lit(false)).as("in_bm25_top10"))
+      .orderBy(col("rank"))
+  }
+
   /** Pseudo-relevance-feedback expansion (round 8): the Rocchio-lite
     * step after BM25 — take the top-5 retrieved docs, rank the terms
     * they contain (query terms and stopwords excluded) by
@@ -2608,6 +2659,7 @@ object LlmOps {
     "q_llm_text_stats" -> textStats,
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
     "q_llm_bm25" -> bm25TopDocs,
+    "q_llm_ql_dirichlet" -> qlDirichlet,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3400,6 +3452,30 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_ql_dirichlet" ->
+      s"""WITH $bm25Ctes,
+        |qst AS (SELECT CAST(sum(dl) AS BIGINT) AS cc,
+        |   CAST(sum(tf1) AS BIGINT) AS cf1,
+        |   CAST(sum(tf2) AS BIGINT) AS cf2,
+        |   CAST(sum(tf3) AS BIGINT) AS cf3 FROM perdoc),
+        |ql AS (SELECT doc_id,
+        |   (CAST(floor(ln(tf1 * cc + 100 * cf1) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((dl + 100) * cc) * 1000 + 0.5) AS BIGINT))
+        |   + (CAST(floor(ln(tf2 * cc + 100 * cf2) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((dl + 100) * cc) * 1000 + 0.5) AS BIGINT))
+        |   + (CAST(floor(ln(tf3 * cc + 100 * cf3) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((dl + 100) * cc) * 1000 + 0.5) AS BIGINT))
+        |     AS ql_e3
+        |  FROM perdoc CROSS JOIN qst WHERE tf1 + tf2 + tf3 > 0),
+        |top AS (SELECT doc_id, ql_e3, CAST(row_number() OVER (
+        |   ORDER BY ql_e3 DESC, doc_id) AS BIGINT) AS rank FROM ql),
+        |bmtop AS (SELECT doc_id FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        |  FROM bmsc) t WHERE r <= 10)
+        |SELECT top.doc_id, rank, ql_e3,
+        | (bmtop.doc_id IS NOT NULL) AS in_bm25_top10
+        |FROM top LEFT JOIN bmtop ON top.doc_id = bmtop.doc_id
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_llm_rank_fusion_borda" ->
       s"""WITH $bm25Ctes,
         |lex AS (SELECT doc_id, lex_rank FROM (

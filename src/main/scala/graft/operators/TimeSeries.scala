@@ -1308,7 +1308,41 @@ object TimeSeries {
       .orderBy(col("word"))
   }
 
+  /** Bollinger band breach census (J57): per day (with a full 7-day
+    * trailing window including the current day — the standard
+    * trailing-band convention, documented), does the daily count
+    * breach mean ± 2σ of its own window? The volatility-adaptive
+    * complement of the fixed-threshold MAD row: a level shift widens
+    * the band and stops alarming, exactly the adaptive behavior CUSUM
+    * and MAD lack.
+    *
+    * Exactness: sqrt-free — x > μ + 2σ ⟺ (x·n − s) > 0 ∧
+    * (x·n − s)² > 4·(n·ss − s²) since n²σ² = n·ss − s² (population σ
+    * over the window); the mirror for the lower band. All BIGINT
+    * (x ≤ 10⁵/day at sf0.1 ⇒ (xn−s)² ≤ ~10¹³).
+    *
+    * Shape (100 TB): daily census → ONE bounded-frame window pass
+    * (ROWS 6 PRECEDING) — the rolling-median family contract. */
+  def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .withColumn("n", count(col("x")).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("ss", sum(expr("x * x")).over(w))
+      .filter(col("n") === 7)
+      .select(col("day"), col("x"),
+        expr("s * 100 div n").as("mean_e2"),
+        expr("(x * n - s) > 0 AND (x * n - s) * (x * n - s)" +
+          " > 4 * (n * ss - s * s)").as("breach_up"),
+        expr("(x * n - s) < 0 AND (x * n - s) * (x * n - s)" +
+          " > 4 * (n * ss - s * s)").as("breach_dn"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_bollinger" -> bollinger,
     "q_ts_sax_motifs" -> saxMotifs,
     "q_ts_pacf" -> pacf,
     "q_ts_runs_test" -> runsTest,
@@ -1344,6 +1378,22 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_bollinger" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |w AS (SELECT day, x,
+        |   CAST(count(*) OVER win AS BIGINT) AS n,
+        |   CAST(sum(x) OVER win AS BIGINT) AS s,
+        |   CAST(sum(x * x) OVER win AS BIGINT) AS ss
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, x, s * 100 // n AS mean_e2,
+        | (x * n - s) > 0 AND (x * n - s) * (x * n - s)
+        |   > 4 * (n * ss - s * s) AS breach_up,
+        | (x * n - s) < 0 AND (x * n - s) * (x * n - s)
+        |   > 4 * (n * ss - s * s) AS breach_dn
+        |FROM w WHERE n = 7 ORDER BY day""".stripMargin,
     "q_ts_sax_motifs" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

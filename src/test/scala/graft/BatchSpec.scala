@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 421
+    val documented = 424
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2774,6 +2774,60 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nn = totalWords
     rows.foreach { r =>
       assert(r.getAs[Long]("share_e4") == r.getAs[Long]("n") * 10000 / nn,
+        r)
+    }
+  }
+
+  test("llm_ql_dirichlet: exactly ten ranked rows, scores are " +
+      "negative log-probs descending, and BM25 overlap is nonempty") {
+    val rows = SparkEntry.queries("q_llm_ql_dirichlet")(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    val scores = rows.map(_.getAs[Long]("ql_e3"))
+    assert(scores.forall(_ < 0), "QL is a log-prob — must be negative")
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      scores.toSeq)
+    // the two lexical scorers rank the same corpus with the same
+    // terms: total disagreement would mean one of them is broken
+    assert(rows.count(_.getAs[Boolean]("in_bm25_top10")) >= 3,
+      rows.map(_.getAs[Boolean]("in_bm25_top10")).toSeq)
+  }
+
+  test("ts_bollinger: every full-window day appears once, a breach " +
+      "is never both sides, and the sqrt-free verdict replays") {
+    val rows = SparkEntry.queries("q_ts_bollinger")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!(r.getAs[Boolean]("breach_up") &&
+        r.getAs[Boolean]("breach_dn")), r)
+    }
+    val nDays = graft.Tables.events(spark, sf)
+      .selectExpr("(ts_ns div 1000) div 86400000000 as d")
+      .distinct().count()
+    assert(rows.length == nDays - 6, s"${rows.length} vs $nDays days")
+    // a 2σ band over ~30 iid-ish days should alarm rarely, not never
+    // or always
+    val breaches = rows.count(r => r.getAs[Boolean]("breach_up") ||
+      r.getAs[Boolean]("breach_dn"))
+    assert(breaches < rows.length / 2, s"$breaches of ${rows.length}")
+  }
+
+  test("events_user_entropy: buckets partition the user base, shares " +
+      "replay, and no user exceeds the ln(5) ceiling") {
+    val rows = SparkEntry.queries("q_events_user_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    rows.foreach { r =>
+      // ln 5 · 1000 = 1609 (+1 lnE3 rounding slack)
+      assert(r.getAs[Long]("max_h_e3") <= 1610, r)
+      assert(r.getAs[Long]("min_h_e3") >= 0, r)
+      assert(r.getAs[Long]("min_h_e3") / 25 == r.getAs[Long]("bucket"),
+        r)
+      assert(r.getAs[Long]("max_h_e3") / 25 == r.getAs[Long]("bucket"),
         r)
     }
   }
