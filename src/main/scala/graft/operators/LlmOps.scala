@@ -1592,6 +1592,51 @@ object LlmOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Query-term position census (J58): for each BM25 query term, the
+    * within-doc POSITION-decile distribution of its occurrences plus
+    * a uniformity chi-square — do query terms front-load (title/lead
+    * style, the premise of first-k-tokens indexing and early-exit
+    * scoring) or spread evenly? A skewed census licenses indexing
+    * only each doc's head at a measured recall cost; this fixture
+    * measures ~uniform, which is itself the (negative) licensing
+    * number.
+    *
+    * Exactness: decile = p·10 div dl on the 0-based token position;
+    * dense 10-cell grid per term (zero-filled — an empty decile must
+    * COUNT against uniformity); per-cell chi term (10·n − nt)²·10⁴
+    * div (10·nt), the cramersV cross-multiplied discipline.
+    *
+    * Shape (100 TB): one posexplode map + filter to the 3 query terms
+    * (the scan predicate prunes everything else) → 30-cell census →
+    * broadcast folds. */
+  def termPosition(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = bm25Terms
+    val hits = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(size(col("tk")).as("dl"),
+        posexplode(col("tk")).as(Seq("p", "tok")))
+      .filter(col("tok").isin(t1, t2, t3))
+      .select(col("tok"), expr("CAST(p * 10 div dl AS BIGINT)")
+        .as("decile"))
+    val counts = hits.groupBy(col("tok"), col("decile"))
+      .agg(count(lit(1)).as("cn"))
+    val c = hits.select(col("tok")).distinct()
+      .crossJoin(broadcast(spark.range(0, 10)
+        .select(col("id").as("decile"))))
+      .join(counts, Seq("tok", "decile"), "left")
+      .select(col("tok"), col("decile"),
+        coalesce(col("cn"), lit(0L)).as("n"))
+    val t = c.groupBy(col("tok")).agg(sum(col("n")).as("nt"))
+    val chi = c.join(broadcast(t), "tok")
+      .groupBy(col("tok"))
+      .agg(expr("""CAST(sum((10 * n - nt) * (10 * n - nt) * 10000
+        | div (10 * nt)) AS BIGINT)""".stripMargin).as("chi2_e4"))
+    c.join(broadcast(t), "tok").join(broadcast(chi), "tok")
+      .select(col("tok").as("term"), col("decile"), col("n"),
+        expr("n * 10000 div nt").as("share_e4"), col("chi2_e4"))
+      .orderBy(col("term"), col("decile"))
+  }
+
   /** Dirichlet-smoothed query likelihood (J57, Zhai & Lafferty 2001):
     * the language-modeling retrieval scorer beside BM25 — rank docs by
     * Σ_q ln((tf + μ·cf/C)/(dl + μ)) with μ = 100, over the SAME query
@@ -2660,6 +2705,7 @@ object LlmOps {
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_ql_dirichlet" -> qlDirichlet,
+    "q_llm_term_position" -> termPosition,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3452,6 +3498,33 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_term_position" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |pos AS (SELECT len(tk) AS dl, unnest(tk) AS tok,
+        |   generate_subscripts(tk, 1) AS i FROM tk),
+        |hits AS (SELECT tok, (i - 1) * 10 // dl AS decile FROM pos
+        |  WHERE tok IN ('${bm25Terms(0)}', '${bm25Terms(1)}',
+        |   '${bm25Terms(2)}')),
+        |counts AS (SELECT tok, decile, CAST(count(*) AS BIGINT) AS cn
+        |  FROM hits GROUP BY 1, 2),
+        |c AS (SELECT g.tok, g.decile,
+        |   CAST(coalesce(cn, 0) AS BIGINT) AS n
+        |  FROM (SELECT t.tok, d.d AS decile
+        |    FROM (SELECT DISTINCT tok FROM hits) t
+        |    CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS d) d) g
+        |  LEFT JOIN counts
+        |   ON counts.tok = g.tok AND counts.decile = g.decile),
+        |t AS (SELECT tok, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM c GROUP BY 1),
+        |chi AS (SELECT c.tok,
+        |   CAST(sum((10 * n - nt) * (10 * n - nt) * 10000
+        |     // (10 * nt)) AS BIGINT) AS chi2_e4
+        |  FROM c JOIN t ON c.tok = t.tok GROUP BY c.tok)
+        |SELECT c.tok AS term, CAST(c.decile AS BIGINT) AS decile, n,
+        | n * 10000 // nt AS share_e4, chi2_e4
+        |FROM c JOIN t ON c.tok = t.tok JOIN chi ON c.tok = chi.tok
+        |ORDER BY term, decile""".stripMargin,
     "q_llm_ql_dirichlet" ->
       s"""WITH $bm25Ctes,
         |qst AS (SELECT CAST(sum(dl) AS BIGINT) AS cc,

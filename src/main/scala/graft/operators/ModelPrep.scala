@@ -881,7 +881,11 @@ object ModelPrep {
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "e")))
       .select(col("vec_id"), col("label"), col("dim"),
-        expr("CAST(floor(e * 10000 + 0.5) AS BIGINT)").as("v"))
+        // CAST AS DOUBLE before scaling — the centroid_shift parity
+        // lesson: FLOAT*INT promotion order differs between engines
+        // on ~1/32k cells; float64 math is IEEE-identical
+        expr("CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)")
+          .as("v"))
     val cent = dims.groupBy(col("label"), col("dim"))
       .agg(expr("sum(v) div count(1)").as("cv"))
     dims.join(broadcast(cent), Seq("label", "dim"))
@@ -890,6 +894,57 @@ object ModelPrep {
         .as("dist2"))
       .orderBy(col("dist2").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Between/within class geometry (J58): per label, the squared
+    * distance of the LABEL CENTROID to the global centroid
+    * (between-class scatter) against the mean squared distance of the
+    * label's own vectors to that centroid (within-class scatter) —
+    * the per-class Fisher separation ratio. The class-level complement
+    * of q_llm_embed_outliers (which ranks individual vectors) and the
+    * geometric WHY behind q_llm_knn_label's accuracy: labels with
+    * sep_e4 near zero are the ones kNN confuses.
+    *
+    * Exactness: the embedOutliers e4-grid + floored-centroid
+    * quantization verbatim; dist² sums are BIGINT (64 fixed dims ×
+    * (2·10⁴)² — no overflow lane needed at any corpus size); one
+    * truncating div for the ratio.
+    *
+    * Shape (100 TB): posexplode → (label, dim) fold (k·64 rows,
+    * broadcast) + dim fold (64 rows, broadcast) → map-side dist²
+    * folds → k-row join. */
+  def centroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val dims = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        // explicit float64 BEFORE the scale: FLOAT*INT promotion
+        // differs between engines (measured: 1 of 32k cells rounds
+        // apart), while float32->float64 conversion is exact and
+        // float64 arithmetic is IEEE-identical on both
+        expr("CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)")
+          .as("v"))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(expr("sum(v) div count(1)").as("cv"))
+    val gcent = dims.groupBy(col("dim"))
+      .agg(expr("sum(v) div count(1)").as("gv"))
+    val between = cent.join(broadcast(gcent), "dim")
+      .groupBy(col("label"))
+      .agg(sum((col("cv") - col("gv")) * (col("cv") - col("gv")))
+        .as("between_d2"))
+    val within = dims.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv")))
+        .as("d2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(d2) div count(1)").as("within_d2"))
+    within.join(between, "label")
+      .select(col("label"), col("n_vecs"), col("between_d2"),
+        col("within_d2"),
+        expr("between_d2 * 10000 div greatest(within_d2, 1)")
+          .as("sep_e4"))
+      .orderBy(col("label"))
   }
 
   /** Unit-norm precondition audit (round 8): ARE the embeddings
@@ -970,6 +1025,7 @@ object ModelPrep {
     "q_llm_split_kl" -> splitKl,
     "q_llm_norm_audit" -> normAudit,
     "q_llm_embed_outliers" -> embedOutliers,
+    "q_llm_centroid_shift" -> centroidShift,
     "q_llm_bradley_terry" -> bradleyTerry,
     "q_llm_pairwise_wins" -> pairwiseWins,
     "q_llm_best_of_n" -> bestOfN,
@@ -1058,9 +1114,36 @@ object ModelPrep {
         |  min(n2_e6) >= 1000000 - 100
         |    AND max(n2_e6) <= 1000000 + 100 AS all_unit
         |FROM n2""".stripMargin,
+    "q_llm_centroid_shift" ->
+      """WITH dims AS (SELECT vec_id, label, i AS dim,
+        |   CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
+        |     generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |cent AS (SELECT label, dim,
+        |   CAST(sum(v) // count(*) AS BIGINT) AS cv
+        |  FROM dims GROUP BY 1, 2),
+        |gcent AS (SELECT dim,
+        |   CAST(sum(v) // count(*) AS BIGINT) AS gv
+        |  FROM dims GROUP BY 1),
+        |btw AS (SELECT label,
+        |   CAST(sum((cv - gv) * (cv - gv)) AS BIGINT) AS between_d2
+        |  FROM cent JOIN gcent ON cent.dim = gcent.dim GROUP BY 1),
+        |d2 AS (SELECT dims.vec_id, dims.label,
+        |   CAST(sum((dims.v - cent.cv) * (dims.v - cent.cv))
+        |     AS BIGINT) AS d2
+        |  FROM dims JOIN cent ON cent.label = dims.label
+        |    AND cent.dim = dims.dim
+        |  GROUP BY 1, 2),
+        |wth AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |   CAST(sum(d2) // count(*) AS BIGINT) AS within_d2
+        |  FROM d2 GROUP BY 1)
+        |SELECT wth.label, n_vecs, between_d2, within_d2,
+        | between_d2 * 10000 // greatest(within_d2, 1) AS sep_e4
+        |FROM wth JOIN btw ON wth.label = btw.label
+        |ORDER BY wth.label""".stripMargin,
     "q_llm_embed_outliers" ->
       """WITH dims AS (SELECT vec_id, label, i AS dim,
-        |   CAST(floor(e * 10000 + 0.5) AS BIGINT) AS v
+        |   CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS v
         |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
         |     generate_subscripts(embedding, 1) AS i FROM embeddings)),
         |cent AS (SELECT label, dim,

@@ -408,7 +408,53 @@ object Warehouse {
       .orderBy(col("brand"), col("yr"))
   }
 
+  /** Lead-time distribution per order priority (J58): exact p50/p90
+    * of the order→ship day lag plus the NEGATIVE-lag share — the SLA
+    * percentile table every fulfillment dashboard carries, and the
+    * quantified per-priority breakdown of what q_dq_temporal_order
+    * reports globally (~48% of fixture lineitems ship before their
+    * order date; this row shows whether any priority class is
+    * cleaner).
+    *
+    * Exactness: percentiles by distribution counting — cum census per
+    * (priority, lag), pick the least lag with 2·cum ≥ n+1 (p50) /
+    * 10·cum ≥ 9n+9 (p90); cross-multiplied ceil conditions, no
+    * division at all (the weighted-median discipline).
+    *
+    * Shape (100 TB): one orderkey-keyed join (co-partitioned facts) →
+    * (priority, lag) census (support-sized: 5 priorities × day span)
+    * → window cum over THAT census → two rank picks. Never a row
+    * sort of the fact table. */
+  def leadTime(spark: SparkSession, dir: String): DataFrame = {
+    val lag = lineitem(spark, dir)
+      .join(orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)")
+          .as("lag"))
+    val cen = lag.groupBy(col("prio"), col("lag"))
+      .agg(count(lit(1)).as("c"))
+    val tot = lag.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lag") < 0, 1L).otherwise(0L)).as("n_neg"))
+    val cum = cen.withColumn("cum", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prio")).orderBy(col("lag"))))
+      .join(broadcast(tot), "prio")
+    val p50 = cum.filter(col("cum") * 2 >= col("n") + 1)
+      .groupBy(col("prio")).agg(min(col("lag")).as("p50_days"))
+    val p90 = cum.filter(col("cum") * 10 >= col("n") * 9 + 9)
+      .groupBy(col("prio")).agg(min(col("lag")).as("p90_days"))
+    tot.join(p50, "prio").join(p90, "prio")
+      .select(col("prio"), col("n"), col("n_neg"),
+        expr("n_neg * 10000 div n").as("neg_share_e4"),
+        col("p50_days"), col("p90_days"))
+      .orderBy(col("prio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_lead_time" -> leadTime,
     "q_parts_price_index" -> priceIndex,
     "q_orders_open_aging" -> openOrderAging,
     "q_orders_repurchase" -> repurchaseInterval,
@@ -424,6 +470,30 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orders_lead_time" ->
+      """WITH lag AS (SELECT o_orderpriority AS prio,
+        |   CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+        |     AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cen AS (SELECT prio, lag, CAST(count(*) AS BIGINT) AS c
+        |  FROM lag GROUP BY 1, 2),
+        |tot AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN lag < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_neg
+        |  FROM lag GROUP BY 1),
+        |cum AS (SELECT cen.prio, cen.lag, n, n_neg,
+        |   CAST(sum(c) OVER (PARTITION BY cen.prio ORDER BY lag)
+        |     AS BIGINT) AS cum
+        |  FROM cen JOIN tot ON cen.prio = tot.prio),
+        |p50 AS (SELECT prio, min(lag) AS p50_days FROM cum
+        |  WHERE cum * 2 >= n + 1 GROUP BY 1),
+        |p90 AS (SELECT prio, min(lag) AS p90_days FROM cum
+        |  WHERE cum * 10 >= n * 9 + 9 GROUP BY 1)
+        |SELECT tot.prio, n, n_neg, n_neg * 10000 // n AS neg_share_e4,
+        | p50_days, p90_days
+        |FROM tot JOIN p50 ON tot.prio = p50.prio
+        | JOIN p90 ON tot.prio = p90.prio
+        |ORDER BY tot.prio""".stripMargin,
     "q_parts_price_index" ->
       """WITH li AS (SELECT p_brand AS brand,
         |   CAST(year(l_shipdate) AS BIGINT) AS yr,

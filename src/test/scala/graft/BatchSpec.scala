@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 424
+    val documented = 427
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2829,6 +2829,71 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         r)
       assert(r.getAs[Long]("max_h_e3") / 25 == r.getAs[Long]("bucket"),
         r)
+    }
+  }
+
+  test("llm_centroid_shift: every label appears, vector counts " +
+      "partition the store, and the separation ratio replays") {
+    val rows = SparkEntry.queries("q_llm_centroid_shift")(spark, sf)
+      .collect()
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length == labels, s"${rows.length} vs $labels labels")
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      graft.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("between_d2") >= 0, r)
+      assert(r.getAs[Long]("within_d2") > 0, r)
+      assert(r.getAs[Long]("sep_e4") == r.getAs[Long]("between_d2") *
+        10000 / math.max(r.getAs[Long]("within_d2"), 1), r)
+    }
+  }
+
+  test("orders_lead_time: percentile picks are ordered, the rank " +
+      "conditions hold against a recomputed distribution, and the " +
+      "negative share matches temporal_order's direction") {
+    val rows = SparkEntry.queries("q_orders_lead_time")(spark, sf)
+      .collect()
+    assert(rows.length == 5) // the five TPC-H priorities
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"), r)
+      assert(r.getAs[Long]("neg_share_e4") ==
+        r.getAs[Long]("n_neg") * 10000 / r.getAs[Long]("n"), r)
+    }
+    // recompute one priority's p50 by brute sort and compare
+    val prio = rows.head.getAs[String]("prio")
+    val lags = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+        === prio)
+      .selectExpr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)" +
+        " AS lag")
+      .collect().map(_.getLong(0)).sorted
+    val p50 = lags((lags.length + 1) / 2 - 1)
+    assert(rows.head.getAs[Long]("p50_days") == p50,
+      s"${rows.head.getAs[Long]("p50_days")} vs brute $p50")
+  }
+
+  test("llm_term_position: each term carries a dense 10-decile grid, " +
+      "shares replay from counts, and chi-square is uniform per term") {
+    val rows = SparkEntry.queries("q_llm_term_position")(spark, sf)
+      .collect()
+    val byTerm = rows.groupBy(_.getAs[String]("term"))
+    assert(byTerm.size == 3, byTerm.keySet)
+    byTerm.foreach { case (term, rs) =>
+      assert(rs.map(_.getAs[Long]("decile")).sorted.toSeq ==
+        (0L to 9L), term)
+      val nt = rs.map(_.getAs[Long]("n")).sum
+      assert(nt > 0, term)
+      val chi = rs.map(_.getAs[Long]("chi2_e4")).distinct
+      assert(chi.length == 1, s"$term chi2 not constant per term")
+      val expected = rs.map { r =>
+        val d = 10 * r.getAs[Long]("n") - nt
+        d * d * 10000 / (10 * nt)
+      }.sum
+      assert(chi.head == expected, s"$term ${chi.head} vs $expected")
     }
   }
 
