@@ -859,8 +859,57 @@ object Multimodal {
     }).toDF().orderBy(col("media_id"))
   }
 
+  case class Otsu(media_id: Long, n_px: Long, otsu_bin: Long,
+    score_q: Long, fg_share_e4: Long)
+
+  /** Enrolled (J59): Otsu's threshold over the 16-bin histogram of
+    * the SAME shared decoded pixels — the classic binarization /
+    * foreground-background split (maximize between-class variance
+    * ω₀ω₁(μ₀−μ₁)²). Exact: for threshold t, the comparable score is
+    * (s₀n₁ − s₁n₀)²·2²⁰ div (n₀n₁) — numerator exact in BIGINT, the
+    * single shared truncating scale makes cross-threshold comparison
+    * identical on both engines (BigInt intermediate here, HUGEINT in
+    * DuckDB); ties pick the smaller t. Thresholds with an empty side
+    * are skipped; an image living in one bin emits no row (both
+    * engines agree by construction).
+    *
+    * Shape: map-only fold over the memoized pixels (16 bins × 15
+    * candidate thresholds per image, constant work per row). */
+  def mmImageOtsu(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    decodedPng(spark, dir).as[DecodedPx].mapPartitions(_.flatMap { d =>
+      if (!d.valid) None else {
+        val hist = new Array[Long](16)
+        d.px.foreach(p => hist(p >> 4) += 1)
+        val n = d.px.length.toLong
+        val s = hist.zipWithIndex.map { case (c, b) => b * c }.sum
+        var bestT = -1L; var bestScore = -1L; var bestN1 = 0L
+        var n0 = 0L; var s0 = 0L
+        var t = 1
+        while (t <= 15) {
+          n0 += hist(t - 1); s0 += (t - 1).toLong * hist(t - 1)
+          val n1 = n - n0; val s1 = s - s0
+          if (n0 > 0 && n1 > 0) {
+            val num = s0 * n1 - s1 * n0
+            val score = (BigInt(num) * BigInt(num) * BigInt(1048576) /
+              BigInt(n0 * n1)).toLong
+            if (score > bestScore) {
+              bestScore = score; bestT = t; bestN1 = n1
+            }
+          }
+          t += 1
+        }
+        if (bestT < 0) None
+        else Some(Otsu(d.media_id, n, bestT, bestScore,
+          bestN1 * 10000 / n))
+      }
+    }).toDF().orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_image_otsu" -> mmImageOtsu,
     "q_mm_image_dhash" -> mmImageDHash,
     "q_mm_image_entropy" -> mmImageEntropy,
     "q_mm_image_stats" -> mmImageStats,
@@ -876,6 +925,43 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // lossless PNG ⇒ the 16-bin histogram replays from char codes;
+    // the scaled Otsu score shares one truncating div on both engines
+    "q_mm_image_otsu" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |ch AS (SELECT doc_id, n,
+        |   ascii(substr(text, CAST(i + 1 AS INT), 1)) // 16 AS b
+        |  FROM (SELECT doc_id, n, text, unnest(range(n)) AS i FROM d0)),
+        |hist AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |   CAST(sum(b * c) AS BIGINT) AS s FROM hist GROUP BY 1),
+        |th AS (SELECT doc_id, unnest(range(1, 16)) AS t FROM tot),
+        |pre AS (SELECT th.doc_id, th.t,
+        |   CAST(coalesce(sum(CASE WHEN hist.b < th.t THEN c END), 0)
+        |     AS BIGINT) AS n0,
+        |   CAST(coalesce(sum(CASE WHEN hist.b < th.t THEN b * c END),
+        |     0) AS BIGINT) AS s0
+        |  FROM th JOIN hist ON hist.doc_id = th.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT pre.doc_id, t, n0, n - n0 AS n1, n,
+        |   CAST((CAST(s0 AS HUGEINT) * (n - n0)
+        |      - CAST(s - s0 AS HUGEINT) * n0)
+        |     * (CAST(s0 AS HUGEINT) * (n - n0)
+        |      - CAST(s - s0 AS HUGEINT) * n0)
+        |     * 1048576 // (CAST(n0 AS HUGEINT) * (n - n0)) AS BIGINT)
+        |     AS score
+        |  FROM pre JOIN tot ON pre.doc_id = tot.doc_id
+        |  WHERE n0 > 0 AND n - n0 > 0),
+        |best AS (SELECT doc_id, t, score, n1, n, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, t) AS rn FROM sc)
+        |SELECT doc_id AS media_id, n AS n_px,
+        | CAST(t AS BIGINT) AS otsu_bin, score AS score_q,
+        | n1 * 10000 // n AS fg_share_e4
+        |FROM best WHERE rn = 1 ORDER BY media_id""".stripMargin,
     // lossless PNG ⇒ 65 chunk means replay from char codes; bit j =
     // (chunk j+1 mean > chunk j mean), the gradient sign — floor-div
     // means exactly as the Scala dhashBits

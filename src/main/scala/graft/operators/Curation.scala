@@ -1456,7 +1456,105 @@ object Curation {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Template census per source (J59): group docs by their first-8-
+    * token prefix and measure template families — the doc-level
+    * boilerplate detector (CCNet/RefinedWeb run the line-level twin):
+    * a source where most docs open identically is a generated/scraped
+    * template farm, invisible to MinHash (which forgives shared
+    * openings) and exactly what a pretraining mix should downweight.
+    * Emits per source: docs, distinct openings, the largest family,
+    * and the share of docs in ≥2-member families (templ_share_e4).
+    *
+    * Shape (100 TB): map-only prefix projection → (source, prefix)
+    * census → source-sized fold. The prefix would be hashed at scale;
+    * kept as text here so the oracle can replay it. */
+  def templateCensus(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 8))")
+          .as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_openings"),
+        max(col("c")).as("max_family"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          .as("templated_docs"))
+      .select(col("source"), col("n_docs"), col("n_openings"),
+        col("max_family"),
+        expr("templated_docs * 10000 div n_docs").as("templ_share_e4"))
+      .orderBy(col("source"))
+
+  /** Feature→label mutual information / leakage audit (J59): MI
+    * between each quality feature's VALUE-QUARTILE and the weak keep
+    * label (n_tok ≥ 50, the score_calibration label) — the
+    * feature-selection table, and simultaneously the LEAKAGE detector:
+    * the length feature's MI must dwarf the others because the label
+    * IS a length threshold (the spec pins that ordering). The
+    * nonlinear complement of q_llm_feature_separation's Cohen's d.
+    *
+    * Quartiles are VALUE-based, not ntile: boundaries b_k = least v
+    * with 4·cum ≥ k·N from the per-feature value-support census (the
+    * AUC idiom), q = 1 + Σ(v > b_k). Ties share a bucket, buckets are
+    * deterministic with no per-row rank — and at 100 TB the census is
+    * support-sized where an ntile would be a per-feature corpus sort.
+    *
+    * Exactness: MI_e3 = Σ n·(lnE3(n·N) − lnE3(n_q·n_l)) div N — the
+    * lnE3 products discipline; can dip a rounding hair negative.
+    *
+    * Shape: doc-sized feature frame (map-only) → 3× value census →
+    * 3×3 broadcast boundary rows → cell census → feature fold. */
+  def miFeature(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map("'" + _ + "'").mkString(",")
+    val f = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("len"),
+        expr("size(array_distinct(tk)) * 1000000 div size(tk)")
+          .as("ttr_e6"),
+        expr(s"size(filter(tk, t -> t IN ($stop))) * 1000000" +
+          " div size(tk)").as("stop_e6"))
+    val long = f.select(col("doc_id"), (col("len") >= 50).as("lbl"),
+      expr("stack(3, 'len', len, 'ttr', ttr_e6, 'stop', stop_e6)" +
+        " AS (feature, value)"))
+    val cen = long.groupBy(col("feature"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val nn = cen.groupBy(col("feature")).agg(sum(col("c")).as("nn"))
+    val cum = cen.withColumn("cum", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("feature")).orderBy(col("value"))))
+      .join(broadcast(nn), "feature")
+    def bound(k: Int) = cum.filter(col("cum") * 4 >= col("nn") * k)
+      .groupBy(col("feature")).agg(min(col("value")).as(s"b$k"))
+    val bounds = bound(1).join(bound(2), "feature")
+      .join(bound(3), "feature")
+    val cells = long.join(broadcast(bounds), "feature")
+      .select(col("feature"), col("lbl"),
+        expr("1 + CAST(value > b1 AS INT) + CAST(value > b2 AS INT)" +
+          " + CAST(value > b3 AS INT)").as("q"))
+      .groupBy(col("feature"), col("q"), col("lbl"))
+      .agg(count(lit(1)).as("n"))
+    val mq = cells.groupBy(col("feature"), col("q"))
+      .agg(sum(col("n")).as("nq"))
+    val ml = cells.groupBy(col("feature"), col("lbl"))
+      .agg(sum(col("n")).as("nl"))
+    cells.join(mq, Seq("feature", "q")).join(ml, Seq("feature", "lbl"))
+      .join(broadcast(nn), "feature")
+      .groupBy(col("feature"))
+      .agg(max(col("nn")).as("n_docs"),
+        expr("""CAST(sum(n * (CAST(floor(ln(n * nn) * 1000 + 0.5)
+          | AS BIGINT) - CAST(floor(ln(nq * nl) * 1000 + 0.5)
+          | AS BIGINT))) div max(nn) AS BIGINT)""".stripMargin)
+          .as("mi_e3"))
+      .orderBy(col("feature"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_template_census" -> templateCensus,
+    "q_llm_mi_feature" -> miFeature,
     "q_llm_burrows_delta" -> burrowsDelta,
     "q_llm_char_cond_entropy" -> charCondEntropy,
     "q_llm_simpson" -> simpsonDiversity,
@@ -1517,6 +1615,69 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_template_census" ->
+      """WITH pf AS (SELECT source,
+        |   array_to_string((string_split(text, ' '))[1:8], ' ')
+        |     AS prefix FROM documents),
+        |c AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS c
+        |  FROM pf GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_openings,
+        | CAST(max(c) AS BIGINT) AS max_family,
+        | CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000
+        |   // sum(c) AS BIGINT) AS templ_share_e4
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q_llm_mi_feature" ->
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |feat AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len,
+        |   CAST(len(list_distinct(tk)) * 1000000 // len(tk) AS BIGINT)
+        |     AS ttr_e6,
+        |   CAST(len(list_filter(tk, t -> t IN
+        |     ('the','a','of','and','to','in','is'))) * 1000000
+        |     // len(tk) AS BIGINT) AS stop_e6
+        |  FROM f WHERE len(tk) > 0),
+        |lng AS (SELECT doc_id, len >= 50 AS lbl, feature, value
+        |  FROM (SELECT doc_id, len, 'len' AS feature, len AS value
+        |     FROM feat
+        |    UNION ALL SELECT doc_id, len, 'ttr', ttr_e6 FROM feat
+        |    UNION ALL SELECT doc_id, len, 'stop', stop_e6 FROM feat)),
+        |cen AS (SELECT feature, value, CAST(count(*) AS BIGINT) AS c
+        |  FROM lng GROUP BY 1, 2),
+        |nn AS (SELECT feature, CAST(sum(c) AS BIGINT) AS nn
+        |  FROM cen GROUP BY 1),
+        |cum AS (SELECT cen.feature, value, nn.nn,
+        |   CAST(sum(c) OVER (PARTITION BY cen.feature ORDER BY value)
+        |     AS BIGINT) AS cum
+        |  FROM cen JOIN nn ON cen.feature = nn.feature),
+        |q1 AS (SELECT feature, min(value) AS b1 FROM cum
+        |  WHERE cum * 4 >= nn * 1 GROUP BY 1),
+        |q2 AS (SELECT feature, min(value) AS b2 FROM cum
+        |  WHERE cum * 4 >= nn * 2 GROUP BY 1),
+        |q3 AS (SELECT feature, min(value) AS b3 FROM cum
+        |  WHERE cum * 4 >= nn * 3 GROUP BY 1),
+        |cells AS (SELECT l.feature, lbl,
+        |   1 + CAST(value > b1 AS INT) + CAST(value > b2 AS INT)
+        |     + CAST(value > b3 AS INT) AS q,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM lng l JOIN q1 ON l.feature = q1.feature
+        |   JOIN q2 ON l.feature = q2.feature
+        |   JOIN q3 ON l.feature = q3.feature
+        |  GROUP BY 1, 2, 3),
+        |mq AS (SELECT feature, q, CAST(sum(n) AS BIGINT) AS nq
+        |  FROM cells GROUP BY 1, 2),
+        |ml AS (SELECT feature, lbl, CAST(sum(n) AS BIGINT) AS nl
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT cells.feature, max(nn.nn) AS n_docs,
+        | CAST(sum(n * (CAST(floor(ln(n * nn.nn) * 1000 + 0.5)
+        |     AS BIGINT)
+        |   - CAST(floor(ln(nq * nl) * 1000 + 0.5) AS BIGINT)))
+        |   // max(nn.nn) AS BIGINT) AS mi_e3
+        |FROM cells
+        | JOIN mq ON cells.feature = mq.feature AND cells.q = mq.q
+        | JOIN ml ON cells.feature = ml.feature AND cells.lbl = ml.lbl
+        | JOIN nn ON cells.feature = nn.feature
+        |GROUP BY cells.feature ORDER BY cells.feature""".stripMargin,
     "q_llm_burrows_delta" ->
       """WITH tok AS (SELECT source,
         |   unnest(string_split(text, ' ')) AS w FROM documents),

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 427
+    val documented = 430
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2895,6 +2895,72 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.sum
       assert(chi.head == expected, s"$term ${chi.head} vs $expected")
     }
+  }
+
+  test("mm_image_otsu: one row per ASCII doc, the threshold separates " +
+      "space from letter bins, and doc 0 replays from raw chars") {
+    val rows = SparkEntry.queries("q_mm_image_otsu")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("otsu_bin")
+      assert(b >= 1 && b <= 15, r)
+      val fg = r.getAs[Long]("fg_share_e4")
+      assert(fg > 0 && fg < 10000, r)
+    }
+    // replay the winning threshold for doc 0 from its text
+    val text = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .select("text").collect().head.getString(0)
+    val hist = new Array[Long](16)
+    text.foreach(c => hist(c.toInt >> 4) += 1)
+    val n = text.length.toLong
+    val s = hist.zipWithIndex.map { case (c, b) => b * c }.sum
+    var bestT = -1L; var bestScore = -1L
+    var n0 = 0L; var s0 = 0L
+    (1 to 15).foreach { t =>
+      n0 += hist(t - 1); s0 += (t - 1).toLong * hist(t - 1)
+      val n1 = n - n0
+      if (n0 > 0 && n1 > 0) {
+        val num = s0 * n1 - (s - s0) * n0
+        val score = (BigInt(num) * BigInt(num) * BigInt(1048576) /
+          BigInt(n0 * n1)).toLong
+        if (score > bestScore) { bestScore = score; bestT = t }
+      }
+    }
+    val r0 = rows.find(_.getAs[Long]("media_id") == 0L).get
+    assert(r0.getAs[Long]("otsu_bin") == bestT, r0)
+    assert(r0.getAs[Long]("score_q") == bestScore, r0)
+  }
+
+  test("llm_template_census: openings never exceed docs, a size-one " +
+      "max family forces zero template share, and docs partition") {
+    val rows = SparkEntry.queries("q_llm_template_census")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_openings") <= r.getAs[Long]("n_docs"), r)
+      assert(r.getAs[Long]("max_family") >= 1, r)
+      if (r.getAs[Long]("max_family") == 1)
+        assert(r.getAs[Long]("templ_share_e4") == 0, r)
+    }
+  }
+
+  test("llm_mi_feature: the length-derived label leaks through len " +
+      "and its ttr proxy, while stop_ratio carries near-zero MI") {
+    val rows = SparkEntry.queries("q_llm_mi_feature")(spark, sf)
+      .collect()
+    assert(rows.length == 3, rows.toSeq)
+    val mi = rows.map(r =>
+      r.getAs[String]("feature") -> r.getAs[Long]("mi_e3")).toMap
+    // lnE3 rounding can dip a hair negative
+    mi.values.foreach(v => assert(v >= -2, mi))
+    // the label IS a length threshold: len must leak, and on this
+    // small-vocab corpus ttr is a length proxy (longer ⇒ lower TTR)
+    assert(mi("len") > 10 * math.max(mi("stop"), 1), mi)
+    assert(mi("ttr") > 10 * math.max(mi("stop"), 1), mi)
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
