@@ -1552,7 +1552,44 @@ object Curation {
       .orderBy(col("feature"))
   }
 
+  /** One-way ANOVA of doc length by source (J60): does length differ
+    * BY SOURCE more than within-source noise explains — the corpus
+    * twin of q_ts_anova_dow, with eta² (SSB/SST ×10⁴) as the effect
+    * size: the fraction of length variance a length-sensitive gate
+    * implicitly attributes to PROVENANCE rather than content. Directly
+    * quantifies the unfairness q_llm_quantile_norm corrects.
+    *
+    * Exactness: the anovaDow discipline verbatim — floored group
+    * means, exact BIGINT SSW/SSB, F_e4 with the product in
+    * DECIMAL(38,0)/HUGEINT; differs_95 against F crit(19, ∞) ≈ 1.587
+    * as the authored e4 literal (k = 20 sources, spec-pinned).
+    *
+    * Shape (100 TB): metadata-only scan (n_chars, no tokenize) →
+    * 20-group fold → 1-row verdict. */
+  def lengthAnova(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"))
+    val mu = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+      .withColumn("mug", expr("sg div ng"))
+    val tot = d.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .withColumn("mu", expr("s div n"))
+    d.join(broadcast(mu), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_docs"),
+        countDistinct(col("source")).as("k_sources"),
+        sum(expr("(x - mug) * (x - mug)")).as("ssw"),
+        sum(expr("(mug - mu) * (mug - mu)")).as("ssb"))
+      .select(col("n_docs"), col("k_sources"), col("ssw"), col("ssb"),
+        expr("""CAST(CAST(ssb AS DECIMAL(38,0)) * (n_docs - k_sources)
+          | * 10000 div greatest(CAST(ssw AS DECIMAL(38,0))
+          | * (k_sources - 1), 1) AS BIGINT)""".stripMargin).as("f_e4"),
+        expr("ssb * 10000 div greatest(ssb + ssw, 1)").as("eta2_e4"))
+      .withColumn("differs_95", col("f_e4") >= 15870L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_length_anova" -> lengthAnova,
     "q_llm_template_census" -> templateCensus,
     "q_llm_mi_feature" -> miFeature,
     "q_llm_burrows_delta" -> burrowsDelta,
@@ -1615,6 +1652,29 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_length_anova" ->
+      """WITH d AS (SELECT source, n_chars AS x FROM documents),
+        |mu AS (SELECT source, count(*) AS ng, sum(x) AS sg,
+        |   sum(x) // count(*) AS mug FROM d GROUP BY source),
+        |tot AS (SELECT count(*) AS n, sum(x) AS s,
+        |   sum(x) // count(*) AS mu FROM d),
+        |f AS (SELECT max(tot.n) AS n_docs,
+        |   count(DISTINCT d.source) AS k_sources,
+        |   sum((x - mug) * (x - mug)) AS ssw,
+        |   sum((mug - tot.mu) * (mug - tot.mu)) AS ssb
+        |  FROM d JOIN mu ON mu.source = d.source CROSS JOIN tot)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(k_sources AS BIGINT) AS k_sources,
+        | CAST(ssw AS BIGINT) AS ssw, CAST(ssb AS BIGINT) AS ssb,
+        | CAST(CAST(ssb AS HUGEINT) * (n_docs - k_sources) * 10000
+        |   // greatest(CAST(ssw AS HUGEINT) * (k_sources - 1), 1)
+        |   AS BIGINT) AS f_e4,
+        | CAST(ssb * 10000 // greatest(ssb + ssw, 1) AS BIGINT)
+        |   AS eta2_e4,
+        | CAST(ssb AS HUGEINT) * (n_docs - k_sources) * 10000
+        |   // greatest(CAST(ssw AS HUGEINT) * (k_sources - 1), 1)
+        |   >= 15870 AS differs_95
+        |FROM f""".stripMargin,
     "q_llm_template_census" ->
       """WITH pf AS (SELECT source,
         |   array_to_string((string_split(text, ' '))[1:8], ' ')

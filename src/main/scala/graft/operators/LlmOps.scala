@@ -1592,6 +1592,106 @@ object LlmOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Snippet extraction (J60): for the BM25 top-3 docs, the 16-token
+    * window with the most query-term hits — the result-page snippet
+    * selector every search stack runs after ranking (and the missing
+    * last step of this engine's retrieval family: rank → rerank →
+    * SHOW). Ties pick the earliest window; windows with zero hits
+    * survive via the left join so a doc that ranks on one term still
+    * yields its best (possibly 1-hit) snippet deterministically.
+    *
+    * Shape (100 TB): candidate generation is bounded — 3 docs only
+    * (broadcast), window starts ≤ dl per doc, hit positions ≤ dl;
+    * the start×hit range join is within-doc and doc-length-bounded,
+    * never corpus-sized. */
+  def snippetExtract(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = bm25Terms
+    val top3 = bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(3)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val dtk = documents(spark, dir).join(broadcast(top3), "doc_id")
+      .select(col("doc_id"), col("rank"),
+        split(col("text"), " ").as("tk"))
+    val hits = dtk
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
+      .filter(col("tok").isin(t1, t2, t3))
+      .select(col("doc_id"), col("p"))
+    val starts = dtk
+      .select(col("doc_id"), col("rank"), size(col("tk")).as("dl"))
+      .select(col("doc_id"), col("rank"), col("dl"),
+        explode(expr("sequence(0, greatest(dl - 16, 0))")).as("st"))
+    val winHits = starts.as("s").join(hits.as("h"),
+        col("s.doc_id") === col("h.doc_id") &&
+        col("h.p") >= col("s.st") && col("h.p") <= col("s.st") + 15)
+      .groupBy(col("s.doc_id").as("doc_id"), col("s.st").as("st"))
+      .agg(count(lit(1)).as("nh"))
+    starts.join(winHits, Seq("doc_id", "st"), "left")
+      .select(col("doc_id"), col("rank"), col("dl"), col("st"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("n_hits").desc, col("st"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), expr("CAST(rank AS BIGINT)").as("rank"),
+        col("st").cast("long").as("win_start"), col("n_hits"),
+        expr("CAST(least(dl - st, 16) AS BIGINT)").as("win_len"))
+      .orderBy(col("rank"))
+  }
+
+  /** Intra-document cohesion (J60): Jaccard similarity of DISTINCT
+    * token sets between consecutive NON-overlapping 32-token chunks,
+    * averaged per doc — the text-segmentation signal: low cohesion =
+    * multi-topic doc or concatenation garbage (a split candidate
+    * before chunk-level indexing), high cohesion = safe to embed
+    * whole. Non-overlapping chunks deliberately (the 8-token overlap
+    * of q_llm_chunk_split would inflate every adjacent similarity by
+    * construction). Emits the 20 LEAST cohesive multi-chunk docs —
+    * the review queue.
+    *
+    * Exactness: Jaccard ×10⁴ by truncating div per pair, mean ×10⁴
+    * by a second truncating div (two documented roundings, identical
+    * text both engines).
+    *
+    * Shape (100 TB): generator chunking (map-only) → (doc, chunk)
+    * distinct-token frame → self-equi-join keyed (doc, token) with
+    * chunk adjacency filter — fan-out bounded by within-doc chunk
+    * count, never cross-doc → per-doc fold → TakeOrdered bottom-20. */
+  def docCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, (size(tk) - 1) div 32)")).as("ch"),
+        col("tk"))
+      .select(col("doc_id"), col("ch"),
+        explode(expr("slice(tk, ch * 32 + 1, 32)")).as("tok"))
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("a.tok") === col("b.tok") &&
+        col("b.ch") === col("a.ch") + 1)
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.ch").as("ch"))
+      .agg(count(lit(1)).as("i"))
+    val pairs = sizes.as("sa")
+      .join(sizes.as("sb"), col("sa.doc_id") === col("sb.doc_id") &&
+        col("sb.ch") === col("sa.ch") + 1)
+      .select(col("sa.doc_id").as("doc_id"), col("sa.ch").as("ch"),
+        col("sa.sz").as("na"), col("sb.sz").as("nb"))
+      .join(inter, Seq("doc_id", "ch"), "left")
+      .select(col("doc_id"),
+        expr("coalesce(i, 0) * 10000" +
+          " div (na + nb - coalesce(i, 0))").as("jac_e4"))
+    pairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jac_e4) div count(1)").as("cohesion_e4"))
+      .orderBy(col("cohesion_e4"), col("doc_id")).limit(20)
+  }
+
   /** Query-term position census (J58): for each BM25 query term, the
     * within-doc POSITION-decile distribution of its occurrences plus
     * a uniformity chi-square — do query terms front-load (title/lead
@@ -2706,6 +2806,8 @@ object LlmOps {
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_ql_dirichlet" -> qlDirichlet,
     "q_llm_term_position" -> termPosition,
+    "q_llm_snippet_extract" -> snippetExtract,
+    "q_llm_doc_cohesion" -> docCohesion,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3498,6 +3600,60 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_snippet_extract" ->
+      s"""WITH $bm25Ctes,
+        |top3 AS (SELECT doc_id, rank FROM (SELECT doc_id,
+        |   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |     AS BIGINT) AS rank FROM bmsc) t WHERE rank <= 3),
+        |dtk AS (SELECT d.doc_id, rank, string_split(text, ' ') AS tk
+        |  FROM documents d JOIN top3 ON d.doc_id = top3.doc_id),
+        |hits AS (SELECT doc_id, i - 1 AS p FROM (SELECT doc_id,
+        |   unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+        |  FROM dtk) u WHERE tok IN ('${bm25Terms(0)}',
+        |   '${bm25Terms(1)}', '${bm25Terms(2)}')),
+        |starts AS (SELECT doc_id, rank, len(tk) AS dl,
+        |   unnest(generate_series(0, greatest(len(tk) - 16, 0)))
+        |     AS st FROM dtk),
+        |wh AS (SELECT s.doc_id, s.st, CAST(count(*) AS BIGINT)
+        |   AS nh
+        |  FROM starts s JOIN hits h ON s.doc_id = h.doc_id
+        |   AND h.p >= s.st AND h.p <= s.st + 15 GROUP BY 1, 2),
+        |best AS (SELECT s.doc_id, rank, dl, s.st AS st,
+        |   CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+        |   row_number() OVER (PARTITION BY s.doc_id
+        |     ORDER BY coalesce(nh, 0) DESC, s.st) AS rn
+        |  FROM starts s LEFT JOIN wh
+        |   ON wh.doc_id = s.doc_id AND wh.st = s.st)
+        |SELECT doc_id, rank, CAST(st AS BIGINT) AS win_start, n_hits,
+        | CAST(least(dl - st, 16) AS BIGINT) AS win_len
+        |FROM best WHERE rn = 1 ORDER BY rank""".stripMargin,
+    "q_llm_doc_cohesion" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |ck AS (SELECT doc_id,
+        |   unnest(generate_series(0, (len(tk) - 1) // 32)) AS ch, tk
+        |  FROM tk),
+        |toks AS (SELECT DISTINCT doc_id, ch, tok FROM (SELECT doc_id,
+        |   ch, unnest(tk[ch * 32 + 1 : ch * 32 + 32]) AS tok
+        |  FROM ck) u),
+        |sizes AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS sz
+        |  FROM toks GROUP BY 1, 2),
+        |inter AS (SELECT a.doc_id, a.ch, CAST(count(*) AS BIGINT) AS i
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+        |   AND a.tok = b.tok AND b.ch = a.ch + 1 GROUP BY 1, 2),
+        |pairs AS (SELECT sa.doc_id,
+        |   CAST(coalesce(i, 0) AS BIGINT) AS i, sa.sz AS na,
+        |   sb.sz AS nb
+        |  FROM sizes sa JOIN sizes sb ON sa.doc_id = sb.doc_id
+        |   AND sb.ch = sa.ch + 1
+        |  LEFT JOIN inter ON inter.doc_id = sa.doc_id
+        |   AND inter.ch = sa.ch),
+        |j AS (SELECT doc_id, i * 10000 // (na + nb - i) AS jac_e4
+        |  FROM pairs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(jac_e4) // count(*) AS BIGINT) AS cohesion_e4
+        |FROM j GROUP BY doc_id
+        |ORDER BY cohesion_e4, doc_id LIMIT 20""".stripMargin,
     "q_llm_term_position" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),

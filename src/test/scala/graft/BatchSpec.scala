@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 430
+    val documented = 433
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -2961,6 +2961,70 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // small-vocab corpus ttr is a length proxy (longer ⇒ lower TTR)
     assert(mi("len") > 10 * math.max(mi("stop"), 1), mi)
     assert(mi("ttr") > 10 * math.max(mi("stop"), 1), mi)
+  }
+
+  test("llm_snippet_extract: one snippet per top-3 doc, the window " +
+      "really contains its counted hits, and no window beats it") {
+    val rows = SparkEntry.queries("q_llm_snippet_extract")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    val terms = Set("join", "vector", "scan")
+    rows.foreach { r =>
+      val text = graft.Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("doc_id") ===
+          r.getAs[Long]("doc_id"))
+        .select("text").collect().head.getString(0)
+      val toks = text.split(" ")
+      val st = r.getAs[Long]("win_start").toInt
+      def hitsIn(w: Int): Long = toks.slice(w, w + 16)
+        .count(terms.contains).toLong
+      assert(hitsIn(st) == r.getAs[Long]("n_hits"), r)
+      val maxHits = (0 to math.max(toks.length - 16, 0))
+        .map(hitsIn).max
+      assert(r.getAs[Long]("n_hits") == maxHits, s"$r vs $maxHits")
+      assert(r.getAs[Long]("n_hits") >= 1, r) // top-3 docs match terms
+    }
+  }
+
+  test("llm_doc_cohesion: the queue is ascending, Jaccard means are " +
+      "bounded, and every row has at least one chunk pair") {
+    val rows = SparkEntry.queries("q_llm_doc_cohesion")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val coh = rows.map(_.getAs[Long]("cohesion_e4"))
+    assert(coh.zip(coh.tail).forall { case (a, b) => a <= b },
+      coh.toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") >= 1, r)
+      val c = r.getAs[Long]("cohesion_e4")
+      assert(c >= 0 && c <= 10000, r)
+    }
+  }
+
+  test("llm_length_anova: sums of squares replay against a brute " +
+      "recompute and eta-squared is the SSB share of SST") {
+    val rows = SparkEntry.queries("q_llm_length_anova")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("k_sources") == 20L, r) // pins the F literal
+    val (ssw, ssb) = (r.getAs[Long]("ssw"), r.getAs[Long]("ssb"))
+    assert(r.getAs[Long]("eta2_e4") ==
+      ssb * 10000 / math.max(ssb + ssw, 1), r)
+    // brute recompute with the same floored-mean quantization
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    val mu = docs.map(_._2).sum / docs.length
+    val mug = bySrc.view.mapValues(v => v.map(_._2).sum / v.length)
+      .toMap
+    val sswB = docs.map { case (s, x) =>
+      val d = x - mug(s); d * d }.sum
+    val ssbB = docs.map { case (s, _) =>
+      val d = mug(s) - mu; d * d }.sum
+    assert(ssw == sswB && ssb == ssbB, s"($ssw,$ssb) vs ($sswB,$ssbB)")
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
