@@ -1617,7 +1617,32 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Hour-of-day activity profile (J61): the intra-day seasonality
+    * census the dow family (anova_dow / seasonal / stl) never looks
+    * at — per UTC hour: events, share, and the peak-hour ratio
+    * (peak/trough ×10⁴) that capacity planning reads first. Hour from
+    * epoch microseconds (the no-calendar idiom: (us div 3600·10⁶)
+    * mod 24), so no timezone function can drift between engines.
+    *
+    * Shape (100 TB): one partial-aggregable 24-cell census →
+    * broadcast peak/trough fold. */
+  def hourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val h = events(spark, dir)
+      .select(expr("((ts_ns div 1000) div 3600000000) % 24")
+        .as("hour"))
+      .groupBy(col("hour")).agg(count(lit(1)).as("n"))
+    val tot = h.agg(sum(col("n")).as("nn"), max(col("n")).as("mx"),
+      min(col("n")).as("mn"))
+    h.crossJoin(broadcast(tot))
+      .select(col("hour"), col("n"),
+        expr("n * 10000 div nn").as("share_e4"),
+        (col("n") === col("mx")).as("is_peak"),
+        expr("mx * 10000 div greatest(mn, 1)").as("peak_ratio_e4"))
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hour_profile" -> hourProfile,
     "q_events_user_entropy" -> userEntropy,
     "q_events_perm_test" -> permTest,
     "q_events_cramers_v" -> cramersV,
@@ -1665,6 +1690,16 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_hour_profile" ->
+      """WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |   CAST(max(n) AS BIGINT) AS mx, CAST(min(n) AS BIGINT) AS mn
+        |  FROM h)
+        |SELECT CAST(hour AS BIGINT) AS hour, n,
+        | n * 10000 // nn AS share_e4, n = mx AS is_peak,
+        | mx * 10000 // greatest(mn, 1) AS peak_ratio_e4
+        |FROM h CROSS JOIN tot ORDER BY hour""".stripMargin,
     "q_events_user_entropy" ->
       """WITH ut AS (SELECT user_id, event_type,
         |   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),

@@ -1372,14 +1372,23 @@ object Curation {
     * one partial-aggregable (source, c₁, c₂) census (≤ alphabet²
     * cells per source) → alphabet-sized folds. */
   def charCondEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // transform-then-explode, NOT sequence-explode-then-substring: a
+    // generator row carries every non-generator column, so exploding
+    // indexes first duplicates the full text ~len× (measured 5.0 s at
+    // sf0.1); building the 2-char pair strings INSIDE the row first
+    // makes the exploded rows 2 chars wide (measured 2.9 s). A/B
+    // negative result: packing the pair as ascii·256+ascii integers
+    // in the lambda measured 5.3 s — a transform lambda with three
+    // calls per element runs interpreted, costing more than the
+    // narrower shuffle saves.
     val pc = documents(spark, dir)
       .filter(length(col("text")) >= 2)
-      .select(col("source"), col("text"),
-        explode(expr("sequence(1, length(text) - 1)")).as("i"))
-      .select(col("source"), expr("substring(text, i, 1)").as("c1"),
-        expr("substring(text, i + 1, 1)").as("c2"))
-      .groupBy(col("source"), col("c1"), col("c2"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, length(text) - 1)," +
+          " i -> substring(text, i, 2))")).as("pr"))
+      .groupBy(col("source"), col("pr")).agg(count(lit(1)).as("n"))
+      .withColumn("c1", expr("substring(pr, 1, 1)"))
+      .withColumn("c2", expr("substring(pr, 2, 1)"))
     val t1 = pc.groupBy(col("source"), col("c1"))
       .agg(sum(col("n")).as("t"))
     val t2 = pc.groupBy(col("source"), col("c2"))

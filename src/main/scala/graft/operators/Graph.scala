@@ -837,6 +837,59 @@ object Graph {
       .limit(20)
   }
 
+  /** Directed association rules (J61): confidence, conviction and
+    * leverage for part pairs — the rule-quality trio beside
+    * q_orders_basket_lift's symmetric lift: confidence n_ab/n_a is
+    * DIRECTED (bread→butter ≠ butter→bread), conviction
+    * (1−P(b))/(1−conf) measures how much MORE often the rule would
+    * have to fail under independence, leverage P(ab)−P(a)P(b) is the
+    * absolute-scale excess the ratio measures hide. Top-10 by
+    * confidence (support floor n_ab ≥ 2, the basketLift fixture
+    * scaling).
+    *
+    * Exactness: conf_e4 = n_ab·10⁴ div n_a; conviction cleared to
+    * (N−n_b)·n_a·10⁴ div (N·(n_a−n_ab)) with a greatest(·,1) guard —
+    * a rule with conf = 1 emits the guard's N-scaled ceiling rather
+    * than ∞, documented; leverage ×10⁸ signed with the triple product
+    * in DECIMAL(38,0)/HUGEINT.
+    *
+    * Shape: the basketLift per-order bounded pair join, then BOTH
+    * directions of each unordered pair via union — marginals
+    * broadcast, distributed top-k. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    val baskets = li.agg(countDistinct(col("o")).as("big_n"))
+    val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
+    val und = li.as("a")
+      .join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2L)
+    val dir2 = und.select(col("u"), col("v"), col("n_ab"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v"),
+        col("n_ab")))
+    dir2
+      .join(broadcast(marg.select(col("pk").as("u"),
+        col("np").as("n_a"))), Seq("u"))
+      .join(broadcast(marg.select(col("pk").as("v"),
+        col("np").as("n_b"))), Seq("v"))
+      .crossJoin(broadcast(baskets))
+      .select(col("u"), col("v"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 10000 div n_a").as("conf_e4"),
+        expr("""CAST((big_n - n_b) * n_a * 10000
+          | div greatest(big_n * (n_a - n_ab), 1) AS BIGINT)"""
+          .stripMargin).as("conv_e4"),
+        expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * big_n
+          | - CAST(n_a AS DECIMAL(38,0)) * n_b) * 100000000
+          | div (CAST(big_n AS DECIMAL(38,0)) * big_n) AS BIGINT)"""
+          .stripMargin).as("lev_e8"))
+      .orderBy(col("conf_e4").desc, col("u"), col("v"))
+      .limit(10)
+  }
+
   /** Rich-club coefficient (round 8): for the degree-distribution
     * quantiles q ∈ {p50, p75, p90}, the edge density among nodes with
     * degree > k_q — φ = 2·E_club·10⁴ div (N_club·(N_club−1)) — the
@@ -993,6 +1046,7 @@ object Graph {
     "q_graph_transitivity" -> transitivity,
     "q_graph_richclub" -> richClub,
     "q_basket_lift" -> basketLift,
+    "q_orders_assoc_rules" -> assocRules,
     "q_graph_walk_sample" -> walkSample,
     "q_graph_local_cc" -> localCC,
     "q_graph_hits" -> hits,
@@ -1128,6 +1182,33 @@ object Graph {
         |   // greatest(n_club * (n_club - 1), 1) AS BIGINT) AS phi_e4
         |FROM nodes JOIN ed ON ed.q_e4 = nodes.q_e4
         |ORDER BY nodes.q_e4""".stripMargin,
+    "q_orders_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+        |  FROM lineitem),
+        |bn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS big_n
+        |  FROM li),
+        |marg AS (SELECT pk, CAST(count(*) AS BIGINT) AS np
+        |  FROM li GROUP BY pk),
+        |und AS (SELECT a.pk AS u, b.pk AS v,
+        |   CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dir2 AS (SELECT u, v, n_ab FROM und
+        |  UNION ALL SELECT v, u, n_ab FROM und)
+        |SELECT u, v, n_ab, ma.np AS n_a, mb.np AS n_b,
+        | n_ab * 10000 // ma.np AS conf_e4,
+        | CAST((bn.big_n - mb.np) * ma.np * 10000
+        |   // greatest(bn.big_n * (ma.np - n_ab), 1) AS BIGINT)
+        |   AS conv_e4,
+        | CAST((CAST(n_ab AS HUGEINT) * bn.big_n
+        |   - CAST(ma.np AS HUGEINT) * mb.np) * 100000000
+        |   // (CAST(bn.big_n AS HUGEINT) * bn.big_n) AS BIGINT)
+        |   AS lev_e8
+        |FROM dir2
+        |JOIN marg ma ON ma.pk = dir2.u
+        |JOIN marg mb ON mb.pk = dir2.v
+        |CROSS JOIN bn
+        |ORDER BY conf_e4 DESC, u, v LIMIT 10""".stripMargin,
     "q_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
         |  FROM lineitem),

@@ -947,6 +947,35 @@ object ModelPrep {
       .orderBy(col("label"))
   }
 
+  /** Int8 scalar-quantization error (J61): per label, the MSE and
+    * worst-case error of round-to-int8 embedding compression
+    * (q = round(e·127), reconstruct q/127) — the simplest tier of the
+    * compression family (PQ / Matryoshka / 1-bit Hamming are
+    * enrolled; int8 is what production vector stores actually default
+    * to) and the number that says whether 4× memory savings costs
+    * anything here. Unit-norm dims stay inside |e| ≤ 1, so q needs no
+    * clamp (the normAudit precondition, cited not re-proven).
+    *
+    * Exactness: e enters through the explicit float64 cast (the
+    * centroidShift parity lesson); err_e6 = floor(e·10⁶+0.5) −
+    * q·10⁶ div 127 — one truncating div, shared text; MSE ×10⁻¹²
+    * per-label fold.
+    *
+    * Shape: map-only posexplode projection → k-row fold. */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding"))
+        .as(Seq("dim", "e")))
+      .select(col("label"),
+        expr("""CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+          | AS BIGINT) - CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5)
+          | AS BIGINT) * 1000000 div 127""".stripMargin).as("err_e6"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        expr("sum(err_e6 * err_e6) div count(1)").as("mse_e12"),
+        max(abs(col("err_e6"))).as("max_abs_err_e6"))
+      .orderBy(col("label"))
+
   /** Unit-norm precondition audit (round 8): ARE the embeddings
     * normalized? The check every vector store runs before choosing
     * dot-product over cosine (they coincide iff norms are constant) —
@@ -1026,6 +1055,7 @@ object ModelPrep {
     "q_llm_norm_audit" -> normAudit,
     "q_llm_embed_outliers" -> embedOutliers,
     "q_llm_centroid_shift" -> centroidShift,
+    "q_llm_int8_quant" -> int8Quant,
     "q_llm_bradley_terry" -> bradleyTerry,
     "q_llm_pairwise_wins" -> pairwiseWins,
     "q_llm_best_of_n" -> bestOfN,
@@ -1114,6 +1144,16 @@ object ModelPrep {
         |  min(n2_e6) >= 1000000 - 100
         |    AND max(n2_e6) <= 1000000 + 100 AS all_unit
         |FROM n2""".stripMargin,
+    "q_llm_int8_quant" ->
+      """WITH err AS (SELECT label,
+        |   CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |   - CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5) AS BIGINT)
+        |     * 1000000 // 127 AS err_e6
+        |  FROM (SELECT label, unnest(embedding) AS e FROM embeddings))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+        | CAST(sum(err_e6 * err_e6) // count(*) AS BIGINT) AS mse_e12,
+        | CAST(max(abs(err_e6)) AS BIGINT) AS max_abs_err_e6
+        |FROM err GROUP BY label ORDER BY label""".stripMargin,
     "q_llm_centroid_shift" ->
       """WITH dims AS (SELECT vec_id, label, i AS dim,
         |   CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS v

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 433
+    val documented = 436
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3025,6 +3025,59 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ssbB = docs.map { case (s, _) =>
       val d = mug(s) - mu; d * d }.sum
     assert(ssw == sswB && ssb == ssbB, s"($ssw,$ssb) vs ($sswB,$ssbB)")
+  }
+
+  test("orders_assoc_rules: ten directed rules descending by " +
+      "confidence, each bounded by one, and conviction honors its " +
+      "independence pivot") {
+    val rows = SparkEntry.queries("q_orders_assoc_rules")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    val confs = rows.map(_.getAs[Long]("conf_e4"))
+    assert(confs.zip(confs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val conf = r.getAs[Long]("conf_e4")
+      assert(conf > 0 && conf <= 10000, r)
+      assert(r.getAs[Long]("conf_e4") ==
+        r.getAs[Long]("n_ab") * 10000 / r.getAs[Long]("n_a"), r)
+      // conviction > 1e4 iff the rule beats independence, which for
+      // these support-floored top-confidence rules must hold
+      assert(r.getAs[Long]("conv_e4") >= 10000, r)
+    }
+  }
+
+  test("llm_int8_quant: per-dim error never exceeds half a quant " +
+      "step, MSE is consistent with the max, and labels partition") {
+    val rows = SparkEntry.queries("q_llm_int8_quant")(spark, sf)
+      .collect()
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length == labels)
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("max_abs_err_e6")
+      // half a 1/127 step = 3937 e6-units (+1 for the div truncation)
+      assert(mx <= 3938, r)
+      assert(r.getAs[Long]("mse_e12") <= mx * mx, r)
+      assert(r.getAs[Long]("mse_e12") >= 0, r)
+      assert(r.getAs[Long]("n_dims") % 64 == 0, r) // 64-dim vectors
+    }
+  }
+
+  test("events_hour_profile: 24 dense hours, shares replay, exactly " +
+      "one peak block, and the ratio replays from max over min") {
+    val rows = SparkEntry.queries("q_events_hour_profile")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("hour")).sorted.toSeq == (0L to 23L))
+    val ns = rows.map(_.getAs[Long]("n"))
+    val (mx, mn) = (ns.max, ns.min)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_peak") == (r.getAs[Long]("n") == mx),
+        r)
+      assert(r.getAs[Long]("peak_ratio_e4") ==
+        mx * 10000 / math.max(mn, 1), r)
+    }
+    val total = ns.sum
+    assert(total == graft.Tables.events(spark, sf).count())
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
