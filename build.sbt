@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 400+ codegen'd query plans in one Bench fork overflow the default
+  // 240 MB code cache — the JIT then silently stops compiling and
+  // LATE queries run interpreted (measured: q_str_distance 0.29 s
+  // standalone vs 1.23 s as row ~420 of a full run). 1 GB keeps the
+  // whole suite compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )

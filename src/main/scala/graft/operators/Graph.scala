@@ -890,6 +890,42 @@ object Graph {
       .limit(10)
   }
 
+  /** Adamic–Adar link prediction (J62): for NON-edge part pairs, the
+    * classic AA score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — common
+    * neighbors weighted by how selective they are. The link-PREDICTION
+    * complement of q_graph_jaccard (which scores similarity) and the
+    * "what co-purchase is missing" recommender primitive. Top-20
+    * predicted links.
+    *
+    * Scale: wedge volume is Σ_w deg(w)², hub-dominated — so wedge
+    * CENTERS are capped at deg ≤ 64, documented and principled: a
+    * center's weight falls as 1/ln(deg) exactly while its wedge count
+    * grows as deg², so the dropped centers are the maximum-cost
+    * minimum-signal ones (the df-capped-shingle argument in graph
+    * form). The cap bounds wedges by 64·2|E|. Oracle applies the
+    * identical cap.
+    *
+    * Exactness: aa_e6 = Σ 10⁹ div lnE3(deg) — floor-once lnE3 per
+    * center, one truncating div per wedge term. */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccEdges(spark, dir)
+    val inc = e0.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e0.select(col("v").as("w"), col("u").as("x")))
+    val deg = inc.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val cinc = inc.join(broadcast(deg.filter(col("d") <= 64)), "w")
+    val pairs = cinc.as("a").join(cinc.as("b"),
+        col("a.w") === col("b.w") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("v"),
+        col("a.d").as("d"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000000 div CAST(floor(ln(d) * 1000 + 0.5)" +
+          " AS BIGINT)")).as("aa_e6"))
+    pairs.join(e0, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_e6").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   /** Rich-club coefficient (round 8): for the degree-distribution
     * quantiles q ∈ {p50, p75, p90}, the edge density among nodes with
     * degree > k_q — φ = 2·E_club·10⁴ div (N_club·(N_club−1)) — the
@@ -1047,6 +1083,7 @@ object Graph {
     "q_graph_richclub" -> richClub,
     "q_basket_lift" -> basketLift,
     "q_orders_assoc_rules" -> assocRules,
+    "q_graph_adamic_adar" -> adamicAdar,
     "q_graph_walk_sample" -> walkSample,
     "q_graph_local_cc" -> localCC,
     "q_graph_hits" -> hits,
@@ -1182,6 +1219,27 @@ object Graph {
         |   // greatest(n_club * (n_club - 1), 1) AS BIGINT) AS phi_e4
         |FROM nodes JOIN ed ON ed.q_e4 = nodes.q_e4
         |ORDER BY nodes.q_e4""".stripMargin,
+    "q_graph_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk),
+        |inc AS (SELECT u AS w, v AS x FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d
+        |  FROM inc GROUP BY 1 HAVING count(*) <= 64),
+        |cinc AS (SELECT inc.w, x, d FROM inc
+        |  JOIN deg ON inc.w = deg.w),
+        |pairs AS (SELECT a.x AS u, b.x AS v,
+        |   CAST(count(*) AS BIGINT) AS n_common,
+        |   CAST(sum(1000000000 // CAST(floor(ln(a.d) * 1000 + 0.5)
+        |     AS BIGINT)) AS BIGINT) AS aa_e6
+        |  FROM cinc a JOIN cinc b ON a.w = b.w AND a.x < b.x
+        |  GROUP BY 1, 2)
+        |SELECT u, v, n_common, aa_e6 FROM pairs
+        |WHERE NOT EXISTS (SELECT 1 FROM e0
+        |  WHERE e0.u = pairs.u AND e0.v = pairs.v)
+        |ORDER BY aa_e6 DESC, u, v LIMIT 20""".stripMargin,
     "q_orders_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
         |  FROM lineitem),

@@ -947,6 +947,32 @@ object ModelPrep {
       .orderBy(col("label"))
   }
 
+  /** Data-loader shard balance (J62): split the corpus into 8 shards
+    * by the shared md5-h60 residue (the split_assign hashing) and
+    * measure TOKEN balance — docs hash-balance by construction, but
+    * tokens follow doc length, and a skewed shard is the straggler
+    * that stalls every distributed-training step (the training-side
+    * twin of q_diag_skew). Emits per-shard docs/tokens/share plus the
+    * max/min token ratio.
+    *
+    * Shape: map-only hash + token count → 8-cell census → broadcast
+    * fold. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(expr(s"${LlmOps.h60("CAST(doc_id AS STRING)")} % 8")
+        .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = sh.agg(sum(col("n_tokens")).as("tt"),
+      max(col("n_tokens")).as("mx"), min(col("n_tokens")).as("mn"))
+    sh.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 10000 div tt").as("share_e4"),
+        expr("mx * 10000 div greatest(mn, 1)").as("imbalance_e4"))
+      .orderBy(col("shard"))
+  }
+
   /** Int8 scalar-quantization error (J61): per label, the MSE and
     * worst-case error of round-to-int8 embedding compression
     * (q = round(e·127), reconstruct q/127) — the simplest tier of the
@@ -1056,6 +1082,7 @@ object ModelPrep {
     "q_llm_embed_outliers" -> embedOutliers,
     "q_llm_centroid_shift" -> centroidShift,
     "q_llm_int8_quant" -> int8Quant,
+    "q_llm_shard_balance" -> shardBalance,
     "q_llm_bradley_terry" -> bradleyTerry,
     "q_llm_pairwise_wins" -> pairwiseWins,
     "q_llm_best_of_n" -> bestOfN,
@@ -1144,6 +1171,22 @@ object ModelPrep {
         |  min(n2_e6) >= 1000000 - 100
         |    AND max(n2_e6) <= 1000000 + 100 AS all_unit
         |FROM n2""".stripMargin,
+    "q_llm_shard_balance" ->
+      """WITH sh AS (SELECT
+        |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+        |     AS BIGINT) % 8 AS shard,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM sh GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+        |   CAST(max(n_tokens) AS BIGINT) AS mx,
+        |   CAST(min(n_tokens) AS BIGINT) AS mn FROM g)
+        |SELECT shard, n_docs, n_tokens,
+        | n_tokens * 10000 // tt AS share_e4,
+        | mx * 10000 // greatest(mn, 1) AS imbalance_e4
+        |FROM g CROSS JOIN tot ORDER BY shard""".stripMargin,
     "q_llm_int8_quant" ->
       """WITH err AS (SELECT label,
         |   CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)

@@ -1341,7 +1341,50 @@ object TimeSeries {
       .orderBy(col("day"))
   }
 
+  /** Lo–MacKinlay variance ratio (J62): VR(k) = Var(k-day change) /
+    * (k·Var(1-day change)) for k ∈ {2,4,8} — the econometric
+    * random-walk test: a true random walk scores 1, mean reversion
+    * < 1, trending > 1; on iid daily counts (level-stationary, not a
+    * walk) VR is expected well below 1, which is the fixture's
+    * licensing number. Completes the randomness family with the
+    * HORIZON-SCALING screen none of runs/turning-points/Ljung–Box/
+    * permutation-entropy measures.
+    *
+    * Exactness: one-pass central moments with the documented
+    * quantization var = (ss − s·s div n) div n (the burrowsDelta
+    * text); vr_e4 one further truncating div with a var₁ floor.
+    *
+    * Shape: daily census → ONE bounded-frame window pass (4 lags) →
+    * 1-row moment fold → 3 stacked rows. */
+  def varianceRatio(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val lagged = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      .withColumn("d1", col("x") - lag(col("x"), 1).over(w))
+      .withColumn("d2", col("x") - lag(col("x"), 2).over(w))
+      .withColumn("d4", col("x") - lag(col("x"), 4).over(w))
+      .withColumn("d8", col("x") - lag(col("x"), 8).over(w))
+    def m(c: String) = Seq(count(col(c)).as(s"n$c"),
+      sum(col(c)).as(s"s$c"), sum(expr(s"$c * $c")).as(s"ss$c"))
+    val agg = lagged.agg(m("d1").head, (m("d1").tail ++ m("d2") ++
+      m("d4") ++ m("d8")): _*)
+    def varE(c: String) =
+      s"((ss$c - s$c * s$c div n$c) div n$c)"
+    agg.select(expr(
+      s"""stack(3,
+         | 2L, nd2, ${varE("d2")}, ${varE("d2")} * 10000
+         |   div (2 * greatest(${varE("d1")}, 1)),
+         | 4L, nd4, ${varE("d4")}, ${varE("d4")} * 10000
+         |   div (4 * greatest(${varE("d1")}, 1)),
+         | 8L, nd8, ${varE("d8")}, ${varE("d8")} * 10000
+         |   div (8 * greatest(${varE("d1")}, 1)))
+         | AS (k, n_diffs, var_k, vr_e4)""".stripMargin))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_variance_ratio" -> varianceRatio,
     "q_ts_bollinger" -> bollinger,
     "q_ts_sax_motifs" -> saxMotifs,
     "q_ts_pacf" -> pacf,
@@ -1378,6 +1421,47 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_variance_ratio" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |l AS (SELECT x - lag(x, 1) OVER w AS d1,
+        |   x - lag(x, 2) OVER w AS d2,
+        |   x - lag(x, 4) OVER w AS d4,
+        |   x - lag(x, 8) OVER w AS d8
+        |  FROM daily WINDOW w AS (ORDER BY day)),
+        |m AS (SELECT
+        |   CAST(count(d1) AS BIGINT) AS nd1,
+        |   CAST(sum(d1) AS BIGINT) AS sd1,
+        |   CAST(sum(d1 * d1) AS BIGINT) AS ssd1,
+        |   CAST(count(d2) AS BIGINT) AS nd2,
+        |   CAST(sum(d2) AS BIGINT) AS sd2,
+        |   CAST(sum(d2 * d2) AS BIGINT) AS ssd2,
+        |   CAST(count(d4) AS BIGINT) AS nd4,
+        |   CAST(sum(d4) AS BIGINT) AS sd4,
+        |   CAST(sum(d4 * d4) AS BIGINT) AS ssd4,
+        |   CAST(count(d8) AS BIGINT) AS nd8,
+        |   CAST(sum(d8) AS BIGINT) AS sd8,
+        |   CAST(sum(d8 * d8) AS BIGINT) AS ssd8
+        |  FROM l),
+        |r AS (
+        | SELECT 2 AS k, nd2 AS n_diffs,
+        |  (ssd2 - sd2 * sd2 // nd2) // nd2 AS var_k,
+        |  ((ssd2 - sd2 * sd2 // nd2) // nd2) * 10000
+        |   // (2 * greatest((ssd1 - sd1 * sd1 // nd1) // nd1, 1))
+        |   AS vr_e4 FROM m
+        | UNION ALL SELECT 4, nd4,
+        |  (ssd4 - sd4 * sd4 // nd4) // nd4,
+        |  ((ssd4 - sd4 * sd4 // nd4) // nd4) * 10000
+        |   // (4 * greatest((ssd1 - sd1 * sd1 // nd1) // nd1, 1))
+        |  FROM m
+        | UNION ALL SELECT 8, nd8,
+        |  (ssd8 - sd8 * sd8 // nd8) // nd8,
+        |  ((ssd8 - sd8 * sd8 // nd8) // nd8) * 10000
+        |   // (8 * greatest((ssd1 - sd1 * sd1 // nd1) // nd1, 1))
+        |  FROM m)
+        |SELECT CAST(k AS BIGINT) AS k, n_diffs,
+        | CAST(var_k AS BIGINT) AS var_k, CAST(vr_e4 AS BIGINT) AS vr_e4
+        |FROM r ORDER BY k""".stripMargin,
     "q_ts_bollinger" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

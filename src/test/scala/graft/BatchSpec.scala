@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 436
+    val documented = 439
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3078,6 +3078,59 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val total = ns.sum
     assert(total == graft.Tables.events(spark, sf).count())
+  }
+
+  test("graph_adamic_adar: predicted links are genuine non-edges, " +
+      "scores are positive descending, and common counts are real") {
+    val rows = SparkEntry.queries("q_graph_adamic_adar")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val aas = rows.map(_.getAs[Long]("aa_e6"))
+    assert(aas.zip(aas.tail).forall { case (a, b) => a >= b })
+    assert(aas.forall(_ > 0))
+    // spot-check: the top pair must NOT be an existing co-occ edge
+    val (u, v) = (rows.head.getAs[Long]("u"), rows.head.getAs[Long]("v"))
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("o"),
+        org.apache.spark.sql.functions.col("l_partkey").as("pk"))
+      .distinct()
+    val isEdge = li.as("a").join(li.as("b"),
+      org.apache.spark.sql.functions.expr(
+        s"a.o = b.o AND a.pk = $u AND b.pk = $v")).count()
+    assert(isEdge == 0, s"($u,$v) is an existing edge")
+    rows.foreach(r => assert(r.getAs[Long]("n_common") >= 1, r))
+  }
+
+  test("llm_shard_balance: eight dense shards, docs and tokens " +
+      "partition the corpus, and the imbalance replays") {
+    val rows = SparkEntry.queries("q_llm_shard_balance")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("shard")).sorted.toSeq == (0L to 7L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sf).count())
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    val (mx, mn) = (toks.max, toks.min)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("imbalance_e4") == mx * 10000 /
+        math.max(mn, 1), r)
+      assert(r.getAs[Long]("n_tokens") > 0, r)
+    }
+  }
+
+  test("ts_variance_ratio: three horizons, each VR below the random-" +
+      "walk unity on level-stationary counts, and counts shrink by k") {
+    val rows = SparkEntry.queries("q_ts_variance_ratio")(spark, sf)
+      .orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(2L, 4L, 8L))
+    val n1 = rows.map(_.getAs[Long]("n_diffs"))
+    assert(n1(0) > n1(1) && n1(1) > n1(2), n1.toSeq) // longer lag, fewer diffs
+    rows.foreach { r =>
+      assert(r.getAs[Long]("var_k") >= 0, r)
+      // iid daily counts are level-stationary, NOT a random walk:
+      // VR(k) ≈ 1/k-ish, decisively below unity — the licensing number
+      assert(r.getAs[Long]("vr_e4") < 10000, r)
+      assert(r.getAs[Long]("vr_e4") >= 0, r)
+    }
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
