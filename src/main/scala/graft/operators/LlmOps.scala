@@ -1592,6 +1592,37 @@ object LlmOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Near-dup dedup savings per source (J63): the TOKEN cost the
+    * min-id survivorship policy actually removes, broken down by
+    * source — q_llm_dup_cluster_sizes counts documents, but budgets
+    * are token-denominated, and a source whose removed docs are its
+    * LONGEST loses disproportionately more training signal than the
+    * doc count suggests. Removed = LSH-cluster members whose doc_id
+    * is not the cluster's min label (identical policy to
+    * q_llm_dedup_survivorship).
+    *
+    * Shape (100 TB): the memoized LSH cluster frame (doc-keyed,
+    * removal-set-sized) joined back to the doc token census on
+    * doc_id — co-keyed, no broadcast assumption (a heavily duplicated
+    * crawl's removal set is corpus-scale). */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val rem = dupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("rm"))
+    tok.join(rem, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tok"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("rm_docs"),
+        sum(when(col("rm"), col("n_tok")).otherwise(0L)).as("rm_tok"))
+      .select(col("source"), col("n_docs"), col("tot_tok"),
+        col("rm_docs"), col("rm_tok"),
+        expr("rm_tok * 10000 div tot_tok").as("savings_e4"))
+      .orderBy(col("source"))
+  }
+
   /** Snippet extraction (J60): for the BM25 top-3 docs, the 16-token
     * window with the most query-term hits — the result-page snippet
     * selector every search stack runs after ranking (and the missing
@@ -2808,6 +2839,7 @@ object LlmOps {
     "q_llm_term_position" -> termPosition,
     "q_llm_snippet_extract" -> snippetExtract,
     "q_llm_doc_cohesion" -> docCohesion,
+    "q_llm_dedup_savings" -> dedupSavings,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3600,6 +3632,22 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_dedup_savings" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |rem AS (SELECT doc_id FROM ($dupClustersSql) cl
+        |  WHERE doc_id <> cluster_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+        | CAST(sum(CASE WHEN rem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS rm_docs,
+        | CAST(sum(CASE WHEN rem.doc_id IS NOT NULL THEN n_tok
+        |   ELSE 0 END) AS BIGINT) AS rm_tok,
+        | CAST(sum(CASE WHEN rem.doc_id IS NOT NULL THEN n_tok
+        |   ELSE 0 END) * 10000 // sum(n_tok) AS BIGINT) AS savings_e4
+        |FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_llm_snippet_extract" ->
       s"""WITH $bm25Ctes,
         |top3 AS (SELECT doc_id, rank FROM (SELECT doc_id,

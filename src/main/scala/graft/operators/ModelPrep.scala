@@ -947,6 +947,46 @@ object ModelPrep {
       .orderBy(col("label"))
   }
 
+  /** Greedy quality-max mix under a token budget (J63): rank sources
+    * by mean enrolled-logreg quality, take whole sources in rank order
+    * until the cumulative token count exceeds HALF the corpus — the
+    * planning table a token-constrained pretraining run derives before
+    * q_llm_epoch_schedule decides repeats (schedule answers "how many
+    * epochs each"; this answers "which sources at all"). Whole-source
+    * greedy, no fractional split — the knapsack relaxation every real
+    * mix config uses, documented. All 20 sources are emitted with the
+    * picked flag so the cut line is auditable.
+    *
+    * Exactness: q_e4 = Σ floor(score·10⁴+0.5) div n_docs (the
+    * score_calibration grid); rank/cume by window on the SOURCE-sized
+    * frame.
+    *
+    * Shape (100 TB): doc-sized score pass (map-only model) → source
+    * fold → 20-row window. */
+  def greedyMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+        expr("sum(CAST(floor(score * 10000 + 0.5) AS BIGINT))" +
+          " div count(1)").as("q_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q_e4").desc, col("source"))
+    val tot = perSrc.agg(sum(col("n_tok")).as("tt"))
+    perSrc
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), expr("CAST(rank AS BIGINT)").as("rank"),
+        col("n_docs"), col("n_tok"), col("q_e4"), col("cum_tok"),
+        expr("cum_tok * 2 <= tt").as("picked"))
+      .orderBy(col("rank"))
+  }
+
   /** Data-loader shard balance (J62): split the corpus into 8 shards
     * by the shared md5-h60 residue (the split_assign hashing) and
     * measure TOKEN balance — docs hash-balance by construction, but
@@ -1083,6 +1123,7 @@ object ModelPrep {
     "q_llm_centroid_shift" -> centroidShift,
     "q_llm_int8_quant" -> int8Quant,
     "q_llm_shard_balance" -> shardBalance,
+    "q_llm_greedy_mix" -> greedyMix,
     "q_llm_bradley_terry" -> bradleyTerry,
     "q_llm_pairwise_wins" -> pairwiseWins,
     "q_llm_best_of_n" -> bestOfN,
@@ -1171,6 +1212,28 @@ object ModelPrep {
         |  min(n2_e6) >= 1000000 - 100
         |    AND max(n2_e6) <= 1000000 + 100 AS all_unit
         |FROM n2""".stripMargin,
+    "q_llm_greedy_mix" ->
+      s"""WITH $scoreCte,
+        |tok AS (SELECT d.doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |   sc0.score
+        |  FROM documents d JOIN sc0 ON d.doc_id = sc0.doc_id),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |   CAST(sum(CAST(floor(score * 10000 + 0.5) AS BIGINT))
+        |     // count(*) AS BIGINT) AS q_e4
+        |  FROM tok GROUP BY 1),
+        |r AS (SELECT source, n_docs, n_tok, q_e4,
+        |   CAST(row_number() OVER (ORDER BY q_e4 DESC, source)
+        |     AS BIGINT) AS rank,
+        |   CAST(sum(n_tok) OVER (ORDER BY q_e4 DESC, source
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS BIGINT) AS cum_tok
+        |  FROM per),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM per)
+        |SELECT source, rank, n_docs, n_tok, q_e4, cum_tok,
+        | cum_tok * 2 <= tt AS picked
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
     "q_llm_shard_balance" ->
       """WITH sh AS (SELECT
         |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)

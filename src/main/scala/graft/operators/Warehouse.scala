@@ -417,9 +417,11 @@ object Warehouse {
     * cleaner).
     *
     * Exactness: percentiles by distribution counting — cum census per
-    * (priority, lag), pick the least lag with 2·cum ≥ n+1 (p50) /
-    * 10·cum ≥ 9n+9 (p90); cross-multiplied ceil conditions, no
-    * division at all (the weighted-median discipline).
+    * (priority, lag), pick the least lag with cum ≥ (n+1) div 2 (the
+    * LOWER median) / cum ≥ (9n+9) div 10 (p90). Direct integer-div
+    * rank conditions, NOT the cross-multiplied `2·cum ≥ n+1` form —
+    * on even n that form means cum ≥ n/2 + 0.5 and shifts to the
+    * upper order statistic (the J63 pctl_cont_vs_disc lesson).
     *
     * Shape (100 TB): one orderkey-keyed join (co-partitioned facts) →
     * (priority, lag) census (support-sized: 5 priorities × day span)
@@ -442,9 +444,9 @@ object Warehouse {
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("prio")).orderBy(col("lag"))))
       .join(broadcast(tot), "prio")
-    val p50 = cum.filter(col("cum") * 2 >= col("n") + 1)
+    val p50 = cum.filter(col("cum") >= expr("(n + 1) div 2"))
       .groupBy(col("prio")).agg(min(col("lag")).as("p50_days"))
-    val p90 = cum.filter(col("cum") * 10 >= col("n") * 9 + 9)
+    val p90 = cum.filter(col("cum") >= expr("(n * 9 + 9) div 10"))
       .groupBy(col("prio")).agg(min(col("lag")).as("p90_days"))
     tot.join(p50, "prio").join(p90, "prio")
       .select(col("prio"), col("n"), col("n_neg"),
@@ -486,9 +488,9 @@ object Warehouse {
         |     AS BIGINT) AS cum
         |  FROM cen JOIN tot ON cen.prio = tot.prio),
         |p50 AS (SELECT prio, min(lag) AS p50_days FROM cum
-        |  WHERE cum * 2 >= n + 1 GROUP BY 1),
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
         |p90 AS (SELECT prio, min(lag) AS p90_days FROM cum
-        |  WHERE cum * 10 >= n * 9 + 9 GROUP BY 1)
+        |  WHERE cum >= (n * 9 + 9) // 10 GROUP BY 1)
         |SELECT tot.prio, n, n_neg, n_neg * 10000 // n AS neg_share_e4,
         | p50_days, p90_days
         |FROM tot JOIN p50 ON tot.prio = p50.prio

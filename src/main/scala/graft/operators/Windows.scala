@@ -362,7 +362,47 @@ object Windows {
         col("max_abs_diff"))
   }
 
+  /** percentile_cont vs percentile_disc disagreement (J63): per event
+    * type, the lower-median (disc) against the interpolated median
+    * (cont, emitted ×2 so even-count interpolation stays integer) —
+    * the executable case for stating WHICH median an SLA means, the
+    * percentile sibling of q_win_range_vs_rows' frame-semantics row.
+    * differs = the two medians disagree, which happens exactly when
+    * the two middle order statistics differ on an even count.
+    *
+    * Exactness: both picks by distribution counting — a = rank
+    * (n+1) div 2 (the LOWER median), b = rank n div 2 + 1 (the upper
+    * leg), each as `cum ≥ rank` with the rank an integer-div
+    * expression. NOT the cross-multiplied `2·cum ≥ n+1` form: on even
+    * n that inequality means cum ≥ n/2 + 0.5 and silently selects the
+    * UPPER median (caught by this row's brute-replay spec).
+    *
+    * Shape (100 TB): (type, cents) support census → window cum on
+    * THAT census → two rank picks. Never a row sort. */
+  def pctlContVsDisc(spark: SparkSession, dir: String): DataFrame = {
+    val v = events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+    val cen = v.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = v.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val cum = cen.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("event_type")).orderBy(col("c"))))
+      .join(broadcast(tot), "event_type")
+    val a = cum.filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("c")).as("pa"))
+    val b = cum.filter(col("cum") >= expr("n div 2 + 1"))
+      .groupBy(col("event_type")).agg(min(col("c")).as("pb"))
+    tot.join(a, "event_type").join(b, "event_type")
+      .select(col("event_type"), col("n"),
+        col("pa").as("p50_disc_cents"),
+        (col("pa") + col("pb")).as("p50_cont_x2_cents"),
+        (col("pa") =!= col("pb")).as("differs"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_pctl_cont_vs_disc" -> pctlContVsDisc,
     "q_win_range_vs_rows" -> rangeVsRows,
     "q_agg_gini" -> giniAgg,
     "q_agg_winsorized" -> winsorizedMean,
@@ -380,6 +420,26 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_pctl_cont_vs_disc" ->
+      """WITH v AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |cen AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1),
+        |cum AS (SELECT cen.event_type, c, n,
+        |   CAST(sum(cnt) OVER (PARTITION BY cen.event_type
+        |     ORDER BY c) AS BIGINT) AS cum
+        |  FROM cen JOIN tot ON cen.event_type = tot.event_type),
+        |a AS (SELECT event_type, min(c) AS pa FROM cum
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |b AS (SELECT event_type, min(c) AS pb FROM cum
+        |  WHERE cum >= n // 2 + 1 GROUP BY 1)
+        |SELECT tot.event_type, n, pa AS p50_disc_cents,
+        | pa + pb AS p50_cont_x2_cents, pa <> pb AS differs
+        |FROM tot JOIN a ON tot.event_type = a.event_type
+        | JOIN b ON tot.event_type = b.event_type
+        |ORDER BY tot.event_type""".stripMargin,
     "q_win_range_vs_rows" ->
       """WITH ud AS (SELECT user_id,
         |   epoch_us(ts) // 86400000000 AS day,

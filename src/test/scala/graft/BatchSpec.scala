@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 439
+    val documented = 442
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3130,6 +3130,64 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       // VR(k) ≈ 1/k-ish, decisively below unity — the licensing number
       assert(r.getAs[Long]("vr_e4") < 10000, r)
       assert(r.getAs[Long]("vr_e4") >= 0, r)
+    }
+  }
+
+  test("win_pctl_cont_vs_disc: the disc median is one of the two " +
+      "cont legs, cont brackets disc, and differs fires iff legs split") {
+    val rows = SparkEntry.queries("q_win_pctl_cont_vs_disc")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (pa, x2) = (r.getAs[Long]("p50_disc_cents"),
+        r.getAs[Long]("p50_cont_x2_cents"))
+      val pb = x2 - pa
+      assert(pb >= pa, r) // the upper leg can't be below the lower
+      assert(r.getAs[Boolean]("differs") == (pa != pb), r)
+      // brute replay of both legs for this type
+      val vals = graft.Tables.events(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("event_type") ===
+          r.getAs[String]("event_type"))
+        .selectExpr("CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+        .collect().map(_.getLong(0)).sorted
+      val n = vals.length
+      assert(pa == vals((n + 1) / 2 - 1), r)
+      assert(pb == vals(n / 2), r)
+    }
+  }
+
+  test("llm_greedy_mix: ranks are the quality order, cume tokens " +
+      "telescope, and the picked prefix respects the half budget") {
+    val rows = SparkEntry.queries("q_llm_greedy_mix")(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.length == 20)
+    val qs = rows.map(_.getAs[Long]("q_e4"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b }, qs.toSeq)
+    var cum = 0L
+    val tt = rows.map(_.getAs[Long]("n_tok")).sum
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_tok")
+      assert(r.getAs[Long]("cum_tok") == cum, r)
+      assert(r.getAs[Boolean]("picked") == (cum * 2 <= tt), r)
+    }
+    // the greedy prefix is nonempty and strict: not everything picked
+    assert(rows.head.getAs[Boolean]("picked"))
+    assert(!rows.last.getAs[Boolean]("picked"))
+  }
+
+  test("llm_dedup_savings: sources partition the corpus, removals " +
+      "are bounded by totals, and the saved-token share replays") {
+    val rows = SparkEntry.queries("q_llm_dedup_savings")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sf).count())
+    assert(rows.exists(_.getAs[Long]("rm_docs") > 0),
+      "fixture has near-dup clusters — some removal expected")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rm_docs") <= r.getAs[Long]("n_docs"), r)
+      assert(r.getAs[Long]("rm_tok") <= r.getAs[Long]("tot_tok"), r)
+      assert(r.getAs[Long]("savings_e4") == r.getAs[Long]("rm_tok") *
+        10000 / r.getAs[Long]("tot_tok"), r)
     }
   }
 
