@@ -1641,7 +1641,35 @@ object Analytics {
       .orderBy(col("hour"))
   }
 
+  /** Sample-ratio mismatch check (J64): the FIRST gate any A/B
+    * platform runs before reading a single metric — does the md5-based
+    * 50/50 user assignment actually split 50/50? A significant
+    * mismatch means broken randomization (bot filtering, redirect
+    * loss, assignment bug) and invalidates every downstream test in
+    * the inference family. 1-dof chi-square against the even split:
+    * χ² = (n₀−n₁)²/n exactly (both expected counts are n/2);
+    * crit(1, 95%) = 3.841459 authored ×10⁶.
+    *
+    * Shape (100 TB): distinct users → map-side hash → 2-cell census
+    * → 1-row verdict. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT) % 2").as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_users"),
+        sum(when(col("arm") === 0, col("cnt")).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, col("cnt")).otherwise(0L)).as("n1"))
+      .select(col("n_users"), col("n0"), col("n1"),
+        expr("(n0 - n1) * (n0 - n1) * 1000000 div n_users")
+          .as("chi2_e6"),
+        expr("(n0 - n1) * (n0 - n1) * 1000000 div n_users >= 3841459")
+          .as("srm_alarm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_srm" -> srmCheck,
     "q_events_hour_profile" -> hourProfile,
     "q_events_user_entropy" -> userEntropy,
     "q_events_perm_test" -> permTest,
@@ -1690,6 +1718,23 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),
+        |   1, 15) AS BIGINT) % 2 AS arm FROM u),
+        |c AS (SELECT arm, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM a GROUP BY 1),
+        |f AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_users,
+        |   CAST(sum(CASE WHEN arm = 0 THEN cnt ELSE 0 END) AS BIGINT)
+        |     AS n0,
+        |   CAST(sum(CASE WHEN arm = 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |     AS n1
+        |  FROM c)
+        |SELECT n_users, n0, n1,
+        | (n0 - n1) * (n0 - n1) * 1000000 // n_users AS chi2_e6,
+        | (n0 - n1) * (n0 - n1) * 1000000 // n_users >= 3841459
+        |   AS srm_alarm
+        |FROM f""".stripMargin,
     "q_events_hour_profile" ->
       """WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
         |   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

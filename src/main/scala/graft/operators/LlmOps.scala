@@ -1592,6 +1592,58 @@ object LlmOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Johnson–Lindenstrauss distortion audit (J64): project the e4-grid
+    * embeddings through a deterministic ±1 matrix (md5-parity signs)
+    * from 64 to 16 dims and measure, for 10 probe pairs, the ratio
+    * d²_proj/(k·d²_orig) — the number that says whether a 4× cheaper
+    * sketch preserves THIS store's distances (JL guarantees it in
+    * expectation: E[d²_proj] = k·d²_orig for ±1 projections). The
+    * distance-PRESERVATION measurement the sign-LSH rows assume and
+    * never check; Matryoshka (q_llm_mrl_recall) truncates trained
+    * dims, this projects untrained ones.
+    *
+    * Exactness: dims enter on the shared e4 grid (float64 cast, the
+    * J58 lesson); projections are exact ±sums of BIGINTs; ratio_e4 is
+    * one truncating div.
+    *
+    * Shape: bounded — 20 probe vectors × 64 dims × 16 out-dims;
+    * everything after the dims projection is constant-size. */
+  def jlDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val dims = embeddings(spark, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("vec_id"), col("dim"),
+        expr("CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT)")
+          .as("v"))
+    val proj = dims
+      .select(col("vec_id"), col("dim"), col("v"),
+        explode(expr("sequence(0, 15)")).as("j"))
+      .withColumn("s", expr(
+        """CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING),
+          | ':', CAST(dim AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          | % 2 = 0 THEN 1 ELSE -1 END""".stripMargin))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(expr("s * v")).as("y"))
+    val pd = proj.as("a").join(proj.as("b"),
+        col("a.j") === col("b.j") &&
+        col("b.vec_id") === col("a.vec_id") + 1 &&
+        col("a.vec_id") % 2 === 0)
+      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .agg(sum(expr("(a.y - b.y) * (a.y - b.y)")).as("d2_proj"))
+    val od = dims.as("a").join(dims.as("b"),
+        col("a.dim") === col("b.dim") &&
+        col("b.vec_id") === col("a.vec_id") + 1 &&
+        col("a.vec_id") % 2 === 0)
+      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .agg(sum(expr("(a.v - b.v) * (a.v - b.v)")).as("d2_orig"))
+    od.join(pd, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("d2_orig"), col("d2_proj"),
+        expr("d2_proj * 10000 div greatest(16 * d2_orig, 1)")
+          .as("ratio_e4"))
+      .orderBy(col("a_id"))
+  }
+
   /** Near-dup dedup savings per source (J63): the TOKEN cost the
     * min-id survivorship policy actually removes, broken down by
     * source — q_llm_dup_cluster_sizes counts documents, but budgets
@@ -2840,6 +2892,7 @@ object LlmOps {
     "q_llm_snippet_extract" -> snippetExtract,
     "q_llm_doc_cohesion" -> docCohesion,
     "q_llm_dedup_savings" -> dedupSavings,
+    "q_llm_jl_distortion" -> jlDistortion,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3632,6 +3685,31 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_jl_distortion" ->
+      """WITH dims AS (SELECT vec_id, i - 1 AS dim,
+        |   CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS e,
+        |     generate_subscripts(embedding, 1) AS i FROM embeddings
+        |    WHERE vec_id < 20) u),
+        |proj AS (SELECT vec_id, j,
+        |   CAST(sum(CASE WHEN CAST('0x'||substr(md5(concat(
+        |     CAST(j AS VARCHAR), ':', CAST(dim AS VARCHAR))), 1, 15)
+        |     AS BIGINT) % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS y
+        |  FROM dims, range(0, 16) r(j) GROUP BY 1, 2),
+        |pd AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |   CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+        |  FROM proj a JOIN proj b ON a.j = b.j
+        |   AND b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+        |  GROUP BY 1, 2),
+        |od AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |   CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2_orig
+        |  FROM dims a JOIN dims b ON a.dim = b.dim
+        |   AND b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT od.a_id, od.b_id, d2_orig, d2_proj,
+        | d2_proj * 10000 // greatest(16 * d2_orig, 1) AS ratio_e4
+        |FROM od JOIN pd ON od.a_id = pd.a_id AND od.b_id = pd.b_id
+        |ORDER BY od.a_id""".stripMargin,
     "q_llm_dedup_savings" ->
       s"""WITH tok AS (SELECT doc_id, source,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

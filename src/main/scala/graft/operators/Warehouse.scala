@@ -455,7 +455,30 @@ object Warehouse {
       .orderBy(col("prio"))
   }
 
+  /** Calendar-month seasonal index (J64): per month-of-year, revenue
+    * share against the uniform baseline — index_e4 = rev·12·10⁴ div
+    * total, the classical seasonal index table (100% = 10⁴·... = a
+    * perfectly flat year). The MONTHLY member of the seasonality
+    * family (dow: anova/seasonal/stl; weekly: wow_growth; intra-day:
+    * hour_profile).
+    *
+    * Shape (100 TB): one partial-aggregable 12-cell census →
+    * broadcast total. */
+  def monthIndex(spark: SparkSession, dir: String): DataFrame = {
+    val m = orders(spark, dir)
+      .select(expr("CAST(month(o_orderdate) AS BIGINT)").as("m"),
+        cents("o_totalprice").as("c"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("rev_cents"))
+    val tot = m.agg(sum(col("rev_cents")).as("tt"))
+    m.crossJoin(broadcast(tot))
+      .select(col("m").as("month"), col("n_orders"), col("rev_cents"),
+        expr("rev_cents * 12 * 10000 div tt").as("index_e4"))
+      .orderBy(col("month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_month_index" -> monthIndex,
     "q_orders_lead_time" -> leadTime,
     "q_parts_price_index" -> priceIndex,
     "q_orders_open_aging" -> openOrderAging,
@@ -472,6 +495,16 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orders_month_index" ->
+      """WITH m AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+        |   CAST(count(*) AS BIGINT) AS n_orders,
+        |   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |     AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tt FROM m)
+        |SELECT m AS month, n_orders, rev_cents,
+        | rev_cents * 12 * 10000 // tt AS index_e4
+        |FROM m CROSS JOIN tot ORDER BY month""".stripMargin,
     "q_orders_lead_time" ->
       """WITH lag AS (SELECT o_orderpriority AS prio,
         |   CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)

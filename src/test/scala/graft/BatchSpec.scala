@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 442
+    val documented = 445
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3189,6 +3189,61 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("savings_e4") == r.getAs[Long]("rm_tok") *
         10000 / r.getAs[Long]("tot_tok"), r)
     }
+  }
+
+  test("orders_month_index: twelve dense months whose indexes sum to " +
+      "the flat-year total within truncation slack") {
+    val rows = SparkEntry.queries("q_orders_month_index")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("month")).sorted.toSeq == (1L to 12L))
+    val s = rows.map(_.getAs[Long]("index_e4")).sum
+    // Σ_m rev_m·12·10⁴/tot = 12·10⁴ exactly; one floor per month
+    assert(s <= 120000L && s >= 120000L - 12, s)
+    val tot = rows.map(_.getAs[Long]("rev_cents")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("index_e4") ==
+        BigInt(r.getAs[Long]("rev_cents")) * 12 * 10000 / tot, r)
+    }
+  }
+
+  test("events_srm: arms partition the user base, chi-square replays, " +
+      "and the healthy md5 split does not alarm") {
+    val rows = SparkEntry.queries("q_events_srm")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") ==
+      r.getAs[Long]("n_users"))
+    assert(r.getAs[Long]("n_users") ==
+      graft.Tables.events(spark, sf).select("user_id")
+        .distinct().count())
+    val d = r.getAs[Long]("n0") - r.getAs[Long]("n1")
+    assert(r.getAs[Long]("chi2_e6") ==
+      d * d * 1000000 / r.getAs[Long]("n_users"), r)
+    assert(r.getAs[Boolean]("srm_alarm") ==
+      (r.getAs[Long]("chi2_e6") >= 3841459L), r)
+    // md5 is a sound hash: the 50/50 split must be healthy
+    assert(!r.getAs[Boolean]("srm_alarm"), r)
+  }
+
+  test("llm_jl_distortion: ten fixed probe pairs, ratios replay, and " +
+      "the mean distortion sits in the JL concentration band") {
+    val rows = SparkEntry.queries("q_llm_jl_distortion")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") % 2 == 0 &&
+        r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 1, r)
+      assert(r.getAs[Long]("ratio_e4") == r.getAs[Long]("d2_proj") *
+        10000 / math.max(16 * r.getAs[Long]("d2_orig"), 1), r)
+      // per-pair distortion at k=16 has sd ≈ sqrt(2/16) ≈ 0.35 —
+      // allow ±3σ
+      val rt = r.getAs[Long]("ratio_e4")
+      assert(rt > 0 && rt < 25000, r)
+    }
+    val mean = rows.map(_.getAs[Long]("ratio_e4")).sum / 10
+    // mean of 10 pairs: sd ≈ 0.11 ⇒ a dead projection (mean ≈ 0) or a
+    // broken scale (mean ≈ 2) is excluded at far beyond 3σ
+    assert(mean > 6000 && mean < 15000, mean)
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
