@@ -453,7 +453,32 @@ object Aggregates {
           | div count(1)""".stripMargin).as("log_gm_e3"))
       .orderBy(col("source"))
 
+  /** grouping_id semantics (J65): the CUBE family's missing
+    * introspection column — per (returnflag, linestatus) cube cell,
+    * the standard bitmask grouping_id (left column = MSB, the SQL
+    * convention both engines share) plus the per-column grouping
+    * flags, so a consumer can distinguish "NULL because subtotal"
+    * from "NULL because the data is NULL" — the question every
+    * rollup report hits. Keys are coalesced to 'ALL' sentinels for a
+    * deterministic total order.
+    *
+    * Shape: one cube over two low-cardinality keys — partial-
+    * aggregable expansion, 16 result rows. */
+  def groupingIdCube(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(grouping_id() AS BIGINT)").as("gid"),
+        expr("CAST(grouping(l_returnflag) AS BIGINT)").as("g_flag"),
+        expr("CAST(grouping(l_linestatus) AS BIGINT)").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("gid"), col("g_flag"), col("g_status"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_grouping_id" -> groupingIdCube,
     "q_agg_geomean" -> geoMean,
     "q_agg_weighted_median" -> weightedPercentiles,
     "q_agg_hll_intersect" -> hllIntersect,
@@ -481,6 +506,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_grouping_id" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
     "q_agg_geomean" -> {
       s"""WITH ${ModelPrep.scoreCte},
          |s1 AS (SELECT d.source,

@@ -1592,6 +1592,65 @@ object LlmOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** BM25 parameter sensitivity sweep (J65): how much does the top-10
+    * MOVE when (k1, b) leave the enrolled (1.2, 0.75) default — the
+    * low-saturation (0.9, 0.4) and high-saturation (2.0, 0.9)
+    * corners? Emits per config the top-10 overlap with the default
+    * ranking and whether rank 1 survives — the number that says if
+    * tuning these knobs is worth an offline eval on this corpus (the
+    * band_sweep discipline applied to retrieval). The default config
+    * is included as the overlap-10 control row.
+    *
+    * Shape: one tokenize shuffle (shared perdoc frame), three
+    * map-only scorings + TakeOrderedAndProject top-10s, 10-row
+    * broadcast joins. */
+  def bm25Sweep(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = bm25Terms
+    val perDoc = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
+        sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    val base = perDoc.crossJoin(broadcast(stats))
+      .filter(col("tf1") + col("tf2") + col("tf3") > 0)
+      .localCheckpoint()
+    def term(i: Int, k1p1: String, k1: String, omb: String, b: String) =
+      s"ln((n - df$i + 0.5D)/(df$i + 0.5D) + 1.0D) * " +
+        s"tf$i*${k1p1}D/(tf$i + ${k1}D*(${omb}D + ${b}D*dl/avgdl))"
+    def top10(k1p1: String, k1: String, omb: String, b: String) =
+      base.withColumn("s", round(expr(
+          s"${term(1, k1p1, k1, omb, b)} + ${term(2, k1p1, k1, omb, b)}" +
+            s" + ${term(3, k1p1, k1, omb, b)}"), 4))
+        .orderBy(col("s").desc, col("doc_id")).limit(10)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("s").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r"))
+    val dflt = top10("2.2", "1.2", "0.25", "0.75").localCheckpoint()
+    def row(name: String, k1E1: Long, bE2: Long,
+        t: DataFrame): DataFrame =
+      t.join(broadcast(dflt.select(col("doc_id"))), "doc_id")
+        .agg(count(lit(1)).as("overlap10"))
+        .crossJoin(broadcast(t.filter(col("r") === 1)
+          .select(col("doc_id").as("c1"))))
+        .crossJoin(broadcast(dflt.filter(col("r") === 1)
+          .select(col("doc_id").as("d1"))))
+        .select(lit(name).as("config"), lit(k1E1).as("k1_e1"),
+          lit(bE2).as("b_e2"), col("overlap10"),
+          (col("c1") === col("d1")).as("top1_same"))
+    row("default", 12L, 75L, dflt)
+      .unionAll(row("low_sat", 9L, 40L, top10("1.9", "0.9", "0.6", "0.4")))
+      .unionAll(row("high_sat", 20L, 90L, top10("3.0", "2.0", "0.1", "0.9")))
+      .orderBy(col("config"))
+  }
+
   /** Johnson–Lindenstrauss distortion audit (J64): project the e4-grid
     * embeddings through a deterministic ±1 matrix (md5-parity signs)
     * from 64 to 16 dims and measure, for 10 probe pairs, the ratio
@@ -2893,6 +2952,7 @@ object LlmOps {
     "q_llm_doc_cohesion" -> docCohesion,
     "q_llm_dedup_savings" -> dedupSavings,
     "q_llm_jl_distortion" -> jlDistortion,
+    "q_llm_bm25_sweep" -> bm25Sweep,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3685,6 +3745,51 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_bm25_sweep" ->
+      s"""WITH $bm25Ctes,
+        |low AS (SELECT doc_id, round(
+        |   ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+        |     * tf1*1.9/(tf1 + 0.9*(0.6 + 0.4*dl/avgdl))
+        | + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
+        |     * tf2*1.9/(tf2 + 0.9*(0.6 + 0.4*dl/avgdl))
+        | + ln((n - df3 + 0.5)/(df3 + 0.5) + 1.0)
+        |     * tf3*1.9/(tf3 + 0.9*(0.6 + 0.4*dl/avgdl)), 4) AS s
+        |  FROM perdoc CROSS JOIN stats WHERE tf1 + tf2 + tf3 > 0),
+        |high AS (SELECT doc_id, round(
+        |   ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+        |     * tf1*3.0/(tf1 + 2.0*(0.1 + 0.9*dl/avgdl))
+        | + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
+        |     * tf2*3.0/(tf2 + 2.0*(0.1 + 0.9*dl/avgdl))
+        | + ln((n - df3 + 0.5)/(df3 + 0.5) + 1.0)
+        |     * tf3*3.0/(tf3 + 2.0*(0.1 + 0.9*dl/avgdl)), 4) AS s
+        |  FROM perdoc CROSS JOIN stats WHERE tf1 + tf2 + tf3 > 0),
+        |dd AS (SELECT doc_id, r FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        |  FROM bmsc) t WHERE r <= 10),
+        |lo AS (SELECT doc_id, r FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM low) t WHERE r <= 10),
+        |hi AS (SELECT doc_id, r FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM high) t WHERE r <= 10)
+        |SELECT * FROM (
+        | SELECT 'default' AS config, CAST(12 AS BIGINT) AS k1_e1,
+        |  CAST(75 AS BIGINT) AS b_e2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dd) AS overlap10,
+        |  TRUE AS top1_same
+        | UNION ALL SELECT 'low_sat', CAST(9 AS BIGINT),
+        |  CAST(40 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lo
+        |    JOIN dd ON lo.doc_id = dd.doc_id),
+        |  (SELECT l.doc_id = d.doc_id FROM lo l, dd d
+        |    WHERE l.r = 1 AND d.r = 1)
+        | UNION ALL SELECT 'high_sat', CAST(20 AS BIGINT),
+        |  CAST(90 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hi
+        |    JOIN dd ON hi.doc_id = dd.doc_id),
+        |  (SELECT h.doc_id = d.doc_id FROM hi h, dd d
+        |    WHERE h.r = 1 AND d.r = 1)
+        |) u ORDER BY config""".stripMargin,
     "q_llm_jl_distortion" ->
       """WITH dims AS (SELECT vec_id, i - 1 AS dim,
         |   CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS v

@@ -801,6 +801,59 @@ object TimeSeries {
           .as("strength_e4"))
   }
 
+  /** STL-residual whiteness (J65): lag-1..3 autocorrelation of the
+    * stl_lite RESIDUAL — the model-adequacy diagnostic: stl_lite
+    * reports how much the trend+weekday model explains; this row
+    * tests whether what's LEFT is white noise (structure remaining in
+    * the residual = the model is incomplete, e.g. a monthly cycle the
+    * weekly seasonal can't absorb). The same trend/seasonal
+    * derivation text as stl_lite (floored 7-day MA, floored dow
+    * means), so the two rows cannot disagree about what the residual
+    * IS.
+    *
+    * Exactness: residual mean floored (truncate-toward-zero, parity-
+    * measured); r_e4 one truncating div; white_95 cross-multiplied —
+    * r²·n ≤ 1.96² ⟺ c²·n·10⁴ ≤ 38416·den², products in the
+    * DECIMAL(38,0)/HUGEINT lane.
+    *
+    * Shape: the stl_lite pipeline (span-sized) + one more bounded
+    * window pass for the lags → 1-row fold → 3 stacked rows. */
+  def stlResidAcf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val det = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("sw", sum(col("x")).over(w))
+      .withColumn("cw", count(lit(1)).over(w))
+      .withColumn("det", col("x") - expr("sw div cw"))
+      .withColumn("dow", col("d") % 7)
+    val s = det.groupBy(col("dow"))
+      .agg(expr("sum(det) div count(1)").as("sdow"))
+    val res = det.join(broadcast(s), Seq("dow"))
+      .select(col("d"), (col("det") - col("sdow")).as("res"))
+    val mu = res.agg(count(lit(1)).as("n"), sum(col("res")).as("sr"))
+      .withColumn("m", expr("sr div n"))
+    val wl = Window.orderBy(col("d"))
+    val mom = res.crossJoin(broadcast(mu))
+      .withColumn("e", col("res") - col("m"))
+      .withColumn("e1", lag(col("e"), 1).over(wl))
+      .withColumn("e2", lag(col("e"), 2).over(wl))
+      .withColumn("e3", lag(col("e"), 3).over(wl))
+      .agg(max(col("n")).as("n"), sum(expr("e * e")).as("den"),
+        sum(expr("e * e1")).as("c1"), sum(expr("e * e2")).as("c2"),
+        sum(expr("e * e3")).as("c3"))
+    def w95(c: String) =
+      s"""CAST($c AS DECIMAL(38,0)) * $c * n * 10000
+         | <= CAST(38416 AS DECIMAL(38,0)) * den * den""".stripMargin
+    mom.select(expr(
+      s"""stack(3,
+         | 1L, n, c1, den, c1 * 10000 div greatest(den, 1), ${w95("c1")},
+         | 2L, n, c2, den, c2 * 10000 div greatest(den, 1), ${w95("c2")},
+         | 3L, n, c3, den, c3 * 10000 div greatest(den, 1), ${w95("c3")})
+         | AS (k, n_days, cov, den, r_e4, white_95)""".stripMargin))
+      .orderBy(col("k"))
+  }
+
   /** Forecast-baseline backtest (round 8): the M-competition rule —
     * before trusting any model forecast, beat naive (ŷ_t = y_{t−1})
     * and seasonal-naive (ŷ_t = y_{t−7}) on held-in one-step errors.
@@ -1384,6 +1437,7 @@ object TimeSeries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_stl_resid_acf" -> stlResidAcf,
     "q_ts_variance_ratio" -> varianceRatio,
     "q_ts_bollinger" -> bollinger,
     "q_ts_sax_motifs" -> saxMotifs,
@@ -1421,6 +1475,45 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_stl_resid_acf" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |det AS (SELECT d, x,
+        |   x - (sum(x) OVER w7) // (count(*) OVER w7) AS det,
+        |   d % 7 AS dow
+        |  FROM daily WINDOW w7 AS (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |s AS (SELECT dow, CAST(sum(det) // count(*) AS BIGINT)
+        |   AS sdow FROM det GROUP BY 1),
+        |res AS (SELECT d, det.det - s.sdow AS res
+        |  FROM det JOIN s ON det.dow = s.dow),
+        |mu AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(res) AS BIGINT) AS sr,
+        |   CAST(sum(res) // count(*) AS BIGINT) AS m FROM res),
+        |e AS (SELECT d, res - m AS e FROM res CROSS JOIN mu),
+        |l AS (SELECT e, lag(e, 1) OVER (ORDER BY d) AS e1,
+        |   lag(e, 2) OVER (ORDER BY d) AS e2,
+        |   lag(e, 3) OVER (ORDER BY d) AS e3 FROM e),
+        |mom AS (SELECT max(mu.n) AS n,
+        |   CAST(sum(e * e) AS BIGINT) AS den,
+        |   CAST(sum(e * e1) AS BIGINT) AS c1,
+        |   CAST(sum(e * e2) AS BIGINT) AS c2,
+        |   CAST(sum(e * e3) AS BIGINT) AS c3
+        |  FROM l CROSS JOIN mu)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS k, n AS n_days, c1 AS cov, den,
+        |  c1 * 10000 // greatest(den, 1) AS r_e4,
+        |  CAST(c1 AS HUGEINT) * c1 * n * 10000
+        |   <= CAST(38416 AS HUGEINT) * den * den AS white_95 FROM mom
+        | UNION ALL SELECT 2, n, c2, den,
+        |  c2 * 10000 // greatest(den, 1),
+        |  CAST(c2 AS HUGEINT) * c2 * n * 10000
+        |   <= CAST(38416 AS HUGEINT) * den * den FROM mom
+        | UNION ALL SELECT 3, n, c3, den,
+        |  c3 * 10000 // greatest(den, 1),
+        |  CAST(c3 AS HUGEINT) * c3 * n * 10000
+        |   <= CAST(38416 AS HUGEINT) * den * den FROM mom) u
+        |ORDER BY k""".stripMargin,
     "q_ts_variance_ratio" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 445
+    val documented = 448
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3244,6 +3244,60 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // mean of 10 pairs: sd ≈ 0.11 ⇒ a dead projection (mean ≈ 0) or a
     // broken scale (mean ≈ 2) is excluded at far beyond 3σ
     assert(mean > 6000 && mean < 15000, mean)
+  }
+
+  test("agg_grouping_id: twelve cube cells whose bitmask is the flag " +
+      "combination and whose grand total counts every line") {
+    val rows = SparkEntry.queries("q_agg_grouping_id")(spark, sf)
+      .collect()
+    assert(rows.length == 12) // 3×2 detail + 3 + 2 + 1
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gid") ==
+        2 * r.getAs[Long]("g_flag") + r.getAs[Long]("g_status"), r)
+      // a grouped-out key reads ALL, a kept key never does
+      assert((r.getAs[String]("returnflag") == "ALL") ==
+        (r.getAs[Long]("g_flag") == 1), r)
+      assert((r.getAs[String]("linestatus") == "ALL") ==
+        (r.getAs[Long]("g_status") == 1), r)
+    }
+    val grand = rows.filter(_.getAs[Long]("gid") == 3)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") ==
+      graft.Tables.lineitem(spark, sf).count())
+  }
+
+  test("llm_bm25_sweep: the default row is its own perfect control " +
+      "and parameter corners stay overlapping but not identical") {
+    val rows = SparkEntry.queries("q_llm_bm25_sweep")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val d = rows.find(_.getAs[String]("config") == "default").get
+    assert(d.getAs[Long]("overlap10") == 10 &&
+      d.getAs[Boolean]("top1_same"), d)
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("overlap10")
+      assert(ov >= 0 && ov <= 10, r)
+    }
+    // the corners must not produce disjoint rankings — same idf, same
+    // terms; total divergence would mean a broken scorer
+    assert(rows.forall(_.getAs[Long]("overlap10") >= 3), rows.toSeq)
+  }
+
+  test("ts_stl_resid_acf: r replays from cov and den, the white " +
+      "verdict replays from the cross-multiplied form, and |r| <= 1") {
+    val rows = SparkEntry.queries("q_ts_stl_resid_acf")(spark, sf)
+      .orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      val (cov, den, n) = (r.getAs[Long]("cov"), r.getAs[Long]("den"),
+        r.getAs[Long]("n_days"))
+      assert(den > 0, r)
+      assert(r.getAs[Long]("r_e4") == cov * 10000 / den, r)
+      assert(math.abs(r.getAs[Long]("r_e4")) <= 10000, r)
+      assert(r.getAs[Boolean]("white_95") ==
+        (BigInt(cov) * cov * n * 10000 <= BigInt(38416) * den * den),
+        r)
+    }
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
