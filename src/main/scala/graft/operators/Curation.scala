@@ -1597,7 +1597,68 @@ object Curation {
       .withColumn("differs_95", col("f_e4") >= 15870L)
   }
 
+  /** Keep-gate fairness odds ratios (J66): per source, the odds of
+    * passing the enrolled logreg keep gate against the odds over the
+    * REST of the corpus — OR_e4 = k_s(n_r−k_r)·10⁴ div (n_s−k_s)k_r.
+    * The per-source mechanism behind q_llm_length_anova's variance
+    * number: eta² says lengths differ by provenance; this says which
+    * sources the gate therefore disadvantages (OR < 1) — the fairness
+    * table a curation review reads before shipping a filter.
+    *
+    * Exactness: pure integer cross-multiplied odds with greatest
+    * guards on the degenerate all-keep/none-keep sides (documented:
+    * a guard fire reads as the capped extreme, not ∞).
+    *
+    * Shape (100 TB): doc-sized gate pass → source fold → broadcast
+    * complement arithmetic (rest = total − self, no second scan). */
+  def gateFairness(spark: SparkSession, dir: String): DataFrame = {
+    val g = ModelPrep.qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val tot = g.agg(sum(col("n_docs")).as("nt"),
+      sum(col("n_keep")).as("kt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        expr("n_keep * 10000 div n_docs").as("keep_rate_e4"),
+        expr("""CAST(n_keep * ((nt - n_docs) - (kt - n_keep)) * 10000
+          | div greatest((n_docs - n_keep) * (kt - n_keep), 1)
+          | AS BIGINT)""".stripMargin).as("or_e4"))
+      .orderBy(col("source"))
+  }
+
+  /** Rare-content document ranking (J66): per doc, the share of its
+    * tokens whose corpus document frequency is ≤ 2 — the docs
+    * carrying tail knowledge (the KEEP-side counterpart of
+    * q_llm_tail_tokens' vocabulary view): dedup and quality gates
+    * optimize away redundancy, this queue protects the opposite end.
+    * Top-20 rarest-content docs.
+    *
+    * Shape (100 TB): one tokenize shuffle for the df census
+    * (vocab-sized, the inverted-index fold), rare-token set joins
+    * back token-keyed, per-doc fold → TakeOrdered. */
+  def rareDocRank(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val rare = toks.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 2).select(col("w"))
+    val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val nRare = toks.join(rare, "w")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    nTok.join(nRare, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_share_e4", expr("n_rare * 10000 div n_tok"))
+      .orderBy(col("rare_share_e4").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_gate_fairness" -> gateFairness,
+    "q_llm_rare_doc_rank" -> rareDocRank,
     "q_llm_length_anova" -> lengthAnova,
     "q_llm_template_census" -> templateCensus,
     "q_llm_mi_feature" -> miFeature,
@@ -1661,6 +1722,36 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_gate_fairness" ->
+      s"""WITH ${ModelPrep.scoreCte},
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_keep
+        |  FROM zz JOIN documents d ON zz.doc_id = d.doc_id
+        |  GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+        |   CAST(sum(n_keep) AS BIGINT) AS kt FROM g)
+        |SELECT source, n_docs, n_keep,
+        | n_keep * 10000 // n_docs AS keep_rate_e4,
+        | CAST(n_keep * ((nt - n_docs) - (kt - n_keep)) * 10000
+        |   // greatest((n_docs - n_keep) * (kt - n_keep), 1)
+        |   AS BIGINT) AS or_e4
+        |FROM g CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q_llm_rare_doc_rank" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        |rare AS (SELECT w FROM (SELECT w,
+        |   count(DISTINCT doc_id) AS df FROM toks GROUP BY w) t
+        |  WHERE df <= 2),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        |  FROM toks GROUP BY 1),
+        |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare
+        |  FROM toks JOIN rare ON toks.w = rare.w GROUP BY 1)
+        |SELECT nt.doc_id, n_tok,
+        | CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+        | coalesce(n_rare, 0) * 10000 // n_tok AS rare_share_e4
+        |FROM nt LEFT JOIN nr ON nt.doc_id = nr.doc_id
+        |ORDER BY rare_share_e4 DESC, nt.doc_id LIMIT 20""".stripMargin,
     "q_llm_length_anova" ->
       """WITH d AS (SELECT source, n_chars AS x FROM documents),
         |mu AS (SELECT source, count(*) AS ng, sum(x) AS sg,

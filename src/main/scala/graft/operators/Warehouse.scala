@@ -477,7 +477,35 @@ object Warehouse {
       .orderBy(col("month"))
   }
 
+  /** Return rate per brand (J66): share of 'R' lineitems per brand
+    * with the signed gap to the corpus rate — the product-quality
+    * screen beside the customer-side Q10 returns view; a brand whose
+    * rate sits far above baseline is a sourcing problem, not a
+    * customer problem.
+    *
+    * Shape (100 TB): broadcast part dim → one (brand) conditional
+    * census → broadcast global rate. */
+  def returnRate(spark: SparkSession, dir: String): DataFrame = {
+    val b = lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+    val tot = b.agg(sum(col("n_lines")).as("nt"),
+      sum(col("n_returned")).as("rt"))
+    b.crossJoin(broadcast(tot))
+      .select(col("brand"), col("n_lines"), col("n_returned"),
+        expr("n_returned * 10000 div n_lines").as("rate_e4"),
+        expr("n_returned * 10000 div n_lines" +
+          " - rt * 10000 div nt").as("gap_e4"))
+      .orderBy(col("brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parts_return_rate" -> returnRate,
     "q_orders_month_index" -> monthIndex,
     "q_orders_lead_time" -> leadTime,
     "q_parts_price_index" -> priceIndex,
@@ -495,6 +523,19 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_parts_return_rate" ->
+      """WITH b AS (SELECT p_brand AS brand,
+        |   CAST(count(*) AS BIGINT) AS n_lines,
+        |   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_returned
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS nt,
+        |   CAST(sum(n_returned) AS BIGINT) AS rt FROM b)
+        |SELECT brand, n_lines, n_returned,
+        | n_returned * 10000 // n_lines AS rate_e4,
+        | n_returned * 10000 // n_lines - rt * 10000 // nt AS gap_e4
+        |FROM b CROSS JOIN tot ORDER BY brand""".stripMargin,
     "q_orders_month_index" ->
       """WITH m AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
         |   CAST(count(*) AS BIGINT) AS n_orders,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 448
+    val documented = 451
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3298,6 +3298,55 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         (BigInt(cov) * cov * n * 10000 <= BigInt(38416) * den * den),
         r)
     }
+  }
+
+  test("llm_gate_fairness: keeps partition against the gate's own " +
+      "verdicts and the odds ratio replays from the complements") {
+    val rows = SparkEntry.queries("q_llm_gate_fairness")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nt = rows.map(_.getAs[Long]("n_docs")).sum
+    val kt = rows.map(_.getAs[Long]("n_keep")).sum
+    assert(nt == graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"))
+      assert(k <= n, r)
+      assert(r.getAs[Long]("keep_rate_e4") == k * 10000 / n, r)
+      val expected = k * ((nt - n) - (kt - k)) * 10000 /
+        math.max((n - k) * (kt - k), 1)
+      assert(r.getAs[Long]("or_e4") == expected, r)
+    }
+  }
+
+  test("llm_rare_doc_rank: the queue is descending, shares replay, " +
+      "and rare counts never exceed token counts") {
+    val rows = SparkEntry.queries("q_llm_rare_doc_rank")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val shares = rows.map(_.getAs[Long]("rare_share_e4"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rare") <= r.getAs[Long]("n_tok"), r)
+      assert(r.getAs[Long]("rare_share_e4") ==
+        r.getAs[Long]("n_rare") * 10000 / r.getAs[Long]("n_tok"), r)
+    }
+  }
+
+  test("parts_return_rate: 25 brands, the rate replays, and the " +
+      "signed gaps center on the corpus rate") {
+    val rows = SparkEntry.queries("q_parts_return_rate")(spark, sf)
+      .collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_e4") == r.getAs[Long]("n_returned") *
+        10000 / r.getAs[Long]("n_lines"), r)
+      assert(r.getAs[Long]("rate_e4") >= 0 &&
+        r.getAs[Long]("rate_e4") <= 10000, r)
+    }
+    // gaps must straddle zero: not every brand can be above (or
+    // below) its own weighted average
+    assert(rows.exists(_.getAs[Long]("gap_e4") >= 0))
+    assert(rows.exists(_.getAs[Long]("gap_e4") <= 0))
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
