@@ -171,6 +171,20 @@ object StreamingOps {
       .filter(col("n_tok") >= 5 && col("ttr") >= 0.5)
       .select(col("doc_id"), col("lang"), col("n_tok"), col("ttr"))
 
+  /** Streaming hour-of-day census (round 8, J66-s): the streaming twin
+    * of q_events_hour_profile's core — a stateless event-time groupBy
+    * whose Complete-mode table converges to the batch census under ANY
+    * arrival order, because counting is commutative. That is the
+    * strongest parity class a streaming twin can claim (contrast
+    * dedupWindowFirst/ewmaStream, whose parity needs in-order feeds —
+    * documented there); the spec feeds two shuffled micro-batches and
+    * pins exact equality with the recomputed batch census. State is
+    * 24 cells, constant at any corpus size. Expects a `ts` column. */
+  def hourProfileStream(events: DataFrame): DataFrame =
+    events
+      .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+      .groupBy(col("hour")).agg(count(lit(1)).as("n"))
+
   /** Stream-stream inner join: purchases matched to signups of the same
     * user within 1 h before the purchase. Both sides watermarked so
     * Spark can bound the join state buffers (unbounded otherwise — the

@@ -862,6 +862,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming hour census: Complete-mode table equals the batch " +
+      "census exactly under shuffled cross-batch arrival") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[java.sql.Timestamp]
+    val q = runQuery(
+      StreamingOps.hourProfileStream(in.toDF().toDF("ts")),
+      "shour", "complete")
+    // timestamps spanning hours 0..23 unevenly, deliberately shuffled
+    // and split mid-hour across batches — commutativity is the claim
+    val rnd = new scala.util.Random(11)
+    val all = (0 until 500).map { i =>
+      val hour = rnd.nextInt(24)
+      new java.sql.Timestamp(
+        (86400L * 3 + hour * 3600L + rnd.nextInt(3600)) * 1000L)
+    }
+    val (b1, b2) = rnd.shuffle(all).splitAt(211)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val got = spark.table("shour").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = all.groupBy(t => (t.getTime / 1000 / 3600) % 24)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"$got vs $want")
+    q.stop()
+  }
+
   test("streaming SCD-2 closed rows match the batch scd2 semantics " +
       "across micro-batch boundaries") {
     import spark.implicits._
