@@ -1668,7 +1668,48 @@ object Analytics {
         expr("(n0 - n1) * (n0 - n1) * 1000000 div n_users >= 3841459")
           .as("srm_alarm"))
 
+  /** Day-of-week × hour interaction test (J67): is the hourly shape
+    * the SAME every weekday, or does (say) the weekend run a
+    * different clock? Chi-square independence over the 7×24
+    * contingency table — the two-way interaction neither
+    * q_ts_anova_dow (dow only) nor q_events_hour_profile (hour only)
+    * can see. Same cross-multiplied per-cell machinery as
+    * q_events_cramers_v with the dof-138 crit literal 166.415
+    * (authored, spec-pinned dof).
+    *
+    * Shape (100 TB): fact scan → 168-cell partial-aggregable census
+    * → broadcast margins → 168-row fold. */
+  def dowHourInteraction(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .select(expr("((ts_ns div 1000) div 86400000000) % 7").as("dow"),
+        expr("((ts_ns div 1000) div 3600000000) % 24").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("dow")).agg(sum(col("n")).as("r"))
+    val colT = cells.groupBy(col("hour")).agg(sum(col("n")).as("c"))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      countDistinct(col("dow")).as("k_dows"),
+      countDistinct(col("hour")).as("k_hours"))
+    cells.join(broadcast(rowT), "dow")
+      .join(broadcast(colT), "hour")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("n"), max(col("k_dows")).as("k_dows"),
+        max(col("k_hours")).as("k_hours"),
+        sum(expr("""CAST((CAST(n AS DECIMAL(38,0)) * nn - CAST(r AS
+          | DECIMAL(38,0)) * c) * (CAST(n AS DECIMAL(38,0)) * nn -
+          | CAST(r AS DECIMAL(38,0)) * c) * 1000000
+          | div (CAST(nn AS DECIMAL(38,0)) * r * c) AS BIGINT)"""
+          .stripMargin)).as("chi2_e6"))
+      .select(col("n"), col("k_dows"), col("k_hours"),
+        expr("(k_dows - 1) * (k_hours - 1)").as("dof"),
+        col("chi2_e6"),
+        // chi2 crit(dof=138, 95%) = 166.415 — authored e6 literal,
+        // licensed by the spec's dof == 138 pin
+        expr("chi2_e6 >= 166415000").as("interaction_95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_dow_hour" -> dowHourInteraction,
     "q_events_srm" -> srmCheck,
     "q_events_hour_profile" -> hourProfile,
     "q_events_user_entropy" -> userEntropy,
@@ -1718,6 +1759,31 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_dow_hour" ->
+      """WITH cells AS (SELECT
+        |   (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |   (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT dow, CAST(sum(n) AS BIGINT) AS r
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT hour, CAST(sum(n) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(count(DISTINCT dow) AS BIGINT) AS k_dows,
+        |  CAST(count(DISTINCT hour) AS BIGINT) AS k_hours FROM cells),
+        |f AS (SELECT max(nn) AS n, max(k_dows) AS k_dows,
+        |  max(k_hours) AS k_hours,
+        |  CAST(sum(CAST((CAST(n AS HUGEINT) * nn - CAST(r AS
+        |    HUGEINT) * c) * (CAST(n AS HUGEINT) * nn -
+        |    CAST(r AS HUGEINT) * c) * 1000000
+        |    // (CAST(nn AS HUGEINT) * r * c) AS BIGINT)) AS BIGINT)
+        |    AS chi2_e6
+        |  FROM cells JOIN rt USING (dow) JOIN ct USING (hour), tt)
+        |SELECT n, k_dows, k_hours,
+        |  (k_dows - 1) * (k_hours - 1) AS dof, chi2_e6,
+        |  chi2_e6 >= 166415000 AS interaction_95
+        |FROM f""".stripMargin,
     "q_events_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |a AS (SELECT CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),

@@ -947,6 +947,46 @@ object ModelPrep {
       .orderBy(col("label"))
   }
 
+  /** Token-budget quality threshold (J67): the DOC-level knob beside
+    * q_llm_greedy_mix's source-level one — find the score cutoff that
+    * keeps closest to (without exceeding) half the corpus tokens when
+    * keeping every doc scoring ≥ cutoff. Computed from the score-grid
+    * SUPPORT census with a descending token cum — the AUC idiom, so
+    * no per-doc sort at any scale. Emits the chosen cutoff, the
+    * tokens/docs actually kept, and the achieved share — the exact
+    * config value a curation pipeline writes into its filter.
+    *
+    * Exactness: scores enter on the r4 grid ×10⁴ (the
+    * score_calibration quantization); the cutoff pick is a pure rank
+    * condition (greatest cutoff whose cum stays ≤ budget).
+    *
+    * Shape (100 TB): doc-sized score pass → score-grid census
+    * (≤ 10⁴ cells) → window cum on THAT census → 1-row pick. */
+  def budgetThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val d = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id")
+      .select(expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)")
+        .as("s_e4"), col("n_tok"))
+    val cen = d.groupBy(col("s_e4"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+    val tot = d.agg(sum(col("n_tok")).as("tt"))
+    val cum = cen.withColumn("cum_tok", sum(col("tok")).over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("s_e4").desc)))
+      .withColumn("cum_docs", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("s_e4").desc)))
+      .crossJoin(broadcast(tot))
+    cum.filter(col("cum_tok") * 2 <= col("tt"))
+      .orderBy(col("s_e4"))
+      .limit(1)
+      .select(col("s_e4").as("cutoff_e4"), col("cum_docs").as("n_kept"),
+        col("cum_tok").as("tokens_kept"), col("tt").as("tokens_total"),
+        expr("cum_tok * 10000 div tt").as("kept_share_e4"))
+  }
+
   /** Greedy quality-max mix under a token budget (J63): rank sources
     * by mean enrolled-logreg quality, take whole sources in rank order
     * until the cumulative token count exceeds HALF the corpus — the
@@ -1124,6 +1164,7 @@ object ModelPrep {
     "q_llm_int8_quant" -> int8Quant,
     "q_llm_shard_balance" -> shardBalance,
     "q_llm_greedy_mix" -> greedyMix,
+    "q_llm_budget_threshold" -> budgetThreshold,
     "q_llm_bradley_terry" -> bradleyTerry,
     "q_llm_pairwise_wins" -> pairwiseWins,
     "q_llm_best_of_n" -> bestOfN,
@@ -1212,6 +1253,26 @@ object ModelPrep {
         |  min(n2_e6) >= 1000000 - 100
         |    AND max(n2_e6) <= 1000000 + 100 AS all_unit
         |FROM n2""".stripMargin,
+    "q_llm_budget_threshold" ->
+      s"""WITH $scoreCte,
+        |d AS (SELECT CAST(floor(score * 10000 + 0.5) AS BIGINT)
+        |   AS s_e4,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents doc JOIN sc0 ON doc.doc_id = sc0.doc_id),
+        |cen AS (SELECT s_e4, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_tok) AS BIGINT) AS tok FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM d),
+        |cum AS (SELECT s_e4,
+        |   CAST(sum(tok) OVER (ORDER BY s_e4 DESC) AS BIGINT)
+        |     AS cum_tok,
+        |   CAST(sum(n_docs) OVER (ORDER BY s_e4 DESC) AS BIGINT)
+        |     AS cum_docs
+        |  FROM cen)
+        |SELECT s_e4 AS cutoff_e4, cum_docs AS n_kept,
+        | cum_tok AS tokens_kept, tt AS tokens_total,
+        | cum_tok * 10000 // tt AS kept_share_e4
+        |FROM cum CROSS JOIN tot
+        |WHERE cum_tok * 2 <= tt ORDER BY s_e4 LIMIT 1""".stripMargin,
     "q_llm_greedy_mix" ->
       s"""WITH $scoreCte,
         |tok AS (SELECT d.doc_id, source,

@@ -504,7 +504,36 @@ object Warehouse {
       .orderBy(col("brand"))
   }
 
+  /** Temporal-anomaly drift (J67): the ship-before-order violation
+    * RATE per order year — q_dq_temporal_order reports the global
+    * ~48%; this row answers the triage question a data engineer asks
+    * next: is the bug era-specific (an ingestion regression with a
+    * start date) or uniform (a generator property)? Emits per year:
+    * lines, violations, rate, and the signed gap to the corpus rate.
+    *
+    * Shape (100 TB): one co-keyed fact join → year census →
+    * broadcast global rate. */
+  def anomalyDrift(spark: SparkSession, dir: String): DataFrame = {
+    val y = lineitem(spark, dir)
+      .join(orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .select(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)
+          .as("v"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("v")).as("n_viol"))
+    val tot = y.agg(sum(col("n_lines")).as("nt"),
+      sum(col("n_viol")).as("vt"))
+    y.crossJoin(broadcast(tot))
+      .select(col("yr"), col("n_lines"), col("n_viol"),
+        expr("n_viol * 10000 div n_lines").as("rate_e4"),
+        expr("n_viol * 10000 div n_lines - vt * 10000 div nt")
+          .as("gap_e4"))
+      .orderBy(col("yr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_anomaly_drift" -> anomalyDrift,
     "q_parts_return_rate" -> returnRate,
     "q_orders_month_index" -> monthIndex,
     "q_orders_lead_time" -> leadTime,
@@ -523,6 +552,19 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_anomaly_drift" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |   CAST(count(*) AS BIGINT) AS n_lines,
+        |   CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0
+        |     END) AS BIGINT) AS n_viol
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS nt,
+        |   CAST(sum(n_viol) AS BIGINT) AS vt FROM y)
+        |SELECT yr, n_lines, n_viol,
+        | n_viol * 10000 // n_lines AS rate_e4,
+        | n_viol * 10000 // n_lines - vt * 10000 // nt AS gap_e4
+        |FROM y CROSS JOIN tot ORDER BY yr""".stripMargin,
     "q_parts_return_rate" ->
       """WITH b AS (SELECT p_brand AS brand,
         |   CAST(count(*) AS BIGINT) AS n_lines,

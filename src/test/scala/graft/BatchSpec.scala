@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 451
+    val documented = 454
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3347,6 +3347,69 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // below) its own weighted average
     assert(rows.exists(_.getAs[Long]("gap_e4") >= 0))
     assert(rows.exists(_.getAs[Long]("gap_e4") <= 0))
+  }
+
+  test("dq_anomaly_drift: yearly rates bracket the corpus rate and " +
+      "violations partition against a direct recount") {
+    val rows = SparkEntry.queries("q_dq_anomaly_drift")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate_e4")
+      assert(rate >= 0 && rate <= 10000, r)
+      assert(r.getAs[Long]("n_viol") <= r.getAs[Long]("n_lines"), r)
+    }
+    assert(rows.exists(_.getAs[Long]("gap_e4") >= 0))
+    assert(rows.exists(_.getAs[Long]("gap_e4") <= 0))
+    val totalViol = rows.map(_.getAs[Long]("n_viol")).sum
+    val direct = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .filter("l_shipdate < o_orderdate").count()
+    assert(totalViol == direct, s"$totalViol vs $direct")
+  }
+
+  test("events_dow_hour: the 7x24 table pins dof 138 (licensing the " +
+      "crit literal) and the verdict replays from chi2") {
+    val rows = SparkEntry.queries("q_events_dow_hour")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("dof") == 138L, r)
+    assert(r.getAs[Long]("chi2_e6") >= 0, r)
+    assert(r.getAs[Boolean]("interaction_95") ==
+      (r.getAs[Long]("chi2_e6") >= 166415000L), r)
+    assert(r.getAs[Long]("n") ==
+      graft.Tables.events(spark, sf).count(), r)
+  }
+
+  test("llm_budget_threshold: the cutoff is the maximal grid point " +
+      "within budget — one grid step looser would blow it") {
+    val rows = SparkEntry.queries("q_llm_budget_threshold")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (cut, kept, tt) = (r.getAs[Long]("cutoff_e4"),
+      r.getAs[Long]("tokens_kept"), r.getAs[Long]("tokens_total"))
+    assert(kept * 2 <= tt, r)
+    assert(r.getAs[Long]("kept_share_e4") == kept * 10000 / tt, r)
+    // brute replay: tokens at score >= cut must equal tokens_kept,
+    // and the next occupied grid point below must exceed the budget
+    val d = graft.operators.ModelPrep.qualityLogreg(spark, sf)
+      .join(graft.Tables.documents(spark, sf)
+        .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG)" +
+          " AS n_tok"), "doc_id")
+      .selectExpr("CAST(floor(score * 10000 + 0.5) AS LONG) AS s",
+        "n_tok")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(d.filter(_._1 >= cut).map(_._2).sum == kept)
+    val lower = d.map(_._1).filter(_ < cut)
+    if (lower.nonEmpty) {
+      val next = lower.max
+      assert(d.filter(_._1 >= next).map(_._2).sum * 2 > tt,
+        s"cutoff $cut not maximal — $next also fits")
+    }
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
