@@ -1708,7 +1708,40 @@ object Analytics {
         expr("chi2_e6 >= 166415000").as("interaction_95"))
   }
 
+  /** Weekend lift per event type (J68): weekend vs weekday DAILY RATE
+    * ratio — the per-type contrast the dow seasonality rows aggregate
+    * away (a type can be flat overall yet weekend-heavy). Weekend =
+    * epoch-day mod 7 ∈ {2, 3} (1970-01-01 was a Thursday ⇒ residues
+    * 2/3 are Sat/Sun — the no-calendar idiom, documented). Rate
+    * normalization uses ACTIVE day counts per side so a missing day
+    * can't masquerade as a low rate.
+    *
+    * Exactness: lift cleared to we_cnt·wd_days·10⁴ div
+    * (wd_cnt·we_days), one truncating div.
+    *
+    * Shape (100 TB): fact scan → (type, side) census + global day
+    * census → broadcast fold. */
+  def weekendLift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .withColumn("we", (col("day") % 7).isin(2L, 3L))
+    val days = ev.select(col("day"), col("we")).distinct()
+      .agg(sum(when(col("we"), 1L).otherwise(0L)).as("we_days"),
+        sum(when(!col("we"), 1L).otherwise(0L)).as("wd_days"))
+    ev.groupBy(col("event_type"))
+      .agg(sum(when(col("we"), 1L).otherwise(0L)).as("we_cnt"),
+        sum(when(!col("we"), 1L).otherwise(0L)).as("wd_cnt"))
+      .crossJoin(broadcast(days))
+      .select(col("event_type"), col("we_cnt"), col("wd_cnt"),
+        col("we_days"), col("wd_days"),
+        expr("""CAST(we_cnt * wd_days * 10000
+          | div greatest(wd_cnt * we_days, 1) AS BIGINT)"""
+          .stripMargin).as("lift_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_weekend_lift" -> weekendLift,
     "q_events_dow_hour" -> dowHourInteraction,
     "q_events_srm" -> srmCheck,
     "q_events_hour_profile" -> hourProfile,
@@ -1759,6 +1792,27 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_weekend_lift" ->
+      """WITH ev AS (SELECT event_type,
+        |   epoch_us(ts) // 86400000000 AS day,
+        |   (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS we
+        |  FROM events),
+        |days AS (SELECT
+        |   CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS we_days,
+        |   CAST(sum(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT)
+        |     AS wd_days
+        |  FROM (SELECT DISTINCT day, we FROM ev) t),
+        |g AS (SELECT event_type,
+        |   CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS we_cnt,
+        |   CAST(sum(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT)
+        |     AS wd_cnt
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, we_cnt, wd_cnt, we_days, wd_days,
+        | CAST(we_cnt * wd_days * 10000
+        |   // greatest(wd_cnt * we_days, 1) AS BIGINT) AS lift_e4
+        |FROM g CROSS JOIN days ORDER BY event_type""".stripMargin,
     "q_events_dow_hour" ->
       """WITH cells AS (SELECT
         |   (epoch_us(ts) // 86400000000) % 7 AS dow,

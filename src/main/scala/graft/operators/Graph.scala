@@ -890,6 +890,57 @@ object Graph {
       .limit(10)
   }
 
+  /** Local-bridge census (J68): edges that close NO triangle — every
+    * shortest alternative path between their endpoints is ≥ 3 hops,
+    * so cutting one disconnects neighborhoods (Granovetter's weak
+    * ties; in the co-purchase graph these are the CROSS-CATEGORY
+    * links a recommender should protect). Emits the census plus the
+    * top-10 bridges by combined endpoint degree — the highest-traffic
+    * fragile links.
+    *
+    * Shape (100 TB): triangle-closing edges are found with the
+    * triangles row's machinery — the compact-forward orientation caps
+    * wedge volume at O(m^1.5); bridge set = edges anti-join closed
+    * edges (three orientations of each triangle). Degree broadcast. */
+  def localBridges(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccEdges(spark, dir)
+    val deg = e0.select(col("u").as("n"))
+      .union(e0.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e0
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))),
+        "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    val tri = o.as("a").join(o.as("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("x"), col("a.dst").as("y"),
+        col("b.dst").as("z"))
+      .join(e0.select(col("u").as("x2"), col("v").as("z2"))
+        .unionAll(e0.select(col("v").as("x2"), col("u").as("z2"))),
+        col("x") === col("x2") && col("z") === col("z2"))
+      .select(col("x"), col("y"), col("z"))
+    val closed = tri.select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .unionAll(tri.select(least(col("y"), col("z")).as("u"),
+        greatest(col("y"), col("z")).as("v")))
+      .unionAll(tri.select(least(col("x"), col("z")).as("u"),
+        greatest(col("x"), col("z")).as("v")))
+      .distinct()
+    val bridges = e0.join(closed, Seq("u", "v"), "left_anti")
+    bridges
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))),
+        "v")
+      .select(col("u"), col("v"), (col("du") + col("dv")).as("deg_sum"))
+      .orderBy(col("deg_sum").desc, col("u"), col("v"))
+      .limit(10)
+  }
+
   /** Adamic–Adar link prediction (J62): for NON-edge part pairs, the
     * classic AA score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — common
     * neighbors weighted by how selective they are. The link-PREDICTION
@@ -1084,6 +1135,7 @@ object Graph {
     "q_basket_lift" -> basketLift,
     "q_orders_assoc_rules" -> assocRules,
     "q_graph_adamic_adar" -> adamicAdar,
+    "q_graph_local_bridges" -> localBridges,
     "q_graph_walk_sample" -> walkSample,
     "q_graph_local_cc" -> localCC,
     "q_graph_hits" -> hits,
@@ -1219,6 +1271,36 @@ object Graph {
         |   // greatest(n_club * (n_club - 1), 1) AS BIGINT) AS phi_e4
         |FROM nodes JOIN ed ON ed.q_e4 = nodes.q_e4
         |ORDER BY nodes.q_e4""".stripMargin,
+    "q_graph_local_bridges" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) t
+        |  GROUP BY 1),
+        |o AS (SELECT CASE WHEN du.d < dv.d
+        |     OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+        |   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |     THEN v ELSE u END AS dst
+        |  FROM e0 JOIN deg du ON e0.u = du.n
+        |   JOIN deg dv ON e0.v = dv.n),
+        |tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        |  FROM o a JOIN o b ON a.dst = b.src
+        |  JOIN (SELECT u AS x2, v AS z2 FROM e0
+        |    UNION ALL SELECT v, u FROM e0) e
+        |   ON a.src = e.x2 AND b.dst = e.z2),
+        |closed AS (SELECT DISTINCT u, v FROM (
+        |  SELECT least(x, y) AS u, greatest(x, y) AS v FROM tri
+        |  UNION ALL SELECT least(y, z), greatest(y, z) FROM tri
+        |  UNION ALL SELECT least(x, z), greatest(x, z) FROM tri) t)
+        |SELECT e0.u, e0.v,
+        | CAST(du.d + dv.d AS BIGINT) AS deg_sum
+        |FROM e0
+        |JOIN deg du ON e0.u = du.n JOIN deg dv ON e0.v = dv.n
+        |WHERE NOT EXISTS (SELECT 1 FROM closed
+        |  WHERE closed.u = e0.u AND closed.v = e0.v)
+        |ORDER BY deg_sum DESC, e0.u, e0.v LIMIT 10""".stripMargin,
     "q_graph_adamic_adar" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
         |  FROM lineitem),

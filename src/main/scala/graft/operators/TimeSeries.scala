@@ -1436,7 +1436,52 @@ object TimeSeries {
       .orderBy(col("k"))
   }
 
+  /** Trend-slope influence of the worst day (J68): the leave-one-out
+    * slope shift when the single most deviant day (max |y·n − Σy|
+    * mean-deviation, earliest-day ties — the anomaly family's
+    * deviation definition) is removed — computed BY ALGEBRA from the
+    * same moment sums (st' = st − t₀ etc., the sourceInfluence
+    * discipline: one pass, never a second regression). Answers "is
+    * the trend real or one bad day?" — slope and LOO slope agreeing
+    * in sign and magnitude is the robustness check a dashboard trend
+    * arrow should carry.
+    *
+    * Exactness: t recentred to day − min(day) (keeps products in
+    * BIGINT range and is identical arithmetic in both engines);
+    * slope_e6 = (n·sty − st·sy)·10⁶ div (n·stt − st²), the regrSlope
+    * text; both slopes share it.
+    *
+    * Shape: daily census → 1-row moment fold + 1-row worst-day pick
+    * → algebraic LOO. */
+  def slopeInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val daily0 = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val dmin = daily0.agg(min(col("day")).as("d0"))
+    val daily = daily0.crossJoin(broadcast(dmin))
+      .select((col("day") - col("d0")).as("t"), col("y"))
+    val m = daily.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+      sum(col("y")).as("sy"), sum(expr("t * y")).as("sty"),
+      sum(expr("t * t")).as("stt"))
+    val worst = daily.crossJoin(broadcast(m))
+      .orderBy(abs(col("y") * col("n") - col("sy")).desc, col("t"))
+      .limit(1).select(col("t").as("t0"), col("y").as("y0"))
+    m.crossJoin(broadcast(worst))
+      .select(col("n"), col("t0"), col("y0"),
+        expr("""(n * sty - st * sy) * 1000000
+          | div greatest(n * stt - st * st, 1)""".stripMargin)
+          .as("slope_e6"),
+        expr("""((n - 1) * (sty - t0 * y0) - (st - t0) * (sy - y0))
+          | * 1000000 div greatest((n - 1) * (stt - t0 * t0)
+          | - (st - t0) * (st - t0), 1)""".stripMargin)
+          .as("slope_loo_e6"))
+      .select(col("n"), col("t0"), col("y0"), col("slope_e6"),
+        col("slope_loo_e6"),
+        (col("slope_loo_e6") - col("slope_e6")).as("shift_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_slope_influence" -> slopeInfluence,
     "q_ts_stl_resid_acf" -> stlResidAcf,
     "q_ts_variance_ratio" -> varianceRatio,
     "q_ts_bollinger" -> bollinger,
@@ -1475,6 +1520,30 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_slope_influence" ->
+      """WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |dm AS (SELECT min(day) AS mn FROM d0),
+        |daily AS (SELECT day - mn AS t, y FROM d0 CROSS JOIN dm),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(t) AS BIGINT) AS st,
+        |   CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(t * y) AS BIGINT) AS sty,
+        |   CAST(sum(t * t) AS BIGINT) AS stt FROM daily),
+        |w AS (SELECT t AS t0, y AS y0 FROM daily CROSS JOIN m
+        |  ORDER BY abs(y * n - sy) DESC, t LIMIT 1)
+        |SELECT n, CAST(t0 AS BIGINT) AS t0, y0,
+        | (n * sty - st * sy) * 1000000
+        |   // greatest(n * stt - st * st, 1) AS slope_e6,
+        | ((n - 1) * (sty - t0 * y0) - (st - t0) * (sy - y0))
+        |   * 1000000 // greatest((n - 1) * (stt - t0 * t0)
+        |   - (st - t0) * (st - t0), 1) AS slope_loo_e6,
+        | ((n - 1) * (sty - t0 * y0) - (st - t0) * (sy - y0))
+        |   * 1000000 // greatest((n - 1) * (stt - t0 * t0)
+        |   - (st - t0) * (st - t0), 1)
+        |  - (n * sty - st * sy) * 1000000
+        |   // greatest(n * stt - st * st, 1) AS shift_e6
+        |FROM m CROSS JOIN w""".stripMargin,
     "q_ts_stl_resid_acf" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

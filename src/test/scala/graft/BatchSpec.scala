@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 454
+    val documented = 457
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3409,6 +3409,96 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       val next = lower.max
       assert(d.filter(_._1 >= next).map(_._2).sum * 2 > tt,
         s"cutoff $cut not maximal — $next also fits")
+    }
+  }
+
+  test("graph_local_bridges: every reported edge is a genuine edge " +
+      "that closes no triangle (brute-checked), ordered by degree") {
+    val rows = SparkEntry.queries("q_graph_local_bridges")(spark, sf)
+      .collect()
+    val li = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey AS o", "l_partkey AS pk").distinct()
+    val nbrs = li.as("a").join(li.as("b"),
+      org.apache.spark.sql.functions.expr(
+        "a.o = b.o AND a.pk <> b.pk"))
+      .selectExpr("a.pk AS x", "b.pk AS y")
+    if (rows.isEmpty) {
+      // sf0.001 measures ZERO local bridges (every edge closes a
+      // triangle — brute-verified here); sf0.01 has 8, covered by the
+      // oracle gate. Emptiness must be genuine, not a silent bug:
+      // closed pairs = endpoints sharing any common neighbor; an edge
+      // outside that set would be a bridge the query missed
+      val closed = nbrs.as("p").join(nbrs.as("q"),
+        org.apache.spark.sql.functions.expr(
+          "p.y = q.y AND p.x <> q.x"))
+        .selectExpr("p.x AS x", "q.x AS y").distinct()
+      val openEdges = nbrs.join(closed, Seq("x", "y"), "left_anti")
+      val samples = openEdges.limit(1).count()
+      assert(samples == 0L,
+        "query returned no bridges but an open edge exists")
+    } else {
+      val ds = rows.map(_.getAs[Long]("deg_sum"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+      // brute common-neighbor check for the top bridge
+      val (u, v) = (rows.head.getAs[Long]("u"),
+        rows.head.getAs[Long]("v"))
+      val nu = nbrs.filter(s"x = $u").select("y").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val nv = nbrs.filter(s"x = $v").select("y").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(nu.contains(v), s"($u,$v) not an edge")
+      assert((nu intersect nv).isEmpty,
+        s"($u,$v) has common neighbors ${(nu intersect nv).take(3)}")
+    }
+  }
+
+  test("ts_slope_influence: the LOO slope replays from depleted " +
+      "moments computed by brute force") {
+    val rows = SparkEntry.queries("q_ts_slope_influence")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("shift_e6") ==
+      r.getAs[Long]("slope_loo_e6") - r.getAs[Long]("slope_e6"), r)
+    // brute: recompute both slopes from the daily census
+    val daily = graft.Tables.events(spark, sf)
+      .selectExpr("(ts_ns div 1000) div 86400000000 AS day")
+      .groupBy("day").count().collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val d0 = daily.map(_._1).min
+    val pts = daily.map { case (d, y) => (d - d0, y) }
+    def slope(p: Seq[(Long, Long)]): Long = {
+      val n = p.length.toLong
+      val st = p.map(_._1).sum; val sy = p.map(_._2).sum
+      val sty = p.map { case (t, y) => t * y }.sum
+      val stt = p.map { case (t, _) => t * t }.sum
+      (n * sty - st * sy) * 1000000 / math.max(n * stt - st * st, 1)
+    }
+    assert(r.getAs[Long]("slope_e6") == slope(pts.toSeq), r)
+    val n = pts.length.toLong; val sy = pts.map(_._2).sum
+    val worst = pts.minBy { case (t, y) =>
+      (-math.abs(y * n - sy), t) }
+    assert(r.getAs[Long]("t0") == worst._1 &&
+      r.getAs[Long]("y0") == worst._2, r)
+    assert(r.getAs[Long]("slope_loo_e6") ==
+      slope(pts.filterNot(_ == worst).toSeq), r)
+  }
+
+  test("events_weekend_lift: counts and day splits partition, and " +
+      "the cross-multiplied lift replays") {
+    val rows = SparkEntry.queries("q_events_weekend_lift")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    val total = rows.map(r => r.getAs[Long]("we_cnt") +
+      r.getAs[Long]("wd_cnt")).sum
+    assert(total == graft.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("we_days") + r.getAs[Long]("wd_days") >= 7,
+        r)
+      assert(r.getAs[Long]("lift_e4") == r.getAs[Long]("we_cnt") *
+        r.getAs[Long]("wd_days") * 10000 /
+        math.max(r.getAs[Long]("wd_cnt") * r.getAs[Long]("we_days"),
+          1), r)
     }
   }
 
