@@ -39,7 +39,14 @@ object Scaling {
     "q_llm_dup_clusters", "q_graph_lpa", "q_llm_ann_recall",
     "q_graph_kcore", "q_llm_minhash_lsh", "q_llm_decontaminate_fuzzy",
     "q_llm_bradley_terry", "q_events_markov_entropy",
-    "q_dq_temporal_order")
+    "q_dq_temporal_order",
+    // J54-J68 continuation: the session's heaviest additions — the
+    // char-bigram fan-out, the basket pair join (both directions),
+    // the capped-wedge link predictor, and the anti-joined bridge
+    // census (the last two exercise the deg-cap / orientation bounds
+    // this artifact exists to certify)
+    "q_llm_char_cond_entropy", "q_orders_assoc_rules",
+    "q_graph_adamic_adar", "q_graph_local_bridges")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")

@@ -916,19 +916,29 @@ object Graph {
         "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"))
-    val tri = o.as("a").join(o.as("b"), col("a.dst") === col("b.src"))
-      .select(col("a.src").as("x"), col("a.dst").as("y"),
-        col("b.dst").as("z"))
-      .join(e0.select(col("u").as("x2"), col("v").as("z2"))
-        .unionAll(e0.select(col("v").as("x2"), col("u").as("z2"))),
-        col("x") === col("x2") && col("z") === col("z2"))
-      .select(col("x"), col("y"), col("z"))
-    val closed = tri.select(least(col("x"), col("y")).as("u"),
-        greatest(col("x"), col("y")).as("v"))
-      .unionAll(tri.select(least(col("y"), col("z")).as("u"),
-        greatest(col("y"), col("z")).as("v")))
-      .unionAll(tri.select(least(col("x"), col("z")).as("u"),
-        greatest(col("x"), col("z")).as("v")))
+    // the triangles row's EDGE-ITERATOR form, not wedge
+    // materialization: a first cut shuffled the oriented-wedge set and
+    // ran 26.3 s at sf0.1 (20.4 s after de-tripling the union); the
+    // adjacency-intersection form finds each triangle once at its base
+    // edge over O(√m)-capped sorted out-neighbor arrays and emits its
+    // THREE closed edges in one explode — 3·|triangles| rows into one
+    // distinct, the only shuffle after the node-sized adjacency build
+    val adj = o.groupBy(col("src")).agg(
+      sort_array(collect_list(col("dst"))).as("nbrs"))
+    val closed = o
+      .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))),
+        "src")
+      .join(broadcast(adj.select(col("src").as("dst"),
+        col("nbrs").as("nb"))), Seq("dst"), "left")
+      .select(col("src").as("ta"), col("dst").as("tb"),
+        expr("array_intersect(na, coalesce(nb, array()))").as("cs"))
+      .select(explode(expr(
+        """flatten(transform(cs, c -> array(
+          |  struct(least(ta, tb) AS u, greatest(ta, tb) AS v),
+          |  struct(least(tb, c) AS u, greatest(tb, c) AS v),
+          |  struct(least(ta, c) AS u, greatest(ta, c) AS v))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
     val bridges = e0.join(closed, Seq("u", "v"), "left_anti")
     bridges
