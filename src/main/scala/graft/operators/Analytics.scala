@@ -1740,7 +1740,38 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Event-type affinity (J69): per type pair, the Jaccard overlap of
+    * their USER bases — which behaviors live in the same people
+    * (purchase∩error high = the frustrated-buyer segment), the
+    * user-set complement of q_events_markov's sequential transitions
+    * (co-usage without ordering). C(5,2) = 10 rows.
+    *
+    * Shape (100 TB): (user, type) dedup → the per-user bounded pair
+    * fan-out (≤ C(5,2) per user — never corpus-quadratic) → 10-cell
+    * census + broadcast marginals. */
+  def typeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val m = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"),
+        col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(m.select(col("event_type").as("ta"),
+        col("nu").as("na"))), Seq("ta"))
+      .join(broadcast(m.select(col("event_type").as("tb"),
+        col("nu").as("nb"))), Seq("tb"))
+      .select(col("ta"), col("tb"), col("n_both"), col("na"),
+        col("nb"),
+        expr("n_both * 10000 div (na + nb - n_both)")
+          .as("jaccard_e4"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_type_affinity" -> typeAffinity,
     "q_events_weekend_lift" -> weekendLift,
     "q_events_dow_hour" -> dowHourInteraction,
     "q_events_srm" -> srmCheck,
@@ -1792,6 +1823,19 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |  FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |   CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |   AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT ta, tb, n_both, ma.nu AS na, mb.nu AS nb,
+        | n_both * 10000 // (ma.nu + mb.nu - n_both) AS jaccard_e4
+        |FROM p JOIN m ma ON p.ta = ma.event_type
+        | JOIN m mb ON p.tb = mb.event_type
+        |ORDER BY ta, tb""".stripMargin,
     "q_events_weekend_lift" ->
       """WITH ev AS (SELECT event_type,
         |   epoch_us(ts) // 86400000000 AS day,

@@ -1592,6 +1592,53 @@ object LlmOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Greedy LM decoding (J69): 8 steps of argmax generation from the
+    * corpus bigram table, seeded at the most frequent token — CAN the
+    * engine DECODE, not just score? Each step is one broadcast argmax
+    * join against the vocab-sized bigram table (the unrolled-fixpoint
+    * discipline: a fixed horizon is a join chain, no driver loop);
+    * ties break lexicographically so the trajectory is deterministic.
+    * Greedy decoding famously loops on high-frequency cycles — if the
+    * fixture does, the emitted trajectory SHOWS it (that is the
+    * classic degeneration result, worth carrying as a number).
+    *
+    * Shape (100 TB): the bigram census is the one corpus-sized
+    * shuffle; 8 chained joins run on the vocab-sized argmax table
+    * (next(prev) is ONE row per prev after the rank filter). */
+  def greedyDecode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("p", "w")))
+    val big = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.w").as("prev"), col("b.w").as("next"))
+      .agg(count(lit(1)).as("c"))
+    val nextTab = big.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prev"))
+          .orderBy(col("c").desc, col("next"))))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("next"), col("c"))
+      .localCheckpoint()
+    val seed = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(1)
+      .select(col("w").as("tok"), lit(0L).as("step"))
+    var cur = seed
+    var out = seed
+    (1 to 8).foreach { i =>
+      cur = cur.join(broadcast(nextTab),
+          cur("tok") === nextTab("prev"))
+        .select(col("next").as("tok"), lit(i.toLong).as("step"))
+      out = out.unionAll(cur)
+    }
+    out.join(broadcast(nextTab.select(col("prev").as("tok"),
+        col("c").as("bigram_count"))), Seq("tok"), "left")
+      .select(col("step"), col("tok"),
+        coalesce(col("bigram_count"), lit(0L)).as("bigram_count"))
+      .orderBy(col("step"))
+  }
+
   /** BM25 parameter sensitivity sweep (J65): how much does the top-10
     * MOVE when (k1, b) leave the enrolled (1.2, 0.75) default — the
     * low-saturation (0.9, 0.4) and high-saturation (2.0, 0.9)
@@ -2953,6 +3000,7 @@ object LlmOps {
     "q_llm_dedup_savings" -> dedupSavings,
     "q_llm_jl_distortion" -> jlDistortion,
     "q_llm_bm25_sweep" -> bm25Sweep,
+    "q_llm_greedy_decode" -> greedyDecode,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3745,6 +3793,31 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_greedy_decode" ->
+      """WITH RECURSIVE
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(tk) AS w,
+        |   generate_subscripts(tk, 1) AS p FROM tk),
+        |big AS (SELECT a.w AS prev, b.w AS next,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM toks a JOIN toks b
+        |   ON a.doc_id = b.doc_id AND b.p = a.p + 1 GROUP BY 1, 2),
+        |nxt AS (SELECT prev, next, c FROM (SELECT prev, next, c,
+        |   row_number() OVER (PARTITION BY prev
+        |     ORDER BY c DESC, next) AS rn FROM big) t WHERE rn = 1),
+        |seed AS (SELECT w AS tok, CAST(0 AS BIGINT) AS step
+        |  FROM (SELECT w, row_number() OVER (ORDER BY count(*) DESC,
+        |     w) AS rn FROM toks GROUP BY w) t WHERE rn = 1),
+        |walk(tok, step) AS (
+        |  SELECT tok, step FROM seed
+        |  UNION ALL
+        |  SELECT nxt.next, step + 1 FROM walk
+        |   JOIN nxt ON walk.tok = nxt.prev WHERE step < 8)
+        |SELECT step, walk.tok,
+        | CAST(coalesce(nxt.c, 0) AS BIGINT) AS bigram_count
+        |FROM walk LEFT JOIN nxt ON walk.tok = nxt.prev
+        |ORDER BY step""".stripMargin,
     "q_llm_bm25_sweep" ->
       s"""WITH $bm25Ctes,
         |low AS (SELECT doc_id, round(

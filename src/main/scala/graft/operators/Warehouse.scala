@@ -532,7 +532,50 @@ object Warehouse {
       .orderBy(col("yr"))
   }
 
+  /** ABC class migration (J69): the customer revenue-class transition
+    * matrix between 1997 and 1998 — q_parts_abc classifies ONCE; this
+    * row answers the retention question the classification exists
+    * for: do A customers STAY A? Classes by the standard cumulative
+    * thresholds (A ≤ 80% of revenue, B ≤ 95%, C rest; cum over the
+    * revenue-desc order with custkey ties); customers active in only
+    * one year carry class 'N' on the other side, so churn and
+    * acquisition are cells of the same matrix.
+    *
+    * Shape: per-year customer folds; the ranking window runs on the
+    * CUSTOMER-sized revenue frame (at 100 TB the support-census rank
+    * idiom replaces it — the miFeature note); full-outer join on
+    * custkey → ≤16-cell census. */
+  def abcMigration(spark: SparkSession, dir: String): DataFrame = {
+    def classes(yr: Int, alias: String) = {
+      val rev = orders(spark, dir)
+        .filter(expr(s"year(o_orderdate) = $yr"))
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(cents("o_totalprice")).as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("tt"))
+      rev.withColumn("cum", sum(col("rev")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rev").desc, col("ck"))))
+        .crossJoin(broadcast(tot))
+        .select(col("ck"),
+          when(col("cum") * 100 <= col("tt") * 80, "A")
+            .when(col("cum") * 100 <= col("tt") * 95, "B")
+            .otherwise("C").as(alias))
+    }
+    val m = classes(1997, "c97")
+      .join(classes(1998, "c98"), Seq("ck"), "full_outer")
+      .select(coalesce(col("c97"), lit("N")).as("class_97"),
+        coalesce(col("c98"), lit("N")).as("class_98"))
+      .groupBy(col("class_97"), col("class_98"))
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = m.agg(sum(col("n_customers")).as("nt"))
+    m.crossJoin(broadcast(tot))
+      .select(col("class_97"), col("class_98"), col("n_customers"),
+        expr("n_customers * 10000 div nt").as("share_e4"))
+      .orderBy(col("class_97"), col("class_98"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_abc_migration" -> abcMigration,
     "q_dq_anomaly_drift" -> anomalyDrift,
     "q_parts_return_rate" -> returnRate,
     "q_orders_month_index" -> monthIndex,
@@ -552,6 +595,36 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orders_abc_migration" ->
+      """WITH r97 AS (SELECT o_custkey AS ck,
+        |   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |     AS BIGINT) AS rev
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        |t97 AS (SELECT CAST(sum(rev) AS BIGINT) AS tt FROM r97),
+        |c97 AS (SELECT ck, CASE
+        |   WHEN cum * 100 <= tt * 80 THEN 'A'
+        |   WHEN cum * 100 <= tt * 95 THEN 'B' ELSE 'C' END AS c97
+        |  FROM (SELECT ck, CAST(sum(rev) OVER (ORDER BY rev DESC, ck)
+        |     AS BIGINT) AS cum FROM r97) x CROSS JOIN t97),
+        |r98 AS (SELECT o_custkey AS ck,
+        |   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |     AS BIGINT) AS rev
+        |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1),
+        |t98 AS (SELECT CAST(sum(rev) AS BIGINT) AS tt FROM r98),
+        |c98 AS (SELECT ck, CASE
+        |   WHEN cum * 100 <= tt * 80 THEN 'A'
+        |   WHEN cum * 100 <= tt * 95 THEN 'B' ELSE 'C' END AS c98
+        |  FROM (SELECT ck, CAST(sum(rev) OVER (ORDER BY rev DESC, ck)
+        |     AS BIGINT) AS cum FROM r98) x CROSS JOIN t98),
+        |m AS (SELECT coalesce(c97, 'N') AS class_97,
+        |   coalesce(c98, 'N') AS class_98,
+        |   CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM c97 FULL OUTER JOIN c98 ON c97.ck = c98.ck
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_customers) AS BIGINT) AS nt FROM m)
+        |SELECT class_97, class_98, n_customers,
+        | n_customers * 10000 // nt AS share_e4
+        |FROM m CROSS JOIN tot ORDER BY class_97, class_98""".stripMargin,
     "q_dq_anomaly_drift" ->
       """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |   CAST(count(*) AS BIGINT) AS n_lines,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 457
+    val documented = 460
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3499,6 +3499,58 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("wd_days") * 10000 /
         math.max(r.getAs[Long]("wd_cnt") * r.getAs[Long]("we_days"),
           1), r)
+    }
+  }
+
+  test("llm_greedy_decode: nine steps, the first hop is the true " +
+      "bigram argmax (brute), and every hop had support") {
+    val rows = SparkEntry.queries("q_llm_greedy_decode")(spark, sf)
+      .orderBy("step").collect()
+    assert(rows.map(_.getAs[Long]("step")).toSeq == (0L to 8L))
+    rows.foreach(r => assert(r.getAs[Long]("bigram_count") > 0, r))
+    // brute replay of the first transition
+    val toks = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .selectExpr("doc_id", "posexplode(tk) AS (p, w)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val seed = toks.groupBy(_._3).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.head._1
+    assert(rows.head.getAs[String]("tok") == seed)
+    val nexts = toks.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.head._3).toMap
+    val trans = toks.flatMap { case (d, p, w) =>
+      nexts.get((d, p + 1)).map(n => (w, n)) }
+    val argmax = trans.filter(_._1 == seed).groupBy(_._2).view
+      .mapValues(_.size).toSeq.sortBy { case (w, c) => (-c, w) }.head._1
+    assert(rows(1).getAs[String]("tok") == argmax)
+  }
+
+  test("orders_abc_migration: no ghost N-to-N cell, labels are the " +
+      "four classes, and shares sum to one within truncation") {
+    val rows = SparkEntry.queries("q_orders_abc_migration")(spark, sf)
+      .collect()
+    val labels = Set("A", "B", "C", "N")
+    rows.foreach { r =>
+      assert(labels(r.getAs[String]("class_97")), r)
+      assert(labels(r.getAs[String]("class_98")), r)
+      assert(!(r.getAs[String]("class_97") == "N" &&
+        r.getAs[String]("class_98") == "N"), r)
+    }
+    val s = rows.map(_.getAs[Long]("share_e4")).sum
+    assert(s <= 10000 && s >= 10000 - rows.length, s)
+  }
+
+  test("events_type_affinity: all C(5,2) pairs, overlap bounded by " +
+      "the smaller base, and Jaccard replays") {
+    val rows = SparkEntry.queries("q_events_type_affinity")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (b, na, nb) = (r.getAs[Long]("n_both"), r.getAs[Long]("na"),
+        r.getAs[Long]("nb"))
+      assert(b <= math.min(na, nb), r)
+      assert(r.getAs[Long]("jaccard_e4") ==
+        b * 10000 / (na + nb - b), r)
     }
   }
 
