@@ -907,8 +907,36 @@ object Multimodal {
     }).toDF().orderBy(col("media_id"))
   }
 
+  case class MirrorHash(media_id: Long, n_px: Long, fwd_hi: Long,
+    fwd_lo: Long, rev_hi: Long, rev_lo: Long, canon_hi: Long,
+    canon_lo: Long, is_symmetric: Boolean)
+
+  /** Enrolled (J70): mirror-invariant perceptual hash — the dHash of
+    * the pixel sequence AND of its reversal, canonicalized to the
+    * lexicographically smaller (hi, lo) pair, so a mirrored copy of an
+    * image collides with the original in the near-dup index (the
+    * standard trick for flipped-image dedup; here the 1-D analogue on
+    * the flat pixel stream). is_symmetric flags sequences equal to
+    * their own mirror (fwd == rev hash). Same shared decode, fourth
+    * fingerprint off one codec pass. */
+  def mmImageMirrorHash(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    decodedPng(spark, dir).as[DecodedPx].mapPartitions(_.flatMap { d =>
+      if (d.valid && d.px.length >= 65) {
+        val (fh, fl, _) = dhashBits(d.px)
+        val (rh, rl, _) = dhashBits(d.px.reverse)
+        val canonFwd = fh < rh || (fh == rh && fl <= rl)
+        val (ch, cl) = if (canonFwd) (fh, fl) else (rh, rl)
+        Some(MirrorHash(d.media_id, d.px.length.toLong, fh, fl, rh, rl,
+          ch, cl, fh == rh && fl == rl))
+      } else None
+    }).toDF().orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_image_mirror_hash" -> mmImageMirrorHash,
     "q_mm_image_otsu" -> mmImageOtsu,
     "q_mm_image_dhash" -> mmImageDHash,
     "q_mm_image_entropy" -> mmImageEntropy,
@@ -925,6 +953,46 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // forward and reversed dHash from char codes; canonical = lexmin
+    "q_mm_image_mirror_hash" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) >= 65),
+        |sides AS (SELECT doc_id, n, 0 AS side, text AS t FROM d0
+        |  UNION ALL SELECT doc_id, n, 1, reverse(text) FROM d0),
+        |px AS (SELECT doc_id, n, side, unnest(range(n)) AS i, t
+        |  FROM sides),
+        |ch AS (SELECT doc_id, n, side, (i * 65) // n AS c,
+        |   ascii(substr(t, CAST(i AS INTEGER) + 1, 1)) AS p FROM px),
+        |cavg AS (SELECT doc_id, side, n, c,
+        |   sum(p) // count(*) AS cm FROM ch GROUP BY 1, 2, 3, 4),
+        |bits AS (SELECT a.doc_id, a.side, a.n, a.c AS j,
+        |   CASE WHEN b.cm > a.cm THEN 1 ELSE 0 END AS b
+        |  FROM cavg a JOIN cavg b ON a.doc_id = b.doc_id
+        |   AND a.side = b.side AND b.c = a.c + 1),
+        |h AS (SELECT doc_id, side, max(n) AS n,
+        |   CAST(sum(CASE WHEN j >= 32
+        |     THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+        |     AS BIGINT) AS hi,
+        |   CAST(sum(CASE WHEN j < 32
+        |     THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+        |     AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |f AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n,
+        |   max(CASE WHEN side = 0 THEN hi END) AS fh,
+        |   max(CASE WHEN side = 0 THEN lo END) AS fl,
+        |   max(CASE WHEN side = 1 THEN hi END) AS rh,
+        |   max(CASE WHEN side = 1 THEN lo END) AS rl
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id AS media_id, n AS n_px, fh AS fwd_hi,
+        | fl AS fwd_lo, rh AS rev_hi, rl AS rev_lo,
+        | CASE WHEN fh < rh OR (fh = rh AND fl <= rl) THEN fh
+        |   ELSE rh END AS canon_hi,
+        | CASE WHEN fh < rh OR (fh = rh AND fl <= rl) THEN fl
+        |   ELSE rl END AS canon_lo,
+        | fh = rh AND fl = rl AS is_symmetric
+        |FROM f ORDER BY media_id""".stripMargin,
     // lossless PNG ⇒ the 16-bin histogram replays from char codes;
     // the scaled Otsu score shares one truncating div on both engines
     "q_mm_image_otsu" ->

@@ -1639,6 +1639,65 @@ object LlmOps {
       .orderBy(col("step"))
   }
 
+  /** Width-2 beam decoding, 3 steps (J70): the search-quality
+    * counterpart of q_llm_greedy_decode — hold the TWO best partial
+    * sequences by cumulative bigram log-probability (lnE3 sums) and
+    * expand each through its per-prev top-2 continuations (complete
+    * pruning for width 2: the global top-2 can never need a prev's
+    * third-best next). Beam's whole point is escaping greedy's local
+    * argmax; whether it does here is readable off the emitted
+    * sequences against greedy's trajectory.
+    *
+    * Exactness: lp_e3 = lnE3(c) − lnE3(t) per edge (floor-once);
+    * scores are exact BIGINT sums; every rank has a total tie order
+    * (score desc, sequence text).
+    *
+    * Shape (100 TB): one bigram shuffle; the per-prev top-2 table is
+    * vocab-sized; each step is a 2-row × top-2 broadcast expansion —
+    * the unrolled-fixpoint discipline, no driver loop state beyond
+    * the loop variable. */
+  def beamDecode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("p", "w")))
+    val big = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.w").as("prev"), col("b.w").as("next"))
+      .agg(count(lit(1)).as("c"))
+    val tot = big.groupBy(col("prev")).agg(sum(col("c")).as("t"))
+    val top2 = big.join(tot, "prev")
+      .select(col("prev"), col("next"),
+        expr("""CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT)
+          | - CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT)"""
+          .stripMargin).as("lp_e3"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prev"))
+          .orderBy(col("lp_e3").desc, col("next"))))
+      .filter(col("rn") <= 2).drop("rn")
+      .localCheckpoint()
+    var beam = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(1)
+      .select(col("w").as("seq"), col("w").as("last"),
+        lit(0L).as("score_e3"))
+    (1 to 3).foreach { _ =>
+      beam = beam.join(broadcast(top2),
+          beam("last") === top2("prev"))
+        .select(concat(col("seq"), lit(" "), col("next")).as("seq"),
+          col("next").as("last"),
+          (col("score_e3") + col("lp_e3")).as("score_e3"))
+        .orderBy(col("score_e3").desc, col("seq")).limit(2)
+        .localCheckpoint()
+    }
+    beam.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e3").desc, col("seq"))))
+      .select(col("rank").cast("long").as("rank"), col("seq"),
+        col("score_e3"), col("last"))
+      .orderBy(col("rank"))
+  }
+
   /** BM25 parameter sensitivity sweep (J65): how much does the top-10
     * MOVE when (k1, b) leave the enrolled (1.2, 0.75) default — the
     * low-saturation (0.9, 0.4) and high-saturation (2.0, 0.9)
@@ -3001,6 +3060,7 @@ object LlmOps {
     "q_llm_jl_distortion" -> jlDistortion,
     "q_llm_bm25_sweep" -> bm25Sweep,
     "q_llm_greedy_decode" -> greedyDecode,
+    "q_llm_beam_decode" -> beamDecode,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3793,6 +3853,50 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_beam_decode" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(tk) AS w,
+        |   generate_subscripts(tk, 1) AS p FROM tk),
+        |big AS (SELECT a.w AS prev, b.w AS next,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM toks a JOIN toks b
+        |   ON a.doc_id = b.doc_id AND b.p = a.p + 1 GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(sum(c) AS BIGINT) AS t
+        |  FROM big GROUP BY 1),
+        |top2 AS (SELECT prev, next, lp_e3 FROM (SELECT big.prev,
+        |   next, CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT) AS lp_e3,
+        |   row_number() OVER (PARTITION BY big.prev ORDER BY
+        |    CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT) DESC, next)
+        |    AS rn
+        |  FROM big JOIN tot ON big.prev = tot.prev) x WHERE rn <= 2),
+        |b0 AS (SELECT w AS seq, w AS last, CAST(0 AS BIGINT)
+        |   AS score_e3
+        |  FROM (SELECT w, row_number() OVER (ORDER BY count(*) DESC,
+        |     w) AS rn FROM toks GROUP BY w) t WHERE rn = 1),
+        |c1 AS (SELECT concat(seq, ' ', next) AS seq, next AS last,
+        |   score_e3 + lp_e3 AS score_e3
+        |  FROM b0 JOIN top2 ON b0.last = top2.prev),
+        |b1 AS (SELECT seq, last, score_e3 FROM (SELECT *,
+        |   row_number() OVER (ORDER BY score_e3 DESC, seq) AS rn
+        |  FROM c1) x WHERE rn <= 2),
+        |c2 AS (SELECT concat(seq, ' ', next) AS seq, next AS last,
+        |   score_e3 + lp_e3 AS score_e3
+        |  FROM b1 JOIN top2 ON b1.last = top2.prev),
+        |b2 AS (SELECT seq, last, score_e3 FROM (SELECT *,
+        |   row_number() OVER (ORDER BY score_e3 DESC, seq) AS rn
+        |  FROM c2) x WHERE rn <= 2),
+        |c3 AS (SELECT concat(seq, ' ', next) AS seq, next AS last,
+        |   score_e3 + lp_e3 AS score_e3
+        |  FROM b2 JOIN top2 ON b2.last = top2.prev),
+        |b3 AS (SELECT seq, last, score_e3 FROM (SELECT *,
+        |   row_number() OVER (ORDER BY score_e3 DESC, seq) AS rn
+        |  FROM c3) x WHERE rn <= 2)
+        |SELECT CAST(row_number() OVER (ORDER BY score_e3 DESC, seq)
+        |   AS BIGINT) AS rank, seq, score_e3, last
+        |FROM b3 ORDER BY rank""".stripMargin,
     "q_llm_greedy_decode" ->
       """WITH RECURSIVE
         |tk AS (SELECT doc_id, string_split(text, ' ') AS tk

@@ -574,7 +574,58 @@ object Warehouse {
       .orderBy(col("class_97"), col("class_98"))
   }
 
+  /** Demand-pattern classification (J70, Syntetos–Boylan quadrants):
+    * per part, the mean inter-demand interval (ADI) and the squared
+    * coefficient of variation of demand sizes, cut at the standard
+    * ADI ≥ 1.32 / CV² ≥ 0.49 boundaries into smooth / intermittent /
+    * erratic / lumpy — the table that decides WHICH forecaster a part
+    * gets (Croston for intermittent, SES for smooth); the
+    * q_ts_forecast_baselines question asked per-SKU. Parts with < 3
+    * demand days are excluded (no interval distribution to classify —
+    * documented).
+    *
+    * Exactness: ADI_e2 = Σ gaps·100 div (n−1); CV² cross-multiplied —
+    * cv2_e4 = (n·ss − s²)·10⁴ div s² (population variance over mean²,
+    * zero divisions beyond the two documented ones).
+    *
+    * Shape (100 TB): (part, day) dedup + size fold → per-PART window
+    * (key-partitioned) → part-sized stats → 4-cell census. */
+  def demandClass(spark: SparkSession, dir: String): DataFrame = {
+    val dd = lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"),
+        expr("CAST(datediff(l_shipdate, DATE '1995-01-01') AS BIGINT)")
+          .as("d"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy(col("pk"), col("d")).agg(sum(col("q")).as("size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("d"))
+    val st = dd
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+        sum(col("size")).as("s"),
+        sum(expr("size * size")).as("ss"))
+      .filter(col("n") >= 3)
+      .select(col("pk"),
+        expr("sg * 100 div (n - 1)").as("adi_e2"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS
+          | DECIMAL(38,0)) * s) * 10000 div (CAST(s AS DECIMAL(38,0))
+          | * s) AS BIGINT)""".stripMargin).as("cv2_e4"))
+    val q = st.select(
+      when(col("adi_e2") >= 132 && col("cv2_e4") >= 4900, "lumpy")
+        .when(col("adi_e2") >= 132, "intermittent")
+        .when(col("cv2_e4") >= 4900, "erratic")
+        .otherwise("smooth").as("quadrant"))
+      .groupBy(col("quadrant")).agg(count(lit(1)).as("n_parts"))
+    val tot = q.agg(sum(col("n_parts")).as("nt"))
+    q.crossJoin(broadcast(tot))
+      .select(col("quadrant"), col("n_parts"),
+        expr("n_parts * 10000 div nt").as("share_e4"))
+      .orderBy(col("quadrant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parts_demand_class" -> demandClass,
     "q_orders_abc_migration" -> abcMigration,
     "q_dq_anomaly_drift" -> anomalyDrift,
     "q_parts_return_rate" -> returnRate,
@@ -595,6 +646,35 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_parts_demand_class" ->
+      """WITH dd AS (SELECT l_partkey AS pk,
+        |   CAST(date_diff('day', DATE '1995-01-01', l_shipdate)
+        |     AS BIGINT) AS d,
+        |   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+        |     AS BIGINT) AS size
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT pk, d, size,
+        |   d - lag(d) OVER (PARTITION BY pk ORDER BY d) AS gap
+        |  FROM dd),
+        |st AS (SELECT pk, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(gap) AS BIGINT) AS sg,
+        |   CAST(sum(size) AS BIGINT) AS s,
+        |   CAST(sum(size * size) AS BIGINT) AS ss
+        |  FROM g GROUP BY 1 HAVING count(*) >= 3),
+        |cl AS (SELECT pk, sg * 100 // (n - 1) AS adi_e2,
+        |   CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+        |     * 10000 // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_e4
+        |  FROM st),
+        |q AS (SELECT CASE
+        |   WHEN adi_e2 >= 132 AND cv2_e4 >= 4900 THEN 'lumpy'
+        |   WHEN adi_e2 >= 132 THEN 'intermittent'
+        |   WHEN cv2_e4 >= 4900 THEN 'erratic'
+        |   ELSE 'smooth' END AS quadrant FROM cl),
+        |c AS (SELECT quadrant, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM q GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_parts) AS BIGINT) AS nt FROM c)
+        |SELECT quadrant, n_parts, n_parts * 10000 // nt AS share_e4
+        |FROM c CROSS JOIN tot ORDER BY quadrant""".stripMargin,
     "q_orders_abc_migration" ->
       """WITH r97 AS (SELECT o_custkey AS ck,
         |   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

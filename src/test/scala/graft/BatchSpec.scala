@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 460
+    val documented = 463
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3551,6 +3551,69 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(b <= math.min(na, nb), r)
       assert(r.getAs[Long]("jaccard_e4") ==
         b * 10000 / (na + nb - b), r)
+    }
+  }
+
+  test("llm_beam_decode: two ranked hypotheses over the greedy seed, " +
+      "scores ordered and strictly negative log-probs") {
+    val rows = SparkEntry.queries("q_llm_beam_decode")(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("score_e3") >=
+      rows(1).getAs[Long]("score_e3"))
+    val greedySeed = SparkEntry.queries("q_llm_greedy_decode")(
+      spark, sf).orderBy("step").collect()
+      .head.getAs[String]("tok")
+    rows.foreach { r =>
+      val seq = r.getAs[String]("seq").split(" ")
+      assert(seq.length == 4, r) // seed + 3 steps
+      assert(seq.head == greedySeed, r)
+      assert(seq.last == r.getAs[String]("last"), r)
+      assert(r.getAs[Long]("score_e3") < 0, r)
+    }
+    assert(rows(0).getAs[String]("seq") !=
+      rows(1).getAs[String]("seq"))
+  }
+
+  test("parts_demand_class: quadrant labels are the four Syntetos-" +
+      "Boylan cells, shares sum to one, and counts match the " +
+      "eligible-part census") {
+    val rows = SparkEntry.queries("q_parts_demand_class")(spark, sf)
+      .collect()
+    val valid = Set("smooth", "intermittent", "erratic", "lumpy")
+    rows.foreach(r => assert(valid(r.getAs[String]("quadrant")), r))
+    val s = rows.map(_.getAs[Long]("share_e4")).sum
+    assert(s <= 10000 && s >= 10000 - rows.length, s)
+    val eligible = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey AS pk",
+        "CAST(datediff(l_shipdate, DATE '1995-01-01') AS LONG) AS d")
+      .distinct().groupBy("pk").count()
+      .filter("count >= 3").count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == eligible)
+  }
+
+  test("mm_image_mirror_hash: forward hashes agree with the dhash " +
+      "row, canon is the lexicographic min, and symmetry is honest") {
+    val mh = SparkEntry.queries("q_mm_image_mirror_hash")(spark, sf)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val dh = SparkEntry.queries("q_mm_image_dhash")(spark, sf)
+      .collect()
+    assert(dh.nonEmpty && mh.nonEmpty)
+    dh.foreach { d =>
+      val m = mh(d.getAs[Long]("media_id"))
+      // fourth fingerprint composes with the third: same decode, same
+      // bit definition
+      assert(m.getAs[Long]("fwd_hi") == d.getAs[Long]("hash_hi"), m)
+      assert(m.getAs[Long]("fwd_lo") == d.getAs[Long]("hash_lo"), m)
+    }
+    mh.values.foreach { m =>
+      val (fh, fl) = (m.getAs[Long]("fwd_hi"), m.getAs[Long]("fwd_lo"))
+      val (rh, rl) = (m.getAs[Long]("rev_hi"), m.getAs[Long]("rev_lo"))
+      val canonFwd = fh < rh || (fh == rh && fl <= rl)
+      assert(m.getAs[Long]("canon_hi") == (if (canonFwd) fh else rh), m)
+      assert(m.getAs[Long]("canon_lo") == (if (canonFwd) fl else rl), m)
+      assert(m.getAs[Boolean]("is_symmetric") ==
+        (fh == rh && fl == rl), m)
     }
   }
 
