@@ -119,7 +119,28 @@ object GraftCatalog {
     spark.sql(pivotCountsSql)
   }
 
+  /** Windowed ranking through the pure-SQL surface (J71): top-2
+    * suppliers per nation by account balance, written as one SQL
+    * string a BI tool would emit — proves the catalog surface carries
+    * window functions (the fourth SQL-surface row beside scalar-expr,
+    * recursive-CTE, and PIVOT). Deliberately dialect-portable: the
+    * identical text (modulo nothing) runs on DuckDB as the oracle. */
+  private val windowRankSql =
+    """SELECT s_nationkey, rnk, s_suppkey, s_acctbal
+      |FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
+      |   row_number() OVER (PARTITION BY s_nationkey
+      |     ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+      |  FROM supplier) t
+      |WHERE rnk <= 2
+      |ORDER BY s_nationkey, rnk""".stripMargin
+
+  def sqlWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(windowRankSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_window_rank" -> sqlWindowRank,
     "q_sql_cosine_topk" -> sqlCosineTopk,
     "q_sql_recursive_rollup" -> sqlRecursiveRollup,
     "q_sql_pivot_counts" -> sqlPivotCounts,
@@ -127,6 +148,9 @@ object GraftCatalog {
 
   /** Same truth as the DataFrame row: the oracle is shared verbatim. */
   val oracle: Map[String, String] = Map(
+    // the Spark arm's SQL text IS the oracle text — one string, two
+    // engines (the strongest same-truth form the suite has)
+    "q_sql_window_rank" -> windowRankSql,
     "q_sql_cosine_topk" -> operators.LlmOps.oracle("q_llm_cosine_topk"),
     "q_sql_recursive_rollup" -> recursiveRollupSql("//"),
     "q_sql_pivot_counts" -> operators.Reshape.oracle("q_pivot_counts"),

@@ -698,7 +698,39 @@ object Governance {
       .orderBy(col("tbl"))
   }
 
+  /** Id-space density audit (J71): is the orderkey id space dense or
+    * gappy? Gaps in a surrogate-key space are the footprint of lost
+    * batches, hard deletes, or a writer skipping ranges — the
+    * ingestion-completeness question a row count alone can't answer.
+    * Exact density over the observed [min, max] span plus a
+    * KILOBUCKET census (id div 1000): spanned vs occupied buckets
+    * localizes the gaps without ever sorting the id column (the
+    * largest-gap-via-window alternative is a global id sort — the
+    * scale-hostile form this row exists to avoid).
+    *
+    * Shape (100 TB): one fold for the span stats + one
+    * partial-aggregable kilobucket census → bucket-sized fold. */
+  def idDensity(spark: SparkSession, dir: String): DataFrame = {
+    val ids = orders(spark, dir).select(col("o_orderkey").as("id"))
+    val s = ids.agg(count(lit(1)).as("n"),
+      countDistinct(col("id")).as("n_distinct"),
+      min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    val kb = ids.select(expr("id div 1000").as("kb"))
+      .groupBy(col("kb")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("kb_occupied"), max(col("c")).as("kb_max"))
+    s.crossJoin(broadcast(kb))
+      .select(col("n"), col("n_distinct"), col("min_id"),
+        col("max_id"),
+        expr("n * 10000 div (max_id - min_id + 1)").as("density_e4"),
+        expr("max_id div 1000 - min_id div 1000 + 1").as("kb_spanned"),
+        col("kb_occupied"),
+        expr("max_id div 1000 - min_id div 1000 + 1 - kb_occupied")
+          .as("kb_empty"),
+        col("kb_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_id_density" -> idDensity,
     "q_dq_table_checksum" -> tableChecksums,
     "q_dq_balance_fences" -> balanceFences,
     "q_priv_uniqueness_curve" -> uniquenessCurve,
@@ -718,6 +750,23 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_id_density" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |   CAST(min(o_orderkey) AS BIGINT) AS min_id,
+        |   CAST(max(o_orderkey) AS BIGINT) AS max_id FROM orders),
+        |kb AS (SELECT CAST(count(*) AS BIGINT) AS kb_occupied,
+        |   CAST(max(c) AS BIGINT) AS kb_max
+        |  FROM (SELECT o_orderkey // 1000 AS kb, count(*) AS c
+        |   FROM orders GROUP BY 1) t)
+        |SELECT n, n_distinct, min_id, max_id,
+        | n * 10000 // (max_id - min_id + 1) AS density_e4,
+        | max_id // 1000 - min_id // 1000 + 1 AS kb_spanned,
+        | kb_occupied,
+        | max_id // 1000 - min_id // 1000 + 1 - kb_occupied
+        |   AS kb_empty,
+        | kb_max
+        |FROM s CROSS JOIN kb""".stripMargin,
     "q_dq_table_checksum" ->
       """WITH h AS (
         |  SELECT 'documents' AS tbl,

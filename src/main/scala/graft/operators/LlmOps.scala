@@ -1639,6 +1639,43 @@ object LlmOps {
       .orderBy(col("step"))
   }
 
+  /** Count-min width sweep (J71): the measured error-vs-memory curve
+    * of a SINGLE-row count sketch at w ∈ {16, 64, 256} buckets — per
+    * width: how many vocabulary tokens are overcounted, by how much at
+    * worst, and the share. q_llm_countmin shows the d=4 min-sketch at
+    * one width; this row turns its scaladoc's "17/31 overcounted at
+    * w=16, 0 at 256" MEASUREMENT into an enrolled, hash-gated curve —
+    * the memory-sizing table a pipeline reads before provisioning the
+    * sketch (error ∝ N/w, visible directly).
+    *
+    * Shape (100 TB): built FROM the exact vocab census (the countMin
+    * optimization — bucket totals over vocab rows ≡ streaming bucket
+    * counts), 3 widths × vocab-sized folds, 3-row output. */
+  def cmsWidthSweep(spark: SparkSession, dir: String): DataFrame = {
+    val tru = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    def arm(width: Int): DataFrame = {
+      val b = tru.withColumn("b",
+        expr(s"${h60("concat('0:', w)")} % $width"))
+      val bt = b.groupBy(col("b")).agg(sum(col("c")).as("bt"))
+      b.join(broadcast(bt), "b")
+        .select((col("bt") - col("c")).as("over"))
+        .agg(lit(width.toLong).as("width"),
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("over") > 0, 1L).otherwise(0L))
+            .as("n_overcounted"),
+          max(col("over")).as("max_overcount"))
+        .select(col("width"), col("n_tokens"), col("n_overcounted"),
+          expr("n_overcounted * 10000 div n_tokens")
+            .as("over_share_e4"),
+          col("max_overcount"))
+    }
+    arm(16).unionAll(arm(64)).unionAll(arm(256))
+      .orderBy(col("width"))
+  }
+
   /** Width-2 beam decoding, 3 steps (J70): the search-quality
     * counterpart of q_llm_greedy_decode — hold the TWO best partial
     * sequences by cumulative bigram log-probability (lnE3 sums) and
@@ -3061,6 +3098,7 @@ object LlmOps {
     "q_llm_bm25_sweep" -> bm25Sweep,
     "q_llm_greedy_decode" -> greedyDecode,
     "q_llm_beam_decode" -> beamDecode,
+    "q_llm_cms_width_sweep" -> cmsWidthSweep,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -3853,6 +3891,27 @@ object LlmOps {
       s"""WITH $bm25Ctes
         |SELECT doc_id, bm25 FROM bmsc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_llm_cms_width_sweep" ->
+      """WITH tru AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents) t GROUP BY w),
+        |arm AS (SELECT width, b.w,
+        |   CAST('0x'||substr(md5(concat('0:', b.w)), 1, 15) AS BIGINT)
+        |     % width AS bkt, c
+        |  FROM tru b, (SELECT unnest([16, 64, 256]) AS width) ws),
+        |bt AS (SELECT width, bkt, CAST(sum(c) AS BIGINT) AS bt
+        |  FROM arm GROUP BY 1, 2),
+        |ov AS (SELECT arm.width, bt.bt - arm.c AS over
+        |  FROM arm JOIN bt ON arm.width = bt.width
+        |   AND arm.bkt = bt.bkt)
+        |SELECT CAST(width AS BIGINT) AS width,
+        | CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN over > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_overcounted,
+        | CAST(sum(CASE WHEN over > 0 THEN 1 ELSE 0 END) * 10000
+        |   // count(*) AS BIGINT) AS over_share_e4,
+        | CAST(max(over) AS BIGINT) AS max_overcount
+        |FROM ov GROUP BY width ORDER BY width""".stripMargin,
     "q_llm_beam_decode" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 463
+    val documented = 466
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3614,6 +3614,60 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m.getAs[Long]("canon_lo") == (if (canonFwd) fl else rl), m)
       assert(m.getAs[Boolean]("is_symmetric") ==
         (fh == rh && fl == rl), m)
+    }
+  }
+
+  test("sql_window_rank: the pure-SQL surface matches the DataFrame " +
+      "window row's semantics on the same data") {
+    val sqlRows = SparkEntry.queries("q_sql_window_rank")(spark, sf)
+      .collect()
+    assert(sqlRows.nonEmpty)
+    // same semantics as the DataFrame topk-per-group family: rank 1..2
+    // per nation, balance descending within nation
+    sqlRows.groupBy(_.getAs[Number]("s_nationkey").longValue).foreach {
+      case (nk, rs) =>
+        assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+          (1 to rs.length), s"nation $nk")
+        val bals = rs.sortBy(_.getAs[Int]("rnk"))
+          .map(_.getAs[Double]("s_acctbal"))
+        assert(bals.zip(bals.tail).forall { case (a, b) => a >= b },
+          s"nation $nk")
+        assert(rs.length <= 2, s"nation $nk")
+    }
+  }
+
+  test("dq_id_density: bucket accounting closes and the density " +
+      "replays from span and count") {
+    val rows = SparkEntry.queries("q_dq_id_density")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n") == r.getAs[Long]("n_distinct"),
+      "orderkey must be unique")
+    assert(r.getAs[Long]("kb_spanned") ==
+      r.getAs[Long]("kb_occupied") + r.getAs[Long]("kb_empty"), r)
+    assert(r.getAs[Long]("density_e4") == r.getAs[Long]("n") * 10000 /
+      (r.getAs[Long]("max_id") - r.getAs[Long]("min_id") + 1), r)
+    assert(r.getAs[Long]("kb_max") <= 1000, r)
+  }
+
+  test("llm_cms_width_sweep: overcounting is monotone nonincreasing " +
+      "in width and zero only when buckets exceed the vocabulary") {
+    val rows = SparkEntry.queries("q_llm_cms_width_sweep")(spark, sf)
+      .orderBy("width").collect()
+    assert(rows.map(_.getAs[Long]("width")).toSeq ==
+      Seq(16L, 64L, 256L))
+    val overs = rows.map(_.getAs[Long]("n_overcounted"))
+    assert(overs.zip(overs.tail).forall { case (a, b) => a >= b },
+      overs.toSeq)
+    val vocab = rows.head.getAs[Long]("n_tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == vocab, r)
+      assert(r.getAs[Long]("over_share_e4") ==
+        r.getAs[Long]("n_overcounted") * 10000 / vocab, r)
+      // w=16 < vocab must collide (pigeonhole)
+      if (r.getAs[Long]("width") < vocab)
+        assert(r.getAs[Long]("n_overcounted") > 0, r)
     }
   }
 
