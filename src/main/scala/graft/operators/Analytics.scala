@@ -1770,7 +1770,38 @@ object Analytics {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** User lifespan distribution (J72): exact p50/p90 of each user's
+    * active span (last − first day) plus the single-day share — the
+    * population-level lifetime view beside the event-level retention
+    * curve (D1/D7/D14 asks "did they come back on day k"; this asks
+    * "how long do they last at all"). Distribution-counting
+    * percentiles (the lead_time direct-rank discipline).
+    *
+    * Shape (100 TB): per-user min/max fold (one shuffle) →
+    * span-support census → window cum on the census → rank picks. */
+  def userLifespan(spark: SparkSession, dir: String): DataFrame = {
+    val sp = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).as("span"))
+    val cen = sp.groupBy(col("span")).agg(count(lit(1)).as("c"))
+    val tot = sp.agg(count(lit(1)).as("n"),
+      sum(when(col("span") === 0, 1L).otherwise(0L)).as("n_oneday"))
+    val cum = cen.withColumn("cum", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("span"))))
+      .crossJoin(broadcast(tot))
+    val p50 = cum.filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col("span")).as("p50_span"))
+    val p90 = cum.filter(col("cum") >= expr("(n * 9 + 9) div 10"))
+      .agg(min(col("span")).as("p90_span"))
+    tot.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+      .select(col("n").as("n_users"), col("n_oneday"),
+        expr("n_oneday * 10000 div n").as("oneday_share_e4"),
+        col("p50_span"), col("p90_span"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_lifespan" -> userLifespan,
     "q_events_type_affinity" -> typeAffinity,
     "q_events_weekend_lift" -> weekendLift,
     "q_events_dow_hour" -> dowHourInteraction,
@@ -1823,6 +1854,26 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_lifespan" ->
+      """WITH sp AS (SELECT user_id,
+        |   CAST(max(epoch_us(ts) // 86400000000)
+        |     - min(epoch_us(ts) // 86400000000) AS BIGINT) AS span
+        |  FROM events GROUP BY 1),
+        |cen AS (SELECT span, CAST(count(*) AS BIGINT) AS c
+        |  FROM sp GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN span = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_oneday FROM sp),
+        |cum AS (SELECT span,
+        |   CAST(sum(c) OVER (ORDER BY span) AS BIGINT) AS cum, n
+        |  FROM cen CROSS JOIN tot),
+        |p50 AS (SELECT min(span) AS p50_span FROM cum
+        |  WHERE cum >= (n + 1) // 2),
+        |p90 AS (SELECT min(span) AS p90_span FROM cum
+        |  WHERE cum >= (n * 9 + 9) // 10)
+        |SELECT n AS n_users, n_oneday,
+        | n_oneday * 10000 // n AS oneday_share_e4, p50_span, p90_span
+        |FROM tot CROSS JOIN p50 CROSS JOIN p90""".stripMargin,
     "q_events_type_affinity" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu

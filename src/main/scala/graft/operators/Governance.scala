@@ -729,7 +729,38 @@ object Governance {
         col("kb_max"))
   }
 
+  /** Enum first-seen audit (J72): for every value of the three
+    * low-cardinality enum columns (order status, order priority,
+    * return flag), the first ORDER YEAR it appears plus its count —
+    * the schema-drift question for VALUES: a new enum value appearing
+    * mid-history is a producer change every consumer contract wants
+    * to hear about (fixture: all values present from year one — the
+    * stable baseline this row would break against).
+    *
+    * Shape (100 TB): two fact scans (orders / lineitem⋈orders year) →
+    * stacked enum census, ≤ 13 rows. */
+  def enumFirstSeen(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .select(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        col("o_orderstatus"), col("o_orderpriority"))
+    val fromOrders = o.select(expr(
+      "stack(2, 'o_orderstatus', o_orderstatus," +
+        " 'o_orderpriority', o_orderpriority) AS (col, value)"),
+      col("yr"))
+    val fromLines = lineitem(spark, dir)
+      .join(orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .select(lit("l_returnflag").as("col"),
+        col("l_returnflag").as("value"),
+        expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+    fromOrders.unionAll(fromLines)
+      .groupBy(col("col"), col("value"))
+      .agg(min(col("yr")).as("first_year"), count(lit(1)).as("n"))
+      .orderBy(col("col"), col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_enum_firstseen" -> enumFirstSeen,
     "q_dq_id_density" -> idDensity,
     "q_dq_table_checksum" -> tableChecksums,
     "q_dq_balance_fences" -> balanceFences,
@@ -750,6 +781,20 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_enum_firstseen" ->
+      """WITH u AS (
+        |  SELECT 'o_orderstatus' AS col, o_orderstatus AS value,
+        |   CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority,
+        |   CAST(year(o_orderdate) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'l_returnflag', l_returnflag,
+        |   CAST(year(o_orderdate) AS BIGINT)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT col, value, CAST(min(yr) AS BIGINT) AS first_year,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY col, value""".stripMargin,
     "q_dq_id_density" ->
       """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,

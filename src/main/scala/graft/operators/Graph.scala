@@ -890,6 +890,46 @@ object Graph {
       .limit(10)
   }
 
+  /** Brand homophily (J72, Newman categorical assortativity): do
+    * same-brand parts co-occur in baskets more than the degree
+    * structure predicts? r = (Σe_ii − Σa_i²)/(1 − Σa_i²) over the
+    * brand mixing matrix of the co-occurrence graph — the CATEGORICAL
+    * twin of q_graph_assortativity's degree correlation; r > 0 means
+    * brand-loyal baskets, r ≈ 0 means brands mix freely (the honest
+    * TPC-H expectation).
+    *
+    * Exactness: with m directed edge-ends, e_ii and a_i are counts/2m
+    * — cleared: r_e4 = (2m·Σe_ii_cnt − Σa_cnt²)·10⁴ div
+    * (4m² − Σa_cnt²) where e_ii_cnt = same-brand directed edges and
+    * a_cnt = per-brand edge-ends; products in DECIMAL(38,0)/HUGEINT.
+    *
+    * Shape (100 TB): the memoized edge frame + broadcast part-brand
+    * dim → one conditional census + 25-row margin fold. */
+  def brandHomophily(spark: SparkSession, dir: String): DataFrame = {
+    val bp = broadcast(part(spark, dir)
+      .select(col("p_partkey"), col("p_brand")))
+    val e = cooccEdges(spark, dir)
+      .join(bp.withColumnRenamed("p_partkey", "u")
+        .withColumnRenamed("p_brand", "bu"), "u")
+      .join(bp.withColumnRenamed("p_partkey", "v")
+        .withColumnRenamed("p_brand", "bv"), "v")
+    val ends = e.select(col("bu").as("b"))
+      .unionAll(e.select(col("bv").as("b")))
+      .groupBy(col("b")).agg(count(lit(1)).as("a"))
+    val m = e.agg(count(lit(1)).as("m"),
+      sum(when(col("bu") === col("bv"), 1L).otherwise(0L))
+        .as("same"))
+    val aa = ends.agg(sum(expr("a * a")).as("sa2"),
+      count(lit(1)).as("k_brands"))
+    m.crossJoin(broadcast(aa))
+      .select(col("m").as("n_edges"), col("same").as("same_brand"),
+        col("k_brands"),
+        expr("same * 10000 div m").as("same_share_e4"),
+        expr("""CAST((CAST(2 AS DECIMAL(38,0)) * m * (2 * same)
+          | - sa2) * 10000 div (CAST(4 AS DECIMAL(38,0)) * m * m
+          | - sa2) AS BIGINT)""".stripMargin).as("homophily_e4"))
+  }
+
   /** Local-bridge census (J68): edges that close NO triangle — every
     * shortest alternative path between their endpoints is ≥ 3 hops,
     * so cutting one disconnects neighborhoods (Granovetter's weak
@@ -1146,6 +1186,7 @@ object Graph {
     "q_orders_assoc_rules" -> assocRules,
     "q_graph_adamic_adar" -> adamicAdar,
     "q_graph_local_bridges" -> localBridges,
+    "q_graph_brand_homophily" -> brandHomophily,
     "q_graph_walk_sample" -> walkSample,
     "q_graph_local_cc" -> localCC,
     "q_graph_hits" -> hits,
@@ -1281,6 +1322,28 @@ object Graph {
         |   // greatest(n_club * (n_club - 1), 1) AS BIGINT) AS phi_e4
         |FROM nodes JOIN ed ON ed.q_e4 = nodes.q_e4
         |ORDER BY nodes.q_e4""".stripMargin,
+    "q_graph_brand_homophily" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk),
+        |e AS (SELECT pu.p_brand AS bu, pv.p_brand AS bv
+        |  FROM e0 JOIN part pu ON e0.u = pu.p_partkey
+        |   JOIN part pv ON e0.v = pv.p_partkey),
+        |ends AS (SELECT b, CAST(count(*) AS BIGINT) AS a FROM (
+        |  SELECT bu AS b FROM e UNION ALL SELECT bv FROM e) t
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |   CAST(sum(CASE WHEN bu = bv THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS same FROM e),
+        |aa AS (SELECT CAST(sum(a * a) AS BIGINT) AS sa2,
+        |   CAST(count(*) AS BIGINT) AS k_brands FROM ends)
+        |SELECT m AS n_edges, same AS same_brand, k_brands,
+        | same * 10000 // m AS same_share_e4,
+        | CAST((CAST(2 AS HUGEINT) * m * (2 * same) - sa2) * 10000
+        |   // (CAST(4 AS HUGEINT) * m * m - sa2) AS BIGINT)
+        |   AS homophily_e4
+        |FROM m CROSS JOIN aa""".stripMargin,
     "q_graph_local_bridges" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
         |  FROM lineitem),

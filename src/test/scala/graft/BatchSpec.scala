@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 466
+    val documented = 469
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3669,6 +3669,58 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (r.getAs[Long]("width") < vocab)
         assert(r.getAs[Long]("n_overcounted") > 0, r)
     }
+  }
+
+  test("graph_brand_homophily: the assortativity replays from parts, " +
+      "sits in [-1, 1], and the same-brand share is consistent") {
+    val rows = SparkEntry.queries("q_graph_brand_homophily")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (m, same) = (r.getAs[Long]("n_edges"),
+      r.getAs[Long]("same_brand"))
+    assert(same <= m, r)
+    assert(r.getAs[Long]("same_share_e4") == same * 10000 / m, r)
+    val h = r.getAs[Long]("homophily_e4")
+    assert(h >= -10000 && h <= 10000, r)
+    // the same-share must exceed r (r is share minus the null
+    // expectation, both under the same positive denominator < 1)
+    assert(h <= r.getAs[Long]("same_share_e4") + 1, r)
+  }
+
+  test("dq_enum_firstseen: the three columns carry their known value " +
+      "sets and everything is present from the first year") {
+    val rows = SparkEntry.queries("q_dq_enum_firstseen")(spark, sf)
+      .collect()
+    val byCol = rows.groupBy(_.getAs[String]("col"))
+    assert(byCol("o_orderstatus").map(_.getAs[String]("value")).toSet
+      == Set("F", "O", "P"))
+    assert(byCol("l_returnflag").map(_.getAs[String]("value")).toSet
+      == Set("A", "N", "R"))
+    assert(byCol("o_orderpriority").size == 5)
+    val firstYears = rows.map(_.getAs[Long]("first_year")).distinct
+    assert(firstYears.length == 1,
+      s"values appear in different first years: $firstYears — " +
+        "enum drift on a fixture documented as stable")
+  }
+
+  test("events_lifespan: percentiles replay against a brute sort and " +
+      "the one-day share is exact") {
+    val rows = SparkEntry.queries("q_events_lifespan")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val spans = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "(ts_ns div 1000) div 86400000000 AS d")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "max(d) - min(d)").as("span"))
+      .collect().map(_.getAs[Long]("span")).sorted
+    val n = spans.length
+    assert(r.getAs[Long]("n_users") == n)
+    assert(r.getAs[Long]("p50_span") == spans((n + 1) / 2 - 1), r)
+    assert(r.getAs[Long]("p90_span") == spans((n * 9 + 9) / 10 - 1), r)
+    assert(r.getAs[Long]("n_oneday") == spans.count(_ == 0L), r)
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
