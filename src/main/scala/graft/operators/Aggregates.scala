@@ -477,7 +477,49 @@ object Aggregates {
         col("n"), col("gid"), col("g_flag"), col("g_status"))
       .orderBy(col("gid"), col("returnflag"), col("linestatus"))
 
+  /** Mergeable-moments proof (J73): per event type, the scaled second
+    * central moment n·M2 = n·Σc² − (Σc)² computed along TWO genuinely
+    * different paths — a direct whole-group fold, and a two-level
+    * fold that first aggregates user-parity CHUNKS and then merges
+    * the chunk sums — emitted side by side with the hash-gated
+    * equality flag. This is the partial-aggregation contract the
+    * whole engine rests on (map-side combine ≡ whole fold), turned
+    * into data: in INTEGER arithmetic merge order cannot change the
+    * answer, which is exactly why every exactness-critical row in the
+    * suite quantizes before folding (floats would not satisfy this
+    * row). Products in the DECIMAL(38,0)/HUGEINT lane.
+    *
+    * Shape: one direct fold + one two-level fold, 5-row join. */
+  def momentsMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"),
+        expr("CAST(user_id % 2 AS INT)").as("chunk"))
+    def nm2 = expr("""CAST(CAST(n AS DECIMAL(38,0)) * ss
+      | - CAST(s AS DECIMAL(38,0)) * s AS BIGINT)""".stripMargin)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(expr("c * c")).as("ss"))
+      .select(col("event_type"), col("n"), nm2.as("n_m2_direct"))
+    val merged = ev.groupBy(col("event_type"), col("chunk"))
+      .agg(count(lit(1)).as("cn"), sum(col("c")).as("cs"),
+        sum(expr("c * c")).as("css"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cn")).as("n"), sum(col("cs")).as("s"),
+        sum(col("css")).as("ss"),
+        max(when(col("chunk") === 0, col("cn"))).as("na"),
+        max(when(col("chunk") === 1, col("cn"))).as("nb"))
+      .select(col("event_type"), col("na"), col("nb"),
+        nm2.as("n_m2_merged"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n"), col("na"), col("nb"),
+        col("n_m2_direct"), col("n_m2_merged"),
+        (col("n_m2_direct") === col("n_m2_merged")).as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_moments_merge" -> momentsMerge,
     "q_agg_grouping_id" -> groupingIdCube,
     "q_agg_geomean" -> geoMean,
     "q_agg_weighted_median" -> weightedPercentiles,
@@ -506,6 +548,37 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_moments_merge" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |   CAST(user_id % 2 AS INT) AS chunk FROM events),
+        |direct AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS BIGINT) AS s,
+        |   CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM ev GROUP BY 1),
+        |d2 AS (SELECT event_type, n,
+        |   CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+        |     AS BIGINT) AS n_m2_direct FROM direct),
+        |ch AS (SELECT event_type, chunk,
+        |   CAST(count(*) AS BIGINT) AS cn,
+        |   CAST(sum(c) AS BIGINT) AS cs,
+        |   CAST(sum(c * c) AS BIGINT) AS css
+        |  FROM ev GROUP BY 1, 2),
+        |mg AS (SELECT event_type, CAST(sum(cn) AS BIGINT) AS n,
+        |   CAST(sum(cs) AS BIGINT) AS s,
+        |   CAST(sum(css) AS BIGINT) AS ss,
+        |   CAST(max(CASE WHEN chunk = 0 THEN cn END) AS BIGINT)
+        |     AS na,
+        |   CAST(max(CASE WHEN chunk = 1 THEN cn END) AS BIGINT)
+        |     AS nb
+        |  FROM ch GROUP BY 1),
+        |m2 AS (SELECT event_type, na, nb,
+        |   CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+        |     AS BIGINT) AS n_m2_merged FROM mg)
+        |SELECT d2.event_type, n, na, nb, n_m2_direct, n_m2_merged,
+        | n_m2_direct = n_m2_merged AS merge_exact
+        |FROM d2 JOIN m2 ON d2.event_type = m2.event_type
+        |ORDER BY d2.event_type""".stripMargin,
     "q_agg_grouping_id" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -1656,7 +1656,52 @@ object Curation {
       .limit(20)
   }
 
+  /** Quality-feature collinearity (J73): signed r² between each pair
+    * of the three gate features (len, ttr, stop-ratio) — the
+    * multicollinearity audit q_llm_mi_feature implies (it measured
+    * ttr leaking the length label; this measures ttr–len correlation
+    * DIRECTLY, feature-to-feature). Sqrt-free: sign(cov)·cov²·10⁸ div
+    * (varx·vary) — the kendall taub2 squared-verdict discipline;
+    * moments in the DECIMAL(38,0)/HUGEINT lane.
+    *
+    * Shape: one doc-sized feature pass → unpivoted pair moments →
+    * 3-row fold. */
+  def featureCollinearity(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map("'" + _ + "'").mkString(",")
+    val f = documents(spark, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(size(col("tk")).cast("long").as("len"),
+        expr("size(array_distinct(tk)) * 1000000 div size(tk)")
+          .as("ttr"),
+        expr(s"size(filter(tk, t -> t IN ($stop))) * 1000000" +
+          " div size(tk)").as("stp"))
+    val pairs = f.select(expr(
+      """stack(3,
+        | 'len_ttr', len, ttr,
+        | 'len_stop', len, stp,
+        | 'ttr_stop', ttr, stp) AS (pair, x, y)""".stripMargin))
+    pairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(col("pair"), col("n"),
+        expr("""CAST(CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0))
+          | * sy >= 0 THEN 1 ELSE -1 END
+          | * ((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+          |    * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+          |    * 100000000
+          |    div greatest((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |     * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy), 1))
+          | AS BIGINT)""".stripMargin).as("r2_signed_e8"))
+      .orderBy(col("pair"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_feature_collinearity" -> featureCollinearity,
     "q_llm_gate_fairness" -> gateFairness,
     "q_llm_rare_doc_rank" -> rareDocRank,
     "q_llm_length_anova" -> lengthAnova,
@@ -1722,6 +1767,36 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_feature_collinearity" ->
+      """WITH f AS (SELECT string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |ft AS (SELECT CAST(len(tk) AS BIGINT) AS len,
+        |   CAST(len(list_distinct(tk)) * 1000000 // len(tk)
+        |     AS BIGINT) AS ttr,
+        |   CAST(len(list_filter(tk, t -> t IN
+        |     ('the','a','of','and','to','in','is'))) * 1000000
+        |     // len(tk) AS BIGINT) AS stp
+        |  FROM f),
+        |pairs AS (
+        |  SELECT 'len_ttr' AS pair, len AS x, ttr AS y FROM ft
+        |  UNION ALL SELECT 'len_stop', len, stp FROM ft
+        |  UNION ALL SELECT 'ttr_stop', ttr, stp FROM ft),
+        |m AS (SELECT pair, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx,
+        |   CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |   CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT pair, n,
+        | CAST(CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy >= 0
+        |   THEN 1 ELSE -1 END
+        |  * ((n * sxy - CAST(sx AS HUGEINT) * sy)
+        |     * (n * sxy - CAST(sx AS HUGEINT) * sy) * 100000000
+        |     // greatest((n * sxx - CAST(sx AS HUGEINT) * sx)
+        |      * (n * syy - CAST(sy AS HUGEINT) * sy), 1))
+        |  AS BIGINT) AS r2_signed_e8
+        |FROM m ORDER BY pair""".stripMargin,
     "q_llm_gate_fairness" ->
       s"""WITH ${ModelPrep.scoreCte},
         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

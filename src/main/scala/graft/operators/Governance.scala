@@ -759,7 +759,41 @@ object Governance {
       .orderBy(col("col"), col("value"))
   }
 
+  /** Sequence-inversion audit (J73): per user, the share of
+    * consecutive-by-event_id pairs whose timestamps run BACKWARD —
+    * the "does the surrogate id respect event time" question behind
+    * every id-ordered incremental consumer (a backfill or a
+    * multi-writer race shows up here first). Global census: pairs,
+    * inversions, worst user.
+    *
+    * Shape (100 TB): per-USER id-ordered window (key-partitioned,
+    * never a global id sort) → user fold → 1-row census +
+    * TakeOrdered worst user. */
+  def seqInversion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val pu = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ts_us") < col("prev_ts"), 1L).otherwise(0L))
+          .as("n_back"))
+    val worst = pu.orderBy(expr("n_back * 10000 div n_pairs").desc,
+        col("user_id")).limit(1)
+      .select(col("user_id").as("worst_user"),
+        expr("n_back * 10000 div n_pairs").as("worst_share_e4"))
+    pu.agg(sum(col("n_pairs")).as("n_pairs"),
+        sum(col("n_back")).as("n_back"))
+      .crossJoin(broadcast(worst))
+      .select(col("n_pairs"), col("n_back"),
+        expr("n_back * 10000 div n_pairs").as("back_share_e4"),
+        col("worst_user"), col("worst_share_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_seq_inversion" -> seqInversion,
     "q_dq_enum_firstseen" -> enumFirstSeen,
     "q_dq_id_density" -> idDensity,
     "q_dq_table_checksum" -> tableChecksums,
@@ -781,6 +815,25 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_seq_inversion" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |     ORDER BY event_id) AS prev_ts
+        |  FROM events),
+        |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |   CAST(sum(CASE WHEN ts_us < prev_ts THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_back
+        |  FROM l WHERE prev_ts IS NOT NULL GROUP BY 1),
+        |worst AS (SELECT user_id AS worst_user,
+        |   n_back * 10000 // n_pairs AS worst_share_e4
+        |  FROM pu ORDER BY n_back * 10000 // n_pairs DESC, user_id
+        |  LIMIT 1),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+        |   CAST(sum(n_back) AS BIGINT) AS n_back FROM pu)
+        |SELECT n_pairs, n_back,
+        | n_back * 10000 // n_pairs AS back_share_e4,
+        | worst_user, worst_share_e4
+        |FROM tot CROSS JOIN worst""".stripMargin,
     "q_dq_enum_firstseen" ->
       """WITH u AS (
         |  SELECT 'o_orderstatus' AS col, o_orderstatus AS value,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 469
+    val documented = 472
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3721,6 +3721,49 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("p50_span") == spans((n + 1) / 2 - 1), r)
     assert(r.getAs[Long]("p90_span") == spans((n * 9 + 9) / 10 - 1), r)
     assert(r.getAs[Long]("n_oneday") == spans.count(_ == 0L), r)
+  }
+
+  test("dq_seq_inversion: pair accounting closes against the user " +
+      "census and the fixture id order respects event time") {
+    val rows = SparkEntry.queries("q_dq_seq_inversion")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val nEvents = graft.Tables.events(spark, sf).count()
+    val nUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_pairs") == nEvents - nUsers, r)
+    // clean-baseline pin: event_id is time-ordered on this fixture —
+    // a regenerated fixture that breaks this should be LOUD
+    assert(r.getAs[Long]("n_back") == 0L, r)
+    assert(r.getAs[Long]("back_share_e4") == 0L, r)
+  }
+
+  test("agg_moments_merge: the two-level fold equals the direct fold " +
+      "exactly on every group, with chunk sizes accounting") {
+    val rows = SparkEntry.queries("q_agg_moments_merge")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_exact"), r)
+      assert(r.getAs[Long]("na") + r.getAs[Long]("nb") ==
+        r.getAs[Long]("n"), r)
+      assert(r.getAs[Long]("n_m2_direct") >= 0, r)
+    }
+  }
+
+  test("llm_feature_collinearity: three pairs inside the r-squared " +
+      "bound, with the len-ttr anticorrelation the MI audit implied") {
+    val rows = SparkEntry.queries("q_llm_feature_collinearity")(
+      spark, sf).collect()
+    assert(rows.length == 3)
+    val m = rows.map(r => r.getAs[String]("pair") ->
+      r.getAs[Long]("r2_signed_e8")).toMap
+    m.values.foreach(v => assert(math.abs(v) <= 100000000L, m))
+    // the small-vocab mechanism: longer docs repeat tokens, so TTR
+    // falls with length — the direct feature-to-feature confirmation
+    // of what mi_feature saw through the label
+    assert(m("len_ttr") < -50000000L, m)
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
