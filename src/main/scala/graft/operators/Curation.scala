@@ -1700,7 +1700,64 @@ object Curation {
       .orderBy(col("pair"))
   }
 
+  /** Jensen–Shannon divergence between the two largest sources (J74):
+    * the SYMMETRIC, zero-safe member beside q_llm_domain_kl — JSD
+    * needs no smoothing because the mixture M = (P+Q)/2 has mass
+    * wherever either side does, so source-exclusive tokens contribute
+    * finitely instead of being dropped (KL's restriction) or smoothed
+    * (Dirichlet's prior). Bounded by ln 2 ≈ 693 milli-nats, so the
+    * number is comparable across any corpus pair.
+    *
+    * Exactness: each term's log argument is a RATIO OF INTEGERS —
+    * ln(2aB / (aB + bA)) — two floor-once lnE3 calls per occupied
+    * side; kl halves divided by their own totals, jsd = (kl1+kl2)
+    * div 2.
+    *
+    * Shape (100 TB): token censuses for the two sources (one
+    * shuffle), full-outer vocab join, vocab-sized fold. */
+  def jsdSources(spark: SparkSession, dir: String): DataFrame = {
+    val byTok = documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val top2 = byTok.groupBy(col("source"))
+      .agg(sum(col("c")).as("tot"))
+      .orderBy(col("tot").desc, col("source")).limit(2)
+      .localCheckpoint()
+    val Array(sa, sb) = top2.orderBy(col("tot").desc, col("source"))
+      .collect().map(_.getString(0)) // 2-row control-plane collect
+    val a = byTok.filter(col("source") === sa)
+      .select(col("w"), col("c").as("a"))
+    val b = byTok.filter(col("source") === sb)
+      .select(col("w"), col("c").as("b"))
+    val j = a.join(b, Seq("w"), "full_outer")
+      .select(coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val tots = j.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      count(lit(1)).as("vocab_union"),
+      sum(when(col("a") > 0 && col("b") > 0, 1L).otherwise(0L))
+        .as("n_shared"))
+    j.crossJoin(broadcast(tots))
+      .agg(max(col("ta")).as("tot_a"), max(col("tb")).as("tot_b"),
+        max(col("vocab_union")).as("vocab_union"),
+        max(col("n_shared")).as("n_shared"),
+        expr("""CAST(sum(CASE WHEN a > 0 THEN a *
+          | (CAST(floor(ln(2 * a * tb) * 1000 + 0.5) AS BIGINT)
+          |  - CAST(floor(ln(a * tb + b * ta) * 1000 + 0.5)
+          |    AS BIGINT)) ELSE 0 END) div max(ta) AS BIGINT)"""
+          .stripMargin).as("kl1_e3"),
+        expr("""CAST(sum(CASE WHEN b > 0 THEN b *
+          | (CAST(floor(ln(2 * b * ta) * 1000 + 0.5) AS BIGINT)
+          |  - CAST(floor(ln(a * tb + b * ta) * 1000 + 0.5)
+          |    AS BIGINT)) ELSE 0 END) div max(tb) AS BIGINT)"""
+          .stripMargin).as("kl2_e3"))
+      .select(lit(sa).as("src_a"), lit(sb).as("src_b"),
+        col("tot_a"), col("tot_b"), col("vocab_union"),
+        col("n_shared"), col("kl1_e3"), col("kl2_e3"),
+        expr("(kl1_e3 + kl2_e3) div 2").as("jsd_e3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_jsd_sources" -> jsdSources,
     "q_llm_feature_collinearity" -> featureCollinearity,
     "q_llm_gate_fairness" -> gateFairness,
     "q_llm_rare_doc_rank" -> rareDocRank,
@@ -1767,6 +1824,42 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_jsd_sources" ->
+      """WITH bt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |   FROM documents) t GROUP BY 1, 2),
+        |t2 AS (SELECT source, rn FROM (SELECT source,
+        |   row_number() OVER (ORDER BY sum(c) DESC, source) AS rn
+        |  FROM bt GROUP BY source) x WHERE rn <= 2),
+        |av AS (SELECT w, c AS a FROM bt
+        |  JOIN t2 ON bt.source = t2.source AND rn = 1),
+        |bv AS (SELECT w, c AS b FROM bt
+        |  JOIN t2 ON bt.source = t2.source AND rn = 2),
+        |j AS (SELECT coalesce(a, 0) AS a, coalesce(b, 0) AS b
+        |  FROM av FULL OUTER JOIN bv ON av.w = bv.w),
+        |tots AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+        |   CAST(sum(b) AS BIGINT) AS tb,
+        |   CAST(count(*) AS BIGINT) AS vocab_union,
+        |   CAST(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_shared FROM j),
+        |k AS (SELECT max(ta) AS tot_a, max(tb) AS tot_b,
+        |   max(vocab_union) AS vocab_union, max(n_shared) AS n_shared,
+        |   CAST(sum(CASE WHEN a > 0 THEN a *
+        |     (CAST(floor(ln(2 * a * tb) * 1000 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(a * tb + b * ta) * 1000 + 0.5)
+        |        AS BIGINT)) ELSE 0 END) // max(ta) AS BIGINT)
+        |     AS kl1_e3,
+        |   CAST(sum(CASE WHEN b > 0 THEN b *
+        |     (CAST(floor(ln(2 * b * ta) * 1000 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(a * tb + b * ta) * 1000 + 0.5)
+        |        AS BIGINT)) ELSE 0 END) // max(tb) AS BIGINT)
+        |     AS kl2_e3
+        |  FROM j CROSS JOIN tots)
+        |SELECT (SELECT source FROM t2 WHERE rn = 1) AS src_a,
+        | (SELECT source FROM t2 WHERE rn = 2) AS src_b,
+        | tot_a, tot_b, vocab_union, n_shared, kl1_e3, kl2_e3,
+        | (kl1_e3 + kl2_e3) // 2 AS jsd_e3
+        |FROM k""".stripMargin,
     "q_llm_feature_collinearity" ->
       """WITH f AS (SELECT string_split(text, ' ') AS tk
         |  FROM documents WHERE len(string_split(text, ' ')) > 0),

@@ -624,7 +624,53 @@ object Warehouse {
       .orderBy(col("quadrant"))
   }
 
+  /** Yearly growth table (J74): per order year — orders, distinct
+    * customers, revenue, and the YoY revenue ratio ×10⁴ (NULL on the
+    * first year, the honest value) — the one-page health table every
+    * warehouse review opens with, and the yearly complement of
+    * wow_growth / month_index.
+    *
+    * Shape (100 TB): one partial-aggregable year census → one window
+    * on the ≤span-years frame. */
+  def yearlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val y = orders(spark, dir)
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(cents("o_totalprice")).as("rev_cents"))
+    y.withColumn("yoy_e4", expr("rev_cents * 10000 div " +
+        "lag(rev_cents) OVER (ORDER BY yr)"))
+      .orderBy(col("yr"))
+  }
+
+  /** Snowflake-dimension rollup (J74): revenue subtotals along the
+    * region → nation hierarchy with grouping flags — the HIERARCHICAL
+    * rollup through a dim chain (q_agg_rollup rolls fact columns;
+    * this walks the snowflake), the shape every OLAP drill-down UI
+    * emits. ALL sentinels for deterministic ordering.
+    *
+    * Shape (100 TB): broadcast dim chain onto the fact stream → one
+    * rollup (partial-aggregable) → ≤ 31 rows. */
+  def dimRollup(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(customer(spark, dir).select(col("c_custkey"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir).select(col("n_nationkey"),
+        col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir).select(col("r_regionkey"),
+        col("r_name"))), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents("o_totalprice")).as("rev_cents"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_orders"), col("rev_cents"))
+      .orderBy(col("region"), col("nation"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_yearly_growth" -> yearlyGrowth,
+    "q_agg_dim_rollup" -> dimRollup,
     "q_parts_demand_class" -> demandClass,
     "q_orders_abc_migration" -> abcMigration,
     "q_dq_anomaly_drift" -> anomalyDrift,
@@ -646,6 +692,29 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orders_yearly_growth" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |   CAST(count(*) AS BIGINT) AS n_orders,
+        |   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |     AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, n_orders, n_customers, rev_cents,
+        | CAST(rev_cents * 10000 // lag(rev_cents) OVER (ORDER BY yr)
+        |   AS BIGINT) AS yoy_e4
+        |FROM y ORDER BY yr""".stripMargin,
+    "q_agg_dim_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(n_name, 'ALL') AS nation,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS rev_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
     "q_parts_demand_class" ->
       """WITH dd AS (SELECT l_partkey AS pk,
         |   CAST(date_diff('day', DATE '1995-01-01', l_shipdate)

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 472
+    val documented = 475
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -3764,6 +3764,62 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // falls with length — the direct feature-to-feature confirmation
     // of what mi_feature saw through the label
     assert(m("len_ttr") < -50000000L, m)
+  }
+
+  test("orders_yearly_growth: the first year carries a NULL ratio, " +
+      "later ratios replay from consecutive revenues") {
+    val rows = SparkEntry.queries("q_orders_yearly_growth")(spark, sf)
+      .orderBy("yr").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("yoy_e4")),
+      "first year must be NULL")
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        assert(c.getAs[Long]("yoy_e4") ==
+          c.getAs[Long]("rev_cents") * 10000 /
+            p.getAs[Long]("rev_cents"), c)
+      case _ =>
+    }
+  }
+
+  test("agg_dim_rollup: subtotal accounting closes at every level of " +
+      "the region-nation hierarchy") {
+    val rows = SparkEntry.queries("q_agg_dim_rollup")(spark, sf)
+      .collect()
+    val grand = rows.filter(r => r.getAs[String]("region") == "ALL" &&
+      r.getAs[String]("nation") == "ALL")
+    assert(grand.length == 1)
+    val details = rows.filter(r => r.getAs[String]("region") != "ALL"
+      && r.getAs[String]("nation") != "ALL")
+    val regSub = rows.filter(r => r.getAs[String]("region") != "ALL"
+      && r.getAs[String]("nation") == "ALL")
+    assert(grand.head.getAs[Long]("rev_cents") ==
+      details.map(_.getAs[Long]("rev_cents")).sum)
+    regSub.foreach { s =>
+      val reg = s.getAs[String]("region")
+      assert(s.getAs[Long]("rev_cents") ==
+        details.filter(_.getAs[String]("region") == reg)
+          .map(_.getAs[Long]("rev_cents")).sum, reg)
+    }
+    assert(regSub.length == 5)
+  }
+
+  test("llm_jsd_sources: the divergence sits inside the ln 2 bound, " +
+      "both KL halves are nonnegative within slack, and the two " +
+      "sources differ") {
+    val rows = SparkEntry.queries("q_llm_jsd_sources")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("src_a") != r.getAs[String]("src_b"))
+    // KL vs the mixture is ≥ 0 exactly; lnE3 rounding allows a
+    // couple of milli-nats of dip
+    assert(r.getAs[Long]("kl1_e3") >= -2, r)
+    assert(r.getAs[Long]("kl2_e3") >= -2, r)
+    val jsd = r.getAs[Long]("jsd_e3")
+    assert(jsd >= -2 && jsd <= 694, r) // ln 2 = 693 (+1 slack)
+    assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("vocab_union"),
+      r)
   }
 
   test("ts_pacf: level-1 PACF IS r1, level-2 replays from the r's, " +
