@@ -1660,9 +1660,13 @@ object Curation {
     * of the three gate features (len, ttr, stop-ratio) — the
     * multicollinearity audit q_llm_mi_feature implies (it measured
     * ttr leaking the length label; this measures ttr–len correlation
-    * DIRECTLY, feature-to-feature). Sqrt-free: sign(cov)·cov²·10⁸ div
-    * (varx·vary) — the kendall taub2 squared-verdict discipline;
-    * moments in the DECIMAL(38,0)/HUGEINT lane.
+    * DIRECTLY, feature-to-feature). Sqrt-free AND overflow-safe:
+    * r² factored as (|cov|·10⁴ div varx)·(|cov|·10⁴ div vary) — the
+    * single-squaring form cov²·10⁸ blew DECIMAL(38) at sf0.1 (cov ≈
+    * 2.5·10¹⁹ on e6-grid features; its square is 10³⁸·6 — caught by
+    * the bench, the ljungBox quantize-before-squaring lesson in
+    * divide-before-squaring form). Two truncations, identical text
+    * both engines; every intermediate stays under 10²⁴.
     *
     * Shape: one doc-sized feature pass → unpivoted pair moments →
     * 3-row fold. */
@@ -1691,11 +1695,12 @@ object Curation {
       .select(col("pair"), col("n"),
         expr("""CAST(CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0))
           | * sy >= 0 THEN 1 ELSE -1 END
-          | * ((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
-          |    * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
-          |    * 100000000
-          |    div greatest((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
-          |     * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy), 1))
+          | * ((abs(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 10000
+          |     div greatest(n * sxx
+          |      - CAST(sx AS DECIMAL(38,0)) * sx, 1))
+          |    * (abs(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 10000
+          |     div greatest(n * syy
+          |      - CAST(sy AS DECIMAL(38,0)) * sy, 1)))
           | AS BIGINT)""".stripMargin).as("r2_signed_e8"))
       .orderBy(col("pair"))
   }
@@ -1884,10 +1889,10 @@ object Curation {
         |SELECT pair, n,
         | CAST(CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy >= 0
         |   THEN 1 ELSE -1 END
-        |  * ((n * sxy - CAST(sx AS HUGEINT) * sy)
-        |     * (n * sxy - CAST(sx AS HUGEINT) * sy) * 100000000
-        |     // greatest((n * sxx - CAST(sx AS HUGEINT) * sx)
-        |      * (n * syy - CAST(sy AS HUGEINT) * sy), 1))
+        |  * ((abs(n * sxy - CAST(sx AS HUGEINT) * sy) * 10000
+        |     // greatest(n * sxx - CAST(sx AS HUGEINT) * sx, 1))
+        |    * (abs(n * sxy - CAST(sx AS HUGEINT) * sy) * 10000
+        |     // greatest(n * syy - CAST(sy AS HUGEINT) * sy, 1)))
         |  AS BIGINT) AS r2_signed_e8
         |FROM m ORDER BY pair""".stripMargin,
     "q_llm_gate_fairness" ->
