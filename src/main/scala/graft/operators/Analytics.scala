@@ -1525,8 +1525,10 @@ object Analytics {
       .select(col("n"), col("k_types"), col("k_dows"),
         expr("(k_types - 1) * (k_dows - 1)").as("dof"),
         col("chi2_e6"),
-        expr("chi2_e6 div (n * least(k_types - 1, k_dows - 1))")
-          .as("v2_e6"),
+        // greatest(...,1) guards a census collapsed to one type or one
+        // dow (house denominator discipline; ADVICE r8)
+        expr("chi2_e6 div greatest(n * least(k_types - 1, k_dows - 1)," +
+          " 1)").as("v2_e6"),
         // chi2 crit(dof=24, 95%) = 36.415 — authored e6 literal; the
         // spec pins dof == 24 so the literal cannot silently misapply
         expr("chi2_e6 >= 36415000").as("assoc_95"))
@@ -2027,7 +2029,8 @@ object Analytics {
         |    tt)
         |SELECT n, k_types, k_dows,
         |  (k_types - 1) * (k_dows - 1) AS dof, chi2_e6,
-        |  chi2_e6 // (n * least(k_types - 1, k_dows - 1)) AS v2_e6,
+        |  chi2_e6 // greatest(n * least(k_types - 1, k_dows - 1), 1)
+        |    AS v2_e6,
         |  chi2_e6 >= 36415000 AS assoc_95
         |FROM f""".stripMargin,
     "q_events_new_returning" ->

@@ -1526,9 +1526,11 @@ object LlmOps {
     * 1.0 parses as DECIMAL there, silently changing the arithmetic —
     * the hybridRrf/dsir lesson), "" on the DuckDB side (bare floats
     * are already DOUBLE and the D suffix doesn't parse). */
-  private def bm25Term(i: Int, d: String = ""): String =
+  private def bm25Term(i: Int, d: String = "", k1p1: String = "2.2",
+      k1: String = "1.2", omb: String = "0.25",
+      b: String = "0.75"): String =
     s"ln((n - df$i + 0.5$d)/(df$i + 0.5$d) + 1.0$d) * " +
-      s"tf$i*2.2$d/(tf$i + 1.2$d*(0.25$d + 0.75$d*dl/avgdl))"
+      s"tf$i*$k1p1$d/(tf$i + $k1$d*($omb$d + $b$d*dl/avgdl))"
 
   /** The three-term BM25 query this row scores ("join vector scan" —
     * mid-df corpus terms, so tf and length normalization both matter). */
@@ -1764,19 +1766,20 @@ object LlmOps {
     val base = perDoc.crossJoin(broadcast(stats))
       .filter(col("tf1") + col("tf2") + col("tf3") > 0)
       .localCheckpoint()
-    def term(i: Int, k1p1: String, k1: String, omb: String, b: String) =
-      s"ln((n - df$i + 0.5D)/(df$i + 0.5D) + 1.0D) * " +
-        s"tf$i*${k1p1}D/(tf$i + ${k1}D*(${omb}D + ${b}D*dl/avgdl))"
-    def top10(k1p1: String, k1: String, omb: String, b: String) =
+    // term text comes from the SAME bm25Term generator the enrolled
+    // bm25 row and its oracle compose (ADVICE r8: an inline constant
+    // copy here would silently diverge from the shared definition if
+    // bm25Term's defaults ever moved); the default arm passes no
+    // constants at all, so it IS the enrolled scorer.
+    def top10(f: Int => String) =
       base.withColumn("s", round(expr(
-          s"${term(1, k1p1, k1, omb, b)} + ${term(2, k1p1, k1, omb, b)}" +
-            s" + ${term(3, k1p1, k1, omb, b)}"), 4))
+          s"${f(1)} + ${f(2)} + ${f(3)}"), 4))
         .orderBy(col("s").desc, col("doc_id")).limit(10)
         .withColumn("r", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("s").desc, col("doc_id"))))
         .select(col("doc_id"), col("r"))
-    val dflt = top10("2.2", "1.2", "0.25", "0.75").localCheckpoint()
+    val dflt = top10(i => bm25Term(i, "D")).localCheckpoint()
     def row(name: String, k1E1: Long, bE2: Long,
         t: DataFrame): DataFrame =
       t.join(broadcast(dflt.select(col("doc_id"))), "doc_id")
@@ -1789,8 +1792,10 @@ object LlmOps {
           lit(bE2).as("b_e2"), col("overlap10"),
           (col("c1") === col("d1")).as("top1_same"))
     row("default", 12L, 75L, dflt)
-      .unionAll(row("low_sat", 9L, 40L, top10("1.9", "0.9", "0.6", "0.4")))
-      .unionAll(row("high_sat", 20L, 90L, top10("3.0", "2.0", "0.1", "0.9")))
+      .unionAll(row("low_sat", 9L, 40L,
+        top10(i => bm25Term(i, "D", "1.9", "0.9", "0.6", "0.4"))))
+      .unionAll(row("high_sat", 20L, 90L,
+        top10(i => bm25Term(i, "D", "3.0", "2.0", "0.1", "0.9"))))
       .orderBy(col("config"))
   }
 
@@ -3984,20 +3989,14 @@ object LlmOps {
     "q_llm_bm25_sweep" ->
       s"""WITH $bm25Ctes,
         |low AS (SELECT doc_id, round(
-        |   ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
-        |     * tf1*1.9/(tf1 + 0.9*(0.6 + 0.4*dl/avgdl))
-        | + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
-        |     * tf2*1.9/(tf2 + 0.9*(0.6 + 0.4*dl/avgdl))
-        | + ln((n - df3 + 0.5)/(df3 + 0.5) + 1.0)
-        |     * tf3*1.9/(tf3 + 0.9*(0.6 + 0.4*dl/avgdl)), 4) AS s
+        |   ${bm25Term(1, "", "1.9", "0.9", "0.6", "0.4")}
+        | + ${bm25Term(2, "", "1.9", "0.9", "0.6", "0.4")}
+        | + ${bm25Term(3, "", "1.9", "0.9", "0.6", "0.4")}, 4) AS s
         |  FROM perdoc CROSS JOIN stats WHERE tf1 + tf2 + tf3 > 0),
         |high AS (SELECT doc_id, round(
-        |   ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
-        |     * tf1*3.0/(tf1 + 2.0*(0.1 + 0.9*dl/avgdl))
-        | + ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
-        |     * tf2*3.0/(tf2 + 2.0*(0.1 + 0.9*dl/avgdl))
-        | + ln((n - df3 + 0.5)/(df3 + 0.5) + 1.0)
-        |     * tf3*3.0/(tf3 + 2.0*(0.1 + 0.9*dl/avgdl)), 4) AS s
+        |   ${bm25Term(1, "", "3.0", "2.0", "0.1", "0.9")}
+        | + ${bm25Term(2, "", "3.0", "2.0", "0.1", "0.9")}
+        | + ${bm25Term(3, "", "3.0", "2.0", "0.1", "0.9")}, 4) AS s
         |  FROM perdoc CROSS JOIN stats WHERE tf1 + tf2 + tf3 > 0),
         |dd AS (SELECT doc_id, r FROM (SELECT doc_id,
         |   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r

@@ -961,6 +961,52 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.toLowerCase.contains("collect_list"), s.take(2000))
   }
 
+  // ---- Round-9 plan-shape pins for the graph memoization +
+  // broadcast-hint removal (the r8 verdict's top-next items). The
+  // wins came from FrameMemo (tri-base, lpa-labels): if a future edit
+  // drops a memo, the heavy subplan leaks back into the final plan
+  // and these fail long before the bench does.
+
+  test("local_bridges pin: memoized tri-base keeps the adjacency " +
+      "build + intersection out of the final plan (r8: 7.19s driver)") {
+    val s = executedPlanString("q_graph_local_bridges")
+    assert(s.contains("ExistingRDD"), s.take(1500))
+    assert(s.contains("TakeOrderedAndProject"), s.take(1500))
+    // the collect_list adjacency aggregate and the neighborhood
+    // intersection both ran once, behind the tri-base checkpoint
+    assert(!s.toLowerCase.contains("collect_list"), s.take(2000))
+    assert(!s.toLowerCase.contains("array_intersect"), s.take(2000))
+  }
+
+  test("lpa pin: memoized label frame keeps both LPA rounds out of " +
+      "the final plan (no join, no union, no window left)") {
+    val s = executedPlanString("q_graph_lpa")
+    assert(s.contains("ExistingRDD"), s.take(1500))
+    // the two join+window rounds ran once, behind the lpa-labels memo
+    assert(!s.contains("Join"), s.take(2000))
+    assert(!s.contains("Union"), s.take(2000))
+    assert(!s.toLowerCase.contains("row_number"), s.take(2000))
+  }
+
+  test("community_entropy pin: memoized label frame keeps the LPA " +
+      "rounds out (no union; only the per-community top-brand window)") {
+    val s = executedPlanString("q_graph_community_entropy")
+    assert(s.contains("ExistingRDD"), s.take(1500))
+    // the directed-edge union exists only inside the LPA build; its
+    // absence proves the final plan consumes the memoized labels
+    assert(!s.contains("Union"), s.take(2000))
+  }
+
+  test("modularity pin: no forced broadcast on the node-sized label " +
+      "joins (the 100x executor-memory hazard) — only the scalar m2 " +
+      "row keeps a hint; AQE is free to pick the runtime strategy") {
+    val df = SparkEntry.queries("q_graph_modularity")(spark, sf)
+    val o = df.queryExecution.optimizedPlan.toString
+    val hints = "strategy=broadcast".r.findAllIn(o).size
+    assert(hints <= 1, s"expected <=1 broadcast hint (scalar m2), got " +
+      s"$hints:\n${o.take(2500)}")
+  }
+
   test("kcore pin: edge-list checkpoint keeps the basket build out of " +
       "the final plan (six consumers defeat ReuseExchange)") {
     val s = executedPlanString("q_graph_kcore")
