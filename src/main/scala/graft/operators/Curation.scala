@@ -299,7 +299,14 @@ object Curation {
       .reduce(_ unionAll _)
       .crossJoin(broadcast(denom))
       .select(col("dim"), col("n_hits"),
-        expr("(n_hits * 10000) div total").as("recall_e4"))
+        // greatest-guard (round 9, carried ADVICE): an empty full-rank
+        // frame (degenerate store: <2 vectors) makes total = 0 — Spark
+        // div would yield NULL where the oracle's // may error; both
+        // arms guard identically (0 div 1 = 0). The zero-hit DIM case
+        // is already parity-safe: this global agg emits n_hits = 0 and
+        // the oracle's VALUES LEFT JOIN keeps the dim row — pinned by
+        // the degenerate-fixture test in CurationSpec.
+        expr("(n_hits * 10000) div greatest(total, 1)").as("recall_e4"))
       .orderBy(col("dim"))
   }
 
@@ -2744,7 +2751,8 @@ object Curation {
         |  FROM (VALUES (8), (16), (32)) dd(d)
         |  LEFT JOIN hj ON hj.d = dd.d GROUP BY dd.d)
         |SELECT CAST(d AS INTEGER) AS dim, n_hits,
-        | CAST((n_hits * 10000) // total AS BIGINT) AS recall_e4
+        | CAST((n_hits * 10000) // greatest(total, 1) AS BIGINT)
+        |   AS recall_e4
         |FROM hits CROSS JOIN den ORDER BY dim""".stripMargin,
     "q_llm_hamming_embed" ->
       """WITH f AS (SELECT vec_id,

