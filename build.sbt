@@ -40,7 +40,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 400+ codegen'd query plans in one Bench fork overflow the default
   // 240 MB code cache — the JIT then silently stops compiling and
   // LATE queries run interpreted (measured: q_str_distance 0.29 s
-  // standalone vs 1.23 s as row ~420 of a full run). 1 GB keeps the
-  // whole suite compiled.
-  "-XX:ReservedCodeCacheSize=1g",
+  // standalone vs 1.23 s as row ~420 of a full run). 1 GB kept the
+  // r8 suite compiled for the builder's run but the driver's run of
+  // identical code still drifted 1.5-1.7x on late heavy rows (r8
+  // verdict #4: late-run JIT fallback) — 2 GB is reserve-only address
+  // space (committed as used) and removes the ceiling for the grown
+  // suite. Applies to EVERY forked JVM: test, Bench, Verify, Scaling.
+  "-XX:ReservedCodeCacheSize=2g",
 )

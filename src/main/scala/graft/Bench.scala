@@ -81,6 +81,18 @@ object Bench {
     val detailed =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"over_budget":$over,"budget_sec":$budgetSec,"sf":"$sfDir"}"""
     println(detailed)
+    // Per-family rollup (round 9, r8 verdict hygiene ask): the driver
+    // keeps a bounded stdout tail, so when the ~500-row per-query map
+    // truncates, this compact middle line still preserves the headline
+    // family totals. Family = the q_/s_ prefix up to the second '_'.
+    val fams = results.filter(_._2 >= 0).toSeq
+      .groupBy { case (name, _) =>
+        name.split("_").take(2).mkString("_") }
+      .toSeq.sortBy(-_._2.map(_._2).sum)
+      .map { case (fam, rs) =>
+        s"\"$fam\":{\"n\":${rs.size},\"sec\":${r3(rs.map(_._2).sum)}}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"families","families":$fams,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     // The driver's artifact keeps only a bounded stdout TAIL, which
     // truncated the per-query map in past rounds and left perf claims

@@ -118,7 +118,10 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.nio.file.Files.exists(p),
       "SCALING.json missing — run `sbt \"runMain graft.Scaling\"`")
     val json = java.nio.file.Files.readString(p)
-    val expRe = """"exp":(-?[0-9.]+)""".r
+    // exp (0.01->0.1 decade) AND exp1 (the round-9 sf1 replica decade,
+    // present when the artifact was generated with testdata-sf1) gate
+    // identically — a superlinear law in EITHER decade is red
+    val expRe = """"exp1?":(-?[0-9.]+)""".r
     val exps = expRe.findAllMatchIn(json).map(_.group(1).toDouble).toSeq
     assert(exps.size >= graft.Scaling.targets.size, s"only ${exps.size} exponents")
     val worst = exps.max
