@@ -1802,7 +1802,61 @@ object Analytics {
         col("p50_span"), col("p90_span"))
   }
 
+  /** Empirical-Bayes shrinkage of per-user purchase rates (J75, round
+    * 9 — the Beta–Binomial "batting average" estimator): a user with
+    * 2 purchases in 3 events is NOT a 67%-purchase user; their rate
+    * shrinks toward the population mean in proportion to how little
+    * evidence they carry. Prior strength k₀ = m(1−m)/Var(p) − 1 by
+    * method of moments over per-user shares; posterior rate
+    * p̂ = (k + m·k₀)/(n + k₀). Emits the 15 largest |shift|s — exactly
+    * the small-n outliers a raw leaderboard would misrank (the
+    * per-entity twin of q_events_cuped's variance reduction; raw rate
+    * rows like q_events_rfm assume n is big enough — this row is what
+    * to use when it isn't).
+    *
+    * Exactness: shares on the e6 grid; Var in e12 via the n·Σp²−(Σp)²
+    * form in DECIMAL(38,0)/HUGEINT (the assortativity overflow lane;
+    * BIGINT would overflow at u ≈ 10⁵ users); k₀ on the e3 grid,
+    * floored at 0 (overdispersed-beyond-Beta fixtures get no
+    * shrinkage rather than a negative prior — both engines
+    * identically); posterior = one final e6 truncating div.
+    *
+    * Shape (100 TB): one partial-aggregable per-user census → 1-row
+    * prior broadcast → map-only posterior + top-k. */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val per = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+      .withColumn("p_e6", expr("k * 1000000 div n"))
+    val g = per
+      .agg(count(lit(1)).as("u"), sum(col("p_e6")).as("sp"),
+        sum(expr("p_e6 * p_e6")).as("sp2"))
+      .select(col("u"), expr("sp div u").as("mean_e6"),
+        expr("""CAST(greatest((CAST(u AS DECIMAL(38,0)) * sp2
+          | - CAST(sp AS DECIMAL(38,0)) * sp)
+          | div (CAST(u AS DECIMAL(38,0)) * u), 1) AS BIGINT)"""
+          .stripMargin).as("var_e12"))
+      // k0 capped at 10⁶ (e3 grid = 10⁹): a degenerate all-equal-rate
+      // fixture drives var→1 and k0→2.5·10¹⁴, whose product with
+      // mean_e6 leaves BIGINT; past 10⁶ pseudo-observations the
+      // posterior is the prior mean to e6 resolution anyway
+      .withColumn("k0_e3", expr(
+        """least(greatest(mean_e6 * (1000000 - mean_e6) * 1000
+          | div var_e12 - 1000, 0), 1000000000)""".stripMargin))
+    per.crossJoin(broadcast(g))
+      .withColumn("shrunk_e6", expr(
+        "(k * 1000000000 + mean_e6 * k0_e3) div (n * 1000 + k0_e3)"))
+      .withColumn("shift_e6", expr("abs(shrunk_e6 - p_e6)"))
+      .select(col("user_id"), col("n"), col("k"), col("p_e6"),
+        col("mean_e6"), col("k0_e3"), col("shrunk_e6"), col("shift_e6"))
+      .orderBy(col("shift_e6").desc, col("user_id"))
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_eb_shrinkage" -> ebShrinkage,
     "q_events_lifespan" -> userLifespan,
     "q_events_type_affinity" -> typeAffinity,
     "q_events_weekend_lift" -> weekendLift,
@@ -1856,6 +1910,31 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_eb_shrinkage" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |     END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |pe AS (SELECT user_id, n, k, k * 1000000 // n AS p_e6
+        |  FROM per),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS u,
+        |   CAST(sum(p_e6) AS BIGINT) AS sp,
+        |   CAST(sum(p_e6 * p_e6) AS HUGEINT) AS sp2 FROM pe),
+        |pr AS (SELECT u, sp // u AS mean_e6,
+        |   CAST(greatest((CAST(u AS HUGEINT) * sp2
+        |     - CAST(sp AS HUGEINT) * sp)
+        |     // (CAST(u AS HUGEINT) * u), 1) AS BIGINT) AS var_e12
+        |  FROM g),
+        |k0 AS (SELECT u, mean_e6, var_e12,
+        |   least(greatest(mean_e6 * (1000000 - mean_e6) * 1000
+        |     // var_e12 - 1000, 0), 1000000000) AS k0_e3 FROM pr)
+        |SELECT user_id, n, k, p_e6, mean_e6, k0_e3,
+        | (k * 1000000000 + mean_e6 * k0_e3) // (n * 1000 + k0_e3)
+        |   AS shrunk_e6,
+        | abs((k * 1000000000 + mean_e6 * k0_e3) // (n * 1000 + k0_e3)
+        |   - p_e6) AS shift_e6
+        |FROM pe CROSS JOIN k0
+        |ORDER BY shift_e6 DESC, user_id LIMIT 15""".stripMargin,
     "q_events_lifespan" ->
       """WITH sp AS (SELECT user_id,
         |   CAST(max(epoch_us(ts) // 86400000000)

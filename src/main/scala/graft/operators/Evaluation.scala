@@ -609,7 +609,74 @@ object Evaluation {
       .orderBy(col("rank"))
   }
 
+  /** Mean Average Precision@10 (J75, round 9): per query term, AP@10
+    * of the combined BM25 top-10 — Σ over relevant ranks r of
+    * (hits-so-far@r / r), normalized by min(n_rel, 10) — plus the MAP
+    * summary row (the leaderboard scalar). Relevance for term q is
+    * tf(q) ≥ 4 — TOPICALITY, not mere containment (containment makes
+    * every top-10 doc relevant on this corpus and AP degenerates to
+    * 1.0 on all arms; measured at enrollment, threshold identical in
+    * the oracle). The ranking is the SHARED combined-BM25 top-10, so
+    * per-term AP exposes which query term the fused ranking actually
+    * serves — the retrieval-eval companion nDCG (graded) and P/R@k
+    * (set) don't give.
+    *
+    * Empty-arm parity (the mrl lesson, applied from the start): a
+    * term with zero top-10 hits still emits its row — the Spark arm
+    * is a global agg over a filtered frame (always 1 row, coalesce 0)
+    * and the oracle LEFT JOINs a VALUES term list.
+    *
+    * Exactness: per-rank precision is one e6 truncating div, summed
+    * exact, one final div by min(n_rel, 10). Shape: top-10 is
+    * TakeOrderedAndProject over the shared bm25Scored checkpoint; the
+    * cum-hits window touches exactly 10 rows (the nDCG discipline);
+    * corpus n_rel is one partial-aggregable fold. */
+  def mapAt10(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = LlmOps.bm25Terms
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val flags = toks.groupBy(col("doc_id")).agg(
+      sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
+      sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
+      sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+      .select(col("doc_id"),
+        when(col("tf1") >= 4, 1L).otherwise(0L).as("r1"),
+        when(col("tf2") >= 4, 1L).otherwise(0L).as("r2"),
+        when(col("tf3") >= 4, 1L).otherwise(0L).as("r3"))
+    val nrel = flags.agg(sum(col("r1")).as("n1"),
+      sum(col("r2")).as("n2"), sum(col("r3")).as("n3"))
+    val top10 = LlmOps.bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .join(flags, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("r1", "r2", "r3"))
+      .localCheckpoint() // 10 rows; feeds three arms + the summary
+    def arm(q: String, c: String, n: String): DataFrame =
+      top10
+        .withColumn("cum", sum(col(c)).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("rn"))))
+        .filter(col(c) === 1L)
+        .agg(coalesce(sum(expr("cum * 1000000 div rn")), lit(0L))
+          .as("sum_prec_e6"), count(lit(1)).as("n_hits10"))
+        .crossJoin(broadcast(nrel))
+        .select(lit(q).as("query"), col("n_hits10"),
+          col(n).as("n_rel"),
+          expr(s"sum_prec_e6 div greatest(least($n, 10), 1)")
+            .as("ap_e6"))
+    val per = arm(t1, "r1", "n1").unionAll(arm(t2, "r2", "n2"))
+      .unionAll(arm(t3, "r3", "n3")).localCheckpoint()
+    per.unionAll(per.agg(sum(col("n_hits10")).as("n_hits10"),
+        sum(col("n_rel")).as("n_rel"),
+        expr("sum(ap_e6) div 3").as("ap_e6"))
+      .select(lit("zzz_map").as("query"), col("n_hits10"),
+        col("n_rel"), col("ap_e6")))
+      .orderBy(col("query"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_map" -> mapAt10,
     "q_llm_err" -> errCascade,
     "q_llm_pr_at_k" -> prAtK,
     "q_llm_auc" -> aucRankSum,
@@ -626,6 +693,51 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_map" ->
+      s"""WITH ${LlmOps.bm25Ctes},
+        |ranked AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM bmsc),
+        |fl AS (SELECT doc_id,
+        |   CASE WHEN tf1 >= 4 THEN 1 ELSE 0 END AS r1,
+        |   CASE WHEN tf2 >= 4 THEN 1 ELSE 0 END AS r2,
+        |   CASE WHEN tf3 >= 4 THEN 1 ELSE 0 END AS r3
+        |  FROM perdoc),
+        |nr AS (SELECT CAST(sum(r1) AS BIGINT) AS n1,
+        |   CAST(sum(r2) AS BIGINT) AS n2,
+        |   CAST(sum(r3) AS BIGINT) AS n3 FROM fl),
+        |t AS (SELECT rn, coalesce(r1, 0) AS r1, coalesce(r2, 0) AS r2,
+        |   coalesce(r3, 0) AS r3
+        |  FROM ranked LEFT JOIN fl USING (doc_id) WHERE rn <= 10),
+        |c AS (SELECT rn, r1, r2, r3,
+        |   sum(r1) OVER (ORDER BY rn) AS c1,
+        |   sum(r2) OVER (ORDER BY rn) AS c2,
+        |   sum(r3) OVER (ORDER BY rn) AS c3 FROM t),
+        |a1 AS (SELECT CAST(coalesce(sum(CASE WHEN r1 = 1
+        |     THEN (c1 * 1000000) // rn END), 0) AS BIGINT) AS sp,
+        |   CAST(count(CASE WHEN r1 = 1 THEN 1 END) AS BIGINT) AS h
+        |  FROM c),
+        |a2 AS (SELECT CAST(coalesce(sum(CASE WHEN r2 = 1
+        |     THEN (c2 * 1000000) // rn END), 0) AS BIGINT) AS sp,
+        |   CAST(count(CASE WHEN r2 = 1 THEN 1 END) AS BIGINT) AS h
+        |  FROM c),
+        |a3 AS (SELECT CAST(coalesce(sum(CASE WHEN r3 = 1
+        |     THEN (c3 * 1000000) // rn END), 0) AS BIGINT) AS sp,
+        |   CAST(count(CASE WHEN r3 = 1 THEN 1 END) AS BIGINT) AS h
+        |  FROM c),
+        |per AS (
+        | SELECT '${LlmOps.bm25Terms(0)}' AS query, a1.h AS n_hits10,
+        |   nr.n1 AS n_rel, a1.sp // greatest(least(nr.n1, 10), 1) AS ap_e6
+        |  FROM a1, nr
+        | UNION ALL SELECT '${LlmOps.bm25Terms(1)}', a2.h, nr.n2,
+        |   a2.sp // greatest(least(nr.n2, 10), 1) FROM a2, nr
+        | UNION ALL SELECT '${LlmOps.bm25Terms(2)}', a3.h, nr.n3,
+        |   a3.sp // greatest(least(nr.n3, 10), 1) FROM a3, nr)
+        |SELECT query, n_hits10, n_rel, ap_e6 FROM per
+        |UNION ALL SELECT 'zzz_map', CAST(sum(n_hits10) AS BIGINT),
+        |  CAST(sum(n_rel) AS BIGINT), CAST(sum(ap_e6) // 3 AS BIGINT)
+        | FROM per
+        |ORDER BY query""".stripMargin,
     "q_llm_err" ->
       s"""WITH ${LlmOps.bm25Ctes},
         |ranked AS (SELECT doc_id,

@@ -1129,6 +1129,46 @@ object Graph {
           .as("transitivity_e4"))
   }
 
+  /** Two-path brokerage census (J75, round 9 — Burt's structural
+    * holes): per wedge CENTER w, how many of its 2-paths u–w–v connect
+    * endpoints that are NOT directly linked? Those are the pairs whose
+    * only short route runs THROUGH w — the broker positions a
+    * recommender or a supply planner should protect (the node-role
+    * complement of q_graph_local_bridges' edge census, and the
+    * aggregate-by-center twin of q_graph_adamic_adar's
+    * aggregate-by-endpoints). Emits the top-20 brokers by open-wedge
+    * count with their openness share.
+    *
+    * Scale: wedge volume is hub-dominated (Σ_w deg(w)²), so wedge
+    * centers are capped at deg ≤ 64 — the IDENTICAL documented cap,
+    * rationale, and oracle treatment as adamicAdar (a high-degree
+    * center's wedges are each individually weak brokerage claims while
+    * costing deg² — maximum-cost minimum-signal). Candidates stream
+    * through one self-join on the capped incidence frame; the anti
+    * probe against the edge list is keyed (u,v); everything after is
+    * center-sized.
+    *
+    * Exactness: pure counts + one e4 truncating div. */
+  def brokerage(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccEdges(spark, dir)
+    val inc = e0.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e0.select(col("v").as("w"), col("u").as("x")))
+    val deg = inc.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val cinc = inc.join(broadcast(deg.filter(col("d") <= 64)), "w")
+    val wedges = cinc.as("a").join(cinc.as("b"),
+        col("a.w") === col("b.w") && col("a.x") < col("b.x"))
+      .select(col("a.w").as("w"), col("a.x").as("u"), col("b.x").as("v"))
+    val open = wedges.join(e0, Seq("u", "v"), "left_anti")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_open"))
+    val all = wedges.groupBy(col("w")).agg(count(lit(1)).as("n_wedges"))
+    all.join(open, Seq("w"), "left_outer")
+      .na.fill(0L, Seq("n_open"))
+      .select(col("w").as("broker"), col("n_wedges"), col("n_open"),
+        expr("n_open * 10000 div n_wedges").as("openness_e4"))
+      .orderBy(col("n_open").desc, col("broker"))
+      .limit(20)
+  }
+
   /** Community label entropy (round 8): are the LPA communities
     * BRAND-coherent? Per community (top-10 by size): member count,
     * distinct brands, the modal brand (min-brand tie-break), and the
@@ -1205,6 +1245,7 @@ object Graph {
     "q_basket_lift" -> basketLift,
     "q_orders_assoc_rules" -> assocRules,
     "q_graph_adamic_adar" -> adamicAdar,
+    "q_graph_brokerage" -> brokerage,
     "q_graph_local_bridges" -> localBridges,
     "q_graph_brand_homophily" -> brandHomophily,
     "q_graph_walk_sample" -> walkSample,
@@ -1415,6 +1456,30 @@ object Graph {
         |WHERE NOT EXISTS (SELECT 1 FROM e0
         |  WHERE e0.u = pairs.u AND e0.v = pairs.v)
         |ORDER BY aa_e6 DESC, u, v LIMIT 20""".stripMargin,
+    "q_graph_brokerage" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk),
+        |inc AS (SELECT u AS w, v AS x FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d
+        |  FROM inc GROUP BY 1 HAVING count(*) <= 64),
+        |cinc AS (SELECT inc.w, x FROM inc
+        |  JOIN deg ON inc.w = deg.w),
+        |wedges AS (SELECT a.w, a.x AS u, b.x AS v
+        |  FROM cinc a JOIN cinc b ON a.w = b.w AND a.x < b.x),
+        |alls AS (SELECT w, CAST(count(*) AS BIGINT) AS n_wedges
+        |  FROM wedges GROUP BY 1),
+        |op AS (SELECT w, CAST(count(*) AS BIGINT) AS n_open
+        |  FROM wedges WHERE NOT EXISTS (SELECT 1 FROM e0
+        |    WHERE e0.u = wedges.u AND e0.v = wedges.v)
+        |  GROUP BY 1)
+        |SELECT alls.w AS broker, n_wedges,
+        | CAST(coalesce(n_open, 0) AS BIGINT) AS n_open,
+        | coalesce(n_open, 0) * 10000 // n_wedges AS openness_e4
+        |FROM alls LEFT JOIN op ON alls.w = op.w
+        |ORDER BY n_open DESC, broker LIMIT 20""".stripMargin,
     "q_orders_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
         |  FROM lineitem),

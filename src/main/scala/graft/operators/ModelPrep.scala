@@ -1156,7 +1156,111 @@ object ModelPrep {
         expr("(num + tv * 1000000) div tv - 1000000").as("kl_e3"))
   }
 
+  /** SIF token down-weights (J75, round 9 — Arora et al.'s smooth
+    * inverse frequency): w(t) = a / (a + p(t)) with a = 10⁻³, the
+    * weighting that turns bag-of-embedding averages into the classic
+    * "tough-to-beat" sentence embedding (frequent tokens contribute
+    * almost nothing, rare tokens fully). The companion table to
+    * q_llm_abtt's common-component removal — together they ARE the
+    * SIF pipeline; also the principled replacement for hand-curated
+    * stopword lists (q_llm_stopword_discovery finds candidates, this
+    * weights them continuously).
+    *
+    * Exactness: with a = 1/1000 and p = c/N, the weight is EXACTLY
+    * N/(N + 1000·c) — fully integer, one truncating div to e6. No ln,
+    * no float anywhere. Overflow: N·10⁶ needs N < 9·10¹² (move the
+    * lane to DECIMAL(38,0) past that corpus size, the assortativity
+    * discipline).
+    *
+    * Shape (100 TB): one tokenize + vocab-sized partial-aggregable
+    * count, 1-row total broadcast, map-only weight + top-k. */
+  def sifWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = cnt.agg(sum(col("c")).as("n_tok"))
+    cnt.crossJoin(broadcast(n))
+      .select(col("w").as("token"), col("c"), col("n_tok"),
+        expr("n_tok * 1000000 div (n_tok + 1000 * c)").as("sif_e6"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(50)
+  }
+
+  /** One unigram-LM EM step (J76, round 9 — the SentencePiece/Kudo
+    * estimator's inner loop): over a bounded segmentation lattice
+    * (each distinct token ≤ 8 chars contributes its WHOLE form plus
+    * every 2-way split), E-step computes each segmentation's posterior
+    * under the occurrence-estimate p₀ (the uniform-posterior M-step),
+    * M-step re-estimates piece probabilities from the posteriors —
+    * pieces that COMPOSE well gain mass, redundant whole forms lose
+    * it. The lattice member of the tokenizer-training family: BPE
+    * (q_llm_bpe_merge) greedily merges, WordPiece
+    * (q_llm_wordpiece_merge) scores by likelihood ratio, unigram-EM
+    * soft-assigns over all segmentations — all three now enrolled.
+    * Top-30 pieces by re-estimated probability.
+    *
+    * Exactness: p₀ on the e6 grid; segmentation scores are exact e12
+    * products (whole = p₀·10⁶ so both arms share the grid); posteriors
+    * one e6 truncating div (z ≤ 9·10¹² — BIGINT-safe); M-step mass in
+    * BIGINT with the final division in DECIMAL(38,0)/HUGEINT (mass·10⁶
+    * crosses 2⁶³ at ~10¹³ corpus tokens — the assortativity lane).
+    *
+    * Shape (100 TB): ONE tokenize shuffle to the vocab-sized frequency
+    * table; the lattice is vocab×(≤8) rows, every join after is keyed
+    * on piece or token — corpus size enters only as the frequency
+    * weight, never as a row count. */
+  def unigramEm(spark: SparkSession, dir: String): DataFrame = {
+    val tk = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(length(col("w")).between(1, 8))
+      .localCheckpoint() // vocab-sized; seeds lattice + both steps
+    val whole = tk.select(col("w"), col("f"), col("w").as("pa"),
+      lit(null).cast("string").as("pb"))
+    val splits = tk.filter(length(col("w")) >= 2)
+      .select(col("w"), col("f"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+          |  i -> struct(substring(w, 1, i) AS pa,
+          |              substring(w, i + 1) AS pb))""".stripMargin))
+        .as("s"))
+      .select(col("w"), col("f"), col("s.pa").as("pa"),
+        col("s.pb").as("pb"))
+    val segs = whole.unionAll(splits).localCheckpoint()
+    def pieceRows(df: DataFrame, weight: String): DataFrame =
+      df.select(col(weight), explode(when(col("pb").isNull,
+          array(col("pa"))).otherwise(array(col("pa"), col("pb"))))
+        .as("piece"))
+    val occ = pieceRows(segs.withColumn("wt", col("f")), "wt")
+      .groupBy(col("piece")).agg(sum(col("wt")).as("occ"))
+    val tot = occ.agg(sum(col("occ")).as("t"))
+    val p0 = occ.crossJoin(broadcast(tot))
+      .select(col("piece"), col("occ"),
+        expr("occ * 1000000 div t").as("p0_e6"))
+      .localCheckpoint()
+    val sc = segs
+      .join(p0.select(col("piece").as("pa"), col("p0_e6").as("qa")), "pa")
+      .join(p0.select(col("piece").as("pb"), col("p0_e6").as("qb")),
+        Seq("pb"), "left")
+      .withColumn("score_e12", when(col("pb").isNull,
+        expr("qa * 1000000")).otherwise(expr("qa * qb")))
+    val z = sc.groupBy(col("w")).agg(sum(col("score_e12")).as("z"))
+    val post = sc.join(z, "w")
+      .withColumn("post_e6", expr("score_e12 * 1000000 div z"))
+      .withColumn("wt", expr("f * post_e6"))
+    val mass = pieceRows(post, "wt")
+      .groupBy(col("piece")).agg(sum(col("wt")).as("m"))
+    val mt = mass.agg(sum(col("m")).as("mt"))
+    mass.crossJoin(broadcast(mt)).join(p0, "piece")
+      .select(col("piece"), col("occ"), col("p0_e6"),
+        expr("""CAST(CAST(m AS DECIMAL(38,0)) * 1000000
+          | div mt AS BIGINT)""".stripMargin).as("p1_e6"))
+      .orderBy(col("p1_e6").desc, col("piece"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_unigram_em" -> unigramEm,
+    "q_llm_sif_weights" -> sifWeights,
     "q_llm_split_kl" -> splitKl,
     "q_llm_norm_audit" -> normAudit,
     "q_llm_embed_outliers" -> embedOutliers,
@@ -1215,6 +1319,55 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_unigram_em" ->
+      """WITH tk AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t
+        |  WHERE length(tok) BETWEEN 1 AND 8 GROUP BY 1),
+        |segs AS (
+        |  SELECT w, f, w AS pa, CAST(NULL AS VARCHAR) AS pb FROM tk
+        |  UNION ALL
+        |  SELECT w, f, s['pa'], s['pb'] FROM (
+        |    SELECT w, f, unnest([{'pa': w[1:CAST(i AS INTEGER)],
+        |        'pb': w[CAST(i AS INTEGER) + 1:]}
+        |      for i in range(1, CAST(length(w) AS BIGINT))]) AS s
+        |    FROM tk WHERE length(w) >= 2) u),
+        |pieces AS (SELECT f AS wt, pa AS piece FROM segs
+        |  UNION ALL SELECT f, pb FROM segs WHERE pb IS NOT NULL),
+        |occ AS (SELECT piece, CAST(sum(wt) AS BIGINT) AS occ
+        |  FROM pieces GROUP BY 1),
+        |tot AS (SELECT CAST(sum(occ) AS BIGINT) AS t FROM occ),
+        |p0 AS (SELECT piece, occ, occ * 1000000 // t AS p0_e6
+        |  FROM occ CROSS JOIN tot),
+        |sc AS (SELECT s.w, s.f, s.pa, s.pb,
+        |   CASE WHEN s.pb IS NULL THEN a.p0_e6 * 1000000
+        |        ELSE a.p0_e6 * b.p0_e6 END AS score_e12
+        |  FROM segs s JOIN p0 a ON a.piece = s.pa
+        |   LEFT JOIN p0 b ON b.piece = s.pb),
+        |z AS (SELECT w, CAST(sum(score_e12) AS BIGINT) AS z
+        |  FROM sc GROUP BY 1),
+        |post AS (SELECT sc.*, score_e12 * 1000000 // z.z AS post_e6
+        |  FROM sc JOIN z USING (w)),
+        |pm AS (SELECT f * post_e6 AS wt, pa AS piece FROM post
+        |  UNION ALL SELECT f * post_e6, pb FROM post
+        |  WHERE pb IS NOT NULL),
+        |mass AS (SELECT piece, CAST(sum(wt) AS BIGINT) AS m
+        |  FROM pm GROUP BY 1),
+        |mt AS (SELECT CAST(sum(m) AS HUGEINT) AS mt FROM mass)
+        |SELECT p0.piece, p0.occ, p0.p0_e6,
+        | CAST(CAST(m AS HUGEINT) * 1000000 // mt AS BIGINT) AS p1_e6
+        |FROM mass JOIN p0 USING (piece) CROSS JOIN mt
+        |ORDER BY p1_e6 DESC, piece LIMIT 30""".stripMargin,
+    "q_llm_sif_weights" ->
+      """WITH cnt AS (SELECT tok AS token,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM cnt)
+        |SELECT token, c, n_tok,
+        | n_tok * 1000000 // (n_tok + 1000 * c) AS sif_e6
+        |FROM cnt CROSS JOIN n
+        |ORDER BY c DESC, token LIMIT 50""".stripMargin,
     "q_llm_split_kl" ->
       """WITH b AS (SELECT doc_id, text,
         |   CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)

@@ -1480,7 +1480,66 @@ object TimeSeries {
         (col("slope_loo_e6") - col("slope_e6")).as("shift_e6"))
   }
 
+  /** Hurst exponent via the aggregated-variance method (J75, round 9):
+    * is the event stream long-range dependent? Block-sum the ranked
+    * HOURLY counts at scales m ∈ {1,2,4,8} (hourly, not daily: the
+    * 30-day fixture span gives a DAILY census only 3 blocks at m=8 —
+    * a meaningless variance whose measured H landed at −0.35; the
+    * ~720-hour census keeps ≥90 blocks at the coarsest scale at every
+    * SF); for self-similar
+    * traffic Var(block sums) ∝ m^{2H}, so H is half the slope of
+    * ln Var vs ln m. H ≈ 0.5 = short-memory (Poisson-like), H → 1 =
+    * long-range dependence — the number that says whether capacity
+    * planning can use Poisson models or must assume burst persistence
+    * (the LRD companion of q_llm_burstiness' Fano factor and
+    * q_ts_acf's fixed-lag correlations: those see one scale, H sees
+    * the scaling LAW). Blocks drop the ragged tail (rank ≤ ⌊K/8⌋·8)
+    * so every scale aggregates the identical span.
+    *
+    * Exactness: block sums are integer; Var_e4 per scale is the
+    * n·Σs²−(Σs)² form (one e4 truncating div, greatest-1 guarded);
+    * ln floors once to e3; the log-log slope over the four EQUALLY
+    * SPACED ln m points (spacing ln 2) reduces to the closed weights
+    * (−3,−1,+1,+3)/(10·ln2), so hurst_e3 = (3y₈+y₄−y₂−3y₁)·1000 div
+    * 13860 — one final truncation (13860 = 2·10·693, ln2 on the
+    * shared e3 grid).
+    *
+    * Shape (100 TB): one partial-aggregable hourly census; everything
+    * after is span-sized (the ts-family discipline) — the ×4 scale
+    * fan-out rides the ~720-row hourly frame, never the fact table. */
+  def hurst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 3600000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val rk = hourly.withColumn("r",
+      row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val km = rk.agg(expr("(count(1) div 8) * 8").as("rmax"))
+    val b = rk.crossJoin(broadcast(km)).filter(col("r") <= col("rmax"))
+      .crossJoin(broadcast(Seq(1L, 2L, 4L, 8L).toDF("m")))
+      .groupBy(col("m"), expr("(r - 1) div m").as("blk"))
+      .agg(sum(col("n")).as("s"))
+    val v = b.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_blocks"),
+        expr("""greatest((count(1) * sum(s * s) - sum(s) * sum(s))
+          | * 10000 div (count(1) * count(1)), 1)""".stripMargin)
+          .as("var_e4"))
+      .withColumn("ln_var_e3",
+        expr("CAST(floor(ln(var_e4) * 1000 + 0.5) AS BIGINT)"))
+    val h = v.agg(expr(
+      """CAST((3 * max(CASE WHEN m = 8 THEN ln_var_e3 END)
+        |      + max(CASE WHEN m = 4 THEN ln_var_e3 END)
+        |      - max(CASE WHEN m = 2 THEN ln_var_e3 END)
+        |  - 3 * max(CASE WHEN m = 1 THEN ln_var_e3 END))
+        | * 1000 div 13860 AS BIGINT)""".stripMargin).as("hurst_e3"))
+    v.crossJoin(broadcast(h))
+      .select(col("m"), col("n_blocks"), col("var_e4"),
+        col("ln_var_e3"), col("hurst_e3"))
+      .orderBy(col("m"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_hurst" -> hurst,
     "q_ts_slope_influence" -> slopeInfluence,
     "q_ts_stl_resid_acf" -> stlResidAcf,
     "q_ts_variance_ratio" -> varianceRatio,
@@ -1520,6 +1579,31 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_hurst" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |rk AS (SELECT n, CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+        |   AS r FROM hourly),
+        |km AS (SELECT (count(*) // 8) * 8 AS rmax FROM rk),
+        |b AS (SELECT m, (r - 1) // m AS blk,
+        |   CAST(sum(n) AS BIGINT) AS s
+        |  FROM rk CROSS JOIN km
+        |  CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2), (4), (8)) ms(m)
+        |  WHERE r <= rmax GROUP BY 1, 2),
+        |v AS (SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+        |   CAST(greatest((count(*) * sum(s * s) - sum(s) * sum(s))
+        |     * 10000 // (count(*) * count(*)), 1) AS BIGINT) AS var_e4
+        |  FROM b GROUP BY 1),
+        |y AS (SELECT m, n_blocks, var_e4,
+        |   CAST(floor(ln(var_e4) * 1000 + 0.5) AS BIGINT) AS ln_var_e3
+        |  FROM v),
+        |h AS (SELECT CAST((3 * max(CASE WHEN m = 8 THEN ln_var_e3 END)
+        |      + max(CASE WHEN m = 4 THEN ln_var_e3 END)
+        |      - max(CASE WHEN m = 2 THEN ln_var_e3 END)
+        |  - 3 * max(CASE WHEN m = 1 THEN ln_var_e3 END))
+        |  * 1000 // 13860 AS BIGINT) AS hurst_e3 FROM y)
+        |SELECT m, n_blocks, var_e4, ln_var_e3, hurst_e3
+        |FROM y CROSS JOIN h ORDER BY m""".stripMargin,
     "q_ts_slope_influence" ->
       """WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),

@@ -668,7 +668,55 @@ object Warehouse {
         col("n_orders"), col("rev_cents"))
       .orderBy(col("region"), col("nation"))
 
+  /** Open-order backlog sweep (J76, round 9): the WIP level over
+    * calendar time — each order enters the backlog on its order date
+    * and leaves the day after its LAST lineitem ships; the running
+    * net of +1/−1 deltas is the backlog curve, and the emitted top-10
+    * peak days answer the capacity question q_orders_open_aging's
+    * single-cut census cannot (aging slices ONE day; this finds WHICH
+    * days were worst). The order-table twin of q_events_concurrency's
+    * sweep-line. Ship-before-order rows exist in this fixture (~48%,
+    * measured by q_dq_temporal_order) — closes clamp to
+    * greatest(close, open), identically in the oracle, so no interval
+    * is negative.
+    *
+    * Exactness: pure integer counts; days on the shared
+    * datediff-from-epoch-date grid.
+    *
+    * Shape (100 TB): one per-order close fold (partial-aggregable
+    * max), one delta union → day census → ONE span-sized running-sum
+    * window (~2 500 day rows regardless of corpus size — the ts
+    * discipline), top-10 via TakeOrdered. */
+  def backlog(spark: SparkSession, dir: String): DataFrame = {
+    val closes = lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(expr(
+        "CAST(datediff(l_shipdate, DATE '1992-01-01') AS BIGINT)"))
+        .as("close_d"))
+    val opens = orders(spark, dir)
+      .select(col("o_orderkey"), expr(
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)")
+        .as("open_d"))
+    val iv = opens.join(closes, "o_orderkey")
+      .select(col("open_d"),
+        expr("greatest(close_d, open_d)").as("close_d"))
+    val deltas = iv.select(col("open_d").as("day"), lit(1L).as("dl"))
+      .unionAll(iv.select((col("close_d") + 1).as("day"),
+        lit(-1L).as("dl")))
+      .groupBy(col("day")).agg(sum(col("dl")).as("net"),
+        sum(when(col("dl") === 1, 1L).otherwise(0L)).as("n_opened"),
+        sum(when(col("dl") === -1, 1L).otherwise(0L)).as("n_released"))
+    deltas
+      .withColumn("backlog", sum(col("net")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      .select(col("day"), col("n_opened"), col("n_released"),
+        col("backlog"))
+      .orderBy(col("backlog").desc, col("day"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orders_backlog" -> backlog,
     "q_orders_yearly_growth" -> yearlyGrowth,
     "q_agg_dim_rollup" -> dimRollup,
     "q_parts_demand_class" -> demandClass,
@@ -692,6 +740,30 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orders_backlog" ->
+      """WITH cl AS (SELECT l_orderkey AS o_orderkey,
+        |   CAST(max(datediff('day', DATE '1992-01-01',
+        |     CAST(l_shipdate AS DATE))) AS BIGINT) AS close_d
+        |  FROM lineitem GROUP BY 1),
+        |op AS (SELECT o_orderkey,
+        |   CAST(datediff('day', DATE '1992-01-01',
+        |     CAST(o_orderdate AS DATE)) AS BIGINT) AS open_d
+        |  FROM orders),
+        |iv AS (SELECT open_d, greatest(close_d, open_d) AS close_d
+        |  FROM op JOIN cl USING (o_orderkey)),
+        |dl AS (SELECT open_d AS day, CAST(1 AS BIGINT) AS dl FROM iv
+        |  UNION ALL SELECT close_d + 1, CAST(-1 AS BIGINT) FROM iv),
+        |g AS (SELECT day, CAST(sum(dl) AS BIGINT) AS net,
+        |   CAST(sum(CASE WHEN dl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_opened,
+        |   CAST(sum(CASE WHEN dl = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_released
+        |  FROM dl GROUP BY 1),
+        |r AS (SELECT day, n_opened, n_released,
+        |   CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS backlog
+        |  FROM g)
+        |SELECT day, n_opened, n_released, backlog FROM r
+        |ORDER BY backlog DESC, day LIMIT 10""".stripMargin,
     "q_orders_yearly_growth" ->
       """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |   CAST(count(*) AS BIGINT) AS n_orders,

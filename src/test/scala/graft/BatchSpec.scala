@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 475
+    val documented = 483
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -4660,6 +4660,123 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val scores = rows.map(_.getAs[Long]("score_e4")).toSeq
     assert(scores == scores.sorted.reverse, "not sorted by score desc")
+  }
+
+  // ---- Round-9 J75 rows: the invariants the DuckDB oracle can't
+  // express (bounds, monotonicity, between-ness).
+
+  test("llm_map: AP bounded by 1e6, hits bounded by 10, and the MAP " +
+      "summary row is the exact truncated mean of the three arms") {
+    val rows = SparkEntry.queries("q_llm_map")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length == 4, rows.mkString(","))
+    val (sums, arms) = rows.partition(_._1 == "zzz_map")
+    assert(arms.length == 3 && sums.length == 1)
+    arms.foreach { case (q, h, _, ap) =>
+      assert(h >= 0 && h <= 10, s"$q hits $h")
+      assert(ap >= 0 && ap <= 1000000, s"$q ap $ap")
+    }
+    assert(sums.head._2 == arms.map(_._2).sum)
+    assert(sums.head._3 == arms.map(_._3).sum)
+    assert(sums.head._4 == arms.map(_._4).sum / 3)
+  }
+
+  test("graph_brokerage: openness bounded, open wedges never exceed " +
+      "wedges, and every reported broker honors the deg<=64 cap") {
+    val rows = SparkEntry.queries("q_graph_brokerage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, nw, no, op) =>
+      assert(no <= nw, s"broker $w: open $no > wedges $nw")
+      assert(op >= 0 && op <= 10000, s"broker $w openness $op")
+      // wedge count from a capped center is at most C(64, 2)
+      assert(nw <= 64L * 63 / 2, s"broker $w wedges $nw exceed the cap")
+    }
+  }
+
+  test("ts_hurst: four scales, blocks halve as m doubles, and the " +
+      "estimate stays in the stationary range [0, 1]") {
+    val rows = SparkEntry.queries("q_ts_hurst")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    val h = rows.head._4
+    assert(rows.forall(_._4 == h), "hurst_e3 differs across rows")
+    assert(h >= 0 && h <= 1000, s"hurst_e3 $h outside [0, 1000]")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 == 2 * b._2,
+        s"m=${b._1} blocks ${b._2} != half of m=${a._1}'s ${a._2}")
+    }
+  }
+
+  test("events_eb_shrinkage: every posterior lies between the raw " +
+      "rate and the prior mean (shrinkage moves toward, never past)") {
+    val rows = SparkEntry.queries("q_events_eb_shrinkage")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_e6"); val m = r.getAs[Long]("mean_e6")
+      val s = r.getAs[Long]("shrunk_e6")
+      // ±1 slack: both ends and the posterior truncate independently
+      assert(s >= math.min(p, m) - 1 && s <= math.max(p, m) + 1,
+        s"user ${r.getAs[Long]("user_id")}: shrunk $s outside [$p, $m]")
+    }
+  }
+
+  test("llm_sif_weights: weights are in (0, 1e6] and monotone " +
+      "non-increasing in token frequency") {
+    val rows = SparkEntry.queries("q_llm_sif_weights")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(3))) // (c, sif_e6)
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, w) =>
+      assert(w > 0 && w <= 1000000, s"c=$c w=$w") }
+    rows.sortBy(-_._1).map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b, s"weight not monotone: $a then $b") }
+  }
+
+  test("mm_image_whash: 16-bit hash, n_pos is its popcount, and " +
+      "every enrolled image is >= 64 px (the chunk-map precondition)") {
+    val rows = SparkEntry.queries("q_mm_image_whash")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("whash"); val np = r.getAs[Long]("n_pos")
+      assert(h >= 0 && h < (1L << 16), s"whash $h not 16-bit")
+      assert(np == java.lang.Long.bitCount(h),
+        s"n_pos $np != popcount($h)")
+      assert(r.getAs[Int]("n_px") >= 64)
+    }
+  }
+
+  test("llm_unigram_em: probabilities bounded, pieces bounded to the " +
+      "documented 8-char lattice, and the EM step conserves mass " +
+      "(top-30 p1 sums under 1e6)") {
+    val rows = SparkEntry.queries("q_llm_unigram_em")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { case (p, p0, p1) =>
+      assert(p.nonEmpty && p.length <= 8, s"piece '$p'")
+      assert(p0 >= 0 && p0 <= 1000000, s"$p p0=$p0")
+      assert(p1 >= 0 && p1 <= 1000000, s"$p p1=$p1")
+    }
+    assert(rows.map(_._3).sum <= 1000000L,
+      s"top-30 p1 mass ${rows.map(_._3).sum} exceeds 1")
+  }
+
+  test("orders_backlog: peak-day backlog is nonnegative, bounded by " +
+      "the order count, and deltas are consistent") {
+    val rows = SparkEntry.queries("q_orders_backlog")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nOrders = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("backlog")
+      assert(b >= 0 && b <= nOrders, s"backlog $b outside [0, $nOrders]")
+      assert(r.getAs[Long]("n_opened") >= 0 &&
+        r.getAs[Long]("n_released") >= 0)
+    }
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +

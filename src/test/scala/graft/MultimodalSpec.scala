@@ -191,6 +191,37 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "than the local gradients")
   }
 
+  test("ffmpeg video decode (PATH-gated): real-codec frames ride the " +
+      "same Frame plumbing — skipped when no ffmpeg in the image") {
+    assume(Multimodal.ffmpegAvailable,
+      "ffmpeg not on PATH — real-codec integration path skipped " +
+        "(the GRFT stand-in tests cover the plumbing)")
+    import spark.implicits._
+    // synthesize a real 8-frame 64x64 video with ffmpeg's testsrc
+    val tmp = java.nio.file.Files.createTempFile("graft_testsrc", ".mp4")
+    val gen = new ProcessBuilder("ffmpeg", "-v", "error", "-y",
+      "-f", "lavfi", "-i", "testsrc=duration=1:size=64x64:rate=8",
+      tmp.toString).start()
+    gen.getInputStream.readAllBytes()
+    assert(gen.waitFor() == 0, "testsrc generation failed")
+    val blob = java.nio.file.Files.readAllBytes(tmp)
+    java.nio.file.Files.deleteIfExists(tmp)
+    val media = Seq(Media(7L, "video_mp4", blob)).toDS()
+    val frames = Multimodal.sampleFramesFfmpeg(media, 2).collect()
+    // 8 source frames, keep every 2nd -> 4 frames, indices 0,2,4,6
+    assert(frames.length == 4, s"expected 4 sampled frames, got " +
+      s"${frames.length}")
+    assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 2, 4, 6))
+    // every emitted frame is a real decodable 64x64 PNG
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null, s"frame ${f.frame_no} not decodable")
+      assert(img.getWidth == 64 && img.getHeight == 64,
+        s"${img.getWidth}x${img.getHeight}")
+    }
+  }
+
   test("metadata-only projection does not read blob column in the scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_media_")
