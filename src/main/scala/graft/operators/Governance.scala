@@ -77,6 +77,46 @@ object Governance {
       .orderBy(col("k"))
   }
 
+  /** Generalization ladder for k-anonymity (J77, round 9): how much
+    * COARSENING buys how much safety — the release-design question
+    * the fixed-granularity [[kAnonymity]] sweep (which varies k, not
+    * the QI) cannot answer. Three rungs over the same customer QI:
+    * the enrolled $1k account-balance band, a 10× coarser $10k band,
+    * and the band dropped entirely; per rung at k = 5, the class
+    * census and the suppression cost (rows in classes smaller than
+    * k). Monotone by construction — coarsening merges classes, so
+    * suppression can only fall — which the spec pins as the ladder
+    * invariant.
+    *
+    * Shape (100 TB): three partial-aggregable class censuses over the
+    * customer dim (each a map-side-combinable groupBy), class-sized
+    * folds after. */
+  def generalizeLadder(spark: SparkSession, dir: String): DataFrame = {
+    val base = customer(spark, dir)
+      .withColumn("band",
+        expr("(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)" +
+          " div 100000"))
+    def rung(name: String, cols: Seq[org.apache.spark.sql.Column])
+        : DataFrame =
+      base.groupBy(cols: _*).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("sz")).as("min_class"),
+          sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_small5"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+            .as("n_suppressed"),
+          sum(col("sz")).as("n_rows"))
+        .select(lit(name).as("rung"), col("n_classes"),
+          col("min_class"), col("n_small5"),
+          expr("n_suppressed * 10000 div n_rows").as("supp_rate_e4"))
+    rung("0_band_1k",
+        Seq(col("c_nationkey"), col("c_mktsegment"), col("band")))
+      .unionAll(rung("1_band_10k", Seq(col("c_nationkey"),
+        col("c_mktsegment"), expr("band div 10"))))
+      .unionAll(rung("2_no_band",
+        Seq(col("c_nationkey"), col("c_mktsegment"))))
+      .orderBy(col("rung"))
+  }
+
   /** l-diversity audit over events. QI class = (event_type, epoch
     * day); sensitive attribute = user_id. Per class: size, distinct
     * sensitive values (the "l"), whether l ≥ 3, and the top sensitive
@@ -793,6 +833,7 @@ object Governance {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priv_generalize" -> generalizeLadder,
     "q_dq_seq_inversion" -> seqInversion,
     "q_dq_enum_firstseen" -> enumFirstSeen,
     "q_dq_id_density" -> idDensity,
@@ -815,6 +856,36 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_priv_generalize" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment,
+        |   (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)
+        |     // 100000 AS band
+        |  FROM customer),
+        |r0 AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM base
+        |  GROUP BY c_nationkey, c_mktsegment, band),
+        |r1 AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM base
+        |  GROUP BY c_nationkey, c_mktsegment, band // 10),
+        |r2 AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM base
+        |  GROUP BY c_nationkey, c_mktsegment)
+        |SELECT * FROM (
+        | SELECT '0_band_1k' AS rung,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(sz) AS BIGINT) AS min_class,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small5,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000
+        |    // sum(sz) AS BIGINT) AS supp_rate_e4 FROM r0
+        | UNION ALL SELECT '1_band_10k', CAST(count(*) AS BIGINT),
+        |  CAST(min(sz) AS BIGINT),
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000
+        |    // sum(sz) AS BIGINT) FROM r1
+        | UNION ALL SELECT '2_no_band', CAST(count(*) AS BIGINT),
+        |  CAST(min(sz) AS BIGINT),
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000
+        |    // sum(sz) AS BIGINT) FROM r2
+        |) u ORDER BY rung""".stripMargin,
     "q_dq_seq_inversion" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us,
         |   lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -1518,6 +1518,75 @@ object LlmOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Sparse tf-idf cosine RETRIEVAL (J77, round 9): 10 probe docs
+    * (doc_id < 10) ranked against the corpus by full tf·idf cosine,
+    * computed entirely through the inverted index — the SPARSE twin of
+    * q_llm_cosine_topk's dense brute-force and the doc-as-query
+    * complement of the fixed-three-term BM25 family. Top-3 per probe.
+    *
+    * The first cut of this row was a rare-term PAIR join (df ≤ 32,
+    * the adamicAdar cap) — measured vacuous on this fixture: the
+    * synthetic vocabulary is 31 tokens (30 with df > 250, one with
+    * df = 25), so no doc pair shares ≥ 2 capped terms at ANY cap and
+    * the top-20 degenerated to trivial cos = 1 singletons. The
+    * probe-retrieval shape keeps the work bounded by the PROBE side
+    * (10 broadcast docs × their terms) instead of a df cap; on a real
+    * Zipf vocabulary the standard stop-listing cap (drop df > 50%
+    * postings) is one WHERE on the same plan.
+    *
+    * Exactness: idf on the e3 grid as lnE3(N) − lnE3(df) (floor-once
+    * per operand); weights tf·idf_e3 exact BIGINT; the ORDERING metric
+    * clears both square roots — cos2_e8 = dot²·10⁸ div (‖a‖²·‖b‖²) in
+    * DECIMAL(38,0)/HUGEINT (dot² ≈ 10²⁴ leaves BIGINT; weights ≥ 0 so
+    * cos² orders exactly as cos).
+    *
+    * Shape (100 TB): ONE tokenize shuffle to the (doc, term, w) index;
+    * probe rows broadcast; partial dots are a keyed equi-join on term
+    * + one partial-aggregable (probe, doc) fold; per-probe top-3 via a
+    * 10-partition window. */
+  def tfidfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val inv = tf.join(df_, "tok").crossJoin(broadcast(n))
+      .withColumn("w", expr(
+        """tf * (CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)
+          | - CAST(floor(ln(df) * 1000 + 0.5) AS BIGINT))"""
+          .stripMargin))
+      .select(col("tok"), col("doc_id"), col("w"))
+      .localCheckpoint() // tf-idf inverted index; feeds probes + norms
+    val norms = inv.groupBy(col("doc_id"))
+      .agg(sum(expr("w * w")).as("s2"))
+      .localCheckpoint() // node-sized; feeds both cosine sides
+    val probes = inv.filter(col("doc_id") < 10)
+      .select(col("tok"), col("doc_id").as("probe_id"),
+        col("w").as("pw"))
+    val dots = inv.join(broadcast(probes), "tok")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(expr("pw * w")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("doc_id").as("probe_id"),
+        col("s2").as("sa"))), "probe_id")
+      .join(norms.select(col("doc_id"), col("s2").as("sb")), "doc_id")
+      .withColumn("cos2_e8", expr(
+        """CAST(CAST(dot AS DECIMAL(38,0)) * dot * 100000000
+          | div (CAST(sa AS DECIMAL(38,0)) * sb) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("cos2_e8").desc, col("doc_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_shared"), col("cos2_e8"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** One BM25 term's score contribution, as SQL TEXT shared by the
     * Spark plan (via expr) and the DuckDB oracle — identical structure
     * → identical double evaluation order → hash-parity. k1=1.2 b=0.75
@@ -2255,6 +2324,48 @@ object LlmOps {
       .select(col("doc_id"), col("rrf"), col("lex_rank"), col("dense_rank"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(15)
+  }
+
+  /** RRF k-constant sensitivity sweep (J77, round 9): how much does
+    * the fused top-10 MOVE when the reciprocal-rank constant leaves
+    * the enrolled k=60 default — the sharp k=10 (rank-1 dominance)
+    * and the flat k=200 (near-Borda) corners? The bm25_sweep
+    * discipline applied to FUSION: per config, top-10 overlap with
+    * the default and whether rank 1 survives. Unlike the enrolled
+    * float RRF row, the sweep scores on the e12 INTEGER reciprocal
+    * grid (10¹² div (k + rank)) — truncating, engine-identical, and
+    * rank-order-exact for every k ≤ 10⁶ at list length 50, so the
+    * sweep's verdicts can never hinge on float ULPs.
+    *
+    * Shape: both rank arms are the memoized lex/dense top-50 frames
+    * (TakeOrdered + 50-row windows); everything here is ≤100 rows. */
+  def rrfSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = lexTop50(spark, dir)
+      .join(denseTop50(spark, dir), Seq("doc_id"), "full_outer")
+      .localCheckpoint() // <=100 rows; feeds three scoring arms
+    def top10(k: Int): DataFrame = fused
+      .withColumn("rrf_e12", expr(
+        s"coalesce(1000000000000 div ($k + lex_rank), 0L) + " +
+          s"coalesce(1000000000000 div ($k + dense_rank), 0L)"))
+      .orderBy(col("rrf_e12").desc, col("doc_id")).limit(10)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("rrf_e12").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r"))
+    val dflt = top10(60).localCheckpoint()
+    def row(name: String, k: Long, t: DataFrame): DataFrame =
+      t.join(broadcast(dflt.select(col("doc_id"))), "doc_id")
+        .agg(count(lit(1)).as("overlap10"))
+        .crossJoin(broadcast(t.filter(col("r") === 1)
+          .select(col("doc_id").as("c1"))))
+        .crossJoin(broadcast(dflt.filter(col("r") === 1)
+          .select(col("doc_id").as("d1"))))
+        .select(lit(name).as("config"), lit(k).as("k"),
+          col("overlap10"), (col("c1") === col("d1")).as("top1_same"))
+    row("k060", 60L, dflt)
+      .unionAll(row("k010", 10L, top10(10)))
+      .unionAll(row("k200", 200L, top10(200)))
+      .orderBy(col("config"))
   }
 
   /** Language-ID heuristic: per-language top-20-token profiles built from
@@ -3093,6 +3204,7 @@ object LlmOps {
     "q_llm_pii_scrub" -> piiScrub,
     "q_llm_text_stats" -> textStats,
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
+    "q_llm_tfidf_cosine" -> tfidfCosine,
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_ql_dirichlet" -> qlDirichlet,
     "q_llm_term_position" -> termPosition,
@@ -3105,6 +3217,7 @@ object LlmOps {
     "q_llm_beam_decode" -> beamDecode,
     "q_llm_cms_width_sweep" -> cmsWidthSweep,
     "q_llm_hybrid_rrf" -> hybridRrf,
+    "q_llm_rrf_sweep" -> rrfSweep,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
     "q_llm_quality_score" -> qualityScore,
@@ -4209,6 +4322,83 @@ object LlmOps {
         | lex_rank, dense_rank
         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q_llm_tfidf_cosine" ->
+      """WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM tf),
+        |inv AS (SELECT tf.tok, doc_id,
+        |   tf * (CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(df) * 1000 + 0.5) AS BIGINT)) AS w
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN nn),
+        |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s2
+        |  FROM inv GROUP BY 1),
+        |dots AS (SELECT p.doc_id AS probe_id, c.doc_id,
+        |   CAST(count(*) AS BIGINT) AS n_shared,
+        |   CAST(sum(p.w * c.w) AS BIGINT) AS dot
+        |  FROM inv p JOIN inv c ON p.tok = c.tok
+        |   AND c.doc_id <> p.doc_id
+        |  WHERE p.doc_id < 10 GROUP BY 1, 2),
+        |sc AS (SELECT probe_id, dots.doc_id AS doc_id, n_shared,
+        |   CAST(CAST(dot AS HUGEINT) * dot * 100000000
+        |     // (CAST(na.s2 AS HUGEINT) * nb.s2) AS BIGINT) AS cos2_e8
+        |  FROM dots JOIN nrm na ON na.doc_id = dots.probe_id
+        |   JOIN nrm nb ON nb.doc_id = dots.doc_id)
+        |SELECT probe_id, rank, doc_id, n_shared, cos2_e8 FROM (
+        |  SELECT probe_id, doc_id, n_shared, cos2_e8,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos2_e8 DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc) t
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_llm_rrf_sweep" ->
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT doc_id, lex_rank FROM (
+        |   SELECT doc_id, CAST(row_number() OVER (
+        |     ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        |   FROM bmsc) t WHERE lex_rank <= 50),
+        |$cosCte,
+        |dense AS (SELECT doc_id, dense_rank FROM (
+        |   SELECT c.vec_id AS doc_id, CAST(row_number() OVER (ORDER BY
+        |     round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+        |       DESC, c.vec_id) AS BIGINT) AS dense_rank
+        |   FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+        |   WHERE p.vec_id = 7) t WHERE dense_rank <= 50),
+        |fused AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |   lex_rank, dense_rank
+        |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+        |s60 AS (SELECT doc_id, r FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY
+        |     coalesce(1000000000000 // (60 + lex_rank), 0)
+        |     + coalesce(1000000000000 // (60 + dense_rank), 0) DESC,
+        |     doc_id) AS r FROM fused) t WHERE r <= 10),
+        |s10 AS (SELECT doc_id, r FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY
+        |     coalesce(1000000000000 // (10 + lex_rank), 0)
+        |     + coalesce(1000000000000 // (10 + dense_rank), 0) DESC,
+        |     doc_id) AS r FROM fused) t WHERE r <= 10),
+        |s200 AS (SELECT doc_id, r FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY
+        |     coalesce(1000000000000 // (200 + lex_rank), 0)
+        |     + coalesce(1000000000000 // (200 + dense_rank), 0) DESC,
+        |     doc_id) AS r FROM fused) t WHERE r <= 10)
+        |SELECT * FROM (
+        | SELECT 'k060' AS config, CAST(60 AS BIGINT) AS k,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s60) AS overlap10,
+        |  TRUE AS top1_same
+        | UNION ALL SELECT 'k010', CAST(10 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s10
+        |    JOIN s60 ON s10.doc_id = s60.doc_id),
+        |  (SELECT a.doc_id = b.doc_id FROM s10 a, s60 b
+        |    WHERE a.r = 1 AND b.r = 1)
+        | UNION ALL SELECT 'k200', CAST(200 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s200
+        |    JOIN s60 ON s200.doc_id = s60.doc_id),
+        |  (SELECT a.doc_id = b.doc_id FROM s200 a, s60 b
+        |    WHERE a.r = 1 AND b.r = 1)
+        |) u ORDER BY config""".stripMargin,
     "q_llm_lang_id" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
         |    AS token FROM documents),

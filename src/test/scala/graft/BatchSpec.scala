@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 483
+    val documented = 486
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -4776,6 +4776,51 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(b >= 0 && b <= nOrders, s"backlog $b outside [0, $nOrders]")
       assert(r.getAs[Long]("n_opened") >= 0 &&
         r.getAs[Long]("n_released") >= 0)
+    }
+  }
+
+  test("llm_rrf_sweep: the default arm is its own perfect control and " +
+      "every overlap is within [0, 10]") {
+    val rows = SparkEntry.queries("q_llm_rrf_sweep")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("k010", "k060", "k200"))
+    val dflt = rows.find(_._1 == "k060").get
+    assert(dflt._3 == 10 && dflt._4, s"default arm not a control: $dflt")
+    rows.foreach { case (c, _, ov, _) =>
+      assert(ov >= 0 && ov <= 10, s"$c overlap $ov") }
+  }
+
+  test("llm_tfidf_cosine: per-probe top-3 is rank-ordered, cosine " +
+      "squared stays in (0, 1e8], and shared-term counts are positive") {
+    val rows = SparkEntry.queries("q_llm_tfidf_cosine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"probe $p ranks ${sorted.map(_._2).toSeq}")
+      assert(sorted.map(_._4).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)), s"probe $p not cos-ordered")
+    }
+    rows.foreach { case (p, _, ns, c2) =>
+      assert(ns >= 1, s"probe $p n_shared $ns")
+      assert(c2 > 0 && c2 <= 100000000L, s"probe $p cos2 $c2")
+    }
+  }
+
+  test("priv_generalize: the ladder is monotone — coarsening merges " +
+      "classes, so class counts and suppression can only fall") {
+    val rows = SparkEntry.queries("q_priv_generalize")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("0_band_1k", "1_band_10k", "2_no_band"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, s"n_classes rose: $a -> $b")
+      assert(a._3 <= b._3, s"min_class fell: $a -> $b")
+      assert(a._4 >= b._4, s"suppression rose: $a -> $b")
     }
   }
 
