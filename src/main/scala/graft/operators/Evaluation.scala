@@ -21,15 +21,19 @@ object Evaluation {
   /** Per-doc graded relevance 0..3 = how many of the three query terms
     * the document contains — derived from content, shared by both
     * metric rows. */
-  private def relevance(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(t1, t2, t3) = LlmOps.bm25Terms
-    documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg((max(when(col("tok") === t1, 1L).otherwise(0L)) +
-        max(when(col("tok") === t2, 1L).otherwise(0L)) +
-        max(when(col("tok") === t3, 1L).otherwise(0L))).as("rel"))
-  }
+  private def relevance(spark: SparkSession, dir: String): DataFrame =
+    // MEMOIZED (round 9): ndcg/mrr/pr@k/err each re-ran this corpus
+    // tokenize — one graded-relevance table per session, like the
+    // bm25-scored memo it joins against.
+    graft.FrameMemo.cached(spark, dir, "bm25-relevance") {
+      val Seq(t1, t2, t3) = LlmOps.bm25Terms
+      documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg((max(when(col("tok") === t1, 1L).otherwise(0L)) +
+          max(when(col("tok") === t2, 1L).otherwise(0L)) +
+          max(when(col("tok") === t3, 1L).otherwise(0L))).as("rel"))
+    }
 
   private val wE6 =
     "CAST(floor(1000000.0D / (ln(rank + 1) / ln(2.0D)) + 0.5) AS BIGINT)"

@@ -1641,7 +1641,17 @@ object LlmOps {
     * final score is map-only + TakeOrderedAndProject. At 100 TB the
     * only full-data move is the single tokenize shuffle, which an
     * inverted index (the companion row) would amortize across queries. */
-  private[operators] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    // MEMOIZED (round 9): ~12 enrolled retrieval/eval rows (bm25, mrr,
+    // ndcg, pr@k, err, map, snippet, both fusion rows + their sweeps,
+    // dedup-savings) each re-ran the corpus tokenize + per-doc tf
+    // shuffle; at 100 TB this is the persisted lexical-score table
+    // every downstream eval reads (the coocc-edges argument).
+    graft.FrameMemo.cached(spark, dir, "bm25-scored") {
+      bm25ScoredBuild(spark, dir)
+    }
+
+  private def bm25ScoredBuild(spark: SparkSession, dir: String): DataFrame = {
     val Seq(t1, t2, t3) = bm25Terms
     val perDoc = documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
