@@ -47,10 +47,9 @@ object Graph {
     * checkpointing the graph IS the right call — that shape lives in
     * LlmOps.connectedComponents. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = lineitem(spark, dir)
-      .select(expr("l_partkey * 2L").as("p"),
-        expr("l_suppkey * 2L + 1L").as("s"))
-      .distinct()
+    // scaled-id view of the memoized bipartite edges (round 9)
+    val pairs = psEdges(spark, dir)
+      .select(expr("p * 2L").as("p"), expr("s * 2L + 1L").as("s"))
     val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("p").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
@@ -124,10 +123,8 @@ object Graph {
       spark: SparkSession, dir: String,
       epsMicro: Long = 100L, maxIter: Int = 80,
       failOnMaxIter: Boolean = false): (DataFrame, Int) = {
-    val pairs = lineitem(spark, dir)
-      .select(expr("l_partkey * 2L").as("p"),
-        expr("l_suppkey * 2L + 1L").as("s"))
-      .distinct()
+    val pairs = psEdges(spark, dir)
+      .select(expr("p * 2L").as("p"), expr("s * 2L + 1L").as("s"))
     val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("p").as("dst")))
       .localCheckpoint()
@@ -182,9 +179,7 @@ object Graph {
     * graph job), two partial-aggregable degree groupBys, and a ~64-key
     * final rollup. */
   def degreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val edges = lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
+    val edges = psEdges(spark, dir)
     val d = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
       .select(lit("part").as("side"), col("deg"))
       .union(edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
@@ -212,9 +207,7 @@ object Graph {
     * partial-aggregable so map-side combine collapses it early; degree
     * lookups are node-sized broadcasts. */
   def coProjection(spark: SparkSession, dir: String): DataFrame = {
-    val e = lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
+    val e = psEdges(spark, dir)
     val deg = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
     val pairs = e.as("a")
       .join(e.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
@@ -256,6 +249,32 @@ object Graph {
     * (broadcast here, co-partition on the join key past broadcast
     * scale); the per-edge intersection runs inside one map stage; the
     * only explode is |triangles| rows for the c-role count. */
+  /** Distinct (order, part) pairs — the basket substrate under
+    * cooccEdges, basketLift, and assocRules, MEMOIZED per
+    * (application, sfDir) (round 9): each consumer re-ran the same
+    * corpus-sized distinct shuffle. At 100 TB this is the deduped
+    * order-lines projection every basket pipeline materializes
+    * first. */
+  private[operators] def opPairs(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.FrameMemo.cached(spark, dir, "op-pairs") {
+      lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
+  /** Distinct (part, supplier) bipartite edges — shared by pagerank
+    * (scaled-id view), degreeDist, coProjection, and hits, MEMOIZED
+    * (round 9) for the same reason as [[opPairs]]. */
+  private[operators] def psEdges(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.FrameMemo.cached(spark, dir, "ps-edges") {
+      lineitem(spark, dir)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("s"))
+        .distinct()
+    }
+
   /** Undirected distinct co-occurrence edges u < v (parts sharing an
     * order) — the common substrate of FOUR enrolled graph rows
     * (triangles, lpa, modularity, kcore), memoized per (application,
@@ -266,9 +285,7 @@ object Graph {
   private[operators] def cooccEdges(spark: SparkSession,
       dir: String): DataFrame =
     graft.FrameMemo.cached(spark, dir, "coocc-edges") {
-      val li = lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-        .distinct()
+      val li = opPairs(spark, dir)
       li.as("a")
         .join(li.as("b"),
           col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
@@ -370,10 +387,10 @@ object Graph {
     * (ReuseExchange dedupes the build). Degree frame broadcast is
     * node-sized by construction. */
   def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // baskets off the memoized distinct (order, part) frame (round 9)
+    val baskets = opPairs(spark, dir)
       .groupBy(col("o"))
-      .agg(expr("sort_array(collect_set(p))").as("ps"))
+      .agg(expr("sort_array(collect_set(pk))").as("ps"))
     val deg = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     val pairs = baskets
@@ -631,10 +648,7 @@ object Graph {
     * normalization resets the magnitude every half-step, unlike
     * unnormalized power iteration). */
   def hits(spark: SparkSession, dir: String): DataFrame = {
-    val e = lineitem(spark, dir)
-      .select(col("l_partkey").cast("long").as("p"),
-        col("l_suppkey").cast("long").as("s"))
-      .distinct()
+    val e = psEdges(spark, dir)
     // L1-normalize a raw score frame: ×10⁶ div the 1-row broadcast total
     def norm(raw: DataFrame, key: String): DataFrame =
       raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"))))
@@ -849,9 +863,7 @@ object Graph {
     * by basket size ≤ 7) with COUNT payloads, part-sized marginal
     * broadcast, distributed top-k. */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-      .distinct()
+    val li = opPairs(spark, dir)
     val baskets = li.agg(countDistinct(col("o")).as("big_n"))
     val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
     val pairs = li.as("a")
@@ -894,9 +906,7 @@ object Graph {
     * directions of each unordered pair via union — marginals
     * broadcast, distributed top-k. */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-      .distinct()
+    val li = opPairs(spark, dir)
     val baskets = li.agg(countDistinct(col("o")).as("big_n"))
     val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
     val und = li.as("a")
