@@ -163,10 +163,15 @@ object Multimodal {
       val tmp = java.nio.file.Files.createTempFile("graft_vid", ".bin")
       try {
         java.nio.file.Files.write(tmp, m.blob)
+        // DISCARD stderr (review): an error-chatty corrupt input can
+        // fill the ~64 KB stderr pipe while we block on stdout — a
+        // mutual-wait hang no catch can see. -v error keeps the
+        // discarded stream near-empty in the normal case anyway.
         val p = new ProcessBuilder("ffmpeg", "-v", "error",
           "-i", tmp.toString,
           "-vf", s"select=not(mod(n\\,$every))", "-vsync", "0",
-          "-f", "image2pipe", "-c:v", "png", "-").start()
+          "-f", "image2pipe", "-c:v", "png", "-")
+          .redirectError(ProcessBuilder.Redirect.DISCARD).start()
         val out = p.getInputStream.readAllBytes()
         p.waitFor()
         // split the concatenated-PNG pipe on the 8-byte signature

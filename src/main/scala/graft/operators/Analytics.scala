@@ -1830,9 +1830,12 @@ object Analytics {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("k"))
       .withColumn("p_e6", expr("k * 1000000 div n"))
+    // DECIMAL cast INSIDE the sum (review; the round-8 assortativity
+    // lesson): a plain BIGINT Σp² crosses 2⁶³ at u ≈ 9·10⁶ users and
+    // ANSI throws mid-query at the scale the row designs for
     val g = per
       .agg(count(lit(1)).as("u"), sum(col("p_e6")).as("sp"),
-        sum(expr("p_e6 * p_e6")).as("sp2"))
+        sum(expr("CAST(p_e6 AS DECIMAL(38,0)) * p_e6")).as("sp2"))
       .select(col("u"), expr("sp div u").as("mean_e6"),
         expr("""CAST(greatest((CAST(u AS DECIMAL(38,0)) * sp2
           | - CAST(sp AS DECIMAL(38,0)) * sp)

@@ -22,18 +22,13 @@ object Evaluation {
     * the document contains — derived from content, shared by both
     * metric rows. */
   private def relevance(spark: SparkSession, dir: String): DataFrame =
-    // MEMOIZED (round 9): ndcg/mrr/pr@k/err each re-ran this corpus
-    // tokenize — one graded-relevance table per session, like the
-    // bm25-scored memo it joins against.
-    graft.FrameMemo.cached(spark, dir, "bm25-relevance") {
-      val Seq(t1, t2, t3) = LlmOps.bm25Terms
-      documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"))
-        .agg((max(when(col("tok") === t1, 1L).otherwise(0L)) +
-          max(when(col("tok") === t2, 1L).otherwise(0L)) +
-          max(when(col("tok") === t3, 1L).otherwise(0L))).as("rel"))
-    }
+    // map-only view of the memoized bm25-perdoc frame (round 9):
+    // rel = how many of the three query terms the doc contains —
+    // identical values to the former per-row tokenize, zero shuffles
+    LlmOps.bm25PerDoc(spark, dir).select(col("doc_id"),
+      (when(col("tf1") > 0, 1L).otherwise(0L) +
+        when(col("tf2") > 0, 1L).otherwise(0L) +
+        when(col("tf3") > 0, 1L).otherwise(0L)).as("rel"))
 
   private val wE6 =
     "CAST(floor(1000000.0D / (ln(rank + 1) / ln(2.0D)) + 0.5) AS BIGINT)"
@@ -637,12 +632,9 @@ object Evaluation {
     * corpus n_rel is one partial-aggregable fold. */
   def mapAt10(spark: SparkSession, dir: String): DataFrame = {
     val Seq(t1, t2, t3) = LlmOps.bm25Terms
-    val toks = documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val flags = toks.groupBy(col("doc_id")).agg(
-      sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
-      sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
-      sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    // topicality flags off the memoized bm25-perdoc frame (round 9,
+    // review): no per-row corpus tokenize
+    val flags = LlmOps.bm25PerDoc(spark, dir)
       .select(col("doc_id"),
         when(col("tf1") >= 4, 1L).otherwise(0L).as("r1"),
         when(col("tf2") >= 4, 1L).otherwise(0L).as("r2"),

@@ -1573,9 +1573,12 @@ object LlmOps {
       .join(broadcast(norms.select(col("doc_id").as("probe_id"),
         col("s2").as("sa"))), "probe_id")
       .join(norms.select(col("doc_id"), col("s2").as("sb")), "doc_id")
+      // greatest-guard (review): a doc of only near-universal tokens
+      // (idf truncates to 0 on the e3 grid when df is within ~0.1% of
+      // N) has a ZERO norm — the house guard, not ANSI DIVIDE_BY_ZERO
       .withColumn("cos2_e8", expr(
         """CAST(CAST(dot AS DECIMAL(38,0)) * dot * 100000000
-          | div (CAST(sa AS DECIMAL(38,0)) * sb) AS BIGINT)"""
+          | div greatest(CAST(sa AS DECIMAL(38,0)) * sb, 1) AS BIGINT)"""
           .stripMargin))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1651,15 +1654,26 @@ object LlmOps {
       bm25ScoredBuild(spark, dir)
     }
 
+  /** Per-doc (dl, tf₁..tf₃) for the three query terms — the single
+    * corpus tokenize under the whole BM25-composed family, MEMOIZED
+    * (round 9, review): bm25 scoring, the (k1,b) sweep, the graded
+    * relevance table, and the MAP topicality flags are all map-only
+    * projections of this one frame. */
+  private[operators] def bm25PerDoc(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.FrameMemo.cached(spark, dir, "bm25-perdoc") {
+      val Seq(t1, t2, t3) = bm25Terms
+      documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"),
+          sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
+          sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
+          sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    }
+
   private def bm25ScoredBuild(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(t1, t2, t3) = bm25Terms
-    val perDoc = documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"),
-        sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
-        sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
-        sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    val perDoc = bm25PerDoc(spark, dir)
     val stats = perDoc.agg(
       count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
       sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
@@ -1829,14 +1843,7 @@ object LlmOps {
     * map-only scorings + TakeOrderedAndProject top-10s, 10-row
     * broadcast joins. */
   def bm25Sweep(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(t1, t2, t3) = bm25Terms
-    val perDoc = documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"),
-        sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
-        sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
-        sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    val perDoc = bm25PerDoc(spark, dir)
     val stats = perDoc.agg(
       count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
       sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
@@ -4354,7 +4361,8 @@ object LlmOps {
         |  WHERE p.doc_id < 10 GROUP BY 1, 2),
         |sc AS (SELECT probe_id, dots.doc_id AS doc_id, n_shared,
         |   CAST(CAST(dot AS HUGEINT) * dot * 100000000
-        |     // (CAST(na.s2 AS HUGEINT) * nb.s2) AS BIGINT) AS cos2_e8
+        |     // greatest(CAST(na.s2 AS HUGEINT) * nb.s2, 1) AS BIGINT)
+        |     AS cos2_e8
         |  FROM dots JOIN nrm na ON na.doc_id = dots.probe_id
         |   JOIN nrm nb ON nb.doc_id = dots.doc_id)
         |SELECT probe_id, rank, doc_id, n_shared, cos2_e8 FROM (

@@ -1244,8 +1244,12 @@ object ModelPrep {
       .withColumn("score_e12", when(col("pb").isNull,
         expr("qa * 1000000")).otherwise(expr("qa * qb")))
     val z = sc.groupBy(col("w")).agg(sum(col("score_e12")).as("z"))
+    // greatest-guard (review): a word whose every segmentation scores
+    // 0 on the truncated e6 grid (all-hapax pieces on a Zipf corpus)
+    // makes z = 0 — the ANSI DIVIDE_BY_ZERO the house guard exists for
     val post = sc.join(z, "w")
-      .withColumn("post_e6", expr("score_e12 * 1000000 div z"))
+      .withColumn("post_e6",
+        expr("score_e12 * 1000000 div greatest(z, 1)"))
       .withColumn("wt", expr("f * post_e6"))
     val mass = pieceRows(post, "wt")
       .groupBy(col("piece")).agg(sum(col("wt")).as("m"))
@@ -1253,7 +1257,7 @@ object ModelPrep {
     mass.crossJoin(broadcast(mt)).join(p0, "piece")
       .select(col("piece"), col("occ"), col("p0_e6"),
         expr("""CAST(CAST(m AS DECIMAL(38,0)) * 1000000
-          | div mt AS BIGINT)""".stripMargin).as("p1_e6"))
+          | div greatest(mt, 1) AS BIGINT)""".stripMargin).as("p1_e6"))
       .orderBy(col("p1_e6").desc, col("piece"))
       .limit(30)
   }
@@ -1346,7 +1350,8 @@ object ModelPrep {
         |   LEFT JOIN p0 b ON b.piece = s.pb),
         |z AS (SELECT w, CAST(sum(score_e12) AS BIGINT) AS z
         |  FROM sc GROUP BY 1),
-        |post AS (SELECT sc.*, score_e12 * 1000000 // z.z AS post_e6
+        |post AS (SELECT sc.*,
+        |   score_e12 * 1000000 // greatest(z.z, 1) AS post_e6
         |  FROM sc JOIN z USING (w)),
         |pm AS (SELECT f * post_e6 AS wt, pa AS piece FROM post
         |  UNION ALL SELECT f * post_e6, pb FROM post
@@ -1355,7 +1360,8 @@ object ModelPrep {
         |  FROM pm GROUP BY 1),
         |mt AS (SELECT CAST(sum(m) AS HUGEINT) AS mt FROM mass)
         |SELECT p0.piece, p0.occ, p0.p0_e6,
-        | CAST(CAST(m AS HUGEINT) * 1000000 // mt AS BIGINT) AS p1_e6
+        | CAST(CAST(m AS HUGEINT) * 1000000 // greatest(mt, 1)
+        |   AS BIGINT) AS p1_e6
         |FROM mass JOIN p0 USING (piece) CROSS JOIN mt
         |ORDER BY p1_e6 DESC, piece LIMIT 30""".stripMargin,
     "q_llm_sif_weights" ->
