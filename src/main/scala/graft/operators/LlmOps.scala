@@ -218,6 +218,62 @@ object LlmOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Cross-modality dedup agreement census (J78, round 9): on the
+    * SAME LSH candidate pairs, does the text verdict (exact shingle
+    * Jaccard ≥ 0.8 — the enrolled minhash_lsh gate) agree with the
+    * embedding verdict (cosine ≥ 0.4 — the enrolled embed_neardup
+    * gate)? The 2×2 cell census with per-cell mean scores — the audit
+    * that says whether the cheap text tier and the expensive embedding
+    * tier of a dedup cascade are measuring the SAME notion of
+    * duplicate (disagreement cells are exactly the pairs where a
+    * cascade's tier order changes the outcome). Closes the loop
+    * between the two dedup families the way q_llm_langid_confusion
+    * closes lang-id. Fixture finding (enrollment, sf0.01): every LSH
+    * candidate is a text-dup with cosine ≈ 0.003 — the synthetic
+    * embeddings are NOT derived from the text, so the tiers measure
+    * different notions here; on a real corpus with text-derived
+    * embeddings the text_dup|embed_dup cell dominates, and THIS row is
+    * how you check that before trusting a cascade's tier order.
+    *
+    * Exactness: Jaccard verdict on the integer grid (i·10⁴ div union ≥
+    * 8000 ⟺ i/u ≥ 0.8 exactly — no float gate); cosine rides the
+    * house round-6 grid; per-cell means are guarded truncating divs.
+    *
+    * Shape (100 TB): the banded candidate join (never all-pairs) +
+    * keyed joins against the shingle-set and embedding stores; the
+    * census is 4 rows. */
+  def dedupModalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir)
+    val docsets = sigs.select(col("doc_id"), col("ss"), col("n"))
+    val withJ = minhashCandidates(sigs)
+      .join(docsets.select(col("doc_id"), col("ss").as("sa"),
+        col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(docsets.select(col("doc_id"), col("ss").as("sb"),
+        col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("j_e4", expr("i * 10000 div greatest(na + nb - i, 1)"))
+      .select(col("a_id"), col("b_id"), col("j_e4"))
+    val emb = embWithNorm(spark, dir)
+    withJ
+      .join(emb.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("an")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bn")), "b_id")
+      .withColumn("cos", round(expr(dotExpr) / (col("an") * col("bn")), 6))
+      .withColumn("cell", concat(
+        when(col("j_e4") >= 8000, lit("text_dup"))
+          .otherwise(lit("text_nodup")),
+        lit("|"),
+        when(col("cos") >= 0.4, lit("embed_dup"))
+          .otherwise(lit("embed_nodup"))))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(j_e4) div count(1)").as("avg_j_e4"),
+        expr("""sum(CAST(floor(cos * 10000 + 0.5) AS BIGINT))
+          | div count(1)""".stripMargin).as("avg_cos_e4"))
+      .orderBy(col("cell"))
+  }
+
   /** N-gram CONTAINMENT on the LSH candidate pairs (round 8): the
     * asymmetric near-dup measure C(A→B) = |A∩B| / |A| over the same
     * df-capped 5-shingle sets as the Jaccard family. Jaccard misses
@@ -3185,6 +3241,7 @@ object LlmOps {
     "q_llm_exact_dedup" -> exactDedup,
     "q_llm_shingle_jaccard" -> shingleJaccard,
     "q_llm_minhash_lsh" -> minhashLsh,
+    "q_llm_dedup_modality_agreement" -> dedupModalityAgreement,
     "q_llm_containment" -> containment,
     "q_llm_edit_neardup" -> editNeardup,
     "q_llm_oov_rate" -> oovRate,
@@ -3560,6 +3617,34 @@ object LlmOps {
          |WHERE 1.0 * i / (na.n + nb.n - i) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "q_llm_minhash_lsh" -> minhashPairsSql,
+    "q_llm_dedup_modality_agreement" ->
+      s"""WITH $minhashCandCte,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |   CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |wj AS (SELECT a_id, b_id,
+        |   i * 10000 // greatest(na.n + nb.n - i, 1) AS j_e4
+        |  FROM cand JOIN inter ON a_id = ia AND b_id = ib
+        |   JOIN sizes na ON a_id = na.doc_id
+        |   JOIN sizes nb ON b_id = nb.doc_id),
+        |$cosCte,
+        |wc AS (SELECT a_id, b_id, j_e4,
+        |   round(list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+        |     AS cos
+        |  FROM wj JOIN emb ea ON ea.vec_id = a_id
+        |   JOIN emb eb ON eb.vec_id = b_id)
+        |SELECT (CASE WHEN j_e4 >= 8000 THEN 'text_dup'
+        |    ELSE 'text_nodup' END || '|' ||
+        |  CASE WHEN cos >= 0.4 THEN 'embed_dup'
+        |    ELSE 'embed_nodup' END) AS cell,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(j_e4) // count(*) AS BIGINT) AS avg_j_e4,
+        | CAST(sum(CAST(floor(cos * 10000 + 0.5) AS BIGINT))
+        |   // count(*) AS BIGINT) AS avg_cos_e4
+        |FROM wc GROUP BY 1 ORDER BY cell""".stripMargin,
     "q_llm_containment" ->
       s"""WITH $minhashCandCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

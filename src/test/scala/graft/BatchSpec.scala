@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 486
+    val documented = 487
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -4822,6 +4822,26 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a._3 <= b._3, s"min_class fell: $a -> $b")
       assert(a._4 >= b._4, s"suppression rose: $a -> $b")
     }
+  }
+
+  test("llm_dedup_modality_agreement: the cells partition the LSH " +
+      "candidate set and per-cell means respect their own gates") {
+    val rows = SparkEntry.queries("q_llm_dedup_modality_agreement")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cell, n, aj, ac) =>
+      assert(n > 0, cell)
+      assert(aj >= 0 && aj <= 10000, s"$cell avg_j $aj")
+      assert(ac >= -10000 && ac <= 10000, s"$cell avg_cos $ac")
+      // a text_dup cell's MEAN jaccard cannot be below the 0.8 gate
+      if (cell.startsWith("text_dup")) assert(aj >= 8000, s"$cell $aj")
+      if (cell.startsWith("text_nodup")) assert(aj < 8000, s"$cell $aj")
+    }
+    // cells are distinct labels over a nonempty candidate set
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).sum > 0)
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
