@@ -14,15 +14,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Keyed by applicationId (unique per SparkContext, so a stopped test
   * session can never collide with a fresh one); entries from dead
-  * sessions are dropped lazily on next lookup. */
+  * sessions are dropped lazily on next lookup.
+  *
+  * BOUNDED (round 10, ADVICE r9): checkpoint blocks are pinned for as
+  * long as the memo holds the frame reference, and a long single
+  * session at large SF would otherwise accumulate them indefinitely.
+  * The memo therefore keeps at most [[MaxEntries]] frames per session,
+  * evicting insertion-order-oldest — dropping the reference unpins the
+  * checkpointed RDD so Spark's ContextCleaner reclaims its blocks on
+  * GC (an evicted frame that is requested again simply rebuilds; the
+  * memo is a cache, never a correctness dependency). [[release]] gives
+  * harness code (Verify end-of-run, tests) an explicit drop-everything
+  * hook on top of the cap. */
 object FrameMemo {
+  /** Per-session frame cap: well above the ~16 substrate frames the
+    * 487-query suite memoizes today, low enough that pinned blocks
+    * stay bounded in a long exploratory session. */
+  val MaxEntries = 64
+
   private val memo =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+  private val counts =
+    scala.collection.concurrent.TrieMap[(String, String, String), Long]()
+  private val order =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
 
   def cached(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    memo.keys.filterNot(_._1 == appId).foreach(memo.remove(_): Unit)
-    memo.getOrElseUpdate((appId, dir, key), build.localCheckpoint())
+    memo.keys.filterNot(_._1 == appId).foreach(evictKey)
+    memo.getOrElseUpdate((appId, dir, key), {
+      while (memo.size >= MaxEntries && !order.isEmpty) {
+        val old = order.poll()
+        if (old != null) evictKey(old)
+      }
+      order.add((appId, dir, key))
+      build.localCheckpoint()
+    })
+  }
+
+  /** Session-memoized row count of a (usually already-memoized) frame —
+    * the cheap gate input for [[Hints.bcastIfAtMost]]: one count job
+    * per (application, sfDir, key), typically a scan of checkpointed
+    * partitions or a parquet-footer count. */
+  def cachedCount(spark: SparkSession, dir: String, key: String)(
+      df: => DataFrame): Long = {
+    val appId = spark.sparkContext.applicationId
+    counts.getOrElseUpdate((appId, dir, key), df.count())
+  }
+
+  /** Drop every memoized frame and count for this session, unpinning
+    * their checkpoint blocks (reclaimed by the ContextCleaner on GC). */
+  def release(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    memo.keys.filter(_._1 == appId).foreach(evictKey)
+    counts.keys.filter(_._1 == appId).foreach(counts.remove(_): Unit)
+  }
+
+  private def evictKey(k: (String, String, String)): Unit = {
+    memo.remove(k): Unit
+    counts.remove(k): Unit
+    order.remove(k): Unit
   }
 }

@@ -1025,6 +1025,103 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.toLowerCase.contains("row_number"), s.take(2000))
   }
 
+  // ---- Round-10 plan-shape pins: the node-sized broadcast sweep
+  // (VERDICT r9 #1). A forced broadcast() of a DATA-sized frame never
+  // falls back — past the broadcast cap or executor memory it kills
+  // the job — so every per-node / per-vocab / dimension frame either
+  // lost its hint entirely (AQE runtime-broadcasts while small,
+  // co-partitions past the threshold) or gates it through
+  // Hints.bcastIfAtMost on a session-memoized substrate count. These
+  // pins bound the REMAINING hints per row so a future edit cannot
+  // silently re-add an unconditional node-sized hint.
+
+  test("broadcast sweep pin: node-sized degree/marginal joins carry " +
+      "no hint — only constant-sized scalar frames keep one") {
+    val maxHints = Map(
+      "q_graph_coproj" -> 0,        // supplier-degree joins unhinted
+      "q_graph_jaccard" -> 0,       // part-degree joins unhinted
+      "q_graph_assortativity" -> 0, // endpoint-degree joins unhinted
+      "q_basket_lift" -> 1,         // 1-row basket total only
+      "q_orders_assoc_rules" -> 1,  // 1-row basket total only
+      "q_graph_local_bridges" -> 0, // degree joins unhinted
+      "q_graph_adamic_adar" -> 0,   // capped-degree join unhinted
+      "q_graph_richclub" -> 2,      // 3-row quantile thresholds, twice
+      "q_graph_brokerage" -> 0)     // capped-degree join unhinted
+    for ((name, cap) <- maxHints) {
+      val o = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      val hints = "strategy=broadcast".r.findAllIn(o).size
+      assert(hints <= cap,
+        s"$name: expected <=$cap broadcast hints, got $hints:\n" +
+          o.take(2000))
+    }
+  }
+
+  test("broadcast sweep pin: the size-gated rows' hints are ACTIVE at " +
+      "fixture scale and bounded (pagerank/hits/textrank + part dims)") {
+    // the fixture sits far under Hints.NodeRowCap, so the gated hints
+    // must be present (the measured 57→8-exchange win on the iterated
+    // plans) — AND bounded, so a new unconditional hint still fails
+    val expect = Map(
+      "q_graph_pagerank" -> (1, 5),  // 3 rank steps + 2 deg re-joins
+      // a1, h1 + three 1-row norm totals — the hub/authority union
+      // branches duplicate shared subtrees in the plan TEXT, so the
+      // five hint sites print 18 times; the bound still catches a new
+      // unconditional hint (it would add >= 1 more printed site)
+      "q_graph_hits" -> (1, 18),
+      "q_llm_textrank" -> (1, 3),    // 2 rank steps + 1 deg re-join
+      // part dim ×2 + 1-row margins; the edge-ends unionAll duplicates
+      // the dim-joined subtree in the plan text → 7 printed sites
+      "q_graph_brand_homophily" -> (1, 7),
+      // part dim — the brand-census subtree feeds sz/topb/h, so the
+      // one hint site prints 4 times
+      "q_graph_community_entropy" -> (1, 4))
+    for ((name, (lo, hi)) <- expect) {
+      val o = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      val hints = "strategy=broadcast".r.findAllIn(o).size
+      assert(hints >= lo && hints <= hi,
+        s"$name: expected $lo..$hi broadcast hints, got $hints:\n" +
+          o.take(2000))
+    }
+  }
+
+  test("Hints.bcastIfAtMost: hint applied at/below the cap, absent " +
+      "above it (the gate that makes the scale plan executable code)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    def hinted(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(graft.Hints.bcastIfAtMost(df, rows = 10L, cap = 10L)))
+    assert(!hinted(graft.Hints.bcastIfAtMost(df, rows = 11L, cap = 10L)))
+    assert(hinted(graft.Hints.bcastIfAtMost(df,
+      rows = graft.Hints.NodeRowCap)))
+    assert(!hinted(graft.Hints.bcastIfAtMost(df,
+      rows = graft.Hints.NodeRowCap + 1L)))
+  }
+
+  test("pagerank hint-free co-partitioned form (bcastCap=0) is " +
+      "bit-identical to the gated broadcast form on the fixture") {
+    import graft.operators.Graph
+    // the 100× plan — every iteration a keyed shuffle join, no hint —
+    // must produce the exact ranks of the enrolled broadcast form:
+    // the hint swap the pagerank scaladoc promises, executed
+    val unrolled = SparkEntry.queries("q_graph_pagerank")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (free3, it3) = Graph.pagerankConverged(spark, sf,
+      epsMicro = 0L, maxIter = 3, bcastCap = 0L)
+    assert(it3 == 3)
+    assert(free3.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == unrolled)
+  }
+
+  test("textrank pin: memoized word-edge frame keeps the corpus bigram " +
+      "explode out of the final plan") {
+    val s = executedPlanString("q_llm_textrank")
+    assert(s.contains("ExistingRDD"), s.take(1500))
+    assert(!s.toLowerCase.contains("explode"), s.take(2000))
+  }
+
   test("ivm_join_delta: identity diff is exactly (0, 0) and the delta " +
       "terms are small vs full (the IVM point)") {
     val rows = SparkEntry.queries("q_ivm_join_delta")(spark, sf)
