@@ -90,10 +90,13 @@ object Scaling {
     // environment may not carry it — the three-decade artifact stays
     // valid without it)
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "testdata-sf1")
-    // sentinel = embeddings, the LAST table ScaleUp writes (review): a
-    // mid-table earlier sentinel would accept an interrupted half-built
-    // fixture and crash the whole gate run instead of skipping sf1
-    val haveSf1 = Files.exists(Paths.get(s"$sf1Dir/embeddings.parquet"))
+    // sentinel = embeddings' _SUCCESS marker, the LAST file ScaleUp
+    // writes (ADVICE r9): the directory alone exists the moment the
+    // write STARTS, so a run killed mid-embeddings-write would pass a
+    // directory probe and crash (or mis-measure) the whole gate run;
+    // the commit marker only appears when the table is complete
+    val haveSf1 =
+      Files.exists(Paths.get(s"$sf1Dir/embeddings.parquet/_SUCCESS"))
     val timesSf1: Map[String, Double] =
       if (haveSf1) sf1Targets.map(n => n -> run(n, sf1Dir)).toMap
       else Map.empty

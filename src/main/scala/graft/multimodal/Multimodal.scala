@@ -147,6 +147,27 @@ object Multimodal {
   private val PngMagic =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
 
+  /** Walk one PNG's chunk list ([len][type][data][crc]…) from its
+    * signature to IEND and return the exclusive end offset, or None on
+    * truncated/malformed input — a length-aware split that cannot be
+    * fooled by signature bytes occurring inside compressed IDAT
+    * payload, unlike a blind magic-byte scan (ADVICE r9). */
+  private[graft] def pngEnd(buf: Array[Byte], start: Int): Option[Int] = {
+    var p = start + PngMagic.length
+    while (p + 8 <= buf.length) {
+      val len = ((buf(p) & 0xff) << 24) | ((buf(p + 1) & 0xff) << 16) |
+        ((buf(p + 2) & 0xff) << 8) | (buf(p + 3) & 0xff)
+      if (len < 0) return None
+      val isEnd = buf(p + 4) == 'I' && buf(p + 5) == 'E' &&
+        buf(p + 6) == 'N' && buf(p + 7) == 'D'
+      val next = p.toLong + 8L + len.toLong + 4L
+      if (next > buf.length) return None
+      if (isEnd) return Some(next.toInt)
+      p = next.toInt
+    }
+    None
+  }
+
   /** Real-codec frame sampler: the same one-row→many-frames Generator
     * shape as [[sampleFrames]], with the decode lambda swapped for a
     * per-row ffmpeg invocation (`select=not(mod(n,every))` keeps every
@@ -173,16 +194,29 @@ object Multimodal {
           "-f", "image2pipe", "-c:v", "png", "-")
           .redirectError(ProcessBuilder.Redirect.DISCARD).start()
         val out = p.getInputStream.readAllBytes()
-        p.waitFor()
-        // split the concatenated-PNG pipe on the 8-byte signature
-        val starts = (0 to out.length - PngMagic.length).iterator
-          .filter(i => PngMagic.indices.forall(j => out(i + j) == PngMagic(j)))
-          .toArray
-        starts.zipWithIndex.map { case (s, k) =>
-          val e = if (k + 1 < starts.length) starts(k + 1) else out.length
-          Frame(m.media_id, k * every,
-            java.util.Arrays.copyOfRange(out, s, e))
-        }.iterator
+        // a failed/partial decode must NOT masquerade as a zero-frame
+        // video (ADVICE r9): drop the row on nonzero exit status
+        if (p.waitFor() != 0) Iterator.empty
+        else {
+          // split the concatenated-PNG pipe by WALKING each PNG's
+          // chunk lengths signature→IEND (pngEnd) — never by scanning
+          // for the raw signature, which can occur inside IDAT payload
+          val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          var pos = 0
+          var ok = true
+          while (ok && pos + PngMagic.length <= out.length &&
+              PngMagic.indices.forall(j => out(pos + j) == PngMagic(j))) {
+            pngEnd(out, pos) match {
+              case Some(e) =>
+                frames += java.util.Arrays.copyOfRange(out, pos, e)
+                pos = e
+              case None => ok = false // truncated tail — drop it
+            }
+          }
+          frames.iterator.zipWithIndex.map { case (b, k) =>
+            Frame(m.media_id, k * every, b)
+          }
+        }
       } catch { case _: Exception => Iterator.empty }
       finally { java.nio.file.Files.deleteIfExists(tmp): Unit }
     }

@@ -4489,8 +4489,10 @@ object LlmOps {
         |     doc_id) AS r FROM fused) t WHERE r <= 10)
         |SELECT * FROM (
         | SELECT 'k060' AS config, CAST(60 AS BIGINT) AS k,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s60) AS overlap10,
-        |  TRUE AS top1_same
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s60 a
+        |    JOIN s60 b ON a.doc_id = b.doc_id) AS overlap10,
+        |  (SELECT a.doc_id = b.doc_id FROM s60 a, s60 b
+        |    WHERE a.r = 1 AND b.r = 1) AS top1_same
         | UNION ALL SELECT 'k010', CAST(10 AS BIGINT),
         |  (SELECT CAST(count(*) AS BIGINT) FROM s10
         |    JOIN s60 ON s10.doc_id = s60.doc_id),

@@ -1519,10 +1519,20 @@ object TimeSeries {
       .crossJoin(broadcast(Seq(1L, 2L, 4L, 8L).toDF("m")))
       .groupBy(col("m"), expr("(r - 1) div m").as("blk"))
       .agg(sum(col("n")).as("s"))
+    // the moment lane accumulates in DECIMAL(38,0)/HUGEINT (round 10,
+    // ADVICE r9): at large SF the hourly block sums push s² and n·Σs²
+    // past 2⁶³ — the assortativity/ebShrinkage overflow lesson. The
+    // REPORTING column var_e4 stays BIGINT: it re-overflows only when
+    // the block-sum std exceeds ~3×10⁷ events/hour (var·10⁴ > 2⁶³), a
+    // documented corpus bound far past 100 TB event rates.
     val v = b.groupBy(col("m"))
       .agg(count(lit(1)).as("n_blocks"),
-        expr("""greatest((count(1) * sum(s * s) - sum(s) * sum(s))
-          | * 10000 div (count(1) * count(1)), 1)""".stripMargin)
+        expr("""CAST(greatest(
+          |   (count(1) * sum(CAST(s AS DECIMAL(38,0)) * s)
+          |    - sum(CAST(s AS DECIMAL(38,0)))
+          |      * sum(CAST(s AS DECIMAL(38,0))))
+          | * 10000 div (count(1) * count(1)),
+          | CAST(1 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
           .as("var_e4"))
       .withColumn("ln_var_e3",
         expr("CAST(floor(ln(var_e4) * 1000 + 0.5) AS BIGINT)"))
@@ -1591,7 +1601,8 @@ object TimeSeries {
         |  CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2), (4), (8)) ms(m)
         |  WHERE r <= rmax GROUP BY 1, 2),
         |v AS (SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
-        |   CAST(greatest((count(*) * sum(s * s) - sum(s) * sum(s))
+        |   CAST(greatest((count(*) * sum(CAST(s AS HUGEINT) * s)
+        |     - sum(CAST(s AS HUGEINT)) * sum(CAST(s AS HUGEINT)))
         |     * 10000 // (count(*) * count(*)), 1) AS BIGINT) AS var_e4
         |  FROM b GROUP BY 1),
         |y AS (SELECT m, n_blocks, var_e4,

@@ -222,6 +222,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pngEnd walks chunk lengths to IEND: exact frame boundaries on " +
+      "concatenated PNGs, None on a truncated tail (ADVICE r9)") {
+    val a = Multimodal.encodePngGray(Array.tabulate(64)(_.toByte))
+    val b = Multimodal.encodePngGray(Array.tabulate(32)(i => (255 - i).toByte))
+    // a single PNG's walk ends exactly at its byte length
+    assert(Multimodal.pngEnd(a, 0).contains(a.length))
+    // concatenated pipe: first walk ends at |a|, second at |a|+|b| —
+    // the chunk walk finds the boundary without scanning for magic
+    val cat = a ++ b
+    assert(Multimodal.pngEnd(cat, 0).contains(a.length))
+    assert(Multimodal.pngEnd(cat, a.length).contains(cat.length))
+    // truncated tail (partial decode): walker refuses, never mis-splits
+    assert(Multimodal.pngEnd(cat.take(cat.length - 3), a.length).isEmpty)
+    assert(Multimodal.pngEnd(a.take(a.length / 2), 0).isEmpty)
+  }
+
   test("metadata-only projection does not read blob column in the scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_media_")
