@@ -1588,7 +1588,10 @@ object LlmOps {
     * probe-retrieval shape keeps the work bounded by the PROBE side
     * (10 broadcast docs × their terms) instead of a df cap; on a real
     * Zipf vocabulary the standard stop-listing cap (drop df > 50%
-    * postings) is one WHERE on the same plan.
+    * postings) is one WHERE on the same plan. Round 10 re-enrolled the
+    * measured pair-join variant on the trigram-SHINGLE vocabulary,
+    * which IS Zipf-shaped on this fixture — see [[rareShinglePairs]]
+    * (q_llm_rare_shingle_pairs).
     *
     * Exactness: idf on the e3 grid as lnE3(N) − lnE3(df) (floor-once
     * per operand); weights tf·idf_e3 exact BIGINT; the ORDERING metric
@@ -1644,6 +1647,59 @@ object LlmOps {
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("n_shared"), col("cos2_e8"))
       .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Rare-shingle candidate pair join (J79, round 10): the MEASURED
+    * variant of the rare-term pair join [[tfidfCosine]]'s scaladoc
+    * records as cut — re-enrolled on a derived vocabulary that is
+    * actually Zipf-shaped (VERDICT r9 #6). Terms are word TRIGRAM
+    * shingles: the 31-token synthetic unigram vocabulary is universal
+    * (min df 25 over 500 docs — no unigram is rare at any cap), but
+    * its trigram composition is sparse by construction (measured at
+    * sf0.01: 16,245 distinct shingles, max df 7, 6,817 in the 2..32
+    * band; the pair join yields 11,533 candidates of which 1,109
+    * share ≥ 2 rare shingles — non-trivial audit values, closing the
+    * degeneracy question). Doc pairs sharing ≥ 2 such shingles are
+    * ranked by summed idf weight — the inverted-index candidate
+    * generation every near-dup/plagiarism pass runs before an exact
+    * verify (cf. q_llm_winnow_fp's fingerprint variant).
+    *
+    * Exactness: idf weights on the e3 grid, lnE3(N) − lnE3(df)
+    * floor-once per operand; score = Σ weights, exact BIGINT.
+    *
+    * Shape (100 TB): the df cap (≤ 32, the adamicAdar argument) bounds
+    * per-shingle fan-out at df² ≤ 1024 candidate rows, so candidate
+    * volume is Σ_sh df² — linear in rare-postings count, never
+    * all-pairs; generation is a keyed equi-join on the shingle, the
+    * fold is partial-aggregable, top-20 via TakeOrdered. */
+  def rareShinglePairs(spark: SparkSession, dir: String): DataFrame = {
+    val tri = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3) // sequence(1,0) is DESCENDING, guard
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 2),
+          | i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+          |                element_at(tk, i + 2)))""".stripMargin))
+        .as("sh"))
+      .distinct()
+    val dfd = tri.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val nd = documents(spark, dir)
+      .agg(countDistinct(col("doc_id")).as("n"))
+    val rare = tri
+      .join(dfd.filter(col("df").between(2L, 32L)), "sh")
+      .crossJoin(broadcast(nd))
+      .withColumn("w", expr(
+        """CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)
+          | - CAST(floor(ln(df) * 1000 + 0.5) AS BIGINT)""".stripMargin))
+    rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"),
+        col("a.w").as("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("w")).as("score_e3"))
+      .filter(col("n_shared") >= 2L)
+      .orderBy(col("score_e3").desc, col("u"), col("v"))
+      .limit(20)
   }
 
   /** One BM25 term's score contribution, as SQL TEXT shared by the
@@ -3279,6 +3335,7 @@ object LlmOps {
     "q_llm_text_stats" -> textStats,
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
     "q_llm_tfidf_cosine" -> tfidfCosine,
+    "q_llm_rare_shingle_pairs" -> rareShinglePairs,
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_ql_dirichlet" -> qlDirichlet,
     "q_llm_term_position" -> termPosition,
@@ -4424,6 +4481,31 @@ object LlmOps {
         | lex_rank, dense_rank
         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q_llm_rare_shingle_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM toks),
+        |dfd AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM tri
+        |  GROUP BY 1),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM documents),
+        |rare AS (SELECT t.doc_id, t.sh,
+        |   CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)
+        |   - CAST(floor(ln(df) * 1000 + 0.5) AS BIGINT) AS w
+        |  FROM tri t JOIN dfd USING (sh) CROSS JOIN nd
+        |  WHERE df BETWEEN 2 AND 32)
+        |SELECT u, v, n_shared, score_e3 FROM (
+        | SELECT a.doc_id AS u, b.doc_id AS v,
+        |   CAST(count(*) AS BIGINT) AS n_shared,
+        |   CAST(sum(a.w) AS BIGINT) AS score_e3
+        | FROM rare a JOIN rare b
+        |   ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2) t
+        |WHERE n_shared >= 2
+        |ORDER BY score_e3 DESC, u, v LIMIT 20""".stripMargin,
     "q_llm_tfidf_cosine" ->
       """WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -108,4 +108,36 @@ object VectorIngest {
       .limit(k)
       .select(col("vec_id"), col("bucket"), col("cos"))
   }
+
+  /** Streamed retrieval SCOREBOARD (round 10, s_stream_rrf — the
+    * streaming twin of the round-9 q_llm_rrf_sweep/hybrid-RRF batch
+    * surface): RRF-fuse the dense arm served from the stream-maintained
+    * IVF store ([[probeStore]]) with a caller-supplied lexical ranking
+    * (doc_id, lex_rank — e.g. the BM25 arm, which is corpus-statistics
+    * work and stays a batch/periodic job at any scale). Scoring is the
+    * EXACT integer idiom of the batch row: rrf_e12 = Σ 10¹² div
+    * (k + rank), missing-arm ranks contribute 0 via coalesce — so a
+    * streamed scoreboard is bit-comparable to the batch one
+    * (StreamingSpec proves parity against a batch brute-force twin).
+    *
+    * Shape: the dense candidate read prunes to nprobe list partitions
+    * at file listing; both arms are top-k-sized (≪ corpus) by the time
+    * they fuse — the full_outer join and the final top-N are
+    * control-plane work. */
+  def rrfFromStore(spark: SparkSession, storeDir: String,
+      probe: Array[Float], cents: DataFrame, nprobe: Int,
+      lex: DataFrame, kRrf: Int = 60, topN: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("vec_id"))
+    val dense = probeStore(spark, storeDir, probe, cents, nprobe, k = 50)
+      .withColumn("dense_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    dense.join(lex, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e12", expr(
+        s"coalesce(1000000000000 div ($kRrf + lex_rank), 0L) + " +
+          s"coalesce(1000000000000 div ($kRrf + dense_rank), 0L)"))
+      .orderBy(col("rrf_e12").desc, col("doc_id"))
+      .limit(topN)
+      .select(col("doc_id"), col("rrf_e12"))
+  }
 }

@@ -494,6 +494,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.nonEmpty)
   }
 
+  test("s_stream_rrf: the streamed-store RRF scoreboard is bit-identical " +
+      "to a batch brute-force twin (VERDICT r9 #7 — streaming parity " +
+      "for the round-9 retrieval surface)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, round,
+      call_function, typedLit, row_number}
+    implicit val sq = spark.sqlContext
+    graft.functions.VectorExprs.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("ivf_rrf")
+    val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)))
+      .toDF("c_id", "cv").withColumn("cn", expr("fvec_norm(cv)"))
+    def vec(i: Int): Array[Float] = {
+      val v = Array(0.07f * (i % 4), 0.07f * ((i + 1) % 4),
+        0.07f * ((i + 2) % 4), 0.03f * (i % 5))
+      v(i % 3) = 1f; v
+    }
+    val in = MemoryStream[Vec]
+    val q = VectorIngest.startIvfIngest(spark, in.toDF(), cents, store, ckpt)
+    in.addData((0 until 24).map(i => Vec(i.toLong, ts(i), vec(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    // lexical arm: a deterministic static top-8 (any BM25-style batch
+    // ranking — corpus-statistics work stays batch at any scale)
+    val lex = (0 until 8).map(i => ((i * 3).toLong, (i + 1).toLong))
+      .toDF("doc_id", "lex_rank")
+    val probeVec = Array(0.2f, 0.9f, 0.1f, 0.05f)
+    // streamed scoreboard: dense arm served from the streamed store
+    // over ALL lists (pruning semantics are pinned by the probe test
+    // above; parity here isolates the fusion + ranking + tie-breaks)
+    val streamed = VectorIngest.rrfFromStore(spark, store, probeVec,
+      cents, nprobe = 3, lex = lex)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch twin: brute-force cosine over the same 24 vectors straight
+    // from the test data (never the store), same integer RRF idiom
+    val pv = typedLit(probeVec)
+    val pn = math.sqrt(probeVec.map(x => x.toDouble * x).sum)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("vec_id"))
+    val denseB = (0 until 24).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "v")
+      .withColumn("cos", round(call_function("fvec_dot", col("v"), pv)
+        / (call_function("fvec_norm", col("v"))
+          * org.apache.spark.sql.functions.lit(pn)), 6))
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      .withColumn("dense_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    val batch = denseB.join(lex, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e12", expr(
+        "coalesce(1000000000000 div (60 + lex_rank), 0L) + " +
+          "coalesce(1000000000000 div (60 + dense_rank), 0L)"))
+      .orderBy(col("rrf_e12").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("rrf_e12"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.size == 10)
+    // both arms contribute: at least one fused row carries a summed
+    // score strictly above the best single-arm contribution (1e12/61)
+    assert(streamed.exists(_._2 > 1000000000000L / 61L), streamed)
+  }
+
   test("transformWithState sessionizer: in-batch gap split + event-time " +
       "timer timeout (the Spark 4 arbitrary-state API, RocksDB-only)") {
     import spark.implicits._
