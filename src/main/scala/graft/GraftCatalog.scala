@@ -139,8 +139,30 @@ object GraftCatalog {
     spark.sql(windowRankSql)
   }
 
+  /** GROUP BY ALL through the pure-SQL surface (J80, round 10): the
+    * analyst shorthand that infers the grouping keys from the
+    * non-aggregate SELECT items — supported by BOTH Spark 4 and DuckDB
+    * with identical inference rules, so the identical text runs on
+    * both engines (the fifth SQL-surface row beside scalar-expr,
+    * recursive-CTE, PIVOT, and windowed ranking). Aggregates are the
+    * cents-exact money idiom so the hash compare is bit-strict. */
+  private val groupByAllSql =
+    """SELECT o_orderpriority, o_orderstatus,
+      | CAST(count(*) AS BIGINT) AS n_orders,
+      | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |   AS BIGINT) AS revenue_cents
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  def sqlGroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(groupByAllSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_window_rank" -> sqlWindowRank,
+    "q_sql_group_by_all" -> sqlGroupByAll,
     "q_sql_cosine_topk" -> sqlCosineTopk,
     "q_sql_recursive_rollup" -> sqlRecursiveRollup,
     "q_sql_pivot_counts" -> sqlPivotCounts,
@@ -151,6 +173,7 @@ object GraftCatalog {
     // the Spark arm's SQL text IS the oracle text — one string, two
     // engines (the strongest same-truth form the suite has)
     "q_sql_window_rank" -> windowRankSql,
+    "q_sql_group_by_all" -> groupByAllSql,
     "q_sql_cosine_topk" -> operators.LlmOps.oracle("q_llm_cosine_topk"),
     "q_sql_recursive_rollup" -> recursiveRollupSql("//"),
     "q_sql_pivot_counts" -> operators.Reshape.oracle("q_pivot_counts"),

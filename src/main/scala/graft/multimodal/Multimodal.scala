@@ -1081,8 +1081,59 @@ object Multimodal {
     }).toDF().orderBy(col("media_id"))
   }
 
+  case class ImgSharp(media_id: Long, n_px: Long, grad_sum: Long,
+    sharp_e3: Long)
+
+  /** Per-image sharpness via mean |Laplacian| (J80, round 10 — the
+    * blur gate): grad_sum = Σ |2·p(i) − p(i−1) − p(i+1)| over interior
+    * pixels (the 1-D Laplacian of the row-major strip; on W×H images
+    * the same kernel runs per axis), sharp_e3 = grad_sum·10³ div
+    * (n−2). The third member of the image-quality screen beside
+    * mmImageStats (variance — exposure) and mmImageEntropy
+    * (concentration): variance and entropy both pass a perfectly
+    * blurred gradient, only the second difference catches it. The
+    * blurry flag is RELATIVE — sharp_e3·2 < corpus median — so the
+    * gate is scale-free and never needs an authored threshold
+    * recalibrated per corpus.
+    *
+    * Exactness: integer Laplacian; the median is the exact lower
+    * median via the value-census cross-multiplied CDF idiom; the
+    * e3 div is nonneg truncating. The grayscale PNG round-trip is
+    * lossless, so the DuckDB twin recomputes from character codes —
+    * a hash match re-certifies the codec end-to-end.
+    *
+    * Shape: map-only over the SHARED memoized decode + an
+    * image-count-sized median census. */
+  def mmImageSharpness(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = decodedPng(spark, dir).as[DecodedPx]
+      .filter(d => d.valid && d.px.length >= 3)
+      .map { d =>
+        val n = d.px.length
+        var acc = 0L; var i = 1
+        while (i < n - 1) {
+          acc += math.abs(2L * d.px(i) - d.px(i - 1) - d.px(i + 1))
+          i += 1
+        }
+        ImgSharp(d.media_id, n.toLong, acc, acc * 1000L / (n - 2))
+      }.toDF()
+    val med = per.groupBy(col("sharp_e3")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("sharp_e3"))))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(lit(1))))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("sharp_e3")))
+        .as("med"))
+    per.crossJoin(broadcast(med))
+      .select(col("media_id"), col("n_px"), col("grad_sum"),
+        col("sharp_e3"), (col("sharp_e3") * 2 < col("med")).as("blurry"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
+    "q_mm_image_sharpness" -> mmImageSharpness,
     "q_mm_image_mirror_hash" -> mmImageMirrorHash,
     "q_mm_image_otsu" -> mmImageOtsu,
     "q_mm_image_dhash" -> mmImageDHash,
@@ -1101,6 +1152,31 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mm_image_sharpness" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) >= 3),
+        |lap AS (SELECT doc_id, n,
+        |   abs(2 * ascii(substr(text, CAST(i + 1 AS INT), 1))
+        |     - ascii(substr(text, CAST(i AS INT), 1))
+        |     - ascii(substr(text, CAST(i + 2 AS INT), 1))) AS g
+        |  FROM (SELECT doc_id, n, text, unnest(range(1, n - 1)) AS i
+        |        FROM d0)),
+        |per AS (SELECT doc_id, max(n) AS n,
+        |   CAST(sum(g) AS BIGINT) AS grad_sum FROM lap GROUP BY doc_id),
+        |shp AS (SELECT doc_id, n, grad_sum,
+        |   CAST(grad_sum * 1000 // (n - 2) AS BIGINT) AS sharp_e3
+        |  FROM per),
+        |med AS (SELECT min(CASE WHEN cum * 2 >= nn THEN sharp_e3 END)
+        |    AS med FROM (SELECT sharp_e3,
+        |     sum(c) OVER (ORDER BY sharp_e3) AS cum,
+        |     sum(c) OVER () AS nn
+        |    FROM (SELECT sharp_e3, CAST(count(*) AS BIGINT) AS c
+        |          FROM shp GROUP BY 1)))
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_px, grad_sum,
+        | sharp_e3, sharp_e3 * 2 < med AS blurry
+        |FROM shp CROSS JOIN med ORDER BY media_id""".stripMargin,
     // Walsh-Hadamard sign hash from char codes (lossless PNG => pixels
     // are the ascii codes; floor-div chunk means, exact +-1 basis)
     "q_mm_image_whash" ->

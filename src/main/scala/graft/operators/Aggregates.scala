@@ -518,7 +518,50 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Exact 10% trimmed mean per order priority (J80, round 10): drop
+    * the k = n div 10 cheapest AND dearest orders, mean the middle —
+    * the robust-location companion of q_agg_winsorized (winsorize
+    * CLAMPS the tails into the estimate, trim EXCLUDES them; both
+    * standard, answering different contamination models — reporting
+    * both is how a pipeline localizes whether tails are heavy or
+    * merely present). Computed by HISTOGRAM ALGEBRA over the cents
+    * value census, never a corpus sort: a value run with cumulative
+    * range (cum−cnt, cum] contributes
+    * mult = max(min(cum, n−k) − max(cum−cnt, k), 0) copies to the
+    * trimmed sum — the winsorized/gini census discipline.
+    *
+    * Exactness: cents money idiom; both means are nonnegative
+    * truncating divs (Spark div ≡ DuckDB //).
+    *
+    * Shape (100 TB): one partial-aggregable (priority, cents) census;
+    * the window rides DISTINCT values per group (domain-bounded, the
+    * quartiles_disc discipline); output is |priorities| rows. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byP = Window.partitionBy(col("o_orderpriority"))
+    val hist = orders(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("o_orderpriority"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    hist
+      .withColumn("cum",
+        sum(col("cnt")).over(byP.orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(byP))
+      .withColumn("k", expr("n div 10"))
+      .withColumn("mult", expr(
+        "greatest(least(cum, n - k) - greatest(cum - cnt, k), 0)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("n_trim"),
+        expr("sum(cents * cnt) div max(n)").as("mean_cents"),
+        expr("sum(cents * mult) div greatest(max(n) - 2 * max(k), 1)")
+          .as("trimmed_mean_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_trimmed_mean" -> trimmedMean,
     "q_agg_moments_merge" -> momentsMerge,
     "q_agg_grouping_id" -> groupingIdCube,
     "q_agg_geomean" -> geoMean,
@@ -548,6 +591,27 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_trimmed_mean" ->
+      """WITH hist AS (SELECT o_orderpriority,
+        |   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT o_orderpriority, cents, cnt,
+        |   sum(cnt) OVER (PARTITION BY o_orderpriority
+        |     ORDER BY cents) AS cum,
+        |   sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM hist),
+        |m AS (SELECT o_orderpriority, cents, cnt, cum, n, n // 10 AS k
+        |  FROM w)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        | CAST(max(k) AS BIGINT) AS n_trim,
+        | CAST(sum(cents * cnt) // max(n) AS BIGINT) AS mean_cents,
+        | CAST(sum(cents * greatest(least(cum, n - k)
+        |     - greatest(cum - cnt, k), 0))
+        |   // greatest(max(n) - 2 * max(k), 1) AS BIGINT)
+        |   AS trimmed_mean_cents
+        |FROM m GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_agg_moments_merge" ->
       """WITH ev AS (SELECT event_type,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,

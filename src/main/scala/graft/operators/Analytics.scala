@@ -1868,7 +1868,41 @@ object Analytics {
       .limit(15)
   }
 
+  /** User-activity concentration curve (J80, round 10 — the Pareto
+    * "whale" census): users decile-ranked by event count (ntile 10
+    * over (count desc, user_id) — the rfm quintile discipline: both
+    * engines split first-buckets-larger over a TOTAL order, so the
+    * decile boundaries are identical), then per decile: users, events,
+    * event share, cumulative share. The 80/20 number that decides
+    * capacity planning, sampling strata, and whether per-user state is
+    * hot-key-skewed — the USER-mass member beside q_events_hhi's
+    * type concentration and q_agg_gini's value inequality.
+    *
+    * Shape (100 TB): the event scan reduces to a USER-sized frame
+    * before any window runs (the diag_range_bounds bounded-frame
+    * pattern); at true 100 TB user counts the same deciles come from
+    * quantile thresholds + a broadcast range join — the rfm note
+    * applies verbatim. All ratios are nonneg truncating e4 divs. */
+  def paretoShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+    val tot = users.agg(sum(col("cnt")).as("te"))
+    users.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum",
+        sum(col("n_events")).over(Window.orderBy(col("decile"))))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        expr("n_events * 10000 div te").as("share_e4"),
+        expr("cum * 10000 div te").as("cum_share_e4"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_pareto_share" -> paretoShare,
     "q_events_eb_shrinkage" -> ebShrinkage,
     "q_events_lifespan" -> userLifespan,
     "q_events_type_affinity" -> typeAffinity,
@@ -1923,6 +1957,21 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_pareto_share" ->
+      """WITH users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT user_id, cnt, CAST(ntile(10) OVER (
+        |   ORDER BY cnt DESC, user_id) AS BIGINT) AS decile FROM users),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS te FROM users),
+        |per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |   CAST(sum(cnt) AS BIGINT) AS n_events
+        |  FROM d GROUP BY 1)
+        |SELECT decile, n_users, n_events,
+        | CAST(n_events * 10000 // te AS BIGINT) AS share_e4,
+        | CAST(sum(n_events) OVER (ORDER BY decile) * 10000 // te
+        |   AS BIGINT) AS cum_share_e4
+        |FROM per CROSS JOIN tot
+        |ORDER BY decile""".stripMargin,
     "q_events_eb_shrinkage" ->
       """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
         |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0

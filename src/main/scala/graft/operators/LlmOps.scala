@@ -1702,6 +1702,146 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Feature-hashing collision census (J80, round 10 — the hashing
+    * trick, measured): the df-capped shingle VOCABULARY hashed into
+    * 4096 buckets with the house md5 h60 idiom; output is the
+    * balls-in-bins load histogram (load → bucket count, vocab mass,
+    * mass share, collided flag) — the census that sizes the feature
+    * space before anyone trains on hashed features, since collision
+    * mass IS the irreducible feature noise. Vocabulary-free
+    * featurization is the 100 TB default (no vocab table to build,
+    * ship, or version between pipeline stages); this row makes its
+    * cost measurable instead of assumed.
+    *
+    * Exactness: md5 % p % 4096 — all nonneg BIGINT, both engines
+    * agree; mass share e4 truncating.
+    *
+    * Shape: rides the memoized df-capped shingle frame (built once a
+    * session for the dedup family); one distinct + two
+    * partial-aggregable folds; output ≤ max-load rows (~10). */
+  def hashFeaturize(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = shingles(spark, dir).select(col("s")).distinct()
+    val loads = vocab
+      .withColumn("bucket", expr(s"(${h60("s")} % $P) % 4096"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("load"))
+    val tot = vocab.agg(count(lit(1)).as("n_vocab"))
+    loads.groupBy(col("load")).agg(count(lit(1)).as("n_buckets"))
+      .crossJoin(broadcast(tot))
+      .select(col("load"), col("n_buckets"),
+        (col("load") * col("n_buckets")).as("vocab_mass"),
+        expr("load * n_buckets * 10000 div n_vocab").as("mass_share_e4"),
+        (col("load") >= 2L).as("collided"))
+      .orderBy(col("load"))
+  }
+
+  /** IVF list-balance audit (J80, round 10): the per-list size census
+    * of the SAME 16-centroid coarse quantizer every ivf_* row searches
+    * (assignment is bit-identical to ivfAnn's arn = 1 branch), with
+    * each list's share and its load vs uniform (load_e4 = size·nlists
+    * ·10⁴ div n — 10⁴ = perfectly balanced). THE operational number
+    * behind the nprobe cost model: ivf_ann_cost's "~24 % of brute at
+    * nprobe=4" claim assumes near-uniform lists, and a hot list makes
+    * probe latency skew-bound — this census decides when to re-train
+    * the quantizer (ModelPrep.kmeansStep) or split a list. The
+    * vector-store twin of q_diag_skew's join-key census.
+    *
+    * Shape (100 TB): one broadcast-centroid crossJoin + per-vector
+    * argmin window (the quantizer pass the ANN family already pays,
+    * here once for the audit) + a 16-key fold. */
+  def ivfImbalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = embWithNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        round(expr("fvec_dot(v, cv)") / (col("norm") * col("cn")), 6))
+      .withColumn("arn", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("c_id").as("bucket"))
+    val tot = assigned.agg(count(lit(1)).as("n"),
+      countDistinct(col("bucket")).as("n_lists"))
+    assigned.groupBy(col("bucket")).agg(count(lit(1)).as("list_size"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("list_size"),
+        expr("list_size * 10000 div n").as("share_e4"),
+        expr("list_size * n_lists * 10000 div n").as("load_e4"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Dirichlet-QL score for EVERY BM25-candidate doc — the all-docs
+    * form of [[qlDirichlet]]'s scoring lane, factored for
+    * [[rankerTau]]. Columns: (doc_id, ql_e3). */
+  private def qlScoredAll(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = bm25Terms
+    val perDoc = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
+        sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    val qst = perDoc.agg(sum(col("dl")).as("cc"),
+      sum(col("tf1")).as("cf1"), sum(col("tf2")).as("cf2"),
+      sum(col("tf3")).as("cf3"))
+    def term(i: Int): String =
+      s"(CAST(floor(ln(tf$i * cc + 100 * cf$i) * 1000 + 0.5) AS BIGINT)" +
+        s" - CAST(floor(ln((dl + 100) * cc) * 1000 + 0.5) AS BIGINT))"
+    perDoc.crossJoin(broadcast(qst))
+      .filter(col("tf1") + col("tf2") + col("tf3") > 0)
+      .withColumn("ql_e3", expr(s"${term(1)} + ${term(2)} + ${term(3)}"))
+      .select(col("doc_id"), col("ql_e3"))
+  }
+
+  /** Ranker rank-correlation (J80, round 10): Kendall tau between the
+    * BM25 and Dirichlet-QL rankings over the UNION of their top-20s —
+    * the quantified version of ql_dirichlet's in_bm25_top10 audit
+    * column (that row shows WHERE the rankers disagree; this one says
+    * HOW MUCH, the number that decides whether RRF/Borda fusion has
+    * anything to gain — tau ≈ 1 means fusion is redundant). Both
+    * rankings are re-ranked WITHIN the union set by the tie-broken
+    * total order (score desc, doc_id), so ranks are permutations and
+    * tau-a is well-defined with no tie terms.
+    *
+    * Exactness: concordance is pure sign comparison on integer ranks;
+    * tau ships SHIFTED (the assortativity idiom — signed div differs
+    * between engines): tau_shift_e4 = (C − D + n_pairs)·10⁴ div
+    * (2·n_pairs) ∈ [0, 10⁴], 5000 = independence.
+    *
+    * Shape (100 TB): both top-20s are TakeOrdered; the union set is
+    * ≤ 40 rows by construction, so the pair self-join is ≤ C(40,2) —
+    * control-plane work after two corpus scoring passes (one shared
+    * via the memoized bm25 frame). */
+  def rankerTau(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bm = bm25Scored(spark, dir).select(col("doc_id"), col("bm25"))
+    val ql = qlScoredAll(spark, dir)
+    val topB = bm.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"))
+    val topQ = ql.orderBy(col("ql_e3").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"))
+    val union = topB.union(topQ).distinct()
+      .join(bm, "doc_id").join(ql, "doc_id")
+      .withColumn("rb", row_number().over(
+        w.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .withColumn("rq", row_number().over(
+        w.orderBy(col("ql_e3").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rb"), col("rq"))
+    // bounded ≤40-row self-pairing: explicit broadcast so the
+    // nested-loop is the declared intent (cartesian-guard discipline)
+    val pairs = union.as("a").join(broadcast(union.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(when((col("a.rb") < col("b.rb")) === (col("a.rq") < col("b.rq")),
+        1L).otherwise(0L).as("conc"))
+    pairs.agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("concordant"))
+      .select(col("n_pairs"), col("concordant"),
+        (col("n_pairs") - col("concordant")).as("discordant"),
+        expr("(2 * concordant) * 10000 div (2 * n_pairs)")
+          .as("tau_shift_e4"))
+  }
+
   /** One BM25 term's score contribution, as SQL TEXT shared by the
     * Spark plan (via expr) and the DuckDB oracle — identical structure
     * → identical double evaluation order → hash-parity. k1=1.2 b=0.75
@@ -3336,6 +3476,9 @@ object LlmOps {
     "q_llm_tfidf_top_terms" -> tfidfTopTerms,
     "q_llm_tfidf_cosine" -> tfidfCosine,
     "q_llm_rare_shingle_pairs" -> rareShinglePairs,
+    "q_llm_hash_featurize" -> hashFeaturize,
+    "q_llm_ivf_imbalance" -> ivfImbalance,
+    "q_llm_ranker_tau" -> rankerTau,
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_ql_dirichlet" -> qlDirichlet,
     "q_llm_term_position" -> termPosition,
@@ -4481,6 +4624,75 @@ object LlmOps {
         | lex_rank, dense_rank
         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q_llm_hash_featurize" ->
+      s"""WITH $shingleCte,
+        |vocab AS (SELECT DISTINCT s FROM sh),
+        |loads AS (SELECT (CAST(concat('0x', substr(md5(s), 1, 15))
+        |    AS BIGINT) % 1000000007) % 4096 AS bucket,
+        |   CAST(count(*) AS BIGINT) AS load
+        |  FROM vocab GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vocab)
+        |SELECT load, CAST(count(*) AS BIGINT) AS n_buckets,
+        | CAST(load * count(*) AS BIGINT) AS vocab_mass,
+        | CAST(load * count(*) * 10000 // max(n_vocab) AS BIGINT)
+        |   AS mass_share_e4,
+        | load >= 2 AS collided
+        |FROM loads CROSS JOIN tot GROUP BY load ORDER BY load""".stripMargin,
+    "q_llm_ivf_imbalance" ->
+      s"""WITH $cosCte,
+        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+        |  FROM emb WHERE vec_id < 16),
+        |asg AS (SELECT e.vec_id, c.c_id,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_inner_product(e.v, c.cv)
+        |      / (e.nrm * c.cn), 6) DESC, c.c_id) AS arn
+        |  FROM emb e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, c_id AS bucket FROM asg
+        |  WHERE arn = 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(DISTINCT bucket) AS BIGINT) AS n_lists
+        |  FROM assigned)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS list_size,
+        | CAST(count(*) * 10000 // max(n) AS BIGINT) AS share_e4,
+        | CAST(count(*) * max(n_lists) * 10000 // max(n) AS BIGINT)
+        |   AS load_e4
+        |FROM assigned CROSS JOIN tot
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_llm_ranker_tau" ->
+      s"""WITH $bm25Ctes,
+        |qst AS (SELECT sum(dl) AS cc, sum(tf1) AS cf1,
+        |   sum(tf2) AS cf2, sum(tf3) AS cf3 FROM perdoc),
+        |qls AS (SELECT doc_id,
+        |   (CAST(floor(ln(tf1 * cc + 100 * cf1) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((dl + 100) * cc) * 1000 + 0.5) AS BIGINT))
+        | + (CAST(floor(ln(tf2 * cc + 100 * cf2) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((dl + 100) * cc) * 1000 + 0.5) AS BIGINT))
+        | + (CAST(floor(ln(tf3 * cc + 100 * cf3) * 1000 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((dl + 100) * cc) * 1000 + 0.5) AS BIGINT))
+        |   AS ql_e3
+        |  FROM perdoc CROSS JOIN qst WHERE tf1 + tf2 + tf3 > 0),
+        |tb AS (SELECT doc_id FROM bmsc ORDER BY bm25 DESC, doc_id
+        |  LIMIT 20),
+        |tq AS (SELECT doc_id FROM qls ORDER BY ql_e3 DESC, doc_id
+        |  LIMIT 20),
+        |u0 AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM tb
+        |  UNION ALL SELECT doc_id FROM tq)),
+        |ranked AS (SELECT u0.doc_id,
+        |   CAST(row_number() OVER (ORDER BY b.bm25 DESC, u0.doc_id)
+        |     AS BIGINT) AS rb,
+        |   CAST(row_number() OVER (ORDER BY q.ql_e3 DESC, u0.doc_id)
+        |     AS BIGINT) AS rq
+        |  FROM u0 JOIN bmsc b ON b.doc_id = u0.doc_id
+        |  JOIN qls q ON q.doc_id = u0.doc_id),
+        |p AS (SELECT CASE WHEN (a.rb < b.rb) = (a.rq < b.rq)
+        |    THEN 1 ELSE 0 END AS conc
+        |  FROM ranked a JOIN ranked b ON a.doc_id < b.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(conc) AS BIGINT) AS concordant,
+        | CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+        | CAST((2 * sum(conc)) * 10000 // (2 * count(*)) AS BIGINT)
+        |   AS tau_shift_e4
+        |FROM p""".stripMargin,
     "q_llm_rare_shingle_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
