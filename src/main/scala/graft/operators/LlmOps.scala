@@ -1749,18 +1749,7 @@ object LlmOps {
     * argmin window (the quantizer pass the ANN family already pays,
     * here once for the audit) + a 16-key fold. */
   def ivfImbalance(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val emb = embWithNorm(spark, dir)
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"),
-        col("norm").as("cn"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("cs",
-        round(expr("fvec_dot(v, cv)") / (col("norm") * col("cn")), 6))
-      .withColumn("arn", row_number().over(
-        w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("c_id").as("bucket"))
+    val assigned = ivfAssigned(spark, dir)
     val tot = assigned.agg(count(lit(1)).as("n"),
       countDistinct(col("bucket")).as("n_lists"))
     assigned.groupBy(col("bucket")).agg(count(lit(1)).as("list_size"))
@@ -1769,6 +1758,157 @@ object LlmOps {
         expr("list_size * 10000 div n").as("share_e4"),
         expr("list_size * n_lists * 10000 div n").as("load_e4"))
       .orderBy(col("bucket"))
+  }
+
+  /** The IVF coarse-quantizer assignment (vec_id, bucket), factored
+    * from [[ivfImbalance]] so the balance audit and the
+    * diversity-stratified sampler share one definition (bit-identical
+    * to ivfAnn's arn = 1 branch). */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = embWithNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        round(expr("fvec_dot(v, cv)") / (col("norm") * col("cn")), 6))
+      .withColumn("arn", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("c_id"))))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("c_id").as("bucket"))
+  }
+
+  /** Dedup threshold sweep (J81, round 10): pairs surviving the exact
+    * Jaccard verify at τ ∈ {0.5, 0.7, 0.8, 0.9} over the SAME LSH
+    * candidate set as q_llm_minhash_lsh, plus the docs each τ would
+    * REMOVE (a doc is removed under smaller-id survivorship iff it
+    * appears as the larger member of ≥ 1 surviving pair — exactly
+    * distinct b_id, since candidates carry a_id < b_id) and the
+    * removal share of the corpus. THE dedup aggressiveness curve: the
+    * enrolled gate is τ = 0.8, and this row is the measurement that
+    * justifies (or moves) it — the exact-J sibling of band_sweep's
+    * S-curve, at candidate cost (never all-pairs; the τ arms are
+    * FILTERS over one scored frame, the ann_recall discipline).
+    *
+    * Exactness: the τ gate is the cross-multiplied integer form
+    * i·10⁴ ≥ τ_e4·(na+nb−i) — no float Jaccard compare; absent τ rows
+    * are restored by a LEFT join from the τ VALUES list in BOTH
+    * engines (the mrl_recall empty-group idiom). */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = minhashSigs(spark, dir)
+    val docsets = sigs.select(col("doc_id"), col("ss"), col("n"))
+    val scored = minhashCandidates(sigs)
+      .join(docsets.select(col("doc_id"), col("ss").as("sa"),
+        col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(docsets.select(col("doc_id"), col("ss").as("sb"),
+        col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("i",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("a_id"), col("b_id"), col("i"), col("na"), col("nb"))
+      .localCheckpoint() // candidate-sized; feeds all four τ arms
+    val taus = Seq(5000L, 7000L, 8000L, 9000L).toDF("tau_e4")
+    val nd = documents(spark, dir).agg(count(lit(1)).as("ndocs"))
+    val per = scored.crossJoin(broadcast(taus))
+      .filter(expr("i * 10000 >= tau_e4 * (na + nb - i)"))
+      .groupBy(col("tau_e4"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("b_id")).as("n_removed"))
+    taus.join(per, Seq("tau_e4"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_removed"))
+      .crossJoin(broadcast(nd))
+      .select(col("tau_e4"), col("n_pairs"), col("n_removed"),
+        expr("n_removed * 10000 div ndocs").as("removed_share_e4"))
+      .orderBy(col("tau_e4"))
+  }
+
+  /** ColBERT-style MaxSim late interaction (J81, round 10): each
+    * 64-dim embedding is read as 8 sub-vectors of 8 dims (the
+    * documented derived multi-vector fixture — same parquet, PQ's
+    * subspace view), and a probe scores a candidate by
+    * Σ_{query chunk} max_{cand chunk} cos(qc, dc) — late interaction
+    * keeps per-chunk matching (the retrieval quality lever) while the
+    * index stores chunk vectors, the missing member between
+    * single-vector cosine (q_llm_cosine_topk) and token-free lexical
+    * (BM25). Probes vec_id < 5, top-3 per probe.
+    *
+    * Exactness: every chunk cosine rides the house round-6 grid; the
+    * 8 per-chunk maxes are pivoted to COLUMNS and summed explicitly
+    * t0+…+t7 (the ivfPq ADC fixed-association discipline — a float
+    * sum() over rows would be partition-order-dependent).
+    *
+    * Shape (100 TB): chunk fan-out is ×8 rows on each side; the probe
+    * side is 40 broadcast rows, so scoring streams the corpus chunk
+    * table through ONE broadcast nested join + two partial-aggregable
+    * folds; per-probe top-3 via a 5-partition window. MaxSim over a
+    * real index prunes candidates with IVF/LSH first (the enrolled
+    * ANN rows) — this row is the SCORER those candidates feed. */
+  def maxsimLate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val chunks = emb.select(col("vec_id"),
+        explode(expr("transform(sequence(0, 7)," +
+          " i -> struct(i AS ci, slice(v, i * 8 + 1, 8) AS cv))"))
+          .as("c"))
+      .select(col("vec_id"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+      .withColumn("cn", expr("fvec_norm(cv)"))
+    val pchunks = chunks.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("ci").as("qi"),
+        col("cv").as("qv"), col("cn").as("qn"))
+    val best = chunks.join(broadcast(pchunks),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cc",
+        round(expr("fvec_dot(cv, qv)") / (col("cn") * col("qn")), 6))
+      .groupBy(col("probe_id"), col("vec_id"), col("qi"))
+      .agg(max(col("cc")).as("m"))
+    val scoredMs = best.groupBy(col("probe_id"), col("vec_id"))
+      .agg(
+        max(when(col("qi") === 0, col("m"))).as("t0"),
+        max(when(col("qi") === 1, col("m"))).as("t1"),
+        max(when(col("qi") === 2, col("m"))).as("t2"),
+        max(when(col("qi") === 3, col("m"))).as("t3"),
+        max(when(col("qi") === 4, col("m"))).as("t4"),
+        max(when(col("qi") === 5, col("m"))).as("t5"),
+        max(when(col("qi") === 6, col("m"))).as("t6"),
+        max(when(col("qi") === 7, col("m"))).as("t7"))
+      .withColumn("maxsim", expr(
+        "round(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7, 6)"))
+    scoredMs
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("maxsim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("maxsim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Diversity-stratified uncertainty sampling (J81, round 10): the
+    * active-learning BATCH builder — plain uncertainty sampling
+    * (q_llm_uncertainty_sample) floods the batch with near-duplicates
+    * from the densest region; stratifying by the IVF coarse bucket
+    * (the shared 16-centroid quantizer, doc_id = vec_id on this
+    * fixture) takes the top-2 most uncertain docs PER CLUSTER — the
+    * standard cluster-margin composite, composing two enrolled
+    * substrates (logreg margins × quantizer assignment) so neither
+    * can drift from its family.
+    *
+    * Shape: margins are doc-sized, assignment is the quantizer pass
+    * the ANN family pays once; the window partitions by 16 buckets. */
+  def activeDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val margins = ModelPrep.qualityLogreg(spark, dir)
+      .withColumn("margin_e4", expr(
+        "abs(CAST(floor(score * 10000 + 0.5) AS BIGINT) - 5000)"))
+      .select(col("doc_id"), col("margin_e4"))
+    ivfAssigned(spark, dir)
+      .join(margins, col("vec_id") === col("doc_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"))
+          .orderBy(col("margin_e4"), col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 2)
+      .select(col("bucket"), col("rank"), col("doc_id"), col("margin_e4"))
+      .orderBy(col("bucket"), col("rank"))
   }
 
   /** Dirichlet-QL score for EVERY BM25-candidate doc — the all-docs
@@ -3479,6 +3619,9 @@ object LlmOps {
     "q_llm_hash_featurize" -> hashFeaturize,
     "q_llm_ivf_imbalance" -> ivfImbalance,
     "q_llm_ranker_tau" -> rankerTau,
+    "q_llm_dedup_tau_sweep" -> dedupThresholdSweep,
+    "q_llm_maxsim" -> maxsimLate,
+    "q_llm_active_diverse" -> activeDiverse,
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_ql_dirichlet" -> qlDirichlet,
     "q_llm_term_position" -> termPosition,
@@ -4624,6 +4767,85 @@ object LlmOps {
         | lex_rank, dense_rank
         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q_llm_dedup_tau_sweep" ->
+      s"""WITH $minhashCandCte,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |   CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT a_id, b_id, i, na.n AS na, nb.n AS nb
+        |  FROM cand JOIN inter ON a_id = ia AND b_id = ib
+        |  JOIN sizes na ON a_id = na.doc_id
+        |  JOIN sizes nb ON b_id = nb.doc_id),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
+        |taus(tau_e4) AS (VALUES (CAST(5000 AS BIGINT)), (7000),
+        |  (8000), (9000)),
+        |per AS (SELECT tau_e4, CAST(count(*) AS BIGINT) AS n_pairs,
+        |   CAST(count(DISTINCT b_id) AS BIGINT) AS n_removed
+        |  FROM taus JOIN scored ON i * 10000 >= tau_e4 * (na + nb - i)
+        |  GROUP BY 1)
+        |SELECT t.tau_e4, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        | CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+        | CAST(coalesce(n_removed, 0) * 10000 // ndocs AS BIGINT)
+        |   AS removed_share_e4
+        |FROM taus t LEFT JOIN per ON t.tau_e4 = per.tau_e4 CROSS JOIN nd
+        |ORDER BY t.tau_e4""".stripMargin,
+    "q_llm_maxsim" ->
+      s"""WITH $cosCte,
+        |ch AS (SELECT vec_id, ci,
+        |   v[ci * 8 + 1 : ci * 8 + 8] AS cv,
+        |   sqrt(list_inner_product(v[ci * 8 + 1 : ci * 8 + 8],
+        |        v[ci * 8 + 1 : ci * 8 + 8])) AS cn
+        |  FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS ci)),
+        |pc AS (SELECT vec_id AS probe_id, ci AS qi, cv AS qv, cn AS qn
+        |  FROM ch WHERE vec_id < 5),
+        |best AS (SELECT probe_id, c.vec_id, qi,
+        |   max(round(list_inner_product(c.cv, p.qv)
+        |     / (c.cn * p.qn), 6)) AS m
+        |  FROM ch c JOIN pc p ON c.vec_id <> p.probe_id
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT probe_id, vec_id,
+        |   max(CASE WHEN qi = 0 THEN m END) AS t0,
+        |   max(CASE WHEN qi = 1 THEN m END) AS t1,
+        |   max(CASE WHEN qi = 2 THEN m END) AS t2,
+        |   max(CASE WHEN qi = 3 THEN m END) AS t3,
+        |   max(CASE WHEN qi = 4 THEN m END) AS t4,
+        |   max(CASE WHEN qi = 5 THEN m END) AS t5,
+        |   max(CASE WHEN qi = 6 THEN m END) AS t6,
+        |   max(CASE WHEN qi = 7 THEN m END) AS t7
+        |  FROM best GROUP BY 1, 2)
+        |SELECT probe_id, rank, vec_id, maxsim FROM (
+        | SELECT probe_id, vec_id,
+        |   round(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7, 6) AS maxsim,
+        |   CAST(row_number() OVER (PARTITION BY probe_id
+        |     ORDER BY round(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7, 6)
+        |       DESC, vec_id) AS BIGINT) AS rank
+        | FROM sc) t WHERE rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_llm_active_diverse" ->
+      s"""WITH ${ModelPrep.scoreCte},
+        |$cosCte,
+        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+        |  FROM emb WHERE vec_id < 16),
+        |asg AS (SELECT e.vec_id, c.c_id,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_inner_product(e.v, c.cv)
+        |      / (e.nrm * c.cn), 6) DESC, c.c_id) AS arn
+        |  FROM emb e CROSS JOIN cents c),
+        |assigned AS (SELECT vec_id, c_id AS bucket FROM asg
+        |  WHERE arn = 1),
+        |mg AS (SELECT doc_id,
+        |   CAST(abs(CAST(floor(score * 10000.0 + 0.5) AS BIGINT) - 5000)
+        |     AS BIGINT) AS margin_e4 FROM sc0)
+        |SELECT bucket, rank, doc_id, margin_e4 FROM (
+        | SELECT a.bucket, m.doc_id, m.margin_e4,
+        |   CAST(row_number() OVER (PARTITION BY a.bucket
+        |     ORDER BY m.margin_e4, m.doc_id) AS BIGINT) AS rank
+        | FROM assigned a JOIN mg m ON a.vec_id = m.doc_id) t
+        |WHERE rank <= 2
+        |ORDER BY bucket, rank""".stripMargin,
     "q_llm_hash_featurize" ->
       s"""WITH $shingleCte,
         |vocab AS (SELECT DISTINCT s FROM sh),
