@@ -26,6 +26,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** SIZE-GATED broadcast variants of the SCALING dimension tables
+    * (round-10 sweep, VERDICT r9 #2): part/supplier/customer grow
+    * linearly with SF in TPC-H-style scaling, so a forced broadcast is
+    * the classic dim pattern on the fixture and an executor-memory
+    * wall at 100× — the hint applies only while the table's row count
+    * (one memoized count job per session — a parquet footer read) sits
+    * under [[Hints.NodeRowCap]]; past it the keyed join co-partitions.
+    * `region`/`nation` keep plain `broadcast()` at call sites: their
+    * cardinality is fixed by the schema spec (5/25 rows at EVERY SF),
+    * not by the data volume. */
+  private def dimB(s: SparkSession, d: String, name: String): DataFrame =
+    Hints.bcastIfAtMost(t(s, d, name),
+      FrameMemo.cachedCount(s, d, s"$name-rows")(t(s, d, name)))
+  def partB(s: SparkSession, d: String): DataFrame = dimB(s, d, "part")
+  def supplierB(s: SparkSession, d: String): DataFrame =
+    dimB(s, d, "supplier")
+  def customerB(s: SparkSession, d: String): DataFrame =
+    dimB(s, d, "customer")
+
   /** `events.parquet` has shipped with two physical types for `ts` across
     * fixture regenerations, so this reader adapts to the loaded schema:
     *

@@ -1005,7 +1005,9 @@ object Curation {
       .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
       .withColumn("s_e4", expr("deg * 10000 div freq"))
     val occScore = words
-      .join(broadcast(wscore.select(col("tok"), col("s_e4"))), Seq("tok"))
+      // vocab-sized score table — unhinted (round-10 sweep): AQE
+      // runtime-broadcasts while small, co-partitions past that
+      .join(wscore.select(col("tok"), col("s_e4")), Seq("tok"))
       .groupBy(col("doc_id"), col("gid"))
       .agg(sum(col("s_e4")).as("score_e4"))
     phrases.join(occScore, Seq("doc_id", "gid"))
@@ -1104,8 +1106,9 @@ object Curation {
     val terms = pairs
       .join(dij, Seq("label", "wi", "wj"), "left")
       .withColumn("dij", coalesce(col("dij"), lit(0L)))
-      .join(broadcast(dfGlobal.select(col("tok").as("wj"),
-        col("dj"))), Seq("wj"))
+      // vocab-sized df table — unhinted (round-10 sweep)
+      .join(dfGlobal.select(col("tok").as("wj"),
+        col("dj")), Seq("wj"))
       .withColumn("t_e3", expr(
         "CAST(floor(1000 * ln((dij + 1.0D) / dj) + 0.5) AS BIGINT)"))
       .groupBy(col("label"))

@@ -178,7 +178,8 @@ object Evaluation {
     val arms = LlmOps.bm25Terms.map { t =>
       val has = toks.filter(col("tok") === t)
         .select(col("doc_id")).distinct()
-      scored.join(broadcast(has), Seq("doc_id"), "left_anti")
+      // doc-sized term-presence set — unhinted (round-10 sweep)
+      scored.join(has, Seq("doc_id"), "left_anti")
         .orderBy(col("bm25").desc, col("doc_id")).limit(5)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window

@@ -165,7 +165,7 @@ object Governance {
     val li = lineitem(spark, dir)
       .join(broadcast(ord.select(col("o_orderkey").as("ok_dim"))
         .distinct()), col("l_orderkey") === col("ok_dim"), "left")
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .select(col("p_partkey").as("pk_dim")).distinct()),
         col("l_partkey") === col("pk_dim"), "left")
     val liAgg = li.agg(
@@ -191,7 +191,7 @@ object Governance {
         " 'li_unique_order_line', n, v_uniq)" +
         " AS (check_name, n_checked, n_violations)"))
     val ordRows = ord
-      .join(broadcast(customer(spark, dir)
+      .join((customerB(spark, dir)
         .select(col("c_custkey").as("ck_dim")).distinct()),
         col("o_custkey") === col("ck_dim"), "left")
       .agg(count(lit(1)).as("n_checked"),

@@ -33,7 +33,7 @@ object Joins {
   /** Broadcast hash join: fact ⋈ tiny dim, no fact shuffle. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
-      .join(broadcast(part(spark, dir)),
+      .join(partB(spark, dir),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
         col("p_name"))

@@ -1629,8 +1629,10 @@ object LlmOps {
       .agg(count(lit(1)).as("n_shared"),
         sum(expr("pw * w")).as("dot"))
     dots
-      .join(broadcast(norms.select(col("doc_id").as("probe_id"),
-        col("s2").as("sa"))), "probe_id")
+      // no hint on the DOC-sized norms frame (round-10 sweep): dots is
+      // probe-bounded small, so AQE broadcasts the correct (left) side
+      .join(norms.select(col("doc_id").as("probe_id"),
+        col("s2").as("sa")), "probe_id")
       .join(norms.select(col("doc_id"), col("s2").as("sb")), "doc_id")
       // greatest-guard (review): a doc of only near-universal tokens
       // (idf truncates to 0 on the e3 grid when df is within ~0.1% of
@@ -2114,13 +2116,17 @@ object LlmOps {
     var cur = seed
     var out = seed
     (1 to 8).foreach { i =>
-      cur = cur.join(broadcast(nextTab),
+      // broadcast the 1-row WALKER, not the vocab-sized LM table
+      // (round-10 sweep: the hint sat on the data-sized side)
+      cur = broadcast(cur).join(nextTab,
           cur("tok") === nextTab("prev"))
         .select(col("next").as("tok"), lit(i.toLong).as("step"))
       out = out.unionAll(cur)
     }
-    out.join(broadcast(nextTab.select(col("prev").as("tok"),
-        col("c").as("bigram_count"))), Seq("tok"), "left")
+    // left-outer keeps `out` (9 rows) as the stream side; the
+    // vocab-sized LM table is unhinted — AQE picks the runtime strategy
+    out.join(nextTab.select(col("prev").as("tok"),
+        col("c").as("bigram_count")), Seq("tok"), "left")
       .select(col("step"), col("tok"),
         coalesce(col("bigram_count"), lit(0L)).as("bigram_count"))
       .orderBy(col("step"))
@@ -2206,7 +2212,9 @@ object LlmOps {
       .select(col("w").as("seq"), col("w").as("last"),
         lit(0L).as("score_e3"))
     (1 to 3).foreach { _ =>
-      beam = beam.join(broadcast(top2),
+      // broadcast the 2-row BEAM, not the vocab-sized LM table
+      // (round-10 sweep: the hint sat on the data-sized side)
+      beam = broadcast(beam).join(top2,
           beam("last") === top2("prev"))
         .select(concat(col("seq"), lit(" "), col("next")).as("seq"),
           col("next").as("last"),

@@ -280,7 +280,7 @@ object Reshape {
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1997-01-01"))
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_type"), expr(
@@ -402,7 +402,7 @@ object Reshape {
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .filter(col("p_brand") === "Brand#2").select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
     val perPart = li.groupBy(col("l_partkey").as("pk"))
@@ -428,7 +428,7 @@ object Reshape {
     lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .select(col("p_partkey"), col("p_brand"), col("p_size"))),
         col("l_partkey") === col("p_partkey"))
       .filter(
@@ -502,7 +502,7 @@ object Reshape {
   def partValueShare(spark: SparkSession, dir: String): DataFrame = {
     val v = lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-      .join(broadcast(supplier(spark, dir)
+      .join((supplierB(spark, dir)
         .filter(col("s_nationkey").isin(1, 2, 3, 4, 5))
         .select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"))

@@ -59,7 +59,7 @@ object Warehouse {
       .join(customer(spark, dir)
         .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier(spark, dir)
+      .join((supplierB(spark, dir)
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .filter((col("s_nationkey") === 5 && col("c_nationkey") === 10) ||
@@ -90,7 +90,7 @@ object Warehouse {
     lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         cents("l_extendedprice * (1 - l_discount)").as("vol_cents"))
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
       .join(orders(spark, dir)
@@ -101,7 +101,7 @@ object Warehouse {
         col("o_custkey") === col("c_custkey"))
       .join(asiaNations, col("c_nationkey") === col("n_nationkey"),
         "left_semi")
-      .join(broadcast(supplier(spark, dir)
+      .join((supplierB(spark, dir)
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -122,14 +122,14 @@ object Warehouse {
     lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
         col("l_extendedprice"), col("l_discount"), col("l_quantity"))
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .filter(col("p_name").like("%red%"))
         .select(col("p_partkey"), col("p_retailprice"))),
         col("l_partkey") === col("p_partkey"))
       .withColumn("profit_cents",
         cents("l_extendedprice * (1 - l_discount)") -
           cents("p_retailprice * l_quantity * 0.2"))
-      .join(broadcast(supplier(spark, dir)
+      .join((supplierB(spark, dir)
         .select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation(spark, dir)
@@ -152,7 +152,7 @@ object Warehouse {
     val mx = rev.agg(max(col("revenue_cents")).as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("revenue_cents") === col("mx"))
-      .join(broadcast(supplier(spark, dir)
+      .join((supplierB(spark, dir)
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
@@ -167,7 +167,7 @@ object Warehouse {
     * threshold is the integer cross-multiply qty·8 > total. */
   def q20Dominant(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .filter(col("p_size") <= 10).select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"),
@@ -181,7 +181,7 @@ object Warehouse {
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_dominated"),
         sum(col("qty_s")).as("qty_sum"))
-      .join(broadcast(supplier(spark, dir)
+      .join((supplierB(spark, dir)
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_dominated"),
@@ -214,7 +214,7 @@ object Warehouse {
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supplier(spark, dir)
+      .join((supplierB(spark, dir)
         .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
@@ -229,7 +229,7 @@ object Warehouse {
     * re-join; ranked by supplier balance (cents). */
   def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .filter(col("p_size") === 15).select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"),
@@ -240,7 +240,7 @@ object Warehouse {
         col("price_cents") === col("min_cents"))
       .select(col("l_partkey"), col("l_suppkey"), col("min_cents"))
       .distinct()
-      .join(broadcast(supplier(spark, dir)
+      .join((supplierB(spark, dir)
         .select(col("s_suppkey"), col("s_name"),
           cents("s_acctbal").as("bal_cents"))),
         col("l_suppkey") === col("s_suppkey"))
@@ -265,7 +265,7 @@ object Warehouse {
     * grouped-regression shape: no window, no sort, no row retained. */
   def discountElasticity(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .select(col("p_partkey"), col("p_type"))),
         col("p_partkey") === col("l_partkey"))
       .select(col("p_type"),
@@ -386,7 +386,7 @@ object Warehouse {
     * broadcast. No window, no corpus sort. */
   def priceIndex(spark: SparkSession, dir: String): DataFrame = {
     val by = lineitem(spark, dir)
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand").as("brand"),
@@ -487,7 +487,7 @@ object Warehouse {
     * census → broadcast global rate. */
   def returnRate(spark: SparkSession, dir: String): DataFrame = {
     val b = lineitem(spark, dir)
-      .join(broadcast(part(spark, dir)
+      .join((partB(spark, dir)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))

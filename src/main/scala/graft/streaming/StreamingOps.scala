@@ -148,9 +148,17 @@ object StreamingOps {
       .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
 
   /** Stream enriched with a static dimension (broadcast at plan time —
-    * the reference's per-event container metadata lookup). */
-  def enrichWithStatic(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), Seq("user_id"), "left")
+    * the reference's per-event container metadata lookup). The dim is
+    * caller-owned and can be USER-sized at scale, so callers that know
+    * its cardinality pass `dimRows` and the hint size-gates through
+    * [[graft.Hints.bcastIfAtMost]] (round-10 sweep); the default keeps
+    * the unconditional hint for genuinely static control-plane dims. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+      dimRows: Long = -1L): DataFrame =
+    events.join(
+      if (dimRows < 0L) broadcast(dim)
+      else graft.Hints.bcastIfAtMost(dim, dimRows),
+      Seq("user_id"), "left")
 
   /** Streaming twin of the batch curation pipeline (round 3,
     * `LlmOps.curationPipeline`): content-hash dedup WITHIN the watermark
