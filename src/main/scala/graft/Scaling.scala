@@ -46,7 +46,12 @@ object Scaling {
     // census (the last two exercise the deg-cap / orientation bounds
     // this artifact exists to certify)
     "q_llm_char_cond_entropy", "q_orders_assoc_rules",
-    "q_graph_adamic_adar", "q_graph_local_bridges")
+    "q_graph_adamic_adar", "q_graph_local_bridges",
+    // round-10 widening: the rare-postings pair join (the df-cap bound
+    // this artifact certifies, on the trigram-shingle vocabulary), the
+    // ×8 chunk fan-out of MaxSim late interaction, and the τ-sweep's
+    // shared-candidate filter arms
+    "q_llm_rare_shingle_pairs", "q_llm_maxsim", "q_llm_dedup_tau_sweep")
 
   /** Round 9: the ten heaviest rows also run at sf1 (the ScaleUp
     * replica fixture) for a FOURTH decade — `exp1` is the 0.1 → 1
