@@ -1913,6 +1913,73 @@ object LlmOps {
       .orderBy(col("bucket"), col("rank"))
   }
 
+  /** Greedy facility-location selection (J82, round 10 — the coreset/
+    * diversity-selection primitive): pick k = 3 exemplars from the
+    * 16-candidate pool maximizing the submodular coverage objective
+    * F(S) = Σ_n max_{c∈S} max(cos(n,c), 0) over the whole corpus —
+    * the standard data-subset-selection objective (facility location)
+    * behind exemplar-based curation, and the SET-coverage complement
+    * of q_llm_mmr_rerank's pairwise diversity. Output: (step, picked
+    * id, objective, marginal gain); the 1/e-approximation guarantee of
+    * greedy needs gains non-increasing — spec-pinned (submodularity
+    * made a test).
+    *
+    * Exactness: per-pair coverage integerizes ONCE from the house
+    * round-6 cosine grid (floor(cos·10⁶ + 0.5), clamped ≥ 0), so
+    * every objective is an order-independent BIGINT sum — a float
+    * Σ over the corpus would be partition-order-dependent.
+    *
+    * Shape (100 TB): the (corpus × 16) coverage frame is built once
+    * (broadcast candidate pool — CONSTANT-sized by construction) and
+    * checkpointed; each greedy step is one partial-aggregable fold +
+    * a 1-row TakeOrdered; the running best-coverage frame is n-sized
+    * and joins KEYED (unhinted — the sweep rule). */
+  def submodularSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embWithNorm(spark, dir)
+    val cand = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("norm").as("cn"))
+    val cov = emb.crossJoin(broadcast(cand))
+      .withColumn("cs",
+        round(expr("fvec_dot(v, cv)") / (col("norm") * col("cn")), 6))
+      .select(col("vec_id").as("n_id"), col("c_id"),
+        expr("greatest(CAST(floor(cs * 1000000 + 0.5) AS BIGINT)," +
+          " CAST(0 AS BIGINT))").as("cov"))
+      .localCheckpoint() // N×16; feeds all three greedy steps
+    val p1 = cov.groupBy(col("c_id"))
+      .agg(sum(col("cov")).as("obj"))
+      .orderBy(col("obj").desc, col("c_id")).limit(1)
+      .select(col("c_id").as("pick"), col("obj"))
+      .localCheckpoint()
+    val best1 = cov.join(broadcast(p1), col("c_id") === col("pick"))
+      .select(col("n_id"), col("cov").as("b"))
+    def nextPick(best: DataFrame, excl: DataFrame): DataFrame =
+      cov.join(broadcast(excl), col("c_id") === col("pick"), "left_anti")
+        .join(best, "n_id")
+        .groupBy(col("c_id"))
+        .agg(sum(greatest(col("cov"), col("b"))).as("obj"))
+        .orderBy(col("obj").desc, col("c_id")).limit(1)
+        .select(col("c_id").as("pick"), col("obj"))
+        .localCheckpoint()
+    val p2 = nextPick(best1, p1.select(col("pick")))
+    val best2 = best1.join(
+        cov.join(broadcast(p2), col("c_id") === col("pick"))
+          .select(col("n_id"), col("cov").as("c2")), "n_id")
+      .select(col("n_id"), greatest(col("b"), col("c2")).as("b"))
+    val p3 = nextPick(best2,
+      p1.select(col("pick")).unionAll(p2.select(col("pick"))))
+    p1.select(lit(1L).as("step"), col("pick"), col("obj"))
+      .unionAll(p2.select(lit(2L).as("step"), col("pick"), col("obj")))
+      .unionAll(p3.select(lit(3L).as("step"), col("pick"), col("obj")))
+      .withColumn("gain_e6", col("obj") -
+        coalesce(lag(col("obj"), 1).over(Window.orderBy(col("step"))),
+          lit(0L)))
+      .select(col("step"), col("pick").as("picked_id"),
+        col("obj").as("objective_e6"), col("gain_e6"))
+      .orderBy(col("step"))
+  }
+
   /** Dirichlet-QL score for EVERY BM25-candidate doc — the all-docs
     * form of [[qlDirichlet]]'s scoring lane, factored for
     * [[rankerTau]]. Columns: (doc_id, ql_e3). */
@@ -3630,6 +3697,7 @@ object LlmOps {
     "q_llm_dedup_tau_sweep" -> dedupThresholdSweep,
     "q_llm_maxsim" -> maxsimLate,
     "q_llm_active_diverse" -> activeDiverse,
+    "q_llm_submodular_select" -> submodularSelect,
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_ql_dirichlet" -> qlDirichlet,
     "q_llm_term_position" -> termPosition,
@@ -4775,6 +4843,39 @@ object LlmOps {
         | lex_rank, dense_rank
         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q_llm_submodular_select" ->
+      s"""WITH $cosCte,
+        |cand AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+        |  FROM emb WHERE vec_id < 16),
+        |cov AS (SELECT e.vec_id AS n_id, c.c_id,
+        |   greatest(CAST(floor(round(list_inner_product(e.v, c.cv)
+        |     / (e.nrm * c.cn), 6) * 1000000 + 0.5) AS BIGINT),
+        |     CAST(0 AS BIGINT)) AS cov
+        |  FROM emb e CROSS JOIN cand c),
+        |p1 AS (SELECT c_id AS pick, CAST(sum(cov) AS BIGINT) AS obj
+        |  FROM cov GROUP BY 1 ORDER BY obj DESC, pick LIMIT 1),
+        |b1 AS (SELECT n_id, cov AS b FROM cov JOIN p1 ON c_id = pick),
+        |p2 AS (SELECT c_id AS pick,
+        |   CAST(sum(greatest(cov, b)) AS BIGINT) AS obj
+        |  FROM cov JOIN b1 USING (n_id)
+        |  WHERE c_id NOT IN (SELECT pick FROM p1)
+        |  GROUP BY 1 ORDER BY obj DESC, pick LIMIT 1),
+        |b2 AS (SELECT b1.n_id, greatest(b1.b, c2.cov) AS b
+        |  FROM b1 JOIN (SELECT n_id, cov FROM cov JOIN p2
+        |    ON c_id = pick) c2 USING (n_id)),
+        |p3 AS (SELECT c_id AS pick,
+        |   CAST(sum(greatest(cov, b)) AS BIGINT) AS obj
+        |  FROM cov JOIN b2 USING (n_id)
+        |  WHERE c_id NOT IN (SELECT pick FROM p1
+        |    UNION ALL SELECT pick FROM p2)
+        |  GROUP BY 1 ORDER BY obj DESC, pick LIMIT 1)
+        |SELECT step, pick AS picked_id, obj AS objective_e6,
+        | CAST(obj - coalesce(lag(obj) OVER (ORDER BY step), 0)
+        |   AS BIGINT) AS gain_e6
+        |FROM (SELECT CAST(1 AS BIGINT) AS step, pick, obj FROM p1
+        |  UNION ALL SELECT 2, pick, obj FROM p2
+        |  UNION ALL SELECT 3, pick, obj FROM p3)
+        |ORDER BY step""".stripMargin,
     "q_llm_dedup_tau_sweep" ->
       s"""WITH $minhashCandCte,
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n

@@ -715,7 +715,35 @@ object Warehouse {
       .limit(10)
   }
 
+  /** Supplier-concentration risk per part (J82, round 10): the
+    * procurement single-source audit — per part, the supplier count
+    * and the quantity-share Herfindahl (HHI_e8 = Σ share², cleared to
+    * Σq_s²·10⁸ div (Σq)² with the square sum in DECIMAL(38,0) — the
+    * q_events_hhi lane on the supply side), top-20 riskiest parts
+    * among those with real volume (total qty ≥ 100, fixture-scaled
+    * like basketLift's support floor). HHI = 10⁸ ⟺ single-sourced;
+    * the number a supply planner reads before the lead-time and
+    * demand-class rows mean anything.
+    *
+    * Shape (100 TB): one partial-aggregable (part, supplier) census →
+    * part-sized fold → TakeOrdered top-20. */
+  def supplyRisk(spark: SparkSession, dir: String): DataFrame = {
+    val ps = lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(expr("CAST(sum(l_quantity) AS BIGINT)").as("q"))
+    ps.groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("q")).as("total_qty"),
+        expr("""CAST(sum(CAST(q AS DECIMAL(38,0)) * q) * 100000000
+          | div (CAST(sum(q) AS DECIMAL(38,0)) * sum(q))
+          | AS BIGINT)""".stripMargin).as("hhi_e8"))
+      .filter(col("total_qty") >= 100L)
+      .orderBy(col("hhi_e8").desc, col("p_partkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parts_supply_risk" -> supplyRisk,
     "q_orders_backlog" -> backlog,
     "q_orders_yearly_growth" -> yearlyGrowth,
     "q_agg_dim_rollup" -> dimRollup,
@@ -740,6 +768,19 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_parts_supply_risk" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |   CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |per AS (SELECT l_partkey AS p_partkey,
+        |   CAST(count(*) AS BIGINT) AS n_suppliers,
+        |   CAST(sum(q) AS BIGINT) AS total_qty,
+        |   CAST(sum(CAST(q AS HUGEINT) * q) * 100000000
+        |     // (CAST(sum(q) AS HUGEINT) * sum(q)) AS BIGINT) AS hhi_e8
+        |  FROM ps GROUP BY 1)
+        |SELECT p_partkey, n_suppliers, total_qty, hhi_e8
+        |FROM per WHERE total_qty >= 100
+        |ORDER BY hhi_e8 DESC, p_partkey LIMIT 20""".stripMargin,
     "q_orders_backlog" ->
       """WITH cl AS (SELECT l_orderkey AS o_orderkey,
         |   CAST(max(datediff('day', DATE '1992-01-01',

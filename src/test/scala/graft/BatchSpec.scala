@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 498
+    val documented = 500
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1120,6 +1120,34 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = executedPlanString("q_llm_textrank")
     assert(s.contains("ExistingRDD"), s.take(1500))
     assert(!s.toLowerCase.contains("explode"), s.take(2000))
+  }
+
+  test("submodular_select: greedy gains are non-increasing (the " +
+      "submodularity that licenses the 1-1/e guarantee), picks are " +
+      "distinct, objective is the running gain sum") {
+    val rows = SparkEntry.queries("q_llm_submodular_select")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    val gains = rows.map(_.getAs[Long]("gain_e6"))
+    assert(gains(0) >= gains(1) && gains(1) >= gains(2),
+      s"gains not non-increasing: ${gains.toSeq}")
+    assert(rows.map(_.getAs[Long]("picked_id")).distinct.length == 3)
+    val objs = rows.map(_.getAs[Long]("objective_e6"))
+    assert(objs(0) == gains(0) && objs(1) == objs(0) + gains(1) &&
+      objs(2) == objs(1) + gains(2), s"${objs.toSeq} vs ${gains.toSeq}")
+  }
+
+  test("supply_risk: HHI sits in [1e8/n_suppliers, 1e8] (uniform and " +
+      "single-source bounds, modulo the final truncation)") {
+    val rows = SparkEntry.queries("q_parts_supply_risk")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers")
+      val h = r.getAs[Long]("hhi_e8")
+      assert(h <= 100000000L, r.toString)
+      assert(h >= 100000000L / n - 1, r.toString)
+    }
   }
 
   test("ivm_join_delta: identity diff is exactly (0, 0) and the delta " +
