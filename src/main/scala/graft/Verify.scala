@@ -64,6 +64,10 @@ object Verify {
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
     }
+    // drop the session-memoized substrate frames (ADVICE r9): unpins
+    // their checkpoint blocks before shutdown — the explicit release
+    // hook on top of FrameMemo's bounded-entry cap
+    FrameMemo.release(spark)
     spark.stop()
   }
 }
