@@ -1300,7 +1300,47 @@ object Graph {
       .orderBy(col("basket_size"))
   }
 
+  /** Degree-distribution Gini (J83, round 10): inequality of the
+    * basket-graph degree distribution — gini ≈ 0 means every part
+    * co-occurs with a similar number of others (uniform load; hash
+    * partitioning just works), gini → 1 means hub-dominated (the skew
+    * that forces the salting/deg-cap mitigations the graph family
+    * documents). The ONE-number companion to q_graph_degree_dist's
+    * bucket histogram and the graph twin of q_agg_gini — computed by
+    * the same HISTOGRAM ALGEBRA (a run of c nodes with degree v and
+    * smaller-degree mass a contributes v·c·(2a + c − n) to the
+    * classical numerator), never a node sort.
+    *
+    * Exactness: numerator provably ≥ 0; one e4 truncating div over
+    * n·Σd; per-run terms signed but only summed (BIGINT, |term| ≤
+    * maxdeg·n² — the q_agg_gini overflow note applies at ~10⁷ nodes,
+    * documented there).
+    *
+    * Shape: the memoized coocc frame → degree census →
+    * degree-VALUE-sized window (domain-bounded) → 1-row fold. */
+  def degreeGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = cooccEdges(spark, dir)
+    val deg = und.select(col("u").as("n"))
+      .union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+    hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("d"))))
+      .withColumn("a", col("cum") - col("c"))
+      .withColumn("nn", sum(col("c")).over(
+        Window.partitionBy(lit(1))))
+      .agg(max(col("nn")).as("n_nodes"),
+        sum(expr("d * c")).as("sum_deg"),
+        max(col("d")).as("max_deg"),
+        sum(expr("d * c * (2 * a + c - nn)")).as("num"))
+      .select(col("n_nodes"), col("sum_deg"), col("max_deg"),
+        expr("num * 10000 div greatest(n_nodes * sum_deg, 1)")
+          .as("gini_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_degree_gini" -> degreeGini,
     "q_orders_basket_sizes" -> basketSizes,
     "q_graph_community_entropy" -> communityEntropy,
     "q_graph_transitivity" -> transitivity,
@@ -1348,6 +1388,23 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_degree_gini" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM e0
+        |  GROUP BY 1),
+        |hist AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM deg
+        |  GROUP BY 1),
+        |w AS (SELECT d, c, sum(c) OVER (ORDER BY d) AS cum,
+        |   sum(c) OVER () AS nn FROM hist)
+        |SELECT CAST(max(nn) AS BIGINT) AS n_nodes,
+        | CAST(sum(d * c) AS BIGINT) AS sum_deg,
+        | CAST(max(d) AS BIGINT) AS max_deg,
+        | CAST(sum(d * c * (2 * (cum - c) + c - nn)) * 10000
+        |   // greatest(max(nn) * sum(d * c), 1) AS BIGINT) AS gini_e4
+        |FROM w""".stripMargin,
     "q_orders_basket_sizes" ->
       """WITH sz AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS s
         |  FROM lineitem GROUP BY 1),

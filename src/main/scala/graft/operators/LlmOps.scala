@@ -1980,6 +1980,70 @@ object LlmOps {
       .orderBy(col("step"))
   }
 
+  /** Dedup × quality-gate interaction census (J83, round 10): the 2×2
+    * table of (near-dup member?, above-median quality?) with per-class
+    * shares and the odds ratio — the curation-ORDER question made a
+    * number: if duplicates clear the quality gate at the same odds as
+    * uniques (OR ≈ 1), gate-then-dedup and dedup-then-gate keep the
+    * same corpus and the cheaper order wins; a skewed OR means the
+    * pipeline's stage order changes the output. Both flags compose
+    * enrolled substrates so neither can drift: dup membership is the
+    * SAME banded-LSH candidate set verified at the INTEGER Jaccard
+    * gate (j_e4 ≥ 8000, the dedup_modality_agreement lane — the first
+    * cut used EXACT text dups and the logreg-0.5 gate, and measured
+    * vacuous: this fixture has ZERO byte-identical dups and the 0.5
+    * gate keeps all 500 docs, so the census was one cell); the keep
+    * flag is a MEDIAN split of the logreg score (non-degenerate by
+    * construction at any corpus).
+    *
+    * Exactness: integer Jaccard gate, exact lower-median via the
+    * value-census CDF, pure counts; the OR is one cleared e4
+    * truncating div with the greatest-1 guard; absent cells vanish
+    * identically in both engines.
+    *
+    * Shape: the shared LSH candidate pass + two doc-sized folds +
+    * a ≤4-row census. */
+  def dedupQualityInteraction(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = minhashSigs(spark, dir)
+    val docsets = sigs.select(col("doc_id"), col("ss"), col("n"))
+    val dupPairs = minhashCandidates(sigs)
+      .join(docsets.select(col("doc_id"), col("ss").as("sa"),
+        col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+      .join(docsets.select(col("doc_id"), col("ss").as("sb"),
+        col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .filter(expr("i * 10000 div greatest(na + nb - i, 1) >= 8000"))
+    val dupDocs = dupPairs.select(col("a_id").as("doc_id"))
+      .union(dupPairs.select(col("b_id").as("doc_id"))).distinct()
+    val scores = ModelPrep.qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s_e4"))
+    val med = scores.groupBy(col("s_e4")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("s_e4"))))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy(lit(1))))
+      .agg(min(when(col("cum") * 2 >= col("nn"), col("s_e4"))).as("m"))
+    val cells = scores.crossJoin(broadcast(med))
+      .join(dupDocs.withColumn("dd", lit(true)), Seq("doc_id"), "left")
+      .select(coalesce(col("dd"), lit(false)).as("is_dup"),
+        (col("s_e4") >= col("m")).as("keep"))
+      .groupBy(col("is_dup"), col("keep")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // <=4 rows; feeds class shares + the OR
+    val cls = cells.groupBy(col("is_dup")).agg(sum(col("n")).as("nc"))
+    val orr = cells.agg(expr(
+      """CAST(coalesce(max(CASE WHEN is_dup AND keep THEN n END), 0)
+        | * coalesce(max(CASE WHEN NOT is_dup AND NOT keep THEN n END), 0)
+        | * 10000 div greatest(
+        |   coalesce(max(CASE WHEN is_dup AND NOT keep THEN n END), 0)
+        |   * coalesce(max(CASE WHEN NOT is_dup AND keep THEN n END), 0),
+        |   1) AS BIGINT)""".stripMargin).as("or_e4"))
+    cells.join(cls, "is_dup").crossJoin(broadcast(orr))
+      .select(col("is_dup"), col("keep"), col("n"),
+        expr("n * 10000 div nc").as("class_share_e4"), col("or_e4"))
+      .orderBy(col("is_dup"), col("keep"))
+  }
+
   /** Dirichlet-QL score for EVERY BM25-candidate doc — the all-docs
     * form of [[qlDirichlet]]'s scoring lane, factored for
     * [[rankerTau]]. Columns: (doc_id, ql_e3). */
@@ -3698,6 +3762,7 @@ object LlmOps {
     "q_llm_maxsim" -> maxsimLate,
     "q_llm_active_diverse" -> activeDiverse,
     "q_llm_submodular_select" -> submodularSelect,
+    "q_llm_dedup_quality_interaction" -> dedupQualityInteraction,
     "q_llm_bm25" -> bm25TopDocs,
     "q_llm_ql_dirichlet" -> qlDirichlet,
     "q_llm_term_position" -> termPosition,
@@ -4843,6 +4908,49 @@ object LlmOps {
         | lex_rank, dense_rank
         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q_llm_dedup_quality_interaction" ->
+      s"""WITH ${ModelPrep.scoreCte},
+        |$minhashCandCte,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |   CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |vp AS (SELECT a_id, b_id FROM cand
+        |  JOIN inter ON a_id = ia AND b_id = ib
+        |  JOIN sizes na ON a_id = na.doc_id
+        |  JOIN sizes nb ON b_id = nb.doc_id
+        |  WHERE i * 10000 // greatest(na.n + nb.n - i, 1) >= 8000),
+        |dd AS (SELECT a_id AS doc_id FROM vp
+        |  UNION SELECT b_id FROM vp),
+        |scores AS (SELECT doc_id,
+        |   CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS s_e4
+        |  FROM sc0),
+        |med AS (SELECT min(CASE WHEN cum * 2 >= nn THEN s_e4 END) AS m
+        |  FROM (SELECT s_e4, sum(c) OVER (ORDER BY s_e4) AS cum,
+        |     sum(c) OVER () AS nn
+        |    FROM (SELECT s_e4, CAST(count(*) AS BIGINT) AS c
+        |          FROM scores GROUP BY 1))),
+        |cells AS (SELECT coalesce(dd.doc_id IS NOT NULL, FALSE)
+        |    AS is_dup, s_e4 >= m AS keep, CAST(count(*) AS BIGINT) AS n
+        |  FROM scores CROSS JOIN med
+        |  LEFT JOIN dd ON scores.doc_id = dd.doc_id
+        |  GROUP BY 1, 2),
+        |cls AS (SELECT is_dup, CAST(sum(n) AS BIGINT) AS nc FROM cells
+        |  GROUP BY 1),
+        |orr AS (SELECT CAST(
+        |   coalesce(max(CASE WHEN is_dup AND keep THEN n END), 0)
+        |   * coalesce(max(CASE WHEN NOT is_dup AND NOT keep
+        |       THEN n END), 0)
+        |   * 10000 // greatest(
+        |     coalesce(max(CASE WHEN is_dup AND NOT keep THEN n END), 0)
+        |     * coalesce(max(CASE WHEN NOT is_dup AND keep
+        |         THEN n END), 0), 1) AS BIGINT) AS or_e4 FROM cells)
+        |SELECT is_dup, keep, n,
+        | CAST(n * 10000 // nc AS BIGINT) AS class_share_e4, or_e4
+        |FROM cells JOIN cls USING (is_dup) CROSS JOIN orr
+        |ORDER BY is_dup, keep""".stripMargin,
     "q_llm_submodular_select" ->
       s"""WITH $cosCte,
         |cand AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn
