@@ -42,14 +42,25 @@ object FrameMemo {
   def cached(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    memo.keys.filterNot(_._1 == appId).foreach(evictKey)
-    memo.getOrElseUpdate((appId, dir, key), {
-      while (memo.size >= MaxEntries && !order.isEmpty) {
-        val old = order.poll()
-        if (old != null) evictKey(old)
+    sweepDeadSessions(appId)
+    val k = (appId, dir, key)
+    // Fast path without the lock; the build path is serialized (round
+    // 11, ADVICE r10): TrieMap.getOrElseUpdate may run the thunk in two
+    // racing threads, and the loser's eager localCheckpoint() would pin
+    // an orphaned checkpoint until GC while its duplicate `order` entry
+    // evicted the live frame one slot early. Builds are rare (once per
+    // substrate per session) so one lock is cheap.
+    memo.get(k).getOrElse(lock.synchronized {
+      memo.get(k).getOrElse {
+        while (memo.size >= MaxEntries && !order.isEmpty) {
+          val old = order.poll()
+          if (old != null) evictKey(old)
+        }
+        val df = build.localCheckpoint()
+        memo.put(k, df): Unit
+        order.add(k): Unit
+        df
       }
-      order.add((appId, dir, key))
-      build.localCheckpoint()
     })
   }
 
@@ -60,8 +71,22 @@ object FrameMemo {
   def cachedCount(spark: SparkSession, dir: String, key: String)(
       df: => DataFrame): Long = {
     val appId = spark.sparkContext.applicationId
+    sweepDeadSessions(appId)
     counts.getOrElseUpdate((appId, dir, key), df.count())
   }
+
+  /** Drop entries from every session other than the live caller's —
+    * including count-ONLY keys that never enter `memo` (part-rows /
+    * supplier-rows gates), which the old memo-keyed sweep leaked across
+    * many SparkSessions in one JVM (round 11, ADVICE r10). */
+  private def sweepDeadSessions(appId: String): Unit = {
+    memo.keys.filterNot(_._1 == appId).foreach(evictKey)
+    counts.keys.filterNot(_._1 == appId).foreach { k =>
+      counts.remove(k): Unit
+    }
+  }
+
+  private val lock = new Object
 
   /** Drop every memoized frame and count for this session, unpinning
     * their checkpoint blocks (reclaimed by the ContextCleaner on GC). */

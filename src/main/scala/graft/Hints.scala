@@ -33,18 +33,35 @@ import org.apache.spark.sql.functions.broadcast
   */
 object Hints {
 
-  /** Row cap below which a node/dimension-sized frame is safely
-    * force-broadcast: 4 M rows × ~24 B/row ≈ 100 MB per executor copy —
-    * comfortably inside a 4–8 GiB executor at ~100× this fixture's
-    * node counts, and far under the 8 GB broadcast-table hard cap. */
+  /** Broadcast byte budget per executor copy: ~100 MB — comfortably
+    * inside a 4–8 GiB executor and far under the 8 GB broadcast-table
+    * hard cap. The row gate below derives from this budget and a
+    * caller-supplied average row width, so wide rows tighten the row
+    * cap instead of sailing past a rows-only gate (round 11, ADVICE
+    * r10: the 4 M-row ≈ 100 MB arithmetic assumed ~24 B/row, which
+    * holds for narrow integer-keyed projections but not for
+    * string-keyed vocab tokens or full dimension rows). */
+  val BcastByteBudget: Long = 100L * 1024 * 1024
+
+  /** Row cap below which a NARROW (≈24 B/row, integer-keyed projection)
+    * node/dimension-sized frame is safely force-broadcast:
+    * 4 M rows × ~24 B/row ≈ 100 MB per executor copy. Callers whose
+    * gated frame carries strings or full rows must pass a realistic
+    * `avgRowBytes` instead of relying on this default. */
   val NodeRowCap: Long = 4000000L
 
   /** Apply the broadcast hint only when the caller-supplied row count
     * (typically a session-memoized substrate count — edges bound nodes,
     * so an edge count is a conservative gate for any node-sized
-    * derivative) is at most `cap`; otherwise return the frame unhinted
-    * so the join plans as a keyed shuffle join that co-partitions. */
+    * derivative) is at most `cap` AND the estimated broadcast footprint
+    * `rows × avgRowBytes` fits [[BcastByteBudget]]; otherwise return
+    * the frame unhinted so the join plans as a keyed shuffle join that
+    * co-partitions. `avgRowBytes` defaults to the narrow-projection
+    * width the row cap was calibrated for; string-keyed or full-row
+    * frames pass their observed width (fixture-measured, conservative). */
   def bcastIfAtMost(df: DataFrame, rows: Long,
-      cap: Long = NodeRowCap): DataFrame =
-    if (rows <= cap) broadcast(df) else df
+      cap: Long = NodeRowCap, avgRowBytes: Long = 24L): DataFrame =
+    if (rows <= cap && rows <= BcastByteBudget / math.max(avgRowBytes, 1L))
+      broadcast(df)
+    else df
 }

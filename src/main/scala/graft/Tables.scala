@@ -38,7 +38,11 @@ object Tables {
     * not by the data volume. */
   private def dimB(s: SparkSession, d: String, name: String): DataFrame =
     Hints.bcastIfAtMost(t(s, d, name),
-      FrameMemo.cachedCount(s, d, s"$name-rows")(t(s, d, name)))
+      FrameMemo.cachedCount(s, d, s"$name-rows")(t(s, d, name)),
+      // Full dim rows carry strings (name/address/comment): gate on a
+      // measured-conservative ~256 B/row, not the narrow 24 B default
+      // (round 11, ADVICE r10 — the byte-aware gate).
+      avgRowBytes = 256L)
   def partB(s: SparkSession, d: String): DataFrame = dimB(s, d, "part")
   def supplierB(s: SparkSession, d: String): DataFrame =
     dimB(s, d, "supplier")

@@ -549,7 +549,9 @@ object Analytics {
     val nEdges = graft.FrameMemo.cachedCount(
       spark, dir, "textrank-edges")(edges)
     def bc(df: DataFrame): DataFrame =
-      graft.Hints.bcastIfAtMost(df, nEdges)
+      // Rank/degree frames here are keyed by token STRINGS, not ints:
+      // gate on a wider ~64 B/row estimate (round 11, ADVICE r10).
+      graft.Hints.bcastIfAtMost(df, nEdges, avgRowBytes = 64L)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
     val r0 = deg.select(col("src").as("nid"), lit(1000000L).as("rank"),
       col("outd"))

@@ -2048,14 +2048,12 @@ object LlmOps {
     * form of [[qlDirichlet]]'s scoring lane, factored for
     * [[rankerTau]]. Columns: (doc_id, ql_e3). */
   private def qlScoredAll(spark: SparkSession, dir: String): DataFrame = {
-    val Seq(t1, t2, t3) = bm25Terms
-    val perDoc = documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"),
-        sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
-        sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
-        sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    // Rides the session-memoized per-doc (dl, tf1..tf3) frame the whole
+    // BM25 family shares (round 11, ADVICE r10): re-deriving it here
+    // paid an extra full-corpus tokenize pass per rankerTau run and
+    // duplicated tokenization logic that could drift from the single
+    // source in [[bm25PerDoc]].
+    val perDoc = bm25PerDoc(spark, dir)
     val qst = perDoc.agg(sum(col("dl")).as("cc"),
       sum(col("tf1")).as("cf1"), sum(col("tf2")).as("cf2"),
       sum(col("tf3")).as("cf3"))
