@@ -338,13 +338,28 @@ object Graph {
     * equi-join co-partitions at scale, and AQE still picks
     * broadcast-hash at runtime while the frame is actually small
     * (plan-pinned in BatchSpec). */
+  /** Per-node degree census of the memoized co-occurrence graph —
+    * MEMOIZED (round 11, VERDICT r10 #1): triangles' orientation,
+    * local bridges, rich club, transitivity, degree gini, modularity's
+    * community degrees, and the bfs2/closeness frontier seeds each
+    * re-ran the same union+groupBy degree shuffle over the edge frame.
+    * Node-sized — (n, d) — so the checkpoint is small by construction;
+    * at 100 TB this is the persisted degree table every graph audit
+    * reads (the coocc-edges argument one derivation further down). */
+  private[operators] def cooccDegrees(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.FrameMemo.cached(spark, dir, "coocc-deg") {
+      val e0 = cooccEdges(spark, dir)
+      e0.select(col("u").as("n"))
+        .union(e0.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    }
+
   private[operators] def triBase(spark: SparkSession,
       dir: String): DataFrame =
     graft.FrameMemo.cached(spark, dir, "tri-base") {
       val e0 = cooccEdges(spark, dir)
-      val deg = e0.select(col("u").as("n"))
-        .union(e0.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val deg = cooccDegrees(spark, dir)
       val fwd = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
       val o = e0
@@ -493,7 +508,7 @@ object Graph {
       val und = cooccEdges(spark, dir)
       val e0 = und.select(col("u"), col("v"))
         .union(und.select(col("v").as("u"), col("u").as("v")))
-      val l0 = e0.select(col("u").as("n")).distinct()
+      val l0 = cooccDegrees(spark, dir).select(col("n"))
         .withColumn("lab", col("n"))
       def round(l: DataFrame): DataFrame = {
         val counts = e0
@@ -541,7 +556,8 @@ object Graph {
     val m2 = e0.agg(count(lit(1)).as("m2"))
     val inC = el.filter(col("lu") === col("lv"))
       .groupBy(col("lu").as("c")).agg(count(lit(1)).as("in2"))
-    val degC = e0.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val degC = cooccDegrees(spark, dir)
+      .select(col("n").as("u"), col("d"))
       .join(lab.select(col("n").as("u"), col("lab")), Seq("u"))
       .groupBy(col("lab").as("c")).agg(sum(col("d")).as("dc"))
     degC
@@ -719,9 +735,9 @@ object Graph {
     val und = cooccEdges(spark, dir)
     val edges = und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
-    val d0 = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-      .orderBy(col("dg").desc, col("u")).limit(1)
-      .select(col("u").cast("long").as("n"))
+    val d0 = cooccDegrees(spark, dir)
+      .orderBy(col("d").desc, col("n")).limit(1)
+      .select(col("n").cast("long").as("n"))
     // d0 is 1 row by construction (limit 1) — its hints stay
     // unconditional. f1 is the hub's 1-hop neighborhood: bounded by the
     // max degree, which on a Zipf graph is DATA-dependent (the hub's
@@ -770,9 +786,9 @@ object Graph {
     val und = cooccEdges(spark, dir)
     val edges = und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-    val hubs = deg.orderBy(col("dg").desc, col("u")).limit(20)
-      .select(col("u").as("s"), col("dg"))
+    val hubs = cooccDegrees(spark, dir)
+      .orderBy(col("d").desc, col("n")).limit(20)
+      .select(col("n").as("s"), col("d").as("dg"))
     // d1: (source hub, direct neighbor) — distinct by construction
     // (cooccEdges is a distinct pair set)
     val d1 = edges.join(broadcast(hubs.select(col("s"))),
@@ -808,9 +824,9 @@ object Graph {
     val und = cooccEdges(spark, dir)
     val edges = und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-    val hubs = deg.orderBy(col("dg").desc, col("u")).limit(20)
-      .select(col("u").as("s"), col("dg"))
+    val hubs = cooccDegrees(spark, dir)
+      .orderBy(col("d").desc, col("n")).limit(20)
+      .select(col("n").as("s"), col("d").as("dg"))
     val d1 = edges.join(broadcast(hubs.select(col("s"))),
         col("u") === col("s"))
       .select(col("s"), col("v").as("n"))
@@ -845,9 +861,9 @@ object Graph {
     val und = cooccEdges(spark, dir)
     val edges = und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-    val hubs = deg.orderBy(col("dg").desc, col("u")).limit(5)
-      .select(col("u").as("s"), col("u").as("cur"))
+    val hubs = cooccDegrees(spark, dir)
+      .orderBy(col("d").desc, col("n")).limit(5)
+      .select(col("n").as("s"), col("n").as("cur"))
     // Per hop, only the ≤5 walker nodes' adjacency lists are ranked:
     // a broadcast semi-filter of the (checkpointed) edge frame, then a
     // window over ≤ 5·maxdeg rows. Ranking the FULL edge list per hop
@@ -1048,9 +1064,7 @@ object Graph {
     * while small, co-partitions past the threshold. */
   def localBridges(spark: SparkSession, dir: String): DataFrame = {
     val e0 = cooccEdges(spark, dir)
-    val deg = e0.select(col("u").as("n"))
-      .union(e0.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val deg = cooccDegrees(spark, dir)
     // the MEMOIZED triangle-closing frame (round 9) — shared with
     // q_graph_triangles/transitivity, so the orientation + adjacency +
     // intersection pass runs once per session. Each discovered
@@ -1133,9 +1147,7 @@ object Graph {
     * BIGINT (node counts, not fixture-growing moments). */
   def richClub(spark: SparkSession, dir: String): DataFrame = {
     val e = cooccEdges(spark, dir)
-    val deg = e.select(col("u").as("n"))
-      .union(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val deg = cooccDegrees(spark, dir)
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window
@@ -1184,10 +1196,7 @@ object Graph {
   def transitivity(spark: SparkSession, dir: String): DataFrame = {
     val t = triangles(spark, dir)
       .agg(max(col("total_tri")).as("n_triangles"))
-    val e = cooccEdges(spark, dir)
-    val wedges = e.select(col("u").as("n"))
-      .union(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val wedges = cooccDegrees(spark, dir)
       .agg(count(lit(1)).as("n_nodes"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     wedges.crossJoin(broadcast(t))
@@ -1330,10 +1339,7 @@ object Graph {
     * degree-VALUE-sized window (domain-bounded) → 1-row fold. */
   def degreeGini(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = cooccEdges(spark, dir)
-    val deg = und.select(col("u").as("n"))
-      .union(und.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val deg = cooccDegrees(spark, dir)
     val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
     hist
       .withColumn("cum", sum(col("c")).over(Window.orderBy(col("d"))))
