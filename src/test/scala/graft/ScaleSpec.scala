@@ -131,5 +131,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val worstRe = """"worst_exp":(-?[0-9.]+)""".r
     val recorded = worstRe.findFirstMatchIn(json).get.group(1).toDouble
     assert(math.abs(recorded - worst) < 1e-9, s"$recorded vs $worst")
+    // per-row gates (round 11, VERDICT r10 #8): the watch rows carry
+    // TIGHTER bounds than the global gate — enforce them on the
+    // committed artifact exactly as the main does
+    for ((name, rowGate) <- graft.Scaling.rowGates) {
+      val rowRe = ("\"" + name + """":\{[^}]*}""").r
+      val block = rowRe.findFirstIn(json)
+      assert(block.isDefined, s"$name missing from SCALING.json")
+      val rowExps = expRe.findAllMatchIn(block.get)
+        .map(_.group(1).toDouble).toSeq
+      assert(rowExps.nonEmpty && rowExps.max <= rowGate,
+        f"$name: worst exponent ${rowExps.max}%.3f exceeds its per-row " +
+          f"gate $rowGate (global ${graft.Scaling.gate})")
+    }
   }
 }
