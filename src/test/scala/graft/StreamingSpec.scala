@@ -1156,6 +1156,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("s_stream_tau_census: the streamed dedup-aggressiveness monitor " +
+      "(incremental tau-sweep census over the band path) matches its " +
+      "batch twin on the fixture corpus, absorbing a second chunk " +
+      "incrementally (round-11 parity for the round-10 dedup rows)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, count, explode,
+      expr, lit, size, typedlit}
+    implicit val sq = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val store = docs.filter($"doc_id" < 300).localCheckpoint()
+    val incoming = docs.filter($"doc_id" >= 300)
+      .select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(incoming.nonEmpty)
+    val (first, second) = incoming.splitAt(incoming.size / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = runQuery(
+      StreamDedup.tauSweepMonitor(in.toDF().toDF("doc_id", "text"), store),
+      "tau_census", "complete")
+    in.addData(first: _*)
+    q.processAllAvailable()
+    val afterFirst = spark.table("tau_census").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    in.addData(second: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tau_census").orderBy("tau_e4").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    // batch twin: the SAME withBandSets definitions and integer gate,
+    // computed over the whole incoming set in one batch plan
+    val taus = Seq(5000L, 7000L, 8000L, 9000L)
+    val sSide = StreamDedup.withBandSets(store).filter($"n_sh" > 0)
+      .select($"doc_id".as("s_id"), $"ss".as("s_ss"), $"n".as("s_n"),
+        explode($"bands").as("b"))
+    val batch = StreamDedup.withBandSets(docs.filter($"doc_id" >= 300))
+      .filter($"n_sh" > 0)
+      .select($"doc_id", $"ss", $"n", explode($"bands").as("b"))
+      .join(sSide, "b")
+      .withColumn("i", size(array_intersect($"ss", $"s_ss")).cast("long"))
+      .withColumn("tau_e4", explode(typedlit(taus)))
+      .filter(expr("i * 10000 >= tau_e4 * (n + s_n - i)"))
+      .select($"tau_e4", $"doc_id").distinct()
+      .groupBy($"tau_e4").agg(count(lit(1)).as("n_removed"))
+      .orderBy("tau_e4").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // load-bearing fixture: at least one tau actually removes docs
+    assert(streamed.nonEmpty && streamed.map(_._2).sum > 0,
+      s"vacuous fixture: no removals at any tau: $streamed")
+    // the census is a running total: no tau lost removals when the
+    // second chunk arrived
+    for ((t, n1) <- afterFirst) {
+      val n2 = streamed.toMap.getOrElse(t, 0L)
+      assert(n2 >= n1, s"tau=$t census regressed: $n1 -> $n2")
+    }
+    // aggressiveness is monotone in tau: higher tau removes no MORE
+    val byTau = streamed.toMap
+    for (Seq(a, b) <- taus.sliding(2))
+      assert(byTau.getOrElse(b, 0L) <= byTau.getOrElse(a, 0L),
+        s"monotonicity violated between tau=$a and tau=$b: $streamed")
+  }
+
   test("crash recovery: a batch killed after the sink write but before " +
       "the offset commit replays without duplicates or loss") {
     // the exactly-once contract of the file-source + idempotent
