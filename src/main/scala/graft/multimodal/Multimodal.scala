@@ -845,6 +845,65 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Audio energy-band profile + zero-crossing rate (J84, round 11):
+    * per clip, the exact Σs² energy of the four equal time quarters
+    * (band of sample i = i·4 div n — the aHash chunk map on the time
+    * axis), the dominant quarter, and the adjacent-sample
+    * zero-crossing count — the cheap spectral-free audio feature pair
+    * (energy envelope + ZCR ≈ voiced/unvoiced split) every audio
+    * curation pipeline computes before any FFT, and the audio twin of
+    * the image stats/entropy family. All arithmetic after the REAL
+    * WAV decode is exact integer, so the DuckDB twin replays it from
+    * char codes (s = (code−64)·256, lossless PCM16).
+    *
+    * Shape: one mapPartitions pass over the memoized WAV media frame
+    * (codec init amortized per partition, the decodeWavs batch shape);
+    * output one row per clip. */
+  def mmAudioEnergyBands(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = memoizedMedia(spark, dir, "wav") {
+      asciiDocs(spark, dir).map { case (id, text) =>
+        val samples = text.map(c => ((c - 64) * 256).toShort).toArray
+        Media(id, "audio", encodeWavPcm16(samples, 16000f))
+      }
+    }.as[Media]
+    media.mapPartitions(_.flatMap { m =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.blob))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            s"not PCM_SIGNED 16-bit: $fmt")
+        val bytes = ais.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        if (n == 0) None
+        else {
+          val e = new Array[Long](4)
+          var zcr = 0L; var prev = 0L; var i = 0
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toLong
+            e(((i.toLong * 4) / n).toInt) += s * s
+            if (i > 0 && prev * s < 0) zcr += 1
+            prev = s; i += 1
+          }
+          var dom = 0; var k = 1
+          while (k < 4) { if (e(k) > e(dom)) dom = k; k += 1 }
+          Some((m.media_id, n.toLong, e(0), e(1), e(2), e(3), zcr,
+            dom.toLong))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }).toDF("media_id", "n_samples", "be0", "be1", "be2", "be3",
+      "zcr", "dominant_band")
+      .orderBy(col("media_id"))
+  }
+
   /** Enrolled (round 8): nearest-neighbor resize of the REALLY-decoded
     * PNG pixel rows to a fixed 16-pixel strip — the thumbnail/
     * normalize step every vision-data pipeline runs before feature
@@ -1142,6 +1201,7 @@ object Multimodal {
     "q_mm_image_equalize" -> mmImageEqualize,
     "q_mm_image_resize" -> mmImageResize,
     "q_mm_audio_vad" -> mmAudioVad,
+    "q_mm_audio_energy_bands" -> mmAudioEnergyBands,
     "q_mm_video_frames" -> mmVideoFrames,
     "q_mm_features" -> mmFeatures,
     "q_mm_image_decode" -> mmImageDecode,
@@ -1479,6 +1539,46 @@ object Multimodal {
     // lossless 16-bit PCM ⇒ decoded samples equal the encode formula
     // s_i = (code_i − 64)·256 exactly; Σs² = 65536·Σ(code−64)²,
     // peak = 256·max|code−64|
+    // energy quarters + ZCR replay from char codes (lossless PCM16:
+    // sample = (code-64)*256; band of sample i = i*4 // n)
+    "q_mm_audio_energy_bands" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d0),
+        |s AS (SELECT doc_id, n, i, (i * 4) // n AS band,
+        |   (ascii(substr(text, CAST(i AS INT) + 1, 1)) - 64) * 256
+        |     AS sm FROM px),
+        |bands AS (SELECT doc_id, band, CAST(sum(sm * sm) AS BIGINT)
+        |    AS e FROM s GROUP BY 1, 2),
+        |p AS (SELECT doc_id,
+        |   CAST(coalesce(max(CASE WHEN band = 0 THEN e END), 0)
+        |     AS BIGINT) AS be0,
+        |   CAST(coalesce(max(CASE WHEN band = 1 THEN e END), 0)
+        |     AS BIGINT) AS be1,
+        |   CAST(coalesce(max(CASE WHEN band = 2 THEN e END), 0)
+        |     AS BIGINT) AS be2,
+        |   CAST(coalesce(max(CASE WHEN band = 3 THEN e END), 0)
+        |     AS BIGINT) AS be3
+        |  FROM bands GROUP BY doc_id),
+        |dom AS (SELECT doc_id, CAST(band AS BIGINT) AS dominant_band
+        |  FROM (SELECT doc_id, band, row_number() OVER (
+        |     PARTITION BY doc_id ORDER BY e DESC, band) AS rn
+        |    FROM bands) WHERE rn = 1),
+        |zc AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN sm * prev < 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS zcr
+        |  FROM (SELECT doc_id, sm, lag(sm) OVER (
+        |     PARTITION BY doc_id ORDER BY i) AS prev FROM s)
+        |  GROUP BY 1)
+        |SELECT d0.doc_id AS media_id, CAST(d0.n AS BIGINT) AS n_samples,
+        | p.be0, p.be1, p.be2, p.be3,
+        | CAST(coalesce(zc.zcr, 0) AS BIGINT) AS zcr, dom.dominant_band
+        |FROM d0 JOIN p ON d0.doc_id = p.doc_id
+        |JOIN dom ON d0.doc_id = dom.doc_id
+        |LEFT JOIN zc ON d0.doc_id = zc.doc_id
+        |ORDER BY media_id""".stripMargin,
     "q_mm_audio_decode" ->
       """WITH d0 AS (SELECT doc_id, text FROM documents
         |  WHERE regexp_matches(text, '^[\x00-\x7F]*$') AND length(text) > 0),

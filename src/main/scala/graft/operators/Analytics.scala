@@ -1156,6 +1156,50 @@ object Analytics {
       .orderBy(col("n_days"))
   }
 
+  /** Retention half-life (J84, round 11): fit ln(retention_d) over the
+    * daily offsets d = 1..7 with the closed-form least-squares slope
+    * (Σ(d−4)·y_d / 28 — equally-spaced x, the Hurst/regr_slope idiom)
+    * and report half-life = ln 2 / (−slope) in milli-days — the ONE
+    * number that summarizes the whole retention curve for capacity and
+    * LTV models, where q_events_retention_curve reports three raw
+    * points. Cohort gating per offset matches the curve row (a user
+    * enters offset d's denominator only if the data horizon covers
+    * first_day + d).
+    *
+    * Exactness: r_e6 per offset with truncating div, lnE3 floor-once
+    * (guarded ≥ 1: a zero-retention offset contributes the floor term
+    * instead of −∞), integer slope; a non-decaying fit pins half-life
+    * at the 693000 cap via the house greatest() guard — documented,
+    * deterministic. Shape: one user fold (partial-aggregable) → 7-row
+    * census → 1-row fit. */
+  def retentionHalflife(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val wm = users.agg(max(col("last_day")).as("wm_day"))
+    val ds = (1L to 7L).toDF("d")
+    users.crossJoin(broadcast(wm)).crossJoin(broadcast(ds))
+      .filter(col("first_day") + col("d") <= col("wm_day"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_cohort"),
+        sum(when(col("last_day") >= col("first_day") + col("d"), 1L)
+          .otherwise(0L)).as("n_retained"))
+      .withColumn("r_e6",
+        expr("n_retained * 1000000 div greatest(n_cohort, 1)"))
+      .withColumn("y_e3", expr(
+        "CAST(floor(ln(greatest(r_e6, 1)) * 1000 + 0.5) AS BIGINT)"))
+      .agg(count(lit(1)).as("n_horizons"),
+        max(when(col("d") === 1, col("r_e6"))).as("r1_e6"),
+        max(when(col("d") === 7, col("r_e6"))).as("r7_e6"),
+        sum(expr("(d - 4) * y_e3")).as("sxy"))
+      .select(col("n_horizons"), col("r1_e6"), col("r7_e6"),
+        expr("sxy div 28").as("slope_e3"),
+        expr("693 * 1000 div greatest(-(sxy div 28), 1)")
+          .as("half_life_days_e3"))
+  }
+
   /** ABC / Pareto revenue classification (round 8): parts classified
     * by cumulative revenue share — A = the head covering 80% of
     * revenue, B = the next 15%, C = the tail 5% — then the census per
@@ -1925,6 +1969,7 @@ object Analytics {
     "q_events_power_mde" -> powerMde,
     "q_events_markov_entropy" -> markovEntropy,
     "q_events_retention_curve" -> retentionCurve,
+    "q_events_retention_halflife" -> retentionHalflife,
     "q_parts_abc" -> abcAnalysis,
     "q_events_funnel_lag" -> funnelLag,
     "q_events_cuped" -> cuped,
@@ -2352,6 +2397,32 @@ object Analytics {
         |SELECT j.src AS state, j.n_trans, j.h_cond_e3, j.pi3_e6,
         |  rt.rate_e3
         |FROM j CROSS JOIN rt ORDER BY state""".stripMargin,
+    "q_events_retention_halflife" ->
+      """WITH u AS (SELECT user_id,
+        |   min(epoch_us(ts) // 86400000000) AS first_day,
+        |   max(epoch_us(ts) // 86400000000) AS last_day
+        |  FROM events GROUP BY user_id),
+        |wm AS (SELECT max(last_day) AS wm_day FROM u),
+        |ds AS (SELECT CAST(unnest([1, 2, 3, 4, 5, 6, 7]) AS BIGINT)
+        |    AS d),
+        |per AS (SELECT d, CAST(count(*) AS BIGINT) AS n_cohort,
+        |   CAST(sum(CASE WHEN last_day >= first_day + d
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        |  FROM u CROSS JOIN wm CROSS JOIN ds
+        |  WHERE first_day + d <= wm.wm_day GROUP BY d),
+        |yy AS (SELECT d,
+        |   CAST(n_retained * 1000000 // greatest(n_cohort, 1)
+        |     AS BIGINT) AS r_e6 FROM per),
+        |f AS (SELECT d, r_e6,
+        |   CAST(floor(ln(greatest(r_e6, 1)) * 1000 + 0.5) AS BIGINT)
+        |     AS y_e3 FROM yy)
+        |SELECT CAST(count(*) AS BIGINT) AS n_horizons,
+        | CAST(max(CASE WHEN d = 1 THEN r_e6 END) AS BIGINT) AS r1_e6,
+        | CAST(max(CASE WHEN d = 7 THEN r_e6 END) AS BIGINT) AS r7_e6,
+        | CAST(sum((d - 4) * y_e3) // 28 AS BIGINT) AS slope_e3,
+        | CAST(693 * 1000 // greatest(-(sum((d - 4) * y_e3) // 28), 1)
+        |   AS BIGINT) AS half_life_days_e3
+        |FROM f""".stripMargin,
     "q_events_retention_curve" ->
       """WITH u AS (SELECT user_id,
         |   min(epoch_us(ts) // 86400000000) AS first_day,

@@ -1771,7 +1771,117 @@ object Curation {
         expr("(kl1_e3 + kl2_e3) div 2").as("jsd_e3"))
   }
 
+  /** IDF drift between corpus halves (J84, round 11): tokens whose
+    * document-frequency SHARE moved most between the first and second
+    * half of the ingestion order (cut = max doc_id div 2) — the
+    * vocabulary-drift detector that catches a changed upstream scraper
+    * or topic shift before it skews every IDF-weighted consumer (BM25,
+    * tf-idf, SIF); the per-token complement of q_llm_domain_kl's
+    * distribution-level number. df ≥ 8 combined floor (noise gate),
+    * top-15 by |Δshare|.
+    *
+    * Shape: one doc-distinct tokenize → vocab-sized two-flag census →
+    * TakeOrdered. Exactness: share_e6 = df·10⁶ div n_half, truncating;
+    * signed drift is a difference of already-rounded shares. */
+  def idfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val cut = d.agg(expr("max(doc_id) div 2").as("cut"))
+    val halves = d.crossJoin(broadcast(cut)).agg(
+      sum(when(col("doc_id") <= col("cut"), 1L).otherwise(0L))
+        .as("n_early"),
+      sum(when(col("doc_id") > col("cut"), 1L).otherwise(0L))
+        .as("n_late"))
+    d.crossJoin(broadcast(cut))
+      .select((col("doc_id") <= col("cut")).as("early"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("df_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("df_late"))
+      .filter(col("df_early") + col("df_late") >= 8)
+      .crossJoin(broadcast(halves))
+      .select(col("tok").as("token"), col("df_early"), col("df_late"),
+        expr("df_early * 1000000 div greatest(n_early, 1)")
+          .as("share_early_e6"),
+        expr("df_late * 1000000 div greatest(n_late, 1)")
+          .as("share_late_e6"))
+      .withColumn("drift_e6",
+        col("share_late_e6") - col("share_early_e6"))
+      .orderBy(abs(col("drift_e6")).desc, col("token"))
+      .limit(15)
+  }
+
+  /** Leave-one-source-out bigram cross-entropy (J84, round 11): for
+    * each source, the add-one-smoothed bigram LM trained on every
+    * OTHER source scores the source's own bigram stream — the domain
+    * TRANSFER audit (which corpus slice is least predictable from the
+    * rest, i.e. contributes knowledge no other slice carries) that
+    * q_llm_ppl_buckets (one global LM) and q_llm_jsd_sources (top-2
+    * unigram distance) both miss. p(w2|w1) = (c12′+1)/(c1′+V′) with
+    * c′ = global − own and V′ = LOO continuation vocabulary (global
+    * distinct w2 minus the source's exclusive ones).
+    *
+    * Exactness: per eval bigram, term = lnE3(c1′+V′) − lnE3(c12′+1),
+    * floor-once per operand (the zipf rule), n12-weighted BIGINT sum,
+    * one truncating div by the source's bigram count. ln argument
+    * guarded `greatest(…,1)` (a source owning an entire left-context
+    * would otherwise hit ln(0) when V′ degenerates).
+    *
+    * Shape (100 TB): one bigram explode → (source, bigram) counts —
+    * partial-aggregable, the corpus enters as frequency weight only;
+    * global/marginal frames are vocab-sized rollups of it; V′ folds
+    * from the exclusivity census (V′ = V − exclusive_s, never a
+    * per-source vocab scan); the term join is vocab-sized keyed
+    * equi-joins; output is |sources| rows. */
+  def looXent(spark: SparkSession, dir: String): DataFrame = {
+    val bg = documents(spark, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |          i -> struct(element_at(tk, i) AS w1,
+          |                      element_at(tk, i + 1) AS w2))"""
+          .stripMargin)).as("g"))
+      .select(col("source"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val g12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n12")).as("c12"))
+    val g1 = g12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val o1 = bg.groupBy(col("source"), col("w1"))
+      .agg(sum(col("n12")).as("o1"))
+    val c2g = bg.groupBy(col("w2")).agg(sum(col("n12")).as("c2"))
+    val o2 = bg.groupBy(col("source"), col("w2"))
+      .agg(sum(col("n12")).as("o2"))
+    val vtot = c2g.agg(count(lit(1)).as("v"))
+    val excl = o2.join(c2g, Seq("w2"))
+      .filter(col("o2") === col("c2"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_excl"))
+    val vs = bg.select(col("source")).distinct()
+      .join(excl, Seq("source"), "left")
+      .na.fill(0L, Seq("n_excl"))
+      .crossJoin(broadcast(vtot))
+      .select(col("source"), (col("v") - col("n_excl")).as("v_loo"))
+    bg.join(g12, Seq("w1", "w2"))
+      .join(g1, Seq("w1"))
+      .join(o1, Seq("source", "w1"))
+      .join(broadcast(vs), Seq("source")) // |sources| rows — constant
+      .select(col("source"), col("n12"), expr(
+        """n12 * (CAST(floor(ln(greatest(c1 - o1 + v_loo, 1)) * 1000
+          |  + 0.5) AS BIGINT)
+          | - CAST(floor(ln(c12 - n12 + 1) * 1000 + 0.5) AS BIGINT))"""
+          .stripMargin).as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("n12")).as("n_bigrams"), sum(col("t")).as("tsum"))
+      .join(broadcast(vs), Seq("source"))
+      .select(col("source"), col("n_bigrams"),
+        col("v_loo").as("vocab_loo"),
+        expr("tsum div greatest(n_bigrams, 1)").as("xent_e3"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_idf_drift" -> idfDrift,
+    "q_llm_loo_xent" -> looXent,
     "q_llm_jsd_sources" -> jsdSources,
     "q_llm_feature_collinearity" -> featureCollinearity,
     "q_llm_gate_fairness" -> gateFairness,
@@ -1839,6 +1949,77 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_idf_drift" ->
+      """WITH cut AS (SELECT max(doc_id) // 2 AS cut FROM documents),
+        |halves AS (SELECT
+        |   CAST(sum(CASE WHEN doc_id <= cut THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_early,
+        |   CAST(sum(CASE WHEN doc_id > cut THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_late
+        |  FROM documents CROSS JOIN cut),
+        |toks AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)),
+        |df AS (SELECT tok,
+        |   CAST(sum(CASE WHEN doc_id <= cut THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS df_early,
+        |   CAST(sum(CASE WHEN doc_id > cut THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS df_late
+        |  FROM toks CROSS JOIN cut GROUP BY tok
+        |  HAVING count(*) >= 8)
+        |SELECT tok AS token, df_early, df_late,
+        | CAST(df_early * 1000000 // greatest(n_early, 1) AS BIGINT)
+        |   AS share_early_e6,
+        | CAST(df_late * 1000000 // greatest(n_late, 1) AS BIGINT)
+        |   AS share_late_e6,
+        | CAST(df_late * 1000000 // greatest(n_late, 1)
+        |   - df_early * 1000000 // greatest(n_early, 1) AS BIGINT)
+        |   AS drift_e6
+        |FROM df CROSS JOIN halves
+        |ORDER BY abs(df_late * 1000000 // greatest(n_late, 1)
+        |  - df_early * 1000000 // greatest(n_early, 1)) DESC, token
+        |LIMIT 15""".stripMargin,
+    "q_llm_loo_xent" ->
+      """WITH t0 AS (SELECT source, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT source, s.w1, s.w2, CAST(count(*) AS BIGINT)
+        |    AS n12 FROM (
+        |  SELECT source, unnest([{'w1': tk[i], 'w2': tk[i + 1]}
+        |     for i in range(1, len(tk))]) AS s FROM t0)
+        |  GROUP BY 1, 2, 3),
+        |g12 AS (SELECT w1, w2, CAST(sum(n12) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |g1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM g12 GROUP BY 1),
+        |o1 AS (SELECT source, w1, CAST(sum(n12) AS BIGINT) AS o1
+        |  FROM bg GROUP BY 1, 2),
+        |c2g AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1),
+        |o2 AS (SELECT source, w2, CAST(sum(n12) AS BIGINT) AS o2
+        |  FROM bg GROUP BY 1, 2),
+        |vtot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c2g),
+        |excl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_excl
+        |  FROM o2 JOIN c2g ON o2.w2 = c2g.w2 AND o2.o2 = c2g.c2
+        |  GROUP BY 1),
+        |vs AS (SELECT s.source,
+        |   CAST(v - coalesce(n_excl, 0) AS BIGINT) AS v_loo
+        |  FROM (SELECT DISTINCT source FROM bg) s
+        |  LEFT JOIN excl ON s.source = excl.source CROSS JOIN vtot),
+        |terms AS (SELECT bg.source, bg.n12,
+        |   bg.n12 * (CAST(floor(ln(greatest(g1.c1 - o1.o1 + vs.v_loo,
+        |       1)) * 1000 + 0.5) AS BIGINT)
+        |     - CAST(floor(ln(g12.c12 - bg.n12 + 1) * 1000 + 0.5)
+        |       AS BIGINT)) AS t
+        |  FROM bg
+        |  JOIN g12 ON bg.w1 = g12.w1 AND bg.w2 = g12.w2
+        |  JOIN g1 ON bg.w1 = g1.w1
+        |  JOIN o1 ON bg.source = o1.source AND bg.w1 = o1.w1
+        |  JOIN vs ON bg.source = vs.source)
+        |SELECT terms.source, CAST(sum(n12) AS BIGINT) AS n_bigrams,
+        | CAST(max(vs.v_loo) AS BIGINT) AS vocab_loo,
+        | CAST(sum(t) // greatest(sum(n12), 1) AS BIGINT) AS xent_e3
+        |FROM terms JOIN vs ON terms.source = vs.source
+        |GROUP BY 1 ORDER BY terms.source""".stripMargin,
     "q_llm_jsd_sources" ->
       """WITH bt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w

@@ -924,16 +924,29 @@ object Graph {
     * by basket size ≤ 7) with COUNT payloads, part-sized marginal
     * joins (NO broadcast() hint, round 10 — part-sized is data-sized;
     * AQE runtime-broadcasts while small), distributed top-k. */
+  /** Weight-≥2 co-purchase pairs (u < v, n_ab) — the ROBUST backbone
+    * of the basket graph (pairs sharing at least two orders; one
+    * shared order is noise), MEMOIZED (round 11): basketLift,
+    * assocRules, and the components row each re-ran the same basket
+    * self-join + pair census. At 100 TB this is the persisted weighted
+    * edge table every market-basket pipeline keeps. */
+  private[graft] def robustPairs(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.FrameMemo.cached(spark, dir, "robust-pairs") {
+      val li = opPairs(spark, dir)
+      li.as("a")
+        .join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2L)
+    }
+
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
     val li = opPairs(spark, dir)
     val baskets = li.agg(countDistinct(col("o")).as("big_n"))
     val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 2L)
+    val pairs = robustPairs(spark, dir)
     pairs
       .join(marg.select(col("pk").as("u"), col("np").as("n_a")),
         Seq("u"))
@@ -971,12 +984,7 @@ object Graph {
     val li = opPairs(spark, dir)
     val baskets = li.agg(countDistinct(col("o")).as("big_n"))
     val marg = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
-    val und = li.as("a")
-      .join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 2L)
+    val und = robustPairs(spark, dir)
     val dir2 = und.select(col("u"), col("v"), col("n_ab"))
       .unionAll(und.select(col("v").as("u"), col("u").as("v"),
         col("n_ab")))
@@ -1355,7 +1363,46 @@ object Graph {
           .as("gini_e4"))
   }
 
+  /** Connected components of the ROBUST co-purchase graph (J84, round
+    * 11): the component-size histogram over [[robustPairs]] (weight ≥ 2
+    * — one shared order is noise; the backbone filter every
+    * co-occurrence pipeline applies first). The missing structural
+    * member of the family (pagerank ranks, LPA colors, k-core peels,
+    * triangles count — none answers "is it ONE graph?"); dup-cluster CC
+    * answers it for the LSH pair graph, this row for the purchase
+    * backbone. Per size: component count, smallest representative
+    * label, and the bucket's node share (e4). Fixture reading at
+    * sf0.01: one 1,860-node giant plus a 5, a 3, and six 2s — real
+    * fragmentation, not a vacuous single row (the raw weight-1 graph IS
+    * one component; measured before enrollment, 55 s closure — the
+    * backbone restriction is also what makes the oracle affordable).
+    *
+    * Shape (100 TB): rides [[graft.operators.LlmOps.connectedComponents]]
+    * — min-label propagation WITH pointer jumping (O(log diameter)
+    * rounds, per-round lineage truncation, reliable-checkpoint option,
+    * ScalaCheck-verified vs union-find) over the memoized backbone
+    * frame; the rollups after it are component- then size-sized.
+    * Oracle replays the partition via recursive-CTE reachability (the
+    * dupClusters idiom, 4.2 s at sf0.01). */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.LlmOps.connectedComponents(
+        robustPairs(spark, dir).select(col("u"), col("v")))
+      .toDF("n", "comp")
+    val tot = labels.agg(count(lit(1)).as("n_nodes"))
+    labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_components"),
+        min(col("comp")).as("min_component"))
+      .crossJoin(broadcast(tot)) // 1-row total — constant-sized hint
+      .select(col("sz").as("component_size"), col("n_components"),
+        col("min_component").cast("long").as("min_component"),
+        expr("sz * n_components * 10000 div n_nodes")
+          .as("node_share_e4"))
+      .orderBy(col("component_size").desc, col("min_component"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_components" -> components,
     "q_graph_degree_gini" -> degreeGini,
     "q_orders_basket_sizes" -> basketSizes,
     "q_graph_community_entropy" -> communityEntropy,
@@ -1404,6 +1451,30 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_components" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+        |  FROM lineitem),
+        |rp AS (SELECT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT u, v FROM rp UNION ALL SELECT v, u FROM rp),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM e0
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN e0 e ON r.b = e.u),
+        |comp AS (SELECT a AS n, least(a, min(b)) AS comp
+        |  FROM reach GROUP BY a),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM comp),
+        |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY comp)
+        |SELECT sz AS component_size,
+        | CAST(count(*) AS BIGINT) AS n_components,
+        | CAST(min(comp) AS BIGINT) AS min_component,
+        | CAST(sz * count(*) * 10000 // max(tot.n_nodes) AS BIGINT)
+        |   AS node_share_e4
+        |FROM sz CROSS JOIN tot GROUP BY sz
+        |ORDER BY component_size DESC, min_component""".stripMargin,
     "q_graph_degree_gini" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

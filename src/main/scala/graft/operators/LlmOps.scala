@@ -1797,19 +1797,29 @@ object LlmOps {
     * i·10⁴ ≥ τ_e4·(na+nb−i) — no float Jaccard compare; absent τ rows
     * are restored by a LEFT join from the τ VALUES list in BOTH
     * engines (the mrl_recall empty-group idiom). */
+  /** Exact-intersection-scored LSH candidate pairs (a_id, b_id, i, na,
+    * nb) — MEMOIZED (round 11): the τ-sweep and the Jaccard histogram
+    * both verify the SAME candidate set; at 100 TB this is the
+    * persisted verified-pairs table the dedup decision pipeline reads
+    * (candidate-sized — never all-pairs). */
+  private[graft] def minhashScored(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.FrameMemo.cached(spark, dir, "minhash-scored") {
+      val sigs = minhashSigs(spark, dir)
+      val docsets = sigs.select(col("doc_id"), col("ss"), col("n"))
+      minhashCandidates(sigs)
+        .join(docsets.select(col("doc_id"), col("ss").as("sa"),
+          col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+        .join(docsets.select(col("doc_id"), col("ss").as("sb"),
+          col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+        .withColumn("i",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .select(col("a_id"), col("b_id"), col("i"), col("na"), col("nb"))
+    }
+
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = minhashSigs(spark, dir)
-    val docsets = sigs.select(col("doc_id"), col("ss"), col("n"))
-    val scored = minhashCandidates(sigs)
-      .join(docsets.select(col("doc_id"), col("ss").as("sa"),
-        col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
-      .join(docsets.select(col("doc_id"), col("ss").as("sb"),
-        col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
-      .withColumn("i",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .select(col("a_id"), col("b_id"), col("i"), col("na"), col("nb"))
-      .localCheckpoint() // candidate-sized; feeds all four τ arms
+    val scored = minhashScored(spark, dir) // feeds all four τ arms
     val taus = Seq(5000L, 7000L, 8000L, 9000L).toDF("tau_e4")
     val nd = documents(spark, dir).agg(count(lit(1)).as("ndocs"))
     val per = scored.crossJoin(broadcast(taus))
@@ -1824,6 +1834,29 @@ object LlmOps {
         expr("n_removed * 10000 div ndocs").as("removed_share_e4"))
       .orderBy(col("tau_e4"))
   }
+
+  /** Exact-Jaccard HISTOGRAM over the LSH candidate pairs (J84, round
+    * 11): per 0.1-wide bucket (bucket 10 = exact duplicates at J = 1),
+    * pair count + min/max J(e4) — the full S-curve DATA behind the
+    * τ-sweep's four points: the sweep says what each τ WOULD do, this
+    * row shows the distribution those verdicts cut through (a bimodal
+    * histogram licenses any τ in the valley; a flat one means the band
+    * config, not τ, is the lever — read beside q_llm_band_sweep).
+    * Zero-intersection band collisions land in bucket 0 on BOTH
+    * engines (oracle LEFT-joins the intersection CTE).
+    *
+    * Shape: one bucket projection over the memoized [[minhashScored]]
+    * frame + a ≤11-row census. Exactness: j_e4 = i·10⁴ div union,
+    * truncating div, identical text both engines. */
+  def dedupJHist(spark: SparkSession, dir: String): DataFrame =
+    minhashScored(spark, dir)
+      .withColumn("j_e4",
+        expr("i * 10000 div greatest(na + nb - i, 1)"))
+      .groupBy(expr("j_e4 div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("j_e4")).as("min_j_e4"),
+        max(col("j_e4")).as("max_j_e4"))
+      .orderBy(col("bucket"))
 
   /** ColBERT-style MaxSim late interaction (J81, round 10): each
     * 64-dim embedding is read as 8 sub-vectors of 8 dims (the
@@ -3757,6 +3790,7 @@ object LlmOps {
     "q_llm_ivf_imbalance" -> ivfImbalance,
     "q_llm_ranker_tau" -> rankerTau,
     "q_llm_dedup_tau_sweep" -> dedupThresholdSweep,
+    "q_llm_dedup_jhist" -> dedupJHist,
     "q_llm_maxsim" -> maxsimLate,
     "q_llm_active_diverse" -> activeDiverse,
     "q_llm_submodular_select" -> submodularSelect,
@@ -5007,6 +5041,27 @@ object LlmOps {
         |   AS removed_share_e4
         |FROM taus t LEFT JOIN per ON t.tau_e4 = per.tau_e4 CROSS JOIN nd
         |ORDER BY t.tau_e4""".stripMargin,
+    "q_llm_dedup_jhist" ->
+      s"""WITH $minhashCandCte,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |   CAST(count(*) AS BIGINT) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT a_id, b_id,
+        |   CAST(coalesce(inter.i, 0) AS BIGINT) AS i,
+        |   na.n AS na, nb.n AS nb
+        |  FROM cand LEFT JOIN inter ON a_id = ia AND b_id = ib
+        |  JOIN sizes na ON a_id = na.doc_id
+        |  JOIN sizes nb ON b_id = nb.doc_id),
+        |jb AS (SELECT CAST(i * 10000 // greatest(na + nb - i, 1)
+        |    AS BIGINT) AS j_e4 FROM scored)
+        |SELECT CAST(j_e4 // 1000 AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(min(j_e4) AS BIGINT) AS min_j_e4,
+        | CAST(max(j_e4) AS BIGINT) AS max_j_e4
+        |FROM jb GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_llm_maxsim" ->
       s"""WITH $cosCte,
         |ch AS (SELECT vec_id, ci,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 502
+    val documented = 508
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -4978,6 +4978,109 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cells are distinct labels over a nonempty candidate set
     assert(rows.map(_._1).distinct.length == rows.length)
     assert(rows.map(_._2).sum > 0)
+  }
+
+  test("graph_components (J84): the histogram partitions the backbone " +
+      "node set and matches a driver union-find on the same edges") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.operators.Graph.robustPairs(spark, sf)
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.nonEmpty)
+    // driver union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val refHist = parent.keys.toSeq.map(find).groupBy(identity)
+      .map(_._2.size.toLong).groupBy(identity)
+      .map { case (sz, g) => (sz, g.size.toLong) }
+    val rows = SparkEntry.queries("q_graph_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toMap == refHist,
+      s"engine=${rows.toSeq.sorted} ref=${refHist.toSeq.sorted}")
+    // shares partition the node set: sum(size*n) == distinct nodes
+    val nNodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+    assert(rows.map { case (s, n) => s * n }.sum == nNodes)
+  }
+
+  test("llm_dedup_jhist (J84): buckets tile [0,1], bounds sit inside " +
+      "their bucket, and the pair mass equals the candidate count") {
+    val rows = SparkEntry.queries("q_llm_dedup_jhist")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, lo, hi) =>
+      assert(b >= 0 && b <= 10, s"bucket $b")
+      assert(n > 0 && lo <= hi, s"bucket $b n=$n lo=$lo hi=$hi")
+      assert(lo >= b * 1000 && (hi < (b + 1) * 1000 || hi == 10000),
+        s"bucket $b bounds [$lo,$hi]")
+    }
+    val nCand = graft.operators.LlmOps.minhashScored(spark, sf).count()
+    assert(rows.map(_._2).sum == nCand)
+  }
+
+  test("llm_idf_drift (J84): drift is the share difference and rows " +
+      "arrive in non-increasing |drift| order") {
+    val rows = SparkEntry.queries("q_llm_idf_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { case (t, se, sl, d) =>
+      assert(d == sl - se, s"$t drift $d != $sl - $se")
+    }
+    assert(rows.map(r => math.abs(r._4)).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)), rows.map(_._4).toSeq)
+  }
+
+  test("llm_loo_xent (J84): one positive cross-entropy row per source, " +
+      "LOO vocab strictly under the global continuation vocab") {
+    import org.apache.spark.sql.functions.col
+    val nSources = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    val rows = SparkEntry.queries("q_llm_loo_xent")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length.toLong == nSources, s"${rows.length} vs $nSources")
+    rows.foreach { case (s, nb, v, x) =>
+      assert(nb > 0 && v > 0, s"$s nb=$nb v=$v")
+      assert(x > 0, s"$s xent_e3 $x — add-1 smoothed xent must be > 0")
+    }
+  }
+
+  test("mm_audio_energy_bands (J84): quarters partition the clip's " +
+      "energy (sum equals the decode row's sum_sq) and the dominant " +
+      "band is the argmax") {
+    import org.apache.spark.sql.functions.col
+    val bands = SparkEntry.queries("q_mm_audio_energy_bands")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (Seq(r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)), r.getLong(7))).toMap
+    val dec = SparkEntry.queries("q_mm_audio_decode")(spark, sf)
+      .filter(col("valid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(bands.nonEmpty && bands.keySet == dec.keySet)
+    bands.foreach { case (id, (es, dom)) =>
+      assert(es.sum == dec(id), s"clip $id: ${es.sum} != ${dec(id)}")
+      assert(es(dom.toInt) == es.max && es.indexOf(es.max) == dom,
+        s"clip $id dominant $dom over $es")
+    }
+  }
+
+  test("events_retention_halflife (J84): all seven horizons bind, " +
+      "shares are proper, and the half-life is positive") {
+    val r = SparkEntry.queries("q_events_retention_halflife")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 7L, s"n_horizons ${row.getLong(0)}")
+    Seq(row.getLong(1), row.getLong(2)).foreach(v =>
+      assert(v >= 0 && v <= 1000000L, row))
+    assert(row.getLong(4) > 0, s"half_life ${row.getLong(4)}")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
