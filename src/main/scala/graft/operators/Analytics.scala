@@ -1200,6 +1200,57 @@ object Analytics {
           .as("half_life_days_e3"))
   }
 
+  /** Activity-segment migration matrix (J85, round 11): split the
+    * timeline at its midpoint day, segment each user per half as
+    * high/low by the EXACT per-half median split (support census,
+    * cum·2 ≥ n — the lead_time idiom; a fixed threshold measured
+    * vacuous: every fixture user clears any sane floor in both
+    * halves), and emit the (seg_from, seg_to) transition census with
+    * new/churned as 'absent' — the user-level twin of
+    * q_orders_abc_migration (parts): is the high-activity segment
+    * STABLE membership or a revolving door? The number behind every
+    * "engagement stickiness" claim.
+    *
+    * Shape: one (half, user) fold (partial-aggregable) → two ~|n|-sized
+    * support censuses → keyed half-join of two user-segment frames →
+    * ≤9-row matrix. */
+  def rfmMigration(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+    val mm = d.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val perHalf = d.crossJoin(broadcast(mm))
+      .withColumn("half",
+        when(col("day") <= col("mid"), 1L).otherwise(2L))
+      .groupBy(col("half"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val med = perHalf.groupBy(col("half"), col("n"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("half")).orderBy(col("n"))))
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("half"))))
+      .filter(expr("cum * 2 >= tot"))
+      .groupBy(col("half")).agg(min(col("n")).as("med"))
+    val seg = perHalf.join(broadcast(med), Seq("half")) // 2-row medians
+      .select(col("half"), col("user_id"),
+        when(col("n") > col("med"), lit("high")).otherwise(lit("low"))
+          .as("seg"))
+    val s1 = seg.filter(col("half") === 1)
+      .select(col("user_id"), col("seg").as("seg_from"))
+    val s2 = seg.filter(col("half") === 2)
+      .select(col("user_id"), col("seg").as("seg_to"))
+    val g = s1.join(s2, Seq("user_id"), "full_outer")
+      .select(coalesce(col("seg_from"), lit("absent")).as("seg_from"),
+        coalesce(col("seg_to"), lit("absent")).as("seg_to"))
+      .groupBy(col("seg_from"), col("seg_to"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = g.agg(sum(col("n_users")).as("tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("seg_from"), col("seg_to"), col("n_users"),
+        expr("n_users * 10000 div tot").as("share_e4"))
+      .orderBy(col("seg_from"), col("seg_to"))
+  }
+
   /** ABC / Pareto revenue classification (round 8): parts classified
     * by cumulative revenue share — A = the head covering 80% of
     * revenue, B = the next 15%, C = the tail 5% — then the census per
@@ -1970,6 +2021,7 @@ object Analytics {
     "q_events_markov_entropy" -> markovEntropy,
     "q_events_retention_curve" -> retentionCurve,
     "q_events_retention_halflife" -> retentionHalflife,
+    "q_events_rfm_migration" -> rfmMigration,
     "q_parts_abc" -> abcAnalysis,
     "q_events_funnel_lag" -> funnelLag,
     "q_events_cuped" -> cuped,
@@ -2397,6 +2449,34 @@ object Analytics {
         |SELECT j.src AS state, j.n_trans, j.h_cond_e3, j.pi3_e6,
         |  rt.rate_e3
         |FROM j CROSS JOIN rt ORDER BY state""".stripMargin,
+    "q_events_rfm_migration" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+        |ph AS (SELECT CASE WHEN day <= mid THEN 1 ELSE 2 END AS half,
+        |   user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM d CROSS JOIN mm GROUP BY 1, 2),
+        |sup AS (SELECT half, n, CAST(count(*) AS BIGINT) AS c
+        |  FROM ph GROUP BY 1, 2),
+        |cm AS (SELECT half, n,
+        |   sum(c) OVER (PARTITION BY half ORDER BY n) AS cum,
+        |   sum(c) OVER (PARTITION BY half) AS tot FROM sup),
+        |med AS (SELECT half, min(n) AS med FROM cm
+        |  WHERE cum * 2 >= tot GROUP BY 1),
+        |seg AS (SELECT ph.half, ph.user_id,
+        |   CASE WHEN ph.n > med.med THEN 'high' ELSE 'low' END AS seg
+        |  FROM ph JOIN med ON ph.half = med.half),
+        |s1 AS (SELECT user_id, seg AS seg_from FROM seg WHERE half = 1),
+        |s2 AS (SELECT user_id, seg AS seg_to FROM seg WHERE half = 2),
+        |tr AS (SELECT coalesce(seg_from, 'absent') AS seg_from,
+        |   coalesce(seg_to, 'absent') AS seg_to
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id),
+        |g AS (SELECT seg_from, seg_to, CAST(count(*) AS BIGINT)
+        |    AS n_users FROM tr GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot FROM g)
+        |SELECT seg_from, seg_to, n_users,
+        | CAST(n_users * 10000 // tot AS BIGINT) AS share_e4
+        |FROM g CROSS JOIN t ORDER BY seg_from, seg_to""".stripMargin,
     "q_events_retention_halflife" ->
       """WITH u AS (SELECT user_id,
         |   min(epoch_us(ts) // 86400000000) AS first_day,

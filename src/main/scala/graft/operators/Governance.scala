@@ -832,7 +832,46 @@ object Governance {
         col("worst_user"), col("worst_share_e4"))
   }
 
+  /** DP histogram with CALIBRATED Laplace noise (J85, round 11): the
+    * (event_type, epoch-dow) activity histogram released under
+    * ε = 0.5 — per cell, Laplace(b = 1/ε = 2) noise drawn by the exact
+    * inverse CDF on an md5-derived uniform (the sketch-hash
+    * determinism discipline: the oracle replays the identical draw),
+    * where q_priv_dp_count's bounded-uniform sketch only gestured at
+    * the mechanism. noise = −b·sign(u−½)·ln(1−2|u−½|), in the lnE3
+    * floor-once lane (13816 = lnE3(10⁶)); production swaps the hash
+    * for a seeded CSPRNG — the calibration and the release shape are
+    * what this row pins. Suppression at noisy < 10 (release hygiene).
+    *
+    * Exactness: the signed noise-to-count fold rides the SHIFT idiom
+    * ((x + 10⁶) div 10³ − 10³) — signed div truncates toward zero in
+    * Spark but floors in DuckDB (the assortativity lesson), so no
+    * signed operand ever reaches a div. Epoch-dow (day mod 7) avoids
+    * calendar-locale dow divergence. Shape: one partial-aggregable
+    * cell census; noise is a per-cell scalar expression. */
+  def dpHistogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("dow",
+        expr("((ts_ns div 1000) div 86400000000) % 7"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(event_type, '|', dow)), 1, 15)," +
+          " 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("t_e3", expr(
+        "CAST(floor(ln(greatest(1000000 - 2 * abs(u - 500000), 1))" +
+          " * 1000 + 0.5) AS BIGINT) - 13816"))
+      .withColumn("noise_e3", expr(
+        "CASE WHEN u >= 500000 THEN -2 * t_e3 ELSE 2 * t_e3 END"))
+      .withColumn("n_noisy", expr(
+        "n_true + ((noise_e3 + 1000000) div 1000 - 1000)"))
+      .select(col("event_type"), col("dow"), col("n_true"),
+        col("noise_e3"), col("n_noisy"),
+        (col("n_noisy") < 10L).as("suppressed"))
+      .orderBy(col("event_type"), col("dow"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priv_dp_histogram" -> dpHistogram,
     "q_priv_generalize" -> generalizeLadder,
     "q_dq_seq_inversion" -> seqInversion,
     "q_dq_enum_firstseen" -> enumFirstSeen,
@@ -856,6 +895,29 @@ object Governance {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_priv_dp_histogram" ->
+      """WITH cells AS (SELECT event_type,
+        |   (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |   CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1, 2),
+        |nz AS (SELECT event_type, dow, n_true,
+        |   CAST(CAST('0x' || substr(md5(event_type || '|' || dow), 1, 15)
+        |     AS BIGINT) % 1000000 AS BIGINT) AS u
+        |  FROM cells),
+        |tt AS (SELECT event_type, dow, n_true, u,
+        |   CAST(floor(ln(greatest(1000000 - 2 * abs(u - 500000), 1))
+        |     * 1000 + 0.5) AS BIGINT) - 13816 AS t_e3
+        |  FROM nz),
+        |fin AS (SELECT event_type, dow, n_true,
+        |   CASE WHEN u >= 500000 THEN -2 * t_e3 ELSE 2 * t_e3 END
+        |     AS noise_e3
+        |  FROM tt)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, n_true, noise_e3,
+        | CAST(n_true + ((noise_e3 + 1000000) // 1000 - 1000) AS BIGINT)
+        |   AS n_noisy,
+        | n_true + ((noise_e3 + 1000000) // 1000 - 1000) < 10
+        |   AS suppressed
+        |FROM fin ORDER BY event_type, dow""".stripMargin,
     "q_priv_generalize" ->
       """WITH base AS (SELECT c_nationkey, c_mktsegment,
         |   (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)

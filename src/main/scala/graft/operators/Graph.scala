@@ -1401,7 +1401,46 @@ object Graph {
       .orderBy(col("component_size").desc, col("min_component"))
   }
 
+  /** Eigenvector centrality (J85, round 11): two unrolled power-
+    * iteration rounds x ← A·x over the undirected co-occurrence
+    * adjacency, L1-renormalized to the ×10⁶ integer grid each round —
+    * prestige flows WHOLE along edges (no damping, no out-degree
+    * split), so a node is central when its neighbors are central: the
+    * Bonacich prestige member the family lacks (pagerank damps and
+    * degree-normalizes; HITS is bipartite; degree is local). Top-20.
+    *
+    * Exactness: x₀ = 10⁶ everywhere; each round is an integer
+    * neighbor-sum then xᵢ = rawᵢ·10⁶ div Σraw (truncating; worst
+    * intermediate ~2·10¹⁵, inside BIGINT — bound in scaladoc math).
+    * Shape: the pagerank loop shape — per round ONE edge-stream join
+    * against the node-sized rank frame (size-gated hint, the iterated-
+    * plan class) + a 1-row total broadcast. */
+  def eigenCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val und = cooccEdges(spark, dir)
+    val edges = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val nEdges = graft.FrameMemo.cachedCount(spark, dir, "coocc-edges")(
+      cooccEdges(spark, dir))
+    def bc(df: DataFrame): DataFrame =
+      graft.Hints.bcastIfAtMost(df, nEdges)
+    val x0 = cooccDegrees(spark, dir)
+      .select(col("n"), lit(1000000L).as("x"))
+    def step(x: DataFrame): DataFrame = {
+      val raw = edges
+        .join(bc(x.select(col("n").as("v"), col("x"))), Seq("v"))
+        .groupBy(col("u").as("n")).agg(sum(col("x")).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot)) // 1-row total — constant-sized
+        .select(col("n"), expr("raw * 1000000 div tot").as("x"))
+    }
+    step(step(x0))
+      .orderBy(col("x").desc, col("n"))
+      .limit(20)
+      .select(col("n").cast("long").as("node_key"), col("x").as("score_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_eigencentrality" -> eigenCentrality,
     "q_graph_components" -> components,
     "q_graph_degree_gini" -> degreeGini,
     "q_orders_basket_sizes" -> basketSizes,
@@ -1451,6 +1490,25 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_eigencentrality" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |x0 AS (SELECT u AS n, CAST(1000000 AS BIGINT) AS x
+        |  FROM (SELECT DISTINCT u FROM e0)),
+        |r1 AS (SELECT e0.u AS n, CAST(sum(x0.x) AS BIGINT) AS raw
+        |  FROM e0 JOIN x0 ON e0.v = x0.n GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM r1),
+        |x1 AS (SELECT n, CAST(raw * 1000000 // tot AS BIGINT) AS x
+        |  FROM r1 CROSS JOIN t1),
+        |r2 AS (SELECT e0.u AS n, CAST(sum(x1.x) AS BIGINT) AS raw
+        |  FROM e0 JOIN x1 ON e0.v = x1.n GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM r2),
+        |x2 AS (SELECT n, CAST(raw * 1000000 // tot AS BIGINT) AS x
+        |  FROM r2 CROSS JOIN t2)
+        |SELECT CAST(n AS BIGINT) AS node_key, x AS score_e6 FROM x2
+        |ORDER BY score_e6 DESC, node_key LIMIT 20""".stripMargin,
     "q_graph_components" ->
       """WITH RECURSIVE
         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk

@@ -1548,7 +1548,46 @@ object TimeSeries {
       .orderBy(col("m"))
   }
 
+  /** SMA crossover regime census (J85, round 11): 7-day vs 28-day
+    * trailing moving averages over the daily event census — golden
+    * crosses (short rises above long), death crosses, the last
+    * crossing day, and the current regime: the trend-reversal detector
+    * behind every "activity is rolling over" alert, complementing the
+    * point anomaly rows (anomaly_mad flags days, this row flags regime
+    * CHANGES). Comparison is cross-multiplied (4·sum7 vs sum28) so no
+    * division exists at all; windows are ROWS over observed days (the
+    * fixture census has no gap days; a gapped deploy resamples first —
+    * q_ts_resample is the documented upstream).
+    *
+    * Shape: one partial-aggregable day census → two running-sum
+    * windows + one lag over the ~span-sized series (span-sized, never
+    * corpus-sized) → 1-row fold. */
+  def smaCrossover(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(spark, dir)
+      .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("day"))
+    val scored = daily
+      .withColumn("i", row_number().over(ord))
+      .withColumn("s7", sum(col("c")).over(ord.rowsBetween(-6, 0)))
+      .withColumn("s28", sum(col("c")).over(ord.rowsBetween(-27, 0)))
+      .filter(col("i") >= 28)
+      .withColumn("above", expr("4 * s7 > s28"))
+      .withColumn("prev", lag(col("above"), 1).over(ord))
+    scored.agg(count(lit(1)).as("n_days_eval"),
+      sum(when(col("prev").isNotNull && !col("prev") && col("above"), 1L)
+        .otherwise(0L)).as("n_golden"),
+      sum(when(col("prev").isNotNull && col("prev") && !col("above"), 1L)
+        .otherwise(0L)).as("n_death"),
+      coalesce(max(when(col("prev").isNotNull &&
+        col("prev") =!= col("above"), col("day"))), lit(-1L))
+        .as("last_cross_day"),
+      expr("max_by(above, day)").as("regime_now"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_sma_crossover" -> smaCrossover,
     "q_ts_hurst" -> hurst,
     "q_ts_slope_influence" -> slopeInfluence,
     "q_ts_stl_resid_acf" -> stlResidAcf,
@@ -1589,6 +1628,27 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_sma_crossover" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |w AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i,
+        |   sum(c) OVER (ORDER BY day
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+        |   sum(c) OVER (ORDER BY day
+        |     ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28
+        |  FROM d),
+        |f AS (SELECT day, 4 * s7 > s28 AS above FROM w WHERE i >= 28),
+        |g AS (SELECT day, above, lag(above) OVER (ORDER BY day) AS prev
+        |  FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days_eval,
+        | CAST(sum(CASE WHEN prev IS NOT NULL AND NOT prev AND above
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_golden,
+        | CAST(sum(CASE WHEN prev IS NOT NULL AND prev AND NOT above
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_death,
+        | CAST(coalesce(max(CASE WHEN prev IS NOT NULL AND prev <> above
+        |   THEN day END), -1) AS BIGINT) AS last_cross_day,
+        | arg_max(above, day) AS regime_now
+        |FROM g""".stripMargin,
     "q_ts_hurst" ->
       """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS d,
         |   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

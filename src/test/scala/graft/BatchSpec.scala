@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 508
+    val documented = 512
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5081,6 +5081,63 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(row.getLong(1), row.getLong(2)).foreach(v =>
       assert(v >= 0 && v <= 1000000L, row))
     assert(row.getLong(4) > 0, s"half_life ${row.getLong(4)}")
+  }
+
+  test("graph_eigencentrality (J85): top-20 arrives score-ordered with " +
+      "positive normalized scores on the e6 grid") {
+    val rows = SparkEntry.queries("q_graph_eigencentrality")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 20)
+    rows.foreach { case (n, s) =>
+      assert(s > 0 && s <= 1000000L, s"node $n score $s")
+    }
+    assert(rows.map(_._2).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)), rows.map(_._2).toSeq)
+  }
+
+  test("ts_sma_crossover (J85): the crossing census is internally " +
+      "consistent (counts vs last_cross_day vs regime parity)") {
+    val r = SparkEntry.queries("q_ts_sma_crossover")(spark, sf)
+      .collect()(0)
+    val (nd, ng, ndth, last) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nd > 0)
+    assert((ng + ndth == 0) == (last == -1L),
+      s"crosses=${ng + ndth} last=$last")
+    // regimes alternate: golden and death counts differ by at most 1
+    assert(math.abs(ng - ndth) <= 1, s"golden=$ng death=$ndth")
+  }
+
+  test("priv_dp_histogram (J85): cells partition the event count and " +
+      "the Laplace draw stays inside its inverse-CDF range") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_priv_dp_histogram")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_._1).sum == total)
+    rows.foreach { case (nt, nz, nn) =>
+      // |noise| <= 2*ln(1e6) e3 = 27632 (u resolution bound)
+      assert(math.abs(nz) <= 27632L, s"noise $nz")
+      assert(nn == nt + ((nz + 1000000L) / 1000L - 1000L),
+        s"$nn != $nt + shift($nz)")
+    }
+  }
+
+  test("events_rfm_migration (J85): the matrix partitions the user " +
+      "base, shares fold to one, and the median split binds") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_events_rfm_migration")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val nUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == nUsers)
+    val shares = rows.map(_._4)
+    assert(shares.sum <= 10000L && shares.sum >= 10000L - rows.length,
+      shares.toSeq)
+    // the median split is non-vacuous: both segments appear somewhere
+    val segs = rows.flatMap(r => Seq(r._1, r._2)).toSet
+    assert(segs.contains("high") && segs.contains("low"), segs)
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
