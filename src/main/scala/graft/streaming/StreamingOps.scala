@@ -282,6 +282,53 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** The SAME integer EWMA as [[ewmaStream]], re-expressed on the
+    * Spark 4.x `transformWithState` / `StatefulProcessor` API
+    * (ValueState handle; requires the RocksDB state-store provider —
+    * the caller sets `spark.sql.streaming.stateStore.providerClass`,
+    * as StreamingSpec does): the MIGRATION row proving the engine's
+    * arbitrary-state operators port to the new API unchanged.
+    * StreamingSpec pins it bit-identical to both the
+    * mapGroupsWithState form and the batch q_ts_ewma fold. At scale
+    * the new API is the better home for this state: RocksDB-backed
+    * handles spill beyond executor heap and support per-state TTL
+    * (TTLConfig), which the GroupState API cannot express. */
+  def ewmaStreamV2(events: Dataset[Ev]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** StatefulProcessor twin of [[ewmaStream]]'s fold — one ValueState
+    * per user, same (ts, event_id) intra-batch repair sort, same
+    * truncating (acc+x)/2 arithmetic. */
+  private class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, EwmaOut] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[EwmaSt] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[EwmaSt]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EwmaOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var s = Option(st.get()).getOrElse(EwmaSt(0L, 0L, 0L))
+      sorted.foreach { e =>
+        val c = math.floor(e.value * 100 + 0.5).toLong
+        s = if (s.n == 0L) EwmaSt(c, 1L, c)
+            else EwmaSt((s.acc + c) / 2, s.n + 1, c)
+      }
+      st.update(s)
+      Iterator.single(EwmaOut(key, s.n, s.last, s.acc))
+    }
+  }
+
   def attributionStream(events: Dataset[Ev]): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     val lookbackMs = 7L * 24 * 3600 * 1000

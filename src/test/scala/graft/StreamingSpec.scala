@@ -194,6 +194,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("s_state_v2_ewma: the transformWithState (Spark 4.x " +
+      "StatefulProcessor + RocksDB store) EWMA is bit-identical to the " +
+      "mapGroupsWithState form and the batch fold — the new-API " +
+      "migration pin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = runQuery(StreamingOps.ewmaStreamV2(in.toDS()).toDF(),
+        "sewma2", "update")
+      val chunk1 = Seq(ev(2, 5, 1, "view", 2.00),
+        ev(1, 0, 1, "click", 1.00), ev(3, 7, 2, "click", 5.00))
+      val chunk2 = Seq(ev(4, 10, 1, "click", 3.00),
+        ev(5, 12, 2, "view", 1.00))
+      val chunk3 = Seq(ev(6, 20, 1, "error", 10.00))
+      Seq(chunk1, chunk2, chunk3).foreach { c =>
+        in.addData(c: _*); q.processAllAvailable()
+      }
+      val got = spark.table("sewma2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val expected = (chunk1 ++ chunk2 ++ chunk3)
+        .sortBy(e => (e.ts.getTime, e.event_id))
+        .groupBy(_.user_id).map { case (u, es) =>
+          val centis = es.map(e => math.floor(e.value * 100 + 0.5).toLong)
+          val acc = centis.tail.foldLeft(centis.head)((a, x) => (a + x) / 2)
+          (u, es.size.toLong, centis.last, acc)
+        }.toSet
+      assert(got == expected, s"got $got expected $expected")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming curation: in-horizon content dedup + quality gate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
