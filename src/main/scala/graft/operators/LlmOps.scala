@@ -2877,6 +2877,41 @@ object LlmOps {
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
   }
 
+  /** Retrieve-then-rerank cascade (J86, round 11): BM25 supplies
+    * RECALL (its top-20 lexical candidates), the dense arm supplies
+    * PRECISION (exact cosine re-rank of ONLY those 20 against the
+    * arms' shared probe, vec 7) — the two-stage serving default of
+    * production retrieval, completing the fusion trio: RRF and Borda
+    * MERGE two full rankings; the cascade FILTERS with one and scores
+    * with the other, paying 20 cosine evaluations per query instead
+    * of a corpus scan. Emits the re-ranked top-10 with both ranks and
+    * the rank shift (how much the dense stage disagreed with BM25).
+    *
+    * Shape (100 TB): the candidate frame is TakeOrdered top-20; the
+    * re-rank is a 20-row keyed join against the embedding table +
+    * a 20-row window — per-query work is CONSTANT after the shared
+    * memoized BM25 pass. Candidates without an embedding drop (only
+    * embedded docs are re-rankable; inner join on both engines). */
+  def retrieveRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embWithNorm(spark, dir)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("v").as("av"), col("norm").as("an"))
+    lexTop50(spark, dir).filter(col("lex_rank") <= 20)
+      .filter(col("doc_id") =!= 7) // the probe is the query, not a hit
+      .join(emb.select(col("vec_id").as("doc_id"), col("v"),
+        col("norm")), Seq("doc_id"))
+      .crossJoin(broadcast(probe))
+      .withColumn("cos",
+        round(expr("fvec_dot(av, v)") / (col("an") * col("norm")), 6))
+      .withColumn("rerank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .filter(col("rerank") <= 10)
+      .select(col("doc_id"), col("lex_rank"), col("rerank"), col("cos"),
+        (col("lex_rank") - col("rerank")).as("rank_shift"))
+      .orderBy(col("rerank"))
+  }
+
   /** Borda-count fusion of the two retrieval arms (the RRF row's
     * integer sibling: points = 51 − rank per list, absent = 0) —
     * rank-fusion family complete with both the reciprocal and the
@@ -3807,6 +3842,7 @@ object LlmOps {
     "q_llm_beam_decode" -> beamDecode,
     "q_llm_cms_width_sweep" -> cmsWidthSweep,
     "q_llm_hybrid_rrf" -> hybridRrf,
+    "q_llm_retrieve_rerank" -> retrieveRerank,
     "q_llm_rrf_sweep" -> rrfSweep,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -4940,6 +4976,25 @@ object LlmOps {
         | lex_rank, dense_rank
         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    "q_llm_retrieve_rerank" ->
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT doc_id, lex_rank FROM (
+        |   SELECT doc_id, CAST(row_number() OVER (
+        |     ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        |   FROM bmsc) t WHERE lex_rank <= 20),
+        |$cosCte,
+        |rr AS (SELECT l.doc_id, l.lex_rank,
+        |   round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+        |     AS cos
+        |  FROM lex l
+        |  JOIN emb c ON c.vec_id = l.doc_id AND c.vec_id <> 7
+        |  CROSS JOIN (SELECT v, nrm FROM emb WHERE vec_id = 7) p),
+        |rk AS (SELECT doc_id, lex_rank, cos,
+        |   CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+        |     AS BIGINT) AS rerank FROM rr)
+        |SELECT doc_id, lex_rank, rerank, cos,
+        | lex_rank - rerank AS rank_shift
+        |FROM rk WHERE rerank <= 10 ORDER BY rerank""".stripMargin,
     "q_llm_dedup_quality_interaction" ->
       s"""WITH ${ModelPrep.scoreCte},
         |$minhashCandCte,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 512
+    val documented = 513
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -1085,6 +1085,8 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       // a1, h1 rank frames + the 1-row norm totals
       "q_graph_hits" -> (1, 6),
       "q_llm_textrank" -> (1, 3),    // 2 rank steps + 1 deg re-join
+      // 2 gated power-iteration rank frames + 2 1-row total hints
+      "q_graph_eigencentrality" -> (1, 4),
       // the gated (p_partkey, p_brand) dim + 1-row margin totals
       "q_graph_brand_homophily" -> (1, 3),
       // the gated (p_partkey, p_brand) dim feeding the census
@@ -1095,6 +1097,44 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name: expected $lo..$hi distinct broadcast-hint sites, " +
           s"got $hints")
     }
+  }
+
+  test("FrameMemo: eight threads racing the same key run the build " +
+      "exactly once (the serialized-insert fix, ADVICE r10)") {
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val key = s"race-test-${System.identityHashCode(this)}"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val frames = try {
+      (0 until 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[
+            org.apache.spark.sql.DataFrame] {
+          def call(): org.apache.spark.sql.DataFrame =
+            graft.FrameMemo.cached(spark, sf, key) {
+              built.incrementAndGet()
+              spark.range(10).toDF("x")
+            }
+        })
+      }.map(_.get()).toList
+    } finally pool.shutdown()
+    assert(built.get() == 1,
+      s"build ran ${built.get()} times under an 8-thread race")
+    // every caller got the SAME checkpointed frame
+    assert(frames.map(System.identityHashCode(_)).distinct.size == 1)
+    assert(frames.head.count() == 10L)
+  }
+
+  test("Hints.bcastIfAtMost: byte-aware gate — a wide row tightens the " +
+      "row cap (ADVICE r10)") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    def hinted(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.analyzed.toString.contains("ResolvedHint")
+    // 1M rows x 24B = 24MB fits the 100MB budget; x 256B = 256MB does not
+    assert(hinted(graft.Hints.bcastIfAtMost(df, rows = 1000000L)))
+    assert(!hinted(graft.Hints.bcastIfAtMost(df, rows = 1000000L,
+      avgRowBytes = 256L)))
+    assert(hinted(graft.Hints.bcastIfAtMost(df, rows = 100000L,
+      avgRowBytes = 256L)))
   }
 
   test("Hints.bcastIfAtMost: hint applied at/below the cap, absent " +
