@@ -51,7 +51,11 @@ object Scaling {
     // this artifact certifies, on the trigram-shingle vocabulary), the
     // ×8 chunk fan-out of MaxSim late interaction, and the τ-sweep's
     // shared-candidate filter arms
-    "q_llm_rare_shingle_pairs", "q_llm_maxsim", "q_llm_dedup_tau_sweep")
+    "q_llm_rare_shingle_pairs", "q_llm_maxsim", "q_llm_dedup_tau_sweep",
+    // round-11 widening: the suite's new most expensive row — iterative
+    // pointer-jumping CC over the robust co-purchase backbone (the
+    // O(log diameter) claim this artifact certifies)
+    "q_graph_components")
 
   /** Round 9: the ten heaviest rows also run at sf1 (the ScaleUp
     * replica fixture) for a FOURTH decade — `exp1` is the 0.1 → 1
