@@ -2912,6 +2912,67 @@ object LlmOps {
       .orderBy(col("rerank"))
   }
 
+  /** Block-max WAND pruning audit (J86, round 11): for the enrolled
+    * three-term BM25 query, how much of each posting list could a
+    * block-max index SKIP? Postings are blocked 32-at-a-time in doc_id
+    * order with a per-block max impact (the BMW index layout); a block
+    * of term i is provably skippable when its block max plus the OTHER
+    * terms' global maxes cannot reach θ = the 10th-best full document
+    * score — the first-order upper-bound prune every impact-ordered
+    * lexical index runs. THE index-efficiency number for lexical
+    * serving at 100 TB: BM25 scoring cost is postings scanned, and
+    * this row measures what fraction the index structure saves before
+    * any scoring happens (the complement of q_llm_term_position's
+    * front-loading audit).
+    *
+    * Exactness: per-term impacts and θ land on the e4 integer grid
+    * (floor-once from the shared bm25Term text); block ids from a
+    * doc_id-ordered row_number — deterministic on both engines.
+    * Shape: rides the memoized per-doc tf frame; posting lists are
+    * df-sized, blocks df/32-sized; everything after is ≤|blocks|. */
+  def wandPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = bm25PerDoc(spark, dir)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    val base = perDoc.crossJoin(broadcast(stats))
+    val postings = (1 to 3).map { i =>
+      base.filter(col(s"tf$i") > 0)
+        .select(lit(i.toLong).as("term"), col("doc_id"),
+          expr(s"CAST(floor((${bm25Term(i, "D")}) * 10000 + 0.5)" +
+            " AS BIGINT)").as("imp_e4"))
+    }.reduce(_.unionAll(_))
+    val blocks = postings
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .withColumn("blk", expr("(rn - 1) div 32"))
+      .groupBy(col("term"), col("blk"))
+      .agg(count(lit(1)).as("np"), max(col("imp_e4")).as("blockmax_e4"))
+    val gmax = blocks.groupBy(col("term"))
+      .agg(max(col("blockmax_e4")).as("gmax_e4"))
+    val gsum = gmax.agg(sum(col("gmax_e4")).as("gall"))
+    val theta = bm25Scored(spark, dir)
+      .select(expr("CAST(floor(bm25 * 10000 + 0.5) AS BIGINT)").as("s_e4"))
+      .orderBy(col("s_e4").desc).limit(10)
+      .agg(min(col("s_e4")).as("theta_e4"))
+    blocks.join(broadcast(gmax), Seq("term"))
+      .crossJoin(broadcast(gsum)).crossJoin(broadcast(theta))
+      .withColumn("skippable",
+        expr("blockmax_e4 + (gall - gmax_e4) < theta_e4"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skippable"),
+        sum(col("np")).as("n_postings"),
+        sum(when(col("skippable"), col("np")).otherwise(0L))
+          .as("n_skipped_postings"))
+      .withColumn("skip_share_e4",
+        expr("n_skipped_postings * 10000 div greatest(n_postings, 1)"))
+      .orderBy(col("term"))
+  }
+
   /** Borda-count fusion of the two retrieval arms (the RRF row's
     * integer sibling: points = 51 − rank per list, absent = 0) —
     * rank-fusion family complete with both the reciprocal and the
@@ -3843,6 +3904,7 @@ object LlmOps {
     "q_llm_cms_width_sweep" -> cmsWidthSweep,
     "q_llm_hybrid_rrf" -> hybridRrf,
     "q_llm_retrieve_rerank" -> retrieveRerank,
+    "q_llm_wand_prune" -> wandPrune,
     "q_llm_rrf_sweep" -> rrfSweep,
     "q_llm_rank_fusion_borda" -> bordaFusion,
     "q_llm_lang_id" -> langId,
@@ -4995,6 +5057,46 @@ object LlmOps {
         |SELECT doc_id, lex_rank, rerank, cos,
         | lex_rank - rerank AS rank_shift
         |FROM rk WHERE rerank <= 10 ORDER BY rerank""".stripMargin,
+    "q_llm_wand_prune" ->
+      s"""WITH $bm25Ctes,
+        |imp AS (
+        |  SELECT CAST(1 AS BIGINT) AS term, doc_id,
+        |   CAST(floor((${bm25Term(1)}) * 10000 + 0.5) AS BIGINT)
+        |     AS imp_e4
+        |  FROM perdoc CROSS JOIN stats WHERE tf1 > 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), doc_id,
+        |   CAST(floor((${bm25Term(2)}) * 10000 + 0.5) AS BIGINT)
+        |  FROM perdoc CROSS JOIN stats WHERE tf2 > 0
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), doc_id,
+        |   CAST(floor((${bm25Term(3)}) * 10000 + 0.5) AS BIGINT)
+        |  FROM perdoc CROSS JOIN stats WHERE tf3 > 0),
+        |blk AS (SELECT term, imp_e4,
+        |   (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1)
+        |     // 32 AS blk FROM imp),
+        |b2 AS (SELECT term, blk, CAST(count(*) AS BIGINT) AS np,
+        |   CAST(max(imp_e4) AS BIGINT) AS blockmax_e4
+        |  FROM blk GROUP BY 1, 2),
+        |gmax AS (SELECT term, max(blockmax_e4) AS gmax_e4
+        |  FROM b2 GROUP BY 1),
+        |gsum AS (SELECT CAST(sum(gmax_e4) AS BIGINT) AS gall FROM gmax),
+        |theta AS (SELECT min(s_e4) AS theta_e4 FROM (
+        |  SELECT CAST(floor(bm25 * 10000 + 0.5) AS BIGINT) AS s_e4
+        |  FROM bmsc ORDER BY s_e4 DESC LIMIT 10)),
+        |fl AS (SELECT b2.term, b2.np,
+        |   b2.blockmax_e4 + (gall - gmax_e4) < theta_e4 AS skippable
+        |  FROM b2 JOIN gmax ON b2.term = gmax.term
+        |  CROSS JOIN gsum CROSS JOIN theta)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n_blocks,
+        | CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_skippable,
+        | CAST(sum(np) AS BIGINT) AS n_postings,
+        | CAST(sum(CASE WHEN skippable THEN np ELSE 0 END) AS BIGINT)
+        |   AS n_skipped_postings,
+        | CAST(sum(CASE WHEN skippable THEN np ELSE 0 END) * 10000
+        |   // greatest(sum(np), 1) AS BIGINT) AS skip_share_e4
+        |FROM fl GROUP BY term ORDER BY term""".stripMargin,
     "q_llm_dedup_quality_interaction" ->
       s"""WITH ${ModelPrep.scoreCte},
         |$minhashCandCte,

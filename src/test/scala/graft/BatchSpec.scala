@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 513
+    val documented = 514
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5178,6 +5178,43 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the median split is non-vacuous: both segments appear somewhere
     val segs = rows.flatMap(r => Seq(r._1, r._2)).toSet
     assert(segs.contains("high") && segs.contains("low"), segs)
+  }
+
+  test("llm_retrieve_rerank (J86): the cascade's output is " +
+      "cosine-ordered, drawn only from the BM25 top-20, with the " +
+      "declared rank shift") {
+    val rows = SparkEntry.queries("q_llm_retrieve_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (d, lex, rr, _, shift) =>
+      assert(d != 7L, "the probe doc must not retrieve itself")
+      assert(lex >= 1 && lex <= 20, s"doc $d lex_rank $lex")
+      assert(shift == lex - rr, s"doc $d shift $shift != $lex - $rr")
+    }
+    assert(rows.map(_._3).toSeq == (1L to rows.length).toSeq)
+    assert(rows.map(_._4).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)), rows.map(_._4).toSeq)
+  }
+
+  test("llm_wand_prune (J86): per-term census is internally consistent " +
+      "and the bound leaves at least one scannable block per term that " +
+      "reaches the top-10 threshold") {
+    val rows = SparkEntry.queries("q_llm_wand_prune")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { case (t, nb, ns, np, nsp, share) =>
+      assert(nb > 0 && ns <= nb && nsp <= np,
+        s"term $t census inconsistent: $nb/$ns/$np/$nsp")
+      assert(share == nsp * 10000 / math.max(np, 1),
+        s"term $t share $share")
+      // soundness floor: the block holding the term's GLOBAL max can
+      // never satisfy blockmax + (gall - gmax) < theta while any doc
+      // containing all three terms is in the top-10 (theta <= gall),
+      // so at least one block per term must remain scannable
+      assert(ns < nb, s"term $t pruned ALL blocks — unsound bound")
+    }
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
