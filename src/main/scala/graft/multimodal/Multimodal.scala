@@ -904,6 +904,41 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Foreground run-length census (J87, round 11): binarize the
+    * REALLY-decoded pixel strip at its own integer mean (the aHash
+    * threshold), then count maximal above-mean runs, the longest run,
+    * and the foreground share — the 1-D segmentation/blob census
+    * (run-length structure separates text-like striping from flat or
+    * noisy strips — many short runs — where mean/entropy/sharpness
+    * see only the histogram). Exact integer after the decode, so the
+    * oracle replays it from char codes; the longest-run lane is the
+    * classic gaps-and-islands grouping in SQL.
+    *
+    * Shape: one pass over the shared memoized decoded frame (zero
+    * additional codec work); one row per image. */
+  def mmImageRuns(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    decodedPng(spark, dir).as[DecodedPx].mapPartitions(_.flatMap { d =>
+      if (!d.valid || d.px.isEmpty) None
+      else {
+        val n = d.px.length
+        val mean = d.px.map(_.toLong).sum / n
+        var runs = 0L; var longest = 0L; var cur = 0L; var fg = 0L
+        d.px.foreach { p =>
+          if (p > mean) {
+            cur += 1; fg += 1; if (cur > longest) longest = cur
+          } else { if (cur > 0) runs += 1; cur = 0 }
+        }
+        if (cur > 0) runs += 1
+        Some((d.media_id, n.toLong, fg, runs, longest,
+          fg * 10000L / n))
+      }
+    }).toDF("media_id", "n_px", "n_fg", "n_runs", "longest_run",
+      "fg_share_e4")
+      .orderBy(col("media_id"))
+  }
+
   /** Enrolled (round 8): nearest-neighbor resize of the REALLY-decoded
     * PNG pixel rows to a fixed 16-pixel strip — the thumbnail/
     * normalize step every vision-data pipeline runs before feature
@@ -1202,6 +1237,7 @@ object Multimodal {
     "q_mm_image_resize" -> mmImageResize,
     "q_mm_audio_vad" -> mmAudioVad,
     "q_mm_audio_energy_bands" -> mmAudioEnergyBands,
+    "q_mm_image_runs" -> mmImageRuns,
     "q_mm_video_frames" -> mmVideoFrames,
     "q_mm_features" -> mmFeatures,
     "q_mm_image_decode" -> mmImageDecode,
@@ -1539,6 +1575,39 @@ object Multimodal {
     // lossless 16-bit PCM ⇒ decoded samples equal the encode formula
     // s_i = (code_i − 64)·256 exactly; Σs² = 65536·Σ(code−64)²,
     // peak = 256·max|code−64|
+    // run-length replay from char codes (lossless PNG): binarize at the
+    // per-image integer mean; longest run via gaps-and-islands grouping
+    "q_mm_image_runs" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d0),
+        |p AS (SELECT doc_id, n, i,
+        |   ascii(substr(text, CAST(i AS INT) + 1, 1)) AS v FROM px),
+        |m AS (SELECT doc_id, sum(v) // max(n) AS mean
+        |  FROM p GROUP BY 1),
+        |f AS (SELECT p.doc_id, p.n, p.i, p.v > m.mean AS fg
+        |  FROM p JOIN m ON p.doc_id = m.doc_id),
+        |r AS (SELECT doc_id, n, i, fg,
+        |   lag(fg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM f),
+        |agg AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_px,
+        |   CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
+        |   CAST(sum(CASE WHEN fg AND (prev IS NULL OR NOT prev)
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM r GROUP BY 1),
+        |g AS (SELECT doc_id,
+        |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |     AS grp FROM f WHERE fg),
+        |lr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS longest_run
+        |  FROM (SELECT doc_id, grp, count(*) AS c FROM g GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT agg.doc_id AS media_id, n_px, n_fg, n_runs,
+        | CAST(coalesce(lr.longest_run, 0) AS BIGINT) AS longest_run,
+        | CAST(n_fg * 10000 // n_px AS BIGINT) AS fg_share_e4
+        |FROM agg LEFT JOIN lr ON agg.doc_id = lr.doc_id
+        |ORDER BY media_id""".stripMargin,
     // energy quarters + ZCR replay from char codes (lossless PCM16:
     // sample = (code-64)*256; band of sample i = i*4 // n)
     "q_mm_audio_energy_bands" ->

@@ -1135,6 +1135,36 @@ object Graph {
       .limit(20)
   }
 
+  /** Preferential-attachment link prediction (J87, round 11): the
+    * degree-only baseline score deg(u)·deg(v) over the SAME capped
+    * distance-2 candidate pairs as [[adamicAdar]] — the two classic
+    * link predictors enrolled side by side, so "AA's selectivity
+    * weighting beats raw popularity" is a comparison the data makes,
+    * not a citation. Candidates keep the deg ≤ 64 wedge-center cap
+    * (identical rationale and oracle treatment); the PA score itself
+    * uses FULL degrees from the memoized census. Top-20 predicted
+    * links, existing edges anti-joined out. */
+  def prefAttachment(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccEdges(spark, dir)
+    val inc = e0.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e0.select(col("v").as("w"), col("u").as("x")))
+    val deg = cooccDegrees(spark, dir)
+    val cinc = inc.join(deg.filter(col("d") <= 64)
+      .select(col("n").as("w")), Seq("w"))
+    val pairs = cinc.as("a").join(cinc.as("b"),
+        col("a.w") === col("b.w") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(e0, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"), col("du"), col("dv"),
+        (col("du") * col("dv")).as("pa"))
+      .orderBy(col("pa").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   /** Rich-club coefficient (round 8): for the degree-distribution
     * quantiles q ∈ {p50, p75, p90}, the edge density among nodes with
     * degree > k_q — φ = 2·E_club·10⁴ div (N_club·(N_club−1)) — the
@@ -1450,6 +1480,7 @@ object Graph {
     "q_basket_lift" -> basketLift,
     "q_orders_assoc_rules" -> assocRules,
     "q_graph_adamic_adar" -> adamicAdar,
+    "q_graph_pref_attach" -> prefAttachment,
     "q_graph_brokerage" -> brokerage,
     "q_graph_local_bridges" -> localBridges,
     "q_graph_brand_homophily" -> brandHomophily,
@@ -1721,6 +1752,29 @@ object Graph {
         |WHERE NOT EXISTS (SELECT 1 FROM e0
         |  WHERE e0.u = pairs.u AND e0.v = pairs.v)
         |ORDER BY aa_e6 DESC, u, v LIMIT 20""".stripMargin,
+    "q_graph_pref_attach" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.pk < b.pk),
+        |inc AS (SELECT u AS w, v AS x FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |degfull AS (SELECT w AS n, CAST(count(*) AS BIGINT) AS d
+        |  FROM inc GROUP BY 1),
+        |cinc AS (SELECT inc.w, x FROM inc
+        |  JOIN degfull ON inc.w = degfull.n WHERE degfull.d <= 64),
+        |pairs AS (SELECT a.x AS u, b.x AS v,
+        |   CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cinc a JOIN cinc b ON a.w = b.w AND a.x < b.x
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT u, v, n_common FROM pairs
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0
+        |    WHERE e0.u = pairs.u AND e0.v = pairs.v))
+        |SELECT ne.u, ne.v, ne.n_common, du.d AS du, dv.d AS dv,
+        | CAST(du.d * dv.d AS BIGINT) AS pa
+        |FROM ne JOIN degfull du ON ne.u = du.n
+        |JOIN degfull dv ON ne.v = dv.n
+        |ORDER BY pa DESC, ne.u, ne.v LIMIT 20""".stripMargin,
     "q_graph_brokerage" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk
         |  FROM lineitem),

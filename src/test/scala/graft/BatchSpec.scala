@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 514
+    val documented = 516
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5215,6 +5215,68 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       // so at least one block per term must remain scannable
       assert(ns < nb, s"term $t pruned ALL blocks — unsound bound")
     }
+  }
+
+  test("graph_pref_attach (J87): scores are the exact degree products, " +
+      "candidates share at least one wedge, and no predicted link " +
+      "already exists") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_graph_pref_attach")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, v, nc, du, dv, pa) =>
+      assert(pa == du * dv, s"($u,$v) pa $pa != $du*$dv")
+      assert(nc >= 1, s"($u,$v) no wedge evidence")
+      assert(u < v, s"($u,$v) orientation")
+    }
+    assert(rows.map(_._6).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+    // no predicted link may already be a co-occurrence edge — rebuild
+    // the edge set from the baskets in the driver (tiny at sf0.001)
+    val li = graft.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(l_orderkey AS LONG) AS o",
+        "CAST(l_partkey AS LONG) AS pk")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    rows.foreach { case (u, v, _, _, _, _) =>
+      assert(!edges.contains((u, v)), s"($u,$v) is an existing edge")
+    }
+  }
+
+  test("mm_image_runs (J87): run census bounds hold and a driver " +
+      "replay of one strip matches exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_mm_image_runs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, fg, runs, longest, share) =>
+      assert(fg <= n && longest <= fg, s"img $id bounds")
+      assert((runs == 0) == (fg == 0), s"img $id runs/fg parity")
+      assert(runs <= (n + 1) / 2, s"img $id too many runs")
+      assert(share == fg * 10000 / n, s"img $id share")
+    }
+    // driver replay of the smallest media_id's strip from its text
+    val id0 = rows.map(_._1).min
+    val text = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === id0).select(col("text"))
+      .collect()(0).getString(0)
+    val px = text.map(_.toInt)
+    val mean = px.map(_.toLong).sum / px.length
+    var runs = 0L; var longest = 0L; var cur = 0L; var fg = 0L
+    px.foreach { p =>
+      if (p > mean) { cur += 1; fg += 1; longest = math.max(longest, cur) }
+      else { if (cur > 0) runs += 1; cur = 0 }
+    }
+    if (cur > 0) runs += 1
+    val got = rows.find(_._1 == id0).get
+    assert((got._3, got._4, got._5) == ((fg, runs, longest)),
+      s"driver replay mismatch on doc $id0: $got vs ($fg,$runs,$longest)")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
