@@ -1262,7 +1262,58 @@ object ModelPrep {
       .limit(30)
   }
 
+  /** pass@k (J88, round 11): the unbiased Codex estimator
+    * 1 − C(n−c, k)/C(n, k) over fixed n = 16 pseudo-samples per task
+    * (doc_id div 16 groups; "correct" = logreg score ≥ the global p75,
+    * an exact support-census quantile), averaged over full tasks for
+    * k ∈ {1, 4, 8} — THE code/RL sampling-eval metric, and the
+    * principled version of what q_llm_best_of_n's avg-max gestures at
+    * (best-of-n reports the score uplift; pass@k reports the success
+    * PROBABILITY with the unbiased combinatorial correction instead
+    * of the naive 1−(1−p)^k). Monotone in k by construction
+    * (spec-pinned).
+    *
+    * Exactness: with n FIXED at 16 the falling-factorial numerators
+    * are explicit integer products (max 16·…·9 ≈ 5.2·10⁸) and the
+    * denominators are literals — exact BIGINT throughout, one
+    * truncating div per (task, k). Shape: doc-sized score projection →
+    * 16-doc group fold → ×3 constant fan-out → 3-row census. */
+  def passAtK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sc = qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("s_e4"))
+    val thr = sc.groupBy(col("s_e4")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("s_e4"))))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy(lit(1))))
+      .filter(expr("cum * 4 >= nn * 3"))
+      .agg(min(col("s_e4")).as("thr"))
+    val tasks = sc.crossJoin(broadcast(thr))
+      .withColumn("grp", expr("doc_id div 16"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s_e4") >= col("thr"), 1L).otherwise(0L)).as("c"))
+      .filter(col("n") === 16)
+    val ks = Seq((1L, 16L), (4L, 43680L), (8L, 518918400L))
+      .toDF("k", "den")
+    tasks.crossJoin(broadcast(ks))
+      .withColumn("num", expr(
+        """CASE WHEN k = 1 THEN greatest(16 - c, 0)
+          | WHEN k = 4 THEN CASE WHEN c > 12 THEN 0
+          |   ELSE (16-c)*(15-c)*(14-c)*(13-c) END
+          | ELSE CASE WHEN c > 8 THEN 0
+          |   ELSE (16-c)*(15-c)*(14-c)*(13-c)*(12-c)*(11-c)*(10-c)*(9-c)
+          |   END END""".stripMargin))
+      .withColumn("pass_e6", expr("1000000 - num * 1000000 div den"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_tasks"),
+        expr("sum(c) * 10000 div (16 * count(1))").as("avg_correct_e4"),
+        expr("sum(pass_e6) div count(1)").as("pass_at_k_e6"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pass_at_k" -> passAtK,
     "q_llm_unigram_em" -> unigramEm,
     "q_llm_sif_weights" -> sifWeights,
     "q_llm_split_kl" -> splitKl,
@@ -1323,6 +1374,38 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_pass_at_k" ->
+      s"""WITH $scoreCte,
+        |sc AS (SELECT doc_id,
+        |   CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS s_e4
+        |  FROM sc0),
+        |sup AS (SELECT s_e4, CAST(count(*) AS BIGINT) AS c
+        |  FROM sc GROUP BY 1),
+        |cm AS (SELECT s_e4, sum(c) OVER (ORDER BY s_e4) AS cum,
+        |   sum(c) OVER () AS nn FROM sup),
+        |thr AS (SELECT min(s_e4) AS thr FROM cm
+        |  WHERE cum * 4 >= nn * 3),
+        |tasks AS (SELECT doc_id // 16 AS grp,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN s_e4 >= thr THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS c
+        |  FROM sc CROSS JOIN thr GROUP BY 1 HAVING count(*) = 16),
+        |ks(k, den) AS (VALUES (CAST(1 AS BIGINT), CAST(16 AS BIGINT)),
+        |  (4, 43680), (8, 518918400)),
+        |pt AS (SELECT k, den, c,
+        |   CASE WHEN k = 1 THEN greatest(16 - c, 0)
+        |    WHEN k = 4 THEN CASE WHEN c > 12 THEN 0
+        |      ELSE (16-c)*(15-c)*(14-c)*(13-c) END
+        |    ELSE CASE WHEN c > 8 THEN 0
+        |      ELSE (16-c)*(15-c)*(14-c)*(13-c)*(12-c)*(11-c)*(10-c)*(9-c)
+        |      END END AS num
+        |  FROM tasks CROSS JOIN ks)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+        | CAST(sum(c) * 10000 // (16 * count(*)) AS BIGINT)
+        |   AS avg_correct_e4,
+        | CAST(sum(1000000 - num * 1000000 // den) // count(*)
+        |   AS BIGINT) AS pass_at_k_e6
+        |FROM pt GROUP BY k ORDER BY k""".stripMargin,
     "q_llm_unigram_em" ->
       """WITH tk AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS f
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok

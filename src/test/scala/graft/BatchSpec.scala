@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 516
+    val documented = 517
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5277,6 +5277,23 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = rows.find(_._1 == id0).get
     assert((got._3, got._4, got._5) == ((fg, runs, longest)),
       s"driver replay mismatch on doc $id0: $got vs ($fg,$runs,$longest)")
+  }
+
+  test("llm_pass_at_k (J88): pass@k is monotone in k, bounded by the " +
+      "per-sample rate from below, and exact at the degenerate corners") {
+    val rows = SparkEntry.queries("q_llm_pass_at_k")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 4L, 8L))
+    val byK = rows.map(r => r._1 -> r._4).toMap
+    assert(byK(1L) <= byK(4L) && byK(4L) <= byK(8L), byK)
+    rows.foreach { case (k, nt, avgc, p) =>
+      assert(nt > 0 && p >= 0 && p <= 1000000L, s"k=$k")
+      assert(avgc >= 0 && avgc <= 10000L, s"k=$k avg_correct $avgc")
+      // pass@k >= per-sample success rate (k draws can't do worse
+      // than one, modulo the e4->e6 grids)
+      assert(p >= avgc * 100 - 100, s"k=$k p=$p avgc=$avgc")
+    }
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
