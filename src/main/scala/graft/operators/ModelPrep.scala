@@ -534,6 +534,61 @@ object ModelPrep {
         expr("score_e4_sum div n_docs").as("mean_score_e4"))
       .orderBy(col("bin"))
 
+  /** Brier score with the Murphy decomposition (J88, round 11):
+    * Brier = REL − RES + UNC over the SAME 10 score bins and weak
+    * label (doc ≥ 50 tokens) as [[scoreCalibration]] — the proper-
+    * scoring-rule summary of the reliability diagram: REL (how far
+    * bin forecasts sit from bin outcomes — lower is better), RES (how
+    * much the bins separate outcomes — higher is better), UNC (the
+    * label's own variance, the no-skill floor). The emitted `gap_e8`
+    * = Brier − (REL − RES + UNC) is the WITHIN-BIN residue:
+    * Σ(pᵢ−p̄)²/N − 2·Σ(pᵢ−p̄)(yᵢ−ō)/N (+ grid truncation) — the
+    * variance the bins hide MINUS twice the forecast/outcome
+    * covariance the binning assumes away. |gap| ≤ σ_p·(σ_p + 2σ_y)
+    * ≈ 5.25·10⁶ e8-units for 0.1-wide bins; a gap near that bound
+    * means the bins are too coarse to trust the diagram (measured
+    * 7.4·10⁵ at sf0.001: the fixture's scores concentrate in two
+    * bins with real within-bin signal — exactly what the column
+    * surfaces). AUC says the ORDER is right; this row says the
+    * PROBABILITIES are.
+    *
+    * Exactness: everything on the e4 grid squared to e8 — p floor-once,
+    * y ∈ {0, 10⁴}, bin means with one truncating div each, component
+    * sums ≤ N·10⁸ (BIGINT-safe through ~10¹⁰ docs); gap is pure
+    * integer subtraction. Shape: doc-sized projection → 10-bin
+    * partial-aggregable fold → 1-row algebra. */
+  def brierDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val base = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id")
+      .select(
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("p_e4"),
+        when(col("n_tok") >= 50, lit(10000L)).otherwise(lit(0L))
+          .as("y_e4"),
+        expr("least(CAST(9 AS BIGINT), CAST(floor(score * 10)" +
+          " AS BIGINT))").as("bin"))
+    val bins = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("p_e4")).as("ps"),
+        sum(expr("y_e4 div 10000")).as("n1"),
+        sum(expr("(p_e4 - y_e4) * (p_e4 - y_e4)")).as("sq"))
+      .select(col("bin"), col("nk"), expr("ps div nk").as("pbar"),
+        expr("n1 * 10000 div nk").as("obar"), col("n1"), col("sq"))
+    val tot = bins.agg(sum(col("nk")).as("n"), sum(col("n1")).as("m1"),
+      sum(col("sq")).as("sqs"))
+    bins.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_docs"),
+        expr("max(sqs) div max(n)").as("brier_e8"),
+        expr("sum(nk * (pbar - obar) * (pbar - obar)) div max(n)")
+          .as("rel_e8"),
+        expr("sum(nk * (obar - m1 * 10000 div n)" +
+          " * (obar - m1 * 10000 div n)) div max(n)").as("res_e8"),
+        expr("max(m1 * 10000 div n) * (10000 - max(m1 * 10000 div n))")
+          .as("unc_e8"))
+      .withColumn("gap_e8",
+        expr("brier_e8 - (rel_e8 - res_e8 + unc_e8)"))
+  }
+
   /** Data-constrained epoch scheduling (the Muennighoff-style repeat
     * policy): quality quintiles (1 = best, by the enrolled logreg
     * score) are repeated {4,3,2,1,1} epochs, so the best data is seen
@@ -1314,6 +1369,7 @@ object ModelPrep {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pass_at_k" -> passAtK,
+    "q_llm_brier_decomp" -> brierDecomp,
     "q_llm_unigram_em" -> unigramEm,
     "q_llm_sif_weights" -> sifWeights,
     "q_llm_split_kl" -> splitKl,
@@ -1374,6 +1430,40 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_brier_decomp" ->
+      s"""WITH $scoreCte,
+        |base AS (SELECT sc0.doc_id,
+        |   CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS p_e4,
+        |   CASE WHEN len(string_split(d.text, ' ')) >= 50
+        |     THEN CAST(10000 AS BIGINT) ELSE 0 END AS y_e4,
+        |   least(CAST(9 AS BIGINT), CAST(floor(score * 10) AS BIGINT))
+        |     AS bin
+        |  FROM sc0 JOIN documents d ON sc0.doc_id = d.doc_id),
+        |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+        |   CAST(sum(p_e4) // count(*) AS BIGINT) AS pbar,
+        |   CAST(sum(y_e4 // 10000) AS BIGINT) AS n1,
+        |   CAST(sum((p_e4 - y_e4) * (p_e4 - y_e4)) AS BIGINT) AS sq
+        |  FROM base GROUP BY 1),
+        |b2 AS (SELECT bin, nk, pbar,
+        |   CAST(n1 * 10000 // nk AS BIGINT) AS obar, n1, sq FROM bins),
+        |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+        |   CAST(sum(n1) AS BIGINT) AS m1,
+        |   CAST(sum(sq) AS BIGINT) AS sqs FROM b2)
+        |SELECT max(n) AS n_docs,
+        | CAST(max(sqs) // max(n) AS BIGINT) AS brier_e8,
+        | CAST(sum(nk * (pbar - obar) * (pbar - obar)) // max(n)
+        |   AS BIGINT) AS rel_e8,
+        | CAST(sum(nk * (obar - m1 * 10000 // n)
+        |   * (obar - m1 * 10000 // n)) // max(n) AS BIGINT) AS res_e8,
+        | CAST(max(m1 * 10000 // n) * (10000 - max(m1 * 10000 // n))
+        |   AS BIGINT) AS unc_e8,
+        | CAST(max(sqs) // max(n)
+        |   - (sum(nk * (pbar - obar) * (pbar - obar)) // max(n)
+        |      - sum(nk * (obar - m1 * 10000 // n)
+        |        * (obar - m1 * 10000 // n)) // max(n)
+        |      + max(m1 * 10000 // n) * (10000 - max(m1 * 10000 // n)))
+        |   AS BIGINT) AS gap_e8
+        |FROM b2 CROSS JOIN tot""".stripMargin,
     "q_llm_pass_at_k" ->
       s"""WITH $scoreCte,
         |sc AS (SELECT doc_id,

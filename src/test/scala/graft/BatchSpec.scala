@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 517
+    val documented = 518
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5294,6 +5294,26 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       // than one, modulo the e4->e6 grids)
       assert(p >= avgc * 100 - 100, s"k=$k p=$p avgc=$avgc")
     }
+  }
+
+  test("llm_brier_decomp (J88): components are proper (REL, RES, UNC " +
+      "nonnegative, RES <= UNC) and the decomposition gap stays inside " +
+      "the within-bin residue bound, not a broken identity") {
+    val r = SparkEntry.queries("q_llm_brier_decomp")(spark, sf)
+      .collect()(0)
+    val (n, brier, rel, res, unc, gap) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(n > 0)
+    assert(brier >= 0 && brier <= 100000000L, s"brier $brier")
+    assert(rel >= 0 && res >= 0 && unc >= 0, s"$rel/$res/$unc")
+    // resolution can never exceed the label's own variance
+    assert(res <= unc, s"res $res > unc $unc")
+    assert(gap == brier - (rel - res + unc), "identity broken")
+    // the gap is the within-bin residue var(p) - 2*cov(p, y) (+ grid
+    // slack): |gap| <= sigma_p * (sigma_p + 2*sigma_y) for 0.1-wide
+    // bins = 500 * (500 + 10000) = 5.25e6 e8-units
+    assert(math.abs(gap) <= 5250000L + 20000L,
+      s"gap $gap outside the within-bin residue bound")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
