@@ -1586,8 +1586,57 @@ object TimeSeries {
       expr("max_by(above, day)").as("regime_now"))
   }
 
+  /** Per-event-type weekday seasonal strength (J88, round 11): the
+    * Hyndman strength 1 − SS(resid)/SS(detrended) computed PER TYPE —
+    * WHICH event types are weekday-driven, where q_ts_stl_lite reports
+    * one global number (a flat aggregate census can hide one strongly
+    * weekly type under five arrhythmic ones). Same centered-7-day
+    * detrend and dow-means model as the global row, so the two can
+    * never disagree about what "seasonal strength" means.
+    *
+    * Exactness: the per-(type, dow) seasonal mean is a SIGNED sum over
+    * detrended values, so it rides the shift idiom
+    * ((Σ + n·10⁶) div n − 10⁶) — Spark's div truncates toward zero,
+    * DuckDB's // floors, and they only agree on nonnegative operands
+    * (the global stl_lite's sums stay nonnegative at fixture scale;
+    * per-type ones don't). Squared sums are sign-free; the final ratio
+    * rides the DECIMAL overflow lane like the global row.
+    *
+    * Shape: one (type, day) census → per-type windows over span-sized
+    * series → (type × 7)-row seasonal model (constant: event types are
+    * a schema enum) → |types| output rows. */
+  def seasonalStrengthByType(spark: SparkSession,
+      dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    val det = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("sw", sum(col("x")).over(w))
+      .withColumn("cw", count(lit(1)).over(w))
+      .withColumn("det", col("x") - expr("sw div cw"))
+      .withColumn("dow", col("d") % 7)
+    val s = det.groupBy(col("event_type"), col("dow"))
+      .agg(expr("(sum(det) + count(1) * 1000000) div count(1)" +
+        " - 1000000").as("sdow"))
+    det.join(broadcast(s), Seq("event_type", "dow"))
+      .withColumn("resid", col("det") - col("sdow"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("det") * col("det")).as("ssq_det"),
+        sum(col("resid") * col("resid")).as("ssq_resid"))
+      .select(col("event_type"), col("n_days"), col("ssq_det"),
+        col("ssq_resid"),
+        expr("""CAST(greatest(0, 10000
+          | - CAST(ssq_resid AS DECIMAL(38,0)) * 10000
+          |   div greatest(ssq_det, 1)) AS BIGINT)""".stripMargin)
+          .as("strength_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_sma_crossover" -> smaCrossover,
+    "q_ts_seasonal_strength_by_type" -> seasonalStrengthByType,
     "q_ts_hurst" -> hurst,
     "q_ts_slope_influence" -> slopeInfluence,
     "q_ts_stl_resid_acf" -> stlResidAcf,
@@ -1628,6 +1677,32 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_seasonal_strength_by_type" ->
+      """WITH dc AS (SELECT event_type,
+        |   epoch_us(ts) // 86400000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |det AS (SELECT event_type, d, x,
+        |   x - (sum(x) OVER (PARTITION BY event_type ORDER BY d
+        |         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |     // (count(*) OVER (PARTITION BY event_type ORDER BY d
+        |         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS det,
+        |   d % 7 AS dow FROM dc),
+        |s AS (SELECT event_type, dow,
+        |   CAST((sum(det) + count(*) * 1000000) // count(*)
+        |     - 1000000 AS BIGINT) AS sdow
+        |  FROM det GROUP BY 1, 2),
+        |r AS (SELECT det.event_type, det.det,
+        |   det.det - s.sdow AS resid
+        |  FROM det JOIN s ON det.event_type = s.event_type
+        |   AND det.dow = s.dow)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(det * det) AS BIGINT) AS ssq_det,
+        | CAST(sum(resid * resid) AS BIGINT) AS ssq_resid,
+        | CAST(greatest(0, 10000 - CAST(sum(resid * resid) AS HUGEINT)
+        |   * 10000 // greatest(sum(det * det), 1)) AS BIGINT)
+        |   AS strength_e4
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ts_sma_crossover" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |   CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),

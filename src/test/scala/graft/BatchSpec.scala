@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 518
+    val documented = 519
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5314,6 +5314,28 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bins = 500 * (500 + 10000) = 5.25e6 e8-units
     assert(math.abs(gap) <= 5250000L + 20000L,
       s"gap $gap outside the within-bin residue bound")
+  }
+
+  test("ts_seasonal_strength_by_type (J88): strengths are proper " +
+      "shares, residual SS never exceeds detrended SS beyond the " +
+      "clamp, and every event type reports") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_ts_seasonal_strength_by_type")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nTypes = graft.Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length.toLong == nTypes)
+    rows.foreach { case (t, nd, ssd, ssr, st) =>
+      assert(nd > 0 && ssd >= 0 && ssr >= 0, s"$t census")
+      assert(st >= 0 && st <= 10000L, s"$t strength $st")
+      // strength arithmetic replay (clamped ratio)
+      val expect = math.max(0L,
+        10000L - (BigInt(ssr) * 10000 / BigInt(math.max(ssd, 1L)))
+          .toLong)
+      assert(st == expect, s"$t strength $st != $expect")
+    }
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
