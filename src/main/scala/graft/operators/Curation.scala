@@ -1879,7 +1879,44 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Chao1 species-richness estimate per source (J89, round 11): how
+    * many word TYPES does a source's TRUE vocabulary hold, estimated
+    * from what was sampled — the bias-corrected Chao1 lower bound
+    * V + f1(f1−1)/(2(f2+1)) over the singleton/doubleton counts, plus
+    * the Turing sample-coverage estimate 1 − f1/N. The ESTIMATOR
+    * member of the vocabulary family: heaps_fit extrapolates growth
+    * from the observed curve, freq_of_freqs reports the Good–Turing
+    * unseen MASS, this row the unseen TYPE count — the number that
+    * says whether scraping more of a source can still buy vocabulary
+    * (high f1 share ⇒ the corpus barely scratched the source).
+    *
+    * Exactness: fully integer — chao1_e2 carries ONE truncating div
+    * (f2 = 0 is safe by the +1 bias correction), coverage_e4 one.
+    * The f1 product rides the DECIMAL lane (f1 ≈ 10⁹ at corpus scale
+    * squares past 2⁶³).
+    *
+    * Shape (100 TB): one partial-aggregable (source, token) census →
+    * per-source vocab-sized fold → |sources| rows. The simpson row's
+    * exact shape — no window, no join. */
+  def chao1Richness(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tok"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("vocab"), col("n_tok"), col("f1"),
+        col("f2"),
+        expr("""vocab * 100 + CAST(CAST(f1 AS DECIMAL(38,0))
+          | * (f1 - 1) * 100 div (2 * (f2 + 1)) AS BIGINT)"""
+          .stripMargin).as("chao1_e2"),
+        expr("(n_tok - f1) * 10000 div greatest(n_tok, 1)")
+          .as("coverage_e4"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_chao1" -> chao1Richness,
     "q_llm_idf_drift" -> idfDrift,
     "q_llm_loo_xent" -> looXent,
     "q_llm_jsd_sources" -> jsdSources,
@@ -1949,6 +1986,24 @@ object Curation {
        | FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_chao1" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' '))
+        |   AS w FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |   CAST(sum(c) AS BIGINT) AS n_tok,
+        |   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS f1,
+        |   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS f2
+        |  FROM c GROUP BY source)
+        |SELECT source, vocab, n_tok, f1, f2,
+        |  CAST(vocab * 100 + CAST(f1 AS HUGEINT) * (f1 - 1) * 100
+        |    // (2 * (f2 + 1)) AS BIGINT) AS chao1_e2,
+        |  CAST((n_tok - f1) * 10000 // greatest(n_tok, 1) AS BIGINT)
+        |    AS coverage_e4
+        |FROM a ORDER BY source""".stripMargin,
     "q_llm_idf_drift" ->
       """WITH cut AS (SELECT max(doc_id) // 2 AS cut FROM documents),
         |halves AS (SELECT

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 519
+    val documented = 522
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5335,6 +5335,84 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         10000L - (BigInt(ssr) * 10000 / BigInt(math.max(ssd, 1L)))
           .toLong)
       assert(st == expect, s"$t strength $st != $expect")
+    }
+  }
+
+  test("llm_rbp (J89): exact geometric weights (sum + tail = 1e10), " +
+      "terms gate on relevance, and the cascade is monotone") {
+    val rows = SparkEntry.queries("q_llm_rbp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 10)
+    assert(rows.map(_._1).toSeq == (1L to 10L),
+      "ranks must be exactly 1..10")
+    // the geometric identity: sum of emitted weights + 0.8^10*1e10
+    // (= 8^10 = 2^30) is exactly 1e10 — no rounding anywhere
+    assert(rows.map(_._3).sum + (1L << 30) == 10000000000L,
+      "weight mass + tail != 1e10")
+    var cum = 0L
+    rows.foreach { case (rk, isRel, w, term, rbpCum) =>
+      assert(isRel == 0L || isRel == 1L, s"rank $rk rel flag")
+      assert(term == isRel * w, s"rank $rk term")
+      cum += term
+      assert(rbpCum == cum, s"rank $rk cum")
+    }
+    // per-rank weight replay: w_k = 2 * 8^(k-1) * 10^(10-k)
+    rows.foreach { case (rk, _, w, _, _) =>
+      val expect = BigInt(2) * BigInt(8).pow(rk.toInt - 1) *
+        BigInt(10).pow(10 - rk.toInt)
+      assert(BigInt(w) == expect, s"rank $rk weight $w != $expect")
+    }
+  }
+
+  test("llm_fleiss_kappa (J89): the vote census partitions the corpus " +
+      "and every emitted ratio replays exactly from the counts") {
+    val r = SparkEntry.queries("q_llm_fleiss_kappa")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (n, t, u3, u0, nsplit) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    val (pbar, pe, kappa) = (row.getLong(5), row.getLong(6),
+      row.getLong(7))
+    assert(n > 0 && u3 + u0 + nsplit == n, "vote partition")
+    assert(t >= 0 && t <= 3 * n, "keep votes in range")
+    // S is derivable: k in {0,3} contributes 9, split docs (k in
+    // {1,2}) contribute 5 — so the replay needs no extra column
+    val s = BigInt(9) * (u3 + u0) + BigInt(5) * nsplit
+    val bn = BigInt(n); val bt = BigInt(t)
+    assert(BigInt(pbar) == (s - 3 * bn) * 10000 / (6 * bn), "pbar")
+    assert(BigInt(pe) ==
+      (bt * bt + (3 * bn - bt) * (3 * bn - bt)) * 10000 / (9 * bn * bn),
+      "pe")
+    val num = 3 * bn * (s - 3 * bn) -
+      2 * (bt * bt + (3 * bn - bt) * (3 * bn - bt))
+    val den = (2 * (9 * bn * bn - bt * bt -
+      (3 * bn - bt) * (3 * bn - bt))).max(BigInt(1))
+    // the shift idiom: floor division regardless of sign
+    val expect = (num * 10000 + 100000000 * den) / den - 100000000
+    assert(BigInt(kappa) == expect, s"kappa $kappa != $expect")
+    assert(kappa <= 10000L, "kappa bounded above by 1")
+  }
+
+  test("llm_chao1 (J89): the richness estimate replays from the " +
+      "singleton/doubleton census and never undercuts observed vocab") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_llm_chao1")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val nSrc = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(rows.length.toLong == nSrc, "one row per source")
+    rows.foreach { case (src, vocab, nTok, f1, f2, chao1, cov) =>
+      assert(vocab > 0 && nTok >= vocab, s"$src census")
+      assert(f1 + f2 <= vocab, s"$src f1+f2 > vocab")
+      val expectChao1 = vocab * 100 +
+        (BigInt(f1) * (f1 - 1) * 100 / (2 * (f2 + 1))).toLong
+      assert(chao1 == expectChao1, s"$src chao1 $chao1")
+      assert(chao1 >= vocab * 100, s"$src estimate undercuts observed")
+      val expectCov = (nTok - f1) * 10000 / math.max(nTok, 1L)
+      assert(cov == expectCov && cov <= 10000L, s"$src coverage $cov")
     }
   }
 
