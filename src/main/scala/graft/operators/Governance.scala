@@ -870,7 +870,46 @@ object Governance {
         (col("n_noisy") < 10L).as("suppressed"))
       .orderBy(col("event_type"), col("dow"))
 
+  /** Candidate-key discovery over orders (J90, round 11): per column —
+    * row count, nulls, exact distinct count, uniqueness share, and the
+    * candidate-key verdict (distinct == rows AND null-free). The
+    * DISCOVERY member of the profiling family: dq_profile reports
+    * completeness/ranges against a declared contract, fd_violations
+    * tests DECLARED dependencies — this row asks the schema question
+    * nobody declared (which columns could key this table), the first
+    * thing every catalog/profiling tool (Deequ uniqueness,
+    * `ANALYZE`-style stats) computes on an unknown feed.
+    *
+    * Exactness: pure integer counting on raw typed columns — distinct
+    * counts never pass through a string representation (a
+    * double/timestamp round-trip repr would be engine-dependent);
+    * uniqueness_e4 carries the one truncating div.
+    *
+    * Shape (100 TB): one partial-aggregable pass per column (6 arms,
+    * each count+countDistinct — map-side partials, one exchange
+    * each). A single multi-countDistinct agg would expand the fact
+    * table ×6 through ONE shuffle instead; at 6 columns the arms win
+    * on per-pass memory and lose nothing on IO (the scan is
+    * column-pruned to one column per arm). */
+  def keyDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    def arm(c: String): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          expr("n_distinct * 10000 div n_rows").as("uniqueness_e4"),
+          (col("n_distinct") === col("n_rows") &&
+            col("n_nulls") === 0L).as("is_candidate_key"))
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(arm).reduce(_ unionAll _)
+      .orderBy(col("column"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_key_discovery" -> keyDiscovery,
     "q_priv_dp_histogram" -> dpHistogram,
     "q_priv_generalize" -> generalizeLadder,
     "q_dq_seq_inversion" -> seqInversion,
@@ -894,7 +933,24 @@ object Governance {
     "q_dq_profile" -> dqProfile,
   )
 
+  private def keyArmSql(c: String): String =
+    s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_nulls,
+       | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       | CAST(count(DISTINCT $c) * 10000 // count(*) AS BIGINT)
+       |   AS uniqueness_e4,
+       | count(DISTINCT $c) = count(*)
+       |   AND sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0
+       |   AS is_candidate_key
+       |FROM orders""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_dq_key_discovery" ->
+      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .map(keyArmSql).mkString("", "\nUNION ALL\n",
+          "\nORDER BY \"column\"")),
     "q_priv_dp_histogram" ->
       """WITH cells AS (SELECT event_type,
         |   (epoch_us(ts) // 86400000000) % 7 AS dow,

@@ -2331,6 +2331,111 @@ object LlmOps {
       .orderBy(col("width"))
   }
 
+  /** Bloom-filter FPR sizing sweep (J90, round 11): the dedup
+    * membership sketch measured like cms_width_sweep measures
+    * count-min — insert the corpus's distinct content hashes into an
+    * m-bit / k=3 Bloom filter for m ∈ {1024, 4096, 16384}, probe with
+    * 500 deterministic NON-members (anti-joined, so a hash-coincident
+    * true member can't contaminate the rate), and emit measured FPR
+    * beside the fill-share prediction fill³ (the independence
+    * approximation FPR ≈ (set-bit share)^k) — whether the classic
+    * formula holds on THIS corpus is data, not citation. Completes the
+    * sketch-sizing-as-data trio: count-min width (overcount), Bloom
+    * bits (false positives), and the HLL rows (distinct error).
+    *
+    * Exactness: positions are md5-h60 residues mod m (the
+    * split_assign salt discipline; bit j of key h salts as 'j:h'),
+    * all counting integer; fill_e4 and fpr_e4 carry one truncating
+    * div each; the prediction cubes the ALREADY-rounded fill_e4
+    * (identical three-factor text both engines).
+    *
+    * Shape (100 TB): the member pass is the exact-dedup primitive
+    * (hash + distinct, one shuffle); each arm's set-bit frame is
+    * ≤ m rows (the sketch IS the reduction — positions distinct to
+    * ≤ 16384 rows no matter the corpus); probes are constant 500.
+    * The probe join is a broadcast vs the m-bounded bit set. */
+  def bloomFprSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = documents(spark, dir)
+      .select(expr(h60("text")).as("h")).distinct().localCheckpoint()
+    val probes = spark.range(500)
+      .select(expr(h60("concat('bloomprobe:', CAST(id AS STRING))"))
+        .as("h"))
+      .join(members, Seq("h"), "left_anti").localCheckpoint()
+    val ks = Seq(1L, 2L, 3L).toDF("j")
+    val nm = members.agg(count(lit(1)).as("n_members"))
+    val np = probes.agg(count(lit(1)).as("n_probes"))
+    def arm(m: Int): DataFrame = {
+      val pos = h60("concat(CAST(j AS STRING), ':', CAST(h AS STRING))")
+      val setBits = members.crossJoin(broadcast(ks))
+        .select(expr(s"$pos % $m").as("pos")).distinct()
+      val fp = probes.crossJoin(broadcast(ks))
+        .select(col("h"), col("j"), expr(s"$pos % $m").as("pos"))
+        .join(setBits, Seq("pos"), "left_semi")
+        .groupBy(col("h")).agg(countDistinct(col("j")).as("nj"))
+        .agg(coalesce(sum(when(col("nj") === 3, 1L).otherwise(0L)),
+          lit(0L)).as("n_false_pos"))
+      setBits.agg(count(lit(1)).as("n_set_bits"))
+        .crossJoin(broadcast(nm)).crossJoin(broadcast(np))
+        .crossJoin(broadcast(fp))
+        .select(lit(m.toLong).as("m_bits"), col("n_members"),
+          col("n_set_bits"),
+          expr(s"n_set_bits * 10000 div $m").as("fill_e4"),
+          col("n_probes"), col("n_false_pos"),
+          expr("n_false_pos * 10000 div n_probes").as("fpr_e4"))
+        .withColumn("fpr_pred_e4",
+          expr("fill_e4 * fill_e4 * fill_e4 div 100000000"))
+    }
+    arm(1024).unionAll(arm(4096)).unionAll(arm(16384))
+      .orderBy(col("m_bits"))
+  }
+
+  private val bloomFprOracle: String =
+    """WITH mem AS (SELECT DISTINCT
+      |   CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      |  FROM documents),
+      |pr0 AS (SELECT CAST('0x' || substr(md5('bloomprobe:'
+      |   || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM (SELECT unnest(range(0, 500)) AS i)),
+      |pr AS (SELECT pr0.h FROM pr0 LEFT JOIN mem ON mem.h = pr0.h
+      |  WHERE mem.h IS NULL),
+      |arms AS (SELECT CAST(unnest([1024, 4096, 16384]) AS BIGINT)
+      |   AS m),
+      |ks AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS j),
+      |sb AS (SELECT DISTINCT arms.m,
+      |   CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+      |     || CAST(mem.h AS VARCHAR)), 1, 15) AS BIGINT) % arms.m
+      |     AS pos
+      |  FROM mem CROSS JOIN ks CROSS JOIN arms),
+      |pp AS (SELECT arms.m, pr.h, ks.j,
+      |   CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+      |     || CAST(pr.h AS VARCHAR)), 1, 15) AS BIGINT) % arms.m
+      |     AS pos
+      |  FROM pr CROSS JOIN ks CROSS JOIN arms),
+      |ph AS (SELECT pp.m, pp.h,
+      |   CAST(count(DISTINCT pp.j) AS BIGINT) AS nj
+      |  FROM pp JOIN sb ON sb.m = pp.m AND sb.pos = pp.pos
+      |  GROUP BY 1, 2),
+      |fp AS (SELECT m, CAST(sum(CASE WHEN nj = 3 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_false_pos FROM ph GROUP BY m),
+      |nb AS (SELECT m, CAST(count(*) AS BIGINT) AS n_set_bits
+      |  FROM sb GROUP BY m),
+      |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM mem),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM pr),
+      |fin AS (SELECT arms.m AS m_bits, nm.n_members, nb.n_set_bits,
+      |   nb.n_set_bits * 10000 // arms.m AS fill_e4,
+      |   np.n_probes,
+      |   CAST(coalesce(fp.n_false_pos, 0) AS BIGINT) AS n_false_pos,
+      |   CAST(coalesce(fp.n_false_pos, 0) * 10000 // np.n_probes
+      |     AS BIGINT) AS fpr_e4
+      |  FROM arms JOIN nb ON nb.m = arms.m
+      |   LEFT JOIN fp ON fp.m = arms.m
+      |   CROSS JOIN nm CROSS JOIN np)
+      |SELECT m_bits, n_members, n_set_bits, fill_e4, n_probes,
+      |  n_false_pos, fpr_e4,
+      |  fill_e4 * fill_e4 * fill_e4 // 100000000 AS fpr_pred_e4
+      |FROM fin ORDER BY m_bits""".stripMargin
+
   /** Width-2 beam decoding, 3 steps (J70): the search-quality
     * counterpart of q_llm_greedy_decode — hold the TWO best partial
     * sequences by cumulative bigram log-probability (lnE3 sums) and
@@ -3833,6 +3938,7 @@ object LlmOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_bloom_fpr" -> bloomFprSweep,
     "q_llm_winnow_fp" -> winnowFp,
     "q_llm_bigram_lm" -> bigramLm,
     "q_llm_ngram_novelty" -> ngramNovelty,
@@ -5965,7 +6071,8 @@ object LlmOps {
   }
 
   val oracle: Map[String, String] =
-    oracleBase + ("q_llm_ann_recall" -> annRecallOracle) +
+    oracleBase + ("q_llm_bloom_fpr" -> bloomFprOracle) +
+      ("q_llm_ann_recall" -> annRecallOracle) +
       ("q_llm_ann_cost" -> annCostOracle) +
       ("q_llm_dedup_cascade" -> dedupCascadeOracle) +
       ("q_llm_lsh_recall" -> lshRecallOracle) +

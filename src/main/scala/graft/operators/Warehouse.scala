@@ -742,7 +742,61 @@ object Warehouse {
       .limit(20)
   }
 
+  /** Croston's intermittent-demand forecast per part (J90, round 11):
+    * the FORECASTER the q_parts_demand_class quadrants route to —
+    * Croston 1972 smooths demand SIZES and inter-demand INTERVALS
+    * separately (plain EWMA of sparse series biases toward zero right
+    * after each demand spike) and forecasts rate ẑ/p̂ per day, plus
+    * the Syntetos–Boylan approximation (1 − α/2)·ẑ/p̂ that corrects
+    * Croston's documented positive bias. demand_class SAYS "route
+    * intermittent SKUs to Croston"; this row IS that route, on the
+    * same daily demand census.
+    *
+    * Exactness: the ts_ewma integer-fold discipline — α = 1/2 makes
+    * both smoothers `(acc + x) div 2` BIGINT folds over the
+    * day-ordered sizes and gaps (both nonnegative, so truncate ==
+    * floor); the two emitted rates carry one truncating div each
+    * (SBA's 0.75 factor is the exact rational 7500/10⁴).
+    *
+    * Shape (100 TB): one (part, day) partial-aggregable census →
+    * ONE part_id shuffle; folds are map-side `aggregate` lambdas over
+    * per-part sequences bounded by the demand-day count (the
+    * per-key-sequence family contract, same as ewma/holt). */
+  def croston(spark: SparkSession, dir: String): DataFrame = {
+    val dd = lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"),
+        expr("CAST(datediff(l_shipdate, DATE '1995-01-01') AS BIGINT)")
+          .as("d"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy(col("pk"), col("d")).agg(sum(col("q")).as("size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("d"))
+    dd.withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n"),
+        expr("array_sort(collect_list(struct(d, size)))").as("os"),
+        // first demand day has no gap: collect_list drops the null
+        expr("""array_sort(collect_list(CASE WHEN gap IS NOT NULL
+          | THEN struct(d, gap) END))""".stripMargin).as("og"))
+      .filter(col("n") >= 3)
+      .withColumn("sizes", expr("transform(os, r -> r.size)"))
+      .withColumn("gaps", expr("transform(og, r -> r.gap)"))
+      .select(col("pk"), col("n").as("n_demand_days"),
+        expr("""aggregate(slice(sizes, 2, size(sizes) - 1),
+          | element_at(sizes, 1), (acc, x) -> (acc + x) div 2)"""
+          .stripMargin).as("z_hat"),
+        expr("""aggregate(slice(gaps, 2, size(gaps) - 1),
+          | element_at(gaps, 1), (acc, x) -> (acc + x) div 2)"""
+          .stripMargin).as("p_hat"))
+      .select(col("pk"), col("n_demand_days"), col("z_hat"),
+        col("p_hat"),
+        expr("z_hat * 10000 div greatest(p_hat, 1)").as("croston_e4"),
+        expr("z_hat * 7500 div greatest(p_hat, 1)").as("sba_e4"))
+      .orderBy(col("pk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parts_croston" -> croston,
     "q_parts_supply_risk" -> supplyRisk,
     "q_orders_backlog" -> backlog,
     "q_orders_yearly_growth" -> yearlyGrowth,
@@ -768,6 +822,30 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_parts_croston" ->
+      """WITH dd AS (SELECT l_partkey AS pk,
+        |   CAST(date_diff('day', DATE '1995-01-01', l_shipdate)
+        |     AS BIGINT) AS d,
+        |   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+        |     AS BIGINT) AS size
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT pk, d, size,
+        |   d - lag(d) OVER (PARTITION BY pk ORDER BY d) AS gap
+        |  FROM dd),
+        |a AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_demand_days,
+        |   list(size ORDER BY d) AS sizes,
+        |   list(gap ORDER BY d) FILTER (gap IS NOT NULL) AS gaps
+        |  FROM g GROUP BY pk HAVING count(*) >= 3),
+        |f AS (SELECT pk, n_demand_days,
+        |   CAST(list_reduce(sizes, (x, y) -> (x + y) // 2) AS BIGINT)
+        |     AS z_hat,
+        |   CAST(list_reduce(gaps, (x, y) -> (x + y) // 2) AS BIGINT)
+        |     AS p_hat
+        |  FROM a)
+        |SELECT pk, n_demand_days, z_hat, p_hat,
+        |  z_hat * 10000 // greatest(p_hat, 1) AS croston_e4,
+        |  z_hat * 7500 // greatest(p_hat, 1) AS sba_e4
+        |FROM f ORDER BY pk""".stripMargin,
     "q_parts_supply_risk" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,
         |   CAST(sum(l_quantity) AS BIGINT) AS q

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 522
+    val documented = 525
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5414,6 +5414,90 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       val expectCov = (nTok - f1) * 10000 / math.max(nTok, 1L)
       assert(cov == expectCov && cov <= 10000L, s"$src coverage $cov")
     }
+  }
+
+  test("llm_bloom_fpr (J90): rates replay from the bit census, more " +
+      "bits never raise the measured FPR, and the independence " +
+      "prediction tracks the measurement") {
+    val rows = SparkEntry.queries("q_llm_bloom_fpr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(rows.map(_._1).toSeq == Seq(1024L, 4096L, 16384L))
+    rows.foreach { case (m, nm, nb, fill, np, nfp, fpr, pred) =>
+      assert(nb <= math.min(m, 3 * nm), s"m=$m set bits $nb")
+      assert(nb >= 1, s"m=$m empty filter")
+      assert(fill == nb * 10000 / m, s"m=$m fill replay")
+      assert(np > 0 && nfp <= np, s"m=$m probe counts")
+      assert(fpr == nfp * 10000 / np, s"m=$m fpr replay")
+      assert(pred == fill * fill * fill / 100000000L,
+        s"m=$m prediction replay")
+      // the independence approximation should be in the right
+      // neighborhood at 500 probes (binomial noise + correlation
+      // slack; measured gaps this fixture: 232/154/6 e4-units)
+      assert(math.abs(fpr - pred) <= 1200L,
+        s"m=$m fpr $fpr vs predicted $pred")
+    }
+    // more bits => monotonically no-worse FPR and lower fill
+    assert(rows.map(_._7).sliding(2).forall(p => p(1) <= p(0)),
+      "fpr must not rise with m")
+    assert(rows.map(_._4).sliding(2).forall(p => p(1) < p(0)),
+      "fill share must fall with m")
+  }
+
+  test("llm_croston (J90, q_parts_croston): rates replay from the " +
+      "smoothed parts and the min-part fold replays bit-exactly in " +
+      "the driver") {
+    import org.apache.spark.sql.functions.{col, expr, sum => ssum}
+    val rows = SparkEntry.queries("q_parts_croston")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (pk, n, z, p, cro, sba) =>
+      assert(n >= 3 && z >= 1 && p >= 1, s"pk=$pk census")
+      assert(cro == z * 10000 / math.max(p, 1L), s"pk=$pk croston")
+      assert(sba == z * 7500 / math.max(p, 1L), s"pk=$pk sba")
+      assert(sba <= cro, s"pk=$pk SBA must not exceed Croston")
+    }
+    // driver replay of the two EWMA folds for the smallest part key
+    val pk0 = rows.head._1
+    val census = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") === pk0)
+      .select(expr("CAST(datediff(l_shipdate, DATE '1995-01-01')" +
+        " AS BIGINT)").as("d"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy(col("d")).agg(ssum(col("q")).as("size"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = census.map(_._2)
+    val gaps = census.map(_._1).sliding(2).map(a => a(1) - a(0)).toSeq
+    def fold(xs: Seq[Long]): Long =
+      xs.tail.foldLeft(xs.head)((a, x) => (a + x) / 2)
+    assert(rows.head._3 == fold(sizes), "z_hat fold replay")
+    assert(rows.head._4 == fold(gaps), "p_hat fold replay")
+  }
+
+  test("dq_key_discovery (J90): o_orderkey is the one candidate key " +
+      "and every uniqueness share replays from the counts") {
+    val rows = SparkEntry.queries("q_dq_key_discovery")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == 6)
+    assert(rows.map(_._2).distinct.length == 1,
+      "row count must agree across arms")
+    rows.foreach { case (c, n, nulls, dist, uniq, isKey) =>
+      assert(dist >= 1 && dist <= n && nulls >= 0, s"$c counts")
+      assert(uniq == dist * 10000 / n, s"$c uniqueness replay")
+      assert(isKey == (dist == n && nulls == 0L), s"$c verdict")
+    }
+    // o_orderkey keys by construction; a continuous double column
+    // (o_totalprice) can incidentally key the 150-row sf0.001 table,
+    // so only the scale-stable verdicts are pinned: the true key is
+    // found, and the low-cardinality enums can never key
+    val keys = rows.filter(_._6).map(_._1).toSet
+    assert(keys.contains("o_orderkey"), "o_orderkey must key")
+    assert(!keys.contains("o_orderstatus") &&
+      !keys.contains("o_orderpriority"), "enum columns cannot key")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
