@@ -1469,7 +1469,56 @@ object Graph {
       .select(col("n").cast("long").as("node_key"), col("x").as("score_e6"))
   }
 
+  /** Personalized PageRank from the top hub (J91, round 11): random
+    * walk with restart — at every step half the mass teleports BACK to
+    * the seed (the max-degree node from the memoized census), half
+    * spreads over neighbors — the similarity-to-a-NODE member of the
+    * walk family (pagerank ranks globally, eigencentrality undamped,
+    * bfs2 reaches, walk_sample simulates; PPR is the
+    * "recommendations for THIS part" primitive behind
+    * related-items/who-to-follow). Two unrolled half-restart
+    * iterations from 10⁶ seed mass, top-20 by final mass.
+    *
+    * Exactness: integer mass splitting — (r div 2) div deg per
+    * neighbor edge, truncation loses mass (conservation ≤ 10⁶ with
+    * restart ≥ 5·10⁵ spec-pinned); all nonneg so div == floor both
+    * engines.
+    *
+    * Shape (100 TB): the mass frames are seed-neighborhood-sized
+    * (≤ 2-hop ball), keyed equi-joins against the edge list — NO
+    * forced broadcast (the bfs2 lesson: a hub's 1-hop ball on a Zipf
+    * graph is data-sized; AQE runtime-broadcasts while small, the
+    * keyed join co-partitions past it). Degrees ride the memoized
+    * census. */
+  def pprHub(spark: SparkSession, dir: String): DataFrame = {
+    val und = cooccEdges(spark, dir)
+    val edges = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = cooccDegrees(spark, dir)
+    val seed = deg.orderBy(col("d").desc, col("n")).limit(1)
+      .select(col("n").as("node"))
+    val restart = seed.select(col("node"), lit(500000L).as("m"))
+    def step(r: DataFrame): DataFrame =
+      restart.unionAll(
+        edges.join(r.withColumnRenamed("node", "u"), "u")
+          .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+          .select(col("v").as("node"),
+            expr("(r div 2) div du").as("m")))
+        .groupBy(col("node")).agg(sum(col("m")).as("r"))
+    val r0 = seed.select(col("node"), lit(1000000L).as("r"))
+    val r1 = step(r0)
+    val r2 = step(r1)
+    r2.join(r1.select(col("node"), col("r").as("r1")), Seq("node"),
+        "left")
+      .join(deg.select(col("n").as("node"), col("d")), "node")
+      .select(col("node"), col("d"),
+        coalesce(col("r1"), lit(0L)).as("ppr1_e6"),
+        col("r").as("ppr2_e6"))
+      .orderBy(col("ppr2_e6").desc, col("node")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_ppr" -> pprHub,
     "q_graph_eigencentrality" -> eigenCentrality,
     "q_graph_components" -> components,
     "q_graph_degree_gini" -> degreeGini,
@@ -1521,6 +1570,35 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_ppr" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u,
+        |   b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM e0
+        |  GROUP BY 1),
+        |seed AS (SELECT n AS s FROM deg ORDER BY d DESC, n LIMIT 1),
+        |r1 AS (SELECT node, CAST(sum(m) AS BIGINT) AS r FROM (
+        |   SELECT s AS node, CAST(500000 AS BIGINT) AS m FROM seed
+        |   UNION ALL
+        |   SELECT e0.v, (1000000 // 2) // dg.d
+        |   FROM e0 JOIN seed ON e0.u = seed.s
+        |    JOIN deg dg ON dg.n = e0.u)
+        |  GROUP BY node),
+        |r2 AS (SELECT node, CAST(sum(m) AS BIGINT) AS r FROM (
+        |   SELECT s AS node, CAST(500000 AS BIGINT) AS m FROM seed
+        |   UNION ALL
+        |   SELECT e0.v, (r1.r // 2) // dg.d
+        |   FROM e0 JOIN r1 ON e0.u = r1.node
+        |    JOIN deg dg ON dg.n = e0.u)
+        |  GROUP BY node)
+        |SELECT r2.node, deg.d,
+        |  CAST(coalesce(r1.r, 0) AS BIGINT) AS ppr1_e6,
+        |  r2.r AS ppr2_e6
+        |FROM r2 LEFT JOIN r1 ON r1.node = r2.node
+        | JOIN deg ON deg.n = r2.node
+        |ORDER BY ppr2_e6 DESC, r2.node LIMIT 20""".stripMargin,
     "q_graph_eigencentrality" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

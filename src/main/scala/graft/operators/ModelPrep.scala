@@ -1367,7 +1367,47 @@ object ModelPrep {
       .orderBy(col("k"))
   }
 
+  /** Expected calibration error (J91, round 11): ECE = Σ (n_b/N)·
+    * |p̄_b − ȳ_b| with MCE = max_b |p̄_b − ȳ_b| over the SAME 10 bins
+    * and weak label as q_llm_score_calibration / q_llm_brier_decomp —
+    * the L1 member of the calibration family and THE number model
+    * cards report (Brier's REL is its squared cousin; the |·| form is
+    * what Guo et al. 2017 standardized). The signed companion
+    * `overconf_e4` (Σ n_b(p̄_b − ȳ_b)/N) gives the DIRECTION the
+    * absolute value hides: positive = forecasts above outcomes.
+    *
+    * Exactness: bin means carry one truncating div each (identical to
+    * the sibling rows, so the three calibration rows can never
+    * disagree about a bin); the signed mean rides the shift idiom.
+    *
+    * Shape (100 TB): doc-sized projection → 10-bin partial-aggregable
+    * fold → 1-row algebra. */
+  def ece(spark: SparkSession, dir: String): DataFrame = {
+    val base = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id")
+      .select(
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("p_e4"),
+        when(col("n_tok") >= 50, 10000L).otherwise(0L).as("y_e4"),
+        expr("least(CAST(9 AS BIGINT), CAST(floor(score * 10)" +
+          " AS BIGINT))").as("bin"))
+    base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("p_e4")).as("ps"),
+        sum(expr("y_e4 div 10000")).as("n1"))
+      .select(col("nk"), expr("ps div nk").as("pbar"),
+        expr("n1 * 10000 div nk").as("obar"))
+      .agg(sum(col("nk")).as("n"), count(lit(1)).as("n_bins_used"),
+        sum(expr("nk * abs(pbar - obar)")).as("l1"),
+        max(expr("abs(pbar - obar)")).as("mce_e4"),
+        sum(expr("nk * (pbar - obar)")).as("sg"))
+      .select(col("n").as("n_docs"), col("n_bins_used"),
+        expr("l1 div n").as("ece_e4"), col("mce_e4"),
+        expr("(sg + 1000000 * n) div n - 1000000").as("overconf_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ece" -> ece,
     "q_llm_pass_at_k" -> passAtK,
     "q_llm_brier_decomp" -> brierDecomp,
     "q_llm_unigram_em" -> unigramEm,
@@ -1430,6 +1470,28 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_ece" ->
+      s"""WITH $scoreCte,
+        |base AS (SELECT sc0.doc_id,
+        |   CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS p_e4,
+        |   CASE WHEN len(string_split(d.text, ' ')) >= 50
+        |     THEN CAST(10000 AS BIGINT) ELSE 0 END AS y_e4,
+        |   least(CAST(9 AS BIGINT), CAST(floor(score * 10) AS BIGINT))
+        |     AS bin
+        |  FROM sc0 JOIN documents d ON sc0.doc_id = d.doc_id),
+        |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+        |   CAST(sum(p_e4) // count(*) AS BIGINT) AS pbar,
+        |   CAST(sum(y_e4 // 10000) * 10000 // count(*) AS BIGINT)
+        |     AS obar
+        |  FROM base GROUP BY 1)
+        |SELECT CAST(sum(nk) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  CAST(sum(nk * abs(pbar - obar)) // sum(nk) AS BIGINT)
+        |    AS ece_e4,
+        |  CAST(max(abs(pbar - obar)) AS BIGINT) AS mce_e4,
+        |  CAST((sum(nk * (pbar - obar)) + 1000000 * sum(nk))
+        |    // sum(nk) - 1000000 AS BIGINT) AS overconf_e4
+        |FROM bins""".stripMargin,
     "q_llm_brier_decomp" ->
       s"""WITH $scoreCte,
         |base AS (SELECT sc0.doc_id,

@@ -1634,7 +1634,60 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Holt–Winters additive seasonal smoothing (J91, round 11): the
+    * SEASONAL member that completes the exponential-smoothing family —
+    * q_ts_ewma (level), q_ts_holt (level+trend), this row
+    * (level+trend+weekday seasonality) — over the global daily
+    * activity series with period 7. α = β = γ = 1/2 keeps every
+    * update a BIGINT halving: l′ = ((x−s)+(l+b)) div 2,
+    * b′ = (b+Δl) div 2, s′ = (s+(x−l′)) div 2. Seasonal slots key on
+    * the ACTUAL weekday (d mod 7), not the observation position, so a
+    * gapped series (sf0.001) still aligns its seasonality; zero-seeded
+    * seasonal state with b₀ = 0, l₀ = x₁ (the gap-proof init — a
+    * first-week init assumes the first 7 days are dense).
+    *
+    * Emits the 7-row per-dow forecast table (level, trend, s_dow, and
+    * the if-tomorrow-were-this-dow forecast l+b+s) — the planner's
+    * view, and the forecasting twin of q_ts_seasonal's descriptive
+    * dow means. Signed halvings: both engines truncate toward zero
+    * (the holt row's measured note), so plain div/`//` agree on the
+    * full signed domain.
+    *
+    * Shape (100 TB): one partial-aggregable day census → ONE ordered
+    * fold over the span-sized series (the per-key-sequence contract;
+    * here the key is global, the series is span-days long — constant
+    * per corpus-year, not corpus-sized). */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val pts = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .agg(expr("array_sort(collect_list(struct(d, x)))").as("pts"))
+    val lp = "((p.x - element_at(acc.s, CAST(p.d % 7 + 1 AS INT)))" +
+      " + acc.l + acc.b) div 2"
+    val st = pts.select(expr(
+      s"""aggregate(slice(pts, 2, size(pts) - 1),
+         |  named_struct(
+         |    'l', pts[0].x, 'b', CAST(0 AS BIGINT),
+         |    's', array(0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+         |  (acc, p) -> named_struct(
+         |    'l', $lp,
+         |    'b', (acc.b + ($lp - acc.l)) div 2,
+         |    's', transform(acc.s, (v, j) ->
+         |      IF(CAST(j AS BIGINT) = p.d % 7,
+         |        (v + (p.x - (((p.x - v) + acc.l + acc.b) div 2)))
+         |          div 2,
+         |        v))))""".stripMargin).as("st"))
+    st.select(posexplode(col("st.s")).as(Seq("dw", "s_c")),
+        col("st.l").as("level_c"), col("st.b").as("trend_c"))
+      .select(col("dw").cast("long").as("dow"), col("s_c"),
+        col("level_c"), col("trend_c"),
+        (col("level_c") + col("trend_c") + col("s_c"))
+          .as("forecast_c"))
+      .orderBy(col("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_holt_winters" -> holtWinters,
     "q_ts_sma_crossover" -> smaCrossover,
     "q_ts_seasonal_strength_by_type" -> seasonalStrengthByType,
     "q_ts_hurst" -> hurst,
@@ -1677,6 +1730,38 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_holt_winters" ->
+      """WITH RECURSIVE dc AS (SELECT
+        |   epoch_us(ts) // 86400000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |o AS (SELECT d, x, row_number() OVER (ORDER BY d) AS i
+        |  FROM dc),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |rec AS (
+        |  SELECT CAST(1 AS BIGINT) AS i, x AS l,
+        |    CAST(0 AS BIGINT) AS b,
+        |    [CAST(0 AS BIGINT) for j in range(1, 8)] AS s
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    ((t.x - r.s[CAST(t.d % 7 + 1 AS INT)]) + r.l + r.b) // 2,
+        |    (r.b + (((t.x - r.s[CAST(t.d % 7 + 1 AS INT)])
+        |       + r.l + r.b) // 2 - r.l)) // 2,
+        |    [CASE WHEN j = t.d % 7 + 1
+        |       THEN (r.s[CAST(j AS INT)] + (t.x
+        |         - (((t.x - r.s[CAST(j AS INT)]) + r.l + r.b) // 2)))
+        |         // 2
+        |       ELSE r.s[CAST(j AS INT)] END
+        |     for j in range(1, 8)] AS s
+        |  FROM rec r JOIN o t ON t.i = r.i + 1),
+        |fin AS (SELECT r.l, r.b, r.s FROM rec r JOIN nn
+        |  ON r.i = nn.n),
+        |g AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS j)
+        |SELECT g.j - 1 AS dow,
+        |  CAST(fin.s[CAST(g.j AS INT)] AS BIGINT) AS s_c,
+        |  fin.l AS level_c, fin.b AS trend_c,
+        |  fin.l + fin.b + fin.s[CAST(g.j AS INT)] AS forecast_c
+        |FROM fin CROSS JOIN g ORDER BY dow""".stripMargin,
     "q_ts_seasonal_strength_by_type" ->
       """WITH dc AS (SELECT event_type,
         |   epoch_us(ts) // 86400000000 AS d,

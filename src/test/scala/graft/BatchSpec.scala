@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 525
+    val documented = 528
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5498,6 +5498,81 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.contains("o_orderkey"), "o_orderkey must key")
     assert(!keys.contains("o_orderstatus") &&
       !keys.contains("o_orderpriority"), "enum columns cannot key")
+  }
+
+  test("ts_holt_winters (J91): the coupled seasonal fold replays " +
+      "bit-exactly in the driver and forecasts decompose") {
+    import org.apache.spark.sql.functions.{col, count => scount, expr, lit}
+    val rows = SparkEntry.queries("q_ts_holt_winters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0L to 6L), "one row per dow")
+    assert(rows.map(_._3).distinct.length == 1 &&
+      rows.map(_._4).distinct.length == 1,
+      "level/trend shared across dows")
+    rows.foreach { case (dow, s, l, b, f) =>
+      assert(f == l + b + s, s"dow=$dow forecast decomposition")
+    }
+    // full driver replay of the fold from the daily census
+    val pts = graft.Tables.events(spark, sf)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(scount(lit(1)).as("x"))
+      .orderBy(col("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var l = pts.head._2; var b = 0L
+    val s = Array.fill(7)(0L)
+    pts.tail.foreach { case (d, x) =>
+      val slot = (d % 7).toInt
+      val l2 = ((x - s(slot)) + l + b) / 2
+      val b2 = (b + (l2 - l)) / 2
+      s(slot) = (s(slot) + (x - l2)) / 2
+      l = l2; b = b2
+    }
+    assert(rows.head._3 == l && rows.head._4 == b, "level/trend replay")
+    rows.foreach { case (dow, sc, _, _, _) =>
+      assert(sc == s(dow.toInt), s"seasonal slot $dow replay")
+    }
+  }
+
+  test("graph_ppr (J91): the seed holds its restart mass, ranks " +
+      "first, and spread mass is conserved up to truncation") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_graph_ppr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val topDeg = rows.maxBy(_._2)
+    assert(rows.head._4 >= 500000L,
+      "top mass must include the 5e5 restart")
+    assert(rows.head._2 == topDeg._2,
+      "the seed (max-degree among emitted) ranks first")
+    assert(rows.map(_._4).sliding(2).forall(p => p(1) <= p(0)),
+      "ppr2 must be emitted descending")
+    rows.foreach { case (n, d, r1, r2) =>
+      assert(d >= 1 && r1 >= 0 && r1 <= 1000000L && r2 >= 0 &&
+        r2 <= 1000000L, s"node $n mass bounds")
+    }
+  }
+
+  test("llm_ece (J91): cross-row consistency — ECE replays from the " +
+      "enrolled reliability diagram's own bins") {
+    val r = SparkEntry.queries("q_llm_ece")(spark, sf).collect()
+    assert(r.length == 1)
+    val (n, nb, ece, mce, over) = (r.head.getLong(0), r.head.getLong(1),
+      r.head.getLong(2), r.head.getLong(3), r.head.getLong(4))
+    assert(nb >= 1 && nb <= 10 && ece >= 0 && mce >= ece,
+      "bin census and L1 bounds")
+    assert(math.abs(over) <= ece + 1, "signed mean within the L1")
+    // replay from q_llm_score_calibration: same bins, same divs
+    val cal = SparkEntry.queries("q_llm_score_calibration")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5)))
+    val nn = cal.map(_._1).sum
+    assert(nn == n, "doc census must agree across the two rows")
+    val l1 = cal.map { case (nk, rate, mean) =>
+      nk * math.abs(mean - rate) }.sum
+    assert(ece == l1 / nn, "ECE replay from the reliability diagram")
+    assert(mce == cal.map { case (_, rate, mean) =>
+      math.abs(mean - rate) }.max, "MCE replay")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
