@@ -908,7 +908,62 @@ object Governance {
       .orderBy(col("column"))
   }
 
+  /** DP privacy-utility sweep (J92, round 11): the ε=0.5 release
+    * q_priv_dp_hist ships, re-released at ε ∈ {1/4, 1/2, 2} and scored
+    * against the true (event_type × dow) histogram — L1 error, worst
+    * cell, per-cell mean, and suppressed-cell count per arm. The
+    * privacy twin of the sketch-sizing sweeps (count-min width, Bloom
+    * bits): every DP deployment picks ε off exactly this curve, and
+    * the row makes the tradeoff DATA on this corpus instead of a
+    * citation. Noise is the dp_hist inverse-CDF Laplace on an md5
+    * uniform, salted per arm (a real release draws fresh noise per
+    * ε), scale 1/ε as the exact rational sn/sd ∈ {4/1, 2/1, 1/2}.
+    *
+    * Exactness: lnE3 floor-once per cell (the dp_hist idiom); the
+    * scaled noise (sn·t_e3) div sd divides a NEGATIVE t_e3 — both
+    * engines truncate toward zero (the holt note), identical text;
+    * released counts round through the same (+10⁶)/1000 shift as
+    * dp_hist.
+    *
+    * Shape (100 TB): one partial-aggregable (type, dow) census —
+    * constant ≤ |types|×7 cells — crossed with 3 constant arms; all
+    * post-census work is on ≤ 126 rows. */
+  def dpUtilitySweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = events(spark, dir)
+      .withColumn("dow",
+        expr("((ts_ns div 1000) div 86400000000) % 7"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_true"))
+    val arms = Seq((25L, 4L, 1L), (50L, 2L, 1L), (200L, 1L, 2L))
+      .toDF("eps_e2", "sn", "sd")
+    cells.crossJoin(broadcast(arms))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(event_type, '|', dow, '|'," +
+          " eps_e2)), 1, 15), 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("t_e3", expr(
+        "CAST(floor(ln(greatest(1000000 - 2 * abs(u - 500000), 1))" +
+          " * 1000 + 0.5) AS BIGINT) - 13816"))
+      .withColumn("noise_e3", expr(
+        "CASE WHEN u >= 500000 THEN -((sn * t_e3) div sd)" +
+          " ELSE (sn * t_e3) div sd END"))
+      .withColumn("released", expr(
+        "n_true + ((noise_e3 + 1000000) div 1000 - 1000)"))
+      .groupBy(col("eps_e2"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(abs(col("released") - col("n_true"))).as("l1_err"),
+        max(abs(col("released") - col("n_true"))).as("max_err"),
+        sum(when(col("released") < 10L, 1L).otherwise(0L))
+          .as("n_suppressed"))
+      .select(col("eps_e2"), col("n_cells"), col("l1_err"),
+        col("max_err"),
+        expr("l1_err * 100 div n_cells").as("mean_err_e2"),
+        col("n_suppressed"))
+      .orderBy(col("eps_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priv_dp_utility" -> dpUtilitySweep,
     "q_dq_key_discovery" -> keyDiscovery,
     "q_priv_dp_histogram" -> dpHistogram,
     "q_priv_generalize" -> generalizeLadder,
@@ -946,6 +1001,38 @@ object Governance {
        |FROM orders""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_priv_dp_utility" ->
+      """WITH cells AS (SELECT event_type,
+        |   (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |   CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1, 2),
+        |arms(eps_e2, sn, sd) AS (VALUES
+        |  (CAST(25 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(50 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(200 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(2 AS BIGINT))),
+        |x AS (SELECT c.*, a.eps_e2, a.sn, a.sd,
+        |   CAST('0x' || substr(md5(c.event_type || '|' || c.dow
+        |     || '|' || a.eps_e2), 1, 15) AS BIGINT) % 1000000 AS u
+        |  FROM cells c CROSS JOIN arms a),
+        |n AS (SELECT *,
+        |   CAST(floor(ln(greatest(1000000 - 2 * abs(u - 500000), 1))
+        |     * 1000 + 0.5) AS BIGINT) - 13816 AS t_e3
+        |  FROM x),
+        |r AS (SELECT eps_e2, n_true,
+        |   n_true + (((CASE WHEN u >= 500000
+        |      THEN -((sn * t_e3) // sd)
+        |      ELSE (sn * t_e3) // sd END) + 1000000) // 1000 - 1000)
+        |     AS released
+        |  FROM n)
+        |SELECT eps_e2, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(abs(released - n_true)) AS BIGINT) AS l1_err,
+        |  CAST(max(abs(released - n_true)) AS BIGINT) AS max_err,
+        |  CAST(sum(abs(released - n_true)) * 100 // count(*)
+        |    AS BIGINT) AS mean_err_e2,
+        |  CAST(sum(CASE WHEN released < 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_suppressed
+        |FROM r GROUP BY eps_e2 ORDER BY eps_e2""".stripMargin,
     "q_dq_key_discovery" ->
       (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

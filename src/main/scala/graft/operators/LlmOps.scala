@@ -170,7 +170,11 @@ object LlmOps {
     * string_agg ORDER BY j). Bands carry ONLY (doc_id, band, sig): the
     * band self-join must not shuffle the shingle-set arrays 8× — at
     * sf0.1 that was ~80 MB of array payload through the exchange. */
-  private[operators] def minhashCandidates(sigs: DataFrame): DataFrame = {
+  /** The 8×2 (doc_id, band, sig) frame from a signature frame — the
+    * shared banding of [[minhashCandidates]] and the bucket-skew audit
+    * (q_llm_lsh_bucket_skew), factored out (round 11) so the skew row
+    * measures the EXACT buckets the candidate join shuffles on. */
+  private[operators] def minhashBandFrame(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 8).map { b =>
       val (j1, j2) = (2 * b, 2 * b + 1)
       struct(lit(b).as("band"),
@@ -178,10 +182,14 @@ object LlmOps {
           concat_ws(":", lit(j1), col(s"m$j1")),
           concat_ws(":", lit(j2), col(s"m$j2"))).as("sig"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
+  }
+
+  private[operators] def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val bands = minhashBandFrame(sigs)
     bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
@@ -2436,6 +2444,55 @@ object LlmOps {
       |  fill_e4 * fill_e4 * fill_e4 // 100000000 AS fpr_pred_e4
       |FROM fin ORDER BY m_bits""".stripMargin
 
+  /** LSH band-bucket skew audit (J92, round 11): per band, the bucket
+    * census of the EXACT (band, sig) keys the dedup candidate join
+    * shuffles on — bucket count, singleton share, the largest bucket,
+    * and Σ C(c,2) candidate pairs per band. At 100 TB the candidate
+    * equi-join's worst TASK is the largest bucket (a boilerplate
+    * signature shared by millions of docs quadratically dominates the
+    * join); this row is the operational pre-flight that says whether
+    * the banding needs a salt or a df-cap BEFORE the join runs — the
+    * diag_skew twin for the dedup family, measured on the shared
+    * [[minhashBandFrame]] so the audit and the join can never see
+    * different buckets.
+    *
+    * Exactness: pure integer counting; the max-bucket share carries
+    * the one truncating div. Shape: the band frame is docs × 8 narrow
+    * rows (the 80 MB array-payload lesson keeps it (id, band, sig));
+    * the census is one partial-aggregable groupBy; output is 8 rows. */
+  def lshBucketSkew(spark: SparkSession, dir: String): DataFrame =
+    minhashBandFrame(minhashSigs(spark, dir))
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_docs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("n_cand_pairs"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("n_docs"), col("n_singleton"), col("max_bucket"),
+        col("n_cand_pairs"),
+        expr("max_bucket * 10000 div n_docs").as("max_share_e4"))
+      .orderBy(col("band"))
+
+  // lazy: minhashMhCte is declared later in the object (init order)
+  private[operators] lazy val lshBucketSkewOracle: String =
+    s"""WITH $minhashMhCte,
+       |bands AS (SELECT doc_id, j // 2 AS band,
+       |  string_agg(j || ':' || m, ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY doc_id, j // 2),
+       |bu AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS c
+       |  FROM bands GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band,
+       | CAST(count(*) AS BIGINT) AS n_buckets,
+       | CAST(sum(c) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_singleton,
+       | CAST(max(c) AS BIGINT) AS max_bucket,
+       | CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs,
+       | CAST(max(c) * 10000 // sum(c) AS BIGINT) AS max_share_e4
+       |FROM bu GROUP BY band ORDER BY band""".stripMargin
+
   /** Width-2 beam decoding, 3 steps (J70): the search-quality
     * counterpart of q_llm_greedy_decode — hold the TWO best partial
     * sequences by cumulative bigram log-probability (lnE3 sums) and
@@ -3939,6 +3996,7 @@ object LlmOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_bloom_fpr" -> bloomFprSweep,
+    "q_llm_lsh_bucket_skew" -> lshBucketSkew,
     "q_llm_winnow_fp" -> winnowFp,
     "q_llm_bigram_lm" -> bigramLm,
     "q_llm_ngram_novelty" -> ngramNovelty,
@@ -6072,6 +6130,7 @@ object LlmOps {
 
   val oracle: Map[String, String] =
     oracleBase + ("q_llm_bloom_fpr" -> bloomFprOracle) +
+      ("q_llm_lsh_bucket_skew" -> lshBucketSkewOracle) +
       ("q_llm_ann_recall" -> annRecallOracle) +
       ("q_llm_ann_cost" -> annCostOracle) +
       ("q_llm_dedup_cascade" -> dedupCascadeOracle) +

@@ -1686,7 +1686,46 @@ object TimeSeries {
       .orderBy(col("dow"))
   }
 
+  /** SES α-sweep by one-step MAE (J92, round 11): simple exponential
+    * smoothing over the daily activity series at α ∈ {1/4, 1/2, 3/4},
+    * scored by the one-step-ahead mean absolute error — the
+    * TUNING member of the smoothing family (ewma/holt/holt_winters
+    * all assume α = 1/2; this row MEASURES whether the data agrees,
+    * the q_llm_bm25_sweep discipline applied to forecasting). Each
+    * arm's update is an exact BIGINT blend — (3l+x)/4, (l+x)/2,
+    * (l+3x)/4 — and the error accumulates BEFORE the update (the
+    * forecast for day t is the level after day t−1), so MAE is a true
+    * out-of-sample one-step score, not a fit residual.
+    *
+    * Exactness: nonnegative integer folds (counts), one truncating
+    * div for the final MAE. Shape: one day census → three constant
+    * folds over the span-sized series (the holt_winters contract). */
+  def sesAlphaSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pts = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, x)))," +
+        " r -> r.x)").as("vals"))
+      .localCheckpoint() // 1 row; feeds three arms
+    def arm(aE2: Long, upd: String): DataFrame =
+      pts.select(lit(aE2).as("alpha_e2"),
+        expr("CAST(size(vals) AS BIGINT)").as("n_days"),
+        expr(s"""aggregate(slice(vals, 2, size(vals) - 1),
+          |  named_struct('l', vals[0], 'e', CAST(0 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'l', $upd,
+          |    'e', acc.e + abs(x - acc.l)))""".stripMargin).as("st"))
+        .select(col("alpha_e2"), col("n_days"),
+          col("st.l").as("level_c"),
+          expr("st.e * 100 div (n_days - 1)").as("mae_e2"))
+    arm(25L, "(3 * acc.l + x) div 4")
+      .unionAll(arm(50L, "(acc.l + x) div 2"))
+      .unionAll(arm(75L, "(acc.l + 3 * x) div 4"))
+      .orderBy(col("alpha_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ses_alpha_sweep" -> sesAlphaSweep,
     "q_ts_holt_winters" -> holtWinters,
     "q_ts_sma_crossover" -> smaCrossover,
     "q_ts_seasonal_strength_by_type" -> seasonalStrengthByType,
@@ -1730,6 +1769,29 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_ses_alpha_sweep" ->
+      """WITH RECURSIVE dc AS (SELECT
+        |   epoch_us(ts) // 86400000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |o AS (SELECT d, x, row_number() OVER (ORDER BY d) AS i
+        |  FROM dc),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |arms AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS a),
+        |rec AS (
+        |  SELECT arms.a, CAST(1 AS BIGINT) AS i, o.x AS l,
+        |    CAST(0 AS BIGINT) AS e
+        |  FROM o CROSS JOIN arms WHERE o.i = 1
+        |  UNION ALL
+        |  SELECT r.a, r.i + 1,
+        |    CASE WHEN r.a = 25 THEN (3 * r.l + t.x) // 4
+        |         WHEN r.a = 50 THEN (r.l + t.x) // 2
+        |         ELSE (r.l + 3 * t.x) // 4 END,
+        |    r.e + abs(t.x - r.l)
+        |  FROM rec r JOIN o t ON t.i = r.i + 1)
+        |SELECT r.a AS alpha_e2, nn.n AS n_days, r.l AS level_c,
+        |  CAST(r.e * 100 // (nn.n - 1) AS BIGINT) AS mae_e2
+        |FROM rec r JOIN nn ON r.i = nn.n
+        |ORDER BY alpha_e2""".stripMargin,
     "q_ts_holt_winters" ->
       """WITH RECURSIVE dc AS (SELECT
         |   epoch_us(ts) // 86400000000 AS d,

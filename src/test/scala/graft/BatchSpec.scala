@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 528
+    val documented = 531
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5573,6 +5573,70 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ece == l1 / nn, "ECE replay from the reliability diagram")
     assert(mce == cal.map { case (_, rate, mean) =>
       math.abs(mean - rate) }.max, "MCE replay")
+  }
+
+  test("llm_lsh_bucket_skew (J92): every band sees the same doc " +
+      "census, shares replay, and the singleton/bucket algebra holds") {
+    val rows = SparkEntry.queries("q_llm_lsh_bucket_skew")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == (0L to 7L), "8 bands")
+    assert(rows.map(_._3).distinct.length == 1,
+      "each doc lands in every band exactly once")
+    rows.foreach { case (b, nb, nd, ns, mx, pairs, share) =>
+      assert(ns <= nb && nb <= nd, s"band $b bucket algebra")
+      assert(mx >= 1 && mx <= nd - ns + 1, s"band $b max bucket")
+      // singletons generate no pairs; a band with all singletons
+      // would have pairs == 0
+      assert(pairs >= 0 &&
+        (pairs == 0) == (nb == nd && mx == 1), s"band $b pairs")
+      assert(share == mx * 10000 / nd, s"band $b share replay")
+    }
+  }
+
+  test("ts_ses_alpha_sweep (J92): all three arms replay bit-exactly " +
+      "in the driver, errors accumulate before updates") {
+    import org.apache.spark.sql.functions.{col, count => scount, expr, lit}
+    val rows = SparkEntry.queries("q_ts_ses_alpha_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(25L, 50L, 75L))
+    assert(rows.map(_._2).distinct.length == 1, "shared day census")
+    val xs = graft.Tables.events(spark, sf)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(scount(lit(1)).as("x"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    def replay(upd: (Long, Long) => Long): (Long, Long) =
+      xs.tail.foldLeft((xs.head, 0L)) { case ((l, e), x) =>
+        (upd(l, x), e + math.abs(x - l)) }
+    val arms = Map[Long, (Long, Long) => Long](
+      25L -> ((l, x) => (3 * l + x) / 4),
+      50L -> ((l, x) => (l + x) / 2),
+      75L -> ((l, x) => (l + 3 * x) / 4))
+    rows.foreach { case (a, n, lvl, mae) =>
+      assert(n.toInt == xs.length, s"alpha $a day count")
+      val (l, e) = replay(arms(a))
+      assert(lvl == l, s"alpha $a level replay")
+      assert(mae == e * 100 / (n - 1), s"alpha $a MAE replay")
+    }
+  }
+
+  test("priv_dp_utility (J92): error falls as epsilon rises, cell " +
+      "census is shared, and the mean replays") {
+    val rows = SparkEntry.queries("q_priv_dp_utility")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(25L, 50L, 200L))
+    assert(rows.map(_._2).distinct.length == 1, "shared cell census")
+    rows.foreach { case (eps, cells, l1, mx, mean, sup) =>
+      assert(cells >= 1 && l1 >= 0 && mx <= l1 && sup <= cells,
+        s"eps $eps bounds")
+      assert(mean == l1 * 100 / cells, s"eps $eps mean replay")
+    }
+    // the privacy-utility curve: 8x noise scale across the sweep
+    // must show up as strictly more L1 error at the strict end
+    assert(rows.head._3 > rows.last._3,
+      "eps=0.25 must hurt more than eps=2")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
