@@ -1998,7 +1998,40 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** Fano factor per event type (J93, round 11): variance-to-mean of
+    * the daily count series — THE dispersion index (Fano 1947): 1 ⇔
+    * Poisson arrivals, > 1 overdispersed (bursty/clumped traffic),
+    * < 1 regular — the per-TYPE answer the randomness family's global
+    * screens (variance_ratio on horizons, runs/turning-point tests on
+    * signs) don't give: WHICH event types arrive Poisson-like and
+    * which clump. The capacity-planning number: an autoscaler sized on
+    * mean rate under-provisions a Fano-10 type by 10×.
+    *
+    * Exactness: fano = (nΣx² − S²)/(nS) fully cross-multiplied (no
+    * mean materializes), one truncating div, Cauchy–Schwarz keeps the
+    * numerator nonnegative; products ride the DECIMAL lane (S ≈ 10¹²
+    * at corpus scale squares past 2⁶³).
+    *
+    * Shape (100 TB): one partial-aggregable (type, day) census →
+    * per-type moment fold → |types| rows. */
+  def fanoFactor(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+        sum(expr("x * x")).as("ss"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        expr("n_events * 100 div n_days").as("mean_e2"),
+        expr("""CAST((CAST(n_days AS DECIMAL(38,0)) * ss
+          | - CAST(n_events AS DECIMAL(38,0)) * n_events) * 100
+          | div (CAST(n_days AS DECIMAL(38,0)) * n_events)
+          | AS BIGINT)""".stripMargin).as("fano_e2"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_fano" -> fanoFactor,
     "q_events_pareto_share" -> paretoShare,
     "q_events_eb_shrinkage" -> ebShrinkage,
     "q_events_lifespan" -> userLifespan,
@@ -2056,6 +2089,22 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_fano" ->
+      """WITH dc AS (SELECT event_type,
+        |   epoch_us(ts) // 86400000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |   CAST(sum(x) AS BIGINT) AS n_events,
+        |   CAST(sum(x * x) AS BIGINT) AS ss
+        |  FROM dc GROUP BY 1)
+        |SELECT event_type, n_days, n_events,
+        |  CAST(n_events * 100 // n_days AS BIGINT) AS mean_e2,
+        |  CAST((CAST(n_days AS HUGEINT) * ss
+        |    - CAST(n_events AS HUGEINT) * n_events) * 100
+        |    // (CAST(n_days AS HUGEINT) * n_events) AS BIGINT)
+        |    AS fano_e2
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_events_pareto_share" ->
       """WITH users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1),

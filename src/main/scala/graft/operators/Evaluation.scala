@@ -770,7 +770,81 @@ object Evaluation {
           .as("fleiss_e4"))
   }
 
+  /** Dawid–Skene one-EM-step label aggregation (J93, round 11): where
+    * q_llm_fleiss_kappa MEASURES how much the three keep-judges agree,
+    * this row does what a labeling pipeline actually needs — ESTIMATE
+    * the true label and each judge's reliability (Dawid & Skene 1979,
+    * the crowdsourcing-aggregation standard). Majority init → M-step
+    * (per-judge sensitivity/specificity + prevalence on the e4 grid)
+    * → one E-step (posterior by exact products of the rounded rates,
+    * cross-compared — no division) → per-judge reliability rows plus
+    * the count of docs the posterior FLIPS away from majority vote
+    * (the docs where the reliable judges outvote the noisy one).
+    *
+    * Exactness: rates carry one truncating div each; posteriors are
+    * exact BIGINT products of e4-grid factors (≤ 10¹⁶ at ANY corpus
+    * scale — the grid bounds the product, not the corpus); ties break
+    * to the negative class.
+    *
+    * Shape (100 TB): with 3 binary judges there are only 8 vote
+    * PATTERNS — one doc-sized 3-way join → an 8-row pattern census →
+    * everything after is constant work (the EM never rescans docs). */
+  def dawidSkene(spark: SparkSession, dir: String): DataFrame = {
+    val j1 = ModelPrep.qualityLogreg(spark, dir).select(col("doc_id"),
+      when(col("score") >= 0.76, 1L).otherwise(0L).as("v1"))
+    val j2 = LlmOps.qualityScore(spark, dir).select(col("doc_id"),
+      when(col("quality") >= 0.64, 1L).otherwise(0L).as("v2"))
+    val j3 = Curation.gopherRules(spark, dir).select(col("doc_id"),
+      when(col("keep"), 1L).otherwise(0L).as("v3"))
+    val pat = j1.join(j2, "doc_id").join(j3, "doc_id")
+      .groupBy(col("v1"), col("v2"), col("v3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // <= 8 rows; feeds stats + the E-step
+    val maj = col("v1") + col("v2") + col("v3") >= 2
+    val stats = pat.agg(sum(col("c")).as("n"),
+      sum(when(maj, col("c")).otherwise(0L)).as("n1"),
+      sum(when(maj && col("v1") === 1, col("c")).otherwise(0L)).as("a1"),
+      sum(when(maj && col("v2") === 1, col("c")).otherwise(0L)).as("a2"),
+      sum(when(maj && col("v3") === 1, col("c")).otherwise(0L)).as("a3"),
+      sum(when(!maj && col("v1") === 0, col("c")).otherwise(0L)).as("d1"),
+      sum(when(!maj && col("v2") === 0, col("c")).otherwise(0L)).as("d2"),
+      sum(when(!maj && col("v3") === 0, col("c")).otherwise(0L)).as("d3"))
+    val rates = stats.select(col("n"), col("n1"),
+      expr("n1 * 10000 div n").as("pi1"),
+      expr("a1 * 10000 div greatest(n1, 1)").as("se1"),
+      expr("a2 * 10000 div greatest(n1, 1)").as("se2"),
+      expr("a3 * 10000 div greatest(n1, 1)").as("se3"),
+      expr("d1 * 10000 div greatest(n - n1, 1)").as("sp1"),
+      expr("d2 * 10000 div greatest(n - n1, 1)").as("sp2"),
+      expr("d3 * 10000 div greatest(n - n1, 1)").as("sp3"))
+      .localCheckpoint() // 1 row
+    val flips = pat.crossJoin(broadcast(rates))
+      .withColumn("p1", expr("pi1" +
+        " * IF(v1 = 1, se1, 10000 - se1)" +
+        " * IF(v2 = 1, se2, 10000 - se2)" +
+        " * IF(v3 = 1, se3, 10000 - se3)"))
+      .withColumn("p0", expr("(10000 - pi1)" +
+        " * IF(v1 = 1, 10000 - sp1, sp1)" +
+        " * IF(v2 = 1, 10000 - sp2, sp2)" +
+        " * IF(v3 = 1, 10000 - sp3, sp3)"))
+      .agg(coalesce(sum(when(
+        (col("p1") > col("p0")) =!= (col("v1") + col("v2") +
+          col("v3") >= 2), col("c")).otherwise(0L)), lit(0L))
+        .as("n_flips"))
+    def judgeRow(name: String, se: String, sp: String): DataFrame =
+      rates.crossJoin(broadcast(flips))
+        .select(lit(name).as("judge"), col("n").as("n_docs"),
+          col("n1").as("n_maj_keep"), col("pi1").as("pi1_e4"),
+          col(se).as("sens_e4"), col(sp).as("spec_e4"),
+          col("n_flips"))
+    judgeRow("gopher", "se3", "sp3")
+      .unionAll(judgeRow("logreg", "se1", "sp1"))
+      .unionAll(judgeRow("quality", "se2", "sp2"))
+      .orderBy(col("judge"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dawid_skene" -> dawidSkene,
     "q_llm_map" -> mapAt10,
     "q_llm_err" -> errCascade,
     "q_llm_pr_at_k" -> prAtK,
@@ -790,6 +864,88 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_llm_dawid_skene" -> {
+      s"""WITH ${ModelPrep.scoreCte},
+         |qa AS (SELECT doc_id,
+         |   floor((0.4 * (1.0 * len(list_distinct(tk)) / len(tk))
+         |     + 0.3 * (1 - 1.0 * len([t for t in tk
+         |         if t IN ('the','a','of','and','to','in','is')])
+         |         / len(tk))
+         |     + 0.3 * least(len(tk) / 100.0, 1.0)) * 10000.0 + 0.5)
+         |   / 10000.0 AS quality
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+         |        FROM documents) t),
+         |gf AS (SELECT doc_id,
+         |   CAST(len(gtk) AS BIGINT) AS g_nw,
+         |   CAST(list_sum([length(t) for t in gtk]) AS BIGINT) AS g_sl,
+         |   CAST(len([t for t in gtk
+         |     if regexp_matches(t, '[A-Za-z]')]) AS BIGINT) AS g_na,
+         |   CAST(len([t for t in gtk
+         |     if t IN ('the','a','of','and','to','in','is')])
+         |     AS BIGINT) AS g_ns
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS gtk
+         |        FROM documents) g),
+         |jv AS (SELECT sc0.doc_id,
+         |   CAST(CASE WHEN sc0.score >= 0.76 THEN 1 ELSE 0 END
+         |     AS BIGINT) AS v1,
+         |   CAST(CASE WHEN qa.quality >= 0.64 THEN 1 ELSE 0 END
+         |     AS BIGINT) AS v2,
+         |   CAST(CASE WHEN gf.g_nw >= 5 AND gf.g_nw <= 10000
+         |       AND gf.g_sl >= 3 * gf.g_nw AND gf.g_sl <= 10 * gf.g_nw
+         |       AND 5 * gf.g_na >= 4 * gf.g_nw AND gf.g_ns >= 2
+         |      THEN 1 ELSE 0 END AS BIGINT) AS v3
+         |  FROM sc0 JOIN qa ON qa.doc_id = sc0.doc_id
+         |   JOIN gf ON gf.doc_id = sc0.doc_id),
+         |pat AS (SELECT v1, v2, v3, CAST(count(*) AS BIGINT) AS c
+         |  FROM jv GROUP BY 1, 2, 3),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN v1 + v2 + v3 >= 2 THEN c ELSE 0 END)
+         |    AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN v1 + v2 + v3 >= 2 AND v1 = 1 THEN c
+         |    ELSE 0 END) AS BIGINT) AS a1,
+         |  CAST(sum(CASE WHEN v1 + v2 + v3 >= 2 AND v2 = 1 THEN c
+         |    ELSE 0 END) AS BIGINT) AS a2,
+         |  CAST(sum(CASE WHEN v1 + v2 + v3 >= 2 AND v3 = 1 THEN c
+         |    ELSE 0 END) AS BIGINT) AS a3,
+         |  CAST(sum(CASE WHEN v1 + v2 + v3 < 2 AND v1 = 0 THEN c
+         |    ELSE 0 END) AS BIGINT) AS d1,
+         |  CAST(sum(CASE WHEN v1 + v2 + v3 < 2 AND v2 = 0 THEN c
+         |    ELSE 0 END) AS BIGINT) AS d2,
+         |  CAST(sum(CASE WHEN v1 + v2 + v3 < 2 AND v3 = 0 THEN c
+         |    ELSE 0 END) AS BIGINT) AS d3
+         | FROM pat),
+         |rt AS (SELECT n, n1,
+         |  CAST(n1 * 10000 // n AS BIGINT) AS pi1,
+         |  CAST(a1 * 10000 // greatest(n1, 1) AS BIGINT) AS se1,
+         |  CAST(a2 * 10000 // greatest(n1, 1) AS BIGINT) AS se2,
+         |  CAST(a3 * 10000 // greatest(n1, 1) AS BIGINT) AS se3,
+         |  CAST(d1 * 10000 // greatest(n - n1, 1) AS BIGINT) AS sp1,
+         |  CAST(d2 * 10000 // greatest(n - n1, 1) AS BIGINT) AS sp2,
+         |  CAST(d3 * 10000 // greatest(n - n1, 1) AS BIGINT) AS sp3
+         | FROM st),
+         |fl AS (SELECT CAST(coalesce(sum(CASE WHEN
+         |   (rt.pi1
+         |     * (CASE WHEN v1 = 1 THEN rt.se1 ELSE 10000 - rt.se1 END)
+         |     * (CASE WHEN v2 = 1 THEN rt.se2 ELSE 10000 - rt.se2 END)
+         |     * (CASE WHEN v3 = 1 THEN rt.se3 ELSE 10000 - rt.se3 END)
+         |    > (10000 - rt.pi1)
+         |     * (CASE WHEN v1 = 1 THEN 10000 - rt.sp1 ELSE rt.sp1 END)
+         |     * (CASE WHEN v2 = 1 THEN 10000 - rt.sp2 ELSE rt.sp2 END)
+         |     * (CASE WHEN v3 = 1 THEN 10000 - rt.sp3 ELSE rt.sp3 END))
+         |   <> (v1 + v2 + v3 >= 2) THEN c ELSE 0 END), 0) AS BIGINT)
+         |   AS n_flips
+         |  FROM pat CROSS JOIN rt)
+         |SELECT 'gopher' AS judge, n AS n_docs, n1 AS n_maj_keep,
+         |  pi1 AS pi1_e4, se3 AS sens_e4, sp3 AS spec_e4, fl.n_flips
+         |FROM rt CROSS JOIN fl
+         |UNION ALL
+         |SELECT 'logreg', n, n1, pi1, se1, sp1, fl.n_flips
+         |FROM rt CROSS JOIN fl
+         |UNION ALL
+         |SELECT 'quality', n, n1, pi1, se2, sp2, fl.n_flips
+         |FROM rt CROSS JOIN fl
+         |ORDER BY judge""".stripMargin
+    },
     "q_llm_rbp" ->
       s"""WITH ${LlmOps.bm25Ctes},
         |ranked AS (SELECT doc_id,

@@ -46,6 +46,21 @@ case class EwmaOut(user_id: Long, n_events: Long, last_centi: Long,
 case class Scd2Closed(user_id: Long, version: Int, state: String,
     valid_from_us: Long, valid_to_us: Long)
 
+/** One day of the global activity census fed to the streaming
+  * Holt–Winters smoother. */
+case class HwDay(d: Long, x: Long)
+
+/** Holt–Winters fold state: level, trend, the 7 weekday seasonal
+  * components, and the observation count. */
+private case class HwSt(l: Long, b: Long, s: Seq[Long], n: Long)
+
+/** Holt–Winters snapshot emitted each micro-batch — level/trend plus
+  * the seasonal slots flattened so the StreamingSpec parity pin is a
+  * plain tuple compare against the batch fold. */
+case class HwOut(n_days: Long, level_c: Long, trend_c: Long,
+    s0: Long, s1: Long, s2: Long, s3: Long, s4: Long, s5: Long,
+    s6: Long)
+
 /** SURVEY.md §2-I — Structured Streaming operators. Each is a pure
   * DataFrame→DataFrame transform so the same code runs on a MemoryStream
   * (tests), a file source (EventIngest), or Kafka at cluster scale.
@@ -327,6 +342,42 @@ object StreamingOps {
       st.update(s)
       Iterator.single(EwmaOut(key, s.n, s.last, s.acc))
     }
+  }
+
+  /** Streaming Holt–Winters (round 11): the incremental twin of the
+    * batch q_ts_holt_winters fold — ONE global key holding
+    * (level, trend, s[7], n) as O(1) state, the SAME integer halvings
+    * with weekday-keyed slots, snapshotted every micro-batch (Update
+    * mode). Parity contract: bit-identical to the batch fold whenever
+    * day-census rows arrive in day order across micro-batches (within
+    * a batch the fn sorts by day itself) — the ewmaStream contract,
+    * one level up the smoothing family. At scale the upstream is the
+    * windowed daily count aggregate; this operator is the O(1)
+    * forecast head on top of it. */
+  def holtWintersStream(days: Dataset[HwDay]): Dataset[HwOut] = {
+    import days.sparkSession.implicits._
+    def fn(key: Long, rows: Iterator[HwDay],
+        state: GroupState[HwSt]): HwOut = {
+      val sorted = rows.toSeq.sortBy(_.d)
+      var st = state.getOption.getOrElse(
+        HwSt(0L, 0L, Seq.fill(7)(0L), 0L))
+      sorted.foreach { p =>
+        if (st.n == 0L) st = HwSt(p.x, 0L, st.s, 1L)
+        else {
+          val slot = (p.d % 7).toInt
+          val sv = st.s(slot)
+          val l2 = ((p.x - sv) + st.l + st.b) / 2
+          val b2 = (st.b + (l2 - st.l)) / 2
+          st = HwSt(l2, b2,
+            st.s.updated(slot, (sv + (p.x - l2)) / 2), st.n + 1)
+        }
+      }
+      state.update(st)
+      HwOut(st.n, st.l, st.b, st.s(0), st.s(1), st.s(2), st.s(3),
+        st.s(4), st.s(5), st.s(6))
+    }
+    days.groupByKey(_ => 0L)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
   def attributionStream(events: Dataset[Ev]): Dataset[Attribution] = {

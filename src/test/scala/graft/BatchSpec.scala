@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 531
+    val documented = 533
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5637,6 +5637,56 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must show up as strictly more L1 error at the strict end
     assert(rows.head._3 > rows.last._3,
       "eps=0.25 must hurt more than eps=2")
+  }
+
+  test("llm_dawid_skene (J93): shared globals across judge rows, " +
+      "prevalence replays, rates are proper shares, and flips stay " +
+      "within the corpus") {
+    val rows = SparkEntry.queries("q_llm_dawid_skene")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq("gopher", "logreg", "quality"))
+    assert(rows.map(r => (r._2, r._3, r._4, r._7)).distinct.length == 1,
+      "global columns must agree across judge rows")
+    val (n, n1, pi1, flips) = (rows.head._2, rows.head._3,
+      rows.head._4, rows.head._7)
+    assert(n > 0 && n1 <= n && flips >= 0 && flips <= n)
+    assert(pi1 == n1 * 10000 / n, "prevalence replay")
+    rows.foreach { case (j, _, _, _, se, sp, _) =>
+      assert(se >= 0 && se <= 10000 && sp >= 0 && sp <= 10000,
+        s"judge $j rates must be proper shares")
+    }
+    // a judge that votes WITH the majority by construction (it is one
+    // of its three voters) cannot have sens + spec at chance across
+    // the board: at least one judge must beat 10000 combined
+    assert(rows.exists(r => r._5 + r._6 > 10000L),
+      "at least one informative judge")
+  }
+
+  test("events_fano (J93): the dispersion index replays bit-exactly " +
+      "from the daily census and the mean replays from the counts") {
+    import org.apache.spark.sql.functions.{col, count => scount, expr, lit, sum => ssum}
+    val rows = SparkEntry.queries("q_events_fano")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val census = graft.Tables.events(spark, sf)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(scount(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(scount(lit(1)).as("n"), ssum(col("x")).as("s"),
+        ssum(expr("x * x")).as("ss"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (t, nd, ne, mean, fano) =>
+      val (n, s, ss) = census(t)
+      assert(nd == n && ne == s, s"$t census")
+      assert(mean == s * 100 / n, s"$t mean replay")
+      val expect = ((BigInt(n) * ss - BigInt(s) * s) * 100 /
+        (BigInt(n) * s)).toLong
+      assert(fano == expect && fano >= 0, s"$t fano $fano != $expect")
+    }
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +

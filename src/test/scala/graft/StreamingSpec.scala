@@ -194,6 +194,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("s_stream_holt_winters: the incremental HW state matches the " +
+      "batch coupled fold on an in-order day feed across " +
+      "micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[HwDay]
+    val q = runQuery(
+      StreamingOps.holtWintersStream(in.toDS()).toDF(), "shw",
+      "update")
+    // 16 days across three micro-batches, in day order, with a gap
+    // (day 9 missing) so the weekday-keyed slots must realign; one
+    // intra-batch disorder (11 before 10) the fn's own sort repairs
+    val xs = Seq(5L, 9L, 7L, 12L, 8L, 6L, 20L, 11L, 13L, 7L, 9L,
+      15L, 6L, 8L, 21L)
+    val days = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L) ++
+      Seq(10L, 11L, 12L, 13L, 14L, 15L)).zip(xs)
+      .map { case (d, x) => HwDay(d, x) }
+    val chunks = Seq(days.take(5),
+      Seq(days(6), days(5)) ++ days.slice(7, 10), days.drop(10))
+    chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+    val got = spark.table("shw").collect()
+      .map(r => (0 until 10).map(r.getLong))
+      .maxBy(_.head)
+    // the batch q_ts_holt_winters fold over the same days in order
+    var l = days.head.x; var b = 0L
+    val s = Array.fill(7)(0L)
+    days.tail.foreach { p =>
+      val slot = (p.d % 7).toInt
+      val l2 = ((p.x - s(slot)) + l + b) / 2
+      val b2 = (b + (l2 - l)) / 2
+      s(slot) = (s(slot) + (p.x - l2)) / 2
+      l = l2; b = b2
+    }
+    assert(got == Seq(days.size.toLong, l, b) ++ s.toSeq,
+      s"got $got expected level=$l trend=$b s=${s.toSeq}")
+    q.stop()
+  }
+
   test("s_state_v2_ewma: the transformWithState (Spark 4.x " +
       "StatefulProcessor + RocksDB store) EWMA is bit-identical to the " +
       "mapGroupsWithState form and the batch fold — the new-API " +
