@@ -904,6 +904,66 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Clipping + DC-offset audit (J94, round 11): per clip off the
+    * REAL WAV decode — peak |sample|, the count and share of samples
+    * at or beyond the 14000 loudness rail, and the DC offset (signed
+    * mean sample ×100) — the two defects an audio ingest gate checks
+    * FIRST (clipped waveforms distort every downstream feature; a DC
+    * bias breaks energy thresholds), completing the audio-QC trio
+    * beside VAD (silence) and the energy/ZCR profile. The synthetic
+    * PCM16 corpus rails at (126−64)·256 = 15872, so the 14000
+    * threshold binds on real rows (codes ≥ 119) — measured
+    * non-vacuous at enrollment.
+    *
+    * Exactness: integer after the decode; the signed DC mean divides
+    * with truncation toward zero in BOTH engines (the holt note) and
+    * in the JVM's own Long division, so the three lanes agree with
+    * no shift needed.
+    *
+    * Shape: one mapPartitions pass over the memoized WAV frame (codec
+    * init amortized; zero extra encode work); one row per clip. */
+  def mmAudioClipping(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val media = memoizedMedia(spark, dir, "wav") {
+      asciiDocs(spark, dir).map { case (id, text) =>
+        val samples = text.map(c => ((c - 64) * 256).toShort).toArray
+        Media(id, "audio", encodeWavPcm16(samples, 16000f))
+      }
+    }.as[Media]
+    media.mapPartitions(_.flatMap { m =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.blob))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            s"not PCM_SIGNED 16-bit: $fmt")
+        val bytes = ais.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        if (n == 0) None
+        else {
+          var sum = 0L; var peak = 0L; var clipped = 0L
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toLong
+            sum += s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (math.abs(s) >= 14000L) clipped += 1
+          }
+          Some((m.media_id, n.toLong, peak, sum * 100 / n, clipped,
+            clipped * 10000L / n))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }).toDF("media_id", "n_samples", "peak_abs", "dc_e2",
+      "n_clipped", "clip_share_e4")
+      .orderBy(col("media_id"))
+  }
+
   /** Foreground run-length census (J87, round 11): binarize the
     * REALLY-decoded pixel strip at its own integer mean (the aHash
     * threshold), then count maximal above-mean runs, the longest run,
@@ -1237,6 +1297,7 @@ object Multimodal {
     "q_mm_image_resize" -> mmImageResize,
     "q_mm_audio_vad" -> mmAudioVad,
     "q_mm_audio_energy_bands" -> mmAudioEnergyBands,
+    "q_mm_audio_clipping" -> mmAudioClipping,
     "q_mm_image_runs" -> mmImageRuns,
     "q_mm_video_frames" -> mmVideoFrames,
     "q_mm_features" -> mmFeatures,
@@ -1610,6 +1671,23 @@ object Multimodal {
         |ORDER BY media_id""".stripMargin,
     // energy quarters + ZCR replay from char codes (lossless PCM16:
     // sample = (code-64)*256; band of sample i = i*4 // n)
+    "q_mm_audio_clipping" ->
+      """WITH d0 AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE regexp_matches(text, '^[\x00-\x7F]*$')
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d0),
+        |s AS (SELECT doc_id, n, i,
+        |   (ascii(substr(text, CAST(i AS INT) + 1, 1)) - 64) * 256
+        |     AS sm FROM px)
+        |SELECT doc_id AS media_id, CAST(max(n) AS BIGINT) AS n_samples,
+        | CAST(max(abs(sm)) AS BIGINT) AS peak_abs,
+        | CAST(sum(sm) * 100 // max(n) AS BIGINT) AS dc_e2,
+        | CAST(sum(CASE WHEN abs(sm) >= 14000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_clipped,
+        | CAST(sum(CASE WHEN abs(sm) >= 14000 THEN 1 ELSE 0 END)
+        |   * 10000 // max(n) AS BIGINT) AS clip_share_e4
+        |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q_mm_audio_energy_bands" ->
       """WITH d0 AS (SELECT doc_id, text, length(text) AS n
         |  FROM documents

@@ -2493,6 +2493,98 @@ object LlmOps {
        | CAST(max(c) * 10000 // sum(c) AS BIGINT) AS max_share_e4
        |FROM bu GROUP BY band ORDER BY band""".stripMargin
 
+  private def robTermScala(i: Int): String =
+    s"ln((n - df$i + 0.5D)/(df$i + 0.5D)) * " +
+      s"tf$i*2.2D/(tf$i + 1.2D*(0.25D + 0.75D*dl/avgdl))"
+
+  /** BM25 idf-variant comparison (J94, round 11): "which BM25" is a
+    * real deployment question — the enrolled rows use the
+    * Lucene-style idf ln((N−df+0.5)/(df+0.5) + 1) (never negative);
+    * classic Robertson–Sparck-Jones drops the +1 (negative for
+    * df > N/2, the famous stopword pathology); plain idf is ln(N/df).
+    * Per query term: df and all three idf values on the e3 floor-once
+    * grid, plus the MEASURED top-10 overlap between the Lucene-scored
+    * and Robertson-scored rankings — whether the variant choice moves
+    * results on THIS corpus is data, not citation (mid-df terms keep
+    * all idfs positive here; the overlap quantifies the re-weighting
+    * effect alone).
+    *
+    * Shape (100 TB): both scores are map-only projections of the
+    * memoized per-doc tf frame + the 1-row stats broadcast; the two
+    * top-10s are TakeOrderedAndProject; everything else is constant. */
+  def idfVariants(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = bm25PerDoc(spark, dir)
+    val stats = perDoc.agg(count(lit(1)).as("n"),
+      avg(col("dl")).as("avgdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+      .localCheckpoint() // 1 row; feeds scoring + the term rows
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .filter(col("tf1") + col("tf2") + col("tf3") > 0)
+      .withColumn("luc", round(expr(s"${bm25Term(1, "D")} + " +
+        s"${bm25Term(2, "D")} + ${bm25Term(3, "D")}"), 4))
+      .withColumn("rob", round(expr(s"${robTermScala(1)} + " +
+        s"${robTermScala(2)} + ${robTermScala(3)}"), 4))
+    val lucTop = scored.orderBy(col("luc").desc, col("doc_id"))
+      .limit(10).select(col("doc_id"))
+    val robTop = scored.orderBy(col("rob").desc, col("doc_id"))
+      .limit(10).select(col("doc_id"))
+    val overlap = lucTop.join(robTop, "doc_id")
+      .agg(count(lit(1)).as("overlap10"))
+    def termRow(i: Int, t: String): DataFrame =
+      stats.crossJoin(broadcast(overlap)).select(lit(t).as("term"),
+        col(s"df$i").as("df"), col("n").as("n_docs"),
+        expr(s"CAST(floor(ln(n * 1.0D / df$i) * 1000 + 0.5)" +
+          " AS BIGINT)").as("idf_plain_e3"),
+        expr(s"CAST(floor(ln((n - df$i + 0.5D)/(df$i + 0.5D))" +
+          " * 1000 + 0.5) AS BIGINT)").as("idf_robertson_e3"),
+        expr(s"CAST(floor(ln((n - df$i + 0.5D)/(df$i + 0.5D) + 1.0D)" +
+          " * 1000 + 0.5) AS BIGINT)").as("idf_lucene_e3"),
+        col("overlap10"))
+    termRow(1, bm25Terms(0)).unionAll(termRow(2, bm25Terms(1)))
+      .unionAll(termRow(3, bm25Terms(2)))
+      .orderBy(col("term"))
+  }
+
+  private lazy val idfVariantsOracle: String = {
+    def robSql(i: Int): String =
+      s"ln((n - df$i + 0.5)/(df$i + 0.5)) * " +
+        s"tf$i*2.2/(tf$i + 1.2*(0.25 + 0.75*dl/avgdl))"
+    s"""WITH $bm25Ctes,
+       |rsc AS (SELECT doc_id,
+       |  round(${robSql(1)} + ${robSql(2)} + ${robSql(3)}, 4) AS rob
+       | FROM perdoc CROSS JOIN stats WHERE tf1 + tf2 + tf3 > 0),
+       |lt AS (SELECT doc_id FROM bmsc ORDER BY bm25 DESC, doc_id
+       |  LIMIT 10),
+       |rt AS (SELECT doc_id FROM rsc ORDER BY rob DESC, doc_id
+       |  LIMIT 10),
+       |ov AS (SELECT CAST(count(*) AS BIGINT) AS overlap10
+       |  FROM lt JOIN rt USING (doc_id)),
+       |t(i, term) AS (VALUES (1, '${bm25Terms(0)}'),
+       |  (2, '${bm25Terms(1)}'), (3, '${bm25Terms(2)}'))
+       |SELECT t.term,
+       | CAST(CASE t.i WHEN 1 THEN stats.df1 WHEN 2 THEN stats.df2
+       |   ELSE stats.df3 END AS BIGINT) AS df,
+       | CAST(stats.n AS BIGINT) AS n_docs,
+       | CAST(floor(ln(stats.n * 1.0 / (CASE t.i WHEN 1 THEN stats.df1
+       |   WHEN 2 THEN stats.df2 ELSE stats.df3 END)) * 1000 + 0.5)
+       |   AS BIGINT) AS idf_plain_e3,
+       | CAST(floor(ln((stats.n - (CASE t.i WHEN 1 THEN stats.df1
+       |   WHEN 2 THEN stats.df2 ELSE stats.df3 END) + 0.5)
+       |   / ((CASE t.i WHEN 1 THEN stats.df1 WHEN 2 THEN stats.df2
+       |   ELSE stats.df3 END) + 0.5)) * 1000 + 0.5) AS BIGINT)
+       |   AS idf_robertson_e3,
+       | CAST(floor(ln((stats.n - (CASE t.i WHEN 1 THEN stats.df1
+       |   WHEN 2 THEN stats.df2 ELSE stats.df3 END) + 0.5)
+       |   / ((CASE t.i WHEN 1 THEN stats.df1 WHEN 2 THEN stats.df2
+       |   ELSE stats.df3 END) + 0.5) + 1.0) * 1000 + 0.5) AS BIGINT)
+       |   AS idf_lucene_e3,
+       | ov.overlap10
+       |FROM t CROSS JOIN stats CROSS JOIN ov
+       |ORDER BY term""".stripMargin
+  }
+
   /** Width-2 beam decoding, 3 steps (J70): the search-quality
     * counterpart of q_llm_greedy_decode — hold the TWO best partial
     * sequences by cumulative bigram log-probability (lnE3 sums) and
@@ -3997,6 +4089,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_bloom_fpr" -> bloomFprSweep,
     "q_llm_lsh_bucket_skew" -> lshBucketSkew,
+    "q_llm_idf_variants" -> idfVariants,
     "q_llm_winnow_fp" -> winnowFp,
     "q_llm_bigram_lm" -> bigramLm,
     "q_llm_ngram_novelty" -> ngramNovelty,
@@ -6131,6 +6224,7 @@ object LlmOps {
   val oracle: Map[String, String] =
     oracleBase + ("q_llm_bloom_fpr" -> bloomFprOracle) +
       ("q_llm_lsh_bucket_skew" -> lshBucketSkewOracle) +
+      ("q_llm_idf_variants" -> idfVariantsOracle) +
       ("q_llm_ann_recall" -> annRecallOracle) +
       ("q_llm_ann_cost" -> annCostOracle) +
       ("q_llm_dedup_cascade" -> dedupCascadeOracle) +

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 533
+    val documented = 535
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5686,6 +5686,46 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       val expect = ((BigInt(n) * ss - BigInt(s) * s) * 100 /
         (BigInt(n) * s)).toLong
       assert(fano == expect && fano >= 0, s"$t fano $fano != $expect")
+    }
+  }
+
+  test("mm_audio_clipping (J94): rails and rates replay from the " +
+      "synthetic PCM16 codes and the threshold binds on real rows") {
+    val rows = SparkEntry.queries("q_mm_audio_clipping")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, peak, dc, nc, share) =>
+      // printable ASCII rails: codes 32..126 -> samples -8192..15872
+      assert(n > 0 && peak <= 15872L, s"clip $id peak $peak")
+      assert(nc >= 0 && nc <= n, s"clip $id count")
+      assert(share == nc * 10000 / n, s"clip $id share replay")
+      assert(dc >= -819200L && dc <= 1587200L, s"clip $id dc range")
+    }
+    // the 14000 threshold must bind somewhere on the corpus (codes
+    // >= 119, i.e. w/x/y/z) — a vacuous audit would mean the
+    // threshold was chosen above the data's rails
+    assert(rows.exists(_._5 > 0), "threshold never binds — vacuous")
+  }
+
+  test("llm_idf_variants (J94): the three idf formulas order " +
+      "correctly, globals agree across term rows, and overlap is a " +
+      "proper top-10 intersection") {
+    val rows = SparkEntry.queries("q_llm_idf_variants")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).sorted.toSeq == rows.map(_._1).toSeq &&
+      rows.length == 3, "three term rows, term-ordered")
+    assert(rows.map(r => (r._3, r._7)).distinct.length == 1,
+      "n_docs and overlap shared across rows")
+    val ov = rows.head._7
+    assert(ov >= 0 && ov <= 10, "overlap is a top-10 intersection")
+    rows.foreach { case (t, df, n, plain, rob, luc, _) =>
+      assert(df >= 1 && df <= n, s"$t df bounds")
+      // lucene = ln(x + 1) > robertson = ln(x) always; plain >=
+      // robertson for df <= n/2 (mid-df corpus terms)
+      assert(luc > rob, s"$t lucene must exceed robertson")
+      if (2 * df <= n) assert(plain >= rob, s"$t plain vs robertson")
     }
   }
 
