@@ -2585,6 +2585,143 @@ object LlmOps {
        |ORDER BY term""".stripMargin
   }
 
+  /** Token-multiset F1 over the LSH candidates (J95, round 11): the
+    * SQuAD-style overlap F1 — Σ_t min(tf_a, tf_b) doubled over the
+    * length sum — computed beside the exact shingle-set Jaccard on
+    * the SAME candidate pairs. The two metrics disagree by design
+    * (F1 is multiset + order-free unigram; Jaccard is 5-gram SET), so
+    * the row is the metric-choice audit a dedup owner reads before
+    * porting a QA-eval threshold onto a dedup gate: the emitted
+    * divergence verdict per pair (F1 ≥ 0.8 vs J ≥ 0.8) counts where
+    * the two cuts differ. Pairs with a verified shingle intersection
+    * only (i ≥ 1, both engines).
+    *
+    * Exactness: all integer; one truncating div per emitted ratio.
+    * Shape (100 TB): the pair set is the banded-LSH candidate frame
+    * (never all-pairs); the overlap join fans each pair to its
+    * a-side token census and inner-joins the b-side on (doc, tok) —
+    * keyed equi-joins, bounded by pair-count × doc length. */
+  def tokenF1(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val pairs = minhashScored(spark, dir).filter(col("i") >= 1)
+      .select(col("a_id"), col("b_id"),
+        expr("i * 10000 div (na + nb - i)").as("jaccard_e4"))
+    val ov = pairs
+      .join(tf.select(col("doc_id").as("a_id"), col("tok"),
+        col("tf").as("tfa")), "a_id")
+      .join(tf.select(col("doc_id").as("b_id"), col("tok"),
+        col("tf").as("tfb")), Seq("b_id", "tok"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(least(col("tfa"), col("tfb"))).as("overlap"))
+    pairs
+      .join(ov, Seq("a_id", "b_id"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .join(lens.select(col("doc_id").as("a_id"),
+        col("len").as("len_a")), "a_id")
+      .join(lens.select(col("doc_id").as("b_id"),
+        col("len").as("len_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("jaccard_e4"),
+        col("len_a"), col("len_b"), col("overlap"),
+        expr("2 * overlap * 10000 div (len_a + len_b)").as("f1_e4"))
+      .withColumn("verdicts_differ",
+        (col("f1_e4") >= 8000L) =!= (col("jaccard_e4") >= 8000L))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private lazy val tokenF1Oracle: String =
+    s"""WITH $minhashCandCte,
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |   CAST(count(*) AS BIGINT) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT a_id, b_id,
+       |   CAST(i * 10000 // (na.n + nb.n - i) AS BIGINT)
+       |     AS jaccard_e4
+       |  FROM cand JOIN inter ON a_id = ia AND b_id = ib
+       |  JOIN sizes na ON a_id = na.doc_id
+       |  JOIN sizes nb ON b_id = nb.doc_id
+       |  WHERE i >= 1),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+       |  FROM tf GROUP BY 1),
+       |ov AS (SELECT s.a_id, s.b_id,
+       |   CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS overlap
+       |  FROM scored s JOIN tf ta ON ta.doc_id = s.a_id
+       |   JOIN tf tb ON tb.doc_id = s.b_id AND tb.tok = ta.tok
+       |  GROUP BY 1, 2)
+       |SELECT s.a_id, s.b_id, s.jaccard_e4, la.len AS len_a,
+       | lb.len AS len_b,
+       | CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+       | CAST(2 * coalesce(ov.overlap, 0) * 10000 // (la.len + lb.len)
+       |   AS BIGINT) AS f1_e4,
+       | (2 * coalesce(ov.overlap, 0) * 10000 // (la.len + lb.len)
+       |   >= 8000) <> (s.jaccard_e4 >= 8000) AS verdicts_differ
+       |FROM scored s LEFT JOIN ov ON ov.a_id = s.a_id
+       |  AND ov.b_id = s.b_id
+       | JOIN lens la ON la.doc_id = s.a_id
+       | JOIN lens lb ON lb.doc_id = s.b_id
+       |ORDER BY s.a_id, s.b_id""".stripMargin
+
+  /** Source-mixing temperature sweep (J95, round 11): the sampling
+    * weights w ∝ n^(1/T) for T ∈ {1, 2, 4} over the language census —
+    * the knob every multilingual/multi-source pretraining mix turns
+    * (T = 1 mirrors the data, T → ∞ is uniform; XLM-R popularized the
+    * fractional exponents) — generalizing q_llm_sqrt_mix, whose T = 2
+    * lane this row reproduces BIT-IDENTICALLY (same floor(sqrt(n·10⁶))
+    * text, spec cross-pins the two rows). T = 4 is sqrt∘sqrt on the
+    * ×10¹² grid — no fractional pow anywhere, so the only float op is
+    * the engines' shared IEEE sqrt under a floor.
+    *
+    * Shape (100 TB): one partial-aggregable language census → 3
+    * constant arms; everything after the census is |langs|-sized. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // |langs| rows; feeds three arms
+    def arm(t: Long, sExpr: String): DataFrame = {
+      val s = cnt.withColumn("s_e3", expr(sExpr))
+      val tot = s.agg(sum(col("s_e3")).as("tot"))
+      s.crossJoin(broadcast(tot))
+        .select(lit(t).as("tee"), col("lang"), col("n_docs"),
+          col("s_e3"), expr("s_e3 * 1000000 div tot").as("w_e6"))
+    }
+    arm(1L, "n_docs * 1000")
+      .unionAll(arm(2L,
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0)) AS BIGINT)"))
+      .unionAll(arm(4L,
+        "CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE)" +
+          " * 1000000000000.0))) AS BIGINT)"))
+      .orderBy(col("tee"), col("lang"))
+  }
+
+  private val mixTemperatureOracle: String =
+    """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY lang),
+      |arms AS (
+      |  SELECT CAST(1 AS BIGINT) AS tee, lang, n_docs,
+      |    n_docs * 1000 AS s_e3 FROM cnt
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), lang, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0))
+      |      AS BIGINT) FROM cnt
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), lang, n_docs,
+      |    CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE)
+      |      * 1000000000000.0))) AS BIGINT) FROM cnt),
+      |tot AS (SELECT tee, CAST(sum(s_e3) AS BIGINT) AS tot
+      |  FROM arms GROUP BY tee)
+      |SELECT a.tee, a.lang, a.n_docs, a.s_e3,
+      |  CAST(a.s_e3 * 1000000 // t.tot AS BIGINT) AS w_e6
+      |FROM arms a JOIN tot t ON t.tee = a.tee
+      |ORDER BY a.tee, a.lang""".stripMargin
+
   /** Width-2 beam decoding, 3 steps (J70): the search-quality
     * counterpart of q_llm_greedy_decode — hold the TWO best partial
     * sequences by cumulative bigram log-probability (lnE3 sums) and
@@ -4090,6 +4227,8 @@ object LlmOps {
     "q_llm_bloom_fpr" -> bloomFprSweep,
     "q_llm_lsh_bucket_skew" -> lshBucketSkew,
     "q_llm_idf_variants" -> idfVariants,
+    "q_llm_token_f1" -> tokenF1,
+    "q_llm_mix_temperature" -> mixTemperature,
     "q_llm_winnow_fp" -> winnowFp,
     "q_llm_bigram_lm" -> bigramLm,
     "q_llm_ngram_novelty" -> ngramNovelty,
@@ -6225,6 +6364,8 @@ object LlmOps {
     oracleBase + ("q_llm_bloom_fpr" -> bloomFprOracle) +
       ("q_llm_lsh_bucket_skew" -> lshBucketSkewOracle) +
       ("q_llm_idf_variants" -> idfVariantsOracle) +
+      ("q_llm_token_f1" -> tokenF1Oracle) +
+      ("q_llm_mix_temperature" -> mixTemperatureOracle) +
       ("q_llm_ann_recall" -> annRecallOracle) +
       ("q_llm_ann_cost" -> annCostOracle) +
       ("q_llm_dedup_cascade" -> dedupCascadeOracle) +

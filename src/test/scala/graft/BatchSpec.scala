@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 535
+    val documented = 537
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5726,6 +5726,63 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       // robertson for df <= n/2 (mid-df corpus terms)
       assert(luc > rob, s"$t lucene must exceed robertson")
       if (2 * df <= n) assert(plain >= rob, s"$t plain vs robertson")
+    }
+  }
+
+  test("llm_token_f1 (J95): overlap is bounded by the shorter doc, " +
+      "ratios replay, and one pair's multiset overlap replays in the " +
+      "driver") {
+    import org.apache.spark.sql.functions.{col, split => ssplit}
+    val rows = SparkEntry.queries("q_llm_token_f1")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))
+    assert(rows.nonEmpty, "LSH candidates exist at fixture scale")
+    rows.foreach { case (a, b, j, la, lb, ov, f1, diff) =>
+      assert(a < b, s"pair order $a,$b")
+      assert(ov >= 0 && ov <= math.min(la, lb), s"($a,$b) overlap")
+      assert(f1 == 2 * ov * 10000 / (la + lb), s"($a,$b) f1 replay")
+      assert(j >= 0 && j <= 10000 && f1 >= 0 && f1 <= 10000)
+      assert(diff == ((f1 >= 8000) != (j >= 8000)), s"($a,$b) verdict")
+    }
+    // driver replay of the multiset overlap for the first pair
+    val (a0, b0) = (rows.head._1, rows.head._2)
+    def toks(id: Long): Map[String, Long] =
+      graft.Tables.documents(spark, sf)
+        .filter(col("doc_id") === id)
+        .select(ssplit(col("text"), " ").as("tk")).collect()
+        .head.getSeq[String](0).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+    val (ta, tb) = (toks(a0), toks(b0))
+    val expect = ta.keysIterator
+      .map(k => math.min(ta(k), tb.getOrElse(k, 0L))).sum
+    assert(rows.head._6 == expect, s"pair ($a0,$b0) overlap replay")
+    assert(rows.head._4 == ta.values.sum && rows.head._5 == tb.values.sum,
+      "length replay")
+  }
+
+  test("llm_mix_temperature (J95): the T=2 arm is bit-identical to " +
+      "the enrolled sqrt_mix row and higher temperature flattens the " +
+      "mix") {
+    val rows = SparkEntry.queries("q_llm_mix_temperature")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byT = rows.groupBy(_._1)
+    assert(byT.keySet == Set(1L, 2L, 4L))
+    // cross-row pin: the T=2 arm must equal q_llm_sqrt_mix exactly
+    val sqrtMix = SparkEntry.queries("q_llm_sqrt_mix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(byT(2L).map(r => (r._2, r._3, r._4, r._5)).toSet == sqrtMix,
+      "T=2 arm must reproduce sqrt_mix bit-identically")
+    // flattening: the dominant language's weight must not grow with T
+    val maxW = byT.view.mapValues(_.map(_._5).max).toMap
+    assert(maxW(1L) >= maxW(2L) && maxW(2L) >= maxW(4L),
+      s"max weight must fall with T: $maxW")
+    byT.values.foreach { arm =>
+      val tot = arm.map(_._5).sum
+      assert(tot <= 1000000L && tot >= 1000000L - arm.length,
+        s"weights must sum to 1e6 up to truncation: $tot")
     }
   }
 
