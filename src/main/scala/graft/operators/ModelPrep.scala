@@ -1406,7 +1406,62 @@ object ModelPrep {
         expr("(sg + 1000000 * n) div n - 1000000").as("overconf_e4"))
   }
 
+  /** F1-optimal threshold (J96, round 11): sweep EVERY distinct score
+    * as a candidate gate over the (score, label) support census —
+    * cumulative TP/FP/FN via one descending window, F1 cross-
+    * multiplied — and emit the argmax beside the ENROLLED 0.76
+    * operating point (the judge_kappa/calibration family's gate) so
+    * how much F1 the production threshold leaves on the table is a
+    * number, not a guess. The operating-point complement of
+    * q_llm_auc: AUC integrates over all thresholds, this row picks
+    * one; pairs with q_llm_budget_threshold, which optimizes for a
+    * token budget instead of F1.
+    *
+    * Exactness: support-census sweep (never a per-doc sort), integer
+    * cumulative counts, one truncating div per ratio; argmax
+    * tie-breaks to the LOWEST threshold (recall-favoring, total
+    * order).
+    *
+    * Shape (100 TB): doc-sized projection → score-support census
+    * (grid-bounded ≤ 10⁴ rows at ANY corpus size) → windows on the
+    * census → 2 rows. */
+  def f1Threshold(spark: SparkSession, dir: String): DataFrame = {
+    val census = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id")
+      .select(expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)")
+        .as("s_e4"),
+        when(col("n_tok") >= 50, 1L).otherwise(0L).as("y"))
+      .groupBy(col("s_e4"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n1"))
+    val w = Window.orderBy(col("s_e4").desc)
+    val tot = census.agg(sum(col("n1")).as("p1"))
+    val scored = census
+      .withColumn("tp", sum(col("n1")).over(w))
+      .withColumn("pp", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("s_e4").as("threshold_e4"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("p1") - col("tp")).as("fn"),
+        expr("tp * 10000 div greatest(pp, 1)").as("prec_e4"),
+        expr("tp * 10000 div greatest(p1, 1)").as("rec_e4"),
+        expr("2 * tp * 10000 div greatest(2 * tp + (pp - tp)" +
+          " + (p1 - tp), 1)").as("f1_e4"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.orderBy(col("f1_e4").desc, col("threshold_e4"))))
+      .filter(col("rn") === 1).drop("rn")
+      .select(lit("f1_argmax").as("arm"), col("*"))
+    val gate = scored.filter(col("threshold_e4") >= 7600L)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("threshold_e4"))))
+      .filter(col("rn") === 1).drop("rn")
+      .select(lit("zz_enrolled_gate").as("arm"), col("*"))
+    best.unionAll(gate).orderBy(col("arm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_f1_threshold" -> f1Threshold,
     "q_llm_ece" -> ece,
     "q_llm_pass_at_k" -> passAtK,
     "q_llm_brier_decomp" -> brierDecomp,
@@ -1470,6 +1525,38 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_f1_threshold" ->
+      s"""WITH $scoreCte,
+        |base AS (SELECT sc0.doc_id,
+        |   CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS s_e4,
+        |   CASE WHEN len(string_split(d.text, ' ')) >= 50
+        |     THEN CAST(1 AS BIGINT) ELSE 0 END AS y
+        |  FROM sc0 JOIN documents d ON sc0.doc_id = d.doc_id),
+        |census AS (SELECT s_e4, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(y) AS BIGINT) AS n1 FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS p1 FROM census),
+        |cum AS (SELECT s_e4,
+        |   CAST(sum(n1) OVER (ORDER BY s_e4 DESC) AS BIGINT) AS tp,
+        |   CAST(sum(n) OVER (ORDER BY s_e4 DESC) AS BIGINT) AS pp
+        |  FROM census),
+        |scored AS (SELECT s_e4 AS threshold_e4, tp,
+        |   pp - tp AS fp, p1 - tp AS fn,
+        |   CAST(tp * 10000 // greatest(pp, 1) AS BIGINT) AS prec_e4,
+        |   CAST(tp * 10000 // greatest(p1, 1) AS BIGINT) AS rec_e4,
+        |   CAST(2 * tp * 10000 // greatest(2 * tp + (pp - tp)
+        |     + (p1 - tp), 1) AS BIGINT) AS f1_e4
+        |  FROM cum CROSS JOIN tot),
+        |best AS (SELECT 'f1_argmax' AS arm, * FROM (
+        |   SELECT *, row_number() OVER (ORDER BY f1_e4 DESC,
+        |     threshold_e4) AS rn FROM scored) WHERE rn = 1),
+        |gate AS (SELECT 'zz_enrolled_gate' AS arm, * FROM (
+        |   SELECT *, row_number() OVER (ORDER BY threshold_e4) AS rn
+        |   FROM scored WHERE threshold_e4 >= 7600) WHERE rn = 1)
+        |SELECT arm, threshold_e4, tp, fp, fn, prec_e4, rec_e4, f1_e4
+        |FROM best
+        |UNION ALL
+        |SELECT arm, threshold_e4, tp, fp, fn, prec_e4, rec_e4, f1_e4
+        |FROM gate ORDER BY arm""".stripMargin,
     "q_llm_ece" ->
       s"""WITH $scoreCte,
         |base AS (SELECT sc0.doc_id,

@@ -1724,7 +1724,63 @@ object TimeSeries {
       .orderBy(col("alpha_e2"))
   }
 
+  /** Binary-segmentation changepoints (J96, round 11): the
+    * multi-changepoint extension q_ts_cusum's scaladoc promises —
+    * executed. Level 1 finds the global CUSUM argmax over the daily
+    * activity series; level 2 re-runs the identical statistic inside
+    * each resulting half. Emits one row per segment search (lvl 1,
+    * 2L, 2R) with bounds, the located day, the scaled statistic, and
+    * the mean levels either side of the cut — the triage table for
+    * "did the feed change once or repeatedly".
+    *
+    * Exactness: the cusum row's scaled form — stat_i = |n·S_i − i·S_n|
+    * per SEGMENT (prefix sums re-based inside the segment), pure
+    * BIGINT; segment means ×100 with one truncating div each; argmax
+    * tie-break earliest index.
+    *
+    * Shape (100 TB): the series is the span-sized day census (constant
+    * per corpus-year); all three searches are windows over that tiny
+    * frame — the corpus-sized work is the one partial-aggregable
+    * census, exactly like cusum. */
+  def changepoint2(spark: SparkSession, dir: String): DataFrame = {
+    val dc = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("d"))).cast("long"))
+      .localCheckpoint() // span-sized; feeds all three level searches
+    val n = dc.count()
+    def search(level: String, lo: Long, hi: Long): DataFrame = {
+      val seg = dc.filter(col("i") >= lo && col("i") <= hi)
+        .withColumn("j", (col("i") - lit(lo) + 1L))
+      val w = Window.orderBy(col("j"))
+      val m = hi - lo + 1
+      seg
+        .withColumn("s_j", sum(col("x")).over(w))
+        .withColumn("s_m", sum(col("x")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("j") < m) // a cut needs both sides non-empty
+        .withColumn("stat",
+          abs(lit(m) * col("s_j") - col("j") * col("s_m")))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("stat").desc, col("j"))))
+        .filter(col("rn") === 1)
+        .select(lit(level).as("level"), lit(lo).as("lo_idx"),
+          lit(hi).as("hi_idx"), (col("j") + lit(lo) - 1L).as("cp_idx"),
+          col("d").as("cp_day"), col("stat"),
+          expr("s_j * 100 div j").as("mean_before_e2"),
+          expr(s"(s_m - s_j) * 100 div ($m - j)").as("mean_after_e2"))
+    }
+    val l1 = search("1", 1L, n)
+    val cp1 = l1.collect().head.getLong(3) // control-plane: one long
+    l1.unionAll(search("2L", 1L, cp1))
+      .unionAll(search("2R", cp1 + 1, n))
+      .orderBy(col("level"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_changepoint2" -> changepoint2,
     "q_ts_ses_alpha_sweep" -> sesAlphaSweep,
     "q_ts_holt_winters" -> holtWinters,
     "q_ts_sma_crossover" -> smaCrossover,
@@ -1769,6 +1825,57 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_changepoint2" ->
+      """WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |o AS (SELECT d, x,
+        |   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |  FROM dc),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |seg1 AS (SELECT o.d, o.i AS j, nn.n AS m,
+        |   CAST(sum(o.x) OVER (ORDER BY o.i) AS BIGINT) AS s_j,
+        |   CAST(sum(o.x) OVER () AS BIGINT) AS s_m
+        |  FROM o CROSS JOIN nn),
+        |st1 AS (SELECT *, abs(m * s_j - j * s_m) AS stat,
+        |   row_number() OVER (ORDER BY abs(m * s_j - j * s_m) DESC, j)
+        |     AS rn FROM seg1 WHERE j < m),
+        |c1 AS (SELECT * FROM st1 WHERE rn = 1),
+        |seg2l AS (SELECT d, j, m,
+        |   CAST(sum(x) OVER (ORDER BY j) AS BIGINT) AS s_j,
+        |   CAST(sum(x) OVER () AS BIGINT) AS s_m
+        |  FROM (SELECT o.d, o.x, o.i AS j, c1.j AS m
+        |        FROM o CROSS JOIN c1 WHERE o.i <= c1.j)),
+        |st2l AS (SELECT *, abs(m * s_j - j * s_m) AS stat,
+        |   row_number() OVER (ORDER BY abs(m * s_j - j * s_m) DESC, j)
+        |     AS rn FROM seg2l WHERE j < m),
+        |c2l AS (SELECT * FROM st2l WHERE rn = 1),
+        |seg2r AS (SELECT d, j, m,
+        |   CAST(sum(x) OVER (ORDER BY j) AS BIGINT) AS s_j,
+        |   CAST(sum(x) OVER () AS BIGINT) AS s_m
+        |  FROM (SELECT o.d, o.x, o.i - c1.j AS j, nn.n - c1.j AS m
+        |        FROM o CROSS JOIN c1 CROSS JOIN nn
+        |        WHERE o.i > c1.j)),
+        |st2r AS (SELECT *, abs(m * s_j - j * s_m) AS stat,
+        |   row_number() OVER (ORDER BY abs(m * s_j - j * s_m) DESC, j)
+        |     AS rn FROM seg2r WHERE j < m),
+        |c2r AS (SELECT * FROM st2r WHERE rn = 1)
+        |SELECT '1' AS level, CAST(1 AS BIGINT) AS lo_idx,
+        |  nn.n AS hi_idx, c1.j AS cp_idx, c1.d AS cp_day, c1.stat,
+        |  CAST(c1.s_j * 100 // c1.j AS BIGINT) AS mean_before_e2,
+        |  CAST((c1.s_m - c1.s_j) * 100 // (c1.m - c1.j) AS BIGINT)
+        |    AS mean_after_e2
+        |FROM c1 CROSS JOIN nn
+        |UNION ALL
+        |SELECT '2L', CAST(1 AS BIGINT), c1.j, c2l.j, c2l.d, c2l.stat,
+        |  CAST(c2l.s_j * 100 // c2l.j AS BIGINT),
+        |  CAST((c2l.s_m - c2l.s_j) * 100 // (c2l.m - c2l.j) AS BIGINT)
+        |FROM c2l CROSS JOIN c1
+        |UNION ALL
+        |SELECT '2R', c1.j + 1, nn.n, c2r.j + c1.j, c2r.d, c2r.stat,
+        |  CAST(c2r.s_j * 100 // c2r.j AS BIGINT),
+        |  CAST((c2r.s_m - c2r.s_j) * 100 // (c2r.m - c2r.j) AS BIGINT)
+        |FROM c2r CROSS JOIN c1 CROSS JOIN nn
+        |ORDER BY level""".stripMargin,
     "q_ts_ses_alpha_sweep" ->
       """WITH RECURSIVE dc AS (SELECT
         |   epoch_us(ts) // 86400000000 AS d,

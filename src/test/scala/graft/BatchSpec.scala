@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 537
+    val documented = 539
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5784,6 +5784,67 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tot <= 1000000L && tot >= 1000000L - arm.length,
         s"weights must sum to 1e6 up to truncation: $tot")
     }
+  }
+
+  test("ts_changepoint2 (J96): level-1 replays in the driver, level-2 " +
+      "bounds partition at the cut, and every statistic is the " +
+      "segment-scaled CUSUM") {
+    import org.apache.spark.sql.functions.{col, count => scount, expr, lit}
+    val rows = SparkEntry.queries("q_ts_changepoint2")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val byLevel = rows.map(r => r._1 -> r).toMap
+    assert(byLevel.contains("1"), "level-1 cut always exists")
+    val xs = graft.Tables.events(spark, sf)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(scount(lit(1)).as("x"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    // driver replay of the level-1 argmax
+    def argmax(seg: Array[Long]): (Long, Long) = {
+      val m = seg.length.toLong; val sm = seg.sum
+      var best = (0L, -1L); var sj = 0L
+      seg.zipWithIndex.dropRight(1).foreach { case (x, idx) =>
+        sj += x
+        val stat = math.abs(m * sj - (idx + 1) * sm)
+        if (stat > best._2) best = ((idx + 1).toLong, stat)
+      }
+      best
+    }
+    val (cp1, stat1) = argmax(xs)
+    val l1 = byLevel("1")
+    assert(l1._2 == 1L && l1._3 == xs.length.toLong, "level-1 bounds")
+    assert(l1._4 == cp1 && l1._6 == stat1, "level-1 argmax replay")
+    byLevel.get("2L").foreach { r =>
+      assert(r._2 == 1L && r._3 == cp1, "2L bounds")
+      val (c, s) = argmax(xs.take(cp1.toInt))
+      assert(r._4 == c && r._6 == s, "2L argmax replay")
+    }
+    byLevel.get("2R").foreach { r =>
+      assert(r._2 == cp1 + 1 && r._3 == xs.length.toLong, "2R bounds")
+      val (c, s) = argmax(xs.drop(cp1.toInt))
+      assert(r._4 == c + cp1 && r._6 == s, "2R argmax replay")
+    }
+  }
+
+  test("llm_f1_threshold (J96): the argmax beats the enrolled gate, " +
+      "every ratio replays from the confusion counts, and the gate " +
+      "arm sits at the 0.76 operating point") {
+    val rows = SparkEntry.queries("q_llm_f1_threshold")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(rows.map(_._1).toSeq == Seq("f1_argmax", "zz_enrolled_gate"))
+    rows.foreach { case (arm, th, tp, fp, fn, p, rc, f1) =>
+      assert(tp >= 0 && fp >= 0 && fn >= 0, s"$arm counts")
+      assert(p == tp * 10000 / math.max(tp + fp, 1L), s"$arm precision")
+      assert(rc == tp * 10000 / math.max(tp + fn, 1L), s"$arm recall")
+      assert(f1 == 2 * tp * 10000 / math.max(2 * tp + fp + fn, 1L),
+        s"$arm f1 replay")
+    }
+    assert(rows.head._8 >= rows.last._8,
+      "argmax F1 must dominate the enrolled gate")
+    assert(rows.last._2 >= 7600L, "gate arm at the 0.76 point")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
