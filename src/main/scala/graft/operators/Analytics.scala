@@ -2030,7 +2030,48 @@ object Analytics {
           | AS BIGINT)""".stripMargin).as("fano_e2"))
       .orderBy(col("event_type"))
 
+  /** Bot-regularity screen (J97, round 11): per user (≥ 10 events),
+    * the squared coefficient of variation of inter-event gaps in
+    * SECONDS — machine traffic is metronomic (cv² → 0), humans are
+    * bursty (cv² ≥ 1 for Poisson and beyond) — with the triage
+    * verdict at the authored cuts cv² < 0.25 → 'regular' (bot-like),
+    * < 2 → 'typical', else 'bursty'. The per-USER complement of the
+    * per-type Fano row: Fano asks "does this event type clump",
+    * this row "does this ACTOR tick like a machine" — the first
+    * screen every abuse/quality pipeline runs on an actor.
+    *
+    * Exactness: the demandClass cv² form — (nΣg² − S²)·10⁴ div S²,
+    * fully cross-multiplied, second-granular gaps keep Σg² in BIGINT
+    * at fixture scale (DECIMAL lane documented for corpus scale);
+    * mean gap ×100 one truncating div.
+    *
+    * Shape (100 TB): one user-keyed window (lag) + one
+    * partial-aggregable per-user fold — the cusum/regr_slope
+    * single-shuffle contract. */
+  def botScreen(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("g",
+        expr("(ts_ns - lag(ts_ns) OVER (PARTITION BY user_id" +
+          " ORDER BY ts_ns, event_id)) div 1000000000"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s"),
+        sum(expr("g * g")).as("ss"))
+      .filter(col("n_gaps") >= 9) // >= 10 events
+      .select(col("user_id"), col("n_gaps"),
+        expr("s * 100 div n_gaps").as("mean_gap_s_e2"),
+        expr("""CAST((CAST(n_gaps AS DECIMAL(38,0)) * ss
+          | - CAST(s AS DECIMAL(38,0)) * s) * 10000
+          | div greatest(CAST(s AS DECIMAL(38,0)) * s, 1)
+          | AS BIGINT)""".stripMargin).as("cv2_e4"))
+      .withColumn("verdict",
+        when(col("cv2_e4") < 2500L, "regular")
+          .when(col("cv2_e4") < 20000L, "typical")
+          .otherwise("bursty"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_bot_screen" -> botScreen,
     "q_events_fano" -> fanoFactor,
     "q_events_pareto_share" -> paretoShare,
     "q_events_eb_shrinkage" -> ebShrinkage,
@@ -2089,6 +2130,29 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_bot_screen" ->
+      """WITH g AS (SELECT user_id,
+        |   (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+        |     AS g
+        |  FROM events),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |   CAST(sum(g) AS BIGINT) AS s,
+        |   CAST(sum(g * g) AS BIGINT) AS ss
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 9),
+        |m AS (SELECT user_id, n_gaps,
+        |   CAST(s * 100 // n_gaps AS BIGINT) AS mean_gap_s_e2,
+        |   CAST((CAST(n_gaps AS HUGEINT) * ss
+        |     - CAST(s AS HUGEINT) * s) * 10000
+        |     // greatest(CAST(s AS HUGEINT) * s, 1) AS BIGINT)
+        |     AS cv2_e4
+        |  FROM a)
+        |SELECT user_id, n_gaps, mean_gap_s_e2, cv2_e4,
+        |  CASE WHEN cv2_e4 < 2500 THEN 'regular'
+        |   WHEN cv2_e4 < 20000 THEN 'typical'
+        |   ELSE 'bursty' END AS verdict
+        |FROM m ORDER BY user_id""".stripMargin,
     "q_events_fano" ->
       """WITH dc AS (SELECT event_type,
         |   epoch_us(ts) // 86400000000 AS d,

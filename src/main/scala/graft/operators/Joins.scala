@@ -569,7 +569,47 @@ object Joins {
       .orderBy(col("custkey"))
   }
 
+  /** Dynamic partition pruning (J97, round 11): the 100 TB join
+    * optimization the static-pruning row (q_sink_partitioned_prune)
+    * can't show — the fact table is partitioned by event_type, the
+    * dim side filters on a NON-join column (per-type volume ≥ the
+    * mean), so no literal predicate exists at plan time to push down;
+    * DPP inserts a runtime subquery on the fact's partition column
+    * and the scan reads ONLY the surviving partitions. On a
+    * 1000-partition date-partitioned fact this is the difference
+    * between scanning 100 TB and scanning one day. BatchSpec pins
+    * `dynamicpruning` in the executed plan, so the row can never
+    * silently degrade to a full scan.
+    *
+    * The volume threshold is data-derived (above-mean types), never a
+    * literal on the join key — a literal IN would be propagated
+    * statically by constraint inference and the demo would prove
+    * nothing. Write-once scratch table per session (the partitioned
+    * sink's own discipline). */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_scratch/dpp")
+    tmp.mkdirs()
+    val path = tmp.toString
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val fact = spark.read.parquet(path)
+    val tot = events(spark, dir).count() // control-plane: one long
+    val dim = events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+      .filter(col("n_type") >= tot / 5)
+    fact.join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_dpp" -> joinDpp,
     "q_join_mutual_nn" -> mutualNn,
     "q_join_salted_skew" -> joinSaltedSkew,
     "q_join_asof_nearest" -> asofNearest,
@@ -594,6 +634,17 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_dpp" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |  FROM events),
+        |dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+        |  FROM events GROUP BY 1
+        |  HAVING count(*) >= (SELECT t FROM tot) // 5)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM events e JOIN dim ON dim.event_type = e.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_mutual_nn" ->
       """WITH c AS (SELECT c_nationkey AS nk, c_custkey AS ck,
         |   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cb

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 539
+    val documented = 541
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5845,6 +5845,57 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head._8 >= rows.last._8,
       "argmax F1 must dominate the enrolled gate")
     assert(rows.last._2 >= 7600L, "gate arm at the 0.76 point")
+  }
+
+  test("join_dpp (J97): the executed plan carries a dynamic-pruning " +
+      "subquery on the fact's partition column and row counts match " +
+      "the dim verdicts") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("q_join_dpp")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "DPP subquery missing — the scan degraded to static/full")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 5)
+    // every surviving type's row count must itself be >= the mean
+    // threshold the dim applied
+    val tot = graft.Tables.events(spark, sf).count()
+    rows.foreach { case (t, n, cents) =>
+      assert(n >= tot / 5, s"type $t survived below threshold")
+      assert(cents > 0, s"type $t cents")
+    }
+  }
+
+  test("events_bot_screen (J97): one user's cv-squared replays " +
+      "bit-exactly and verdicts agree with the authored cuts") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = SparkEntry.queries("q_events_bot_screen")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, mean, cv2, v) =>
+      assert(n >= 9, s"user $u gap floor")
+      assert(cv2 >= 0, s"user $u cv2")
+      val expect = if (cv2 < 2500) "regular"
+        else if (cv2 < 20000) "typical" else "bursty"
+      assert(v == expect, s"user $u verdict")
+    }
+    // driver replay for the first user
+    val u0 = rows.head._1
+    val ts = graft.Tables.events(spark, sf)
+      .filter(col("user_id") === u0)
+      .select(expr("ts_ns"), col("event_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .collect().map(_.getLong(0))
+    val gaps = ts.sliding(2).map(a => (a(1) - a(0)) / 1000000000L).toSeq
+    val (ng, s, ss) = (gaps.length.toLong, gaps.sum,
+      gaps.map(g => g * g).sum)
+    assert(rows.head._2 == ng, "gap count replay")
+    assert(rows.head._3 == s * 100 / ng, "mean replay")
+    val cv2 = ((BigInt(ng) * ss - BigInt(s) * s) * 10000 /
+      (BigInt(s) * s).max(BigInt(1))).toLong
+    assert(rows.head._4 == cv2, "cv2 replay")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
