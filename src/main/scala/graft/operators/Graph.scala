@@ -1517,7 +1517,48 @@ object Graph {
       .orderBy(col("ppr2_e6").desc, col("node")).limit(20)
   }
 
+  /** Edge-embeddedness census (J98, round 11): the tie-strength
+    * distribution — per co-purchase edge, how many triangles contain
+    * it (|N(u) ∩ N(v)|), rolled into a capped histogram with the raw
+    * incidence mass per bucket. Granovetter's weak/strong-tie split
+    * as DATA: bucket 0 IS the local-bridge population
+    * q_graph_local_bridges samples the top of, buckets 5+ are the
+    * cohesive core; the full distribution says whether the graph is
+    * clique-like or tree-like, which one number (transitivity) can't.
+    *
+    * Each triangle found at its oriented base edge emits its THREE
+    * edges through the memoized triBase frame (the localBridges
+    * explode, counted instead of distinct'd), so Σ sum_emb = 3 ×
+    * triangle count — the cross-row invariant the spec pins.
+    *
+    * Shape (100 TB): rides tri-base (built once a session); one
+    * groupBy over 3·|triangles| narrow rows, one left join onto the
+    * edge list, constant-size histogram out. */
+  def embeddedness(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccEdges(spark, dir)
+    val emb = triBase(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(cs, c -> array(
+          |  struct(least(ta, tb) AS u, greatest(ta, tb) AS v),
+          |  struct(least(tb, c) AS u, greatest(tb, c) AS v),
+          |  struct(least(ta, c) AS u, greatest(ta, c) AS v))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("emb"))
+    val full = e0.join(emb, Seq("u", "v"), "left")
+      .withColumn("emb", coalesce(col("emb"), lit(0L)))
+    val census = full
+      .groupBy(least(col("emb"), lit(5L)).as("emb_capped"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("emb")).as("sum_emb"))
+    val tot = census.agg(sum(col("n_edges")).as("m"))
+    census.crossJoin(broadcast(tot))
+      .select(col("emb_capped"), col("n_edges"), col("sum_emb"),
+        expr("n_edges * 10000 div m").as("share_e4"))
+      .orderBy(col("emb_capped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_embeddedness" -> embeddedness,
     "q_graph_ppr" -> pprHub,
     "q_graph_eigencentrality" -> eigenCentrality,
     "q_graph_components" -> components,
@@ -1570,6 +1611,31 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_embeddedness" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u,
+        |   b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+        |   JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |edges3 AS (SELECT a AS u, b AS v FROM tri
+        |  UNION ALL SELECT b, c FROM tri
+        |  UNION ALL SELECT a, c FROM tri),
+        |emb AS (SELECT u, v, CAST(count(*) AS BIGINT) AS emb
+        |  FROM edges3 GROUP BY 1, 2),
+        |f AS (SELECT e0.u, e0.v,
+        |   CAST(coalesce(emb.emb, 0) AS BIGINT) AS emb
+        |  FROM e0 LEFT JOIN emb ON emb.u = e0.u AND emb.v = e0.v),
+        |c AS (SELECT least(emb, 5) AS emb_capped,
+        |   CAST(count(*) AS BIGINT) AS n_edges,
+        |   CAST(sum(emb) AS BIGINT) AS sum_emb
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_edges) AS BIGINT) AS m FROM c)
+        |SELECT emb_capped, n_edges, sum_emb,
+        |  CAST(n_edges * 10000 // m AS BIGINT) AS share_e4
+        |FROM c CROSS JOIN tot ORDER BY emb_capped""".stripMargin,
     "q_graph_ppr" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u,
         |   b.l_partkey AS v

@@ -46,6 +46,16 @@ case class EwmaOut(user_id: Long, n_events: Long, last_centi: Long,
 case class Scd2Closed(user_id: Long, version: Int, state: String,
     valid_from_us: Long, valid_to_us: Long)
 
+/** Per-user gap-regularity state held by the streaming bot screen:
+  * gap moment sums + the last event timestamp (ns). */
+private case class BotSt(nGaps: Long, s: Long, ss: Long, lastNs: Long)
+
+/** Per-user regularity snapshot emitted by the streaming bot screen —
+  * the batch q_events_bot_screen columns, so parity is a tuple
+  * compare. */
+case class BotOut(user_id: Long, n_gaps: Long, mean_gap_s_e2: Long,
+    cv2_e4: Long, verdict: String)
+
 /** One day of the global activity census fed to the streaming
   * Holt–Winters smoother. */
 case class HwDay(d: Long, x: Long)
@@ -377,6 +387,42 @@ object StreamingOps {
         st.s(4), st.s(5), st.s(6))
     }
     days.groupByKey(_ => 0L)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming bot-regularity screen (round 11): the incremental twin
+    * of batch q_events_bot_screen — per user, O(1) state
+    * (gap count, Σg, Σg², last ts) maintained across micro-batches,
+    * the same cross-multiplied cv² and authored verdict cuts,
+    * snapshotted in Update mode. Gaps are whole SECONDS of the ns
+    * timestamps (the batch row's grid). Parity contract: identical to
+    * the batch row on an in-order feed (within a batch the fn sorts
+    * by (ts, event_id) itself — the ewmaStream contract). The
+    * abuse-monitoring deployment shape: millions of actors, four
+    * longs each, no timeline retained. */
+  def botScreenStream(events: Dataset[Ev]): Dataset[BotOut] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: GroupState[BotSt]): BotOut = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(BotSt(0L, 0L, 0L, Long.MinValue))
+      sorted.foreach { e =>
+        val ns = e.ts.getTime * 1000000L
+        if (st.lastNs != Long.MinValue) {
+          val g = (ns - st.lastNs) / 1000000000L
+          st = BotSt(st.nGaps + 1, st.s + g, st.ss + g * g, ns)
+        } else st = st.copy(lastNs = ns)
+      }
+      state.update(st)
+      val (n, s, ss) = (st.nGaps, st.s, st.ss)
+      val cv2 = if (n == 0 || s == 0) 0L
+        else ((BigInt(n) * ss - BigInt(s) * s) * 10000 /
+          (BigInt(s) * s)).toLong
+      val verdict = if (cv2 < 2500L) "regular"
+        else if (cv2 < 20000L) "typical" else "bursty"
+      BotOut(userId, n, if (n == 0) 0L else s * 100 / n, cv2, verdict)
+    }
+    events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 541
+    val documented = 542
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5896,6 +5896,32 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cv2 = ((BigInt(ng) * ss - BigInt(s) * s) * 10000 /
       (BigInt(s) * s).max(BigInt(1))).toLong
     assert(rows.head._4 == cv2, "cv2 replay")
+  }
+
+  test("graph_embeddedness (J98): the census partitions the edge set, " +
+      "incidence mass is a multiple of 3 (each triangle touches three " +
+      "edges), and shares replay") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val rows = SparkEntry.queries("q_graph_embeddedness")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).forall(b => b >= 0 && b <= 5))
+    val m = rows.map(_._2).sum
+    // the census must partition the co-purchase edge set exactly
+    val edges = graft.Tables.lineitem(spark, sf).as("a")
+      .join(graft.Tables.lineitem(spark, sf).as("b"),
+        expr("a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+      .select(countDistinct(expr("a.l_partkey"), expr("b.l_partkey")))
+      .collect().head.getLong(0)
+    assert(m == edges, s"edge census $m != $edges")
+    val mass = rows.map(_._3).sum
+    assert(mass % 3 == 0, s"incidence mass $mass not a 3-multiple")
+    rows.foreach { case (b, n, se, share) =>
+      assert(share == n * 10000 / m, s"bucket $b share replay")
+      if (b == 0) assert(se == 0, "bridges carry no incidence")
+      if (b >= 1 && b <= 4) assert(se == b * n, s"bucket $b exact mass")
+      if (b == 5) assert(se >= 5 * n, "capped bucket mass floor")
+    }
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +

@@ -232,6 +232,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("s_stream_bot_screen: the incremental gap-regularity state " +
+      "matches the batch cv2 formula on an in-order feed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(
+      StreamingOps.botScreenStream(in.toDS()).toDF(), "sbot", "update")
+    // user 1 is metronomic (every 10 s), user 2 bursty; gaps span
+    // micro-batches and batch 2 carries an intra-batch disorder
+    def at(id: Long, u: Long, sec: Long) =
+      Ev(id, new Timestamp(sec * 1000), u, "view", 1.0)
+    val chunk1 = Seq(at(1, 1, 0), at(2, 1, 10), at(3, 2, 0))
+    val chunk2 = Seq(at(5, 1, 30), at(4, 1, 20), at(6, 2, 2))
+    val chunk3 = Seq(at(7, 1, 40), at(8, 2, 300))
+    Seq(chunk1, chunk2, chunk3).foreach { c =>
+      in.addData(c: _*); q.processAllAvailable()
+    }
+    val got = spark.table("sbot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+    // batch formula over the same rows in (ts, id) order
+    val all = (chunk1 ++ chunk2 ++ chunk3)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val expected = all.groupBy(_.user_id).map { case (u, es) =>
+      val gaps = es.map(_.ts.getTime).sliding(2)
+        .map(a => (a(1) - a(0)) / 1000).toSeq
+      val (n, s, ss) = (gaps.length.toLong, gaps.sum,
+        gaps.map(g => g * g).sum)
+      val cv2 = if (n == 0 || s == 0) 0L
+        else ((BigInt(n) * ss - BigInt(s) * s) * 10000 /
+          (BigInt(s) * s)).toLong
+      val verdict = if (cv2 < 2500L) "regular"
+        else if (cv2 < 20000L) "typical" else "bursty"
+      (u, n, if (n == 0) 0L else s * 100 / n, cv2, verdict)
+    }.toSet
+    assert(got == expected, s"got $got expected $expected")
+    // the metronomic user must read 'regular', the bursty one must not
+    assert(got.find(_._1 == 1L).get._5 == "regular")
+    assert(got.find(_._1 == 2L).get._5 != "regular")
+    q.stop()
+  }
+
   test("s_state_v2_ewma: the transformWithState (Spark 4.x " +
       "StatefulProcessor + RocksDB store) EWMA is bit-identical to the " +
       "mapGroupsWithState form and the batch fold — the new-API " +
