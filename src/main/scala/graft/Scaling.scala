@@ -55,7 +55,11 @@ object Scaling {
     // round-11 widening: the suite's new most expensive row — iterative
     // pointer-jumping CC over the robust co-purchase backbone (the
     // O(log diameter) claim this artifact certifies)
-    "q_graph_components")
+    "q_graph_components",
+    // round-11 continuation: the tie-strength census (3·|triangles|
+    // explode over the memoized tri-base — the edge-incidence fan-out
+    // bound this artifact certifies)
+    "q_graph_embeddedness")
 
   /** Round 9: the ten heaviest rows also run at sf1 (the ScaleUp
     * replica fixture) for a FOURTH decade — `exp1` is the 0.1 → 1

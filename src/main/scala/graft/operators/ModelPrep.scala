@@ -1460,7 +1460,45 @@ object ModelPrep {
     best.unionAll(gate).orderBy(col("arm"))
   }
 
+  /** Per-source ECE (J99, round 11): the calibration-by-slice table
+    * model cards actually publish — the q_llm_ece computation
+    * partitioned by provenance: a score can be globally calibrated
+    * while badly MIScalibrated on one source (bin mixtures cancel),
+    * and that source's downstream gates silently misfire. Pairs with
+    * q_llm_gate_fairness: fairness asks whether the gate ADMITS each
+    * source equally, this row whether the gate can even be TRUSTED
+    * per source. Same 10 bins, label, and divisions as the global ECE
+    * row, so the slice table and the global scalar can never disagree
+    * on semantics.
+    *
+    * Shape (100 TB): doc-sized projection → (source × 10)-bin
+    * partial-aggregable fold → |sources| rows. */
+  def eceBySource(spark: SparkSession, dir: String): DataFrame = {
+    val base = qualityLogreg(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id")
+      .select(col("source"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("p_e4"),
+        when(col("n_tok") >= 50, 10000L).otherwise(0L).as("y_e4"),
+        expr("least(CAST(9 AS BIGINT), CAST(floor(score * 10)" +
+          " AS BIGINT))").as("bin"))
+    base.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("p_e4")).as("ps"),
+        sum(expr("y_e4 div 10000")).as("n1"))
+      .select(col("source"), col("nk"),
+        expr("ps div nk").as("pbar"),
+        expr("n1 * 10000 div nk").as("obar"))
+      .groupBy(col("source"))
+      .agg(sum(col("nk")).as("n_docs"),
+        count(lit(1)).as("n_bins_used"),
+        expr("sum(nk * abs(pbar - obar)) div sum(nk)").as("ece_e4"),
+        max(expr("abs(pbar - obar)")).as("mce_e4"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ece_by_source" -> eceBySource,
     "q_llm_f1_threshold" -> f1Threshold,
     "q_llm_ece" -> ece,
     "q_llm_pass_at_k" -> passAtK,
@@ -1525,6 +1563,26 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_ece_by_source" ->
+      s"""WITH $scoreCte,
+        |base AS (SELECT d.source,
+        |   CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS p_e4,
+        |   CASE WHEN len(string_split(d.text, ' ')) >= 50
+        |     THEN CAST(10000 AS BIGINT) ELSE 0 END AS y_e4,
+        |   least(CAST(9 AS BIGINT), CAST(floor(score * 10) AS BIGINT))
+        |     AS bin
+        |  FROM sc0 JOIN documents d ON sc0.doc_id = d.doc_id),
+        |bins AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS nk,
+        |   CAST(sum(p_e4) // count(*) AS BIGINT) AS pbar,
+        |   CAST(sum(y_e4 // 10000) * 10000 // count(*) AS BIGINT)
+        |     AS obar
+        |  FROM base GROUP BY 1, 2)
+        |SELECT source, CAST(sum(nk) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  CAST(sum(nk * abs(pbar - obar)) // sum(nk) AS BIGINT)
+        |    AS ece_e4,
+        |  CAST(max(abs(pbar - obar)) AS BIGINT) AS mce_e4
+        |FROM bins GROUP BY source ORDER BY source""".stripMargin,
     "q_llm_f1_threshold" ->
       s"""WITH $scoreCte,
         |base AS (SELECT sc0.doc_id,

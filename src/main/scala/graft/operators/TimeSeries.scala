@@ -1779,7 +1779,62 @@ object TimeSeries {
       .orderBy(col("level"))
   }
 
+  /** One-sided CUSUM control chart (J99, round 11): the SEQUENTIAL
+    * monitor the offline changepoint rows are not — S_t = max(0,
+    * S_{t−1} + (x_t − μ₀ − k)) with slack k = μ₀/20 and decision
+    * threshold h = μ₀, S resetting after each alarm (the Page 1954
+    * restart form). q_ts_cusum asks "where DID the level shift";
+    * this row is the chart that would have PAGED on the shift day —
+    * alarms, the max excursion, and the first alarm's day index
+    * (0 = never fired; an honest zero on a stationary feed IS the
+    * chart's verdict). Parameters are data-relative (μ₀-scaled), so
+    * the row is scale-free by construction.
+    *
+    * Exactness: μ₀ = ΣX div n (one truncating div), then a pure
+    * BIGINT fold; signed intermediate (x − μ₀ − k) only ever enters
+    * max(0, ·) sums — no signed division anywhere.
+    *
+    * Shape (100 TB): one day census → one constant fold over the
+    * span-sized series (the holt_winters contract); μ₀ is a 1-row
+    * broadcast. */
+  def cusumControl(spark: SparkSession, dir: String): DataFrame = {
+    val pts = events(spark, dir)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, x)))," +
+        " r -> r.x)").as("vals"))
+    pts
+      .withColumn("n_days", expr("CAST(size(vals) AS BIGINT)"))
+      .withColumn("mu", expr(
+        "aggregate(vals, 0L, (a, x) -> a + x) div size(vals)"))
+      .withColumn("k", expr("mu div 20"))
+      .withColumn("h", col("mu"))
+      .withColumn("st", expr(
+        """aggregate(vals,
+          |  named_struct('s', CAST(0 AS BIGINT),
+          |    'alarms', CAST(0 AS BIGINT),
+          |    'maxs', CAST(0 AS BIGINT),
+          |    'first', CAST(0 AS BIGINT),
+          |    'i', CAST(0 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    's', IF(greatest(0L, acc.s + (x - mu - k)) >= h,
+          |           0L, greatest(0L, acc.s + (x - mu - k))),
+          |    'alarms', acc.alarms +
+          |      IF(greatest(0L, acc.s + (x - mu - k)) >= h, 1L, 0L),
+          |    'maxs', greatest(acc.maxs,
+          |      greatest(0L, acc.s + (x - mu - k))),
+          |    'first', IF(acc.first = 0L AND
+          |      greatest(0L, acc.s + (x - mu - k)) >= h,
+          |      acc.i + 1, acc.first),
+          |    'i', acc.i + 1))""".stripMargin))
+      .select(col("n_days"), col("mu"), col("k"), col("h"),
+        col("st.alarms").as("n_alarms"),
+        col("st.maxs").as("max_stat"),
+        col("st.first").as("first_alarm_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_cusum_control" -> cusumControl,
     "q_ts_changepoint2" -> changepoint2,
     "q_ts_ses_alpha_sweep" -> sesAlphaSweep,
     "q_ts_holt_winters" -> holtWinters,
@@ -1825,6 +1880,36 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_cusum_control" ->
+      """WITH RECURSIVE dc AS (SELECT
+        |   epoch_us(ts) // 86400000000 AS d,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |o AS (SELECT d, x,
+        |   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |  FROM dc),
+        |pp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) // count(*) AS BIGINT) AS mu FROM o),
+        |p AS (SELECT n, mu, mu // 20 AS k, mu AS h FROM pp),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s,
+        |    CAST(0 AS BIGINT) AS alarms, CAST(0 AS BIGINT) AS maxs,
+        |    CAST(0 AS BIGINT) AS fst
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    CASE WHEN greatest(0, r.s + (t.x - p.mu - p.k)) >= p.h
+        |      THEN 0 ELSE greatest(0, r.s + (t.x - p.mu - p.k)) END,
+        |    r.alarms + CASE WHEN greatest(0, r.s + (t.x - p.mu - p.k))
+        |      >= p.h THEN 1 ELSE 0 END,
+        |    greatest(r.maxs, greatest(0, r.s + (t.x - p.mu - p.k))),
+        |    CASE WHEN r.fst = 0 AND
+        |      greatest(0, r.s + (t.x - p.mu - p.k)) >= p.h
+        |      THEN r.i + 1 ELSE r.fst END
+        |  FROM rec r JOIN o t ON t.i = r.i + 1 CROSS JOIN p)
+        |SELECT p.n AS n_days, p.mu, p.k, p.h,
+        |  CAST(r.alarms AS BIGINT) AS n_alarms,
+        |  CAST(r.maxs AS BIGINT) AS max_stat,
+        |  CAST(r.fst AS BIGINT) AS first_alarm_idx
+        |FROM rec r JOIN p ON r.i = p.n""".stripMargin,
     "q_ts_changepoint2" ->
       """WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS d,
         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 542
+    val documented = 544
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5922,6 +5922,55 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (b >= 1 && b <= 4) assert(se == b * n, s"bucket $b exact mass")
       if (b == 5) assert(se >= 5 * n, "capped bucket mass floor")
     }
+  }
+
+  test("ts_cusum_control (J99): the sequential chart replays " +
+      "bit-exactly in the driver, including restarts") {
+    import org.apache.spark.sql.functions.{col, count => scount, expr, lit}
+    val r = SparkEntry.queries("q_ts_cusum_control")(spark, sf)
+      .collect()
+    assert(r.length == 1)
+    val row = (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+      r.head.getLong(3), r.head.getLong(4), r.head.getLong(5),
+      r.head.getLong(6))
+    val xs = graft.Tables.events(spark, sf)
+      .withColumn("d", expr("(ts_ns div 1000) div 86400000000"))
+      .groupBy(col("d")).agg(scount(lit(1)).as("x"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    val mu = xs.sum / xs.length
+    val (k, h) = (mu / 20, mu)
+    var s = 0L; var alarms = 0L; var maxs = 0L; var first = 0L
+    xs.zipWithIndex.foreach { case (x, idx) =>
+      val s2 = math.max(0L, s + (x - mu - k))
+      maxs = math.max(maxs, s2)
+      if (s2 >= h) {
+        alarms += 1
+        if (first == 0L) first = idx + 1
+        s = 0L
+      } else s = s2
+    }
+    assert(row == (xs.length.toLong, mu, k, h, alarms, maxs, first),
+      s"chart replay: got $row")
+  }
+
+  test("llm_ece_by_source (J99): the slice table partitions the " +
+      "global ECE row's corpus and per-slice bounds hold") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_llm_ece_by_source")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val nSrc = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(rows.length.toLong == nSrc, "one row per source")
+    rows.foreach { case (src, n, nb, ece, mce) =>
+      assert(n >= 1 && nb >= 1 && nb <= 10, s"$src census")
+      assert(mce >= ece && ece >= 0 && mce <= 10000L, s"$src bounds")
+    }
+    // the slices partition exactly the global calibration corpus
+    val globalN = SparkEntry.queries("q_llm_ece")(spark, sf)
+      .collect().head.getLong(0)
+    assert(rows.map(_._2).sum == globalN,
+      "slice doc census must sum to the global row's corpus")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
