@@ -420,9 +420,13 @@ object LlmOps {
     * — no token explode, no 60× bit-row shuffle. At sf0.1 the previous
     * explode formulation pushed ~18M rows through a shuffle; this does
     * zero shuffles before the candidate join. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sp = spark
-    import sp.implicits._
+  /** SimHash fingerprints → 4×15-bit chunk-banded candidate pairs
+    * with Hamming distance — the shared kernel of q_llm_simhash
+    * (fixed d ≤ 3 gate) and q_llm_simhash_sweep (the d census),
+    * factored out (round 11) so the two rows can never band
+    * differently. */
+  private def simhashCands(spark: SparkSession,
+      dir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     val sim = documents(spark, dir)
       .withColumn("hs", expr(
@@ -435,20 +439,84 @@ object LlmOps {
       .select(col("doc_id"), col("sim"),
         explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("chunk", expr("shiftright(sim, 15 * c) & 32767"))
-    val cand = chunks.as("x")
+    chunks.as("x")
       .join(chunks.as("y"), col("x.c") === col("y.c") &&
         col("x.chunk") === col("y.chunk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("x.sim").as("sim_a"),
         col("y.doc_id").as("b_id"), col("y.sim").as("sim_b"))
       .distinct()
-    cand
       .withColumn("hamming",
         expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashCands(spark, dir)
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
+
+  /** SimHash distance-threshold sweep (J100, round 11): the band_sweep
+    * discipline applied to the OTHER near-dup fingerprint — per
+    * Hamming radius d ∈ 0..4, the exact-distance pair census and the
+    * cumulative ≤ d candidate yield over the shared banded frame,
+    * with the pigeonhole-guarantee verdict per radius: 4 chunks of a
+    * 60-bit print guarantee COMPLETE recall only for d ≤ 3, so the
+    * d = 4 row is an honest lower bound (guaranteed_complete = false)
+    * — choosing a SimHash radius without this table is guessing the
+    * exact tradeoff the banding math only bounds.
+    *
+    * Shape (100 TB): rides the shared chunk-banded candidate join
+    * (never all-pairs); the census is a constant 5-row rollup. */
+  def simhashSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = simhashCands(spark, dir)
+      .filter(col("hamming") <= 4)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_at_d"))
+    Seq(0L, 1L, 2L, 3L, 4L).toDF("d")
+      .join(census, col("d") === col("hamming"), "left")
+      .na.fill(0L, Seq("n_at_d"))
+      .withColumn("n_le_d", sum(col("n_at_d")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("d"))))
+      .select(col("d"), col("n_at_d"), col("n_le_d"),
+        (col("d") <= 3L).as("guaranteed_complete"))
+      .orderBy(col("d"))
   }
+
+  private val simhashSweepOracle: String =
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |th AS (SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      |  FROM tok),
+      |bal AS (SELECT doc_id, bit,
+      |  sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS balance
+      |  FROM th CROSS JOIN range(60) r(bit) GROUP BY doc_id, bit),
+      |sim AS (SELECT doc_id,
+      |  sum(CASE WHEN balance >= 0 THEN (1::BIGINT << bit)
+      |      ELSE 0::BIGINT END) AS sim
+      |  FROM bal GROUP BY doc_id),
+      |chunks AS (SELECT doc_id, sim,
+      |   c, (sim >> (15 * CAST(c AS INTEGER))) & 32767 AS chunk
+      |  FROM sim CROSS JOIN range(4) r(c)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_id, x.sim AS sim_a,
+      |    y.doc_id AS b_id, y.sim AS sim_b
+      |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
+      |   AND x.doc_id < y.doc_id),
+      |census AS (SELECT
+      |   CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming,
+      |   CAST(count(*) AS BIGINT) AS n_at_d
+      |  FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 4
+      |  GROUP BY 1),
+      |ds AS (SELECT CAST(unnest(range(0, 5)) AS BIGINT) AS d)
+      |SELECT ds.d, CAST(coalesce(census.n_at_d, 0) AS BIGINT)
+      |   AS n_at_d,
+      |  CAST(sum(coalesce(census.n_at_d, 0)) OVER (ORDER BY ds.d)
+      |    AS BIGINT) AS n_le_d,
+      |  ds.d <= 3 AS guaranteed_complete
+      |FROM ds LEFT JOIN census ON census.hamming = ds.d
+      |ORDER BY ds.d""".stripMargin
 
   /** embeddings with a precomputed double-precision L2 norm, computed by
     * the native codegen'd expression (graft.functions.VectorExprs) —
@@ -4229,6 +4297,7 @@ object LlmOps {
     "q_llm_idf_variants" -> idfVariants,
     "q_llm_token_f1" -> tokenF1,
     "q_llm_mix_temperature" -> mixTemperature,
+    "q_llm_simhash_sweep" -> simhashSweep,
     "q_llm_winnow_fp" -> winnowFp,
     "q_llm_bigram_lm" -> bigramLm,
     "q_llm_ngram_novelty" -> ngramNovelty,
@@ -6366,6 +6435,7 @@ object LlmOps {
       ("q_llm_idf_variants" -> idfVariantsOracle) +
       ("q_llm_token_f1" -> tokenF1Oracle) +
       ("q_llm_mix_temperature" -> mixTemperatureOracle) +
+      ("q_llm_simhash_sweep" -> simhashSweepOracle) +
       ("q_llm_ann_recall" -> annRecallOracle) +
       ("q_llm_ann_cost" -> annCostOracle) +
       ("q_llm_dedup_cascade" -> dedupCascadeOracle) +

@@ -1497,7 +1497,49 @@ object ModelPrep {
       .orderBy(col("source"))
   }
 
+  /** Embedding-cluster drift (J100, round 11): per cluster label, the
+    * population share in the first vs second half of the vector-store
+    * ingestion order (cut = max vec_id div 2) with the signed share
+    * drift — the CLUSTER-level drift monitor beside q_llm_idf_drift's
+    * token-level one and q_llm_centroid_shift's geometry-level one:
+    * the three catch different failure modes (a topic mix shift moves
+    * cluster shares while centroids and vocabulary barely move). The
+    * table a vector-store owner reads before trusting yesterday's IVF
+    * centroids on today's traffic.
+    *
+    * Exactness: shares ×10⁶ one truncating div each; drift is a
+    * difference of already-rounded shares (signed subtraction, no
+    * signed division).
+    *
+    * Shape (100 TB): one partial-aggregable (label, half) census over
+    * the store → |labels| rows; the cut is a 1-row broadcast. */
+  def clusterDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = embeddings(spark, dir)
+      .agg(expr("max(vec_id) div 2").as("cut"))
+    val halves = embeddings(spark, dir).crossJoin(broadcast(cut))
+      .agg(sum(when(col("vec_id") <= col("cut"), 1L).otherwise(0L))
+        .as("n_early_tot"),
+        sum(when(col("vec_id") > col("cut"), 1L).otherwise(0L))
+          .as("n_late_tot"))
+    embeddings(spark, dir).crossJoin(broadcast(cut))
+      .groupBy(col("label"))
+      .agg(sum(when(col("vec_id") <= col("cut"), 1L).otherwise(0L))
+        .as("n_early"),
+        sum(when(col("vec_id") > col("cut"), 1L).otherwise(0L))
+          .as("n_late"))
+      .crossJoin(broadcast(halves))
+      .select(col("label"), col("n_early"), col("n_late"),
+        expr("n_early * 1000000 div greatest(n_early_tot, 1)")
+          .as("share_early_e6"),
+        expr("n_late * 1000000 div greatest(n_late_tot, 1)")
+          .as("share_late_e6"))
+      .withColumn("drift_e6",
+        col("share_late_e6") - col("share_early_e6"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_cluster_drift" -> clusterDrift,
     "q_llm_ece_by_source" -> eceBySource,
     "q_llm_f1_threshold" -> f1Threshold,
     "q_llm_ece" -> ece,
@@ -1563,6 +1605,29 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_cluster_drift" ->
+      """WITH cut AS (SELECT max(vec_id) // 2 AS cut FROM embeddings),
+        |halves AS (SELECT
+        |   CAST(sum(CASE WHEN vec_id <= cut THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_early_tot,
+        |   CAST(sum(CASE WHEN vec_id > cut THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_late_tot
+        |  FROM embeddings CROSS JOIN cut),
+        |p AS (SELECT label,
+        |   CAST(sum(CASE WHEN vec_id <= cut THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_early,
+        |   CAST(sum(CASE WHEN vec_id > cut THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_late
+        |  FROM embeddings CROSS JOIN cut GROUP BY label)
+        |SELECT label, n_early, n_late,
+        |  CAST(n_early * 1000000 // greatest(n_early_tot, 1)
+        |    AS BIGINT) AS share_early_e6,
+        |  CAST(n_late * 1000000 // greatest(n_late_tot, 1) AS BIGINT)
+        |    AS share_late_e6,
+        |  CAST(n_late * 1000000 // greatest(n_late_tot, 1)
+        |    - n_early * 1000000 // greatest(n_early_tot, 1)
+        |    AS BIGINT) AS drift_e6
+        |FROM p CROSS JOIN halves ORDER BY label""".stripMargin,
     "q_llm_ece_by_source" ->
       s"""WITH $scoreCte,
         |base AS (SELECT d.source,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 544
+    val documented = 546
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5971,6 +5971,47 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0)
     assert(rows.map(_._2).sum == globalN,
       "slice doc census must sum to the global row's corpus")
+  }
+
+  test("llm_simhash_sweep (J100): the d=3 cumulative yield equals the " +
+      "enrolled simhash row's pair count and the census is a proper " +
+      "cumulative curve") {
+    val rows = SparkEntry.queries("q_llm_simhash_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == (0L to 4L))
+    var cum = 0L
+    rows.foreach { case (d, at, le, g) =>
+      cum += at
+      assert(le == cum, s"d=$d cumulative replay")
+      assert(g == (d <= 3), s"d=$d pigeonhole verdict")
+    }
+    // cross-row pin: cumulative yield at d=3 IS q_llm_simhash's count
+    val fixed = SparkEntry.queries("q_llm_simhash")(spark, sf).count()
+    assert(rows(3)._3 == fixed,
+      "sweep and fixed-gate rows disagree on the d<=3 population")
+  }
+
+  test("llm_cluster_drift (J100): halves partition the store, shares " +
+      "are proper, and drift replays from the rounded shares") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_llm_cluster_drift")(spark, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nLabels = graft.Tables.embeddings(spark, sf)
+      .select(col("label")).distinct().count()
+    assert(rows.length.toLong == nLabels, "one row per label")
+    val total = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(r => r._2 + r._3).sum == total,
+      "halves must partition the store")
+    rows.foreach { case (l, ne, nl, se, sl, dr) =>
+      assert(se >= 0 && se <= 1000000L && sl >= 0 && sl <= 1000000L,
+        s"label $l proper shares")
+      assert(dr == sl - se, s"label $l drift replay")
+    }
+    // truncation bounds the share-sum defect per half
+    assert(math.abs(rows.map(_._6).sum) <= 2 * rows.length,
+      "net drift must cancel up to truncation")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
