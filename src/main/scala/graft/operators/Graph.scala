@@ -1557,7 +1557,40 @@ object Graph {
       .orderBy(col("emb_capped"))
   }
 
+  /** Average-neighbor-degree curve knn(k) (J101, round 11): per
+    * degree bucket, the ratio-of-sums mean neighbor degree — the
+    * CURVE behind q_graph_assortativity's single number (Pastor-
+    * Satorras et al.): a falling knn(k) is disassortative mixing
+    * (hubs attach to leaves — the TPC-H co-purchase shape), a rising
+    * one assortative (cores). One number can't show WHERE the mixing
+    * changes; the curve can. Buckets are 20-degree-wide bins capped at 10 (the Zipf tail pools),
+    * and the estimator is Σ snd / Σ deg uniformly across buckets
+    * (the ratio-of-sums form — stated, not mixed with per-node
+    * averaging).
+    *
+    * Shape (100 TB): two keyed joins of the edge list against the
+    * memoized degree census (never re-derived), one partial-
+    * aggregable per-node fold, one ≤ 21-row rollup. */
+  def knnCurve(spark: SparkSession, dir: String): DataFrame = {
+    val und = cooccEdges(spark, dir)
+    val edges = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = cooccDegrees(spark, dir)
+    val perNode = edges
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .groupBy(col("u")).agg(sum(col("dv")).as("snd"))
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+    perNode
+      .groupBy(least(expr("du div 20"), lit(10L)).as("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("snd")).as("snd_sum"),
+        sum(col("du")).as("deg_sum"))
+      .select(col("deg_bucket"), col("n_nodes"),
+        expr("snd_sum * 100 div deg_sum").as("knn_e2"))
+      .orderBy(col("deg_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_knn_curve" -> knnCurve,
     "q_graph_embeddedness" -> embeddedness,
     "q_graph_ppr" -> pprHub,
     "q_graph_eigencentrality" -> eigenCentrality,
@@ -1611,6 +1644,22 @@ object Graph {
       |  FROM n2) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_knn_curve" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u,
+        |   b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM e0
+        |  GROUP BY 1),
+        |pn AS (SELECT e0.u, CAST(sum(dv.d) AS BIGINT) AS snd
+        |  FROM e0 JOIN deg dv ON dv.n = e0.v GROUP BY 1),
+        |j AS (SELECT pn.u, pn.snd, du.d AS du
+        |  FROM pn JOIN deg du ON du.n = pn.u)
+        |SELECT least(du // 20, 10) AS deg_bucket,
+        | CAST(count(*) AS BIGINT) AS n_nodes,
+        | CAST(sum(snd) * 100 // sum(du) AS BIGINT) AS knn_e2
+        |FROM j GROUP BY 1 ORDER BY deg_bucket""".stripMargin,
     "q_graph_embeddedness" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u,
         |   b.l_partkey AS v

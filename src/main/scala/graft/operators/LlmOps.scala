@@ -552,6 +552,67 @@ object LlmOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Filtered ANN (J101, round 11): the filtered-vector-search
+    * problem every production store faces — top-5 by cosine AMONG
+    * candidates sharing the probe's label, emitted WITH each hit's
+    * rank in the unfiltered list. That second column is the
+    * post-filter depth: how deep an unfiltered index must page to
+    * satisfy a filtered query (the number that decides pre-filter vs
+    * post-filter vs label-partitioned indexes — at selectivity 1/|L|
+    * the expected depth is ~rank·|L|, and this row measures the
+    * actual). Exact brute-force arm over the 20-probe set (the
+    * cosineTopk discipline: the quadratic is probe-bounded).
+    *
+    * Shape (100 TB): scoring is the probe-bounded broadcast
+    * crossJoin; both ranks are per-probe windows over that scored
+    * frame; the scale path is a label-partitioned IVF (the documented
+    * production answer this baseline certifies). */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label"), col("v").as("av"),
+        col("norm").as("an"))
+    val cands = emb.select(col("vec_id"), col("label"),
+      col("v").as("bv"), col("norm").as("bn"))
+    val scored = probes.crossJoin(cands)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        round(expr(dotExpr) / (col("an") * col("bn")), 6))
+      .withColumn("global_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+    scored.filter(col("label") === col("probe_label"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"),
+        col("global_rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  // lazy: cosCte is declared later in the object (init order)
+  private lazy val annFilteredOracle: String =
+    s"""WITH $cosCte,
+       |scored AS (SELECT p.vec_id AS probe_id, p.label AS plabel,
+       |   c.vec_id, c.label,
+       |   round(list_inner_product(p.v, c.v) / (p.nrm * c.nrm), 6)
+       |     AS cos
+       |  FROM emb p JOIN emb c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 20),
+       |g AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |   ORDER BY cos DESC, vec_id) AS BIGINT) AS global_rank
+       |  FROM scored),
+       |f AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+       |   ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM g WHERE label = plabel)
+       |SELECT probe_id, rank, vec_id, cos, global_rank
+       |FROM f WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+
   /** 5-NN majority-label classification for the first 20 vectors. */
   def knnLabel(spark: SparkSession, dir: String): DataFrame = {
     val emb = embWithNorm(spark, dir)
@@ -4298,6 +4359,7 @@ object LlmOps {
     "q_llm_token_f1" -> tokenF1,
     "q_llm_mix_temperature" -> mixTemperature,
     "q_llm_simhash_sweep" -> simhashSweep,
+    "q_llm_ann_filtered" -> annFiltered,
     "q_llm_winnow_fp" -> winnowFp,
     "q_llm_bigram_lm" -> bigramLm,
     "q_llm_ngram_novelty" -> ngramNovelty,
@@ -6436,6 +6498,7 @@ object LlmOps {
       ("q_llm_token_f1" -> tokenF1Oracle) +
       ("q_llm_mix_temperature" -> mixTemperatureOracle) +
       ("q_llm_simhash_sweep" -> simhashSweepOracle) +
+      ("q_llm_ann_filtered" -> annFilteredOracle) +
       ("q_llm_ann_recall" -> annRecallOracle) +
       ("q_llm_ann_cost" -> annCostOracle) +
       ("q_llm_dedup_cascade" -> dedupCascadeOracle) +

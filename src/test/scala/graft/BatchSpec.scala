@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 546
+    val documented = 548
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6012,6 +6012,57 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // truncation bounds the share-sum defect per half
     assert(math.abs(rows.map(_._6).sum) <= 2 * rows.length,
       "net drift must cancel up to truncation")
+  }
+
+  test("graph_knn_curve (J101): buckets tile the node census and the " +
+      "ratio-of-sums estimator is a proper neighbor-degree mean") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_graph_knn_curve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "bucket key")
+    val nNodes = rows.map(_._2).sum
+    // every node with at least one neighbor appears exactly once
+    val expect = graft.Tables.lineitem(spark, sf).as("a")
+      .join(graft.Tables.lineitem(spark, sf).as("b"),
+        org.apache.spark.sql.functions.expr(
+          "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+      .select(org.apache.spark.sql.functions.expr("a.l_partkey")
+        .as("u"), col("b.l_partkey").as("v"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(col("u"), col("v")))
+        .as("n")).distinct().count()
+    assert(nNodes == expect, s"node census $nNodes != $expect")
+    rows.foreach { case (b, n, knn) =>
+      assert(b >= 0 && b <= 10 && n >= 1, s"bucket $b")
+      // a neighbor's degree is at least 1, so knn_e2 >= 100
+      assert(knn >= 100L, s"bucket $b knn $knn")
+    }
+  }
+
+  test("llm_ann_filtered (J101): filtered hits share the probe's " +
+      "label, post-filter depth is sane, and the top filtered hit " +
+      "replays against the unfiltered ranking") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_llm_ann_filtered")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    rows.groupBy(_._1).foreach { case (p, hits) =>
+      assert(hits.map(_._2).sorted.toSeq == (1L to hits.length),
+        s"probe $p rank sequence")
+      hits.foreach { case (_, rk, cand, _, grk) =>
+        assert(labels(cand) == labels(p), s"probe $p hit label")
+        // the unfiltered rank can never beat the filtered rank
+        assert(grk >= rk, s"probe $p depth $grk < rank $rk")
+      }
+      // cosines non-increasing down the filtered list
+      assert(hits.sortBy(_._2).map(_._4).sliding(2)
+        .forall(a => a(1) <= a(0) + 1e-9), s"probe $p cos order")
+    }
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
