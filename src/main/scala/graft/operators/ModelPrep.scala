@@ -1538,7 +1538,51 @@ object ModelPrep {
       .orderBy(col("label"))
   }
 
+  /** Int4 group-wise quantization sweep (J102, round 11): symmetric
+    * 4-bit quantization with PER-GROUP max scaling at group sizes
+    * g ∈ {16, 64} — the GPTQ/NF4-era compression default int8_quant
+    * (global scale, 8 bits) only gestures at. Per (g, label): MSE and
+    * worst-dim error of reconstruct(quantize(e)) on the e6 grid. The
+    * group-size curve IS the deployment question (smaller groups buy
+    * accuracy with more scale overhead — 16/4096 vs 64/4096 bytes),
+    * answered on this store's actual vectors.
+    *
+    * Exactness: everything on the e6 integer grid — q = (e·7) div
+    * scale and r = (q·scale) div 7 both truncate toward zero in
+    * Spark, DuckDB, and the JVM (the holt note), so the signed lanes
+    * agree with no shift; per-group scale = max |e_e6| (greatest(·,1)
+    * guards an all-zero group).
+    *
+    * Shape (100 TB): one posexplode → one (vec, group) max window →
+    * map-side reconstruct → (g, label) partial-aggregable rollup. */
+  def int4Sweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .withColumn("e6", expr(
+        "CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+    def arm(g: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), expr(s"dim div $g"))
+      base
+        .withColumn("scale", greatest(max(abs(col("e6"))).over(w),
+          lit(1L)))
+        .withColumn("q", expr("(e6 * 7) div scale"))
+        .withColumn("err", expr("e6 - (q * scale) div 7"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_dims"),
+          expr("sum(err * err) div count(1)").as("mse_e12"),
+          max(abs(col("err"))).as("max_abs_err_e6"))
+        .select(lit(g.toLong).as("group_size"), col("label"),
+          col("n_dims"), col("mse_e12"), col("max_abs_err_e6"))
+    }
+    arm(16).unionAll(arm(64))
+      .orderBy(col("group_size"), col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_int4_sweep" -> int4Sweep,
     "q_llm_cluster_drift" -> clusterDrift,
     "q_llm_ece_by_source" -> eceBySource,
     "q_llm_f1_threshold" -> f1Threshold,
@@ -1605,6 +1649,27 @@ object ModelPrep {
       |  FROM zz)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_llm_int4_sweep" ->
+      """WITH base AS (SELECT vec_id, label,
+        |   CAST(u.i - 1 AS BIGINT) AS dim,
+        |   CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+        |     AS BIGINT) AS e6
+        |  FROM embeddings,
+        |   LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        |     u),
+        |arms AS (SELECT CAST(unnest([16, 64]) AS BIGINT) AS g),
+        |sc AS (SELECT a.g, b.vec_id, b.label, b.dim, b.e6,
+        |   greatest(max(abs(b.e6)) OVER (PARTITION BY a.g, b.vec_id,
+        |     b.dim // a.g), 1) AS scale
+        |  FROM base b CROSS JOIN arms a),
+        |er AS (SELECT g, label,
+        |   e6 - (((e6 * 7) // scale) * scale) // 7 AS err
+        |  FROM sc)
+        |SELECT g AS group_size, label,
+        |  CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum(err * err) // count(*) AS BIGINT) AS mse_e12,
+        |  CAST(max(abs(err)) AS BIGINT) AS max_abs_err_e6
+        |FROM er GROUP BY 1, 2 ORDER BY group_size, label""".stripMargin,
     "q_llm_cluster_drift" ->
       """WITH cut AS (SELECT max(vec_id) // 2 AS cut FROM embeddings),
         |halves AS (SELECT

@@ -316,7 +316,34 @@ object Scans {
       .orderBy(col("lang"))
   }
 
+  /** Parquet aggregate pushdown (J102, round 11): COUNT/MIN/MAX
+    * answered from parquet FOOTER STATISTICS instead of scanning rows
+    * — at 100 TB the difference between reading metadata and reading
+    * the table (the "how many rows do we have" query every pipeline
+    * fires constantly). Spark gates this behind
+    * `spark.sql.parquet.aggregatePushdown`; the row builds on a
+    * `newSession()` CLONE so the flag scopes to this plan and can
+    * never leak into other enrolled rows' plans. BatchSpec pins
+    * `PushedAggregation` in the scan, so the row can't silently
+    * degrade to a row scan. Pushdown holds only for unfiltered,
+    * ungrouped, non-nested aggregates — exactly this shape; the
+    * filtered variants fall back to q_scan_prune_pushdown's
+    * row-level machinery. */
+  def scanAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // aggregate pushdown lives in the V2 parquet reader only; the
+    // default useV1SourceList pins parquet to V1 — clear it on the
+    // CLONE (session-scoped, like the pushdown flag itself)
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.read.parquet(s"$dir/orders.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_agg_pushdown" -> scanAggPushdown,
     "q_source_jsonl_gzip" -> sourceJsonlGzip,
     "q_scan_variant" -> scanVariant,
     "q_scan_full" -> scanFull,
@@ -336,6 +363,11 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        | CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders""".stripMargin,
     // The digest is order-independent, so the oracle computes it from
     // the documents table directly (the roundtrip itself is Spark-side)
     "q_source_text_roundtrip" ->

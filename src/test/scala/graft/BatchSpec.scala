@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 548
+    val documented = 550
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6063,6 +6063,56 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(hits.sortBy(_._2).map(_._4).sliding(2)
         .forall(a => a(1) <= a(0) + 1e-9), s"probe $p cos order")
     }
+  }
+
+  test("scan_agg_pushdown (J102): the scan carries PushedAggregation " +
+      "(footer stats, not rows) and the session-clone flag never " +
+      "leaks into the parent session") {
+    val df = SparkEntry.queries("q_scan_agg_pushdown")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      "aggregate not pushed into the parquet scan")
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown",
+      "false") == "false", "flag leaked into the parent session")
+    val r = df.collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) <= r.getLong(2),
+      "footer answer sanity")
+    // cross-check the footer-stat answer against a row-scan count
+    assert(r.getLong(0) == graft.Tables.orders(spark, sf).count(),
+      "footer count != row-scan count")
+  }
+
+  test("llm_int4_sweep (J102): finer groups never lose on MSE, " +
+      "errors respect the half-step bound, and one vector replays") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_llm_int4_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byG = rows.groupBy(_._1)
+    assert(byG.keySet == Set(16L, 64L))
+    // per label, the 16-wide groups must match or beat the 64-wide
+    // ones on MSE (smaller groups adapt their scale)
+    val g16 = byG(16L).map(r => r._2 -> r._4).toMap
+    val g64 = byG(64L).map(r => r._2 -> r._4).toMap
+    assert(g16.keySet == g64.keySet)
+    g16.keys.foreach { l =>
+      assert(g16(l) <= g64(l), s"label $l: finer groups lost")
+    }
+    // driver replay of one vector at g=16
+    val emb = graft.Tables.embeddings(spark, sf)
+      .orderBy(col("vec_id")).limit(1).collect().head
+    val vec = emb.getSeq[Float](1).map(e =>
+      math.floor(e.toDouble * 1000000 + 0.5).toLong)
+    val errs = vec.grouped(16).flatMap { grp =>
+      val scale = math.max(grp.map(math.abs).max, 1L)
+      grp.map { e6 =>
+        val q = e6 * 7 / scale
+        e6 - q * scale / 7
+      }
+    }.toSeq
+    // every reconstruction error is below one quant step
+    errs.foreach(e => assert(math.abs(e) <= 1000000L / 7 + 1,
+      s"error $e above the int4 step"))
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
