@@ -2070,7 +2070,68 @@ object Analytics {
           .otherwise("bursty"))
       .orderBy(col("user_id"))
 
+  /** Sequential-peeking audit (J103, round 11): q_events_ab_ttest's
+    * experiment re-read at four interim peeks (days 7/14/21/28 from
+    * the first purchase) with BOTH decision rules — the naive
+    * per-peek 95% cut (z² ≥ 3.84) and the Bonferroni-4 cut
+    * (α/4 ⇒ z² ≥ 6.24, authored literal) — the peeking problem as
+    * data: on this null-true fixture any naive rejection IS the
+    * false stop the corrected rule exists to prevent, and the row
+    * shows at which peek the naive experimenter would have shipped a
+    * phantom winner. The sequential complement of q_events_power_mde
+    * (design) and ab_ttest (one readout).
+    *
+    * Exactness: the abTest lanes per peek — integer-cents means,
+    * exact central m2, sqrt-free cross-multiplied verdicts
+    * (diff²·100 vs {384, 624}·se²); signed diff emitted raw, never
+    * divided.
+    *
+    * Shape (100 TB): events cross the constant 4-row peek frame
+    * (bounded ×4 fan-out) → two partial-aggregable (peek, arm)
+    * passes with an ≤8-row means broadcast between → 4 rows. */
+  def peekingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("arm"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        expr("(ts_ns div 1000) div 86400000000").as("d"))
+    val d0 = ev.agg(min(col("d")).as("d0"))
+    val peeks = Seq(7L, 14L, 21L, 28L).toDF("peek_day")
+    val upTo = ev.crossJoin(broadcast(d0)).crossJoin(broadcast(peeks))
+      .filter(col("d") - col("d0") < col("peek_day"))
+      .select(col("peek_day"), col("arm"), col("cents"))
+    val mu = upTo.groupBy(col("peek_day"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("mu", expr("s div n"))
+      .select(col("peek_day"), col("arm"), col("n"), col("mu"))
+    upTo.join(broadcast(mu), Seq("peek_day", "arm"))
+      .withColumn("c", col("cents") - col("mu"))
+      .groupBy(col("peek_day"), col("arm"))
+      .agg(max(col("n")).as("n"), max(col("mu")).as("mu"),
+        sum(col("c") * col("c")).as("m2"))
+      .groupBy(col("peek_day"))
+      .agg(sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 0, col("mu"))).as("mean_a_cents"),
+        sum(when(col("arm") === 1, col("mu"))).as("mean_b_cents"),
+        sum(when(col("arm") === 0, expr("m2 div n"))).as("var_a"),
+        sum(when(col("arm") === 1, expr("m2 div n"))).as("var_b"))
+      .withColumn("diff_cents",
+        expr("mean_a_cents - mean_b_cents"))
+      .withColumn("se2", expr("var_a div n_a + var_b div n_b"))
+      .withColumn("naive_reject", expr(
+        "diff_cents * diff_cents * 100 >= 384 * greatest(se2, 1)"))
+      .withColumn("bonferroni_reject", expr(
+        "diff_cents * diff_cents * 100 >= 624 * greatest(se2, 1)"))
+      .select(col("peek_day"), col("n_a"), col("n_b"),
+        col("diff_cents"), col("se2"), col("naive_reject"),
+        col("bonferroni_reject"))
+      .orderBy(col("peek_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_peeking_audit" -> peekingAudit,
     "q_events_bot_screen" -> botScreen,
     "q_events_fano" -> fanoFactor,
     "q_events_pareto_share" -> paretoShare,
@@ -2130,6 +2191,47 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_peeking_audit" ->
+      """WITH ev AS (SELECT user_id % 2 AS arm,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |   epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |d0 AS (SELECT min(d) AS d0 FROM ev),
+        |peeks AS (SELECT CAST(unnest([7, 14, 21, 28]) AS BIGINT)
+        |   AS peek_day),
+        |up AS (SELECT p.peek_day, e.arm, e.cents
+        |  FROM ev e CROSS JOIN d0 CROSS JOIN peeks p
+        |  WHERE e.d - d0.d0 < p.peek_day),
+        |mu AS (SELECT peek_day, arm, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(cents) // count(*) AS BIGINT) AS mu
+        |  FROM up GROUP BY 1, 2),
+        |m2 AS (SELECT up.peek_day, up.arm, max(mu.n) AS n,
+        |   max(mu.mu) AS mu,
+        |   CAST(sum((up.cents - mu.mu) * (up.cents - mu.mu))
+        |     AS BIGINT) AS m2
+        |  FROM up JOIN mu ON mu.peek_day = up.peek_day
+        |   AND mu.arm = up.arm
+        |  GROUP BY 1, 2),
+        |w AS (SELECT peek_day,
+        |   CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN arm = 0 THEN mu END) AS BIGINT) AS ma,
+        |   CAST(sum(CASE WHEN arm = 1 THEN mu END) AS BIGINT) AS mb,
+        |   CAST(sum(CASE WHEN arm = 0 THEN m2 // n END) AS BIGINT)
+        |     AS va,
+        |   CAST(sum(CASE WHEN arm = 1 THEN m2 // n END) AS BIGINT)
+        |     AS vb
+        |  FROM m2 GROUP BY 1)
+        |SELECT peek_day, n_a, n_b,
+        |  CAST(ma - mb AS BIGINT) AS diff_cents,
+        |  CAST(va // n_a + vb // n_b AS BIGINT) AS se2,
+        |  (ma - mb) * (ma - mb) * 100
+        |    >= 384 * greatest(va // n_a + vb // n_b, 1)
+        |    AS naive_reject,
+        |  (ma - mb) * (ma - mb) * 100
+        |    >= 624 * greatest(va // n_a + vb // n_b, 1)
+        |    AS bonferroni_reject
+        |FROM w ORDER BY peek_day""".stripMargin,
     "q_events_bot_screen" ->
       """WITH g AS (SELECT user_id,
         |   (epoch_us(ts) - lag(epoch_us(ts)) OVER (

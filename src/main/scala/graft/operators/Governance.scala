@@ -962,7 +962,46 @@ object Governance {
       .orderBy(col("eps_e2"))
   }
 
+  /** Per-column value entropy over orders (J103, round 11): Shannon
+    * entropy of each column's value distribution in lnE3 nats, with
+    * the ln(n) ceiling and the normalized share — the
+    * INFORMATION-content axis q_dq_key_discovery's distinct counts
+    * flatten (two columns with equal cardinality can carry wildly
+    * different entropy: a 99%-one-value enum vs a balanced one), and
+    * the profiling number behind join-key and partition-key choice
+    * (low-entropy keys skew shuffles). A near-key continuous column
+    * reads H ≈ ln(n) — the ceiling makes that legible.
+    *
+    * Exactness: the markovEntropy lane — H_e3 = lnE3(n) −
+    * (Σ c·lnE3(c)) div n over the value census, floor-once per
+    * operand; normalized ×10⁴ one truncating div.
+    *
+    * Shape (100 TB): one partial-aggregable value census per column
+    * (column-pruned scans, the key-discovery arm shape) →
+    * census-sized fold → 6 rows. */
+  def columnEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    def arm(c: String): DataFrame =
+      o.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(expr("cnt * (CAST(floor(ln(cnt) * 1000 + 0.5)" +
+            " AS BIGINT))")).as("sclnc"))
+        .select(lit(c).as("column"), col("n").as("n_rows"),
+          col("n_distinct"),
+          expr("""CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)
+            | - sclnc div n""".stripMargin).as("entropy_e3"),
+          expr("CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)")
+            .as("max_entropy_e3"))
+        .withColumn("normalized_e4", expr(
+          "entropy_e3 * 10000 div greatest(max_entropy_e3, 1)"))
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(arm).reduce(_ unionAll _)
+      .orderBy(col("column"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_column_entropy" -> columnEntropy,
     "q_priv_dp_utility" -> dpUtilitySweep,
     "q_dq_key_discovery" -> keyDiscovery,
     "q_priv_dp_histogram" -> dpHistogram,
@@ -1000,7 +1039,29 @@ object Governance {
        |   AS is_candidate_key
        |FROM orders""".stripMargin
 
+  private def entropyArmSql(c: String): String =
+    s"""SELECT '$c' AS "column", CAST(sum(cnt) AS BIGINT) AS n_rows,
+       | CAST(count(*) AS BIGINT) AS n_distinct,
+       | CAST(CAST(floor(ln(sum(cnt)) * 1000 + 0.5) AS BIGINT)
+       |   - CAST(sum(cnt * (CAST(floor(ln(cnt) * 1000 + 0.5)
+       |       AS BIGINT))) AS BIGINT) // sum(cnt) AS BIGINT)
+       |   AS entropy_e3,
+       | CAST(floor(ln(sum(cnt)) * 1000 + 0.5) AS BIGINT)
+       |   AS max_entropy_e3,
+       | CAST((CAST(floor(ln(sum(cnt)) * 1000 + 0.5) AS BIGINT)
+       |   - CAST(sum(cnt * (CAST(floor(ln(cnt) * 1000 + 0.5)
+       |       AS BIGINT))) AS BIGINT) // sum(cnt)) * 10000
+       |   // greatest(CAST(floor(ln(sum(cnt)) * 1000 + 0.5)
+       |       AS BIGINT), 1) AS BIGINT) AS normalized_e4
+       |FROM (SELECT $c, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM orders GROUP BY $c)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_dq_column_entropy" ->
+      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .map(entropyArmSql).mkString("", "\nUNION ALL\n",
+          "\nORDER BY \"column\"")),
     "q_priv_dp_utility" ->
       """WITH cells AS (SELECT event_type,
         |   (epoch_us(ts) // 86400000000) % 7 AS dow,

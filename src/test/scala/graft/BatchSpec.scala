@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 550
+    val documented = 552
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6113,6 +6113,54 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every reconstruction error is below one quant step
     errs.foreach(e => assert(math.abs(e) <= 1000000L / 7 + 1,
       s"error $e above the int4 step"))
+  }
+
+  test("events_peeking_audit (J103): verdicts replay from the " +
+      "emitted moments, the corrected rule is never looser than the " +
+      "naive one, and samples accumulate across peeks") {
+    val rows = SparkEntry.queries("q_events_peeking_audit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.map(_._1).toSeq == Seq(7L, 14L, 21L, 28L))
+    rows.foreach { case (p, na, nb, diff, se2, nv, bf) =>
+      assert(na >= 1 && nb >= 1, s"peek $p arms populated")
+      assert(nv == (diff * diff * 100 >= 384 * math.max(se2, 1L)),
+        s"peek $p naive verdict replay")
+      assert(bf == (diff * diff * 100 >= 624 * math.max(se2, 1L)),
+        s"peek $p bonferroni verdict replay")
+      // a stricter cut can only reject when the looser one does
+      assert(!bf || nv, s"peek $p corrected rejected without naive")
+    }
+    assert(rows.map(r => r._2 + r._3).sliding(2)
+      .forall(a => a(1) >= a(0)), "cumulative samples must grow")
+  }
+
+  test("dq_column_entropy (J103): the key column sits at the ln(n) " +
+      "ceiling, enums sit far below it, and one census replays in " +
+      "the driver") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_dq_column_entropy")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 6)
+    val byCol = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (c, n, nd, h, hmax, norm) =>
+      assert(h >= 0 && h <= hmax, s"$c entropy bounds")
+      assert(norm == h * 10000 / math.max(hmax, 1L), s"$c norm replay")
+    }
+    // a true key has every count = 1 ⇒ H = ln(n) exactly (the sum
+    // term vanishes), so normalized == 10000 with no slack
+    assert(byCol("o_orderkey")._6 == 10000L, "key at the ceiling")
+    assert(byCol("o_orderstatus")._6 < 5000L, "enum far below")
+    // driver replay of the status census
+    val census = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(_.getLong(1))
+    val n = census.sum
+    def lnE3(x: Long) = math.floor(math.log(x.toDouble) * 1000 + 0.5)
+      .toLong
+    val expect = lnE3(n) - census.map(c => c * lnE3(c)).sum / n
+    assert(byCol("o_orderstatus")._4 == expect, "status entropy replay")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
