@@ -2130,7 +2130,45 @@ object Analytics {
       .orderBy(col("peek_day"))
   }
 
+  /** Attribution-window sensitivity sweep (J104, round 11): the
+    * last-touch model re-read at lookbacks of 1/3/7 days — the window
+    * parameter every attribution deployment ARGUES about, measured:
+    * per (lookback, channel), conversions attributed vs falling to
+    * 'zz_none'. The sweep discipline applied to q_attr_last_touch
+    * exactly as bm25_sweep does to bm25 — if revenue credit swings
+    * hard between 3 and 7 days, the model is window-dominated and the
+    * single-window row's numbers deserve suspicion.
+    *
+    * Shape (100 TB): ONE user-partitioned prev-touch window (the
+    * last_touch pass, unchanged) → constant ×3 arm fan-out on the
+    * purchases-only frame → (lookback, channel) rollup. */
+  def attrWindowSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prevFrame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(prevFrame))
+      .withColumn("prev_ts",
+        last(when(col("event_type") =!= "purchase", col("ts_us")),
+          ignoreNulls = true).over(prevFrame))
+      .filter(col("event_type") === "purchase")
+    val arms = Seq(1L, 3L, 7L).toDF("lookback_days")
+    base.crossJoin(broadcast(arms))
+      .withColumn("channel",
+        when(col("prev_ts").isNotNull && col("prev_ts") >=
+          col("ts_us") - col("lookback_days") * 86400000000L,
+          col("prev_type")).otherwise(lit("zz_none")))
+      .groupBy(col("lookback_days"), col("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("lookback_days"), col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attr_window_sweep" -> attrWindowSweep,
     "q_events_peeking_audit" -> peekingAudit,
     "q_events_bot_screen" -> botScreen,
     "q_events_fano" -> fanoFactor,
@@ -2191,6 +2229,32 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attr_window_sweep" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT *,
+        |   last_value(CASE WHEN event_type <> 'purchase'
+        |     THEN event_type END IGNORE NULLS) OVER (
+        |     PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS prev_type,
+        |   last_value(CASE WHEN event_type <> 'purchase'
+        |     THEN ts_us END IGNORE NULLS) OVER (
+        |     PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS prev_ts
+        |  FROM e),
+        |arms AS (SELECT CAST(unnest([1, 3, 7]) AS BIGINT)
+        |   AS lookback_days),
+        |p AS (SELECT a.lookback_days,
+        |   CASE WHEN prev_ts IS NOT NULL AND prev_ts >=
+        |     ts_us - a.lookback_days * 86400000000 THEN prev_type
+        |    ELSE 'zz_none' END AS channel
+        |  FROM w CROSS JOIN arms a WHERE event_type = 'purchase')
+        |SELECT lookback_days, channel,
+        | CAST(count(*) AS BIGINT) AS n_conversions
+        |FROM p GROUP BY 1, 2 ORDER BY lookback_days, channel"""
+        .stripMargin,
     "q_events_peeking_audit" ->
       """WITH ev AS (SELECT user_id % 2 AS arm,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,

@@ -1000,7 +1000,55 @@ object Governance {
       .orderBy(col("column"))
   }
 
+  /** DP report-noisy-max (J104, round 11): release WHICH event type
+    * is most common without releasing the counts — Laplace noise on
+    * every per-type count (the dp_hist ε = 0.5 lane, 'nm'-salted
+    * md5 uniforms), emit per type the noisy score's argmax flag
+    * beside the true one, plus the true runner-up margin (the number
+    * that predicts whether noisy-max can flip). Completes the DP
+    * family's mechanism trio: dp_count/dp_hist release VALUES,
+    * dp_utility prices ε, this row releases a SELECTION — the
+    * exponential mechanism's practical sibling (noisy-max with
+    * Laplace is ε-DP for counting queries by the standard argument).
+    *
+    * Exactness: the dp_hist inverse-CDF lanes verbatim; argmax
+    * tie-break (noisy desc, type asc) is total.
+    *
+    * Shape (100 TB): one partial-aggregable type census → |types|-row
+    * algebra. */
+  def noisyMax(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(event_type, '|nm')), 1, 15)," +
+          " 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("t_e3", expr(
+        "CAST(floor(ln(greatest(1000000 - 2 * abs(u - 500000), 1))" +
+          " * 1000 + 0.5) AS BIGINT) - 13816"))
+      .withColumn("noise_e3", expr(
+        "CASE WHEN u >= 500000 THEN -2 * t_e3 ELSE 2 * t_e3 END"))
+      .withColumn("n_noisy", expr(
+        "n_true + ((noise_e3 + 1000000) div 1000 - 1000)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_noisy").desc, col("event_type"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_true").desc, col("event_type"))
+    base
+      .withColumn("released_argmax",
+        row_number().over(w) === 1)
+      .withColumn("true_argmax", row_number().over(wt) === 1)
+      .withColumn("margin_true", expr(
+        "n_true - max(CASE WHEN NOT true_argmax THEN n_true END)" +
+          " OVER ()"))
+      .select(col("event_type"), col("n_true"), col("n_noisy"),
+        col("released_argmax"), col("true_argmax"),
+        when(col("true_argmax"), col("margin_true")).otherwise(0L)
+          .as("argmax_margin"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priv_noisy_max" -> noisyMax,
     "q_dq_column_entropy" -> columnEntropy,
     "q_priv_dp_utility" -> dpUtilitySweep,
     "q_dq_key_discovery" -> keyDiscovery,
@@ -1057,6 +1105,31 @@ object Governance {
        |      FROM orders GROUP BY $c)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_priv_noisy_max" ->
+      """WITH b AS (SELECT event_type, CAST(count(*) AS BIGINT)
+        |   AS n_true FROM events GROUP BY 1),
+        |n AS (SELECT event_type, n_true,
+        |   CAST('0x' || substr(md5(event_type || '|nm'), 1, 15)
+        |     AS BIGINT) % 1000000 AS u FROM b),
+        |t AS (SELECT *, CAST(floor(ln(greatest(1000000
+        |     - 2 * abs(u - 500000), 1)) * 1000 + 0.5) AS BIGINT)
+        |     - 13816 AS t_e3 FROM n),
+        |r AS (SELECT event_type, n_true,
+        |   CAST(n_true + (((CASE WHEN u >= 500000 THEN -2 * t_e3
+        |     ELSE 2 * t_e3 END) + 1000000) // 1000 - 1000) AS BIGINT)
+        |     AS n_noisy FROM t),
+        |f AS (SELECT *,
+        |   row_number() OVER (ORDER BY n_noisy DESC, event_type) = 1
+        |     AS released_argmax,
+        |   row_number() OVER (ORDER BY n_true DESC, event_type) = 1
+        |     AS true_argmax FROM r),
+        |m AS (SELECT max(CASE WHEN NOT true_argmax THEN n_true END)
+        |   AS runner FROM f)
+        |SELECT event_type, n_true, n_noisy, released_argmax,
+        |  true_argmax,
+        |  CAST(CASE WHEN true_argmax THEN n_true - m.runner
+        |    ELSE 0 END AS BIGINT) AS argmax_margin
+        |FROM f CROSS JOIN m ORDER BY event_type""".stripMargin,
     "q_dq_column_entropy" ->
       (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 552
+    val documented = 554
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6161,6 +6161,53 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toLong
     val expect = lnE3(n) - census.map(c => c * lnE3(c)).sum / n
     assert(byCol("o_orderstatus")._4 == expect, "status entropy replay")
+  }
+
+  test("attr_window_sweep (J104): per-arm totals equal the purchase " +
+      "census, attribution grows with the window, and the 7-day arm " +
+      "matches the enrolled last-touch row") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_attr_window_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byL = rows.groupBy(_._1)
+    assert(byL.keySet == Set(1L, 3L, 7L))
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    byL.values.foreach { arm =>
+      assert(arm.map(_._3).sum == purchases,
+        "every purchase lands in exactly one channel")
+    }
+    // wider windows can only move conversions OUT of 'zz_none'
+    def none(l: Long) = byL(l).find(_._2 == "zz_none").map(_._3)
+      .getOrElse(0L)
+    assert(none(1L) >= none(3L) && none(3L) >= none(7L),
+      "unattributed share must shrink with the window")
+    // cross-row pin: the 7-day arm IS q_attr_last_touch's census
+    val enrolled = SparkEntry.queries("q_attr_last_touch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    byL(7L).foreach { case (_, ch, n) =>
+      val key = if (ch == "zz_none") "none" else ch
+      assert(enrolled.getOrElse(key, 0L) == n,
+        s"7-day arm diverges from last_touch on $ch")
+    }
+  }
+
+  test("priv_noisy_max (J104): exactly one released and one true " +
+      "argmax, the margin sits on the true winner, and noise replays") {
+    val rows = SparkEntry.queries("q_priv_noisy_max")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.count(_._4) == 1, "one released argmax")
+    assert(rows.count(_._5) == 1, "one true argmax")
+    val winner = rows.find(_._5).get
+    val runnerUp = rows.filter(!_._5).map(_._2).max
+    assert(winner._6 == winner._2 - runnerUp, "margin replay")
+    rows.filter(!_._5).foreach(r =>
+      assert(r._6 == 0L, s"${r._1} margin must be zero off-winner"))
+    // released winner must carry the max noisy score
+    val rel = rows.find(_._4).get
+    assert(rel._3 == rows.map(_._3).max, "released argmax consistency")
   }
 
   test("agg_hll_intersect: the inclusion-exclusion estimate honors the " +
