@@ -69,7 +69,12 @@ object Scaling {
     "q_llm_prefix_join", "q_llm_band_sweep", "q_llm_ann_recall",
     "q_llm_lsh_recall", "q_llm_dedup_cascade", "q_graph_triangles",
     "q_graph_local_bridges", "q_graph_modularity",
-    "q_llm_char_cond_entropy", "q_orders_assoc_rules")
+    "q_llm_char_cond_entropy", "q_orders_assoc_rules",
+    // round 12 (VERDICT r11 #7): the two heaviest round-11 graph rows
+    // join the fourth decade — iterative pointer-doubling CC and the
+    // triangle-side census carry per-row exponent gates like the rest
+    // of the iterative-graph class
+    "q_graph_components", "q_graph_embeddedness")
 
   /** Per-row exponent gates TIGHTER than the global [[gate]] (round 11,
     * VERDICT r10 #8): the two rounds-9/10 watch rows — the worst sf1
@@ -79,7 +84,12 @@ object Scaling {
     * superlinear while riding under the permissive global gate. */
   val rowGates: Map[String, Double] = Map(
     "q_graph_modularity" -> 1.0,
-    "q_graph_local_bridges" -> 1.0)
+    "q_graph_local_bridges" -> 1.0,
+    // round 12: the promoted graph rows are pinned at ≤ 1.0 from
+    // enrollment — CC is O(m log d) by construction, the tie-strength
+    // census is O(m^1.5)-bounded by orientation but measures linear
+    "q_graph_components" -> 1.0,
+    "q_graph_embeddedness" -> 1.0)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")

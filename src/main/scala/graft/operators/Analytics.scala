@@ -2050,9 +2050,15 @@ object Analytics {
     * single-shuffle contract. */
   def botScreen(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
+      // Truncate each timestamp to the µs grid BEFORE differencing
+      // (round 12, ADVICE r11): the DuckDB oracle differences
+      // epoch_us-truncated stamps, so a raw-ns difference could
+      // disagree by one second across a boundary on any future
+      // fixture with sub-µs-aligned ts_ns; truncating first makes
+      // both engines round identically regardless of ns residue.
       .withColumn("g",
-        expr("(ts_ns - lag(ts_ns) OVER (PARTITION BY user_id" +
-          " ORDER BY ts_ns, event_id)) div 1000000000"))
+        expr("((ts_ns div 1000) - lag(ts_ns div 1000) OVER (PARTITION" +
+          " BY user_id ORDER BY ts_ns, event_id)) div 1000000"))
       .filter(col("g").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s"),

@@ -230,10 +230,20 @@ object Graph {
   def coProjection(spark: SparkSession, dir: String): DataFrame = {
     val e = psEdges(spark, dir)
     val deg = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    // The pair fan-out is the row's irreducible cost (sf0.1 fixture:
+    // 591 k edges, per-part degree ~30 → 8.7 M pair rows into a 500 k-
+    // key exact aggregate — EVERY supplier pair co-occurs, the
+    // projection graph is complete; measured in PLANS.md round 12).
+    // The groupBy key is PACKED into one long (s1·10⁶ + s2 — exact
+    // through 10⁶ suppliers ≈ sf100) so the 8.7 M-row exchange carries
+    // one 8-byte key instead of two, and partial/final hashing probes
+    // a single-column map: measured 1.94 → 1.76 s min-of-3 at sf0.1.
     val pairs = e.as("a")
       .join(e.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
-      .agg(count(lit(1)).as("shared"))
+      .select((col("a.s") * lit(1000000L) + col("b.s")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("shared"))
+      .select(expr("k div 1000000").as("s1"), (col("k") % lit(1000000L)).as("s2"),
+        col("shared"))
     pairs
       .join(deg.select(col("s").as("s1"), col("d").as("d1")),
         "s1")

@@ -587,8 +587,13 @@ object Joins {
     * nothing. Write-once scratch table per session (the partitioned
     * sink's own discipline). */
   def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    // Scratch path keyed by the fixture dir (round 12, ADVICE r11):
+    // the read below is lazy, so a fixed path could be overwritten by
+    // an interleaved run against a different scale fixture between
+    // plan and collect — keying by dir makes the pairing stable.
     val tmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_scratch/dpp")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_scratch/dpp-${Integer.toHexString(dir.hashCode)}")
     tmp.mkdirs()
     val path = tmp.toString
     events(spark, dir)
@@ -608,7 +613,83 @@ object Joins {
       .orderBy(col("event_type"))
   }
 
+  /** AQE skew-join evidence (J105, round 12 — VERDICT r11 #6a): the
+    * RUNTIME twin of q_join_salted_skew. That row proves the MANUAL
+    * mitigation (salt the key, replicate the dim); this one proves the
+    * engine's own: a deliberately Zipf-keyed fact (90 % of lineitem on
+    * one key, the rest spread over 31) sort-merge-joined to a 32-row
+    * key dim with broadcast disabled, so the zk=0 shuffle partition
+    * dwarfs the median and AQE's OptimizeSkewedJoin must SPLIT it at
+    * runtime. The executed plan's `skew=true` marker is emitted as a
+    * verdict COLUMN (the bucketed-join discipline: the evidence rides
+    * the oracle row itself, DuckDB pins `true`), and BatchSpec pins it
+    * again on the formatted plan. At 100 TB this is the difference
+    * between one straggler task holding 90 % of the join for hours and
+    * N even splits — the mitigation nobody has to hand-author.
+    *
+    * Mechanics: the row runs in a CHILD session (`newSession` — same
+    * SparkContext, own SQLConf) so the fixture-scaled skew thresholds
+    * (advisory = max(256 B, rows/8) ≈ compressed-bytes/32, threshold =
+    * 2× advisory) and the disabled broadcast floor leak into no other
+    * enrolled row. `forceOptimizeSkewedJoin` keeps the split legal even
+    * though the downstream per-cat rollup inserts its own exchange.
+    * The aggregate itself is exact BIGINT (count + quantity sum). */
+  def joinSkewAqe(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    val n = graft.FrameMemo.cachedCount(spark, dir, "lineitem-rows-skew")(
+      lineitem(spark, dir))
+    // ~compressed-bytes/32 of the fact shuffle (~6 B/row lz4): the
+    // zk=0 head splits into ~30 even pieces at every fixture scale
+    val advisory = math.max(1024L, n / 6)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      (advisory * 2).toString)
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      advisory.toString)
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    val fact = lineitem(s2, dir).select(
+      expr("CASE WHEN l_orderkey % 10 < 9 THEN CAST(0 AS BIGINT)" +
+        " ELSE 1 + l_partkey % 31 END").as("zk"),
+      col("l_quantity"))
+      // 32 round-robin mappers: AQE splits a skewed REDUCE partition by
+      // map-output ranges, so a single-mapper fixture scan (one small
+      // parquet file = one map task) is UNSPLITTABLE no matter how
+      // skewed — at 100 TB the scan has thousands of mappers naturally;
+      // this emulates that input shape at fixture scale.
+      .repartition(32)
+    // Deduped via a (zk, cat) grouping rather than distinct(zk): cat is
+    // a function of zk so the row set is identical, but the aggregate's
+    // HashPartitioning(zk, cat) does NOT satisfy the join's
+    // ClusteredDistribution(zk), so EnsureRequirements inserts a FRESH
+    // exchange on zk — OptimizeSkewedJoin only matches an SMJ whose
+    // children are Sort(ShuffleQueryStage) directly, and a distinct(zk)
+    // dim arrives pre-partitioned and silently disables the split (the
+    // bug this comment exists to prevent).
+    val dim = part(s2, dir)
+      .groupBy((col("p_partkey") % 32).cast("long").as("zk"),
+        ((col("p_partkey") % 32) % 4).cast("long").as("cat"))
+      .agg(count(lit(1)).as("n_src"))
+      .select(col("zk"), col("cat"))
+    val agg = fact.hint("merge").join(dim, "zk")
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("qty_sum"))
+      .orderBy(col("cat"))
+    val rows = agg.collect() // 4 rollup rows — control-plane sized
+    val skewed = agg.queryExecution.executedPlan.toString
+      .contains("skew=true")
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), skewed))
+      .toDF("cat", "n_rows", "qty_sum", "skew_join")
+      // ^ LocalRelation of computed scalars — the child session's confs
+      //   never touch the caller's plans.
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_skew_aqe" -> joinSkewAqe,
     "q_join_dpp" -> joinDpp,
     "q_join_mutual_nn" -> mutualNn,
     "q_join_salted_skew" -> joinSaltedSkew,
@@ -634,6 +715,15 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_skew_aqe" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 9
+        |    THEN CAST(0 AS BIGINT) ELSE 1 + l_partkey % 31 END AS zk,
+        |  CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |d AS (SELECT DISTINCT p_partkey % 32 AS zk FROM part)
+        |SELECT f.zk % 4 AS cat, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(f.q) AS BIGINT) AS qty_sum, true AS skew_join
+        |FROM f JOIN d ON d.zk = f.zk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_dpp" ->
       """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS t
         |  FROM events),

@@ -151,6 +151,80 @@ object Layout {
     }
   }
 
+  /** Partitioned + bucketed hybrid sink (J106, round 12 — VERDICT r11
+    * #6b): ONE fact layout that serves BOTH axes of join optimization
+    * at once — `partitionBy(event_type)` gives dynamic partition
+    * pruning against a runtime-filtered dim (the q_join_dpp property),
+    * `bucketBy(8, user_id)` + in-bucket sort gives an exchange-free
+    * sort-merge join against a same-bucketed user dim (the
+    * q_layout_bucketed_join property). The two existing rows each prove
+    * one axis on a dedicated scratch table; this row proves they
+    * COMPOSE on a single table — the layout a real 100 TB event store
+    * actually ships (date/type partitions for pruning, actor buckets
+    * for the every-day user join), where the scan must simultaneously
+    * skip partitions it never reads and feed the join without a
+    * shuffle. Both properties are emitted as verdict COLUMNS computed
+    * from the executed plan (`dynamicpruning` present; no
+    * `hashpartitioning(user_id` exchange under the SMJ), so the oracle
+    * row itself fails if either silently degrades; DuckDB pins both
+    * `true` and replays the exact aggregate.
+    *
+    * The type dim is volume-derived (above tot/5, the joinDpp idiom —
+    * a literal IN would be constant-folded and prove nothing); the user
+    * dim is the deterministic user_id % 3 = 0 third. Exact BIGINT
+    * rollup (count + cents). Write-once scratch per (session, fixture);
+    * dropped in finally. */
+  def partBucketDpp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_pb_").toString
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").option("path", s"$tmp/fact_pb")
+        .partitionBy("event_type")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("graft_fact_pb")
+      events(spark, dir).select(col("user_id")).distinct()
+        .filter(col("user_id") % 3 === 0)
+        .write.mode("overwrite").option("path", s"$tmp/users_pb")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("graft_users_pb")
+      val tot = events(spark, dir).count() // control-plane: one long
+      val typeDim = events(spark, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+        .filter(col("n_type") >= tot / 5)
+        .select(col("event_type"))
+      val agg = spark.table("graft_fact_pb")
+        .join(broadcast(typeDim), "event_type") // → runtime DPP subquery
+        .hint("merge") // SMJ, so bucket co-location (not broadcast) is
+        .join(spark.table("graft_users_pb"), "user_id") // what's proven
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("cents"))
+        .orderBy(col("event_type"))
+      val rows = agg.collect() // surviving-type rollup — control-plane
+      val plan = agg.queryExecution.executedPlan.toString
+      val dpp = plan.contains("dynamicpruning")
+      val noShuffle = plan.contains("SortMergeJoin") &&
+        !plan.contains("hashpartitioning(user_id")
+      rows.toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), dpp,
+          noShuffle))
+        .toDF("event_type", "n_rows", "cents", "dpp_pruned",
+          "no_shuffle_join")
+      // ^ LocalRelation of computed scalars — safe to drop scratch.
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_fact_pb")
+      spark.sql("DROP TABLE IF EXISTS graft_users_pb")
+      fs.delete(tmpPath, true)
+    }
+  }
+
   /** Zone-map pruning evidence: the same lineitem rows laid out into 64
     * "files" two ways — (a) clustered by arrival key l_orderkey (the
     * natural ingest layout) and (b) range-partitioned by ship-date —
@@ -212,9 +286,22 @@ object Layout {
     "q_layout_zorder" -> zorderStats,
     "q_layout_compact" -> compact,
     "q_layout_bucketed_join" -> bucketedJoin,
+    "q_layout_part_bucket" -> partBucketDpp,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_layout_part_bucket" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events),
+        |dim AS (SELECT event_type FROM events GROUP BY 1
+        |  HAVING count(*) >= (SELECT t FROM tot) // 5),
+        |u AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  true AS dpp_pruned, true AS no_shuffle_join
+        |FROM events e JOIN dim ON dim.event_type = e.event_type
+        |  JOIN u ON u.user_id = e.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_layout_zonemap" ->
       """WITH base AS (SELECT l_orderkey,
         |   datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))

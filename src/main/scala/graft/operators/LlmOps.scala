@@ -1054,11 +1054,13 @@ object LlmOps {
   /** Connected components over an undirected pair list `(a, b)` —
     * returns `(node, component_min_id)` for every node appearing in any
     * pair. Min-label propagation WITH pointer jumping: each round every
-    * node takes the min of its own label, its neighbors' labels, and
-    * its label's label (shortcutting). Neighbor-min alone needs
-    * diameter rounds (a 60-node chain would exceed any fixed cap);
-    * adding the jump makes label depth halve per round, so convergence
-    * is O(log diameter) and the 50-round cap covers ~2^50 diameters.
+    * node takes the min of its own label, its neighbors' labels, its
+    * label's label, and its label's label's label (grandparent
+    * shortcutting). Neighbor-min alone needs diameter rounds (a 60-node
+    * chain would exceed any fixed cap); the double jump makes label
+    * depth shrink ~3x per round, so convergence is O(log diameter) and
+    * the 50-round cap covers ~3^50 diameters. Round 0 is free: the
+    * label seed folds min-neighbor into the node-list aggregation.
     * A non-converged exit THROWS rather than returning silently wrong
     * clusters. ScalaCheck-verified against a driver union-find on
     * random graphs incl. long chains (GraftProps).
@@ -1082,17 +1084,19 @@ object LlmOps {
     *   reliable `checkpoint` to that directory (HDFS/S3 at cluster
     *   scale — survives executor loss, which a 100 TB multi-hour CC job
     *   must). Same plan either way; a deploy flips one parameter.
-    * @param checkEvery run the changed-count convergence job every N
+    * @param checkEvery run the changed-count convergence check every N
     *   rounds instead of every round. Labels only ever decrease, so
     *   "no change across the last N rounds" ⟺ "no change in any of
-    *   them" — comparing against the labels from N rounds ago is exact,
-    *   and the driver pays 1/N of the count jobs (each is a full join —
-    *   at toy scale the per-round job overhead dominated dupClusters'
-    *   bench time). */
+    *   them". Round 12: the check carries the round-start label as a
+    *   `prev` column INSIDE the checkpointed frame, so each check is a
+    *   no-shuffle filter-count over already-materialized blocks (the
+    *   old form re-joined two label maps — a 2-shuffle job per check
+    *   that dominated at fixture scale). Checks being ~free, the
+    *   default is now 1: exact detection, zero overshoot rounds. */
   def connectedComponentsWithRounds(
       pairs: DataFrame,
       checkpointDir: Option[String] = None,
-      checkEvery: Int = 2): (DataFrame, Int) = {
+      checkEvery: Int = 1): (DataFrame, Int) = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
@@ -1103,37 +1107,51 @@ object LlmOps {
     val Seq(aCol, bCol) = pairs.columns.toSeq.map(pairs(_))
     val edges = ckpt(pairs.select(aCol.as("src"), bCol.as("dst"))
       .union(pairs.select(bCol.as("src"), aCol.as("dst"))))
-    var labels = ckpt(edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")))
-    // labels as of the last convergence check — the comparison baseline
-    var checked = labels
+    // Round-0 seed: lbl = min(self, min neighbor). The node list needs
+    // an aggregation over edges either way (the old form ran distinct);
+    // folding the first neighbor-min INTO that aggregation performs a
+    // whole propagation round at zero extra jobs.
+    var labels = ckpt(edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nmin")).as("lbl")))
     var iter = 0
     var converged = false
     val maxIter = 50
     while (!converged && iter < maxIter) {
+      val lbls = labels.select(col("node"), col("lbl"))
       val neighborMin = edges
-        .join(labels, edges("dst") === labels("node"))
+        .join(lbls, edges("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nmin"))
-      val stepped = labels.join(neighborMin, labels("node") === col("src"),
+      val stepped = lbls.join(neighborMin, col("node") === col("src"),
           "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-      // pointer jump through the previous round's label map:
-      // lbl <- min(lbl, lbl(lbl)); labels are always node ids, so the
-      // lookup join is total (left join only for safety)
-      val next = ckpt(stepped.as("s")
-        .join(labels.as("m"), col("s.lbl") === col("m.node"), "left")
-        .select(col("s.node").as("node"),
-          least(col("s.lbl"), coalesce(col("m.lbl"), col("s.lbl")))
-            .as("lbl")))
+      // true pointer DOUBLING: jump through the map computed by the
+      // step itself (not the stale round-start map) — lbl <- cur(lbl)
+      // with cur = the just-updated labels. Each self-jump halves
+      // label depth; two of them quarter it, so a round compresses
+      // ~4-8x (vs 2x for a single stale-map jump), cutting total
+      // rounds — and each round is a checkpoint barrier, so rounds are
+      // the scarce resource. Within a round the plan composes 2 self-
+      // joins on top of the checkpointed labels (bounded constant
+      // growth; lineage truncated at round end). Labels are always
+      // node ids, so lookups are total (left join only for safety).
+      // `prev` (the round-START label) rides inside the checkpoint so
+      // the convergence check below never re-joins.
+      def selfJump(cur: DataFrame): DataFrame = cur.as("s")
+        .join(cur.select(col("node").as("jn"), col("lbl").as("jl")),
+          col("s.lbl") === col("jn"), "left")
+        .select(col("s.node").as("node"), col("s.prev").as("prev"),
+          least(col("s.lbl"), coalesce(col("jl"), col("s.lbl")))
+            .as("lbl"))
+      val next = ckpt(selfJump(selfJump(stepped)))
       labels = next
       iter += 1
       if (iter % checkEvery == 0 || iter == maxIter) {
-        val changed = next.as("n")
-          .join(checked.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
-        converged = changed == 0
-        checked = next
+        // no-shuffle scan over the blocks the ckpt just materialized
+        converged =
+          next.filter(col("lbl") =!= col("prev")).count() == 0
       }
     }
     if (!converged) {
@@ -1143,7 +1161,7 @@ object LlmOps {
     System.err.println(s"[graft] connectedComponents: $iter rounds " +
       s"(checkEvery=$checkEvery, ${checkpointDir.fold("localCheckpoint")(
         d => s"checkpoint@$d")})")
-    (labels, iter)
+    (labels.select(col("node"), col("lbl")), iter)
   }
 
   /** IVF-bucketed ANN (round 2): the inverted-file counterpart to the

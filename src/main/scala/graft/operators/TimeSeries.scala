@@ -1717,7 +1717,10 @@ object TimeSeries {
           |    'e', acc.e + abs(x - acc.l)))""".stripMargin).as("st"))
         .select(col("alpha_e2"), col("n_days"),
           col("st.l").as("level_c"),
-          expr("st.e * 100 div (n_days - 1)").as("mae_e2"))
+          // greatest(n-1, 1): on a degenerate single-day series both
+          // engines then emit mae=0 instead of diverging (Spark div 0
+          // → NULL vs DuckDB // 0 → error) — round 12, ADVICE r11
+          expr("st.e * 100 div greatest(n_days - 1, 1)").as("mae_e2"))
     arm(25L, "(3 * acc.l + x) div 4")
       .unionAll(arm(50L, "(acc.l + x) div 2"))
       .unionAll(arm(75L, "(acc.l + 3 * x) div 4"))
@@ -1981,7 +1984,7 @@ object TimeSeries {
         |    r.e + abs(t.x - r.l)
         |  FROM rec r JOIN o t ON t.i = r.i + 1)
         |SELECT r.a AS alpha_e2, nn.n AS n_days, r.l AS level_c,
-        |  CAST(r.e * 100 // (nn.n - 1) AS BIGINT) AS mae_e2
+        |  CAST(r.e * 100 // greatest(nn.n - 1, 1) AS BIGINT) AS mae_e2
         |FROM rec r JOIN nn ON r.i = nn.n
         |ORDER BY alpha_e2""".stripMargin,
     "q_ts_holt_winters" ->

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 554
+    val documented = 556
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5867,6 +5867,69 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("join_skew_aqe (J105): the executed plan split the Zipf " +
+      "partition at runtime (skew=true verdict) and the rollup " +
+      "replays bit-exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_join_skew_aqe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.forall(_._4),
+      "skew_join verdict false — AQE never split the skewed partition")
+    // driver replay of the Zipf key + join + rollup
+    val dimZk = graft.Tables.part(spark, sf)
+      .select((col("p_partkey") % 32).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2).toLong))
+    val expect = li.map { case (ok, pk, q) =>
+        (if (ok % 10 < 9) 0L else 1L + pk % 31, q)
+      }
+      .filter { case (zk, _) => dimZk.contains(zk) }
+      .groupBy { case (zk, _) => zk % 4 }
+      .map { case (cat, vs) =>
+        (cat, (vs.length.toLong, vs.map(_._2).sum)) }
+    rows.foreach { case (cat, n, qty, _) =>
+      val e = expect(cat)
+      assert(n == e._1, s"cat $cat n_rows replay")
+      assert(qty == e._2, s"cat $cat qty replay")
+    }
+    // the Zipf head must actually dominate — the skew being mitigated
+    // is real, not an artifact of the thresholds
+    assert(rows.find(_._1 == 0L).get._2 > rows.map(_._2).sum / 2,
+      "cat 0 (the zk=0 head) should carry most rows")
+  }
+
+  test("layout_part_bucket (J106): DPP and bucket co-location verdicts " +
+      "both hold on ONE executed plan and the rollup replays") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_layout_part_bucket")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4), "dpp_pruned verdict false")
+    assert(rows.forall(_._5), "no_shuffle_join verdict false")
+    // driver replay: above-mean types x (user_id % 3 == 0) users
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val tot = ev.length.toLong
+    val keep = ev.groupBy(_._1).filter(_._2.length >= tot / 5).keySet
+    val expect = ev
+      .filter(e => keep(e._1) && e._2 % 3 == 0)
+      .groupBy(_._1)
+      .map { case (t, vs) => (t, (vs.length.toLong,
+        vs.map(v => math.floor(v._3 * 100 + 0.5).toLong).sum)) }
+    assert(rows.map(_._1).toSet == keep, "surviving type set")
+    rows.foreach { case (t, n, cents, _, _) =>
+      val e = expect(t)
+      assert(n == e._1, s"type $t n_rows replay")
+      assert(cents == e._2, s"type $t cents replay")
+    }
+  }
+
   test("events_bot_screen (J97): one user's cv-squared replays " +
       "bit-exactly and verdicts agree with the authored cuts") {
     import org.apache.spark.sql.functions.{col, expr}
@@ -5888,7 +5951,10 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(expr("ts_ns"), col("event_id"))
       .orderBy(col("ts_ns"), col("event_id"))
       .collect().map(_.getLong(0))
-    val gaps = ts.sliding(2).map(a => (a(1) - a(0)) / 1000000000L).toSeq
+    // µs-truncate each stamp BEFORE differencing — the round-12 lane
+    // (both engines round identically regardless of ns residue)
+    val gaps = ts.sliding(2)
+      .map(a => (a(1) / 1000 - a(0) / 1000) / 1000000L).toSeq
     val (ng, s, ss) = (gaps.length.toLong, gaps.sum,
       gaps.map(g => g * g).sum)
     assert(rows.head._2 == ng, "gap count replay")
