@@ -47,4 +47,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // space (committed as used) and removes the ceiling for the grown
   // suite. Applies to EVERY forked JVM: test, Bench, Verify, Scaling.
   "-XX:ReservedCodeCacheSize=2g",
+  // 554+ codegen'd plans also GROW METASPACE through the default
+  // ~21 MB high-water trigger dozens of times, and every crossing is a
+  // full GC landing inside some late row's timing window (round 12,
+  // VERDICT r11 #2/#4: the driver-run late-row inflation class).
+  // Starting the trigger at 512 MB removes those induced collections;
+  // like the code cache this is reserve-only until used.
+  "-XX:MetaspaceSize=512m",
 )

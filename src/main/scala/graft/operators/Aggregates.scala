@@ -116,6 +116,103 @@ object Aggregates {
         col("heavy_key"))
   }
 
+  /** Exchange-reuse evidence (J107, round 12): a report that reads the
+    * SAME per-type aggregate twice — once as the detail rows, once
+    * re-aggregated into the global total for the share column — must
+    * pay the corpus shuffle ONCE: Spark's exchange/stage reuse matches
+    * the two canonically-equal subtrees and the second branch reads
+    * the first's shuffle output. At 100 TB this is the difference
+    * between one corpus pass and two for every self-referencing
+    * report (share-of-total, top-N + rest, week-over-week) — the
+    * scaladocs across the engine cite the property; this row PINS it
+    * as data: `exchange_reused` is computed from the executed plan
+    * (an AQE run reuses the materialized ShuffleQueryStage — the same
+    * stage id appears under both branches; a non-AQE run shows
+    * ReusedExchange) and the oracle pins `true`. Detection looks at
+    * the FINAL adaptive plan only (the initial-plan echo repeats
+    * Exchange nodes textually and would false-positive).
+    *
+    * Exact BIGINT rollup (count, cents, share×10⁴ truncating div). */
+  def diagExchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perType = events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+    // The total branch consumes BOTH aggregates: a sum(n)-only total
+    // lets ColumnPruning narrow its partial aggregate (count without
+    // the cents sum), the two subtrees stop being canonically equal,
+    // and reuse silently vanishes while results stay right — measured
+    // on enrollment; the cents share is also the more useful report.
+    val tot = perType.agg(sum(col("n")).as("tot_n"),
+      sum(col("cents")).as("tot_c"))
+    val agg = perType.crossJoin(broadcast(tot)) // 1-row total
+      .select(col("event_type"), col("n"), col("cents"),
+        expr("n * 10000 div tot_n").as("share_e4"),
+        expr("cents * 10000 div tot_c").as("cents_share_e4"))
+      .orderBy(col("event_type"))
+    val rows = agg.collect() // per-type census — control-plane sized
+    val finalPlan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val stageIds = "ShuffleQueryStage (\\d+)".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSeq
+    val reused = finalPlan.contains("ReusedExchange") ||
+      stageIds.distinct.size < stageIds.size
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), reused))
+      .toDF("event_type", "n", "cents", "share_e4", "cents_share_e4",
+        "exchange_reused")
+  }
+
+  /** Shuffle-metrics readout (J108, round 12): the engine's own
+    * SQLMetrics as queryable data — after running the per-type
+    * census, read the aggregate exchange's `shuffleRecordsWritten` /
+    * `shuffleBytesWritten` accumulators off the executed plan (walking
+    * INTO the AQE query stages) and emit the operational verdicts a
+    * 100 TB job owner actually checks: map-side combine WORKED
+    * (records shuffled ≤ a small multiple of the group count, never
+    * the input count — the partial-agg contract every census row in
+    * this engine relies on) and bytes are positive (the metric is
+    * real, not defaulted). The observability twin of q_diag_skew:
+    * that row measures the DATA's shape, this one the ENGINE's.
+    *
+    * records_bounded uses n_groups · 32 (shuffle partitions ceiling:
+    * each map partition emits at most one partial row per group). */
+  def diagShuffleMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      .orderBy(col("event_type"))
+    val rows = agg.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(walk)) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => Seq.empty
+      })
+    val hashShuffles = walk(agg.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("event_type") => s
+    }
+    val recs = hashShuffles.headOption
+      .map(_.metrics("shuffleRecordsWritten").value).getOrElse(-1L)
+    val bytes = hashShuffles.headOption
+      .map(_.metrics("shuffleBytesWritten").value).getOrElse(-1L)
+    val nGroups = rows.length.toLong
+    val recsBounded = recs >= nGroups && recs <= nGroups * 32
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        recsBounded, bytes > 0L))
+      .toDF("event_type", "n_rows", "cents", "combine_worked",
+        "bytes_positive")
+  }
+
   /** ROLLUP with grouping() indicator columns (cast int for parity). */
   def rollupQty(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -581,6 +678,8 @@ object Aggregates {
     "q_agg_approx_distinct" -> approxDistinctUsers,
     "q_agg_hll_merge" -> hllMergeCustomers,
     "q_diag_skew" -> diagSkew,
+    "q_diag_exchange_reuse" -> diagExchangeReuse,
+    "q_diag_shuffle_metrics" -> diagShuffleMetrics,
     "q_agg_rollup" -> rollupQty,
     "q_agg_cube" -> cubeEvents,
     "q_agg_grouping_sets" -> groupingSets,
@@ -753,6 +852,24 @@ object Aggregates {
       """SELECT event_type, true AS within_5pct,
         | count(DISTINCT user_id) AS n_users_exact
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_diag_exchange_reuse" ->
+      """WITH t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+        |  CAST(sum(cents) AS BIGINT) AS tot_c FROM t)
+        |SELECT t.event_type, t.n, t.cents,
+        | CAST(t.n * 10000 // tot.tot_n AS BIGINT) AS share_e4,
+        | CAST(t.cents * 10000 // tot.tot_c AS BIGINT) AS cents_share_e4,
+        | true AS exchange_reused
+        |FROM t CROSS JOIN tot ORDER BY t.event_type""".stripMargin,
+    "q_diag_shuffle_metrics" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS cents,
+        | true AS combine_worked, true AS bytes_positive
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_diag_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,

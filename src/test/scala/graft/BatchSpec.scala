@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 556
+    val documented = 558
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5927,6 +5927,50 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       val e = expect(t)
       assert(n == e._1, s"type $t n_rows replay")
       assert(cents == e._2, s"type $t cents replay")
+    }
+  }
+
+  test("diag_exchange_reuse (J107): the executed plan reused the " +
+      "aggregate exchange across both report branches and the shares " +
+      "replay bit-exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_diag_exchange_reuse")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty && rows.forall(_._6),
+      "exchange_reused verdict false — the report paid the corpus " +
+        "shuffle twice")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val per = ev.groupBy(_._1).map { case (t, vs) => (t, (vs.length.toLong,
+      vs.map(v => math.floor(v._2 * 100 + 0.5).toLong).sum)) }
+    val totN = per.values.map(_._1).sum
+    val totC = per.values.map(_._2).sum
+    rows.foreach { case (t, n, c, sh, csh, _) =>
+      assert((n, c) == per(t), s"$t census replay")
+      assert(sh == n * 10000 / totN, s"$t share replay")
+      assert(csh == c * 10000 / totC, s"$t cents share replay")
+    }
+  }
+
+  test("diag_shuffle_metrics (J108): map-side combine verdict holds " +
+      "(records shuffled bounded by groups x partitions, bytes " +
+      "positive) and the census replays") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_diag_shuffle_metrics")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4), "combine_worked verdict false")
+    assert(rows.forall(_._5), "bytes_positive verdict false")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val per = ev.groupBy(_._1).map { case (t, vs) => (t, (vs.length.toLong,
+      vs.map(v => math.floor(v._2 * 100 + 0.5).toLong).sum)) }
+    rows.foreach { case (t, n, c, _, _) =>
+      assert((n, c) == per(t), s"$t census replay")
     }
   }
 
