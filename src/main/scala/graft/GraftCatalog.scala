@@ -160,7 +160,33 @@ object GraftCatalog {
     spark.sql(groupByAllSql)
   }
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT (J109, round
+    * 12): top-2 orders per customer — the "per-row subquery" surface
+    * every analyst reaches for before learning window functions.
+    * Spark 4 DECORRELATES it (the lateral subquery's LIMIT becomes a
+    * rank filter under a per-customer window — one shuffle, no
+    * per-customer re-execution), which is exactly why the surface is
+    * safe at 100 TB: the naive reading is a correlated loop, the
+    * planned shape is the windowed top-k this engine enrolls as
+    * q_win_topk_per_group. ONE SQL text, two engines (the same-truth
+    * form of the q_sql family); bounded output via c_custkey < 50. */
+  private val lateralTopkSql =
+    """SELECT c.c_custkey, l.o_orderkey, l.cents
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS l
+      |WHERE c.c_custkey < 50
+      |ORDER BY c.c_custkey, l.cents DESC, l.o_orderkey""".stripMargin
+
+  def sqlLateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(lateralTopkSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_lateral_topk" -> sqlLateralTopk,
     "q_sql_window_rank" -> sqlWindowRank,
     "q_sql_group_by_all" -> sqlGroupByAll,
     "q_sql_cosine_topk" -> sqlCosineTopk,
@@ -172,6 +198,7 @@ object GraftCatalog {
   val oracle: Map[String, String] = Map(
     // the Spark arm's SQL text IS the oracle text — one string, two
     // engines (the strongest same-truth form the suite has)
+    "q_sql_lateral_topk" -> lateralTopkSql,
     "q_sql_window_rank" -> windowRankSql,
     "q_sql_group_by_all" -> groupByAllSql,
     "q_sql_cosine_topk" -> operators.LlmOps.oracle("q_llm_cosine_topk"),

@@ -213,6 +213,39 @@ object Aggregates {
         "bytes_positive")
   }
 
+  /** Observation-API pipeline telemetry (J111, round 12): the
+    * `df.observe()` surface — EXACT pre-filter input metrics collected
+    * DURING the one pass the query already makes (CollectMetricsExec
+    * rides the plan; no second scan, no sampling), read back through
+    * `Observation.get` after the action. This is how a 100 TB curation
+    * pipeline reports its own selectivity for free: the keep-gate row
+    * emits the kept census, and the observed (n_in, cents_in) columns
+    * say what it was cut FROM — the number every data-quality
+    * dashboard wants and a naive implementation pays a second corpus
+    * pass for. Oracle replays both the kept census and the observed
+    * totals exactly (they are exact counts, not estimates). */
+  def diagObserve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val agg = events(spark, dir)
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("cents_in"))
+      .filter(col("value") >= 1.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("cents_kept"))
+      .orderBy(col("event_type"))
+    val rows = agg.collect()
+    val m = obs.get // blocks until the action above completes
+    val nIn = m("n_in").asInstanceOf[Long]
+    val cIn = m("cents_in").asInstanceOf[Long]
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        nIn, cIn))
+      .toDF("event_type", "n_kept", "cents_kept", "n_in", "cents_in")
+  }
+
   /** ROLLUP with grouping() indicator columns (cast int for parity). */
   def rollupQty(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -679,6 +712,7 @@ object Aggregates {
     "q_agg_hll_merge" -> hllMergeCustomers,
     "q_diag_skew" -> diagSkew,
     "q_diag_exchange_reuse" -> diagExchangeReuse,
+    "q_diag_observe" -> diagObserve,
     "q_diag_shuffle_metrics" -> diagShuffleMetrics,
     "q_agg_rollup" -> rollupQty,
     "q_agg_cube" -> cubeEvents,
@@ -852,6 +886,17 @@ object Aggregates {
       """SELECT event_type, true AS within_5pct,
         | count(DISTINCT user_id) AS n_users_exact
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_diag_observe" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents_in FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS cents_kept,
+        | tot.n_in, tot.cents_in
+        |FROM events CROSS JOIN tot WHERE value >= 1.0
+        |GROUP BY event_type, tot.n_in, tot.cents_in
+        |ORDER BY event_type""".stripMargin,
     "q_diag_exchange_reuse" ->
       """WITH t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))

@@ -225,6 +225,63 @@ object Layout {
     }
   }
 
+  /** Bucket-PRUNING evidence (J110, round 12): the third payoff of the
+    * bucketed layout, completing the story beside the exchange-free
+    * join (q_layout_bucketed_join) and the hybrid sink
+    * (q_layout_part_bucket) — a literal equality predicate on the
+    * bucket column lets the scan read ONE bucket file in eight
+    * (`SelectedBucketsCount: 1 out of 8` in the scan node), the
+    * point-lookup axis of the layout: at 100 TB a "this actor's
+    * history" query reads 1/N of the store with zero index structures.
+    * `bucket_pruned` verdict off the executed plan; the predicate must
+    * be a LITERAL (bucket pruning is planning-time — a subquery or
+    * join key cannot prune buckets, the documented boundary vs DPP).
+    * user_id = 7 exists at every fixture scale (checked sf0.001–0.1).
+    * Exact BIGINT rollup; oracle pins the verdict + replays it. */
+  def bucketPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Child session (same shared catalog, own SQLConf): the
+    // DisableUnnecessaryBucketedScan planner rule turns OFF bucketed
+    // reading whenever no downstream operator wants the bucket
+    // distribution — and it does NOT weigh bucket-PRUNING benefit, so
+    // this point lookup would read all 8 buckets as plain files
+    // ("Bucketed: false (disabled by query planner)", measured on
+    // enrollment). autoBucketedScan stays off only inside this row.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bp_").toString
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      events(s2, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("path", s"$tmp/ev_b")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("graft_ev_bp")
+      val agg = s2.table("graft_ev_bp")
+        .filter(col("user_id") === 7L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("cents"))
+        .orderBy(col("event_type"))
+      val rows = agg.collect() // one user's rollup — control-plane
+      val plan = agg.queryExecution.executedPlan.toString
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+        .exists(m => m.group(1).toInt < m.group(2).toInt)
+      rows.toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), pruned))
+        .toDF("event_type", "n_rows", "cents", "bucket_pruned")
+      // ^ LocalRelation of computed scalars — safe to drop scratch.
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ev_bp")
+      fs.delete(tmpPath, true)
+    }
+  }
+
   /** Zone-map pruning evidence: the same lineitem rows laid out into 64
     * "files" two ways — (a) clustered by arrival key l_orderkey (the
     * natural ingest layout) and (b) range-partitioned by ship-date —
@@ -287,9 +344,17 @@ object Layout {
     "q_layout_compact" -> compact,
     "q_layout_bucketed_join" -> bucketedJoin,
     "q_layout_part_bucket" -> partBucketDpp,
+    "q_layout_bucket_prune" -> bucketPrune,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_layout_bucket_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  true AS bucket_pruned
+        |FROM events WHERE user_id = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_layout_part_bucket" ->
       """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events),
         |dim AS (SELECT event_type FROM events GROUP BY 1

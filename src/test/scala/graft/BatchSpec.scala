@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 558
+    val documented = 561
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -5972,6 +5972,68 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach { case (t, n, c, _, _) =>
       assert((n, c) == per(t), s"$t census replay")
     }
+  }
+
+  test("sql_lateral_topk (J109): the LATERAL subquery's top-2 rows " +
+      "replay from a driver sort and every customer contributes at " +
+      "most 2") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_sql_lateral_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val perCust = rows.groupBy(_._1)
+    assert(perCust.values.forall(_.length <= 2), "more than top-2 leaked")
+    val expect = graft.Tables.orders(spark, sf)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (ck, os) =>
+        (ck, os.sortBy(o => (-o._3, o._2)).take(2)
+          .map(o => (o._2, math.floor(o._3 * 100 + 0.5).toLong)).toSet)
+      }
+    perCust.foreach { case (ck, got) =>
+      assert(got.map(g => (g._2, g._3)).toSet == expect(ck),
+        s"customer $ck top-2 replay")
+    }
+    assert(perCust.keySet == expect.filter(_._2.nonEmpty).keySet)
+  }
+
+  test("layout_bucket_prune (J110): the scan read fewer buckets than " +
+      "it has and user 7's census replays") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_layout_bucket_prune")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.forall(_._4),
+      "bucket_pruned verdict false — the point lookup scanned every bucket")
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("user_id") === 7L)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val per = ev.groupBy(_._1).map { case (t, vs) => (t, (vs.length.toLong,
+      vs.map(v => math.floor(v._2 * 100 + 0.5).toLong).sum)) }
+    assert(rows.map(_._1).toSet == per.keySet)
+    rows.foreach { case (t, n, c, _) =>
+      assert((n, c) == per(t), s"$t census replay") }
+  }
+
+  test("diag_observe (J111): the observed pre-filter totals equal the " +
+      "full census exactly and bound the kept census") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = SparkEntry.queries("q_diag_observe")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val full = graft.Tables.events(spark, sf)
+      .agg(expr("CAST(count(*) AS BIGINT)"),
+        expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"))
+      .first()
+    rows.foreach { case (t, nk, ck, nIn, cIn) =>
+      assert(nIn == full.getLong(0), s"$t observed n_in")
+      assert(cIn == full.getLong(1), s"$t observed cents_in")
+      assert(nk <= nIn, s"$t kept bounded")
+    }
+    assert(rows.map(_._2).sum <= full.getLong(0), "kept total bounded")
   }
 
   test("events_bot_screen (J97): one user's cv-squared replays " +
