@@ -185,7 +185,34 @@ object GraftCatalog {
     spark.sql(lateralTopkSql)
   }
 
+  /** Named WINDOW clause (J114, round 12): one window definition,
+    * multiple functions over it — the SQL surface that keeps
+    * multi-metric window reports single-sourced (and single-SHUFFLED:
+    * both functions share the one sort, asserted by the family's plan
+    * discipline). ONE text, two engines. */
+  private val namedWindowSql =
+    """SELECT event_type,
+      |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+      |    AS d,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  rank() OVER w AS day_rank,
+      |  CAST(sum(count(*)) OVER w AS BIGINT) AS running_n
+      |FROM events
+      |GROUP BY event_type,
+      |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+      |WINDOW w AS (PARTITION BY event_type ORDER BY
+      |  CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT),
+      |  count(*))
+      |ORDER BY event_type, d""".stripMargin
+
+  def sqlNamedWindow(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(namedWindowSql.replace("//", "div")
+      .replace("epoch_us(CAST(ts AS TIMESTAMP))", "unix_micros(ts)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_named_window" -> sqlNamedWindow,
     "q_sql_lateral_topk" -> sqlLateralTopk,
     "q_sql_window_rank" -> sqlWindowRank,
     "q_sql_group_by_all" -> sqlGroupByAll,
@@ -198,6 +225,7 @@ object GraftCatalog {
   val oracle: Map[String, String] = Map(
     // the Spark arm's SQL text IS the oracle text — one string, two
     // engines (the strongest same-truth form the suite has)
+    "q_sql_named_window" -> namedWindowSql,
     "q_sql_lateral_topk" -> lateralTopkSql,
     "q_sql_window_rank" -> windowRankSql,
     "q_sql_group_by_all" -> groupByAllSql,

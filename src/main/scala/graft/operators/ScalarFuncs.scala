@@ -109,6 +109,53 @@ object ScalarFuncs {
         col("js.event_id").as("rt_id"))
       .orderBy(col("event_id"))
 
+  /** VARIANT semi-structured type (J112, round 12): Spark 4's typed
+    * answer to schemaless JSON — `parse_json` ingests once into the
+    * binary VARIANT encoding and `variant_get` extracts with a type,
+    * replacing per-query string re-parsing (the exact failure mode the
+    * q_json_funcs scaladoc records for get_json_object). At 100 TB the
+    * VARIANT column is the storage format for the long tail of event
+    * properties: parsed once at ingest, shredded/pushed down by the
+    * reader, no per-query JSON scanning. The row ingests the events
+    * `props` JSON, extracts `$.k` as BIGINT plus a missing-path probe
+    * (VariantGet returns NULL for an absent path — the three-valued
+    * contract), and rolls up per type: count, sum/min/max of k, and
+    * the missing-path census (pinned 0 non-null). DuckDB replays via
+    * its own JSON extraction — same values, different encoding. */
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.absent', 'bigint')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        count(col("miss")).as("n_missing_nonnull"))
+      .orderBy(col("event_type"))
+
+  /** Collation-aware semantics (J113, round 12): Spark 4 string
+    * collations — `collate(s, 'UTF8_LCASE')` makes comparison,
+    * DISTINCT, and GROUP BY case-insensitive WITHOUT rewriting every
+    * predicate through lower() (and, unlike lower(), collation survives
+    * into pushed-down filters and join keys). The row manufactures a
+    * deterministic mixed-case segment column (upper for even keys,
+    * lower for odd), then measures the distinct count under binary vs
+    * LCASE collation plus the per-normalized-segment census — the
+    * dedup-relevant semantics: 10 binary-distinct values collapse to
+    * the 5 real segments. DuckDB replays with lower() (its collation
+    * story differs; the SEMANTICS are what is pinned). */
+  def strCollation(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = customer(spark, dir)
+      .select(when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+        .otherwise(lower(col("c_mktsegment"))).as("seg"))
+    mixed
+      .agg(countDistinct(expr("collate(seg, 'UTF8_LCASE')")).as("n_ci"),
+        countDistinct(col("seg")).as("n_cs"))
+      .select(col("n_ci"), col("n_cs"),
+        (col("n_ci") < col("n_cs")).as("collation_collapses"))
+  }
+
   /** URL parsing family (round 3): parse_url HOST/PATH/QUERY-param/
     * PROTOCOL over URLs minted from document metadata — the domain
     * extraction + per-domain attribution step every web-corpus pipeline
@@ -222,11 +269,30 @@ object ScalarFuncs {
     "q_array_explode" -> arrayExplode,
     "q_map_funcs" -> mapFuncs,
     "q_json_funcs" -> jsonFuncs,
+    "q_json_variant" -> jsonVariant,
+    "q_str_collation" -> strCollation,
     "q_str_url_parse" -> urlParse,
     "q_str_nfc_norm" -> nfcNorm,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_json_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+        |  CAST(count(CAST(props->>'$.absent' AS BIGINT)) AS BIGINT)
+        |    AS n_missing_nonnull
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_str_collation" ->
+      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+        |    THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg
+        |  FROM customer)
+        |SELECT CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci,
+        |  CAST(count(DISTINCT seg) AS BIGINT) AS n_cs,
+        |  count(DISTINCT lower(seg)) < count(DISTINCT seg)
+        |    AS collation_collapses
+        |FROM m""".stripMargin,
     "q_cast_safety" ->
       """SELECT event_id,
         | TRY_CAST(props->>'$.k' AS INTEGER) AS k_int,
@@ -303,6 +369,23 @@ object ScalarFuncs {
         | array_to_string(list_sort(json_keys(props)), ',') AS keys,
         | coalesce(CAST(props->>'$.missing' AS INTEGER), -1) AS miss
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+        |  CAST(count(CAST(props->>'$.absent' AS BIGINT)) AS BIGINT)
+        |    AS n_missing_nonnull
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_str_collation" ->
+      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+        |    THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg
+        |  FROM customer)
+        |SELECT CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci,
+        |  CAST(count(DISTINCT seg) AS BIGINT) AS n_cs,
+        |  count(DISTINCT lower(seg)) < count(DISTINCT seg)
+        |    AS collation_collapses
+        |FROM m""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id, props->>'$.k' AS k_str,
         | event_type AS rt_type, event_id AS rt_id

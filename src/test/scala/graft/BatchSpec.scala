@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 561
+    val documented = 564
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6034,6 +6034,58 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(nk <= nIn, s"$t kept bounded")
     }
     assert(rows.map(_._2).sum <= full.getLong(0), "kept total bounded")
+  }
+
+  test("json_variant (J112): variant_get extraction replays the k " +
+      "census and the absent path is NULL everywhere") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_json_variant")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._6 == 0L), "absent path produced a non-null")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("props"))
+      .collect().map(r => (r.getString(0),
+        """"k": (\d+)""".r.findFirstMatchIn(r.getString(1)).get
+          .group(1).toLong))
+    val per = ev.groupBy(_._1).map { case (t, vs) =>
+      (t, (vs.length.toLong, vs.map(_._2).sum, vs.map(_._2).min,
+        vs.map(_._2).max)) }
+    rows.foreach { case (t, n, ks, kmin, kmax, _) =>
+      assert((n, ks, kmin, kmax) == per(t), s"$t variant census replay")
+    }
+  }
+
+  test("str_collation (J113): LCASE collation collapses the mixed-case " +
+      "segments to the true segment count") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q_str_collation")(spark, sf)
+      .collect().head
+    val (nCi, nCs, collapses) = (r.getLong(0), r.getLong(1),
+      r.getBoolean(2))
+    val segs = graft.Tables.customer(spark, sf)
+      .select(col("c_mktsegment")).collect().map(_.getString(0)).toSet
+    assert(nCi == segs.size.toLong, "collated distinct = true segments")
+    assert(nCs == 2L * segs.size, "binary distinct = both casings")
+    assert(collapses)
+  }
+
+  test("sql_named_window (J114): rank and running sum agree with a " +
+      "driver fold over the per-type day census") {
+    val rows = SparkEntry.queries("q_sql_named_window")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, ds) =>
+      val sorted = ds.sortBy(d => (d._2, d._3))
+      var run = 0L
+      sorted.zipWithIndex.foreach { case ((_, _, n, rnk, running), i) =>
+        run += n
+        assert(rnk == i + 1, s"$t rank at $i")
+        assert(running == run, s"$t running sum at $i")
+      }
+    }
   }
 
   test("events_bot_screen (J97): one user's cv-squared replays " +
