@@ -246,6 +246,29 @@ object Aggregates {
       .toDF("event_type", "n_kept", "cents_kept", "n_in", "cents_in")
   }
 
+  /** listagg WITHIN GROUP + mode (J116, round 12): the two Spark-4
+    * ordered-aggregate surfaces the suite lacked. `listagg(DISTINCT x,
+    * ',') WITHIN GROUP (ORDER BY x)` is the report-friendly string
+    * fold — the WITHIN GROUP clause is what makes it deterministic and
+    * therefore oracle-comparable (an unordered listagg hash-diverges
+    * by partition order; the engine-side discipline this suite's
+    * collect_sorted row hand-rolled with array_join(sort_array(...))
+    * now has a direct SQL spelling). `mode()` is enrolled on a column
+    * whose mode is UNIQUE by construction (l_linenumber = 1 leads
+    * every group — TPC-H orders have 1-7 lines, so line 1 always
+    * exists; tie-handling differs across engines and would not be a
+    * fair pin). Partial-aggregable both: listagg merges sorted lists,
+    * mode merges count maps. */
+  def aggListaggMode(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("listagg(DISTINCT l_linestatus, ',')" +
+          " WITHIN GROUP (ORDER BY l_linestatus)").as("statuses"),
+        expr("CAST(mode(l_linenumber) AS BIGINT)").as("mode_line"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** ROLLUP with grouping() indicator columns (cast int for parity). */
   def rollupQty(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -713,6 +736,7 @@ object Aggregates {
     "q_diag_skew" -> diagSkew,
     "q_diag_exchange_reuse" -> diagExchangeReuse,
     "q_diag_observe" -> diagObserve,
+    "q_agg_listagg_mode" -> aggListaggMode,
     "q_diag_shuffle_metrics" -> diagShuffleMetrics,
     "q_agg_rollup" -> rollupQty,
     "q_agg_cube" -> cubeEvents,
@@ -886,6 +910,13 @@ object Aggregates {
       """SELECT event_type, true AS within_5pct,
         | count(DISTINCT user_id) AS n_users_exact
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_listagg_mode" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+        |    AS statuses,
+        |  CAST(mode(l_linenumber) AS BIGINT) AS mode_line,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_diag_observe" ->
       """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_in,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))

@@ -688,7 +688,50 @@ object Joins {
       //   never touch the caller's plans.
   }
 
+  /** Runtime bloom-filter injection evidence (J115, round 12): the
+    * OPTIMIZER's twin of the explicit q_join_bloom_prefilter row —
+    * InjectRuntimeFilter sees a selective dim side (p_size ≤ 2, ~4 %
+    * of parts) joined to a large fact and plants a bloom
+    * `might_contain` filter on the fact scan by itself, so fact rows
+    * whose keys cannot join are dropped BEFORE the shuffle. At 100 TB
+    * this is the optimizer quietly saving the majority of the join's
+    * shuffle bytes on every selective dim join. The verdict is read
+    * from the OPTIMIZED plan (`bloom_filter_agg` + `might_contain` —
+    * injection is a logical rewrite, unlike AQE's runtime markers) and
+    * the oracle pins `true` plus the exact rollup. Child session: the
+    * injection thresholds (app-side scan floor 0, creation cap 100 MB)
+    * and the broadcast floor stay scoped to this row. */
+  def joinRuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val dim = part(s2, dir).filter(col("p_size") <= 2)
+      .select(col("p_partkey"), col("p_size"))
+    val fact = lineitem(s2, dir)
+      .select(col("l_partkey"), col("l_quantity"))
+    val agg = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_size"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("qty_sum"))
+      .orderBy(col("p_size"))
+    val oplan = agg.queryExecution.optimizedPlan.toString
+    val injected = oplan.contains("bloom_filter_agg") &&
+      oplan.contains("might_contain")
+    val rows = agg.collect() // 2-row rollup — control-plane sized
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        injected))
+      .toDF("p_size", "n_rows", "qty_sum", "runtime_filtered")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_runtime_filter" -> joinRuntimeFilter,
     "q_join_skew_aqe" -> joinSkewAqe,
     "q_join_dpp" -> joinDpp,
     "q_join_mutual_nn" -> mutualNn,
@@ -715,6 +758,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_runtime_filter" ->
+      """SELECT p.p_size, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  true AS runtime_filtered
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_skew_aqe" ->
       """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 9
         |    THEN CAST(0 AS BIGINT) ELSE 1 + l_partkey % 31 END AS zk,

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 564
+    val documented = 566
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6085,6 +6085,52 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(rnk == i + 1, s"$t rank at $i")
         assert(running == run, s"$t running sum at $i")
       }
+    }
+  }
+
+  test("join_runtime_filter (J115): the optimizer injected a bloom " +
+      "might_contain on the fact side and the rollup replays") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_join_runtime_filter")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.forall(_._4),
+      "runtime_filtered verdict false — InjectRuntimeFilter never fired")
+    val dim = graft.Tables.part(spark, sf)
+      .filter(col("p_size") <= 2).select(col("p_partkey"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong))
+    val expect = li.filter(l => dim.contains(l._1))
+      .groupBy(l => dim(l._1))
+      .map { case (sz, vs) => (sz, (vs.length.toLong, vs.map(_._2).sum)) }
+    rows.foreach { case (sz, n, q, _) =>
+      assert((n, q) == expect(sz), s"size $sz rollup replay") }
+  }
+
+  test("agg_listagg_mode (J116): WITHIN GROUP ordering makes listagg " +
+      "deterministic and the mode is the unique leader") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_agg_listagg_mode")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_linenumber"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val per = li.groupBy(_._1)
+    rows.foreach { case (f, statuses, mode, n) =>
+      val g = per(f)
+      assert(statuses == g.map(_._2).distinct.sorted.mkString(","),
+        s"$f listagg replay")
+      val counts = g.groupBy(_._3).map { case (k, v) => (k, v.length) }
+      val best = counts.maxBy(c => (c._2, -c._1))
+      // unique mode by construction: assert no tie, then the value
+      assert(counts.count(_._2 == best._2) == 1, s"$f mode not unique")
+      assert(mode == best._1.toLong, s"$f mode replay")
+      assert(n == g.length.toLong)
     }
   }
 
