@@ -109,19 +109,15 @@ object ScalarFuncs {
         col("js.event_id").as("rt_id"))
       .orderBy(col("event_id"))
 
-  /** VARIANT semi-structured type (J112, round 12): Spark 4's typed
-    * answer to schemaless JSON — `parse_json` ingests once into the
-    * binary VARIANT encoding and `variant_get` extracts with a type,
-    * replacing per-query string re-parsing (the exact failure mode the
-    * q_json_funcs scaladoc records for get_json_object). At 100 TB the
-    * VARIANT column is the storage format for the long tail of event
-    * properties: parsed once at ingest, shredded/pushed down by the
-    * reader, no per-query JSON scanning. The row ingests the events
-    * `props` JSON, extracts `$.k` as BIGINT plus a missing-path probe
-    * (VariantGet returns NULL for an absent path — the three-valued
-    * contract), and rolls up per type: count, sum/min/max of k, and
-    * the missing-path census (pinned 0 non-null). DuckDB replays via
-    * its own JSON extraction — same values, different encoding. */
+  /** VARIANT ordered-extraction census (J112, round 12): the
+    * min/max/sum companion of the round-5 q_scan_variant row — that
+    * row pins typed + nested extraction and the try_variant_get miss;
+    * this one pins that variant_get values ORDER and AGGREGATE like
+    * native BIGINTs (min/max/sum per type) and that the PLAIN (non-try)
+    * variant_get of an absent path yields NULL, not an error — the
+    * three-valued contract a filter on a sparse property relies on.
+    * At 100 TB both rows describe the same storage answer: parse once
+    * into the binary encoding, extract by offset, never re-parse. */
   def jsonVariant(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("v", parse_json(col("props")))

@@ -391,6 +391,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s_state_v2_restore under RocksDB CHANGELOG checkpointing: the " +
+      "lighter per-batch checkpoint format (changelog upload instead " +
+      "of full snapshot — the production default for high-frequency " +
+      "micro-batches) restores identically across a restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sv2_cl_ckpt").toString
+    try {
+      val in = MemoryStream[Ev]
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, Long, Long)]()
+      def start(): StreamingQuery =
+        StreamingOps.ewmaStreamV2(in.toDS()).toDF()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.collect().foreach(r => out.add((r.getLong(0),
+                r.getLong(1), r.getLong(2), r.getLong(3))): Unit)
+          }
+          .start()
+      val q1 = start()
+      in.addData(ev(2, 5, 1, "view", 2.00), ev(1, 0, 1, "click", 1.00))
+      q1.processAllAvailable()
+      in.addData(ev(4, 10, 1, "click", 3.00))
+      q1.processAllAvailable()
+      q1.stop()
+      out.clear()
+      val q2 = start()
+      in.addData(ev(6, 20, 1, "error", 10.00))
+      q2.processAllAvailable()
+      val got = { import scala.jdk.CollectionConverters._
+        out.asScala.toSet }
+      // same fold as the snapshot-format test: 100 -> 150 -> 225 -> 612
+      assert(got == Set((1L, 4L, 1000L, 612L)), s"got $got")
+      q2.stop()
+    } finally {
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled")
+      prevProv match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming curation: in-horizon content dedup + quality gate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
