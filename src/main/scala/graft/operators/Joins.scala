@@ -730,7 +730,45 @@ object Joins {
       .toDF("p_size", "n_rows", "qty_sum", "runtime_filtered")
   }
 
+  /** AQE join-strategy switch evidence (J118, round 12): the canonical
+    * adaptive-execution feature, pinned as data — a join whose STATIC
+    * plan is sort-merge (the static broadcast floor is 1 KB in the
+    * child session, and Catalyst's pre-execution size estimate for the
+    * filtered dim is the full relation — selectivity is unknowable
+    * without CBO stats) but whose RUNTIME shuffle statistics reveal a
+    * tiny dim (o_totalprice > 499 000 keeps ~0.2 % of orders — the fixture's prices are uniform to ~500 k), so
+    * AQE re-plans the materialized stage into a broadcast-hash join
+    * mid-query. Verdict columns: the INITIAL plan section carries
+    * SortMergeJoin, the FINAL carries BroadcastHashJoin — at 100 TB
+    * this is the optimizer rescuing every join whose dim selectivity
+    * only becomes known at runtime (no manual hint, no stats job). */
+  def joinAqeSwitch(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    val dim = orders(s2, dir).filter(col("o_totalprice") > 499000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val agg = lineitem(s2, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("qty_sum"))
+      .orderBy(col("o_orderpriority"))
+    val rows = agg.collect() // priority rollup — control-plane sized
+    val plan = agg.queryExecution.executedPlan.toString
+    val parts = plan.split("== Initial Plan ==")
+    val switched = parts.length == 2 &&
+      parts(0).contains("BroadcastHashJoin") &&
+      parts(1).contains("SortMergeJoin")
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        switched))
+      .toDF("o_orderpriority", "n_lines", "qty_sum", "aqe_switched")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_aqe_switch" -> joinAqeSwitch,
     "q_join_runtime_filter" -> joinRuntimeFilter,
     "q_join_skew_aqe" -> joinSkewAqe,
     "q_join_dpp" -> joinDpp,
@@ -758,6 +796,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_aqe_switch" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  true AS aqe_switched
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 499000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_runtime_filter" ->
       """SELECT p.p_size, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,

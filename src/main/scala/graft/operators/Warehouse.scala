@@ -795,7 +795,51 @@ object Warehouse {
       .orderBy(col("pk"))
   }
 
+  /** ANSI-mode semantics posture (J119, round 12): the correctness
+    * stance a 100 TB pipeline has to CHOOSE — under
+    * `spark.sql.ansi.enabled=true` (the Spark 4 default posture this
+    * engine recommends) silent-corruption classes become loud errors:
+    * BIGINT overflow RAISES (legacy: wraps around), a malformed cast
+    * RAISES (legacy: NULL), integer division by zero RAISES — while
+    * the `try_*` family opts back into NULL-on-failure PER EXPRESSION
+    * where the pipeline wants quarantine-not-abort. All six contracts
+    * are pinned as verdicts in a child session, plus the data-driven
+    * census: try_divide over the events feed NULLs exactly the
+    * user_id % 5 = 0 rows (the /0 population) and nothing else.
+    * The posture twin of q_cast_safety (which pins the TRY family's
+    * values; this row pins that the STRICT lane actually throws). */
+  def dqAnsiMode(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.ansi.enabled", "true")
+    def raises(sql: String): Boolean =
+      try { s2.sql(s"SELECT $sql").collect(); false }
+      catch { case _: Throwable => true }
+    val overflowRaises = raises("9223372036854775807L + 1L")
+    val castRaises = raises("CAST('abc' AS INT)")
+    val div0Raises = raises("1 div 0")
+    val tryAddNull = s2.sql(
+      "SELECT try_add(9223372036854775807L, 1L)").collect().head.isNullAt(0)
+    val tryCastNull =
+      s2.sql("SELECT try_cast('abc' AS INT)").collect().head.isNullAt(0)
+    val censusRow = events(s2, dir)
+      .select(col("user_id"),
+        expr("try_divide(value, CAST(user_id % 5 AS DOUBLE))").as("d"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END"))
+          .as("n_div0"),
+        sum(expr("CASE WHEN d IS NULL THEN 1 ELSE 0 END")).as("n_null"))
+      .collect().head
+    val (nRows, nDiv0, nNull) =
+      (censusRow.getLong(0), censusRow.getLong(1), censusRow.getLong(2))
+    import spark.implicits._
+    Seq((nRows, nDiv0, nNull == nDiv0, overflowRaises, castRaises,
+        div0Raises, tryAddNull && tryCastNull))
+      .toDF("n_rows", "n_div0", "try_nulls_match", "overflow_raises",
+        "bad_cast_raises", "div0_raises", "try_family_nulls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_ansi_mode" -> dqAnsiMode,
     "q_parts_croston" -> croston,
     "q_parts_supply_risk" -> supplyRisk,
     "q_orders_backlog" -> backlog,
@@ -822,6 +866,14 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_ansi_mode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_div0,
+        |  true AS try_nulls_match, true AS overflow_raises,
+        |  true AS bad_cast_raises, true AS div0_raises,
+        |  true AS try_family_nulls
+        |FROM events""".stripMargin,
     "q_parts_croston" ->
       """WITH dd AS (SELECT l_partkey AS pk,
         |   CAST(date_diff('day', DATE '1995-01-01', l_shipdate)

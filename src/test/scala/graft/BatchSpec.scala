@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 566
+    val documented = 568
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6132,6 +6132,45 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(mode == best._1.toLong, s"$f mode replay")
       assert(n == g.length.toLong)
     }
+  }
+
+  test("join_aqe_switch (J118): the initial plan is SMJ, the final " +
+      "plan is broadcast-hash, and the rollup replays") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_join_aqe_switch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.forall(_._4),
+      "aqe_switched verdict false — the runtime re-plan never happened")
+    val dim = graft.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 499000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong))
+    val expect = li.filter(l => dim.contains(l._1))
+      .groupBy(l => dim(l._1))
+      .map { case (p, vs) => (p, (vs.length.toLong, vs.map(_._2).sum)) }
+    assert(rows.map(_._1).toSet == expect.keySet)
+    rows.foreach { case (p, n, q, _) =>
+      assert((n, q) == expect(p), s"$p rollup replay") }
+  }
+
+  test("dq_ansi_mode (J119): all six strict/try contracts hold and " +
+      "the try_divide null census equals the div-zero population") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q_dq_ansi_mode")(spark, sf)
+      .collect().head
+    assert(r.getBoolean(2), "try_divide nulls != div0 population")
+    assert(r.getBoolean(3), "ANSI overflow did not raise")
+    assert(r.getBoolean(4), "ANSI bad cast did not raise")
+    assert(r.getBoolean(5), "ANSI div-by-zero did not raise")
+    assert(r.getBoolean(6), "try_* family did not return NULL")
+    val nDiv0 = graft.Tables.events(spark, sf)
+      .filter(col("user_id") % 5 === 0).count()
+    assert(r.getLong(1) == nDiv0, "div0 census replay")
+    assert(r.getLong(0) == graft.Tables.events(spark, sf).count())
   }
 
   test("events_bot_screen (J97): one user's cv-squared replays " +
