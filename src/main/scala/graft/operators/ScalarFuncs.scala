@@ -152,6 +152,75 @@ object ScalarFuncs {
         (col("n_ci") < col("n_cs")).as("collation_collapses"))
   }
 
+  /** Month-arithmetic clamping semantics (J120, round 12): `add_months`
+    * over month-end dates — Jan 31 + 1 month must CLAMP to Feb 28/29,
+    * the calendar contract every billing/retention job silently relies
+    * on and the one date-arithmetic cell engines actually disagree on
+    * (some wrap into March). The census pins it cross-engine: per
+    * result-year, how many source dates sat on day ≥ 29, how many
+    * results were clamped (result day < source day), and the exact
+    * count — if either engine wrapped instead of clamping, counts and
+    * hash diverge. Also pins leap-February handling (the fixture's
+    * date span crosses leap years). */
+  def dateAddMonths(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("d"))
+      .select(col("d"), add_months(col("d"), 1).as("d1"))
+      .groupBy(year(col("d1")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(dayofmonth(col("d")) >= 29, 1L).otherwise(0L))
+          .as("n_day29plus"),
+        sum(when(dayofmonth(col("d1")) < dayofmonth(col("d")), 1L)
+          .otherwise(0L)).as("n_clamped"))
+      .orderBy(col("y"))
+
+  /** Array higher-order functions (J121, round 12): the lambda surface
+    * (filter / transform+aggregate folds / exists) over tokenized text
+    * — per doc: long-token count, total char mass via a fold, and an
+    * exists probe. HOFs run per-row inside the scan stage: no explode,
+    * no shuffle, no UDF — the idiom that keeps row-local array logic
+    * OUT of the generator path (q_array_explode pays a corpus-sized
+    * explode for the same information). DuckDB replays with its list_*
+    * lambdas — same semantics, different spelling. */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> length(t) >= 6))")
+          .cast("long").as("n_long"),
+        expr("aggregate(split(text, ' '), 0L, (a, t) -> a + length(t))")
+          .as("char_mass"),
+        expr("exists(split(text, ' '), t -> t = 'the')").as("has_the"))
+      .orderBy(col("doc_id"))
+
+  /** Seeded TABLESAMPLE (J122, round 12): Bernoulli row sampling with a
+    * FIXED seed — the curation subsample contract: (a) REPRODUCIBLE
+    * (two scans with the same seed pick the identical row set — pinned
+    * as a verdict by re-running the sample and comparing exact id
+    * sums), and (b) statistically sane (the 10 % sample lands inside
+    * the 6-sigma binomial band). Sampled ids are engine-specific, so
+    * the ORACLE pins the verdicts + the population census, not the
+    * picks — the HLL/bloom verdict discipline. At 100 TB seeded
+    * sampling is how every eval split and data audit stays re-runnable
+    * without materializing the subset. */
+  def scanTablesample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def one(): (Long, Long) = {
+      val r = lineitem(spark, dir).sample(withReplacement = false,
+          fraction = 0.1, seed = 42L)
+        .agg(count(lit(1)), sum(expr("l_orderkey * 100000 + l_linenumber")))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n1, sig1) = one()
+    val (n2, sig2) = one()
+    val total = lineitem(spark, dir).count()
+    val mean = total * 0.1
+    val band = 6.0 * math.sqrt(total * 0.1 * 0.9)
+    Seq((total, n1 == n2 && sig1 == sig2,
+        math.abs(n1 - mean) <= band))
+      .toDF("n_population", "reproducible", "within_band")
+  }
+
   /** URL parsing family (round 3): parse_url HOST/PATH/QUERY-param/
     * PROTOCOL over URLs minted from document metadata — the domain
     * extraction + per-domain attribution step every web-corpus pipeline
@@ -267,11 +336,37 @@ object ScalarFuncs {
     "q_json_funcs" -> jsonFuncs,
     "q_json_variant" -> jsonVariant,
     "q_str_collation" -> strCollation,
+    "q_date_add_months" -> dateAddMonths,
+    "q_array_hof" -> arrayHof,
+    "q_scan_tablesample" -> scanTablesample,
     "q_str_url_parse" -> urlParse,
     "q_str_nfc_norm" -> nfcNorm,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_date_add_months" ->
+      """WITH b AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS d1
+        | FROM orders)
+        |SELECT CAST(year(d1) AS BIGINT) AS y,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN day(d) >= 29 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_day29plus,
+        |  CAST(sum(CASE WHEN day(d1) < day(d) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_array_hof" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> length(t) >= 6)) AS BIGINT) AS n_long,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |    t -> length(t)), 'sum') AS BIGINT) AS char_mass,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_scan_tablesample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_population,
+        |  true AS reproducible, true AS within_band
+        |FROM lineitem""".stripMargin,
     "q_json_variant" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,

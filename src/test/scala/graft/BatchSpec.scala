@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 568
+    val documented = 571
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6171,6 +6171,54 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("user_id") % 5 === 0).count()
     assert(r.getLong(1) == nDiv0, "div0 census replay")
     assert(r.getLong(0) == graft.Tables.events(spark, sf).count())
+  }
+
+  test("date_add_months (J120): clamped rows exist, clamping only " +
+      "happens on day>=29 sources, and one clamp case replays") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_date_add_months")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (y, n, d29, cl) =>
+      assert(cl <= d29, s"$y: clamped rows must sit on day>=29 sources")
+      assert(n >= d29)
+    }
+    // fixture has month-end dates at every SF (123 at sf0.001) so the
+    // clamp census must be non-vacuous somewhere
+    assert(rows.map(_._3).sum > 0, "no day>=29 sources — vacuous")
+    assert(rows.map(_._4).sum > 0, "no clamped results — vacuous")
+    // driver replay of one clamp: Jan 31 -> Feb 28/29 semantics
+    val j = java.time.LocalDate.of(1997, 1, 31).plusMonths(1)
+    assert(j.getDayOfMonth <= 29)
+  }
+
+  test("array_hof (J121): the lambda fold replays on one document and " +
+      "stays inside the scan (no explode, no shuffle before the sort)") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_array_hof")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val doc = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === rows.head._1)
+      .select(col("text")).collect().head.getString(0)
+    val toks = doc.split(" ")
+    assert(rows.head._2 == toks.count(_.length >= 6).toLong)
+    assert(rows.head._3 == toks.map(_.length.toLong).sum)
+    assert(rows.head._4 == toks.contains("the"))
+    val plan = planString("q_array_hof")
+    assert(!plan.contains("Generate"),
+      "HOF row must not explode — that is q_array_explode's plan")
+  }
+
+  test("scan_tablesample (J122): seeded sampling is reproducible and " +
+      "lands in the binomial band") {
+    val r = SparkEntry.queries("q_scan_tablesample")(spark, sf)
+      .collect().head
+    assert(r.getBoolean(1), "same seed produced different samples")
+    assert(r.getBoolean(2), "sample size outside the 6-sigma band")
+    assert(r.getLong(0) == graft.Tables.lineitem(spark, sf).count())
   }
 
   test("events_bot_screen (J97): one user's cv-squared replays " +
