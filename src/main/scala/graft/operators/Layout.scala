@@ -282,6 +282,60 @@ object Layout {
     }
   }
 
+  /** ANALYZE TABLE / CBO statistics evidence (J123, round 12): the
+    * STATIC twin of q_join_aqe_switch — that row proves the runtime
+    * rescue; this one proves the planned-right-the-first-time path:
+    * a scratch dim is written, `ANALYZE TABLE ... COMPUTE STATISTICS`
+    * records its true cardinality in the catalog, and the verdicts pin
+    * (a) the catalog rowCount equals the exact count (the stats
+    * surface is real, not a stub) and (b) the join against the
+    * analyzed dim plans broadcast-hash in the STATIC physical plan
+    * (`sparkPlan`, pre-AQE) — no hint, no runtime re-plan needed. At
+    * 100 TB the nightly ANALYZE is what lets thousands of queries plan
+    * correctly at compile time instead of each paying a wrong-join
+    * stage before AQE corrects it. Child session: cbo.enabled scoped
+    * to this row. */
+  def cboStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_cbo_").toString
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      orders(s2, dir).filter(col("o_totalprice") > 499000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$tmp/dim_cbo")
+        .saveAsTable("graft_dim_cbo")
+      s2.sql("ANALYZE TABLE graft_dim_cbo COMPUTE STATISTICS")
+      val dimCount = s2.table("graft_dim_cbo").count()
+      val statsRowCount = s2.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          "graft_dim_cbo"))
+        .stats.flatMap(_.rowCount.map(_.toLong)).getOrElse(-1L)
+      val agg = lineitem(s2, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .join(s2.table("graft_dim_cbo"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("qty_sum"))
+        .orderBy(col("o_orderpriority"))
+      // the STATIC plan (pre-AQE): stats make the dim provably tiny
+      val staticBroadcast = agg.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin")
+      val rows = agg.collect() // priority rollup — control-plane sized
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          statsRowCount == dimCount, staticBroadcast))
+        .toDF("o_orderpriority", "n_lines", "qty_sum", "stats_exact",
+          "static_broadcast")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_dim_cbo")
+      fs.delete(tmpPath, true)
+    }
+  }
+
   /** Zone-map pruning evidence: the same lineitem rows laid out into 64
     * "files" two ways — (a) clustered by arrival key l_orderkey (the
     * natural ingest layout) and (b) range-partitioned by ship-date —
@@ -345,9 +399,17 @@ object Layout {
     "q_layout_bucketed_join" -> bucketedJoin,
     "q_layout_part_bucket" -> partBucketDpp,
     "q_layout_bucket_prune" -> bucketPrune,
+    "q_diag_cbo_stats" -> cboStats,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_diag_cbo_stats" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  true AS stats_exact, true AS static_broadcast
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 499000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_layout_bucket_prune" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))

@@ -531,7 +531,7 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // README.md / SURVEY.md §2.1 state this number; rounds 4 AND 5 both
     // shipped with stale docs, so the figure is now pinned here — when
     // enrolling a query, update the docs and this constant together
-    val documented = 571
+    val documented = 572
     assert(SparkEntry.queries.size == documented,
       s"queries.size=${SparkEntry.queries.size} != documented " +
         s"$documented — update README.md, SURVEY.md §2.1, and this test")
@@ -6219,6 +6219,23 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(1), "same seed produced different samples")
     assert(r.getBoolean(2), "sample size outside the 6-sigma band")
     assert(r.getLong(0) == graft.Tables.lineitem(spark, sf).count())
+  }
+
+  test("diag_cbo_stats (J123): ANALYZE records the exact dim " +
+      "cardinality and the STATIC plan broadcasts the analyzed dim") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_diag_cbo_stats")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4), "catalog rowCount != exact dim count")
+    assert(rows.forall(_._5), "static plan did not broadcast")
+    // same rollup as the AQE-switch twin — cross-pin the two rows
+    val twin = SparkEntry.queries("q_join_aqe_switch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet == twin,
+      "CBO row and AQE-switch row disagree on the shared rollup")
   }
 
   test("events_bot_screen (J97): one user's cv-squared replays " +

@@ -448,6 +448,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming state metrics: StateOperatorProgress reports the " +
+      "true key population (numRowsTotal == distinct users) and the " +
+      "per-batch update census — the observability a 100 TB streaming " +
+      "deployment alarms on (state growth is the silent killer)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = runQuery(StreamingOps.ewmaStream(in.toDS()).toDF(),
+      "smetrics", "update")
+    in.addData(ev(1, 0, 1, "click", 1.00), ev(2, 5, 2, "view", 2.00))
+    q.processAllAvailable()
+    in.addData(ev(3, 10, 1, "click", 3.00), ev(4, 12, 3, "view", 4.00))
+    q.processAllAvailable()
+    val prog = q.lastProgress
+    assert(prog != null && prog.stateOperators.nonEmpty)
+    val so = prog.stateOperators(0)
+    // after batch 2 the store holds users {1, 2, 3}
+    assert(so.numRowsTotal == 3L, s"state rows ${so.numRowsTotal}")
+    // batch 2 touched user 1 (update) and user 3 (insert)
+    assert(so.numRowsUpdated == 2L, s"updated ${so.numRowsUpdated}")
+    q.stop()
+  }
+
   test("streaming curation: in-horizon content dedup + quality gate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
