@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional args: subset of query names to bench (fast local
     // iteration; the driver invokes with no args → full suite)
@@ -16,9 +17,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup pass: JIT + codegen compilation + parquet footer caches.
-    // Measured numbers below are steady-state per-query times (results
-    // are NOT cached between passes — every timed run recomputes).
     // Force FULL query execution including the final global sort:
     // .count() would let Catalyst eliminate the orderBy and prune every
     // projected expression (EliminateSorts/ColumnPruning), timing a
@@ -30,30 +28,87 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         true
       } catch { case _: Throwable => false }
-    enrolled.foreach { case (_, fn) =>
-      run(fn)
-      // CacheManager matches canonicalized plans, so a re-built identical
-      // DataFrame in the timed pass would silently reuse warmed cache
-      // data — drop it eagerly, outside any timing window
+    // One timed run; CacheManager matches canonicalized plans, so a
+    // re-built identical DataFrame in a later run would silently reuse
+    // cached data — drop the cache eagerly, outside the timing window.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      val ok = run(fn)
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      if (ok) dt else -1.0 // -1 marks a failed query
     }
-    System.gc()
-    // min of three timed iterations per query: GC pauses, codegen-class
-    // accumulation, and page-cache churn land on arbitrary queries during
-    // a long full-suite run and inflate single-shot totals by 10×+ (seen
-    // in round-1 driver numbers); the min is the standard noise-robust
-    // estimator, and an explicit GC between queries (outside any timing
-    // window) keeps collector debt from one query out of the next.
-    val results0 = enrolled.map { case (name, fn) =>
-      System.gc()
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = run(fn)
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // cleanup outside the timing window
-        if (ok) dt else -1.0 // -1 marks a failed query
+    // ADAPTIVE SCHEME (round 13 — VERDICT r12 #1: the r12 driver bench
+    // TIMED OUT; the old shape — sequential untimed warmup pass +
+    // unconditional min-of-3 + a System.gc() per query — ran the suite
+    // ~4.3× its reported total, and at 572 rows that stopped fitting
+    // the harness wall clock). Two structural cuts:
+    //
+    // 1. CONCURRENT warmup. The warmup pass exists only to land JIT +
+    //    codegen class compile + parquet footer caches — nothing about
+    //    it is timed, so it parallelizes freely: a fixed pool of
+    //    worker threads drives every query once (driver-side analysis/
+    //    codegen parallelizes across threads; the local[N] task slots
+    //    fill across concurrent small jobs that a sequential pass
+    //    leaves idle). Failures are swallowed (a query whose warmup
+    //    lost a cache race simply times a little colder below — still
+    //    correct, still far under budget). Safety audit (round 13):
+    //    all conf-mutating evidence rows run in newSession() children;
+    //    the shared-session sets in Tables are idempotent constants;
+    //    fixed-name temp views always re-register identical content;
+    //    FrameMemo serializes its builds (8-thread race test).
+    // 2. ONE timed run per query, warm. Min-of-3 noise-robustness only
+    //    matters near the 5 s budget: rows whose first reading lands
+    //    ≥ MIN3 (default 2 s, ~26 rows at sf0.1) keep full min-of-3
+    //    plus the end-of-run confirm pass; the ~475 sub-2s rows take
+    //    their single warm reading (within the measured ±9 %
+    //    full-suite variance floor, PLANS.md).
+    // Explicit GC every GC_EVERY queries (collector debt from one
+    // query's shuffle buffers otherwise lands in a later query's
+    // timing) instead of per-query — 572 back-to-back System.gc()
+    // calls were minutes of pure collector wall time.
+    // Measured wall-to-reported multiples at 572 rows: old shape 4.3×
+    // (r12 driver rc 124 ≈ 27–30 min); interleaved cold+warm 2.94×
+    // (1186 s); this shape ≈2× (~13 min).
+    val warmThreads = sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "6")
+      .toInt.max(1)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(warmThreads)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    enrolled.foreach { case (_, fn) =>
+      pool.execute { () =>
+        run(fn)
+        // drop cached frames as we go (global and racy across warmup
+        // threads — an unpersisted in-flight frame recomputes, which
+        // only costs warmup time; without this, 572 queries' .cache()
+        // frames accumulate against the 8g heap/disk)
+        spark.catalog.clearCache()
+        val n = done.incrementAndGet()
+        if (n % 64 == 0) System.err.println(s"[bench] warmup $n/" +
+          s"${enrolled.size} at ${((System.nanoTime() - wall0) / 1e9).toInt} s wall")
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    }
+    pool.shutdown()
+    pool.awaitTermination(60, java.util.concurrent.TimeUnit.MINUTES)
+    spark.catalog.clearCache()
+    System.gc()
+    val min3Sec = sys.env.getOrElse("SPARK_GRAFT_MIN3_SEC", "2.0").toDouble
+    val gcEvery = 32
+    var i = 0
+    val results0 = enrolled.map { case (name, fn) =>
+      if (i % gcEvery == 0) System.gc()
+      i += 1
+      if (i % 64 == 0) System.err.println(
+        s"[bench] ${i}/${enrolled.size} at ${((System.nanoTime() - wall0) / 1e9).toInt} s wall")
+      val t1 = timed(fn)
+      if (t1 < 0) name -> -1.0
+      else if (t1 < min3Sec) name -> t1
+      else {
+        System.gc()
+        val ts = Seq(t1, timed(fn), timed(fn))
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      }
     }
     // Confirm pass (round 12, VERDICT r11 #1/#2): a row can breach the
     // budget from LATE-RUN JVM pressure alone (JIT/code-cache/GC debt
@@ -72,13 +127,7 @@ object Bench {
         System.err.println(s"[bench] confirm pass for $name ($t s)")
         System.gc()
         val fn = enrolled(name)
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = run(fn)
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          if (ok) dt else -1.0
-        }
+        val times = (1 to 3).map(_ => timed(fn))
         val t2 = if (times.exists(_ < 0)) -1.0 else times.min
         name -> (if (t2 < 0) t else math.min(t, t2))
       }
@@ -102,11 +151,12 @@ object Bench {
       System.err.println(s"[bench] OVER BUDGET (> $budgetSec s): " +
         overBudget.mkString(", "))
     val over = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wallSec = r3((System.nanoTime() - wall0) / 1e9)
     // Detailed line FIRST (per-query breakdown, ~2 KB), then a short
     // total-only line LAST: the driver captures a bounded stdout tail, so
     // the last parseable JSON line must be small enough to always fit.
     val detailed =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"over_budget":$over,"budget_sec":$budgetSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"over_budget":$over,"budget_sec":$budgetSec,"wall_sec":$wallSec,"sf":"$sfDir"}"""
     println(detailed)
     // Per-family rollup (round 9, r8 verdict hygiene ask): the driver
     // keeps a bounded stdout tail, so when the ~500-row per-query map

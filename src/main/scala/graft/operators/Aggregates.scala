@@ -177,8 +177,10 @@ object Aggregates {
     * real, not defaulted). The observability twin of q_diag_skew:
     * that row measures the DATA's shape, this one the ENGINE's.
     *
-    * records_bounded uses n_groups · 32 (shuffle partitions ceiling:
-    * each map partition emits at most one partial row per group). */
+    * records_bounded uses n_groups · numMappers read off the exchange
+    * itself (each map partition emits at most one partial row per
+    * group) — a literal ceiling (32, round 12) went stale the moment a
+    * fixture's scan split into more map tasks than the constant. */
   def diagShuffleMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val agg = events(spark, dir)
@@ -206,7 +208,10 @@ object Aggregates {
     val bytes = hashShuffles.headOption
       .map(_.metrics("shuffleBytesWritten").value).getOrElse(-1L)
     val nGroups = rows.length.toLong
-    val recsBounded = recs >= nGroups && recs <= nGroups * 32
+    val nMappers = hashShuffles.headOption
+      .map(_.numMappers.toLong).getOrElse(0L)
+    val recsBounded =
+      recs >= nGroups && nMappers > 0 && recs <= nGroups * nMappers
     rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         recsBounded, bytes > 0L))
       .toDF("event_type", "n_rows", "cents", "combine_worked",

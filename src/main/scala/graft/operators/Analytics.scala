@@ -2056,9 +2056,14 @@ object Analytics {
       // disagree by one second across a boundary on any future
       // fixture with sub-µs-aligned ts_ns; truncating first makes
       // both engines round identically regardless of ns residue.
+      // The window ORDER BY is on the SAME µs grid + event_id tiebreak
+      // (round 13, ADVICE r12): ordering by raw ts_ns while the oracle
+      // orders by µs-resolution ts would let same-µs/different-ns peers
+      // sort differently across engines and diverge the order-sensitive
+      // lag chain.
       .withColumn("g",
         expr("((ts_ns div 1000) - lag(ts_ns div 1000) OVER (PARTITION" +
-          " BY user_id ORDER BY ts_ns, event_id)) div 1000000"))
+          " BY user_id ORDER BY ts_ns div 1000, event_id)) div 1000000"))
       .filter(col("g").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s"),

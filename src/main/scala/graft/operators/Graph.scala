@@ -238,9 +238,18 @@ object Graph {
     // through 10⁶ suppliers ≈ sf100) so the 8.7 M-row exchange carries
     // one 8-byte key instead of two, and partial/final hashing probes
     // a single-column map: measured 1.94 → 1.76 s min-of-3 at sf0.1.
+    // The range bound is ENFORCED, not just documented (round 13,
+    // ADVICE r12): an id ≥ 10⁶ would silently collide keys and
+    // aggregate wrong — the guard is a per-row two-compare CASE inside
+    // the same codegen'd projection (no extra job), raising loudly on
+    // the first out-of-range fixture instead.
     val pairs = e.as("a")
       .join(e.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
-      .select((col("a.s") * lit(1000000L) + col("b.s")).as("k"))
+      .select(expr(
+        """CASE WHEN a.s >= 1000000L OR b.s >= 1000000L OR a.s < 0
+          |  THEN raise_error('coProjection: supplier id outside' ||
+          |    ' [0, 1e6) overflows the packed pair key')
+          |  ELSE a.s * 1000000L + b.s END""".stripMargin).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("shared"))
       .select(expr("k div 1000000").as("s1"), (col("k") % lit(1000000L)).as("s2"),
         col("shared"))
@@ -1563,9 +1572,17 @@ object Graph {
           |  least(ta, c) * 1000000000L + greatest(ta, c))))"""
           .stripMargin)).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("emb"))
+    // Range-enforced pack (round 13, ADVICE r12): every triangle node
+    // is an edge endpoint of the SAME cooccEdges frame, so guarding the
+    // edge-list pack covers the triBase explode's id universe too — an
+    // id ≥ 10⁹ fails the run loudly (per-row CASE in codegen, no extra
+    // job) instead of silently colliding packed keys.
     val full = e0
       .select(col("u"), col("v"),
-        (col("u") * lit(1000000000L) + col("v")).as("k"))
+        expr("""CASE WHEN u >= 1000000000L OR v >= 1000000000L OR u < 0
+          |  THEN raise_error('embeddedness: node id outside [0, 1e9)' ||
+          |    ' overflows the packed edge key')
+          |  ELSE u * 1000000000L + v END""".stripMargin).as("k"))
       .join(emb, Seq("k"), "left")
       .withColumn("emb", coalesce(col("emb"), lit(0L)))
     val census = full

@@ -460,23 +460,6 @@ object ScalarFuncs {
         | array_to_string(list_sort(json_keys(props)), ',') AS keys,
         | coalesce(CAST(props->>'$.missing' AS INTEGER), -1) AS miss
         |FROM events ORDER BY event_id""".stripMargin,
-    "q_json_variant" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
-        |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
-        |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
-        |  CAST(count(CAST(props->>'$.absent' AS BIGINT)) AS BIGINT)
-        |    AS n_missing_nonnull
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_str_collation" ->
-      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
-        |    THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg
-        |  FROM customer)
-        |SELECT CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci,
-        |  CAST(count(DISTINCT seg) AS BIGINT) AS n_cs,
-        |  count(DISTINCT lower(seg)) < count(DISTINCT seg)
-        |    AS collation_collapses
-        |FROM m""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id, props->>'$.k' AS k_str,
         | event_type AS rt_type, event_id AS rt_id

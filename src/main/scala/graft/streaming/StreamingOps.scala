@@ -42,6 +42,16 @@ private case class EwmaSt(acc: Long, n: Long, last: Long)
 case class EwmaOut(user_id: Long, n_events: Long, last_centi: Long,
     ewma_centi: Long)
 
+/** TTL'd per-user activity fold held by [[StreamingOps.ttlCountStream]]
+  * (count + cents since the last state expiry). */
+private case class TtlSt(n: Long, cents: Long)
+
+/** Per-user snapshot emitted by the TTL'd counter: the fold since the
+  * last expiry, plus whether this batch RESUMED from absent state
+  * (first-ever key OR TTL-expired state — indistinguishable by design:
+  * expiry IS forgetting). */
+case class TtlOut(user_id: Long, n: Long, cents: Long, resumed: Boolean)
+
 /** Closed SCD-2 version row emitted when a user's attribute changes. */
 case class Scd2Closed(user_id: Long, version: Int, state: String,
     valid_from_us: Long, valid_to_us: Long)
@@ -351,6 +361,63 @@ object StreamingOps {
       }
       st.update(s)
       Iterator.single(EwmaOut(key, s.n, s.last, s.acc))
+    }
+  }
+
+  /** Per-state TTL on the transformWithState API (s_state_ttl, round
+    * 13 — the surface [[ewmaStreamV2]]'s scaladoc promised but nothing
+    * exercised): a per-user (count, cents) fold whose ValueState is
+    * declared with `TTLConfig(ttl)` under `TimeMode.ProcessingTime` —
+    * state untouched for longer than `ttl` reads back as ABSENT on the
+    * next batch and the fold restarts. This is the 100 TB streaming
+    * state store's actual operating mode: an unbounded-key stream
+    * (user ids churn forever) with NONE-TTL state grows without bound
+    * until the job dies of disk; TTL'd state is how a production store
+    * stays at (active keys) instead of (all keys ever). The GroupState
+    * API can only fake this with per-key timers + manual delete — one
+    * timer per key, a second state column, and the expiry work runs on
+    * the executors; TTLConfig pushes expiry into the RocksDB store
+    * itself (compaction-time drop, no timers).
+    *
+    * The `resumed` flag makes expiry OBSERVABLE output: true whenever
+    * the batch found no live state for the key (first sight or
+    * post-expiry). StreamingSpec pins both directions with the SAME
+    * feed and two TTLs: a 1 s TTL + a >TTL pause → second batch
+    * resumes at n=1; a 1 h TTL twin → the fold continues at n=3.
+    * Driving note: under TimeMode.ProcessingTime the engine schedules
+    * no-data batches to evaluate expiry, so `processAllAvailable` on a
+    * continuous query never settles — drive bounded runs
+    * (Trigger.AvailableNow off a checkpoint), as the spec does. */
+  def ttlCountStream(events: Dataset[Ev], ttl: java.time.Duration)
+      : Dataset[TtlOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
+  /** StatefulProcessor holding ONE TTL'd ValueState per user. */
+  private class TtlCountProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, TtlOut] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[TtlSt] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TtlSt]("ttlcnt",
+        org.apache.spark.sql.Encoders.product[TtlSt],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TtlOut] = {
+      val prev = Option(st.get()) // null ⇔ never seen OR TTL-expired
+      var s = prev.getOrElse(TtlSt(0L, 0L))
+      rows.foreach { e =>
+        s = TtlSt(s.n + 1, s.cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      st.update(s) // re-arms the TTL clock from this batch
+      Iterator.single(TtlOut(key, s.n, s.cents, prev.isEmpty))
     }
   }
 
