@@ -1551,8 +1551,9 @@ object Graph {
     * triangle count — the cross-row invariant the spec pins.
     *
     * Shape (100 TB): rides tri-base (built once a session); one
-    * groupBy over 3·|triangles| narrow rows, one left join onto the
-    * edge list, constant-size histogram out. */
+    * groupBy over 3·|triangles| narrow rows; bucket 0 comes from ONE
+    * 1-row edge count (m − nonzero mass), not a join back onto the
+    * edge list; constant-size histogram out. */
   def embeddedness(spark: SparkSession, dir: String): DataFrame = {
     val e0 = cooccEdges(spark, dir)
     // The 3·|triangles| explode emits PACKED single-long edge keys
@@ -1572,26 +1573,41 @@ object Graph {
           |  least(ta, c) * 1000000000L + greatest(ta, c))))"""
           .stripMargin)).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("emb"))
-    // Range-enforced pack (round 13, ADVICE r12): every triangle node
-    // is an edge endpoint of the SAME cooccEdges frame, so guarding the
-    // edge-list pack covers the triBase explode's id universe too — an
-    // id ≥ 10⁹ fails the run loudly (per-row CASE in codegen, no extra
-    // job) instead of silently colliding packed keys.
-    val full = e0
-      .select(col("u"), col("v"),
-        expr("""CASE WHEN u >= 1000000000L OR v >= 1000000000L OR u < 0
-          |  THEN raise_error('embeddedness: node id outside [0, 1e9)' ||
-          |    ' overflows the packed edge key')
-          |  ELSE u * 1000000000L + v END""".stripMargin).as("k"))
-      .join(emb, Seq("k"), "left")
-      .withColumn("emb", coalesce(col("emb"), lit(0L)))
-    val census = full
+    // Bucket 0 by ARITHMETIC, not by joining emb back onto the edge
+    // list (round 13): every emb key IS an edge, so the zero-
+    // embeddedness population is simply m − Σ nonzero-bucket edges —
+    // the left join + coalesce over the full edge list only existed to
+    // materialize zeros the histogram can compute from one 1-row
+    // count (measured 3.50 → 2.44 s standalone min-of-2, same box
+    // back-to-back; the edge-sized hash join was ~30 % of the row). Range enforcement
+    // (ADVICE r12) rides the SAME 1-row edge aggregate for free:
+    // every triangle node is an edge endpoint of this cooccEdges
+    // frame, so max/min over (u,v) covers the explode's id universe —
+    // an id outside [0, 10⁹) raises loudly in the final ≤6-row
+    // projection instead of silently colliding packed keys.
+    val nz = emb
       .groupBy(least(col("emb"), lit(5L)).as("emb_capped"))
       .agg(count(lit(1)).as("n_edges"), sum(col("emb")).as("sum_emb"))
-    val tot = census.agg(sum(col("n_edges")).as("m"))
-    census.crossJoin(broadcast(tot))
+    val tot = e0.agg(count(lit(1)).as("m"),
+      max(greatest(col("u"), col("v"))).as("max_id"),
+      min(least(col("u"), col("v"))).as("min_id"))
+    val nzTot = nz.agg(sum(col("n_edges")).as("nz_edges"))
+    val zero = tot.crossJoin(broadcast(nzTot)) // 1 row × 1 row
+      .select(lit(0L).as("emb_capped"),
+        (col("m") - coalesce(col("nz_edges"), lit(0L))).as("n_edges"),
+        lit(0L).as("sum_emb"), col("m"), col("max_id"), col("min_id"))
+      .filter(col("n_edges") > 0) // bucket 0 only when populated,
+      // exactly as the old join-then-census emitted it
+    nz.crossJoin(broadcast(tot)) // ≤5 rows × 1 row
       .select(col("emb_capped"), col("n_edges"), col("sum_emb"),
-        expr("n_edges * 10000 div m").as("share_e4"))
+        col("m"), col("max_id"), col("min_id"))
+      .unionAll(zero)
+      .select(col("emb_capped"), col("n_edges"), col("sum_emb"),
+        expr("""CASE WHEN max_id >= 1000000000L OR min_id < 0
+          |  THEN raise_error('embeddedness: node id outside [0, 1e9)' ||
+          |    ' overflows the packed edge key')
+          |  ELSE n_edges * 10000 div m END""".stripMargin)
+          .as("share_e4"))
       .orderBy(col("emb_capped"))
   }
 
