@@ -76,9 +76,11 @@ object Bench {
     // 0.37→1.66 s, restored by one back-to-back re-read), so it was
     // REJECTED: a clean reading needs two executions of the same plan,
     // and this shape spends the unavoidable second execution where it
-    // pays — immediately before the timed one. This scheme: 1186 s
-    // wall / 404 s reported (2.94×, ≈20 min) with per-row values
-    // +5.6 % vs the r12 min-of-3 closing bench — inside the measured
+    // pays — immediately before the timed one. This scheme (with the
+    // codegen-cache raise above): three full 572-row runs measured
+    // 385.4 / 390.7 / 368.1 s reported at 17.9–18.6 min wall
+    // (2.82–2.92×), over_budget [] in all three, common-row totals at
+    // 1.008× of the r12 min-of-3 closing bench — inside the measured
     // ±9 % full-suite variance floor.
     val min3Sec = sys.env.getOrElse("SPARK_GRAFT_MIN3_SEC", "2.0").toDouble
     val gcEvery = 32
