@@ -1565,12 +1565,25 @@ object Graph {
     // budget); the packed form measures 2.9 s standalone-cold
     // including the triBase build, so the in-suite warm cost drops
     // well clear of the budget.
+    // Range enforcement sits INSIDE the key computation (round 14,
+    // ADVICE r13 — the previous guard lived only in the final share_e4
+    // projection, so a consumer pruning that column let Catalyst drop
+    // the CASE and silently accept colliding packed keys; coProjection
+    // already embeds its guard in the key itself). One two-compare
+    // CASE per (base-edge, apex) element, same codegen'd projection,
+    // no extra job; only triangle nodes flow through the pack, so this
+    // covers exactly the id universe that can collide.
     val emb = triBase(spark, dir)
       .select(explode(expr(
-        """flatten(transform(cs, c -> array(
-          |  least(ta, tb) * 1000000000L + greatest(ta, tb),
-          |  least(tb, c) * 1000000000L + greatest(tb, c),
-          |  least(ta, c) * 1000000000L + greatest(ta, c))))"""
+        """flatten(transform(cs, c ->
+          |  CASE WHEN least(ta, tb, c) < 0
+          |         OR greatest(ta, tb, c) >= 1000000000L
+          |  THEN raise_error('embeddedness: node id outside [0, 1e9)' ||
+          |    ' overflows the packed edge key')
+          |  ELSE array(
+          |    least(ta, tb) * 1000000000L + greatest(ta, tb),
+          |    least(tb, c) * 1000000000L + greatest(tb, c),
+          |    least(ta, c) * 1000000000L + greatest(ta, c)) END))"""
           .stripMargin)).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("emb"))
     // Bucket 0 by ARITHMETIC, not by joining emb back onto the edge
@@ -1579,35 +1592,26 @@ object Graph {
     // the left join + coalesce over the full edge list only existed to
     // materialize zeros the histogram can compute from one 1-row
     // count (measured 3.50 → 2.44 s standalone min-of-2, same box
-    // back-to-back; the edge-sized hash join was ~30 % of the row). Range enforcement
-    // (ADVICE r12) rides the SAME 1-row edge aggregate for free:
-    // every triangle node is an edge endpoint of this cooccEdges
-    // frame, so max/min over (u,v) covers the explode's id universe —
-    // an id outside [0, 10⁹) raises loudly in the final ≤6-row
-    // projection instead of silently colliding packed keys.
+    // back-to-back; the edge-sized hash join was ~30 % of the row).
+    // Zero-embeddedness edges never flow through the pack, so the
+    // explode-side guard above covers every id that CAN collide and
+    // the 1-row edge aggregate needs only the count.
     val nz = emb
       .groupBy(least(col("emb"), lit(5L)).as("emb_capped"))
       .agg(count(lit(1)).as("n_edges"), sum(col("emb")).as("sum_emb"))
-    val tot = e0.agg(count(lit(1)).as("m"),
-      max(greatest(col("u"), col("v"))).as("max_id"),
-      min(least(col("u"), col("v"))).as("min_id"))
+    val tot = e0.agg(count(lit(1)).as("m"))
     val nzTot = nz.agg(sum(col("n_edges")).as("nz_edges"))
     val zero = tot.crossJoin(broadcast(nzTot)) // 1 row × 1 row
       .select(lit(0L).as("emb_capped"),
         (col("m") - coalesce(col("nz_edges"), lit(0L))).as("n_edges"),
-        lit(0L).as("sum_emb"), col("m"), col("max_id"), col("min_id"))
+        lit(0L).as("sum_emb"), col("m"))
       .filter(col("n_edges") > 0) // bucket 0 only when populated,
       // exactly as the old join-then-census emitted it
     nz.crossJoin(broadcast(tot)) // ≤5 rows × 1 row
-      .select(col("emb_capped"), col("n_edges"), col("sum_emb"),
-        col("m"), col("max_id"), col("min_id"))
+      .select(col("emb_capped"), col("n_edges"), col("sum_emb"), col("m"))
       .unionAll(zero)
       .select(col("emb_capped"), col("n_edges"), col("sum_emb"),
-        expr("""CASE WHEN max_id >= 1000000000L OR min_id < 0
-          |  THEN raise_error('embeddedness: node id outside [0, 1e9)' ||
-          |    ' overflows the packed edge key')
-          |  ELSE n_edges * 10000 div m END""".stripMargin)
-          .as("share_e4"))
+        expr("n_edges * 10000 div m").as("share_e4"))
       .orderBy(col("emb_capped"))
   }
 

@@ -6298,6 +6298,31 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graph_embeddedness packed-key guard is UNPRUNABLE (round 14, " +
+      "ADVICE r13): an id outside [0, 1e9) raises even when the " +
+      "consumer prunes every projected column — the guard lives in " +
+      "the explode's key computation, which any aggregate over the " +
+      "census must evaluate") {
+    import spark.implicits._
+    // one triangle whose apex id sits exactly at the 1e9 pack boundary
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_guard")
+      .toFile.getAbsolutePath
+    Seq((1L, 1L), (1L, 2L), (1L, 1000000000L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ex = intercept[Throwable] {
+      // selecting only the bucket column drops share_e4 — the old
+      // projection-side guard vanished under exactly this consumer
+      graft.operators.Graph.embeddedness(spark, dir)
+        .select(org.apache.spark.sql.functions.col("emb_capped"))
+        .count()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("packed edge key"), s"unexpected failure: $msgs")
+  }
+
   test("ts_cusum_control (J99): the sequential chart replays " +
       "bit-exactly in the driver, including restarts") {
     import org.apache.spark.sql.functions.{col, count => scount, expr, lit}

@@ -379,7 +379,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         in.addData(ev(3, 2, 1, "click", 4.00))
         runOnce()
         import scala.jdk.CollectionConverters._
-        out.asScala.toSeq
+        val res = out.asScala.toSeq
+        // RocksDB checkpoints are the suite's heaviest temp dirs —
+        // delete eagerly rather than accumulate across runs (ADVICE
+        // r13). Walk deepest-first so directories empty before unlink.
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        res
       }
       val short = drive(java.time.Duration.ofSeconds(1))
       assert(short.contains((1L, 2L, 300L, true)), s"got $short")
