@@ -83,6 +83,23 @@ object Bench {
     // 1.008× of the r12 min-of-3 closing bench — inside the measured
     // ±9 % full-suite variance floor.
     val min3Sec = sys.env.getOrElse("SPARK_GRAFT_MIN3_SEC", "2.0").toDouble
+    // TEST-ONLY absorption-proof hook (round 14, VERDICT r13 #2): the
+    // confirm pass below had fired exactly once in anger (prefix_join,
+    // PLANS.md round 13), so its absorption of a real driver-side
+    // breach was designed-but-thinly-proven. This hook inflates the
+    // recorded FIRST-PASS value of named rows — no sleep, no plan
+    // change, the queries run exactly as always — simulating the
+    // driver-box pressure class (q_graph_components read 4.848 s in
+    // the r13 driver run vs 2.143 s builder closing, same binary).
+    // A forced breach must cross the budget, trigger the confirm
+    // pass, and NOT survive its real re-timing. Format:
+    // "name:sec,name:sec"; unset in every real run (driver sets no
+    // env), so the shipped artifact can never carry an inflated row.
+    val forceSlow: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_FORCE_SLOW_SEC")
+        .map(_.split(",").toSeq.map { kv =>
+          val Array(n, v) = kv.split(":"); n -> v.toDouble }.toMap)
+        .getOrElse(Map.empty)
     val gcEvery = 32
     var i = 0
     val results0 = enrolled.map { case (name, fn) =>
@@ -92,16 +109,18 @@ object Bench {
         s"[bench] ${i}/${enrolled.size} at ${((System.nanoTime() - wall0) / 1e9).toInt} s wall")
       val t1 = timed(fn)
       val t2 = timed(fn)
-      if (t1 < 0 || t2 < 0) name -> -1.0
-      else {
-        val m = math.min(t1, t2)
-        if (m < min3Sec) name -> m
-        else { System.gc(); val t3 = timed(fn)
-               // two valid readings already exist — a flaky third run
-               // must not discard them (ADVICE r13): fall back to the
-               // pair minimum instead of the failed-row sentinel.
-               name -> (if (t3 < 0) m else math.min(m, t3)) }
-      }
+      val raw =
+        if (t1 < 0 || t2 < 0) -1.0
+        else {
+          val m = math.min(t1, t2)
+          if (m < min3Sec) m
+          else { System.gc(); val t3 = timed(fn)
+                 // two valid readings already exist — a flaky third
+                 // run must not discard them (ADVICE r13): fall back
+                 // to the pair minimum instead of the failed sentinel.
+                 if (t3 < 0) m else math.min(m, t3) }
+        }
+      name -> (if (raw < 0) raw else raw + forceSlow.getOrElse(name, 0.0))
     }
     // Confirm pass (round 12, VERDICT r11 #1/#2): a row can breach the
     // budget from LATE-RUN JVM pressure alone (JIT/code-cache/GC debt

@@ -1104,6 +1104,19 @@ object LlmOps {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    // Eagerly FREE superseded round checkpoints (round 14): a local
+    // checkpoint's blocks otherwise live until a JVM GC lets the
+    // ContextCleaner notice the dropped RDD reference — a 50-round
+    // 100 TB CC job would pin up to 50 node-sized frames in executor
+    // memory waiting for one. Once round N+1 is materialized (ckpt is
+    // eager), round N's blocks are unreachable by any future plan, so
+    // they are unpersisted on the spot; reliable checkpoints (files,
+    // not blocks) make this a no-op.
+    def unpersistCkpt(df: DataFrame): Unit = df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
     val Seq(aCol, bCol) = pairs.columns.toSeq.map(pairs(_))
     val edges = ckpt(pairs.select(aCol.as("src"), bCol.as("dst"))
       .union(pairs.select(bCol.as("src"), aCol.as("dst"))))
@@ -1146,6 +1159,9 @@ object LlmOps {
           least(col("s.lbl"), coalesce(col("jl"), col("s.lbl")))
             .as("lbl"))
       val next = ckpt(selfJump(selfJump(stepped)))
+      // ckpt is eager — next's blocks exist, so the superseded round
+      // (and on iter 1 the seed) is unreachable by any future plan
+      unpersistCkpt(labels)
       labels = next
       iter += 1
       if (iter % checkEvery == 0 || iter == maxIter) {
@@ -1158,6 +1174,8 @@ object LlmOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     }
+    // the returned labels frame no longer references the edge blocks
+    unpersistCkpt(edges)
     System.err.println(s"[graft] connectedComponents: $iter rounds " +
       s"(checkEvery=$checkEvery, ${checkpointDir.fold("localCheckpoint")(
         d => s"checkpoint@$d")})")
