@@ -589,9 +589,22 @@ object Governance {
     * this is the row that makes that visible instead of silently
     * feeding lag analytics garbage.
     *
-    * Shape (100 TB): fact⋈fact equi-join on the order key (co-
-    * partitionable), one rank window per priority (5 groups), 5-row
-    * fold. */
+    * Shape (100 TB, round-14 rewrite — VERDICT r13 #4): fact⋈fact
+    * equi-join on the order key (co-partitionable), then a
+    * DISTRIBUTION-COUNTING census instead of a rank window: the lag
+    * domain is bounded (integer DAYS — a few thousand distinct values
+    * at any scale), so `groupBy(pri, lg)` partial-aggregates the join
+    * output map-side down to the ≤ 5×|lag-domain| census before the
+    * one exchange, and the exact lower-median / p90 are read off
+    * cumulative offsets over that census (rank r lives in the bucket
+    * whose cumulative range [cum−c+1, cum] contains r — identical
+    * values share a bucket, so the rank-r VALUE is exactly the
+    * row_number answer). The previous form sorted |lineitem⋈orders|
+    * rows across ONLY 5 priority partitions — a parallelism-5
+    * fact-sized sort at 100 TB; the census form's only window runs
+    * over census rows (the same discipline rfmSegments documents).
+    * Measured at sf0.1: 2.73 s (r13 builder closing) → sub-2 s; hash
+    * unchanged. */
   def temporalOrder(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lag = lineitem(spark, dir).as("l")
@@ -600,16 +613,21 @@ object Governance {
       .select(col("o.o_orderpriority").as("pri"),
         datediff(col("l.l_shipdate"), col("o.o_orderdate"))
           .cast("long").as("lg"))
+    val census = lag.groupBy(col("pri"), col("lg"))
+      .agg(count(lit(1)).as("c"))
     val byPri = Window.partitionBy(col("pri"))
-    lag
-      .withColumn("rn", row_number().over(byPri.orderBy(col("lg"))))
-      .withColumn("cnt", count(lit(1)).over(byPri))
+    census
+      .withColumn("cum", sum(col("c")).over(byPri.orderBy(col("lg"))))
+      .withColumn("cnt", sum(col("c")).over(byPri))
       .groupBy(col("pri"))
       .agg(max(col("cnt")).as("n"),
-        sum(when(col("lg") < 0, 1L).otherwise(0L)).as("n_negative"),
-        max(when(col("rn") === expr("(cnt + 1) div 2"), col("lg")))
+        sum(when(col("lg") < 0, col("c")).otherwise(0L))
+          .as("n_negative"),
+        max(when(col("cum") - col("c") < expr("(cnt + 1) div 2") &&
+            expr("(cnt + 1) div 2") <= col("cum"), col("lg")))
           .as("p50_days"),
-        max(when(col("rn") === expr("(cnt * 9 + 9) div 10"), col("lg")))
+        max(when(col("cum") - col("c") < expr("(cnt * 9 + 9) div 10") &&
+            expr("(cnt * 9 + 9) div 10") <= col("cum"), col("lg")))
           .as("p90_days"))
       .select(col("pri"), col("n"), col("n_negative"),
         expr("n_negative * 10000 div n").as("neg_share_e4"),
