@@ -743,15 +743,26 @@ object Analytics {
     * Shape: the chain state is |types|² (25 cells) — every join below
     * broadcasts; only the transition-count build touches the corpus
     * (one window + one groupBy, markov's own shape). */
-  def markovSteady(spark: SparkSession, dir: String): DataFrame = {
+  def markovSteady(spark: SparkSession, dir: String): DataFrame =
+    markovSteadyFrom(markovTrans(spark, dir).localCheckpoint())
+
+  /** The (src, dst, n) transition census both markov_steady and
+    * markov_entropy fold over — ONE corpus window pass, shared by
+    * text so the family cannot disagree on P. Callers that reuse the
+    * frame more than once materialize it (k²=25 rows) with
+    * `.localCheckpoint()` so the events window runs exactly once. */
+  private def markovTrans(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val trans = events(spark, dir)
+    events(spark, dir)
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("dst", lead(col("event_type"), 1).over(byUser))
       .filter(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  private def markovSteadyFrom(trans: DataFrame): DataFrame = {
     val p = trans
       .join(trans.groupBy(col("src").as("s2")).agg(sum(col("n")).as("t")),
         col("src") === col("s2"))
@@ -1292,8 +1303,15 @@ object Analytics {
     * H = Σ_i π_i H_i with H_i = Σ_j p_ij ln(1/p_ij), the expected
     * per-step unpredictability of the behavior stream (uniform 5-state
     * chain ⇒ ln 5 ≈ 1.609 — the observed fixture value, a built-in
-    * sanity pin). π comes from markovSteady's OUTPUT frame (pi3_e6 —
-    * the bestOfN derived-frame rule).
+    * sanity pin). π comes from markovSteady's OUTPUT columns (pi3_e6)
+    * computed by the SAME `markovSteadyFrom` fold — but over THIS
+    * row's materialized transition census, not a second corpus pass
+    * (round-14 tail shave: the old composition called markovSteady
+    * wholesale and re-paid the events window — the suite's only row
+    * that planned the same fact-sized window twice; measured subset
+    * A/B at sf0.1: 3.01 → 2.54 s, and steady itself 1.91 → 1.62 s
+    * from its own trans checkpoint. Hash unchanged — P is
+    * byte-identical.)
     *
     * Exactness: the only transcendental is ln of an integer count,
     * rounded ONCE via the shared `floor(ln(x)·1000 + 0.5)` text (the
@@ -1303,14 +1321,7 @@ object Analytics {
     * Shape: one window pass for transitions (the markov family
     * contract), k²-sized joins after (k = 5 states), π broadcast. */
   def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val trans = events(spark, dir)
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("dst", lead(col("event_type"), 1).over(byUser))
-      .filter(col("dst").isNotNull)
-      .groupBy(col("event_type").as("src"), col("dst"))
-      .agg(count(lit(1)).as("n"))
+    val trans = markovTrans(spark, dir).localCheckpoint()
     val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("t"))
     val h = trans.join(tot, "src")
       .groupBy(col("src"))
@@ -1318,7 +1329,7 @@ object Analytics {
         expr("""CAST(sum(n * (CAST(floor(ln(t) * 1000 + 0.5) AS BIGINT)
           | - CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT)))
           | div max(t) AS BIGINT)""".stripMargin).as("h_cond_e3"))
-    val pi = markovSteady(spark, dir)
+    val pi = markovSteadyFrom(trans)
       .select(col("state").as("src"), col("pi3_e6"))
     val joined = h.join(pi, "src")
     val rate = joined.agg(expr(

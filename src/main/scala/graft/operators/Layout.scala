@@ -193,9 +193,17 @@ object Layout {
         .write.mode("overwrite").option("path", s"$tmp/users_pb")
         .bucketBy(8, "user_id").sortBy("user_id")
         .saveAsTable("graft_users_pb")
-      val tot = events(spark, dir).count() // control-plane: one long
-      val typeDim = events(spark, dir).groupBy(col("event_type"))
+      // One materialized census pass serves both the total and the
+      // type dim (round-14: the old separate events.count() re-scanned
+      // the fact for a number the |types|-row census already carries).
+      // The dim stays a Filter over a real relation — NOT a collected
+      // literal — so the DPP rule's selective-predicate test still
+      // sees a pruning-worthy build side.
+      val typeCounts = events(spark, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_type"))
+        .localCheckpoint() // |event types| rows
+      val tot = typeCounts.agg(sum(col("n_type"))).first().getLong(0)
+      val typeDim = typeCounts
         .filter(col("n_type") >= tot / 5)
         .select(col("event_type"))
       val agg = spark.table("graft_fact_pb")
