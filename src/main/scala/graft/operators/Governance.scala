@@ -603,8 +603,9 @@ object Governance {
     * rows across ONLY 5 priority partitions — a parallelism-5
     * fact-sized sort at 100 TB; the census form's only window runs
     * over census rows (the same discipline rfmSegments documents).
-    * Measured at sf0.1: 2.73 s (r13 builder closing) → sub-2 s; hash
-    * unchanged. */
+    * Measured at sf0.1: 2.73 s (r13 builder closing) → 1.96 s subset
+    * / 1.11–1.23 s in-suite; scaling exp 0.278 across sf0.01→0.1;
+    * hash unchanged. */
   def temporalOrder(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lag = lineitem(spark, dir).as("l")
