@@ -163,8 +163,12 @@ object Bench {
     val retimeMax = sys.env.getOrElse("SPARK_GRAFT_RETIME_MAX", "12").toInt
     val retimeMinSec = sys.env.getOrElse("SPARK_GRAFT_RETIME_MIN_SEC", "1.0")
       .toDouble
+    // subset runs skip the pass UNLESS the caller owns the artifact
+    // path explicitly (SPARK_GRAFT_BENCH_OUT) — the testable fire path
     val history: Map[String, Double] =
-      if (subset.nonEmpty || retimeRatio <= 0) Map.empty
+      if ((subset.nonEmpty &&
+            sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty) ||
+          retimeRatio <= 0) Map.empty
       else try {
         val path = java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
