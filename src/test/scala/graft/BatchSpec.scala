@@ -6307,20 +6307,27 @@ class BatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one triangle whose apex id sits exactly at the 1e9 pack boundary
     val dir = java.nio.file.Files.createTempDirectory("graft_emb_guard")
       .toFile.getAbsolutePath
-    Seq((1L, 1L), (1L, 2L), (1L, 1000000000L))
-      .toDF("l_orderkey", "l_partkey")
-      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val ex = intercept[Throwable] {
-      // selecting only the bucket column drops share_e4 — the old
-      // projection-side guard vanished under exactly this consumer
-      graft.operators.Graph.embeddedness(spark, dir)
-        .select(org.apache.spark.sql.functions.col("emb_capped"))
-        .count()
+    try {
+      Seq((1L, 1L), (1L, 2L), (1L, 1000000000L))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val ex = intercept[Throwable] {
+        // selecting only the bucket column drops share_e4 — the old
+        // projection-side guard vanished under exactly this consumer
+        graft.operators.Graph.embeddedness(spark, dir)
+          .select(org.apache.spark.sql.functions.col("emb_capped"))
+          .count()
+      }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("packed edge key"), s"unexpected failure: $msgs")
+    } finally {
+      // delete the scratch fixture eagerly (ADVICE r13 temp-dir hygiene)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
-    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
-      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
-      .mkString(" | ")
-    assert(msgs.contains("packed edge key"), s"unexpected failure: $msgs")
   }
 
   test("ts_cusum_control (J99): the sequential chart replays " +
