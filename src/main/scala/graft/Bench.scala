@@ -24,6 +24,15 @@ object Bench {
       // min-of-3 re-reads still benefit. Static conf: must be set at
       // session build.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // AQE coalescing stays at Spark defaults (parallelismFirst=true,
+      // advisory 64m) — measured round 14, guide §1.2 step 3: forcing
+      // data-sized coalescing (parallelismFirst=false, 64m advisory)
+      // read 78.5 s vs 60.4 s default on a 40-row subset. The losers
+      // are CPU-bound per-key folds over small shuffles (croston
+      // 1.78→5.03 s, weighted_median 2.28→4.31, jaccard 1.57→3.61) —
+      // at THIS suite's scale the reduce stages are compute-bound, not
+      // task-overhead-bound, so byte-targeted coalescing serializes
+      // real work. OPTIMIZATION_r14.md has the full A/B table.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     System.err.println("[bench] codegen.cache.maxEntries = " +

@@ -887,9 +887,19 @@ object ModelPrep {
     * the whole fit is broadcast-joined driver-free arithmetic; the
     * only data-scale work is inside pairwiseWins itself. */
   def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the MM iterations below reference this frame
+    // through sym/tot/w1/w2 so many times that the WHOLE pairwiseWins→
+    // qualityLogreg pipeline replicated ~10× in the physical plan
+    // (measured round 14: 276 KB formatted plan / 422 Exchanges →
+    // 33 KB / 38 with the cut; warm 2.60 → 2.16 s on a noisy box —
+    // the tail's remaining cost is ~25 micro-stages over ≤190-row
+    // frames, which AQE broadcasts either way). The frame is
+    // ≤ roster²/2 rows (190 here) — the k-sized cache-the-frontier
+    // discipline from mmrRerank/connectedComponents, never corpus-sized.
     val pw = pairwiseWins(spark, dir)
       .select(col("a"), col("b"), col("n_shared"),
         col("n_win_a"), col("n_win_b"))
+      .localCheckpoint()
     val sym = pw.select(col("a").as("i"), col("b").as("j"),
         col("n_shared").as("n"), col("n_win_a").as("w"))
       .unionAll(pw.select(col("b").as("i"), col("a").as("j"),
