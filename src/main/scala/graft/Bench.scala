@@ -172,15 +172,25 @@ object Bench {
     val retimeMax = sys.env.getOrElse("SPARK_GRAFT_RETIME_MAX", "12").toInt
     val retimeMinSec = sys.env.getOrElse("SPARK_GRAFT_RETIME_MIN_SEC", "1.0")
       .toDouble
-    // subset runs skip the pass UNLESS the caller owns the artifact
-    // path explicitly (SPARK_GRAFT_BENCH_OUT) — the testable fire path
+    // History is read from a PINNED file the bench never writes
+    // (round 15, VERDICT r14 #2/#3: the old scheme read whatever
+    // BENCH_LOCAL.json held, which a full run — including the
+    // driver's own — overwrites by default, so a subsequent run's
+    // suspect pass would consume the previous run's output as
+    // "history"). BENCH_HISTORY.json is committed, updated only by an
+    // explicit human copy, and recorded per-row below with both the
+    // first reading and the re-timed value so the correction's
+    // magnitude is auditable in the artifact.
+    // Subset runs skip the pass UNLESS the caller points at a history
+    // file explicitly (SPARK_GRAFT_BENCH_HISTORY) — the testable fire
+    // path.
     val history: Map[String, Double] =
       if ((subset.nonEmpty &&
-            sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty) ||
+            sys.env.get("SPARK_GRAFT_BENCH_HISTORY").isEmpty) ||
           retimeRatio <= 0) Map.empty
       else try {
         val path = java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+          "SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.json"))
         val txt = java.nio.file.Files.readString(path)
         // written by this same main — known shape; sf must match so a
         // cross-scale artifact can't mislabel every row a suspect
@@ -195,15 +205,18 @@ object Bench {
           t >= retimeRatio * history(name) =>
         (name, t, t - history(name))
     }.toSeq.sortBy(-_._3).take(retimeMax)
-    val retimed = suspects.map { case (name, t, _) =>
-      System.err.println(f"[bench] suspect re-time for $name ($t%.2f s " +
-        f"vs ${history(name)}%.2f committed)")
-      val fn = enrolled(name)
-      val times = Seq(timed(fn), timed(fn)).filter(_ >= 0)
-      name -> (if (times.isEmpty) t else math.min(t, times.min))
-    }.toMap
+    // value = min(first reading, fresh this-run pair) — history never
+    // contributes a value; BOTH readings are recorded in the artifact
+    val retimed: Map[String, (Double, Double)] =
+      suspects.map { case (name, t, _) =>
+        System.err.println(f"[bench] suspect re-time for $name ($t%.2f s " +
+          f"vs ${history(name)}%.2f committed)")
+        val fn = enrolled(name)
+        val times = Seq(timed(fn), timed(fn)).filter(_ >= 0)
+        name -> (t, if (times.isEmpty) t else math.min(t, times.min))
+      }.toMap
     val resultsFinal = results.map { case (name, t) =>
-      name -> retimed.getOrElse(name, t) }
+      name -> retimed.get(name).map(_._2).getOrElse(t) }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = resultsFinal.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -224,15 +237,19 @@ object Bench {
         overBudget.mkString(", "))
     val over = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wallSec = r3((System.nanoTime() - wall0) / 1e9)
-    // Detailed line FIRST (per-query breakdown, ~2 KB), then a short
+    // Detailed line FIRST (per-query breakdown, ~15 KB), then a short
     // total-only line LAST: the driver captures a bounded stdout tail, so
     // the last parseable JSON line must be small enough to always fit.
-    // names the suspect pass re-timed, so the artifact records where
-    // history flagged a reading (bounded: ≤ RETIME_MAX entries)
-    val retimedJson = retimed.keys.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The suspect pass records BOTH readings per re-timed row — the
+    // first-pass value and the final (min over first + fresh pair) —
+    // so the correction's magnitude is auditable from the artifact
+    // alone (bounded: ≤ RETIME_MAX entries).
+    val retimedJson = retimed.toSeq.sortBy(_._1)
+      .map { case (n, (first, fin)) =>
+        s""""$n":{"first":${r3(first)},"final":${r3(fin)}}""" }
+      .mkString("{", ",", "}")
     val detailed =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"over_budget":$over,"budget_sec":$budgetSec,"retimed":$retimedJson,"wall_sec":$wallSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"over_budget":$over,"budget_sec":$budgetSec,"retimed":$retimedJson,"wall_sec":$wallSec,"cpus":$cpus,"sf":"$sfDir"}"""
     println(detailed)
     // Per-family rollup (round 9, r8 verdict hygiene ask): the driver
     // keeps a bounded stdout tail, so when the ~500-row per-query map
@@ -246,6 +263,35 @@ object Bench {
         s"\"$fam\":{\"n\":${rs.size},\"sec\":${r3(rs.map(_._2).sum)}}" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"families","families":$fams,"sf":"$sfDir"}""")
+    // Per-query map re-emitted as bounded chunks just before the final
+    // total line (round 15, VERDICT r14 #1): the single ~15 KB detailed
+    // line prints FIRST, so a bounded stdout tail truncates its head and
+    // the driver could not compute any per-query comparison in rounds
+    // 13–14 (PERF_r14.json: per_query {}, n_common 0). Each chunk is an
+    // independently parseable JSON line ≤ ~2 KB; together the chunks
+    // carry the full map inside any tail that can hold the families
+    // line. Addition-only: the detailed line and the final total line
+    // are unchanged.
+    locally {
+      val entries = resultsFinal.toSeq.map { case (k, v) =>
+        s""""$k":${r3(v)}""" }
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      var curLen = 0
+      entries.foreach { e =>
+        if (curLen + e.length > 1800 && cur.nonEmpty) {
+          chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer()
+          curLen = 0
+        }
+        cur += e; curLen += e.length + 1
+      }
+      if (cur.nonEmpty) chunks += cur.toSeq
+      val n = chunks.size
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"queries_part","i":${i + 1},"of":$n,""" +
+          s""""queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      }
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     // The driver's artifact keeps only a bounded stdout TAIL, which
     // truncated the per-query map in past rounds and left perf claims

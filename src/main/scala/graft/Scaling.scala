@@ -59,7 +59,12 @@ object Scaling {
     // round-11 continuation: the tie-strength census (3·|triangles|
     // explode over the memoized tri-base — the edge-incidence fan-out
     // bound this artifact certifies)
-    "q_graph_embeddedness")
+    "q_graph_embeddedness",
+    // round 15 (VERDICT r14 #6): the round-14 checkpoint win joins the
+    // sweep so the O(k)-plan claim (k greedy picks, plan size constant
+    // in corpus) carries measured sf evidence like the other wins
+    // (bradley_terry / temporal_order / markov_entropy already sweep)
+    "q_llm_mmr_rerank")
 
   /** Round 9: the ten heaviest rows also run at sf1 (the ScaleUp
     * replica fixture) for a FOURTH decade — `exp1` is the 0.1 → 1
@@ -74,7 +79,10 @@ object Scaling {
     // join the fourth decade — iterative pointer-doubling CC and the
     // triangle-side census carry per-row exponent gates like the rest
     // of the iterative-graph class
-    "q_graph_components", "q_graph_embeddedness")
+    "q_graph_components", "q_graph_embeddedness",
+    // round 15: mmr's fourth decade proves the unrolled-greedy plan
+    // stays O(k) when the candidate corpus grows 10×
+    "q_llm_mmr_rerank")
 
   /** Per-row exponent gates TIGHTER than the global [[gate]] (round 11,
     * VERDICT r10 #8): the two rounds-9/10 watch rows — the worst sf1

@@ -227,8 +227,17 @@ object Analytics {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
       .distinct()
-    cand
+    // Verify tail (round 15, guide §3.1): static fixture stats made the
+    // planner BROADCAST the doc-sized `sets` twice (two corpus-scale
+    // broadcast builds — the exact 100 TB hazard the Hints scaladoc
+    // bans). SHUFFLE_HASH on the candidate side instead: the tiny
+    // post-distinct pair table is the build side of both verify joins,
+    // `sets` streams through ONE doc_id exchange (the two sets-side
+    // exchanges canonicalize identically, so ReusedExchange dedupes
+    // them), and nothing corpus-sized is ever collected to the driver.
+    cand.hint("shuffle_hash")
       .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .hint("shuffle_hash")
       .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
       .withColumn("inter",
         size(array_intersect(col("sa.ts"), col("sb.ts"))).cast("long"))

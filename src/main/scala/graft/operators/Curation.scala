@@ -1399,6 +1399,16 @@ object Curation {
       .groupBy(col("source"), col("pr")).agg(count(lit(1)).as("n"))
       .withColumn("c1", expr("substring(pr, 1, 1)"))
       .withColumn("c2", expr("substring(pr, 2, 1)"))
+    // NO localCheckpoint on the census, measured deliberately (round
+    // 15, VERDICT r14 #8): the census feeds four consumer branches and
+    // the STATIC plan re-derives the corpus-scale explode+census
+    // pipeline 5× (5 parquet scans / 32 Exchange nodes), but runtime
+    // exchange reuse dedupes all five copies — the A/B (checkpointed:
+    // 0 scans / 14 Exchanges) measured a TIE, isolated warm min 2.93 s
+    // both ways (medians 3.36 vs 3.17, inside the box's ±10 % scatter),
+    // so the eager barrier buys nothing the ReusedExchange doesn't
+    // already deliver. Same boundary as markovSteadyFrom's rejected
+    // pi-checkpoints: reuse-covered duplication is free to replan.
     val t1 = pc.groupBy(col("source"), col("c1"))
       .agg(sum(col("n")).as("t"))
     val t2 = pc.groupBy(col("source"), col("c2"))

@@ -1853,8 +1853,20 @@ object LlmOps {
     * volume is Σ_sh df² — linear in rare-postings count, never
     * all-pairs; generation is a keyed equi-join on the shingle, the
     * fold is partial-aggregable, top-20 via TakeOrdered. */
-  def rareShinglePairs(spark: SparkSession, dir: String): DataFrame = {
-    val tri = documents(spark, dir)
+  def rareShinglePairs(spark: SparkSession, dir: String): DataFrame =
+    rareShinglePairsImpl(spark, dir, hashKeys = false)
+
+  /** `hashKeys = true` replaces each ~25-char trigram string with its
+    * 60-bit md5 prefix right after the explode, narrowing the distinct,
+    * the df census, and the pair self-join shuffles to 8-byte keys
+    * (guide §2.3/§2.4). Kept OFF for the enrolled row: the round-14
+    * sf0.1 A/B was inside noise, and the round-15 interleaved A/B at
+    * sf1 (tools.AbRareShingle, OPTIMIZATION_r15.md) measured the md5
+    * digest cost ≥ the shuffle-byte saving at this fixture's scale too.
+    * The dev switch stays so the A/B is one flag at any future SF. */
+  private[graft] def rareShinglePairsImpl(spark: SparkSession, dir: String,
+      hashKeys: Boolean): DataFrame = {
+    val tri0 = documents(spark, dir)
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 3) // sequence(1,0) is DESCENDING, guard
       .select(col("doc_id"), explode(expr(
@@ -1862,6 +1874,11 @@ object LlmOps {
           | i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
           |                element_at(tk, i + 2)))""".stripMargin))
         .as("sh"))
+    val tri = (if (hashKeys)
+        tri0.select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)")
+          .as("sh"))
+      else tri0)
       .distinct()
     val dfd = tri.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val nd = documents(spark, dir)

@@ -904,14 +904,31 @@ object ModelPrep {
         col("n_shared").as("n"), col("n_win_a").as("w"))
       .unionAll(pw.select(col("b").as("i"), col("a").as("j"),
         col("n_shared").as("n"), col("n_win_b").as("w")))
+    // tot/w2 are roster-sized (≤ 20 rows) and each referenced by 2–3
+    // downstream branches; without the cuts the MM tail re-planned
+    // every reference's whole subtree — 38 Exchanges / ~25 micro-stages
+    // at round-14 close (round 15: → 3 Exchanges in the final plan
+    // plus two k-sized checkpoint jobs; isolated warm min 1.90 →
+    // 1.47 s, plans/r15/q_llm_bradley_terry_{before,after}.txt).
+    // localCheckpoint (not reliable checkpoint) is deliberate for these
+    // k-sized frames: executor-loss exposure on ≤20 cached rows is
+    // negligible and a reliable checkpoint would add a filesystem
+    // round-trip per bench run (same tradeoff as mmrRerank's 1-row
+    // picks; the corpus-scale CC loop is where the reliable-dir knob
+    // lives).
     val tot = sym.groupBy(col("i"))
       .agg(sum(col("w")).as("wins"), sum(col("n")).as("games"))
-    // iteration 1 from the uniform prior w0 = 1e6 (so w_i + w_j = 2e6)
-    val w1 = sym.groupBy(col("i"))
-      .agg(sum(expr("n * 1000000000000 div 2000000")).as("den"))
-      .join(tot, Seq("i"))
-      .select(col("i"),
-        expr("wins * 1000000000000 div greatest(den, 1)").as("w"))
+      .localCheckpoint()
+    // iteration 1 from the uniform prior w0 = 1e6 (so w_i + w_j = 2e6).
+    // The per-pair term n·10¹² div 2·10⁶ is EXACT (10¹² = 2·10⁶ ×
+    // 5·10⁵, so the div has zero remainder and equals n·500000), hence
+    // den₁(i) = Σ_j n_ij·500000 = games(i)·500000 — algebraically
+    // identical to the old per-term-div groupBy over sym, bit-for-bit,
+    // but derived from tot with no extra shuffle + join (round 15,
+    // guide §2.4: one exchange instead of two plus a join).
+    val w1 = tot.select(col("i"),
+      expr("wins * 1000000000000" +
+        " div greatest(games * 500000, 1)").as("w"))
     val w2 = sym.as("s")
       .join(w1.as("wi"), col("s.i") === col("wi.i"))
       .join(w1.as("wj"), col("s.j") === col("wj.i"))
@@ -921,6 +938,7 @@ object ModelPrep {
       .join(tot, Seq("i"))
       .select(col("i"), col("wins"), col("games"),
         expr("wins * 1000000000000 div greatest(den, 1)").as("w"))
+      .localCheckpoint()
     val norm = w2.agg(sum(col("w")).as("sw"), count(lit(1)).as("k"))
     w2.crossJoin(broadcast(norm))
       .select(col("i").as("source"), col("games"), col("wins"),

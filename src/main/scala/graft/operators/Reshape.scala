@@ -42,7 +42,17 @@ object Reshape {
           col("l_tax")),
         "metric", "val")
       // (l_orderkey, l_linenumber) is NOT unique in this synthetic data,
-      // so val joins the sort to make the order total
+      // so val joins the sort to make the order total.
+      // A/B NEGATIVE (round 15, VERDICT r14 #7): packing the first
+      // three sort columns into one BIGINT (okey·32 + ln·4 + metric
+      // ordinal — exact, since l_linenumber is 1..7 by generator
+      // invariant and the four metric literals' ordinals match their
+      // ASC string order) measured a tie — isolated warm min 1.92 →
+      // 1.78 s, medians 2.23 → 2.08, under the >15 % keep bar and
+      // inside box scatter. The sort is range-partitioned 75 K rows/
+      // task at sf0.1; comparator width isn't where its time goes, and
+      // the packed key widens the exchange by 8 B/row. Oracle-verified
+      // identical both ways before reverting.
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
         col("val"))
 
