@@ -123,9 +123,12 @@ object Scaling {
       System.gc()
       math.min(once(), once())
     }
-    val times: Map[String, Map[String, Double]] = sfs.map { sf =>
-      sf -> targets.map(n => n -> run(n, s"$base/$sf")).toMap
-    }.toMap
+    val times: scala.collection.mutable.Map[String,
+        scala.collection.mutable.Map[String, Double]] =
+      scala.collection.mutable.Map(sfs.map { sf =>
+        sf -> scala.collection.mutable.Map(
+          targets.map(n => n -> run(n, s"$base/$sf")): _*)
+      }: _*)
     // fourth decade: the ScaleUp replica fixture, when it exists (the
     // builder generates it with `runMain graft.ScaleUp`; the driver
     // environment may not carry it — the three-decade artifact stays
@@ -138,10 +141,43 @@ object Scaling {
     // the commit marker only appears when the table is complete
     val haveSf1 =
       Files.exists(Paths.get(s"$sf1Dir/embeddings.parquet/_SUCCESS"))
-    val timesSf1: Map[String, Double] =
-      if (haveSf1) sf1Targets.map(n => n -> run(n, sf1Dir)).toMap
-      else Map.empty
+    val timesSf1: scala.collection.mutable.Map[String, Double] =
+      if (haveSf1) scala.collection.mutable.Map(
+        sf1Targets.map(n => n -> run(n, sf1Dir)): _*)
+      else scala.collection.mutable.Map.empty
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def gateFor(label: String): Double =
+      rowGates.getOrElse(label.stripSuffix("@sf1"), gate)
+    def worstDecade: Seq[(String, Double)] =
+      targets.map(n =>
+        (n, math.log10(times("sf0.1")(n) / times("sf0.01")(n)))) ++
+      timesSf1.map { case (n, t10) =>
+        (s"$n@sf1", math.log10(t10 / times("sf0.1")(n))) }.toSeq
+    def violations: Seq[(String, Double)] =
+      worstDecade.filter { case (n, e) => e > gateFor(n) }
+    // Confirm pass (round 15 — the Bench budget-breach discipline
+    // applied to the exponent gate): min-of-2-after-warmup readings
+    // carry enough run-to-run scatter that an UNTOUCHED row can
+    // straddle a tight per-row gate (q_graph_local_bridges@sf1 read
+    // exp1 0.887 and 1.044 in back-to-back full runs of the same
+    // binary). Any gate breach gets ONE fresh re-measure of BOTH
+    // decade endpoints, folded in with the per-endpoint min — the
+    // honest cost estimator, and symmetric on the exponent: lowering
+    // the sf1 endpoint lowers it, lowering the sf0.1 endpoint raises
+    // it. A true superlinear law reproduces and stays red; a pressure
+    // artifact collapses.
+    for ((label, e0) <- violations) {
+      val n = label.stripSuffix("@sf1")
+      System.err.println(f"[scaling] confirm pass for $label " +
+        f"(exp $e0%.3f over gate ${gateFor(label)})")
+      if (label.endsWith("@sf1")) {
+        times("sf0.1")(n) = math.min(times("sf0.1")(n), run(n, s"$base/sf0.1"))
+        timesSf1(n) = math.min(timesSf1(n), run(n, sf1Dir))
+      } else {
+        times("sf0.01")(n) = math.min(times("sf0.01")(n), run(n, s"$base/sf0.01"))
+        times("sf0.1")(n) = math.min(times("sf0.1")(n), run(n, s"$base/sf0.1"))
+      }
+    }
     val rows = targets.map { n =>
       val t001 = times("sf0.001")(n)
       val t01 = times("sf0.01")(n)
@@ -149,9 +185,6 @@ object Scaling {
       val e = math.log10(t1 / t01)
       (n, t001, t01, t1, e)
     }
-    val worstDecade = rows.map(r => (r._1, r._5)) ++
-      timesSf1.map { case (n, t10) =>
-        (s"$n@sf1", math.log10(t10 / times("sf0.1")(n))) }
     val worst = worstDecade.maxBy(_._2)
     val json = rows.map { case (n, a, b, c, e) =>
       val sf1Part = timesSf1.get(n).map { t10 =>
@@ -165,11 +198,9 @@ object Scaling {
       sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")), json)
     println(json)
     spark.stop()
-    def gateFor(label: String): Double =
-      rowGates.getOrElse(label.stripSuffix("@sf1"), gate)
-    val violations = worstDecade.filter { case (n, e) => e > gateFor(n) }
-    if (violations.nonEmpty) {
-      violations.foreach { case (n, e) =>
+    val fin = violations
+    if (fin.nonEmpty) {
+      fin.foreach { case (n, e) =>
         System.err.println(f"[scaling] GATE FAILED: $n grows as " +
           f"n^$e%.2f over its last measured decade (gate ${gateFor(n)})")
       }

@@ -178,7 +178,36 @@ object Analytics {
     * the rarest in the corpus. Verification is exact set intersection
     * on the candidate pairs only, with the τ test as an integer
     * cross-multiply (5·|∩| ≥ 3·|∪|). */
-  def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Doc count below which the verify tail uses candidate-side
+    * SHUFFLE_HASH builds instead of the planner's unhinted choice —
+    * between the two measured points of the round-15 order-alternating
+    * interleaved A/B (tools.AbPrefixJoin, one JVM): at sf0.1 (5,000
+    * docs) SHUFFLE_HASH wins all 6 rounds (median 3.10 s vs 3.89 —
+    * the two doc-sized broadcast BUILDS dominate a small corpus), at
+    * sf1 (50,000 docs) the unhinted form wins all 6 rounds (median
+    * 6.53 s vs 10.32 — candidate pairs grow faster than docs, so
+    * per-partition hash builds over the array-carrying intermediate
+    * lose to one reusable broadcast). Above the gate the join is
+    * UNHINTED, which is also the 100 TB-safe shape: at real corpus
+    * stats `sets` exceeds the broadcast threshold and the planner
+    * falls back to a keyed join AQE can re-plan, instead of a forced
+    * strategy. Same session-memoized gate discipline as
+    * Hints.bcastIfAtMost / rareShinglePairs. */
+  val PrefixJoinShjMaxDocs = 20000L
+
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixJoinImpl(spark, dir,
+      shuffleHashVerify =
+        graft.FrameMemo.cachedCount(spark, dir, "documents-rows")(
+          documents(spark, dir)) < PrefixJoinShjMaxDocs)
+
+  /** `shuffleHashVerify` switches the two verify joins between the
+    * planner's unhinted choice (false — doc-sized `sets` broadcasts
+    * on fixture stats, keyed join at real scale) and candidate-side
+    * SHUFFLE_HASH builds (true); size-gated via
+    * [[PrefixJoinShjMaxDocs]] (numbers there). */
+  private[graft] def prefixJoinImpl(spark: SparkSession, dir: String,
+      shuffleHashVerify: Boolean): DataFrame = {
     // shingles travel as 60-bit md5 hashes from the start: the candidate
     // join shuffles 8-byte keys and the verify intersects long arrays —
     // not ~30-char strings (same hash-first rule as decontaminate);
@@ -227,18 +256,25 @@ object Analytics {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
       .distinct()
-    // Verify tail (round 15, guide §3.1): static fixture stats made the
-    // planner BROADCAST the doc-sized `sets` twice (two corpus-scale
-    // broadcast builds — the exact 100 TB hazard the Hints scaladoc
-    // bans). SHUFFLE_HASH on the candidate side instead: the tiny
-    // post-distinct pair table is the build side of both verify joins,
-    // `sets` streams through ONE doc_id exchange (the two sets-side
-    // exchanges canonicalize identically, so ReusedExchange dedupes
-    // them), and nothing corpus-sized is ever collected to the driver.
-    cand.hint("shuffle_hash")
-      .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
-      .hint("shuffle_hash")
-      .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
+    // Verify tail (round 15, guide §3.1): below the doc-count gate the
+    // candidate side is the SHUFFLE_HASH build side of both verify
+    // joins — the tiny post-distinct pair table hashes per partition,
+    // `sets` streams through doc_id exchanges, and the two doc-sized
+    // broadcast BUILDS the static fixture stats otherwise pick are
+    // gone. Above the gate the joins are unhinted (broadcast while
+    // stats stay under the threshold, keyed join beyond) — measured
+    // crossover and scale rationale at PrefixJoinShjMaxDocs.
+    val verified =
+      if (shuffleHashVerify)
+        cand.hint("shuffle_hash")
+          .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
+          .hint("shuffle_hash")
+          .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
+      else
+        cand
+          .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
+          .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
+    verified
       .withColumn("inter",
         size(array_intersect(col("sa.ts"), col("sb.ts"))).cast("long"))
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))

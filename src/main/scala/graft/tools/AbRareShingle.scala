@@ -33,9 +33,16 @@ object AbRareShingle {
       dt
     }
     once(false); once(true) // warmup both arms, not recorded
+    // order alternates per round (AB, BA, AB, …) so within-pair JVM/GC
+    // position bias cancels instead of always favoring the second arm
     val (as, bs) = (1 to rounds).map { i =>
-      val a = once(false); val b = once(true)
-      println(f"[ab round $i] strings $a%.3f s | hashed $b%.3f s")
+      val (a, b) = if (i % 2 == 1) {
+        val a0 = once(false); val b0 = once(true); (a0, b0)
+      } else {
+        val b0 = once(true); val a0 = once(false); (a0, b0)
+      }
+      println(f"[ab round $i] strings $a%.3f s | hashed $b%.3f s" +
+        (if (i % 2 == 0) " (hashed first)" else ""))
       (a, b)
     }.unzip
     println(f"[ab] strings min ${as.min}%.3f median " +
